@@ -1,0 +1,112 @@
+"""Partition diff, completeness audit, resume (SURVEY §2.3 J1/J2, §2.9 St3).
+
+The reference's distinguishing feature: resuming a partially-written
+bootstrap by re-writing only *missing* and *incomplete* partitions
+(``fastapi-backend/pyspark_script.py:199-253,392-401``). Its implementation
+is the repo's biggest perf bug — an O(P) loop issuing a filter+count Spark
+job per partition value per side (``pyspark_script.py:237-247``). Here both
+diffs are single-shuffle DataFrame plans:
+
+* missing  = broadcast **left-anti join** of distinct source partition
+  values against destination partition values (J1);
+* incomplete = ``groupBy(partition).count()`` on each side + **inner join**
+  + count-inequality filter (J2) — two partial-aggregated scans and one
+  broadcast join, total work independent of partition count.
+
+At 100 TB the aggregates are map-side partial (Catalyst), the joined
+per-partition count tables are tiny (one row per partition value), and the
+join broadcasts — no full shuffle of the data ever happens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hudi_utility_spark.table import KeyedTable
+
+
+def partition_counts(df: DataFrame, partition_field: str) -> DataFrame:
+    """Per-partition row counts in one hash aggregate (replaces the
+    reference's per-value filter+count loop, A2)."""
+    return df.groupBy(F.col(partition_field).cast("string").alias(partition_field)).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def missing_partitions(
+    source: DataFrame, dest: DataFrame, partition_field: str
+) -> DataFrame:
+    """Partition values present in source but absent from dest (J1).
+
+    Broadcast left-anti join over distinct partition values; result column
+    is the partition field cast to string (the reference compares string
+    forms, ``pyspark_script.py:234``).
+    """
+    s = source.select(F.col(partition_field).cast("string").alias(partition_field)).distinct()
+    d = dest.select(F.col(partition_field).cast("string").alias(partition_field)).distinct()
+    return s.join(F.broadcast(d), partition_field, "left_anti")
+
+
+def incomplete_partitions(
+    source: DataFrame, dest: DataFrame, partition_field: str
+) -> DataFrame:
+    """Partitions present on both sides whose row counts disagree (J2).
+
+    Returns (partition, src_cnt, dst_cnt) for mismatches — the
+    reference's "incomplete partition" audit as one joined aggregate.
+    """
+    s = partition_counts(source, partition_field).withColumnRenamed("cnt", "src_cnt")
+    d = partition_counts(dest, partition_field).withColumnRenamed("cnt", "dst_cnt")
+    return (
+        s.join(F.broadcast(d), partition_field, "inner")
+        .filter(F.col("src_cnt") != F.col("dst_cnt"))
+        .select(partition_field, "src_cnt", "dst_cnt")
+    )
+
+
+def partitions_to_repair(
+    source: DataFrame, dest: DataFrame, partition_field: str
+) -> list[str]:
+    """missing ∪ incomplete partition values (the reference's
+    ``set(missing + incomplete)`` union-distinct, ``pyspark_script.py:257``).
+    Collect is safe: one row per partition *value*, never data rows."""
+    miss = missing_partitions(source, dest, partition_field)
+    inc = incomplete_partitions(source, dest, partition_field).select(partition_field)
+    union = miss.union(inc).distinct()
+    return sorted(r[0] for r in union.collect())
+
+
+def resume_bootstrap(
+    spark: SparkSession,
+    source_df: DataFrame,
+    table: KeyedTable,
+    dry_run: bool = False,
+) -> dict:
+    """Idempotent incremental repair (St3, ``pyspark_script.py:392-401``).
+
+    Computes missing+incomplete partitions and rewrites exactly those via
+    dynamic partition overwrite. Running it twice writes nothing the
+    second time. Returns {"repaired_partitions": [...], "noop": bool}.
+    """
+    if not table.partition_fields:
+        raise ValueError("resume requires a partitioned table")
+    pfield = table.partition_fields[0]
+    if not table.exists():
+        to_write = [
+            str(r[0]) for r in source_df.select(pfield).distinct().collect()
+        ]
+    else:
+        dest = table.read_base(spark)
+        to_write = partitions_to_repair(source_df, dest, pfield)
+    if not to_write:
+        return {"repaired_partitions": [], "noop": True, "dry_run": dry_run}
+    if not dry_run:
+        # partition values were compared as strings; filter source by the
+        # string form so typed columns (dates, ints) still match. Dynamic
+        # partition overwrite replaces exactly these partitions.
+        from hudi_utility_spark.write import write_partitioned
+
+        src = source_df.filter(F.col(pfield).cast("string").isin(to_write))
+        write_partitioned(src, table.base_path, table.partition_fields, mode="overwrite")
+    return {"repaired_partitions": sorted(to_write), "noop": False, "dry_run": dry_run}

@@ -1,0 +1,153 @@
+"""Keyed-table abstraction (SURVEY §1.1, §2.1 S7).
+
+The reference's central output abstraction is a Hudi table: record key
+(possibly composite), precombine field (dedup tiebreaker), partition-path
+field(s), COW/MOR table type, Hive-style layout (reference
+``fastapi-backend/pyspark_script.py:360-370``). Our pure-Spark equivalent:
+
+* layout: ``df.write.partitionBy(partition_fields)`` parquet — identical
+  ``field=value/`` dirs, so Catalyst partition-prunes on key filters;
+* upsert semantics: union + precombine window (latest-by-key wins);
+* COPY_ON_WRITE: upserts rewrite affected partitions (dynamic partition
+  overwrite);
+* MERGE_ON_READ: upserts append to a ``_delta_log/`` parquet dir; reads
+  union base + log and resolve by the same precombine window; ``compact()``
+  folds the log into the base.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from enum import Enum
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableType(str, Enum):
+    COPY_ON_WRITE = "COPY_ON_WRITE"
+    MERGE_ON_READ = "MERGE_ON_READ"
+
+
+class BootstrapMode(str, Enum):
+    """Bootstrap modes of the reference (``pyspark_script.py:373-391``)."""
+
+    FULL_RECORD = "FULL_RECORD"          # physical rewrite of the data
+    METADATA_ONLY = "METADATA_ONLY"      # register source in catalog, no rewrite
+    REGEX = "REGEX"                      # partition-regex split between the two
+
+    @classmethod
+    def parse(cls, value: "str | BootstrapMode") -> "BootstrapMode":
+        if isinstance(value, BootstrapMode):
+            return value
+        try:
+            return cls(value.upper())
+        except ValueError as exc:
+            raise ValueError(
+                f"Invalid bootstrap type: {value!r} "
+                f"(expected one of {[m.value for m in cls]})"
+            ) from exc
+
+
+_MOR_LOG_DIR = "_delta_log"
+
+
+@dataclass
+class KeyedTable:
+    """Spec + IO for a keyed, partitioned, upsertable table.
+
+    Mirrors the reference's write config surface
+    (``pyspark_script.py:360-370``): ``record_key`` may be composite
+    (the reference takes it comma-separated, ``pyspark_script.py:127``;
+    we take a list), ``precombine`` breaks ties (latest wins),
+    ``partition_fields`` drive the Hive-style layout.
+    """
+
+    path: str
+    record_key: list[str]
+    precombine: str
+    partition_fields: list[str] = field(default_factory=list)
+    table_type: TableType = TableType.COPY_ON_WRITE
+    name: str | None = None
+
+    def __post_init__(self) -> None:
+        if isinstance(self.record_key, str):  # tolerate the reference's CSV form
+            self.record_key = [k.strip() for k in self.record_key.split(",") if k.strip()]
+        if isinstance(self.partition_fields, str):
+            self.partition_fields = [
+                k.strip() for k in self.partition_fields.split(",") if k.strip()
+            ]
+        self.table_type = TableType(self.table_type)
+
+    # -- paths ---------------------------------------------------------
+    @property
+    def base_path(self) -> str:
+        return self.path
+
+    @property
+    def log_path(self) -> str:
+        return os.path.join(self.path, _MOR_LOG_DIR)
+
+    def exists(self) -> bool:
+        p = self.path
+        for scheme in ("file://", "hdfs://"):
+            if p.startswith(scheme):
+                p = p[len(scheme):]
+        return os.path.isdir(p) and any(
+            not e.startswith(".") for e in os.listdir(p)
+        )
+
+    # -- read ----------------------------------------------------------
+    def read_base(self, spark: SparkSession) -> DataFrame:
+        df = spark.read.option("mergeSchema", "true").parquet(self.base_path)
+        if _MOR_LOG_DIR in df.columns:  # pragma: no cover - defensive
+            df = df.drop(_MOR_LOG_DIR)
+        return df
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Snapshot read: base ∪ delta-log resolved latest-by-key.
+
+        For COW this is just the base. For MOR this is the read-time
+        precombine resolution (SURVEY §7 hard-part (a)) — one window,
+        O(1) shuffles regardless of how many log batches accumulated.
+        """
+        from hudi_utility_spark.write import latest_by_key
+
+        base = self.read_base(spark)
+        if self.table_type is TableType.MERGE_ON_READ and os.path.isdir(self.log_path):
+            log = spark.read.option("mergeSchema", "true").parquet(self.log_path)
+            merged = base.unionByName(log, allowMissingColumns=True)
+            return latest_by_key(merged, self.record_key, self.precombine)
+        return base
+
+    # -- maintenance ----------------------------------------------------
+    def compact(self, spark: SparkSession) -> None:
+        """Fold the MOR delta log into the base (rewrite, then drop log)."""
+        if self.table_type is not TableType.MERGE_ON_READ:
+            return
+        if not os.path.isdir(self.log_path):
+            return
+        resolved = self.read(spark)
+        from hudi_utility_spark.write import write_partitioned
+
+        tmp = self.path.rstrip("/") + ".compact.tmp"
+        write_partitioned(resolved, tmp, self.partition_fields, mode="overwrite")
+        import shutil
+
+        for entry in os.listdir(self.path):
+            target = os.path.join(self.path, entry)
+            shutil.rmtree(target) if os.path.isdir(target) else os.remove(target)
+        for entry in os.listdir(tmp):
+            shutil.move(os.path.join(tmp, entry), os.path.join(self.path, entry))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def register_metadata_only(self, spark: SparkSession, source_path: str) -> str:
+        """METADATA_ONLY bootstrap: expose the source files as a catalog
+        view without rewriting (SURVEY §7 hard-part (b)). Returns the
+        registered name."""
+        name = self.name or os.path.basename(self.path.rstrip("/")) or "keyed_table"
+        name = name.replace("-", "_").replace(".", "_")
+        from hudi_utility_spark.io import read_source
+
+        read_source(spark, source_path).createOrReplaceTempView(name)
+        return name

@@ -1,0 +1,188 @@
+"""Write paths: bootstrap, partition append, upsert (SURVEY §2.1 S5-S7, §2.3 J4).
+
+The reference delegates these to the Hudi datasource
+(``fastapi-backend/pyspark_script.py:255-291,360-391``); here they are pure
+DataFrame writes with Hive-style layouts, and upsert is union + precombine
+window. Every path is shuffle-bounded: one exchange on the partition
+columns before the write (small-files control), one window shuffle on the
+record key for upserts. No collects of data, ever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hudi_utility_spark.table import BootstrapMode, KeyedTable, TableType
+
+
+def latest_by_key(df: DataFrame, keys: list[str], precombine: str) -> DataFrame:
+    """Deterministic dedup: keep the latest row per key by *precombine*.
+
+    This is the engine's precombine semantic (reference write config
+    ``hoodie.datasource.write.precombine.field``,
+    ``pyspark_script.py:363``): row_number over
+    ``partitionBy(keys).orderBy(desc(precombine))`` and keep rank 1.
+    One shuffle on the key columns; survives skew via AQE.
+    """
+    if isinstance(keys, str):
+        keys = [k.strip() for k in keys.split(",") if k.strip()]
+    w = Window.partitionBy(*keys).orderBy(F.desc(precombine))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_fields: list[str],
+    mode: str = "overwrite",
+    dynamic: bool = True,
+) -> None:
+    """partitionBy parquet write with small-file control.
+
+    ``repartition(partition_fields)`` co-locates each Hive partition's rows
+    before the write so each ``field=value/`` dir gets a bounded number of
+    files instead of (num_shuffle_partitions × num_values); AQE coalescing
+    keeps tiny partitions merged. At 100 TB the same layout holds — file
+    count scales with data volume, not task count.
+    """
+    if partition_fields:
+        writer = df.repartition(*[F.col(c) for c in partition_fields]).write.mode(mode)
+        # dynamic overwrite replaces only the partitions present in df
+        # (partition repair); static overwrite wipes the whole table
+        # (full bootstrap) — set per-write, independent of session config.
+        writer = writer.option(
+            "partitionOverwriteMode", "dynamic" if dynamic else "static"
+        )
+        writer.partitionBy(*partition_fields).parquet(path)
+    else:
+        df.write.mode(mode).parquet(path)
+
+
+def full_bootstrap(
+    spark: SparkSession,
+    source_df: DataFrame,
+    table: KeyedTable,
+    mode: BootstrapMode | str = BootstrapMode.FULL_RECORD,
+    partition_regex: str | None = None,
+    source_path: str | None = None,
+    dry_run: bool = False,
+) -> dict:
+    """Full (non-resume) bootstrap of *source_df* into *table* (S5).
+
+    Mode semantics follow the reference's Hudi mode-selector classes
+    (``pyspark_script.py:373-391``):
+
+    * FULL_RECORD — physical rewrite, Hive-style partitioned parquet.
+    * METADATA_ONLY — register the source in the catalog; no rewrite.
+    * REGEX — partitions whose *value* matches ``partition_regex`` get a
+      full rewrite; the rest are registered metadata-only (the split the
+      reference delegates to ``BootstrapRegexModeSelector``).
+
+    ``dry_run`` (resurrected from the legacy backend,
+    ``fastapi-backend/backend.py:54-58``) plans but writes nothing.
+    Returns a summary dict with the partition values written.
+    """
+    mode = BootstrapMode.parse(mode)
+    result: dict = {"mode": mode.value, "dry_run": dry_run, "written_partitions": []}
+
+    if mode is BootstrapMode.METADATA_ONLY:
+        if not dry_run:
+            if source_path is None:
+                raise ValueError("METADATA_ONLY bootstrap requires source_path")
+            result["registered_view"] = table.register_metadata_only(spark, source_path)
+        return result
+
+    df = source_df
+    if mode is BootstrapMode.REGEX:
+        if not table.partition_fields:
+            raise ValueError("REGEX bootstrap requires a partitioned table")
+        if not partition_regex:
+            raise ValueError("REGEX bootstrap requires partition_regex")
+        pcol = F.col(table.partition_fields[0]).cast("string")
+        df = source_df.filter(pcol.rlike(partition_regex))
+        if not dry_run and source_path is not None:
+            # the non-matching remainder stays queryable, metadata-only
+            result["registered_view"] = table.register_metadata_only(spark, source_path)
+
+    if table.partition_fields:
+        parts = [
+            str(r[0])
+            for r in df.select(table.partition_fields[0]).distinct().collect()
+        ]
+        result["written_partitions"] = sorted(parts)
+    if not dry_run:
+        # full bootstrap is a static overwrite: the destination becomes
+        # exactly the source (stale partitions from prior runs are wiped)
+        write_partitioned(
+            df, table.base_path, table.partition_fields, mode="overwrite", dynamic=False
+        )
+    return result
+
+
+def append_partitions(
+    spark: SparkSession,
+    source_df: DataFrame,
+    table: KeyedTable,
+    partition_values: list,
+) -> dict:
+    """Write exactly the given partition values into the table (S6).
+
+    The reference appends with ``mode("Append")`` + bulk_insert
+    (``pyspark_script.py:270-276``), which double-writes rows already
+    present in an *incomplete* partition. We instead use **dynamic
+    partition overwrite**: only the partitions present in the written
+    DataFrame are replaced, atomically per partition — idempotent repair
+    (SURVEY §7 hard-part (c)).
+    """
+    if not table.partition_fields:
+        raise ValueError("append_partitions requires a partitioned table")
+    pcol = table.partition_fields[0]
+    subset = source_df.filter(F.col(pcol).isin(partition_values))
+    write_partitioned(subset, table.base_path, table.partition_fields, mode="overwrite")
+    return {"written_partitions": sorted(str(v) for v in partition_values)}
+
+
+def upsert(
+    spark: SparkSession,
+    incoming: DataFrame,
+    table: KeyedTable,
+) -> DataFrame:
+    """Keyed merge of *incoming* into *table*, latest-precombine wins (J4).
+
+    COW: existing ∪ incoming → precombine window → rewrite affected
+    partitions (dynamic overwrite keeps untouched partitions intact).
+    MOR: append incoming to the delta log; resolution happens at read.
+    Returns the resolved snapshot DataFrame.
+    """
+    if not table.exists():
+        write_partitioned(incoming, table.base_path, table.partition_fields)
+        return table.read(spark)
+
+    if table.table_type is TableType.MERGE_ON_READ:
+        # log append is cheap: no read-modify-write at ingest time
+        write_partitioned(incoming, table.log_path, table.partition_fields, mode="append")
+        return table.read(spark)
+
+    existing = table.read_base(spark)
+    merged = existing.unionByName(incoming, allowMissingColumns=True)
+    resolved = latest_by_key(merged, table.record_key, table.precombine)
+    if table.partition_fields:
+        # only rewrite partitions the incoming batch touches
+        pcol = table.partition_fields[0]
+        touched = [r[0] for r in incoming.select(pcol).distinct().collect()]
+        affected = resolved.filter(F.col(pcol).isin(touched))
+        write_partitioned(affected, table.base_path, table.partition_fields, mode="overwrite")
+    else:
+        tmp = table.base_path.rstrip("/") + ".upsert.tmp"
+        write_partitioned(resolved, tmp, [], mode="overwrite")
+        import os
+        import shutil
+
+        shutil.rmtree(table.base_path)
+        shutil.move(tmp, table.base_path)
+    return table.read(spark)

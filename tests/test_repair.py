@@ -1,0 +1,95 @@
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_utility_spark.repair import (
+    incomplete_partitions,
+    missing_partitions,
+    partition_counts,
+    partitions_to_repair,
+    resume_bootstrap,
+)
+from hudi_utility_spark.table import KeyedTable
+from hudi_utility_spark.write import full_bootstrap
+
+
+@pytest.fixture
+def bootstrapped(spark, events, tmp_path):
+    t = KeyedTable(
+        path=str(tmp_path / "events_table"),
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+    )
+    full_bootstrap(spark, events, t)
+    return t
+
+
+def _drop_partition(table: KeyedTable, value: str) -> None:
+    shutil.rmtree(f"{table.path}/event_type={value}")
+
+
+def _truncate_partition(spark, table: KeyedTable, value: str) -> None:
+    """Corrupt a partition: keep only 1 row (simulates a partial write)."""
+    part = spark.read.parquet(f"{table.path}/event_type={value}").limit(1)
+    pdf = part.toPandas()
+    shutil.rmtree(f"{table.path}/event_type={value}")
+    spark.createDataFrame(pdf).write.parquet(f"{table.path}/event_type={value}")
+
+
+def test_partition_counts_matches_filter_count(spark, events):
+    counts = {r[0]: r[1] for r in partition_counts(events, "event_type").collect()}
+    for etype, cnt in counts.items():
+        assert events.filter(F.col("event_type") == etype).count() == cnt
+
+
+def test_missing_partitions(spark, events, bootstrapped):
+    _drop_partition(bootstrapped, "click")
+    dest = bootstrapped.read_base(spark)
+    miss = [r[0] for r in missing_partitions(events, dest, "event_type").collect()]
+    assert miss == ["click"]
+
+
+def test_incomplete_partitions(spark, events, bootstrapped):
+    _truncate_partition(spark, bootstrapped, "view")
+    dest = bootstrapped.read_base(spark)
+    rows = incomplete_partitions(events, dest, "event_type").collect()
+    assert [r.event_type for r in rows] == ["view"]
+    assert rows[0].src_cnt > rows[0].dst_cnt == 1
+
+
+def test_resume_repairs_exactly_the_damage(spark, events, bootstrapped):
+    _drop_partition(bootstrapped, "click")
+    _truncate_partition(spark, bootstrapped, "view")
+    result = resume_bootstrap(spark, events, bootstrapped)
+    assert sorted(result["repaired_partitions"]) == ["click", "view"]
+    # table fully healed
+    assert bootstrapped.read(spark).count() == events.count()
+    counts = {
+        r[0]: r[1]
+        for r in partition_counts(bootstrapped.read(spark), "event_type").collect()
+    }
+    src = {r[0]: r[1] for r in partition_counts(events, "event_type").collect()}
+    assert counts == src
+
+
+def test_resume_is_idempotent(spark, events, bootstrapped):
+    _drop_partition(bootstrapped, "click")
+    resume_bootstrap(spark, events, bootstrapped)
+    second = resume_bootstrap(spark, events, bootstrapped)
+    assert second["noop"] and second["repaired_partitions"] == []
+
+
+def test_resume_on_intact_table_is_noop(spark, events, bootstrapped):
+    result = resume_bootstrap(spark, events, bootstrapped)
+    assert result["noop"]
+
+
+def test_partitions_to_repair_union(spark, events, bootstrapped):
+    _drop_partition(bootstrapped, "click")
+    _truncate_partition(spark, bootstrapped, "purchase")
+    dest = bootstrapped.read_base(spark)
+    assert partitions_to_repair(events, dest, "event_type") == ["click", "purchase"]

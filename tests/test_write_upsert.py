@@ -1,0 +1,143 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_utility_spark.table import BootstrapMode, KeyedTable, TableType
+from hudi_utility_spark.write import full_bootstrap, latest_by_key, upsert
+
+
+@pytest.fixture
+def events_table(tmp_path):
+    return KeyedTable(
+        path=str(tmp_path / "events_table"),
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+    )
+
+
+def test_latest_by_key(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "old"), (1, 20, "new"), (2, 5, "only")],
+        "id long, ver long, val string",
+    )
+    out = latest_by_key(df, ["id"], "ver").orderBy("id").collect()
+    assert [(r.id, r.val) for r in out] == [(1, "new"), (2, "only")]
+
+
+def test_latest_by_key_composite(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1, "x"), (1, "a", 2, "y"), (1, "b", 1, "z")],
+        "k1 long, k2 string, ver long, val string",
+    )
+    out = latest_by_key(df, "k1,k2", "ver")
+    assert out.count() == 2
+    assert out.filter("k1=1 and k2='a'").first().val == "y"
+
+
+def test_full_bootstrap_full_record(spark, events, events_table):
+    summary = full_bootstrap(spark, events, events_table)
+    assert summary["mode"] == "FULL_RECORD"
+    back = events_table.read(spark)
+    assert back.count() == events.count()
+    # hive-style layout → partition column survives the round trip
+    assert set(r[0] for r in back.select("event_type").distinct().collect()) == set(
+        r[0] for r in events.select("event_type").distinct().collect()
+    )
+
+
+def test_full_bootstrap_dry_run(spark, events, events_table):
+    summary = full_bootstrap(spark, events, events_table, dry_run=True)
+    assert summary["dry_run"] and not events_table.exists()
+    assert summary["written_partitions"]  # plan computed
+
+
+def test_full_bootstrap_overwrites_stale_partitions(spark, events, events_table):
+    full_bootstrap(spark, events, events_table)
+    only_click = events.filter(F.col("event_type") == "click")
+    full_bootstrap(spark, only_click, events_table)
+    back = events_table.read(spark)
+    assert back.select("event_type").distinct().count() == 1
+
+
+def test_metadata_only_registers_view(spark, sf_dir, tmp_path):
+    t = KeyedTable(
+        path=str(tmp_path / "meta_table"),
+        record_key=["event_id"],
+        precombine="ts",
+        name="events_meta",
+    )
+    summary = full_bootstrap(
+        spark,
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        t,
+        mode=BootstrapMode.METADATA_ONLY,
+        source_path=f"{sf_dir}/events.parquet",
+    )
+    assert summary["registered_view"] == "events_meta"
+    assert spark.sql("SELECT count(*) c FROM events_meta").first().c > 0
+    assert not t.exists()  # no rewrite happened
+
+
+def test_regex_bootstrap_splits_partitions(spark, events, events_table, sf_dir):
+    summary = full_bootstrap(
+        spark,
+        events,
+        events_table,
+        mode=BootstrapMode.REGEX,
+        partition_regex="^(click|view)$",
+        source_path=f"{sf_dir}/events.parquet",
+    )
+    written = set(summary["written_partitions"])
+    assert written <= {"click", "view"} and written
+    back = events_table.read(spark)
+    assert set(r[0] for r in back.select("event_type").distinct().collect()) == written
+
+
+def test_upsert_cow_latest_wins(spark, events, events_table):
+    full_bootstrap(spark, events, events_table)
+    first = events.orderBy("event_id").limit(5)
+    bumped = first.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY")).withColumn(
+        "value", F.lit(-1.0)
+    )
+    resolved = upsert(spark, bumped, events_table)
+    assert resolved.count() == events.count()  # no duplicates
+    got = resolved.filter(F.col("event_id").isin([r.event_id for r in first.collect()]))
+    assert all(r.value == -1.0 for r in got.collect())
+
+
+def test_upsert_mor_appends_log_and_resolves(spark, events, tmp_path):
+    t = KeyedTable(
+        path=str(tmp_path / "mor_table"),
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+        table_type=TableType.MERGE_ON_READ,
+    )
+    full_bootstrap(spark, events, t)
+    first = events.orderBy("event_id").limit(3)
+    bumped = first.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY")).withColumn(
+        "value", F.lit(-2.0)
+    )
+    resolved = upsert(spark, bumped, t)
+    assert resolved.count() == events.count()
+    got = resolved.filter(F.col("event_id").isin([r.event_id for r in first.collect()]))
+    assert all(r.value == -2.0 for r in got.collect())
+    # compaction folds the log, result unchanged
+    t.compact(spark)
+    import os
+
+    assert not os.path.isdir(t.log_path)
+    after = t.read(spark)
+    assert after.count() == events.count()
+    got2 = after.filter(F.col("event_id").isin([r.event_id for r in first.collect()]))
+    assert all(r.value == -2.0 for r in got2.collect())
+
+
+def test_upsert_insert_new_keys(spark, events, events_table):
+    full_bootstrap(spark, events, events_table)
+    mx = events.agg(F.max("event_id")).first()[0]
+    new = events.limit(2).withColumn("event_id", F.col("event_id") + F.lit(mx + 1))
+    resolved = upsert(spark, new, events_table)
+    assert resolved.count() == events.count() + 2
