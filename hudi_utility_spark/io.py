@@ -80,8 +80,11 @@ def read_source(
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = reader.parquet(path)
             for c in ns_cols:
+                # integer DIV, not float division: ns epochs (~1.7e18)
+                # exceed double's 53-bit integer range, so a float divide
+                # would corrupt the low microsecond digit
                 df = df.withColumn(
-                    c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
+                    c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
                 )
             return df
         return reader.option("mergeSchema", str(merge_schema).lower()).parquet(path)

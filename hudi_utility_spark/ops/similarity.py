@@ -1,0 +1,228 @@
+"""Similarity search over embedding columns (north star).
+
+Embeddings are ``array<float>`` columns; all arithmetic stays JVM-side
+(``zip_with`` + ``aggregate`` fold to codegen'd expressions). Two paths:
+
+* **brute force** — exact cosine against a query vector; one map stage +
+  top-k. The correctness baseline, and at 100 TB the per-partition
+  TakeOrdered keeps the shuffle at k rows per partition.
+* **IVF (inverted file)** — k-means-style cells (here: the corpus' label
+  column or any precomputed assignment), probe the nprobe nearest cells,
+  brute-force within. Work drops by ~cells/nprobe; the cell assignment
+  broadcast is tiny.
+* **random-hyperplane LSH** — sign-bit sketches; Hamming blocking like
+  SimHash. The fully hash-derived (data-independent) scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢbᵢ as zip_with + aggregate (double precision, sequential fold —
+    bit-stable across engines that fold left-to-right)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float] | Column,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against one query vector.
+
+    The query is a literal array (broadcast by value into the plan); the
+    scan computes one fused expression per row and TakeOrderedAndProject
+    keeps only k rows per partition before the final merge.
+    """
+    q = (
+        F.array(*[F.lit(float(x)) for x in query_vec])
+        if isinstance(query_vec, list)
+        else query_vec
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_join_by_cell(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF-style k-NN join: candidates restricted to the query's probed
+    cells; per-query top-k via ranking window.
+
+    `queries` must carry (query_id, embedding, probed cells array). At
+    scale the join key is the cell id, so each task sees one cell's
+    vectors — the classic IVF partition-pruning win.
+    """
+    cand = queries.alias("q").join(
+        df.alias("d"),
+        F.array_contains(F.col("q.probe_cells"), F.col(f"d.{cell_col}")),
+    )
+    scored = cand.select(
+        F.col("q.query_id").alias("query_id"),
+        F.col(f"d.{id_col}").alias(id_col),
+        F.round(cosine(F.col("q.embedding"), F.col(f"d.{vec_col}")), 6).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def ivf_centroids(
+    df: DataFrame, vec_col: str = "embedding", cell_col: str = "label"
+) -> DataFrame:
+    """Per-cell mean vector (the IVF coarse quantizer). posexplode →
+    per-(cell, dim) mean → re-assemble; one shuffle keyed on (cell, dim)."""
+    dims = df.select(
+        F.col(cell_col).alias("cell"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    )
+    per_dim = dims.groupBy("cell", "dim").agg(F.avg("v").alias("mean_v"))
+    return (
+        per_dim.groupBy("cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "mean_v"))
+            ).alias("dims")
+        )
+        .select(
+            "cell", F.transform(F.col("dims"), lambda s: s["mean_v"]).alias("centroid")
+        )
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF search for one query: rank cells by centroid cosine, probe the
+    top `nprobe`, exact top-k within. Approximate iff the true neighbors
+    live outside probed cells — the standard IVF recall trade."""
+    cents = ivf_centroids(df, vec_col, cell_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probed = [
+        r["cell"]
+        for r in cents.select(
+            "cell", cosine(F.col("centroid"), q).alias("s")
+        )
+        .orderBy(F.desc("s"), F.asc("cell"))
+        .limit(nprobe)
+        .collect()
+    ]
+    return brute_force_topk(
+        df.filter(F.col(cell_col).isin(probed)), query_vec, k, id_col, vec_col
+    )
+
+
+def cosine_near_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold, id_a < id_b.
+
+    With `block_col` the self-join keys on the block (IVF cell), making
+    candidate volume per-cell quadratic instead of global — at 100 TB you
+    cluster first, then near-dup within cells (standard SemDeDup shape).
+    `block_col=None` is the exact all-pairs baseline for small tables.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        *([F.col(block_col).alias("blk_a")] if block_col else []),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        *([F.col(block_col).alias("blk_b")] if block_col else []),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    if block_col:
+        cond = cond & (F.col("blk_a") == F.col("blk_b"))
+    return (
+        a.join(b, cond)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def random_hyperplane_sketch(
+    df: DataFrame,
+    planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-bit LSH sketch: bit p = sign(v · h_p) where plane h_p is a
+    deterministic pseudo-random unit direction derived from xxhash64 of
+    (plane, dim) — reproducible with no stored model.
+
+    cos(a,b) ≈ cos(π · hamming/planes); block on the sketch for
+    candidate generation like simhash_near_pairs.
+    """
+    dim_count = len(df.select(vec_col).first()[0])
+    sketch = None
+    for p in range(planes):
+        # deterministic ±1 plane components from a hash of (p, dim)
+        comps = [
+            F.when(
+                F.xxhash64(F.lit(f"plane{p}:dim{d}")).bitwiseAND(F.lit(1)) == 1, 1.0
+            ).otherwise(-1.0)
+            for d in range(dim_count)
+        ]
+        proj = None
+        for d, c in enumerate(comps):
+            term = F.element_at(F.col(vec_col), d + 1).cast("double") * c
+            proj = term if proj is None else proj + term
+        bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << p).cast("long")
+        sketch = term if sketch is None else sketch + term
+    return df.select(F.col(id_col), sketch.alias("sketch"))

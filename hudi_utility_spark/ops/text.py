@@ -1,0 +1,152 @@
+"""Text-analysis operators over document tables (north star).
+
+All hot paths are built-in ``pyspark.sql.functions`` (JVM-side, codegen):
+tokenization is a regex extract, quality scoring is column arithmetic,
+fingerprinting is md5 over a normalized projection. Nothing here drops to
+Python per-row; at 100 TB these are embarrassingly parallel map stages
+with zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish word/number/punct segmentation: letters runs, digit runs, or a
+# single non-alnum non-space symbol — a deterministic stand-in for a real
+# subword tokenizer at identical plumbing cost.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# tiny per-language stopword lists for the n-gram/stopword language
+# heuristic; real deployments would swap in fastText-style models via the
+# same mapInPandas plumbing (ops/multimodal.py shows the batch shape).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "fr": ("le", "la", "et", "les", "des", "une"),
+    "de": ("der", "die", "und", "das", "ist", "ein"),
+    "zh": ("de5", "shi4", "le5"),  # romanized placeholders
+}
+
+_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that "
+    "for on with as by at from"
+).split()
+
+
+def normalized(col: Column) -> Column:
+    """Lowercase, strip punctuation, collapse whitespace — the canonical
+    form used by exact dedup and fingerprinting."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def tokens(col: Column) -> Column:
+    """Array of tokens under TOKEN_PATTERN (regexp_extract_all, JVM-side)."""
+    return F.regexp_extract_all(col, F.lit(TOKEN_PATTERN), F.lit(0))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def whitespace_token_count(col: Column) -> Column:
+    return F.size(F.split(F.trim(col), r"\s+"))
+
+
+def word_set(col: Column) -> Column:
+    """Distinct lowercase words — the unigram shingle set for Jaccard."""
+    return F.array_distinct(F.split(normalized(col), " "))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring profile: lengths, token counts, ratios.
+
+    Mirrors what a pretraining-data quality filter computes per document;
+    every column is a codegen'd expression over one pass of the text.
+    """
+    c = F.col(text_col)
+    words = F.split(F.trim(c), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_hits = F.size(F.array_intersect(F.transform(words, F.lower), stop_arr))
+    return df.select(
+        "*",
+        F.length(c).alias("n_chars_computed"),
+        F.size(words).alias("n_words"),
+        token_count(c).alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace(c, r"[a-zA-Z0-9\s]", ""))
+            / F.greatest(F.length(c), F.lit(1)),
+            6,
+        ).alias("punct_ratio"),
+        F.round(
+            (F.length(c) - F.length(F.regexp_replace(c, r"\s", "")))
+            / F.greatest(F.length(c), F.lit(1)),
+            6,
+        ).alias("space_ratio"),
+        F.round(stop_hits / F.greatest(F.size(words), F.lit(1)), 6).alias(
+            "stopword_ratio"
+        ),
+        F.round(
+            (F.length(c) - (F.size(words) - 1)) / F.greatest(F.size(words), F.lit(1)),
+            6,
+        ).alias("avg_word_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite [0,1] quality score from the stats profile — the shape of
+    a C4/Gopher-style heuristic filter."""
+    stats = with_text_stats(df, text_col)
+    score = (
+        F.when(F.col("n_words") < 5, 0.0)
+        .when(F.col("punct_ratio") > 0.3, 0.2)
+        .otherwise(
+            F.least(
+                F.lit(1.0),
+                F.round(
+                    0.4 * F.least(F.col("n_words") / 100.0, F.lit(1.0))
+                    + 0.3 * (1 - F.col("punct_ratio"))
+                    + 0.3 * F.least(F.col("stopword_ratio") * 4, F.lit(1.0)),
+                    6,
+                ),
+            )
+        )
+    )
+    return stats.withColumn("quality", F.round(score, 6))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language heuristic: score each candidate language
+    by marker-word hits, pick the argmax (ties → 'und').
+
+    A real n-gram model plugs into the same column shape; the point is the
+    plumbing — one map stage, no shuffle, no UDF.
+    """
+    words = F.transform(F.split(F.trim(F.col(text_col)), r"\s+"), F.lower)
+    scores = [
+        F.struct(
+            F.size(
+                F.array_intersect(words, F.array(*[F.lit(m) for m in markers]))
+            ).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        "lang_pred",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    The content-addressed identity used by exact dedup; md5 is available
+    in every engine (oracle-checkable), and at 100 TB the fingerprint is
+    the shuffle key that replaces shipping full documents around.
+    """
+    return df.withColumn("fingerprint", F.md5(normalized(F.col(text_col))))

@@ -1,0 +1,46 @@
+"""Named query registry backing the driver contract (``__spark_entry__.py``).
+
+Every operator family from SURVEY §2 lands here as a named query: a Spark
+callable ``(spark, sf_dir) -> DataFrame`` plus, where SQL-expressible, a
+DuckDB oracle string over the same parquet tables. Column names are
+aliased identically on both sides (the driver's compare hashes values
+after sorting columns by name).
+
+Float discipline: aggregates over doubles are ``round()``-ed identically
+on both sides (sum order differs between engines in the last ulp);
+timestamps cross the compare as ``unix_micros`` bigints or DATEs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query under *name*, with an optional DuckDB oracle."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every query module so registration side effects run."""
+    from hudi_utility_spark.queries import (  # noqa: F401
+        dedup,
+        engine_queries,
+        multimodal,
+        relational,
+        similarity,
+        streaming,
+        text,
+    )

@@ -1,0 +1,107 @@
+"""Engine-capability queries: the reference's validation/reconciliation
+surface (SURVEY §2.11) expressed as read-only oracle-checked queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hudi_utility_spark.queries import query
+from hudi_utility_spark.tables import load_table
+
+
+@query(
+    "v4_partition_audit",
+    """
+    WITH s AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS part_month,
+                      COUNT(*) AS src_cnt
+               FROM orders GROUP BY 1),
+         d AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS part_month,
+                      COUNT(*) AS dst_cnt
+               FROM lineitem GROUP BY 1)
+    SELECT COALESCE(s.part_month, d.part_month) AS part_month,
+           COALESCE(src_cnt, 0) AS src_cnt,
+           COALESCE(dst_cnt, 0) AS dst_cnt,
+           CASE WHEN d.part_month IS NULL THEN 'missing'
+                WHEN s.part_month IS NULL THEN 'unexpected'
+                WHEN src_cnt <> dst_cnt THEN 'incomplete'
+                ELSE 'complete' END AS status
+    FROM s FULL OUTER JOIN d USING (part_month)
+    """,
+)
+def v4_partition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship: V4 partition-completeness audit (J1+J2 in one plan).
+
+    The reference runs one filter+count Spark job per partition per side
+    (pyspark_script.py:199-253); this is two map-side-partial aggregates
+    and one tiny full-outer join, total O(1) jobs at any scale. Status
+    labels mirror the reference's missing/incomplete vocabulary.
+    """
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("part_month")
+        )
+        .agg(F.count(F.lit(1)).alias("src_cnt"))
+    )
+    dst = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.to_date(F.date_trunc("month", F.col("l_shipdate"))).alias("part_month")
+        )
+        .agg(F.count(F.lit(1)).alias("dst_cnt"))
+    )
+    return (
+        src.join(dst, "part_month", "full_outer")
+        .select(
+            "part_month",
+            F.coalesce("src_cnt", F.lit(0)).alias("src_cnt"),
+            F.coalesce("dst_cnt", F.lit(0)).alias("dst_cnt"),
+            F.when(F.col("dst_cnt").isNull(), "missing")
+            .when(F.col("src_cnt").isNull(), "unexpected")
+            .when(F.col("src_cnt") != F.col("dst_cnt"), "incomplete")
+            .otherwise("complete")
+            .alias("status"),
+        )
+    )
+
+
+@query("approx_distinct_profile")
+def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct profiling (HyperLogLog++) — the scale path
+    for distinct-value discovery (A3) on 100 TB inputs. No SQL oracle:
+    HLL estimates are engine-specific (driver does the rows-only check);
+    `a5_distinct_counts` covers the exact variant.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@query(
+    "percentile_profile",
+    """
+    SELECT o_orderstatus,
+           ROUND(MEDIAN(o_totalprice), 2) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (continuous interpolation — matches
+    DuckDB quantile_cont). The streaming/huge-scale variant is
+    percentile_approx, covered rows-only via `approx_distinct_profile`'s
+    family."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 2).alias("p95"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )

@@ -1,0 +1,69 @@
+"""Oracle-checked multimodal plumbing queries (binary columns + metadata).
+
+The documents table's text stands in for media payloads: the plumbing
+(binary casts, lengths, content hashes, batch UDF shape) is identical for
+real image/audio bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hudi_utility_spark.ops import multimodal as M
+from hudi_utility_spark.queries import query
+from hudi_utility_spark.tables import load_table
+
+
+@query(
+    "mm_binary_metadata",
+    """
+    SELECT doc_id AS media_id,
+           'image' AS media_type,
+           octet_length(CAST(text AS BLOB)) AS byte_len,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload metadata (length + content hash) computed without
+    any Python — the filter columns that prune before decode."""
+    d = load_table(spark, sf_dir, "documents")
+    return M.attach_binary(d, "text", "doc_id").select(
+        "media_id", "media_type", "byte_len", "sha256"
+    )
+
+
+@query("mm_feature_extraction")
+def mm_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction with the deterministic fake kernel
+    (real decode is stubbed — codec libs absent). Rows-only check; pytest
+    asserts batch shape, determinism, and schema."""
+    d = load_table(spark, sf_dir, "documents")
+    media = M.attach_binary(d, "text", "doc_id")
+    feats = M.extract_features(media, fake=True, dim=8)
+    return feats.select(
+        "media_id",
+        "byte_len",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(F.element_at("feature", 8), 6).alias("f7"),
+    )
+
+
+@query(
+    "mm_frame_sample_plan",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(CAST(text AS BLOB)) % 60 + 1 AS duration_s,
+           unnest(range(0, octet_length(CAST(text AS BLOB)) % 60 + 1, 5)) AS frame_ts_s
+    FROM documents
+    """,
+)
+def mm_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: one row per (video, frame timestamp) —
+    the explode-to-frames fan-out, metadata only."""
+    d = load_table(spark, sf_dir, "documents")
+    media = M.attach_binary(d, "text", "doc_id", media_type="video")
+    return M.frame_sample_plan(media, every_n_seconds=5).select(
+        "media_id", "duration_s", "frame_ts_s"
+    )

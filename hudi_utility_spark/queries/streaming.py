@@ -1,0 +1,88 @@
+"""Oracle-checked windowed-aggregation queries (batch form of the
+streaming operators — F.window semantics are identical in batch, which is
+what makes them oracle-checkable; the streaming execution path is
+exercised in tests/test_streaming.py with real readStream/watermarks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hudi_utility_spark.queries import query
+from hudi_utility_spark.streaming.windows import (
+    session_windows_batch,
+    sliding_counts,
+    tumbling_counts,
+)
+from hudi_utility_spark.tables import load_table
+
+
+@query(
+    "stream_tumbling_counts",
+    """
+    SELECT CAST(floor(epoch(ts) / 300) * 300 * 1000000 AS BIGINT) AS window_start_us,
+           event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling windows per event type (epoch-aligned, matching
+    F.window's origin)."""
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_counts(ev, width="5 minutes")
+
+
+@query(
+    "stream_sliding_counts",
+    """
+    SELECT CAST((s.slide_start) * 1000000 AS BIGINT) AS window_start_us,
+           CAST((s.slide_start + 600) * 1000000 AS BIGINT) AS window_end_us,
+           event_type,
+           COUNT(*) AS cnt
+    FROM events,
+         LATERAL (
+            SELECT unnest([floor(epoch(ts) / 300) * 300 - 300,
+                           floor(epoch(ts) / 300) * 300]) AS slide_start
+         ) s
+    WHERE epoch(ts) >= s.slide_start AND epoch(ts) < s.slide_start + 600
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 — each event lands in 2 windows
+    (the lateral-unnest in the oracle mirrors Spark's window expansion)."""
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_counts(ev, width="10 minutes", slide="5 minutes")
+
+
+@query(
+    "stream_sessionization",
+    """
+    WITH marked AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS gap_break
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessioned AS (
+        SELECT *, SUM(gap_break) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM marked
+    )
+    SELECT user_id, session_seq,
+           COUNT(*) AS n_events,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts)) AS session_end_us,
+           ROUND(SUM(value), 2) AS session_value
+    FROM sessioned GROUP BY user_id, session_seq
+    """,
+)
+def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization (lag + cumsum batch form; the
+    streaming twin uses F.session_window — tests/test_streaming.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return session_windows_batch(ev, gap_minutes=30)

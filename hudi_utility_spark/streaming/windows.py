@@ -1,0 +1,158 @@
+"""Windowed / watermarked streaming aggregations over event streams.
+
+Each builder takes a DataFrame that may be a batch frame (for oracle
+checks — ``F.window`` works identically in batch) or a ``readStream``
+frame (watermarks engage, state cleanup bounds memory). Streaming state
+size at 100 TB/day ingest is governed by watermark delay × key
+cardinality; all aggs here are incremental (sum/count), never
+collect-like.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    width: str = "5 minutes",
+    watermark: str | None = None,
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Tumbling-window counts/sums. In streaming mode, pass a watermark so
+    late rows beyond the delay are dropped and state is reclaimed."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, width).alias("win"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("win.start")).alias("window_start_us"),
+            *group_cols,
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding-window counts (each row lands in width/slide windows)."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, width, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_micros(F.col("win.start")).alias("window_start_us"),
+            F.unix_micros(F.col("win.end")).alias("window_end_us"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+def session_windows_batch(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Sessionization (batch form): gap > threshold starts a new session;
+    session id = cumulative count of gap-breaks per key.
+
+    lag + cumsum windows — the classic batch sessionization; the
+    streaming twin is ``F.session_window`` (see session_windows_stream).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, "event_id")
+    # compare in integer microseconds — exact, and matches an epoch_us()
+    # oracle bit-for-bit (second-granularity casts truncate differently
+    # across engines near the gap threshold)
+    gap_break = (
+        F.when(
+            F.unix_micros(F.col(ts_col)) - F.lag(F.unix_micros(F.col(ts_col))).over(w)
+            > gap_minutes * 60 * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+    )
+    with_sess = df.withColumn("session_seq", F.sum(gap_break).over(w))
+    return (
+        with_sess.groupBy(key_col, "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min(ts_col)).alias("session_start_us"),
+            F.unix_micros(F.max(ts_col)).alias("session_end_us"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+def session_windows_stream(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization via the native session_window (state-store
+    backed, watermark-bounded)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("win"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.unix_micros(F.col("win.start")).alias("session_start_us"),
+            F.unix_micros(F.col("win.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    df: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup with bounded state
+    (dropDuplicatesWithinWatermark); the streaming twin of
+    ops.dedup.dedup_exact."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_stream_to_memory(
+    spark,
+    source_df_schema,
+    source_path: str,
+    builder,
+    query_name: str,
+    output_mode: str = "complete",
+):
+    """Drive a parquet-backed stream through `builder` into an in-memory
+    sink synchronously (test/smoke harness; real deployments swap the
+    source for Kafka and the sink for a keyed table). Aggregations use
+    "complete"; watermark-append pipelines pass "append"."""
+    stream = (
+        spark.readStream.schema(source_df_schema).format("parquet").load(source_path)
+    )
+    out = builder(stream)
+    q = (
+        out.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

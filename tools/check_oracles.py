@@ -1,0 +1,126 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry against its DuckDB oracle at a given SF and report row-count /
+schema / value-hash agreement.
+
+Usage: python tools/check_oracles.py [sf_dir] [name_filter]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entrymod
+from hudi_utility_spark.session import get_spark
+from hudi_utility_spark.tables import TABLE_NAMES
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver-style float normalization: repr of rounded value
+        return f"{v:.6g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def value_hash(rows, colnames) -> str:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted(
+        "|".join(_norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        p = f"{sf_dir}/{t}.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name, fn in sorted(qs.items()):
+        if name_filter and name_filter not in name:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {str(exc)[:200]}")
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(srows)} rows (rows-only check)")
+            if len(srows) == 0:
+                failures.append(name)
+                print(f"FAIL  {name}: 0 rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL  {name}: oracle error: {str(exc)[:200]}")
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"schema spark={sorted(scols)} duck={sorted(dcols)}")
+        if not problems:
+            sh = value_hash([tuple(r) for r in srows], scols)
+            dh = value_hash(drows, dcols)
+            if sh != dh:
+                problems.append("value-hash mismatch")
+                # show a sample difference
+                sset = {
+                    "|".join(
+                        _norm_cell(t[i])
+                        for i in sorted(range(len(scols)), key=lambda i: scols[i])
+                    )
+                    for t in (tuple(r) for r in srows)
+                }
+                dset = {
+                    "|".join(
+                        _norm_cell(t[i])
+                        for i in sorted(range(len(dcols)), key=lambda i: dcols[i])
+                    )
+                    for t in drows
+                }
+                only_s = list(sset - dset)[:2]
+                only_d = list(dset - sset)[:2]
+                if only_s:
+                    problems.append(f"spark-only: {only_s}")
+                if only_d:
+                    problems.append(f"duck-only: {only_d}")
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: " + "; ".join(problems))
+        else:
+            print(f"ok    {name}: {len(srows)} rows")
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries agree")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
