@@ -52,6 +52,12 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
 
+    # JVM/codegen warmup so the first timed query isn't charged session
+    # startup (parquet footer reads, codegen compiler warmup).
+    spark.read.parquet(f"{sf_dir}/nation.parquet").groupBy().count().write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]

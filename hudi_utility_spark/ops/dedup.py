@@ -59,27 +59,48 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # ---------------------------------------------------------------------------
 
 def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle) pairs; n=1 → distinct words, n>1 → word n-grams."""
+    """Distinct (id, shingle: long) pairs; n=1 → words, n>1 → word
+    n-grams. Shingles are emitted as 64-bit hashes: every consumer
+    (Jaccard, MinHash) operates on set identity only, and longs keep all
+    downstream joins/aggregates on primitive codegen paths.
+
+    The n-gram path is posexplode + window ``lead``, NOT an array HOF:
+    a ``transform``/``element_at`` lambda inlines the whole text-
+    normalization expression tree into every element access, so the
+    regex pipeline would re-run O(words) times per document. Generate
+    evaluates it exactly once; the lead window shuffles (id, word)
+    pairs — tiny rows — once.
+    """
     if n == 1:
-        sh = word_set(F.col(text_col))
-    else:
-        words = F.split(
-            F.trim(
-                F.regexp_replace(
-                    F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " "),
-                    r"\s+",
-                    " ",
-                )
-            ),
-            " ",
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_set(F.col(text_col))).alias("s"),
+        ).select("id", F.xxhash64("s").alias("shingle")).dropDuplicates(
+            ["id", "shingle"]
         )
-        idx = F.sequence(F.lit(0), F.size(words) - n)
-        sh = F.array_distinct(
-            F.transform(
-                idx, lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)])
+    words = F.split(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " "),
+                r"\s+",
+                " ",
             )
+        ),
+        " ",
+    )
+    pos = df.select(
+        F.col(id_col).alias("id"), F.posexplode(words).alias("pos", "w")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(w) for j in range(1, n)]
+    return (
+        pos.select("id", *[p.alias(f"_w{j}") for j, p in enumerate(parts)])
+        .filter(F.col(f"_w{n - 1}").isNotNull())
+        .select(
+            "id", F.xxhash64(*[f"_w{j}" for j in range(n)]).alias("shingle")
         )
-    return df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .dropDuplicates(["id", "shingle"])
+    )
 
 
 def jaccard_pairs(
@@ -88,39 +109,160 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 1,
     threshold: float = 0.5,
+    broadcast_sets: bool = True,
+    max_dense_vocab: int = 4096,
 ) -> DataFrame:
-    """Near-dup pairs by shingle-set Jaccard ≥ threshold.
+    """Near-dup pairs by shingle-set Jaccard ≥ threshold — exact, via
+    PPJoin-style prefix filtering (Xiao et al., WWW'08).
 
-    Inverted-index self-join: candidates are pairs sharing ≥1 shingle, so
-    work scales with shared-shingle volume (bounded by posting-list sizes)
-    rather than n². Hot shingles (stopword-like) are the skew risk at
-    scale — cap posting lists or pre-filter by document frequency.
-    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    ``broadcast_sets``: hint the per-doc shingle-set side of the
+    verification join as broadcast. Right while the doc-set relation
+    fits executor memory (≲ a few GB); at full 100 TB corpus scale pass
+    False and the verification becomes a shuffle join on id.
+
+    **Adaptive verification.** One driver-side count of the distinct
+    shingle vocabulary picks the physical strategy (the same move AQE
+    makes from runtime stats):
+
+    * vocabulary ≤ ``max_dense_vocab`` (template-heavy corpora, n-gram
+      codes, enum-ish fields): each doc's set is packed into
+      ⌈V/64⌉ *long columns*; |A∩B| is a statically-unrolled
+      Σ bit_count(aᵢ & bᵢ) — pure primitive ops inside whole-stage
+      codegen, ~10× faster per pair than hash-set intersection.
+    * open vocabulary: per-doc sorted arrays of 64-bit shingle hashes,
+      |A∩B| via ``array_intersect``.
+
+    A naive inverted-index self-join costs Σ_w df(w)² — hot shingles
+    (stopword-like, df≈N) make that quadratic. Prefix filtering is the
+    exact fix: order each set by global document frequency (rarest
+    first); any pair with J ≥ t must share a shingle inside both sets'
+    first |S| − ⌈t·|S|⌉ + 1 shingles, so only those rare prefixes feed
+    candidate generation. Verification then joins each candidate pair to
+    the two full shingle arrays and computes |A∩B| with the JVM-side
+    ``array_intersect`` — two shuffles of candidate volume, no per-pair
+    explode. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Shingles are 64-bit-hashed right after generation: every downstream
+    groupBy/join/intersect runs on primitive longs, not strings — on
+    template-heavy corpora where ~all pairs survive blocking,
+    verification throughput dominates and long arrays intersect ~10×
+    faster. (Exact modulo xxhash64 collisions within one document's
+    shingle set: P ≈ s²/2⁶⁵.)
     """
     sh = _shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
+    # The shingle relation feeds three branches (df-ranking, candidate
+    # prefixes, verification sets); persist so one lazy plan doesn't
+    # re-explode the corpus per branch.
+    sh = sh.persist()
+    vocab = sh.select("shingle").distinct()
+    vocab_count = vocab.count()
+
+    # Canonical global order: (document frequency asc, shingle) — rarest
+    # first, deterministic tiebreak.
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
+            ),
+        )
+        .withColumn("set_size", F.count(F.lit(1)).over(Window.partitionBy("id")))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
-    return (
-        common.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+    prefix_len = F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
+    prefix = ranked.filter(F.col("rn") <= F.greatest(prefix_len, F.lit(1))).select(
+        "id", "shingle", "set_size"
+    )
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: J ≥ t forces t·|A| ≤ |B| ≤ |A|/t
+            & (F.col("b.set_size") * F.lit(threshold) <= F.col("a.set_size"))
+            & (F.col("a.set_size") * F.lit(threshold) <= F.col("b.set_size")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    if vocab_count <= max_dense_vocab:
+        # Dense path: pack each set into ⌈V/64⌉ long columns.
+        nwords = max(1, (vocab_count + 63) // 64)
+        tokmap = vocab.withColumn(
+            "tok", F.row_number().over(Window.orderBy("shingle")) - 1
+        )
+        toks = sh.join(F.broadcast(tokmap), "shingle").select("id", "tok")
+        word_cols = [
+            F.sum(
+                F.when(
+                    (F.col("tok") >= i * 64) & (F.col("tok") < (i + 1) * 64),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(tok % 64 AS INT))"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias(f"w{i}")
+            for i in range(nwords)
+        ]
+        masks = toks.groupBy("id").agg(
+            *word_cols, F.count(F.lit(1)).alias("set_size")
+        )
+        ma = masks.select(
+            F.col("id").alias("id_a"),
+            F.col("set_size").alias("size_a"),
+            *[F.col(f"w{i}").alias(f"wa{i}") for i in range(nwords)],
+        )
+        mb = masks.select(
+            F.col("id").alias("id_b"),
+            F.col("set_size").alias("size_b"),
+            *[F.col(f"w{i}").alias(f"wb{i}") for i in range(nwords)],
+        )
+        if broadcast_sets:
+            ma, mb = F.broadcast(ma), F.broadcast(mb)
+        common = sum(
+            (
+                F.bit_count(F.col(f"wa{i}").bitwiseAND(F.col(f"wb{i}")))
+                for i in range(nwords)
+            ),
+            start=F.lit(0),
+        )
+        verified = (
+            cand.join(ma, "id_a")
+            .join(mb, "id_b")
+            .withColumn("common", common)
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("common")
+                    / (F.col("size_a") + F.col("size_b") - F.col("common")),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+        return verified.select("id_a", "id_b", "jaccard")
+
+    sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("shingles"))
+    sa = sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    if broadcast_sets:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.round(
                 F.col("common")
-                / (F.col("size_a") + F.col("size_b") - F.col("common")),
+                / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
                 6,
             ),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
     )
+    return verified.select("id_a", "id_b", "jaccard")
 
 
 # ---------------------------------------------------------------------------
@@ -142,8 +284,11 @@ def minhash_signatures(
     accuracy vs shuffle bytes exactly as in the MinHash literature.
     """
     sh = _shingles(df, id_col, text_col, shingle_n)
+    # Shingles arrive as 64-bit hashes; the k hash functions are cheap
+    # long-rehashes xxhash64(shingle, seed) — fixed-width JVM-side work,
+    # ~k× less than hashing k salted copies of every shingle string.
     mins = [
-        F.min(F.xxhash64(F.concat(F.lit(f"seed{i}:"), F.col("shingle")))).alias(f"h{i}")
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     agg = sh.groupBy("id").agg(*mins)
@@ -160,8 +305,14 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 2,
     threshold: float = 0.5,
+    broadcast_sigs: bool = True,
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified by signature similarity.
+
+    ``broadcast_sigs``: hint the signature side of the verification
+    joins as broadcast (k×8 bytes per doc). At corpus scales where the
+    signature relation exceeds executor memory, pass False for a
+    shuffle join on id.
 
     Pipeline: signature → split into `bands` bands of k/bands rows →
     hash each band → self-join on (band_idx, band_hash) → estimated
@@ -171,9 +322,13 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sig = sig.persist()
+    # Band rows carry ONLY (id, band, band_hash): the clustered self-join
+    # multiplies candidate pairs by shared-band count, and dragging the
+    # k×8-byte signature arrays through that join + dropDuplicates is the
+    # dominant shuffle at scale. Join signatures back after dedup instead.
     banded = sig.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -193,7 +348,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bh"),
-    ).select("id", "sig", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+    ).select("id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -202,25 +357,30 @@ def minhash_lsh_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = F.round(
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
-            )
-        )
-        / F.lit(num_hashes),
-        6,
+    sig_a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    if broadcast_sigs:
+        sig_a, sig_b = F.broadcast(sig_a), F.broadcast(sig_b)
+    # Statically-unrolled position-match count: k primitive comparisons
+    # inside whole-stage codegen (a zip_with/filter HOF here evaluates
+    # interpreted with boxing — ~10× slower per pair).
+    matches = sum(
+        (
+            F.when(
+                F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1), 1
+            ).otherwise(0)
+            for i in range(num_hashes)
+        ),
+        start=F.lit(0),
     )
+    est = F.round(matches / F.lit(num_hashes), 6)
     return (
-        cand.withColumn("est_jaccard", est)
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )

@@ -1,0 +1,166 @@
+"""Advanced join operators absent from stock Spark SQL: as-of join and
+range (interval / proximity) join.
+
+The reference has no DataFrame joins at all (SURVEY §2.3 — its join
+semantics are driver-side set ops), so these are north-star extensions:
+the time-series / event-log joins a training-data pipeline needs.
+
+Scale design:
+
+* **as-of join** — the union-tag trick: union both sides tagged, one
+  shuffle on the join key, then ``last(value, ignorenulls=True)`` over an
+  ordered window carries the most recent right-side row forward onto each
+  left row. O(1) shuffles, no range explosion, no per-key collect —
+  versus the naive ``t1.ts >= t2.ts`` theta-join which is a broadcast
+  nested loop (quadratic per key). This is the same plan DuckDB/kdb use
+  for ASOF under the hood (sorted merge).
+* **range join** — bucketize: map each row to coarse time buckets of
+  width = max range, self-join on (key, bucket) equi-keys so Catalyst
+  uses a hash join, then post-filter the exact predicate. Candidate
+  volume is bounded by per-bucket density, not n² — the standard
+  bin-join from the spatial/temporal-join literature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` sharing the ``on`` keys (backward as-of).
+
+    Columns from the right side are suffixed. Rows with no prior right
+    match keep nulls. ``tolerance_seconds`` drops matches older than the
+    tolerance (kdb ``wj``-style windowed as-of).
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in set(on) | {right_ts}
+    ]
+    tag = "__asof_side"
+    ts = "__asof_ts"
+
+    lhs = left.withColumn(tag, F.lit(1)).withColumn(ts, F.col(left_ts))
+    rhs = right.select(
+        *on,
+        F.col(right_ts).alias(ts),
+        *[F.col(c) for c in right_cols],
+    ).withColumn(tag, F.lit(0))
+
+    # Align schemas for the union: left keeps all its columns, right-side
+    # payload columns are null on left rows and vice versa.
+    carried = [f"{c}{suffix}" for c in right_cols]
+    lhs = lhs.select(
+        "*", *[F.lit(None).cast(rhs.schema[c].dataType).alias(f"{c}{suffix}") for c in right_cols]
+    )
+    rhs_aligned = rhs.select(
+        *[
+            F.lit(None).cast(lhs.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in set(on)
+        ],
+        *on,
+        F.col(tag),
+        F.col(ts),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    ).select(*lhs.columns)
+
+    # Right rows sort before left rows at equal timestamps (tag 0 < 1) so
+    # a right row at exactly left.ts IS visible to that left row.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts).asc(), F.col(tag).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = lhs.unionByName(rhs_aligned)
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(F.when(F.col(tag) == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(f"__f_{c}")
+            for c in carried
+        ],
+        F.last(F.when(F.col(tag) == 0, F.col(ts)), ignorenulls=True)
+        .over(w)
+        .alias("__match_ts"),
+    )
+    out = filled.filter(F.col(tag) == 1)
+    if tolerance_seconds is not None:
+        within = (
+            F.col(ts).cast("long") - F.col("__match_ts").cast("long")
+        ) <= F.lit(tolerance_seconds)
+        out = out.select(
+            "*",
+            *[
+                F.when(within, F.col(f"__f_{c}")).alias(f"__t_{c}")
+                for c in carried
+            ],
+        )
+        for c in carried:
+            out = out.drop(f"__f_{c}").withColumnRenamed(f"__t_{c}", f"__f_{c}")
+        out = out.withColumn(
+            "__match_ts", F.when(within, F.col("__match_ts"))
+        )
+    for c in carried:
+        out = out.drop(c).withColumnRenamed(f"__f_{c}", c)
+    return out.withColumnRenamed("__match_ts", f"{right_ts}{suffix}").drop(tag, ts)
+
+
+def range_self_join(
+    df: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    max_gap_seconds: int = 60,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Pairs of rows sharing ``on`` keys within ``max_gap_seconds`` of
+    each other (id_a < id_b), via bucketed bin-join.
+
+    Each row lands in bucket floor(epoch/gap) and is replicated into the
+    next bucket, so every within-gap pair co-occurs in at least one
+    bucket; the equi-join on (keys, bucket) prunes the cross product and
+    a ``dropDuplicates`` removes the double-counted same-bucket pairs.
+    """
+    # Work in microseconds throughout: second-granularity casts floor,
+    # which disagrees with sub-second data at the gap boundary.
+    gap_us = max_gap_seconds * 1_000_000
+    epoch = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(
+        *on,
+        F.col(id_col).alias("id"),
+        epoch.alias("epoch_us"),
+        F.floor(epoch / gap_us).alias("bucket0"),
+    )
+    exploded = base.select(
+        *on,
+        "id",
+        "epoch_us",
+        F.explode(F.array(F.col("bucket0"), F.col("bucket0") + 1)).alias("bucket"),
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cond = F.lit(True)
+    for k in on:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    cond = cond & (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+    return (
+        a.join(b, cond)
+        .filter(F.abs(F.col("a.epoch_us") - F.col("b.epoch_us")) <= gap_us)
+        .select(
+            *[F.col(f"a.{k}").alias(k) for k in on],
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (F.col("b.epoch_us") - F.col("a.epoch_us")).alias("gap_us"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -38,9 +38,11 @@ def load_all() -> None:
     from hudi_utility_spark.queries import (  # noqa: F401
         dedup,
         engine_queries,
+        joins_advanced,
         multimodal,
         relational,
         similarity,
         streaming,
         text,
+        tpch_more,
     )

@@ -1,0 +1,77 @@
+"""As-of / range-join queries over the events table (north-star time
+series operators; no counterpart in the reference — SURVEY §2.3 notes the
+reference has zero DataFrame joins).
+
+Oracles: DuckDB has native ASOF JOIN; the range join oracle is a plain
+inequality self-join — small at sf0.01, while the Spark side uses the
+scalable bucketed plan from ops/joins.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hudi_utility_spark.ops.joins import asof_join, range_self_join
+from hudi_utility_spark.queries import query
+from hudi_utility_spark.tables import load_table
+
+
+@query(
+    "asof_purchase_click",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS user_id,
+           epoch_us(p.ts) AS purchase_us,
+           c.event_id AS click_id,
+           epoch_us(c.ts) AS click_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase matched to the user's latest
+    preceding (or simultaneous) click. Single shuffle on user_id via the
+    union-tag + last(ignorenulls) window plan."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id"],
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.col("event_id_right").alias("click_id"),
+        F.unix_micros("ts_right").alias("click_us"),
+    )
+
+
+@query(
+    "range_join_close_events",
+    oracle="""
+    SELECT a.user_id AS user_id,
+           a.event_id AS id_a,
+           b.event_id AS id_b,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+    """,
+)
+def range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity self-join: event pairs of the same user within 5
+    minutes, via the bucketed bin-join (equi-join on (user, bucket), no
+    theta-join cross product)."""
+    ev = load_table(spark, sf_dir, "events")
+    return range_self_join(
+        ev, on=["user_id"], ts_col="ts", max_gap_seconds=300, id_col="event_id"
+    )

@@ -14,6 +14,10 @@ import os
 from pyspark.sql import SparkSession
 
 _DEFAULTS = {
+    # local[32] runs every task in the driver JVM: the 1g default heap
+    # GC-thrashes 32 concurrent tasks. Sized for the 128 GiB test box;
+    # on a real cluster this is per-executor memory instead.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     # One shuffle partition per core locally; on a real cluster this would
     # be sized to ~2-3x total cores (AQE coalesces the excess anyway).
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
