@@ -1,0 +1,103 @@
+"""Dedup operator tests: exactness of Jaccard on known sets (both
+physical paths), MinHash/SimHash cross-validation against exact Jaccard,
+survivor determinism (SURVEY §5 strategy: property + oracle checks)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hudi_utility_spark.ops import dedup as D
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_jaccard_known_sets_dense_path(spark):
+    # J(1,2) = |{a,b,c}| / |{a,b,c,d,e}| = 3/5 = 0.6 ; J with doc 3 = 0
+    df = _docs(
+        spark,
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_pairs(df, n=1, threshold=0.5).collect()
+    }
+    assert got == {(1, 2): 0.6}
+
+
+def test_jaccard_known_sets_sparse_path(spark):
+    # force the array_intersect path regardless of vocabulary size
+    df = _docs(
+        spark,
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_pairs(df, n=1, threshold=0.5, max_dense_vocab=0).collect()
+    }
+    assert got == {(1, 2): 0.6}
+
+
+def test_jaccard_paths_agree_on_corpus(spark, documents):
+    dense = D.jaccard_pairs(documents, n=1, threshold=0.8)
+    sparse = D.jaccard_pairs(documents, n=1, threshold=0.8, max_dense_vocab=0)
+    d = {(r.id_a, r.id_b): r.jaccard for r in dense.collect()}
+    s = {(r.id_a, r.id_b): r.jaccard for r in sparse.collect()}
+    assert d == s and len(d) > 0
+
+
+def test_exact_dedup_survivors_deterministic(spark):
+    df = _docs(
+        spark,
+        [(5, "Hello, World!"), (2, "hello world"), (9, "unique text")],
+    )
+    # 5 and 2 normalize identically; min-id 2 survives
+    survivors = sorted(r.doc_id for r in D.dedup_exact(df).collect())
+    assert survivors == [2, 9]
+    groups = D.exact_duplicates(df).collect()
+    assert len(groups) == 1 and groups[0].group_size == 2 and groups[0].keep_id == 2
+
+
+def test_minhash_identical_docs_certain_pair(spark):
+    df = _docs(
+        spark,
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different words entirely here now")],
+    )
+    pairs = D.minhash_lsh_pairs(df, num_hashes=32, bands=8, threshold=0.9).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    assert pairs[0].est_jaccard == 1.0
+
+
+def test_minhash_candidates_are_truly_similar(spark, documents):
+    """Precision cross-check: every high-estimate MinHash pair must have
+    substantial true bigram Jaccard (the S-curve keeps false positives
+    at high estimates rare; threshold chosen loose for determinism)."""
+    cand = D.minhash_lsh_pairs(
+        documents, num_hashes=32, bands=8, shingle_n=2, threshold=0.8
+    )
+    exact = D.jaccard_pairs(documents, n=2, threshold=0.3)
+    joined = cand.join(exact, ["id_a", "id_b"], "left")
+    rows = joined.collect()
+    assert rows, "expected at least one high-estimate candidate pair"
+    misses = [r for r in rows if r.jaccard is None]
+    assert len(misses) <= max(1, len(rows) // 10)
+
+
+def test_simhash_identical_and_disjoint(spark):
+    df = _docs(
+        spark,
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "zq xw vr ut")],
+    )
+    pairs = D.simhash_near_pairs(df, max_distance=3)
+    got = {(r.id_a, r.id_b): r.distance for r in pairs.collect()}
+    assert got == {(1, 2): 0}
+
+
+def test_simhash_hamming_distance_expr(spark):
+    df = spark.createDataFrame([(0b1011, 0b0010)], ["a", "b"])
+    out = df.select(D.hamming_distance(F.col("a"), F.col("b")).alias("d")).first()
+    assert out.d == 2

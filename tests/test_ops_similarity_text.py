@@ -1,0 +1,100 @@
+"""Similarity-search and text-analysis operator tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hudi_utility_spark.ops import text as T
+from hudi_utility_spark.ops.similarity import (
+    brute_force_topk,
+    cosine,
+    cosine_near_pairs,
+    ivf_topk,
+    random_hyperplane_sketch,
+)
+
+
+def _vecs(spark):
+    return spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0], 0),
+            (2, [0.9, 0.1, 0.0], 0),
+            (3, [0.0, 1.0, 0.0], 1),
+            (4, [0.0, 0.0, 1.0], 2),
+            (5, [-1.0, 0.0, 0.0], 0),
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+
+
+def test_cosine_expression(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])], ["a", "b"])
+    got = [r.c for r in df.select(F.round(cosine(F.col("a"), F.col("b")), 6).alias("c")).collect()]
+    assert got == [1.0, 0.0]
+
+
+def test_brute_force_topk_ranking(spark):
+    out = brute_force_topk(_vecs(spark), [1.0, 0.0, 0.0], k=3).collect()
+    assert [r.vec_id for r in out] == [1, 2, 3]
+    assert out[0].score == 1.0
+
+
+def test_ivf_topk_subset_of_probed_cells(spark):
+    df = _vecs(spark)
+    out = ivf_topk(df, [1.0, 0.0, 0.0], k=2, nprobe=1).collect()
+    # probed cell is label 0 (centroid nearest to query); exact within
+    assert [r.vec_id for r in out] == [1, 2]
+
+
+def test_cosine_near_pairs_blocked(spark):
+    out = cosine_near_pairs(_vecs(spark), threshold=0.95, block_col="label").collect()
+    got = {(r.id_a, r.id_b): r.score for r in out}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] >= 0.99
+
+
+def test_hyperplane_sketch_similar_vectors_close(spark):
+    df = _vecs(spark)
+    sk = {r.vec_id: r.sketch for r in random_hyperplane_sketch(df, planes=16).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    # near-identical vectors 1,2 must be at least as close as opposites 1,5
+    assert ham(sk[1], sk[2]) <= ham(sk[1], sk[5])
+
+
+def test_token_counts_known(spark):
+    df = spark.createDataFrame([("Hello, world! 42 times",)], ["text"])
+    row = df.select(
+        T.token_count(F.col("text")).alias("bpe"),
+        T.whitespace_token_count(F.col("text")).alias("ws"),
+    ).first()
+    # tokens: Hello , world ! 42 times → 6 ; whitespace: 4
+    assert row.bpe == 6 and row.ws == 4
+
+
+def test_quality_score_bounds_and_degenerate(spark, documents):
+    scored = T.quality_score(documents.limit(200))
+    rows = scored.select("quality").collect()
+    assert all(0.0 <= r.quality <= 1.0 for r in rows)
+    short = T.quality_score(
+        spark.createDataFrame([("hi",)], ["text"])
+    ).first()
+    assert short.quality == 0.0
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [("the cat is in the house and it is warm",),
+         ("el gato de la casa y los perros",),
+         ("zzz qqq",)],
+        ["text"],
+    )
+    got = [r.lang_pred for r in T.language_id(df).collect()]
+    assert got == ["en", "es", "und"]
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world")], ["doc_id", "text"]
+    )
+    fps = [r.fingerprint for r in T.fingerprint(df).collect()]
+    assert fps[0] == fps[1]
