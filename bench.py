@@ -28,6 +28,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_region_revenue",
+    "q7_volume_shipping",
+    "q18_large_volume_customers",
+    "asof_purchase_click",
+    "range_join_close_events",
     "v4_partition_audit",
     "s7_latest_by_key",
     "w_rank_dense",

@@ -387,6 +387,82 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Near-dup group resolution (pairs → clusters → survivors)
+# ---------------------------------------------------------------------------
+
+def near_dup_groups(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Connected components over a near-dup pair list: (id, group_id)
+    where group_id = min id reachable through the pair graph.
+
+    Iterative min-label propagation (hash-to-min): each round every node
+    adopts the smallest label among itself and its neighbors; rounds
+    needed = graph diameter, which for near-dup clusters (dense
+    near-cliques) is tiny — convergence is detected with one count per
+    round, and each round is a join + aggregate on (edge, label) — the
+    standard large-graph CC pattern when GraphFrames isn't available.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("group_id", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("group_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("group_id"), F.coalesce(F.col("nbr_min"), F.col("group_id"))
+                ).alias("group_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.group_id") != F.col("o.group_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rows of `df` that survive near-dup removal: per connected
+    component of `pairs`, keep only the min-id representative. Rows in
+    no pair survive untouched — the left-anti is on the drop list, which
+    is (component size − 1)/component of the paired rows only."""
+    groups = near_dup_groups(pairs)
+    drops = groups.filter(F.col("id") != F.col("group_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drops, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

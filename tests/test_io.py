@@ -46,6 +46,15 @@ def test_read_source_merge_schema(tmp_path, spark):
     assert df.count() == 2
 
 
+def test_read_source_orc_roundtrip(tmp_path, spark, lineitem):
+    d = str(tmp_path / "orc_table")
+    sample = lineitem.limit(100)
+    sample.write.mode("overwrite").orc(d)
+    df = read_source(spark, d)  # sniffed as orc
+    assert df.count() == 100
+    assert set(df.columns) == set(sample.columns)
+
+
 def test_read_source_csv_json(tmp_path, spark):
     csv = tmp_path / "t.csv"
     csv.write_text("a,b\n1,x\n2,y\n")

@@ -1,0 +1,52 @@
+"""Salted-join equivalence and near-dup group resolution."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hudi_utility_spark.ops.dedup import dedup_survivors, near_dup_groups
+from hudi_utility_spark.ops.skew import key_histogram, salted_join
+
+
+def test_salted_join_matches_plain_inner(spark, events):
+    dim = events.select("user_id").distinct().withColumn(
+        "user_flag", F.col("user_id") % 2 == 0
+    )
+    plain = events.join(dim, "user_id").select("event_id", "user_flag")
+    salted = salted_join(events, dim, on=["user_id"], salt_buckets=8).select(
+        "event_id", "user_flag"
+    )
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).isEmpty() and salted.exceptAll(plain).isEmpty()
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], ["k", "v"])
+    small = spark.createDataFrame([(1, 10.0)], ["k", "w"])
+    out = salted_join(big, small, on=["k"], how="left", salt_buckets=4)
+    rows = {r.k: r.w for r in out.collect()}
+    assert rows == {1: 10.0, 2: None, 3: None}
+
+
+def test_key_histogram_orders_heaviest_first(spark):
+    df = spark.createDataFrame([(1,)] * 5 + [(2,)] * 2 + [(3,)], ["k"])
+    got = [(r.k, r.rows) for r in key_histogram(df, ["k"]).collect()]
+    assert got == [(1, 5), (2, 2), (3, 1)]
+
+
+def test_near_dup_groups_chain_and_island(spark):
+    # chain 1-2-3 plus pair 10-11: two components, min-id labels
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {r.id: r.group_id for r in near_dup_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_survivors_keeps_unpaired_and_representatives(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 10, 11, 99)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+    kept = sorted(r.doc_id for r in dedup_survivors(df, pairs).collect())
+    assert kept == [1, 10, 99]
