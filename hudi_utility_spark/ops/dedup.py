@@ -399,29 +399,33 @@ def near_dup_groups(
     Iterative min-label propagation (hash-to-min): each round every node
     adopts the smallest label among itself and its neighbors; rounds
     needed = graph diameter, which for near-dup clusters (dense
-    near-cliques) is tiny — convergence is detected with one count per
-    round, and each round is a join + aggregate on (edge, label) — the
-    standard large-graph CC pattern when GraphFrames isn't available.
+    near-cliques) is tiny. Each round is ``localCheckpoint``-ed —
+    without lineage truncation the iteration-N plan embeds all N-1
+    predecessors and planning cost goes quadratic (the standard trap of
+    iterative DataFrame algorithms). Convergence is detected from the
+    label sum: labels only ever decrease, so an unchanged Σ group_id is
+    a fixpoint — one cheap aggregate per round, no self-join.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("group_id", F.col("id"))
-        .persist()
+        .localCheckpoint()
     )
+    prev_sum = labels.agg(F.sum("group_id")).collect()[0][0]
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("group_id").alias("nbr_min"))
         )
-        new_labels = (
+        labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
@@ -429,20 +433,12 @@ def near_dup_groups(
                     F.col("group_id"), F.coalesce(F.col("nbr_min"), F.col("group_id"))
                 ).alias("group_id"),
             )
-            .persist()
+            .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.group_id") != F.col("o.group_id"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("group_id")).collect()[0][0]
+        if new_sum == prev_sum:
             break
-    edges.unpersist()
+        prev_sum = new_sum
     return labels
 
 

@@ -75,6 +75,71 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(d, n=1, threshold=0.8)
 
 
+_PAIRS_09_SQL = f"""
+    WITH RECURSIVE words AS (
+        SELECT doc_id, unnest(list_distinct(string_split({_NORM_SQL}, ' '))) AS w
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM words GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE common / (sa.set_size + sb.set_size - common) >= 0.9
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, lbl) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    )
+"""
+
+
+@query(
+    "dedup_near_groups",
+    _PAIRS_09_SQL
+    + """
+    SELECT id, MIN(lbl) AS group_id FROM reach GROUP BY id
+    """,
+)
+def dedup_near_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over Jaccard≥0.9 near-dup pairs: every paired
+    doc labeled with the min id reachable through the pair graph
+    (hash-to-min label propagation; the oracle is a recursive CTE
+    computing the same transitive closure)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(d, n=1, threshold=0.9)
+    return D.near_dup_groups(pairs)
+
+
+@query(
+    "dedup_near_survivors",
+    _PAIRS_09_SQL
+    + """
+    SELECT d.doc_id FROM documents d
+    LEFT JOIN (SELECT id, MIN(lbl) AS group_id FROM reach GROUP BY id) g
+      ON g.id = d.doc_id
+    WHERE g.id IS NULL OR g.group_id = d.doc_id
+    """,
+)
+def dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: documents surviving Jaccard≥0.9 cluster
+    removal (min-id representative per component; unpaired docs kept)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(d, n=1, threshold=0.9)
+    return D.dedup_survivors(d, pairs).select("doc_id")
+
+
 @query("dedup_minhash_lsh")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (banded signatures; xxhash64 is

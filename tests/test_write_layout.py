@@ -1,0 +1,89 @@
+"""Physical-layout write paths: bucketed co-located joins (no shuffle)
+and sorted-within-partition data skipping."""
+
+from __future__ import annotations
+
+import contextlib
+import glob
+import io
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from hudi_utility_spark.write import write_bucketed_table, write_sorted_partitioned
+
+
+def _plan_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _drop(spark, *tables):
+    import shutil
+
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = f"{spark.conf.get('spark.sql.warehouse.dir').removeprefix('file:')}/{t}"
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_bucketed_join_has_no_shuffle(spark, orders, lineitem):
+    _drop(spark, "b_orders", "b_lineitem")
+    write_bucketed_table(
+        spark, orders.limit(2000), "b_orders", ["o_orderkey"], num_buckets=8
+    )
+    write_bucketed_table(
+        spark,
+        lineitem.limit(2000),
+        "b_lineitem",
+        ["l_orderkey"],
+        num_buckets=8,
+    )
+    # force the sort-merge path (tiny test tables would otherwise
+    # broadcast, which sidesteps bucketing entirely)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = _plan_str(joined)
+        # co-located bucketed join: no hash-partitioning exchange on
+        # either side — both scans read bucket i in the same task
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    _drop(spark, "b_orders", "b_lineitem")
+
+
+def test_sorted_partitioned_write_rowgroup_stats(spark, lineitem, tmp_path):
+    out = str(tmp_path / "sorted_li")
+    write_sorted_partitioned(
+        lineitem.withColumn("flag", F.col("l_returnflag")),
+        out,
+        partition_fields=["flag"],
+        sort_fields=["l_orderkey"],
+    )
+    # within every file, row-group min/max on l_orderkey must be
+    # non-overlapping and ordered — the property range scans prune on
+    files = glob.glob(f"{out}/flag=*/*.parquet")
+    assert files
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}[
+            "l_orderkey"
+        ]
+        prev_max = None
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            assert st is not None
+            if prev_max is not None:
+                assert st.min >= prev_max
+            prev_max = st.max
+    # read back matches source row count
+    assert spark.read.parquet(out).count() == lineitem.count()
