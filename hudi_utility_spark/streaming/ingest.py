@@ -1,0 +1,54 @@
+"""Streaming ingest into keyed tables: the streaming twin of the
+reference's batch bootstrap (its `spark-submit` job re-run per dataset —
+reference ``fastapi-backend/app.py:126-163`` — becomes one continuous
+query).
+
+``foreachBatch`` is the idiomatic Spark bridge from a stream to a
+batch-only sink with merge semantics: each micro-batch runs the same
+``write.upsert`` used for batch loads, so COW/MOR and precombine
+semantics are identical across ingest modes. Exactly-once per batch
+comes from the checkpointed batch id — on recovery a replayed batch
+re-upserts the same rows, and upsert is idempotent by key+precombine.
+
+At scale: MOR tables make the micro-batch cheap (append to the delta
+log, no read-modify-write); compaction runs out-of-band via
+``KeyedTable.compact``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hudi_utility_spark.table import KeyedTable
+from hudi_utility_spark.write import latest_by_key, upsert
+
+
+def stream_upsert(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    table: KeyedTable,
+    checkpoint_dir: str,
+    trigger_once: bool = False,
+):
+    """Start a streaming query that upserts every micro-batch into
+    `table`. Returns the StreamingQuery (caller owns the lifecycle).
+
+    Each micro-batch is pre-deduplicated with the precombine window so a
+    batch carrying several versions of one key writes only the survivor
+    — the same guarantee Hudi's streamer gives via its own precombine.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        deduped = latest_by_key(batch_df, table.record_key, table.precombine)
+        upsert(spark, deduped, table)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
