@@ -111,6 +111,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     broadcast_sets: bool = True,
     max_dense_vocab: int = 4096,
+    max_allpairs_groups: int = 8192,
 ) -> DataFrame:
     """Near-dup pairs by shingle-set Jaccard ≥ threshold — exact, via
     PPJoin-style prefix filtering (Xiao et al., WWW'08).
@@ -157,37 +158,40 @@ def jaccard_pairs(
     vocab = sh.select("shingle").distinct()
     vocab_count = vocab.count()
 
-    # Canonical global order: (document frequency asc, shingle) — rarest
-    # first, deterministic tiebreak.
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        sh.join(dfreq, "shingle")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
-            ),
+    def _prefix_candidates() -> DataFrame:
+        # Canonical global order: (document frequency asc, shingle) —
+        # rarest first, deterministic tiebreak.
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        ranked = (
+            sh.join(dfreq, "shingle")
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
+                ),
+            )
+            .withColumn("set_size", F.count(F.lit(1)).over(Window.partitionBy("id")))
         )
-        .withColumn("set_size", F.count(F.lit(1)).over(Window.partitionBy("id")))
-    )
-    prefix_len = F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
-    prefix = ranked.filter(F.col("rn") <= F.greatest(prefix_len, F.lit(1))).select(
-        "id", "shingle", "set_size"
-    )
+        prefix_len = (
+            F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
+        )
+        prefix = ranked.filter(
+            F.col("rn") <= F.greatest(prefix_len, F.lit(1))
+        ).select("id", "shingle", "set_size")
 
-    a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id"))
-            # length filter: J ≥ t forces t·|A| ≤ |B| ≤ |A|/t
-            & (F.col("b.set_size") * F.lit(threshold) <= F.col("a.set_size"))
-            & (F.col("a.set_size") * F.lit(threshold) <= F.col("b.set_size")),
+        a, b = prefix.alias("a"), prefix.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") < F.col("b.id"))
+                # length filter: J ≥ t forces t·|A| ≤ |B| ≤ |A|/t
+                & (F.col("b.set_size") * F.lit(threshold) <= F.col("a.set_size"))
+                & (F.col("a.set_size") * F.lit(threshold) <= F.col("b.set_size")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
 
     if vocab_count <= max_dense_vocab:
         # Dense path: pack each set into ⌈V/64⌉ long columns.
@@ -208,6 +212,89 @@ def jaccard_pairs(
         masks = toks.groupBy("id").agg(
             *word_cols, F.count(F.lit(1)).alias("set_size")
         )
+
+        # Identical word-sets are common in template corpora; group them
+        # and, when few distinct sets remain, compare distinct sets
+        # all-pairs (primitive mask ops under a broadcast nested loop —
+        # no shingle self-join, no candidate dedup shuffle) and expand
+        # group pairs back to doc pairs. Output volume is the true pair
+        # count either way; this path just skips building candidates.
+        groups = (
+            masks.groupBy(*[f"w{i}" for i in range(nwords)], "set_size")
+            .agg(
+                F.min("id").alias("gid"),
+                F.sort_array(F.collect_list("id")).alias("members"),
+            )
+            .persist()
+        )
+        n_groups = groups.count()
+        if n_groups <= max_allpairs_groups:
+            common = sum(
+                (
+                    F.bit_count(F.col(f"wa{i}").bitwiseAND(F.col(f"wb{i}")))
+                    for i in range(nwords)
+                ),
+                start=F.lit(0),
+            )
+            ga = groups.select(
+                F.col("gid").alias("gid_a"),
+                F.col("set_size").alias("size_a"),
+                F.col("members").alias("members_a"),
+                *[F.col(f"w{i}").alias(f"wa{i}") for i in range(nwords)],
+            )
+            gb = groups.select(
+                F.col("gid").alias("gid_b"),
+                F.col("set_size").alias("size_b"),
+                F.col("members").alias("members_b"),
+                *[F.col(f"w{i}").alias(f"wb{i}") for i in range(nwords)],
+            )
+            gpairs = (
+                ga.join(
+                    F.broadcast(gb),
+                    (F.col("gid_a") < F.col("gid_b"))
+                    & (F.col("size_b") * F.lit(threshold) <= F.col("size_a"))
+                    & (F.col("size_a") * F.lit(threshold) <= F.col("size_b")),
+                )
+                .withColumn("common", common)
+                .withColumn(
+                    "jaccard",
+                    F.round(
+                        F.col("common")
+                        / (F.col("size_a") + F.col("size_b") - F.col("common")),
+                        6,
+                    ),
+                )
+                # common > 0 keeps this path's contract identical to the
+                # candidate-generation paths: disjoint sets are never a
+                # pair, even at threshold 0
+                .filter((F.col("jaccard") >= threshold) & (F.col("common") > 0))
+                .select("jaccard", "members_a", "members_b")
+            )
+            cross = (
+                gpairs.select(
+                    "jaccard", F.explode("members_a").alias("x"), "members_b"
+                )
+                .select("jaccard", "x", F.explode("members_b").alias("y"))
+                .select(
+                    F.least("x", "y").alias("id_a"),
+                    F.greatest("x", "y").alias("id_b"),
+                    "jaccard",
+                )
+            )
+            within = (
+                groups.filter(F.size("members") > 1)
+                .select(F.col("members"), F.posexplode("members").alias("pa", "ida"))
+                .select("ida", "pa", F.posexplode("members").alias("pb", "idb"))
+                .filter(F.col("pa") < F.col("pb"))
+                .select(
+                    F.col("ida").alias("id_a"),
+                    F.col("idb").alias("id_b"),
+                    F.round(F.lit(1.0), 6).alias("jaccard"),
+                )
+            )
+            return cross.unionByName(within)
+
+        cand = _prefix_candidates()
         ma = masks.select(
             F.col("id").alias("id_a"),
             F.col("set_size").alias("size_a"),
@@ -243,6 +330,7 @@ def jaccard_pairs(
         )
         return verified.select("id_a", "id_b", "jaccard")
 
+    cand = _prefix_candidates()
     sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("shingles"))
     sa = sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
