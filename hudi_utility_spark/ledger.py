@@ -144,6 +144,30 @@ class Ledger:
             "record_counts": json.loads(r["record_counts"]) if r["record_counts"] else None,
         }
 
+    def compact(self) -> int:
+        """Rewrite the event-sourced ledger as one resolved snapshot:
+        the latest event per transaction, in a single file.
+
+        Every begin/finish appends a one-row parquet file; after many
+        transactions the ledger is thousands of tiny files and every
+        history query pays the listing cost. Compaction collapses them
+        (write to a sibling temp dir, atomic swap — readers never see a
+        partial ledger). Returns the number of surviving rows.
+        """
+        import shutil
+
+        if not os.path.isdir(self.path):
+            return 0
+        snapshot = self._latest().coalesce(1)
+        tmp = self.path.rstrip("/") + ".compact.tmp"
+        snapshot.write.mode("overwrite").parquet(tmp)
+        n = self.spark.read.schema(_SCHEMA).parquet(tmp).count()
+        old = self.path.rstrip("/") + ".compact.old"
+        shutil.move(self.path, old)
+        shutil.move(tmp, self.path)
+        shutil.rmtree(old)
+        return n
+
     # -- internals ---------------------------------------------------------
     def _append_row(self, **kwargs) -> None:
         row = {f.name: kwargs.get(f.name) for f in _SCHEMA.fields}

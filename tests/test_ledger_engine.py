@@ -43,6 +43,24 @@ def test_ledger_sweep_runaways(spark, tmp_path):
     assert led.sweep_runaways(timeout_minutes=0) == 0
 
 
+def test_ledger_compact(spark, tmp_path):
+    import glob
+
+    led = Ledger(spark, str(tmp_path / "ledger"))
+    for i in range(5):
+        tid = led.begin(f"t{i}", {"n": i})
+        led.finish(tid, "SUCCESS", record_counts={"input": i})
+    files_before = len(glob.glob(f"{led.path}/*.parquet"))
+    hist_before = sorted(r.transaction_id for r in led.history().collect())
+    n = led.compact()
+    assert n == 5
+    files_after = len(glob.glob(f"{led.path}/*.parquet"))
+    assert files_after == 1 < files_before
+    assert sorted(r.transaction_id for r in led.history().collect()) == hist_before
+    # statuses survive the rewrite
+    assert all(r.status == "SUCCESS" for r in led.history().collect())
+
+
 def test_classify_error():
     assert classify_error(None) is None
     assert "parquet/orc" in classify_error("Unsupported file format: .txt")
