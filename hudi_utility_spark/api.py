@@ -1,0 +1,90 @@
+"""One-object facade mirroring the reference's service surface.
+
+The reference exposes four HTTP endpoints plus a WebSocket
+(``fastapi-backend/app.py``); each maps to one method here, so a user of
+the reference can switch by replacing HTTP calls with library calls:
+
+| reference endpoint                  | here                         |
+|-------------------------------------|------------------------------|
+| ``POST /bootstrap_hudi/``           | ``Engine.bootstrap``         |
+| ``POST /check_path_or_table/``      | ``Engine.resolve``           |
+| ``GET /bootstrap_history/``         | ``Engine.history``           |
+| ``GET /bootstrap_status/{id}/``     | ``Engine.status``            |
+| ``WS /ws/{id}/`` status push        | ``Engine.subscribe``         |
+| rerun button (replay transaction)   | ``Engine.rerun``             |
+
+The FastAPI/Postgres/WebSocket tier collapses into: a ledger table, an
+observer registry, and synchronous library calls (the reference's
+background-task + spark-submit + log-scrape pipeline is one in-process
+Spark job here — SURVEY §3.1).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hudi_utility_spark.engine import bootstrap as _bootstrap
+from hudi_utility_spark.events import StatusObserver
+from hudi_utility_spark.io import SourceInfo, resolve_source
+from hudi_utility_spark.ledger import Ledger
+from hudi_utility_spark.validate import BootstrapRequest
+
+
+class Engine:
+    """Session + ledger + observer bundle with the reference's surface."""
+
+    def __init__(self, spark: SparkSession, ledger_path: str):
+        self.spark = spark
+        self.ledger = Ledger(spark, ledger_path)
+        self.observer = StatusObserver()
+        # the reference sweeps runaway PENDING transactions at startup
+        # (app.py:75-108)
+        self.ledger.sweep_runaways()
+
+    # -- POST /bootstrap_hudi/ -------------------------------------------
+    def bootstrap(self, request: BootstrapRequest | dict) -> dict:
+        if isinstance(request, dict):
+            request = BootstrapRequest(**request)
+        return _bootstrap(
+            self.spark, request, ledger=self.ledger, observer=self.observer
+        )
+
+    # -- POST /check_path_or_table/ --------------------------------------
+    def resolve(self, path_or_table: str) -> SourceInfo:
+        return resolve_source(self.spark, path_or_table)
+
+    # -- GET /bootstrap_history/ -----------------------------------------
+    def history(
+        self,
+        transaction_id_like: str | None = None,
+        start_date: str | None = None,
+        end_date: str | None = None,
+    ) -> DataFrame:
+        return self.ledger.history(transaction_id_like, start_date, end_date)
+
+    # -- GET /bootstrap_status/{id}/ -------------------------------------
+    def status(self, transaction_id: str) -> dict | None:
+        return self.ledger.status(transaction_id)
+
+    # -- WS /ws/{id}/ ----------------------------------------------------
+    def subscribe(self, transaction_id: str | None, callback) -> None:
+        """Register a callback for status events; ``None`` subscribes to
+        every transaction (the WebSocket per-id registry generalized)."""
+        self.observer.subscribe(transaction_id, callback)
+
+    # -- HistoryTable rerun ----------------------------------------------
+    def rerun(self, transaction_id: str) -> dict:
+        """Replay a past transaction's stored request (the UI's Rerun
+        button posts ``transaction_data`` back — HistoryTable.js)."""
+        row = (
+            self.ledger.history(transaction_id_like=transaction_id)
+            .filter(f"transaction_id = '{transaction_id}'")
+            .collect()
+        )
+        if not row:
+            raise KeyError(f"unknown transaction: {transaction_id}")
+        stored = json.loads(row[0]["transaction_data"])
+        known = {f.name for f in BootstrapRequest.__dataclass_fields__.values()}
+        return self.bootstrap({k: v for k, v in stored.items() if k in known})

@@ -56,10 +56,14 @@ def bootstrap(
 ) -> dict:
     """Run the full lifecycle; returns a result summary dict."""
     observer = observer or StatusObserver()
-    ensure_valid(req)
     tid = ledger.begin(req.table_name, req.__dict__) if ledger else req.table_name
     observer.emit(tid, "PENDING")
     try:
+        # argument validation inside the ledgered span, like the
+        # reference: its PENDING row exists before the Spark job
+        # validates (app.py:207-225 → pyspark_script.py:314-315), so a
+        # config error leaves a FAILED transaction, not silence
+        ensure_valid(req)
         df = read_source(spark, req.data_file_path)
         table = req.to_table()
         errors = validate_fields_in_schema(df, table)
