@@ -45,4 +45,5 @@ def load_all() -> None:
         streaming,
         text,
         tpch_more,
+        tpch_rest,
     )
