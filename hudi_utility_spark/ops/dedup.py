@@ -554,30 +554,38 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     """(id, simhash) — weighted-majority bit signature over word hashes.
 
     Per word w: h = xxhash64(w); bit i contributes +1 if set else -1;
-    simhash bit i = majority sign. Expressed as explode → per-bit
-    conditional sums → bit reassembly; one shuffle on id.
+    simhash bit i = majority sign (2·set_count > n_words). Computed
+    entirely per-row with higher-order array functions — no explode, no
+    shuffle: at 100 TB the signature step is a map-only pass over the
+    corpus, embarrassingly parallel across whatever partitioning the
+    scan produced.
     """
-    words = df.select(
-        F.col(id_col).alias("id"), F.explode(word_set(F.col(text_col))).alias("w")
-    ).withColumn("h", F.xxhash64("w"))
-    bit_sums = words.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(bits)
-        ]
+    # bit masks as shift expressions: bit 63 overflows a signed-long
+    # literal but wraps correctly under shift; constant-folded once
+    masks = "array(" + ",".join(f"shiftleft(1L,{i})" for i in range(bits)) + ")"
+    sig = f"""
+    aggregate(
+      zip_with(
+        aggregate(
+          _sh_hashes,
+          array_repeat(0L, {bits}),
+          (acc, h) -> zip_with(acc, {masks},
+                               (a, m) -> a + CASE WHEN (h & m) <> 0
+                                               THEN 1L ELSE 0L END)
+        ),
+        {masks},
+        (c, m) -> CASE WHEN 2 * c > size(_sh_hashes) THEN m ELSE 0L END
+      ),
+      0L,
+      (s, x) -> s | x
     )
-    sim = None
-    for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        # shiftleft instead of a literal power of two: bit 63 overflows a
-        # signed-long literal but wraps correctly under shift
-        term = F.shiftleft(bit, i)
-        sim = term if sim is None else sim.bitwiseOR(term)
-    return bit_sums.select("id", sim.alias("simhash"))
+    """
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.transform(word_set(F.col(text_col)), lambda w: F.xxhash64(w)).alias(
+            "_sh_hashes"
+        ),
+    ).select("id", F.expr(sig).alias("simhash"))
 
 
 def hamming_distance(col_a, col_b):
@@ -598,8 +606,14 @@ def simhash_near_pairs(
     d ≤ 3 share at least one identical 16-bit prefix under some rotation
     (pigeonhole over 4 blocks) — so the self-join is on (rotation,
     prefix), never all-pairs.
+
+    The signature table is localCheckpoint()-ed first: simhash() is a
+    map-only expression with no exchange, so without materialization the
+    self-join would recompute the 64-slot signature aggregate on both
+    sides — and again inside the join condition for every candidate
+    pair. The checkpoint is |corpus| × 16 bytes, negligible at any SF.
     """
-    sh = simhash(df, id_col, text_col)
+    sh = simhash(df, id_col, text_col).localCheckpoint(eager=False)
     rots = sh.select(
         "id",
         "simhash",
@@ -630,6 +644,9 @@ def simhash_near_pairs(
             F.col("b.id").alias("id_b"),
             hamming_distance(F.col("a.simhash"), F.col("b.simhash")).alias("distance"),
         )
-        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("distance") <= max_distance)
+        # distance filter BEFORE the dedup shuffle: candidates that fail
+        # the Hamming test never enter the exchange, so the distinct
+        # stage shuffles only true near-pairs (tiny at any scale)
+        .dropDuplicates(["id_a", "id_b"])
     )

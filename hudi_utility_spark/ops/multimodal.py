@@ -39,6 +39,13 @@ FEATURE_SCHEMA = T.StructType(
     + [T.StructField("feature", T.ArrayType(T.FloatType()), True)]
 )
 
+# payload-free variant: what the extraction stage emits when the bytes
+# are no longer needed downstream — at scale, re-emitting payloads from
+# Python doubles the Arrow transfer and the next stage's shuffle input
+FEATURE_SCHEMA_SLIM = T.StructType(
+    [f for f in FEATURE_SCHEMA.fields if f.name != "payload"]
+)
+
 
 def attach_binary(
     df: DataFrame, src_col: str, id_col: str, media_type: str = "image"
@@ -75,7 +82,11 @@ def decode_stub(payload: bytes, media_type: str, fake: bool, dim: int = 8) -> li
 
 
 def extract_features(
-    df: DataFrame, fake: bool = True, dim: int = 8, batch_hint: int = 1024
+    df: DataFrame,
+    fake: bool = True,
+    dim: int = 8,
+    batch_hint: int = 1024,
+    keep_payload: bool = True,
 ) -> DataFrame:
     """Arrow-batched feature extraction over media rows via mapInPandas.
 
@@ -83,18 +94,27 @@ def extract_features(
     wants (amortized model load per partition, bounded batch memory);
     `batch_hint` documents the intended
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` sizing at scale.
+
+    Pass ``keep_payload=False`` when downstream stages only need the
+    features: the payload bytes then cross the Arrow boundary once
+    (JVM→Python) instead of round-tripping, which at media scale halves
+    the stage's serialization volume and keeps raw bytes out of any
+    later shuffle.
     """
+    schema = FEATURE_SCHEMA if keep_payload else FEATURE_SCHEMA_SLIM
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pdf = pdf.copy()
-            pdf["feature"] = [
+            feats = [
                 decode_stub(p, t, fake=fake, dim=dim)
                 for p, t in zip(pdf["payload"], pdf["media_type"])
             ]
-            yield pdf
+            out = pdf if keep_payload else pdf.drop(columns=["payload"])
+            out = out.copy()
+            out["feature"] = feats
+            yield out
 
-    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return df.mapInPandas(run, schema=schema)
 
 
 def resize_stub(df: DataFrame, target: tuple[int, int] = (224, 224)) -> DataFrame:

@@ -41,7 +41,7 @@ def mm_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserts batch shape, determinism, and schema."""
     d = load_table(spark, sf_dir, "documents")
     media = M.attach_binary(d, "text", "doc_id")
-    feats = M.extract_features(media, fake=True, dim=8)
+    feats = M.extract_features(media, fake=True, dim=8, keep_payload=False)
     return feats.select(
         "media_id",
         "byte_len",
