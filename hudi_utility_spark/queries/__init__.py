@@ -44,6 +44,7 @@ def load_all() -> None:
         similarity,
         streaming,
         text,
+        timeline_q,
         tpch_more,
         tpch_rest,
     )

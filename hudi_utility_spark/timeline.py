@@ -1,0 +1,114 @@
+"""Commit timeline: incremental queries and time travel over keyed tables.
+
+Apache Hudi's signature read modes, absent from the reference app's
+surface but core to the table format it writes (the reference's Hudi
+tables carry ``_hoodie_commit_time`` on every record — SURVEY §1.1/§1.2
+notes the ``_``-prefix metadata convention at ``pyspark_script.py:154``).
+This module gives our pure-Spark keyed tables the same capability:
+
+- every upsert stamps its rows with a monotonically increasing instant
+  string in the ``_commit_time`` metadata column;
+- ``incremental_read(since)`` returns only records whose *current*
+  version was written after ``since`` — CDC-style consumption that lets
+  a downstream pipeline process 100 TB tables by reading only deltas;
+- ``read_as_of(instant)`` reconstructs a MERGE_ON_READ snapshot at a
+  past instant from the retained delta log (COW rewrites discard old
+  versions, as in Hudi without savepoints — it raises there).
+
+The ``_`` prefix keeps the column invisible to reconciliation
+(``validate.schema_diff`` ignores metadata columns, mirroring
+``pyspark_script.py:154``).
+
+Scale notes: stamping is a literal projection (free under codegen);
+incremental reads filter on a plain column, so with commit-time
+bucketing or partition layout the scan prunes to recent files; nothing
+here adds a shuffle beyond the table's normal read resolution.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hudi_utility_spark.table import KeyedTable, TableType
+
+COMMIT_COL = "_commit_time"
+
+# sorts before any real instant: rows from pre-timeline writes (no
+# stamp) are treated as written at the epoch
+EPOCH_INSTANT = "0"
+
+
+def new_instant() -> str:
+    """Monotonic instant string, Hudi-style ``yyyyMMddHHmmssSSS``."""
+    return datetime.now(timezone.utc).strftime("%Y%m%d%H%M%S%f")[:17]
+
+
+def stamp(df: DataFrame, instant: str | None = None) -> DataFrame:
+    """Attach/overwrite the ``_commit_time`` metadata column."""
+    instant = instant or new_instant()
+    if COMMIT_COL in df.columns:
+        df = df.drop(COMMIT_COL)
+    return df.withColumn(COMMIT_COL, F.lit(instant))
+
+
+def _commit_expr():
+    return F.coalesce(F.col(COMMIT_COL), F.lit(EPOCH_INSTANT))
+
+
+def incremental_read(
+    spark: SparkSession,
+    table: KeyedTable,
+    since: str,
+    until: str | None = None,
+) -> DataFrame:
+    """Records whose current version was committed in ``(since, until]``.
+
+    Semantics match Hudi's incremental query: a record appears iff its
+    *winning* version (after precombine resolution) carries an instant
+    in the window — unchanged records are absent, so downstream work is
+    proportional to the delta, not the table.
+    """
+    snap = table.read(spark)
+    if COMMIT_COL not in snap.columns:
+        raise ValueError(
+            f"table at {table.path} has no commit timeline "
+            f"(write it with upsert(), which stamps {COMMIT_COL})"
+        )
+    out = snap.filter(_commit_expr() > F.lit(since))
+    if until is not None:
+        out = out.filter(_commit_expr() <= F.lit(until))
+    return out
+
+
+def read_as_of(spark: SparkSession, table: KeyedTable, instant: str) -> DataFrame:
+    """Snapshot of a MERGE_ON_READ table as of ``instant``.
+
+    Filters base + delta log to versions committed at or before the
+    instant, then resolves latest-by-precombine — one window, same cost
+    as a normal MOR read. COPY_ON_WRITE rewrites discard history, so
+    time travel is undefined there (matches Hudi sans savepoints).
+    """
+    if table.table_type is not TableType.MERGE_ON_READ:
+        raise ValueError(
+            "read_as_of requires a MERGE_ON_READ table: COPY_ON_WRITE "
+            "rewrites discard prior record versions"
+        )
+    from hudi_utility_spark.write import latest_by_key
+
+    import os
+
+    base = table.read_base(spark)
+    if COMMIT_COL not in base.columns:
+        base = base.withColumn(COMMIT_COL, F.lit(None).cast("string"))
+    merged = base
+    if os.path.isdir(table.log_path):
+        log = spark.read.option("mergeSchema", "true").parquet(table.log_path)
+        merged = base.unionByName(log, allowMissingColumns=True)
+    return latest_by_key(
+        merged.filter(_commit_expr() <= F.lit(instant)),
+        table.record_key,
+        table.precombine,
+    )

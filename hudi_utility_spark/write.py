@@ -196,6 +196,7 @@ def upsert(
     spark: SparkSession,
     incoming: DataFrame,
     table: KeyedTable,
+    commit_time: str | None = None,
 ) -> DataFrame:
     """Keyed merge of *incoming* into *table*, latest-precombine wins (J4).
 
@@ -203,7 +204,15 @@ def upsert(
     partitions (dynamic overwrite keeps untouched partitions intact).
     MOR: append incoming to the delta log; resolution happens at read.
     Returns the resolved snapshot DataFrame.
+
+    Every incoming row is stamped with a ``_commit_time`` instant
+    (``commit_time`` or a fresh one), enabling ``timeline.incremental_read``
+    / ``timeline.read_as_of``; existing rows keep the instant of the
+    upsert that last touched them.
     """
+    from hudi_utility_spark.timeline import stamp
+
+    incoming = stamp(incoming, commit_time)
     if not table.exists():
         write_partitioned(incoming, table.base_path, table.partition_fields)
         return table.read(spark)
