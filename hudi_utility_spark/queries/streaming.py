@@ -86,3 +86,33 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming twin uses F.session_window — tests/test_streaming.py)."""
     ev = load_table(spark, sf_dir, "events")
     return session_windows_batch(ev, gap_minutes=30)
+
+
+@query(
+    "stream_running_ewma",
+    """
+    WITH ordered AS (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    )
+    SELECT user_id,
+           ROUND(SUM(CASE WHEN rn = 1 THEN POW(0.7, n - 1) * value
+                          ELSE 0.3 * POW(0.7, n - rn) * value END), 4) AS ewma,
+           MAX(n) AS n_events
+    FROM ordered GROUP BY user_id
+    """,
+)
+def stream_running_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key running EWMA (batch twin of the applyInPandasWithState
+    operator — streaming parity in tests/test_streaming_stateful.py).
+    The oracle uses the closed form of the same recursion:
+    ewma_n = (1-a)^(n-1) v_1 + sum_i a (1-a)^(n-i) v_i."""
+    from pyspark.sql import functions as F
+
+    from hudi_utility_spark.streaming.stateful import running_ewma_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    out = running_ewma_batch(ev, alpha=0.3)
+    return out.select("user_id", F.round("ewma", 4).alias("ewma"), "n_events")

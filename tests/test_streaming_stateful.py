@@ -1,0 +1,130 @@
+"""Custom stateful operator: per-key EWMA, batch/stream parity and
+cross-micro-batch state carry-over."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_utility_spark.streaming.stateful import (
+    running_ewma_batch,
+    running_ewma_stream,
+)
+from hudi_utility_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def events_us(spark, sf_dir, tmp_path_factory):
+    """events with µs timestamps in a fresh dir (readStream can't apply
+    the ns→µs conversion load_table does)."""
+    path = str(tmp_path_factory.mktemp("ewma") / "events")
+    df = load_table(spark, sf_dir, "events")
+    df.coalesce(1).write.parquet(path)
+    return path, df.schema
+
+
+def _python_ewma(rows, alpha=0.3):
+    """Reference fold in plain Python."""
+    state: dict = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        e, n = state.get(r["user_id"], (None, 0))
+        v = float(r["value"])
+        e = v if n == 0 else alpha * v + (1 - alpha) * e
+        state[r["user_id"]] = (e, n + 1)
+    return state
+
+
+def test_batch_ewma_matches_python_reference(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    want = _python_ewma([r.asDict() for r in ev.collect()])
+    got = {
+        r.user_id: (r.ewma, r.n_events)
+        for r in running_ewma_batch(ev).collect()
+    }
+    assert set(got) == set(want)
+    for uid, (e, n) in want.items():
+        assert got[uid][1] == n
+        assert got[uid][0] == pytest.approx(e, rel=1e-9)
+
+
+def test_stream_matches_batch_single_batch(spark, events_us):
+    path, schema = events_us
+    stream = spark.readStream.schema(schema).format("parquet").load(path)
+    q = (
+        running_ewma_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ewma_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.user_id: (r.ewma, r.n_events)
+        for r in spark.sql(
+            # latest emission per key
+            """SELECT user_id, ewma, n_events FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY n_events DESC) rn FROM ewma_stream)
+               WHERE rn = 1"""
+        ).collect()
+    }
+    batch = {
+        r.user_id: (r.ewma, r.n_events)
+        for r in running_ewma_batch(
+            spark.read.schema(schema).parquet(path)
+        ).collect()
+    }
+    assert set(got) == set(batch)
+    for uid, (e, n) in batch.items():
+        assert got[uid][1] == n
+        assert got[uid][0] == pytest.approx(e, rel=1e-9)
+
+
+def test_state_carries_across_micro_batches(spark, sf_dir, tmp_path):
+    """Feed two files sequentially through one query: the second batch's
+    emissions must continue the fold, not restart it."""
+    src = str(tmp_path / "src")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .orderBy("ts", "event_id")
+        .cache()
+    )
+    half = ev.count() // 2
+    first = ev.limit(half)
+    second = ev.subtract(first)
+    shutil.rmtree(src, ignore_errors=True)
+    first.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).format("parquet").load(src)
+    q = (
+        running_ewma_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ewma_carry")
+        .start()
+    )
+    q.processAllAvailable()
+    second.coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r.user_id: (r.ewma, r.n_events)
+        for r in spark.sql(
+            """SELECT user_id, ewma, n_events FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY n_events DESC) rn FROM ewma_carry)
+               WHERE rn = 1"""
+        ).collect()
+    }
+    # every key's final n_events equals its total row count — the second
+    # batch continued from stored state
+    want_counts = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert {u: n for u, (_, n) in got.items()} == want_counts
