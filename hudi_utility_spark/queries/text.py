@@ -101,11 +101,40 @@ def text_length_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_language_id")
+@query(
+    "text_language_id",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(text), '\s+'),
+                            x -> lower(x)) AS words
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             len(list_intersect(words, ['the','and','of','to','a','in','is'])) AS s_en,
+             len(list_intersect(words, ['el','la','de','que','y','los'])) AS s_es,
+             len(list_intersect(words, ['le','la','et','les','des','une'])) AS s_fr,
+             len(list_intersect(words, ['der','die','und','das','ist','ein'])) AS s_de,
+             len(list_intersect(words, ['de5','shi4','le5'])) AS s_zh
+      FROM w
+    )
+    SELECT CASE
+             WHEN greatest(s_en,s_es,s_fr,s_de,s_zh) = 0 THEN 'und'
+             -- argmax w/ Spark array_max tiebreak: lexicographically
+             -- largest lang wins among equals (zh > fr > es > en > de)
+             WHEN s_zh = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'zh'
+             WHEN s_fr = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'fr'
+             WHEN s_es = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'es'
+             WHEN s_en = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'en'
+             ELSE 'de'
+           END AS lang_pred, COUNT(*) AS n_docs
+    FROM scored GROUP BY lang_pred
+    """,
+)
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-marker language-ID heuristic (deterministic; no SQL oracle
-    — the marker lists are engine code, so the driver's rows-only check
-    applies; pytest asserts determinism and coverage)."""
+    """Stopword-marker language-ID heuristic. The oracle replicates the
+    marker lists (ops.text.LANG_MARKERS) and array_max's struct tiebreak
+    (highest hits, then lexicographically largest lang) in SQL."""
     d = load_table(spark, sf_dir, "documents")
     return (
         X.language_id(d)
@@ -114,10 +143,41 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_quality_score")
+@query(
+    "text_quality_score",
+    r"""
+    WITH stats AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS n_words,
+             ROUND(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+                   / greatest(length(text), 1), 6) AS punct_ratio,
+             ROUND(len(list_intersect(
+                     list_transform(string_split_regex(trim(text), '\s+'),
+                                    x -> lower(x)),
+                     ['the','a','an','and','or','of','to','in','is','are',
+                      'was','were','be','been','it','this','that','for',
+                      'on','with','as','by','at','from']))
+                   / greatest(len(string_split_regex(trim(text), '\s+')), 1),
+                   6) AS stopword_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(CASE WHEN n_words < 5 THEN 0.0
+                      WHEN punct_ratio > 0.3 THEN 0.2
+                      ELSE least(1.0,
+                                 ROUND(0.4 * least(n_words / 100.0, 1.0)
+                                       + 0.3 * (1 - punct_ratio)
+                                       + 0.3 * least(stopword_ratio * 4, 1.0),
+                                       6))
+                 END, 6) AS quality
+    FROM stats
+    WHERE quality >= 0.0
+    """,
+)
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality score distribution (rows-only check; the exact
-    component ratios are oracle-checked in text_quality_stats)."""
+    """Composite quality score — oracle replicates quality_score's
+    C4/Gopher-style formula (ops/text.py) over the same component
+    ratios checked in text_quality_stats."""
     d = load_table(spark, sf_dir, "documents")
     return (
         X.quality_score(d)
