@@ -165,13 +165,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS score
     FROM embeddings a JOIN embeddings b
       ON a.vec_id < b.vec_id AND a.label = b.label
-    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine ≥ 0.9) blocked by cluster label —
-    the SemDeDup shape: cluster first, near-dup within cells."""
+    """Embedding near-dup pairs blocked by cluster label — the SemDeDup
+    shape: cluster first, near-dup within cells. Production near-dup runs
+    at ≥0.9; the synthetic embeddings are random (within-label max cosine
+    ≈0.47), so the query uses 0.4 to exercise the operator on a non-empty
+    answer (nearest boundary values are ±0.007 away — safe from float
+    rounding flips in the oracle comparison)."""
     from hudi_utility_spark.ops.similarity import cosine_near_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
-    return cosine_near_pairs(e, threshold=0.9, block_col="label")
+    return cosine_near_pairs(e, threshold=0.4, block_col="label")

@@ -349,20 +349,25 @@ def j_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "j_anti_join",
     """
-    SELECT c_mktsegment, COUNT(*) AS n_customers
-    FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    GROUP BY c_mktsegment
+    SELECT o_orderstatus, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    GROUP BY o_orderstatus
     """,
 )
 def j_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS) — the J1 partition-diff primitive."""
-    c = _t(spark, sf_dir, "customer")
+    """Left-anti join (NOT EXISTS) — the J1 partition-diff primitive.
+
+    Orders with no lineitems (the synthetic corpus has ~2.5% of them, so
+    the oracle comparison is non-trivially non-empty; every customer has
+    orders, which made the customer-side anti-join structurally empty).
+    """
     o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
     )
 
 
@@ -614,14 +619,18 @@ def p_filter_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p4_like_filter",
     """
     SELECT p_partkey, p_name FROM part
-    WHERE p_name LIKE '%green%' AND p_type LIKE 'SMALL%'
+    WHERE p_name LIKE '%red%' AND p_type LIKE 'SMALL%'
     """,
 )
 def p4_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P4: substring/LIKE predicates (app.py:233 transaction-id LIKE)."""
+    """P4: substring/LIKE predicates (app.py:233 transaction-id LIKE).
+
+    '%red%' appears in the synthetic part names ('%green%' does not), so
+    the pushed-down LIKE conjunction returns rows to hash-compare.
+    """
     p = _t(spark, sf_dir, "part")
     return p.filter(
-        F.col("p_name").like("%green%") & F.col("p_type").like("SMALL%")
+        F.col("p_name").like("%red%") & F.col("p_type").like("SMALL%")
     ).select("p_partkey", "p_name")
 
 

@@ -45,12 +45,15 @@ def audit(plan: str) -> dict:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    audit_all = "--all" in sys.argv[1:]
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    name_filter = args[1] if len(args) > 1 else ""
     spark = get_spark("plan-audit")
     qs = entrymod.queries()
+    names = sorted(qs) if audit_all else HEADLINE
     print(f"{'query':34s} shuf bcast bhj smj bnlj cart push scan py")
-    for name in HEADLINE:
+    for name in names:
         if name_filter and name_filter not in name:
             continue
         a = audit(plan_of(qs[name](spark, sf_dir)))
