@@ -47,6 +47,7 @@ HEADLINE = [
     "text_token_counts",
     "text_quality_stats",
     "mm_feature_extraction",
+    "pipeline_corpus_clean",
 ]
 
 

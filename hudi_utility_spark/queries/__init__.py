@@ -40,6 +40,7 @@ def load_all() -> None:
         engine_queries,
         joins_advanced,
         multimodal,
+        pipeline_q,
         relational,
         similarity,
         streaming,

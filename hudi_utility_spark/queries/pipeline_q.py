@@ -1,0 +1,115 @@
+"""Oracle-checked queries for the composed corpus-cleaning pipeline
+(`ops.pipeline`): the end-to-end training-data flow — exact dedup →
+quality gate → language ID — as one plan, plus its stage funnel.
+
+The oracles replicate every stage in DuckDB SQL (fingerprint window,
+quality formula, language argmax with the array_max struct tiebreak),
+so the whole composition is value-hash checked, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hudi_utility_spark.ops import pipeline as P
+from hudi_utility_spark.queries import query
+from hudi_utility_spark.tables import load_table
+
+# Shared oracle CTE chain: documents → dedup → quality-gated survivors.
+_FUNNEL_CTES = r"""
+    WITH fp AS (
+      SELECT doc_id, text,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                     '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ), dedup AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+        FROM fp
+      ) WHERE rn = 1
+    ), stats AS (
+      SELECT doc_id, text,
+             len(string_split_regex(trim(text), '\s+')) AS n_words,
+             ROUND(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+                   / greatest(length(text), 1), 6) AS punct_ratio,
+             ROUND(len(list_intersect(
+                     list_transform(string_split_regex(trim(text), '\s+'),
+                                    x -> lower(x)),
+                     ['the','a','an','and','or','of','to','in','is','are',
+                      'was','were','be','been','it','this','that','for',
+                      'on','with','as','by','at','from']))
+                   / greatest(len(string_split_regex(trim(text), '\s+')), 1),
+                   6) AS stopword_ratio
+      FROM dedup
+    ), scored AS (
+      SELECT doc_id, text,
+             ROUND(CASE WHEN n_words < 5 THEN 0.0
+                        WHEN punct_ratio > 0.3 THEN 0.2
+                        ELSE least(1.0,
+                                   ROUND(0.4 * least(n_words / 100.0, 1.0)
+                                         + 0.3 * (1 - punct_ratio)
+                                         + 0.3 * least(stopword_ratio * 4, 1.0),
+                                         6))
+                   END, 6) AS quality
+      FROM stats
+    ), gated AS (
+      SELECT doc_id, text, quality FROM scored WHERE quality >= 0.5
+    )
+"""
+
+
+@query(
+    "pipeline_corpus_funnel",
+    _FUNNEL_CTES
+    + """
+    SELECT '00_raw' AS stage, COUNT(*) AS n_docs FROM documents
+    UNION ALL SELECT '10_dedup', COUNT(*) FROM dedup
+    UNION ALL SELECT '20_quality', COUNT(*) FROM gated
+    """,
+)
+def pipeline_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage survivor counts of the cleaning funnel — the
+    record-count observability the reference log-scrapes (app.py:320-321)
+    as a first-class query."""
+    return P.corpus_funnel(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "pipeline_corpus_clean",
+    _FUNNEL_CTES
+    + r"""
+    , langed AS (
+      SELECT quality,
+             len(list_intersect(words, ['the','and','of','to','a','in','is'])) AS s_en,
+             len(list_intersect(words, ['el','la','de','que','y','los'])) AS s_es,
+             len(list_intersect(words, ['le','la','et','les','des','une'])) AS s_fr,
+             len(list_intersect(words, ['der','die','und','das','ist','ein'])) AS s_de,
+             len(list_intersect(words, ['de5','shi4','le5'])) AS s_zh
+      FROM (SELECT quality,
+                   list_transform(string_split_regex(trim(text), '\s+'),
+                                  x -> lower(x)) AS words
+            FROM gated)
+    )
+    SELECT CASE
+             WHEN greatest(s_en,s_es,s_fr,s_de,s_zh) = 0 THEN 'und'
+             WHEN s_zh = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'zh'
+             WHEN s_fr = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'fr'
+             WHEN s_es = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'es'
+             WHEN s_en = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'en'
+             ELSE 'de'
+           END AS lang_pred,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(quality), 4) AS avg_quality
+    FROM langed GROUP BY lang_pred
+    """,
+)
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final cleaned-corpus profile: per predicted language, how many
+    documents survived and their mean quality."""
+    cleaned = P.clean_corpus(load_table(spark, sf_dir, "documents"))
+    return cleaned.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )

@@ -1,0 +1,64 @@
+"""Composed corpus-cleaning pipeline tests (ops.pipeline)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hudi_utility_spark.ops import pipeline as P
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and runs to the river "
+    "in the morning light where it is seen by a farmer and his son"
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, GOOD),  # survives everything
+            (2, GOOD + "!!"),  # same fingerprint as 1 after normalization
+            (3, "too short"),  # quality 0.0 (n_words < 5)
+            (4, "!!! ??? ;;; ### $$$ %%% @@@ ^^^ &&& ***"),  # punct gate → 0.2
+            (5, "el la de que y los " * 10),  # spanish markers, decent length
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_dedup_stage_keeps_min_id(spark):
+    out = P.dedup_stage(_docs(spark))
+    ids = {r.doc_id for r in out.collect()}
+    assert 1 in ids and 2 not in ids  # doc 2 normalizes to doc 1's text
+    assert ids == {1, 3, 4, 5}
+
+
+def test_quality_stage_gates_and_keeps_score(spark):
+    gated = P.quality_stage(P.dedup_stage(_docs(spark)))
+    rows = {r.doc_id: r.quality for r in gated.collect()}
+    assert 3 not in rows and 4 not in rows
+    assert all(q >= 0.5 for q in rows.values())
+    # no stats-column leakage beyond the contract columns
+    assert set(gated.columns) == {"doc_id", "text", "fingerprint", "quality"}
+
+
+def test_clean_corpus_end_to_end(spark):
+    cleaned = P.clean_corpus(_docs(spark))
+    rows = {r.doc_id: r.lang_pred for r in cleaned.collect()}
+    assert rows[1] == "en"
+    assert rows[5] == "es"
+    assert set(rows) == {1, 5}
+
+
+def test_funnel_counts_are_monotone(spark):
+    funnel = {r.stage: r.n_docs for r in P.corpus_funnel(_docs(spark)).collect()}
+    assert funnel["00_raw"] == 5
+    assert funnel["10_dedup"] == 4
+    assert funnel["20_quality"] == 2
+    assert funnel["00_raw"] >= funnel["10_dedup"] >= funnel["20_quality"]
+
+
+def test_pipeline_is_rerun_stable(spark):
+    docs = _docs(spark)
+    a = P.clean_corpus(docs).select("doc_id", "lang_pred", "quality")
+    b = P.clean_corpus(docs).select("doc_id", "lang_pred", "quality")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
