@@ -89,6 +89,36 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_interval_join",
+    """
+    SELECT c.user_id AS user_id,
+           c.event_id AS lead_id,
+           p.event_id AS follow_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase funnel: stream-stream interval join, batch twin.
+    Streaming parity (watermarks both sides, append mode, bounded state)
+    in tests/test_streaming_joins.py."""
+    from hudi_utility_spark.streaming.joins import followed_within
+
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import functions as F
+
+    return followed_within(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        gap_seconds=1800,
+    )
+
+
+@query(
     "stream_running_ewma",
     """
     WITH ordered AS (

@@ -1,0 +1,71 @@
+"""Stream-stream interval joins (event-time bounded).
+
+The reference has no data-plane joins at all (SURVEY §2.3); this is the
+streaming member of our join family: match each left event to the right
+events that *follow it within a bounded gap* on the same key — the
+click→purchase funnel shape.
+
+Works identically on batch frames (oracle-checkable — the condition is a
+plain equi-key + time-range join) and on ``readStream`` frames, where
+Structured Streaming requires exactly what we pass: watermarks on both
+sides plus a two-sided event-time bound in the join condition, which is
+what lets the state store evict rows older than ``watermark + gap``.
+
+Scale: the join shuffles both streams once on the key; per-key state is
+bounded by (watermark + gap) × per-key event rate, independent of total
+stream length. Skewed keys fall under AQE skew-join in batch; in
+streaming, the fix is salting the key into the bucket column upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def followed_within(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Inner join: (lead, follow) pairs with the same *key* where the
+    follow event lands in ``(lead_ts, lead_ts + gap_seconds]``.
+
+    Pass ``watermark`` when both inputs are streaming — it is applied to
+    both sides, and with the two-sided time bound below makes the join
+    runnable in append mode with bounded state.
+    """
+    lead = left.select(
+        F.col(key).alias(key),
+        F.col(id_col).alias("lead_id"),
+        F.col(ts_col).alias("lead_ts"),
+    )
+    follow = right.select(
+        F.col(key).alias("__follow_key"),
+        F.col(id_col).alias("follow_id"),
+        F.col(ts_col).alias("follow_ts"),
+    )
+    if watermark is not None:
+        lead = lead.withWatermark("lead_ts", watermark)
+        follow = follow.withWatermark("follow_ts", watermark)
+    cond = (
+        (F.col(key) == F.col("__follow_key"))
+        & (F.col("follow_ts") > F.col("lead_ts"))
+        & (
+            F.col("follow_ts")
+            <= F.col("lead_ts") + F.expr(f"INTERVAL {int(gap_seconds)} SECONDS")
+        )
+    )
+    return (
+        lead.join(follow, cond, "inner")
+        .select(
+            key,
+            "lead_id",
+            "follow_id",
+            (F.unix_micros("follow_ts") - F.unix_micros("lead_ts")).alias("gap_us"),
+        )
+    )
