@@ -38,6 +38,7 @@ def load_all() -> None:
     from hudi_utility_spark.queries import (  # noqa: F401
         dedup,
         engine_queries,
+        formats,
         joins_advanced,
         multimodal,
         pipeline_q,

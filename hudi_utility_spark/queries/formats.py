@@ -1,0 +1,91 @@
+"""Oracle-checked source-format queries: ORC and CSV/JSON scans (SURVEY
+§2.1 S2/S3) exercised end-to-end — write a scratch copy in the target
+format, re-read it through ``io.read_source``'s sniff-and-dispatch path,
+and aggregate. The oracle computes the same result from the original
+parquet, so the round trip is value-hash checked.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hudi_utility_spark.io import read_source
+from hudi_utility_spark.queries import query
+from hudi_utility_spark.tables import load_table
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_utility_spark_q",
+        f"{name}_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
+@query(
+    "fmt_orc_scan",
+    """
+    SELECT l_returnflag,
+           l_linestatus,
+           COUNT(*) AS cnt,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def fmt_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: ORC scan with mergeSchema. Lineitem round-trips through ORC
+    (the reference's second accepted format, pyspark_script.py:335) and
+    the format is *sniffed*, not declared, on re-read."""
+    root = _scratch(sf_dir, "orc")
+    load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    ).write.mode("overwrite").orc(root)
+    df = read_source(spark, root)  # sniff_format resolves "orc"
+    return df.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "fmt_csv_json_scan",
+    """
+    SELECT r.r_name AS region_name,
+           COUNT(*) AS n_nations,
+           SUM(n.n_nationkey) AS key_sum
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def fmt_csv_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 extension formats: nation round-trips through CSV (header +
+    inferSchema) and region through JSON; both re-read via the sniffing
+    dispatcher, then broadcast-joined."""
+    csv_root = _scratch(sf_dir, "csv")
+    json_root = _scratch(sf_dir, "json")
+    load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.mode("overwrite").option("header", "true").csv(csv_root)
+    load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    ).write.mode("overwrite").json(json_root)
+    nation = read_source(spark, csv_root)
+    region = read_source(spark, json_root)
+    return (
+        nation.join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_nationkey").alias("key_sum"),
+        )
+    )
