@@ -54,10 +54,12 @@ def salted_join(
 
 def key_histogram(df: DataFrame, on: list[str], top: int = 20) -> DataFrame:
     """Per-key row counts, heaviest first — the profiling step that
-    decides whether salting (or just AQE) is warranted."""
+    decides whether salting (or just AQE) is warranted. Key columns break
+    count ties so the top-N cut is deterministic (rerun- and
+    oracle-stable)."""
     return (
         df.groupBy(*on)
         .agg(F.count(F.lit(1)).alias("rows"))
-        .orderBy(F.desc("rows"))
+        .orderBy(F.desc("rows"), *[F.asc(c) for c in on])
         .limit(top)
     )

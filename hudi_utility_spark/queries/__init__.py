@@ -43,6 +43,7 @@ def load_all() -> None:
         multimodal,
         pipeline_q,
         relational,
+        scale_q,
         similarity,
         streaming,
         text,

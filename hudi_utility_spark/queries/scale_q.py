@@ -1,0 +1,104 @@
+"""Oracle-checked scale-technique queries: the skew and layout machinery
+(ops/skew.py, write.write_bucketed_table) exercised under the driver's
+value-hash gate — salting and bucketing must be *invisible* in results
+(identical to the plain join the oracle runs) while changing the
+physical plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hudi_utility_spark.ops.skew import key_histogram, salted_join
+from hudi_utility_spark.queries import query
+from hudi_utility_spark.tables import load_table
+
+
+@query(
+    "skew_key_histogram",
+    """
+    SELECT user_id, COUNT(*) AS "rows"
+    FROM events GROUP BY user_id
+    ORDER BY "rows" DESC, user_id LIMIT 20
+    """,
+)
+def skew_key_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key profile of the events fact — the measurement that decides
+    between AQE skew-split and explicit salting (deterministic top-20:
+    ties break on the key)."""
+    return key_histogram(load_table(spark, sf_dir, "events"), on=["user_id"], top=20)
+
+
+@query(
+    "skew_salted_join",
+    """
+    WITH dim AS (
+      SELECT user_id, MIN(event_id) AS first_event_id
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_type,
+           COUNT(*) AS cnt,
+           SUM(CASE WHEN e.event_id = d.first_event_id THEN 1 ELSE 0 END)
+             AS first_events,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY e.event_type
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim equi-join executed through the salting path (16-way
+    scatter of the fact, replicated dim). The oracle runs the plain
+    join — salting must not change a single value."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(F.min("event_id").alias("first_event_id"))
+    joined = salted_join(
+        ev, dim, on=["user_id"], salt_buckets=16, salt_source=["event_id"]
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(
+            F.when(F.col("event_id") == F.col("first_event_id"), 1).otherwise(0)
+        ).alias("first_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "bucketed_colocated_join",
+    """
+    WITH dim AS (
+      SELECT user_id, COUNT(*) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_type,
+           COUNT(*) AS cnt,
+           SUM(d.n_events) AS sum_user_events
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY e.event_type
+    """,
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact⋈dim join over two catalog tables bucketed on the
+    join key (same bucket count) — bucket i of each side meets in one
+    task, no exchange on either side (test_write_layout asserts the
+    shuffle-free plan). Pay one bucketed write, amortize over every
+    subsequent join: the 100 TB answer to recurring fact⋈fact joins."""
+    from hudi_utility_spark.write import write_bucketed_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    write_bucketed_table(spark, ev, "q_bucketed_events", ["user_id"], num_buckets=8)
+    write_bucketed_table(spark, dim, "q_bucketed_users", ["user_id"], num_buckets=8)
+    fact = spark.table("q_bucketed_events")
+    users = spark.table("q_bucketed_users")
+    return (
+        fact.join(users, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n_events").alias("sum_user_events"),
+        )
+    )

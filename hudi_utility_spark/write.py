@@ -10,6 +10,8 @@ record key for upserts. No collects of data, ever.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -102,10 +104,24 @@ def write_bucketed_table(
     it removes the recurring fact⋈fact exchange entirely (pay one
     bucketed write, amortize over every subsequent join).
     """
+    if mode == "overwrite":
+        drop_table(spark, table_name)
     writer = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def drop_table(spark: SparkSession, table_name: str) -> None:
+    """Drop a managed table AND its warehouse directory. A stray
+    directory without a catalog entry (fresh session after an earlier
+    run) makes saveAsTable fail with LOCATION_ALREADY_EXISTS — so the
+    location is removed even when the catalog has no such table."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(os.path.join(warehouse, table_name.lower()), ignore_errors=True)
 
 
 def full_bootstrap(

@@ -92,3 +92,71 @@ def test_jaccard_matches_python_model(spark, docs):
                 continue
             expected = round(inter / len(sets[i] | sets[j]), 6)
             assert got.get((i, j)) == pytest.approx(expected)
+
+
+TEXTS = st.lists(
+    st.sampled_from(
+        [
+            "the quick brown fox jumps over the lazy dog in the morning and it is seen",
+            "the quick brown fox jumps over the lazy dog in the morning and it is seen!!",
+            "el la de que y los el la de que y los el la de que y los",
+            "short one",
+            "!!! ??? ;;; ### $$$ %%% @@@ ^^^",
+        ]
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=TEXTS)
+@_SETTINGS
+def test_corpus_funnel_monotone_and_clean_idempotent(spark, texts):
+    """Funnel counts never grow stage-over-stage, and cleaning an
+    already-clean corpus is the identity (dedup/gate are idempotent)."""
+    from hudi_utility_spark.ops.pipeline import clean_corpus, corpus_funnel
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    funnel = {r.stage: r.n_docs for r in corpus_funnel(df).collect()}
+    assert funnel["00_raw"] == len(texts)
+    assert funnel["00_raw"] >= funnel.get("10_dedup", 0) >= funnel.get("20_quality", 0)
+
+    cleaned = clean_corpus(df).select("doc_id", "text")
+    again = clean_corpus(cleaned).select("doc_id", "text")
+    assert sorted(map(tuple, cleaned.collect())) == sorted(map(tuple, again.collect()))
+
+
+EVENT_TIMES = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3), st.integers(min_value=0, max_value=7200)),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(leads=EVENT_TIMES, follows=EVENT_TIMES)
+@_SETTINGS
+def test_interval_join_matches_python_model(spark, leads, follows):
+    """followed_within ≡ the quadratic python definition: same key,
+    0 < follow - lead <= gap."""
+    from hudi_utility_spark.streaming.joins import followed_within
+
+    gap = 1800
+    lrows = [(i, k, s) for i, (k, s) in enumerate(leads)]
+    frows = [(1000 + i, k, s) for i, (k, s) in enumerate(follows)]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, ["event_id", "user_id", "sec"]).withColumn(
+            "ts", F.timestamp_seconds(F.col("sec"))
+        )
+
+    got = {
+        (r.lead_id, r.follow_id)
+        for r in followed_within(mk(lrows), mk(frows), gap_seconds=gap).collect()
+    }
+    expected = {
+        (li, fi)
+        for li, lk, ls in lrows
+        for fi, fk, fs in frows
+        if lk == fk and 0 < fs - ls <= gap
+    }
+    assert got == expected
