@@ -74,10 +74,15 @@ def decode_stub(payload: bytes, media_type: str, fake: bool, dim: int = 8) -> li
             "media decode requires codec libraries not present in this "
             "environment; pass fake=True for the deterministic test kernel"
         )
-    # deterministic fake: digest bytes → dim floats in [0, 1)
+    # deterministic fake: digest bytes → dim floats in [0, 1). Rounded to
+    # 6 decimals BEFORE the float32 cast in FEATURE_SCHEMA: a ≤6-sig-digit
+    # value survives the float32 round trip exactly under %.6g
+    # normalization, so the oracle (which computes the same slices in
+    # double precision) hash-matches bit-for-bit.
     digest = hashlib.sha256(payload or b"").digest()
     return [
-        int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32 for i in range(dim)
+        round(int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32, 6)
+        for i in range(dim)
     ]
 
 

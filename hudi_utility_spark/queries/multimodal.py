@@ -34,11 +34,24 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_feature_extraction")
+@query(
+    "mm_feature_extraction",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(CAST(text AS BLOB)) AS byte_len,
+           ROUND(CAST(concat('0x', substring(sha256(text), 1, 8)) AS UBIGINT)
+                 / 4294967296.0, 6) AS f0,
+           ROUND(CAST(concat('0x', substring(sha256(text), 57, 8)) AS UBIGINT)
+                 / 4294967296.0, 6) AS f7
+    FROM documents
+    """,
+)
 def mm_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction with the deterministic fake kernel
-    (real decode is stubbed — codec libs absent). Rows-only check; pytest
-    asserts batch shape, determinism, and schema."""
+    (real decode is stubbed — codec libs absent). The kernel is
+    sha256-derived, so the oracle replicates it exactly in SQL (hex
+    4-byte slices / 2^32) — the Arrow round trip is value-hash checked.
+    pytest asserts batch shape, determinism, and schema."""
     d = load_table(spark, sf_dir, "documents")
     media = M.attach_binary(d, "text", "doc_id")
     feats = M.extract_features(media, fake=True, dim=8, keep_payload=False)
