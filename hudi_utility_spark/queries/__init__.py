@@ -40,6 +40,7 @@ def load_all() -> None:
         engine_queries,
         formats,
         joins_advanced,
+        lifecycle_q,
         multimodal,
         pipeline_q,
         relational,

@@ -1,0 +1,136 @@
+"""Oracle-checked lifecycle queries: the reference's core flows — MOR
+snapshot resolution and the bootstrap→reconcile lifecycle — run against
+scratch tables and checked by value hash, not just by pytest.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hudi_utility_spark.queries import query
+from hudi_utility_spark.table import KeyedTable, TableType
+from hudi_utility_spark.tables import load_table
+from hudi_utility_spark.write import upsert
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_utility_spark_q",
+        f"{name}_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
+@query(
+    "mor_snapshot_read",
+    """
+    WITH unioned AS (
+      SELECT event_id, ts, user_id, event_type, value FROM events
+      UNION ALL
+      SELECT event_id,
+             ts + INTERVAL 1 HOUR AS ts,
+             user_id, event_type,
+             value + 5000 AS value
+      FROM events WHERE event_type = 'signup'
+    ), resolved AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_id ORDER BY ts DESC) AS rn
+      FROM unioned
+    )
+    SELECT event_id, user_id, event_type, ROUND(value, 2) AS value
+    FROM resolved WHERE rn = 1
+    """,
+)
+def mor_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/MOR read resolution as a query: bootstrap events into a MOR
+    table, upsert a modified slice (appends to the delta log, no base
+    rewrite), read the snapshot — the read-time precombine window
+    (SURVEY §7 hard-part (a)) must resolve base+log to latest-by-key.
+    The oracle replays the same union+window in SQL."""
+    root = _scratch(sf_dir, "mor_snapshot")
+    table = KeyedTable(
+        path=root,
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+        table_type=TableType.MERGE_ON_READ,
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    upsert(spark, events, table)
+    changed = (
+        events.filter(F.col("event_type") == "signup")
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        .withColumn("value", F.col("value") + 5000)
+    )
+    upsert(spark, changed, table)
+    snap = table.read(spark)
+    return snap.select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+@query(
+    "lifecycle_bootstrap_reconcile",
+    """
+    WITH src AS (
+      SELECT event_type, COUNT(*) AS src_cnt FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           src_cnt,
+           src_cnt AS dst_cnt,
+           'complete' AS status
+    FROM src
+    """,
+)
+def lifecycle_bootstrap_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole job as one query: FULL_RECORD bootstrap of
+    events into a scratch keyed table, then the V3/V4 reconciliation —
+    per-partition source vs destination counts with the
+    missing/incomplete/complete status vocabulary. A correct bootstrap
+    makes every partition 'complete', which is exactly what the oracle
+    asserts from the source alone."""
+    from hudi_utility_spark.engine import bootstrap
+    from hudi_utility_spark.validate import BootstrapRequest
+
+    root = _scratch(sf_dir, "lifecycle")
+    req = BootstrapRequest(
+        data_file_path=os.path.join(sf_dir, "events.parquet"),
+        table_name="events_lifecycle",
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+        output_path=root,
+    )
+    bootstrap(spark, req)
+    src = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("src_cnt"))
+    )
+    dst = (
+        spark.read.parquet(root)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("dst_cnt"))
+    )
+    return (
+        src.join(dst, "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.coalesce("src_cnt", F.lit(0)).alias("src_cnt"),
+            F.coalesce("dst_cnt", F.lit(0)).alias("dst_cnt"),
+            F.when(F.col("dst_cnt").isNull(), "missing")
+            .when(F.col("src_cnt").isNull(), "unexpected")
+            .when(F.col("src_cnt") != F.col("dst_cnt"), "incomplete")
+            .otherwise("complete")
+            .alias("status"),
+        )
+    )
