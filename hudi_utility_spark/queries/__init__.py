@@ -36,6 +36,7 @@ def query(name: str, oracle: str | None = None):
 def load_all() -> None:
     """Import every query module so registration side effects run."""
     from hudi_utility_spark.queries import (  # noqa: F401
+        analytics_ext,
         dedup,
         engine_queries,
         formats,

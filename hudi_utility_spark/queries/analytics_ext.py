@@ -1,0 +1,190 @@
+"""Analytics extensions: array higher-order functions, time-series
+gap-filling, statistical aggregates, and string-distance joins.
+
+These widen the relational surface beyond SURVEY §2.8 ("Absent: math
+beyond casts, array/map functions") with the operators a training-data
+pipeline needs over embedding and event tables — each expressed with
+built-in JVM functions (no Python UDFs) and oracle-checked against
+DuckDB.
+
+Scale notes: every query is one-or-two-shuffle; the HOF pack is
+map-only until the final small aggregate; the gap-fill calendar is
+generated per-group with `sequence` (rows ∝ groups × hours, never a
+driver-side loop); the levenshtein join is a broadcast cross-join over
+a dimension table (25 rows) — never run it on a fact table without a
+blocking key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hudi_utility_spark.queries import query
+from hudi_utility_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "arr_hof_stats",
+    """
+    SELECT label,
+           ROUND(AVG(len(list_filter(embedding, x -> x > 0))), 4) AS avg_pos_dims,
+           ROUND(AVG(list_max(embedding)), 4) AS avg_max_comp,
+           ROUND(AVG(list_sum(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE))))), 3)
+               AS avg_l1_norm,
+           len(MIN(embedding)) AS dims
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def arr_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (transform / filter / aggregate /
+    array_max) over the embedding column — the JVM-side path for vector
+    feature stats; no Python crosses the row boundary.
+
+    Generalizes SURVEY §2.8's noted absence of array math; the same
+    `F.aggregate` shape is the dot-product kernel used by
+    `sim_bruteforce_topk` (ops/similarity.py). Map-only until the final
+    per-label aggregate (one shuffle over ≤ #labels groups)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pos = F.size(F.filter("embedding", lambda x: x > 0))
+    l1 = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + F.abs(x.cast("double"))
+    )
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.round(F.avg(pos), 4).alias("avg_pos_dims"),
+            F.round(F.avg(F.array_max("embedding")), 4).alias("avg_max_comp"),
+            F.round(F.avg(l1), 3).alias("avg_l1_norm"),
+            F.size(F.min("embedding")).alias("dims"),
+        )
+    )
+
+
+@query(
+    "ts_hourly_gapfill",
+    """
+    WITH d AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT event_type, MIN(hr) AS mn, MAX(hr) AS mx FROM d GROUP BY 1),
+    cal AS (
+        SELECT event_type, UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+        FROM b
+    )
+    SELECT cal.event_type,
+           epoch_us(cal.hr) AS hr_us,
+           COALESCE(d.c, 0) AS cnt
+    FROM cal LEFT JOIN d USING (event_type, hr)
+    """,
+)
+def ts_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap-filling: per event type, hourly
+    counts over a dense generated calendar, empty hours filled with 0.
+
+    The calendar is built distributed — `sequence(min, max, 1 hour)`
+    per group then `explode` — never a driver-side date loop. At 100 TB
+    the left join broadcasts the calendar side (groups × hours ≪ facts
+    aggregated); here counts are pre-aggregated first so the join is
+    calendar × hourly-aggregate, both tiny. Timestamps cross the oracle
+    compare as unix-microsecond bigints (driver hashes stringified
+    values; tz-render differences would false-negative)."""
+    ev = _t(spark, sf_dir, "events")
+    counts = (
+        ev.withColumn("hr", F.date_trunc("hour", F.col("ts")))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cal = (
+        counts.groupBy("event_type")
+        .agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr"),
+        )
+    )
+    return (
+        cal.join(counts, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            F.unix_micros("hr").alias("hr_us"),
+            F.coalesce("c", F.lit(0)).alias("cnt"),
+        )
+    )
+
+
+@query(
+    "stat_correlation_profile",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           ROUND(stddev_samp(l_quantity), 4) AS qty_stddev,
+           ROUND(var_samp(l_discount), 6) AS disc_var,
+           ROUND(covar_samp(l_quantity, l_discount), 4) AS qty_disc_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def stat_correlation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / stddev / variance / covariance) —
+    the column-profiling pass a data-quality stage runs before training.
+
+    All are single-pass partial-aggregable (sum/sum-of-squares/
+    sum-of-products decompositions), so Catalyst does map-side partials:
+    one shuffle of O(groups) rows regardless of input size."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+            F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias(
+                "qty_disc_covar"
+            ),
+        )
+    )
+
+
+@query(
+    "f_levenshtein_pairs",
+    """
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           levenshtein(a.n_name, b.n_name) AS dist
+    FROM nation a, nation b
+    WHERE a.n_name < b.n_name AND levenshtein(a.n_name, b.n_name) <= 5
+    """,
+)
+def f_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance self-join over a dimension table: nation-name pairs
+    within levenshtein distance 5 — the fuzzy-matching primitive behind
+    entity resolution.
+
+    Safe here because nation is 25 rows (broadcast nested-loop cross
+    join, 625 comparisons). The fact-table version of this op must block
+    first — that's exactly what `dedup_jaccard_pairs` (PPJoin prefix
+    filter) and `dedup_minhash_lsh` (band buckets) do; this query is the
+    exact kernel they bound."""
+    nat = _t(spark, sf_dir, "nation").select("n_name")
+    a = nat.alias("a")
+    b = nat.alias("b")
+    dist = F.levenshtein(F.col("a.n_name"), F.col("b.n_name"))
+    return (
+        a.join(F.broadcast(b), F.col("a.n_name") < F.col("b.n_name"))
+        .select(
+            F.col("a.n_name").alias("name_a"),
+            F.col("b.n_name").alias("name_b"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") <= 5)
+    )

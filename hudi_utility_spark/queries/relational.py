@@ -778,3 +778,54 @@ def f5_error_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("error_class")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@query(
+    "a_pivot_returnflag",
+    """
+    SELECT l_linestatus,
+           ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS a_qty,
+           ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS n_qty,
+           ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS r_qty
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def a_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: return-flag categories to columns (explicit value list —
+    without it Spark runs an extra distinct job to discover them)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return p.select(
+        "l_linestatus",
+        F.col("A").alias("a_qty"),
+        F.col("N").alias("n_qty"),
+        F.col("R").alias("r_qty"),
+    )
+
+
+@query(
+    "a_unpivot_stack",
+    """
+    SELECT l_linestatus,
+           l_returnflag,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY l_linestatus, l_returnflag
+    """,
+)
+def a_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via stack(): melts the pivoted frame back to long form —
+    pivot∘unpivot must reproduce the plain group-by (the oracle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return p.selectExpr(
+        "l_linestatus",
+        "stack(3, 'A', A, 'N', N, 'R', R) AS (l_returnflag, sum_qty)",
+    ).filter(F.col("sum_qty").isNotNull())
