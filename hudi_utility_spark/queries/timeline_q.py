@@ -58,3 +58,61 @@ def timeline_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta.select(
         "event_id", "event_type", F.round("value", 2).alias("value")
     )
+
+
+@query(
+    "timeline_rollback_restore",
+    oracle="""
+    WITH unioned AS (
+      SELECT event_id, ts, event_type, value FROM events
+      UNION ALL
+      SELECT event_id, ts + INTERVAL 1 HOUR AS ts, event_type,
+             value + 1000 AS value
+      FROM events WHERE event_type = 'click'
+    ), resolved AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_id ORDER BY ts DESC) AS rn
+      FROM unioned
+    )
+    SELECT event_id, event_type, ROUND(value, 2) AS value
+    FROM resolved WHERE rn = 1
+    """,
+)
+def timeline_rollback_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollback table service: three commits (bootstrap, +1000 clicks,
+    a bad -1 overwrite of every click), then ``rollback`` to the second
+    instant — the snapshot must be exactly the two-commit state, which
+    the oracle replays as union + precombine window. The bad commit
+    leaves no trace (Hudi restore semantics; the reference app can only
+    re-bootstrap after a bad load)."""
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_utility_spark_q",
+        f"timeline_rb_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = KeyedTable(
+        path=root,
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+        table_type=TableType.MERGE_ON_READ,
+    )
+    t3 = "20260103000000001"
+    events = load_table(spark, sf_dir, "events")
+    upsert(spark, events, table, commit_time=T1)
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withColumn("value", F.col("value") + 1000)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    upsert(spark, clicks, table, commit_time=T2)
+    bad = clicks.withColumn("value", F.lit(-1.0)).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 HOUR")
+    )
+    upsert(spark, bad, table, commit_time=t3)
+    timeline.rollback(spark, table, T2)
+    snap = table.read(spark)
+    return snap.select(
+        "event_id", "event_type", F.round("value", 2).alias("value")
+    )

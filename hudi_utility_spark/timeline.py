@@ -83,6 +83,100 @@ def incremental_read(
     return out
 
 
+def _rewrite_log(spark: SparkSession, table: KeyedTable, kept: DataFrame) -> int:
+    """Replace the delta log with *kept* via tmp-dir + atomic swap.
+
+    Collect-free: the new log is written distributed, then directories
+    are swapped driver-side (a metadata move on HDFS/object stores with
+    rename semantics). Returns the retained row count."""
+    import os
+    import shutil
+
+    from hudi_utility_spark.write import write_partitioned
+
+    n = kept.count()
+    if n == 0:
+        # nothing retained: an empty dynamic-overwrite write would leave
+        # no partitions behind, so just drop the log directory
+        shutil.rmtree(table.log_path)
+        return 0
+    tmp = table.log_path.rstrip("/") + ".rewrite.tmp"
+    write_partitioned(kept, tmp, table.partition_fields, mode="overwrite")
+    shutil.rmtree(table.log_path)
+    shutil.move(tmp, table.log_path)
+    return n
+
+
+def rollback(spark: SparkSession, table: KeyedTable, instant: str) -> dict:
+    """Undo every commit after ``instant`` (Hudi's rollback/restore
+    table service — absent from the reference app, which can only
+    re-bootstrap from scratch on a bad load; its FAILED ledger rows at
+    ``app.py:296-305`` record the damage but nothing repairs it).
+
+    MOR only: upserts land exclusively in the delta log, so dropping log
+    rows with ``_commit_time > instant`` restores the exact snapshot at
+    ``instant``. Raises if the base itself carries later commits (a
+    compaction folded them in — history is gone, as in Hudi once the
+    cleaner runs past a commit without a savepoint).
+
+    Scale: one pruned scan + rewrite of the *log* (the small side of a
+    MOR table by design); the base is untouched.
+    """
+    import os
+
+    if table.table_type is not TableType.MERGE_ON_READ:
+        raise ValueError(
+            "rollback requires a MERGE_ON_READ table: COPY_ON_WRITE "
+            "rewrites discard prior record versions"
+        )
+    base = table.read_base(spark)
+    if COMMIT_COL in base.columns:
+        late = base.filter(_commit_expr() > F.lit(instant))
+        if not late.isEmpty():
+            raise ValueError(
+                f"base files contain commits after {instant} (compacted); "
+                "rollback target predates retained history"
+            )
+    if not os.path.isdir(table.log_path):
+        return {"instant": instant, "log_rows_kept": 0}
+    log = spark.read.option("mergeSchema", "true").parquet(table.log_path)
+    kept = log.filter(_commit_expr() <= F.lit(instant))
+    n = _rewrite_log(spark, table, kept)
+    return {"instant": instant, "log_rows_kept": n}
+
+
+def clean(spark: SparkSession, table: KeyedTable, older_than: str) -> dict:
+    """Hudi's cleaner service: reclaim superseded record versions while
+    keeping (a) every current winning version and (b) full history after
+    ``older_than``. Time travel via ``read_as_of`` stays exact for
+    instants ≥ ``older_than``; older instants lose fidelity — the same
+    contract as Hudi's ``hoodie.cleaner.commits.retained``.
+
+    Scale: winners are identified with one left-semi join of the log
+    against the resolved snapshot keyed on (record key, precombine,
+    commit) — no collect, no O(commits) passes; then one log rewrite.
+    """
+    import os
+
+    if table.table_type is not TableType.MERGE_ON_READ:
+        return {"older_than": older_than, "log_rows_kept": 0}
+    if not os.path.isdir(table.log_path):
+        return {"older_than": older_than, "log_rows_kept": 0}
+    log = spark.read.option("mergeSchema", "true").parquet(table.log_path)
+    snap = table.read(spark)
+    join_cols = [*table.record_key, table.precombine]
+    if COMMIT_COL in snap.columns and COMMIT_COL in log.columns:
+        join_cols.append(COMMIT_COL)
+    winners = log.join(
+        snap.select(*join_cols).distinct(), on=join_cols, how="left_semi"
+    )
+    recent = log.filter(_commit_expr() > F.lit(older_than))
+    old_winners = winners.filter(_commit_expr() <= F.lit(older_than))
+    kept = recent.unionByName(old_winners)
+    n = _rewrite_log(spark, table, kept)
+    return {"older_than": older_than, "log_rows_kept": n}
+
+
 def read_as_of(spark: SparkSession, table: KeyedTable, instant: str) -> DataFrame:
     """Snapshot of a MERGE_ON_READ table as of ``instant``.
 

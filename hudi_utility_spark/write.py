@@ -239,15 +239,24 @@ def upsert(
         return table.read(spark)
 
     existing = table.read_base(spark)
-    merged = existing.unionByName(incoming, allowMissingColumns=True)
-    resolved = latest_by_key(merged, table.record_key, table.precombine)
     if table.partition_fields:
-        # only rewrite partitions the incoming batch touches
+        # Key uniqueness is per-partition (non-global index — untouched
+        # partitions are never rewritten), so rows outside the touched
+        # partitions cannot change the merge result. Filter BEFORE the
+        # union: the isin lands on the parquet scan as partition pruning,
+        # so the precombine window shuffles only the touched partitions'
+        # rows instead of the whole table. At 100 TB with daily
+        # partitions this is the difference between re-windowing ~1/1000
+        # of the table and all of it.
         pcol = table.partition_fields[0]
         touched = [r[0] for r in incoming.select(pcol).distinct().collect()]
-        affected = resolved.filter(F.col(pcol).isin(touched))
+        existing = existing.filter(F.col(pcol).isin(touched))
+        merged = existing.unionByName(incoming, allowMissingColumns=True)
+        affected = latest_by_key(merged, table.record_key, table.precombine)
         write_partitioned(affected, table.base_path, table.partition_fields, mode="overwrite")
     else:
+        merged = existing.unionByName(incoming, allowMissingColumns=True)
+        resolved = latest_by_key(merged, table.record_key, table.precombine)
         tmp = table.base_path.rstrip("/") + ".upsert.tmp"
         write_partitioned(resolved, tmp, [], mode="overwrite")
         import os

@@ -1,0 +1,126 @@
+"""Table services: rollback and cleaner over MOR delta logs.
+
+Hudi's rollback/restore and cleaner services, absent from the reference
+app (a bad load there just leaves a FAILED ledger row — nothing
+repairs the table). Semantics pinned here: rollback restores the exact
+snapshot at the target instant; clean keeps snapshots and post-horizon
+time travel intact while shrinking the log.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_utility_spark import timeline
+from hudi_utility_spark.table import KeyedTable, TableType
+from hudi_utility_spark.tables import load_table
+from hudi_utility_spark.write import upsert
+
+T1, T2, T3 = "20260101000000000", "20260102000000000", "20260103000000000"
+
+
+def _table(tmp_path, table_type=TableType.MERGE_ON_READ):
+    return KeyedTable(
+        path=str(tmp_path / "t"),
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+        table_type=table_type,
+    )
+
+
+def _snap_vals(spark, table):
+    return {
+        (r.event_id, round(r.value, 6))
+        for r in table.read(spark).select("event_id", "value").collect()
+    }
+
+
+def _three_commits(spark, sf_dir, table):
+    events = load_table(spark, sf_dir, "events")
+    upsert(spark, events, table, commit_time=T1)
+    c2 = (
+        events.filter(F.col("event_type") == "click")
+        .withColumn("value", F.lit(-2.0))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    upsert(spark, c2, table, commit_time=T2)
+    # c3 re-touches the SAME keys as c2 with a later precombine: c2's
+    # log rows become superseded versions (cleaner fodder)
+    c3 = (
+        events.filter(F.col("event_type") == "click")
+        .withColumn("value", F.lit(-3.0))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+    )
+    upsert(spark, c3, table, commit_time=T3)
+    return events
+
+
+def test_rollback_restores_snapshot_at_instant(spark, sf_dir, tmp_path):
+    table = _table(tmp_path)
+    _three_commits(spark, sf_dir, table)
+    want = {
+        (r.event_id, round(r.value, 6))
+        for r in timeline.read_as_of(spark, table, T2)
+        .select("event_id", "value")
+        .collect()
+    }
+
+    res = timeline.rollback(spark, table, T2)
+    assert res["log_rows_kept"] > 0
+    assert _snap_vals(spark, table) == want
+    # the rolled-back commit is gone from the timeline entirely
+    assert timeline.incremental_read(spark, table, since=T2).isEmpty()
+
+
+def test_rollback_is_idempotent_and_to_pre_log_instant(spark, sf_dir, tmp_path):
+    table = _table(tmp_path)
+    events = _three_commits(spark, sf_dir, table)
+    timeline.rollback(spark, table, T2)
+    before = _snap_vals(spark, table)
+    timeline.rollback(spark, table, T2)
+    assert _snap_vals(spark, table) == before
+
+    # roll all the way back to the first commit: log empties out
+    timeline.rollback(spark, table, T1)
+    assert not os.path.isdir(table.log_path)
+    assert table.read(spark).count() == events.count()
+
+
+def test_rollback_rejects_cow(spark, sf_dir, tmp_path):
+    table = _table(tmp_path, TableType.COPY_ON_WRITE)
+    upsert(spark, load_table(spark, sf_dir, "events"), table, commit_time=T1)
+    with pytest.raises(ValueError, match="MERGE_ON_READ"):
+        timeline.rollback(spark, table, T1)
+
+
+def test_rollback_rejects_compacted_history(spark, sf_dir, tmp_path):
+    table = _table(tmp_path)
+    _three_commits(spark, sf_dir, table)
+    table.compact(spark)
+    with pytest.raises(ValueError, match="compacted"):
+        timeline.rollback(spark, table, T2)
+
+
+def test_clean_keeps_snapshot_and_recent_history(spark, sf_dir, tmp_path):
+    table = _table(tmp_path)
+    _three_commits(spark, sf_dir, table)
+    snap_before = _snap_vals(spark, table)
+    rows_before = spark.read.parquet(table.log_path).count()
+
+    # horizon T3: c2's rows (superseded by c3, committed ≤ T3) get
+    # reclaimed; c3's rows survive as current winners
+    res = timeline.clean(spark, table, older_than=T3)
+    assert 0 < res["log_rows_kept"] < rows_before
+    assert _snap_vals(spark, table) == snap_before
+    # post-horizon time travel still exact
+    got_t3 = {
+        (r.event_id, round(r.value, 6))
+        for r in timeline.read_as_of(spark, table, T3)
+        .select("event_id", "value")
+        .collect()
+    }
+    assert got_t3 == snap_before
