@@ -1,0 +1,143 @@
+"""Distributed k-means over embedding columns (Lloyd's algorithm).
+
+The learned coarse quantizer the IVF index (`ops/similarity.py`) is
+missing: `ivf_centroids` averages a *given* cell column; this module
+learns the cells from the vectors themselves. The reference repo has no
+counterpart (it is an ETL utility); this belongs to the north-star
+training-data operators — clustering embeddings for IVF cells, corpus
+bucketing, or SemDeDup-style semantic dedup.
+
+Design for 100 TB:
+
+- **Assignment is map-only.** Centroids (k × dim doubles, e.g.
+  256 × 768 ≈ 1.5 MB) are folded into the plan as a literal
+  array-of-structs — the JVM evaluates argmin(distance) inside
+  whole-stage codegen; no join, no shuffle, no Python. This is the same
+  broadcast-the-small-side logic as a map-side join, done with an
+  expression instead of a relation because the small side is *constant
+  within an iteration*.
+- **Update is one shuffle per iteration**: posexplode → groupBy
+  (cluster, dim) partial-avg. Spark's map-side partial aggregation
+  reduces each partition to ≤ k·dim rows before the exchange, so the
+  shuffle volume is executors × k × dim, independent of N.
+- **Driver state is k × dim floats per iteration** — the only collect;
+  Lloyd's is inherently iterative (SURVEY's "genuinely non-SQL-
+  expressible" class), so the oracle story is a pytest parity check
+  against a NumPy reference, plus a rows-only driver check.
+- Deterministic: init picks the k lowest-id vectors (no RNG), ties in
+  argmin break toward the lower cluster id — same tie rule as the NumPy
+  reference test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two float arrays, JVM-side."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _centroid_literal(centroids: list[list[float]]) -> Column:
+    """Fold the centroid table into a constant array<struct<cid,c>>."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("c"),
+            )
+            for cid, vec in enumerate(centroids)
+        ]
+    )
+
+
+def assign_clusters(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Add a ``cluster`` column: argmin squared-L2 over *centroids*.
+
+    Map-only — the centroid list is a plan literal, distances and the
+    argmin run inside codegen. Ties break toward the lower cluster id
+    (array_sort on (dist, cid) structs orders field-by-field)."""
+    cents = _centroid_literal(centroids)
+    best = F.array_sort(
+        F.transform(
+            cents,
+            lambda s: F.struct(
+                _sq_dist(F.col(vec_col), s["c"]).alias("d"),
+                s["cid"].alias("cid"),
+            ),
+        )
+    )[0]["cid"]
+    return df.withColumn("cluster", best)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 5,
+) -> list[list[float]]:
+    """Learn k centroids with *iters* Lloyd iterations. Deterministic:
+    init = the k lowest-``id_col`` vectors. Returns driver-side
+    centroids (k × dim floats) for reuse in `assign_clusters` /
+    `ivf_topk`-style probing. Empty clusters keep their previous
+    centroid."""
+    init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = [list(map(float, r[0])) for r in init_rows]
+    for _ in range(iters):
+        assigned = assign_clusters(df, centroids, vec_col)
+        per_dim = (
+            assigned.select(
+                "cluster", F.posexplode(F.col(vec_col)).alias("dim", "v")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.avg("v").alias("mean_v"))
+        )
+        rows = per_dim.collect()
+        new = {cid: dict() for cid in range(k)}
+        for r in rows:
+            new[r["cluster"]][r["dim"]] = r["mean_v"]
+        centroids = [
+            [new[cid][d] for d in range(len(centroids[cid]))]
+            if new.get(cid)
+            else centroids[cid]
+            for cid in range(k)
+        ]
+    return centroids
+
+
+def kmeans_cluster_profile(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 5,
+) -> DataFrame:
+    """Fit + assign + profile: per learned cluster, member count and
+    mean within-cluster squared distance (inertia / n). The standard
+    clustering-quality readout; one map-only assignment pass plus one
+    aggregation."""
+    centroids = kmeans_fit(df, k, vec_col, id_col, iters)
+    cents = _centroid_literal(centroids)
+    assigned = assign_clusters(df, centroids, vec_col).withColumn(
+        "sq_dist",
+        _sq_dist(
+            F.col(vec_col), F.element_at(cents, F.col("cluster") + 1)["c"]
+        ),
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("sq_dist"), 4).alias("mean_sq_dist"),
+        )
+        .orderBy("cluster")
+    )

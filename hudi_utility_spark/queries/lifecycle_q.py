@@ -134,3 +134,52 @@ def lifecycle_bootstrap_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("status"),
         )
     )
+
+
+@query(
+    "lifecycle_schema_evolution",
+    """
+    WITH unioned AS (
+      SELECT event_id, ts, event_type, CAST(NULL AS DOUBLE) AS score
+      FROM events
+      UNION ALL
+      SELECT event_id, ts + INTERVAL 1 HOUR AS ts, event_type, 0.9 AS score
+      FROM events WHERE event_type = 'click'
+    ), resolved AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_id ORDER BY ts DESC) AS rn
+      FROM unioned
+    )
+    SELECT event_id, event_type, ROUND(score, 2) AS score
+    FROM resolved WHERE rn = 1
+    """,
+)
+def lifecycle_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution under upsert: a later batch carries a new
+    ``score`` column (the reference's mergeSchema read at
+    ``pyspark_script.py:333`` exists for exactly this case). Earlier
+    rows resolve with NULL score, evolved rows with the value; the
+    oracle replays union + precombine window with an explicit NULL
+    column."""
+    root = _scratch(sf_dir, "schema_evo")
+    table = KeyedTable(
+        path=root,
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+        table_type=TableType.COPY_ON_WRITE,
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    upsert(spark, events, table, commit_time="20260101000000001")
+    evolved = (
+        events.filter(F.col("event_type") == "click")
+        .withColumn("score", F.lit(0.9))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    upsert(spark, evolved, table, commit_time="20260102000000001")
+    snap = table.read(spark)
+    return snap.select(
+        "event_id", "event_type", F.round("score", 2).alias("score")
+    )

@@ -82,3 +82,17 @@ def sim_lsh_sketch_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     sk = S.random_hyperplane_sketch(e, planes=16)
     return sk.groupBy("sketch").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+@query("cluster_kmeans_profile")
+def cluster_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned coarse quantizer (rows-only: Lloyd's is iterative, not
+    SQL-expressible — pytest pins exact parity with a NumPy reference in
+    test_ops_cluster.py). 8 clusters, 3 iterations, deterministic init;
+    per-cluster membership and inertia. Assignment is map-only (centroid
+    literal evaluated in codegen); update is one shuffle of k×dim
+    partial means per iteration."""
+    from hudi_utility_spark.ops import cluster as cl
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return cl.kmeans_cluster_profile(emb, k=8, iters=3)

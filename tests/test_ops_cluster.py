@@ -1,0 +1,55 @@
+"""k-means parity: the distributed Lloyd's loop must match a NumPy
+reference implementation exactly (same deterministic init, same
+tie-breaking), and assignment must be a map-only plan."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hudi_utility_spark.ops import cluster
+from hudi_utility_spark.tables import load_table
+
+K, ITERS = 8, 3
+
+
+def _numpy_kmeans(vecs: np.ndarray, k: int, iters: int) -> np.ndarray:
+    cents = vecs[:k].astype(np.float64).copy()
+    for _ in range(iters):
+        # pairwise squared L2; argmin breaks ties toward lower cid
+        d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        for c in range(k):
+            m = vecs[lab == c]
+            if len(m):
+                cents[c] = m.mean(axis=0)
+    return cents
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+
+def test_kmeans_matches_numpy_reference(spark, emb):
+    rows = emb.orderBy("vec_id").collect()
+    vecs = np.array([r.embedding for r in rows], dtype=np.float64)
+
+    got = np.array(cluster.kmeans_fit(emb, K, iters=ITERS))
+    want = _numpy_kmeans(vecs, K, ITERS)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
+
+
+def test_assignment_is_map_only(spark, emb):
+    cents = [[0.0] * 64, [1.0] * 64]
+    plan = cluster.assign_clusters(emb, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle, no join: pure projection
+
+
+def test_cluster_profile_partitions_all_vectors(spark, emb):
+    prof = cluster.kmeans_cluster_profile(emb, K, iters=ITERS)
+    rows = prof.collect()
+    assert sum(r.n_members for r in rows) == emb.count()
+    assert all(r.mean_sq_dist >= 0 for r in rows)
+    assert len(rows) <= K

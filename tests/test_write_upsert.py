@@ -141,3 +141,33 @@ def test_upsert_insert_new_keys(spark, events, events_table):
     new = events.limit(2).withColumn("event_id", F.col("event_id") + F.lit(mx + 1))
     resolved = upsert(spark, new, events_table)
     assert resolved.count() == events.count() + 2
+
+
+def test_upsert_schema_evolution_adds_column(spark, events, tmp_path):
+    """A later batch may carry new columns (the reference reads with
+    mergeSchema for exactly this — pyspark_script.py:333); earlier rows
+    read back with NULLs, evolved rows with values, on both table types."""
+    from pyspark.sql import functions as F
+
+    from hudi_utility_spark.table import KeyedTable, TableType
+
+    for tt in (TableType.COPY_ON_WRITE, TableType.MERGE_ON_READ):
+        t = KeyedTable(
+            path=str(tmp_path / tt.value),
+            record_key=["event_id"],
+            precombine="ts",
+            partition_fields=["event_type"],
+            table_type=tt,
+        )
+        upsert(spark, events, t, commit_time="1")
+        evolved = (
+            events.filter(F.col("event_type") == "click")
+            .withColumn("score", F.lit(0.9))
+            .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        upsert(spark, evolved, t, commit_time="2")
+        snap = t.read(spark)
+        assert "score" in snap.columns
+        n_click = events.filter(F.col("event_type") == "click").count()
+        assert snap.filter(F.col("score").isNotNull()).count() == n_click
+        assert snap.count() == events.count()
