@@ -184,3 +184,36 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "quality")
         .filter(F.col("quality") >= 0.0)
     )
+
+
+@query(
+    "text_bpe_tokenize",
+    r"""
+    SELECT lang,
+           SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+               AS bpe_tokens,
+           SUM(len(regexp_extract_all(text, '[0-9]+'))) AS num_tokens,
+           ROUND(AVG(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 4)
+               AS avg_tokens_per_doc
+    FROM documents GROUP BY lang
+    """,
+)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (north star: "token counting
+    (whitespace + a BPE-ish regex)"): alpha runs, digit runs, and
+    isolated punctuation as separate tokens — the pre-tokenizer split
+    every BPE vocabulary is trained over. JVM-side regexp_extract_all,
+    map-only until the per-lang aggregate; complements the whitespace
+    counter in `text_token_counts`."""
+    pat = F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(F.regexp_extract_all("text", pat, F.lit(0)))
+    n_num = F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), F.lit(0)))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.sum(n_bpe).alias("bpe_tokens"),
+            F.sum(n_num).alias("num_tokens"),
+            F.round(F.avg(n_bpe), 4).alias("avg_tokens_per_doc"),
+        )
+    )

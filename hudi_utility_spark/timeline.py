@@ -145,6 +145,46 @@ def rollback(spark: SparkSession, table: KeyedTable, instant: str) -> dict:
     return {"instant": instant, "log_rows_kept": n}
 
 
+def _savepoint_dir(table: KeyedTable) -> str:
+    import os
+
+    return os.path.join(table.path, "_savepoints")
+
+
+def savepoint(table: KeyedTable, instant: str) -> None:
+    """Pin ``instant``: the cleaner keeps every log row needed to
+    reconstruct the snapshot at a savepointed instant, however far the
+    retention horizon moves (Hudi's savepoint semantics — the guard its
+    docs require before any destructive table service).
+
+    Metadata only: one marker file under ``_savepoints/`` (the ``_``
+    prefix keeps the dir invisible to parquet partition discovery, same
+    convention as the ``_commit_time`` column)."""
+    import os
+
+    d = _savepoint_dir(table)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, instant), "w") as f:
+        f.write(instant)
+
+
+def list_savepoints(table: KeyedTable) -> list[str]:
+    import os
+
+    d = _savepoint_dir(table)
+    if not os.path.isdir(d):
+        return []
+    return sorted(os.listdir(d))
+
+
+def delete_savepoint(table: KeyedTable, instant: str) -> None:
+    import os
+
+    p = os.path.join(_savepoint_dir(table), instant)
+    if os.path.exists(p):
+        os.remove(p)
+
+
 def clean(spark: SparkSession, table: KeyedTable, older_than: str) -> dict:
     """Hudi's cleaner service: reclaim superseded record versions while
     keeping (a) every current winning version and (b) full history after
@@ -167,11 +207,18 @@ def clean(spark: SparkSession, table: KeyedTable, older_than: str) -> dict:
     join_cols = [*table.record_key, table.precombine]
     if COMMIT_COL in snap.columns and COMMIT_COL in log.columns:
         join_cols.append(COMMIT_COL)
-    winners = log.join(
-        snap.select(*join_cols).distinct(), on=join_cols, how="left_semi"
+    # rows worth keeping: current winners, plus the winners of every
+    # savepointed snapshot (pins read_as_of at those instants forever)
+    keep_keys = snap.select(*join_cols)
+    for sp in list_savepoints(table):
+        keep_keys = keep_keys.unionByName(
+            read_as_of(spark, table, sp).select(*join_cols)
+        )
+    old_winners = (
+        log.filter(_commit_expr() <= F.lit(older_than))
+        .join(keep_keys.distinct(), on=join_cols, how="left_semi")
     )
     recent = log.filter(_commit_expr() > F.lit(older_than))
-    old_winners = winners.filter(_commit_expr() <= F.lit(older_than))
     kept = recent.unionByName(old_winners)
     n = _rewrite_log(spark, table, kept)
     return {"older_than": older_than, "log_rows_kept": n}

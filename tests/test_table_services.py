@@ -124,3 +124,31 @@ def test_clean_keeps_snapshot_and_recent_history(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got_t3 == snap_before
+
+
+def test_savepoint_pins_time_travel_past_clean_horizon(spark, sf_dir, tmp_path):
+    table = _table(tmp_path)
+    _three_commits(spark, sf_dir, table)
+    asof_t2 = {
+        (r.event_id, round(r.value, 6))
+        for r in timeline.read_as_of(spark, table, T2)
+        .select("event_id", "value")
+        .collect()
+    }
+
+    timeline.savepoint(table, T2)
+    assert timeline.list_savepoints(table) == [T2]
+    timeline.clean(spark, table, older_than=T3)
+    got = {
+        (r.event_id, round(r.value, 6))
+        for r in timeline.read_as_of(spark, table, T2)
+        .select("event_id", "value")
+        .collect()
+    }
+    assert got == asof_t2  # savepoint kept c2's superseded rows alive
+
+    # dropping the savepoint lets the next clean reclaim them
+    rows_with_sp = spark.read.parquet(table.log_path).count()
+    timeline.delete_savepoint(table, T2)
+    res = timeline.clean(spark, table, older_than=T3)
+    assert res["log_rows_kept"] < rows_with_sp
