@@ -183,3 +183,62 @@ def lifecycle_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.select(
         "event_id", "event_type", F.round("score", 2).alias("score")
     )
+
+
+@query(
+    "lifecycle_delete_reinsert",
+    """
+    WITH tomb AS (
+      -- delete every click (fresh tombstone), plus a STALE delete of
+      -- views that loses the precombine race
+      SELECT event_id, ts + INTERVAL 1 HOUR AS ts, TRUE AS dead FROM events
+      WHERE event_type = 'click'
+      UNION ALL
+      SELECT event_id, ts - INTERVAL 1 HOUR AS ts, TRUE AS dead FROM events
+      WHERE event_type = 'view'
+    ), unioned AS (
+      SELECT event_id, ts, event_type, value, FALSE AS dead FROM events
+      UNION ALL
+      SELECT t.event_id, t.ts, e.event_type, CAST(NULL AS DOUBLE), t.dead
+      FROM tomb t JOIN events e USING (event_id)
+    ), resolved AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_id ORDER BY ts DESC) AS rn
+      FROM unioned
+    )
+    SELECT event_id, event_type, ROUND(value, 2) AS value
+    FROM resolved WHERE rn = 1 AND NOT dead
+    """,
+)
+def lifecycle_delete_reinsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-by-key under precombine arbitration: clicks get a fresh
+    tombstone (gone), views get a STALE one (the existing row's newer
+    precombine wins — Hudi delete-marker rules). The oracle replays both
+    races with a union + window + tombstone filter."""
+    from hudi_utility_spark.write import delete_keys
+
+    root = _scratch(sf_dir, "delete_lifecycle")
+    table = KeyedTable(
+        path=root,
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+        table_type=TableType.MERGE_ON_READ,
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    upsert(spark, events, table, commit_time="20260101000000001")
+    fresh = events.filter(F.col("event_type") == "click").select(
+        "event_id", "event_type", (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts")
+    )
+    stale = events.filter(F.col("event_type") == "view").select(
+        "event_id", "event_type", (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("ts")
+    )
+    delete_keys(
+        spark, fresh.unionByName(stale), table, commit_time="20260102000000001"
+    )
+    snap = table.read(spark)
+    return snap.select(
+        "event_id", "event_type", F.round("value", 2).alias("value")
+    )

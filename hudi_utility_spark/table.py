@@ -51,6 +51,11 @@ class BootstrapMode(str, Enum):
 
 _MOR_LOG_DIR = "_delta_log"
 
+# tombstone marker written by write.delete_keys (MOR delete path); the
+# ``_`` prefix keeps it out of reconciliation like Hudi's meta columns
+# (pyspark_script.py:154)
+DELETED_COL = "_deleted"
+
 
 @dataclass
 class KeyedTable:
@@ -104,20 +109,30 @@ class KeyedTable:
             df = df.drop(_MOR_LOG_DIR)
         return df
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def read(self, spark: SparkSession, keep_tombstones: bool = False) -> DataFrame:
         """Snapshot read: base ∪ delta-log resolved latest-by-key.
 
         For COW this is just the base. For MOR this is the read-time
         precombine resolution (SURVEY §7 hard-part (a)) — one window,
         O(1) shuffles regardless of how many log batches accumulated.
+        Keys whose winning version is a delete tombstone are absent
+        unless ``keep_tombstones`` (used by the cleaner, which must not
+        reclaim an active tombstone lest the deleted row resurrect).
         """
+        from pyspark.sql import functions as F
+
         from hudi_utility_spark.write import latest_by_key
 
         base = self.read_base(spark)
         if self.table_type is TableType.MERGE_ON_READ and os.path.isdir(self.log_path):
             log = spark.read.option("mergeSchema", "true").parquet(self.log_path)
             merged = base.unionByName(log, allowMissingColumns=True)
-            return latest_by_key(merged, self.record_key, self.precombine)
+            resolved = latest_by_key(merged, self.record_key, self.precombine)
+            if DELETED_COL in resolved.columns and not keep_tombstones:
+                resolved = resolved.filter(
+                    ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+                ).drop(DELETED_COL)
+            return resolved
         return base
 
     # -- maintenance ----------------------------------------------------

@@ -203,7 +203,9 @@ def clean(spark: SparkSession, table: KeyedTable, older_than: str) -> dict:
     if not os.path.isdir(table.log_path):
         return {"older_than": older_than, "log_rows_kept": 0}
     log = spark.read.option("mergeSchema", "true").parquet(table.log_path)
-    snap = table.read(spark)
+    # keep_tombstones: an active delete marker IS the winning version of
+    # its key — reclaiming it would resurrect the deleted row
+    snap = table.read(spark, keep_tombstones=True)
     join_cols = [*table.record_key, table.precombine]
     if COMMIT_COL in snap.columns and COMMIT_COL in log.columns:
         join_cols.append(COMMIT_COL)
@@ -212,7 +214,7 @@ def clean(spark: SparkSession, table: KeyedTable, older_than: str) -> dict:
     keep_keys = snap.select(*join_cols)
     for sp in list_savepoints(table):
         keep_keys = keep_keys.unionByName(
-            read_as_of(spark, table, sp).select(*join_cols)
+            read_as_of(spark, table, sp, keep_tombstones=True).select(*join_cols)
         )
     old_winners = (
         log.filter(_commit_expr() <= F.lit(older_than))
@@ -224,12 +226,19 @@ def clean(spark: SparkSession, table: KeyedTable, older_than: str) -> dict:
     return {"older_than": older_than, "log_rows_kept": n}
 
 
-def read_as_of(spark: SparkSession, table: KeyedTable, instant: str) -> DataFrame:
+def read_as_of(
+    spark: SparkSession,
+    table: KeyedTable,
+    instant: str,
+    keep_tombstones: bool = False,
+) -> DataFrame:
     """Snapshot of a MERGE_ON_READ table as of ``instant``.
 
     Filters base + delta log to versions committed at or before the
     instant, then resolves latest-by-precombine — one window, same cost
-    as a normal MOR read. COPY_ON_WRITE rewrites discard history, so
+    as a normal MOR read. Keys whose winner at the instant is a delete
+    tombstone are absent (they were deleted by then) unless
+    ``keep_tombstones``. COPY_ON_WRITE rewrites discard history, so
     time travel is undefined there (matches Hudi sans savepoints).
     """
     if table.table_type is not TableType.MERGE_ON_READ:
@@ -237,6 +246,7 @@ def read_as_of(spark: SparkSession, table: KeyedTable, instant: str) -> DataFram
             "read_as_of requires a MERGE_ON_READ table: COPY_ON_WRITE "
             "rewrites discard prior record versions"
         )
+    from hudi_utility_spark.table import DELETED_COL
     from hudi_utility_spark.write import latest_by_key
 
     import os
@@ -248,8 +258,13 @@ def read_as_of(spark: SparkSession, table: KeyedTable, instant: str) -> DataFram
     if os.path.isdir(table.log_path):
         log = spark.read.option("mergeSchema", "true").parquet(table.log_path)
         merged = base.unionByName(log, allowMissingColumns=True)
-    return latest_by_key(
+    resolved = latest_by_key(
         merged.filter(_commit_expr() <= F.lit(instant)),
         table.record_key,
         table.precombine,
     )
+    if DELETED_COL in resolved.columns and not keep_tombstones:
+        resolved = resolved.filter(
+            ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+        ).drop(DELETED_COL)
+    return resolved

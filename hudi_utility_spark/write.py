@@ -63,6 +63,9 @@ def write_partitioned(
         writer.partitionBy(*partition_fields).parquet(path)
     else:
         df.write.mode(mode).parquet(path)
+    # an overwrite replaces the file set under `path`; drop any cached
+    # directory listing so a subsequent read doesn't chase dead files
+    df.sparkSession.catalog.refreshByPath(path)
 
 
 def write_sorted_partitioned(
@@ -260,6 +263,91 @@ def upsert(
         tmp = table.base_path.rstrip("/") + ".upsert.tmp"
         write_partitioned(resolved, tmp, [], mode="overwrite")
         import os
+        import shutil
+
+        shutil.rmtree(table.base_path)
+        shutil.move(tmp, table.base_path)
+    return table.read(spark)
+
+
+def delete_keys(
+    spark: SparkSession,
+    keys_df: DataFrame,
+    table: KeyedTable,
+    commit_time: str | None = None,
+) -> DataFrame:
+    """Delete records by key — the Hudi ``delete`` operation the
+    reference's table format supports but its app never exposes
+    (``README.md:104-105`` lists only insert/upsert).
+
+    ``keys_df`` must carry the record key, the precombine column (the
+    deletion's timestamp: a record version with a *newer* precombine
+    survives, and a later re-insert overrides the tombstone — standard
+    Hudi delete-marker semantics), and the partition field(s) for
+    routing (non-global index, as everywhere in this engine).
+
+    MOR: appends tombstone rows (``_deleted = true``) to the delta log —
+    O(batch) write, no base rewrite; the read-time window resolves them.
+    COW: merges tombstones into the touched partitions and rewrites
+    those without the dead rows; a partition deleted down to zero rows
+    is dropped outright. Returns the resolved snapshot.
+    """
+    from hudi_utility_spark.table import DELETED_COL
+    from hudi_utility_spark.timeline import stamp
+
+    if not table.exists():
+        raise ValueError(f"cannot delete from non-existent table at {table.path}")
+    required = [*table.record_key, table.precombine, *table.partition_fields]
+    missing = [c for c in required if c not in keys_df.columns]
+    if missing:
+        raise ValueError(
+            f"keys_df is missing required columns {missing} "
+            "(record key + precombine + partition fields)"
+        )
+    tomb = stamp(
+        keys_df.select(*required).withColumn(DELETED_COL, F.lit(True)),
+        commit_time,
+    )
+
+    if table.table_type is TableType.MERGE_ON_READ:
+        write_partitioned(tomb, table.log_path, table.partition_fields, mode="append")
+        return table.read(spark)
+
+    existing = table.read_base(spark)
+    not_dead = ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+    if table.partition_fields:
+        pcol = table.partition_fields[0]
+        touched = [r[0] for r in tomb.select(pcol).distinct().collect()]
+        scoped = existing.filter(F.col(pcol).isin(touched))
+        merged = scoped.unionByName(tomb, allowMissingColumns=True)
+        kept = (
+            latest_by_key(merged, table.record_key, table.precombine)
+            .filter(not_dead)
+            .drop(DELETED_COL)
+            .persist()  # materialize BEFORE the overwrite: the plan reads
+            # the very files the write replaces, so both the write and the
+            # survivor listing must not re-scan the old base
+        )
+        survivors = {r[0] for r in kept.select(pcol).distinct().collect()}
+        write_partitioned(kept, table.base_path, table.partition_fields, mode="overwrite")
+        kept.unpersist()
+        # dynamic overwrite can't erase a partition that ends up empty —
+        # drop those directories explicitly
+        import shutil
+
+        for v in set(touched) - survivors:
+            d = os.path.join(table.base_path, f"{pcol}={v}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+    else:
+        merged = existing.unionByName(tomb, allowMissingColumns=True)
+        kept = (
+            latest_by_key(merged, table.record_key, table.precombine)
+            .filter(not_dead)
+            .drop(DELETED_COL)
+        )
+        tmp = table.base_path.rstrip("/") + ".delete.tmp"
+        write_partitioned(kept, tmp, [], mode="overwrite")
         import shutil
 
         shutil.rmtree(table.base_path)
