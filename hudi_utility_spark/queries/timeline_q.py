@@ -116,3 +116,59 @@ def timeline_rollback_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.select(
         "event_id", "event_type", F.round("value", 2).alias("value")
     )
+
+
+@query(
+    "timeline_cdc_ops",
+    oracle="""
+    WITH mx AS (SELECT MAX(event_id) AS m FROM events)
+    SELECT 'update' AS op, event_id, ROUND(value + 1000, 2) AS value
+    FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT 'insert' AS op, event_id + (SELECT m + 1 FROM mx) AS event_id,
+           ROUND(value + 1000, 2) AS value
+    FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT 'delete' AS op, event_id, CAST(NULL AS DOUBLE) AS value
+    FROM events WHERE event_type = 'view'
+    """,
+)
+def timeline_cdc_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC incremental read: one commit window containing updates (click
+    values +1000), inserts (same rows under fresh keys), and deletes
+    (every view) — ``incremental_cdc`` labels each changed key with its
+    op and after-image (NULL payload for deletes). The oracle is the
+    literal union of the three expected change sets."""
+    from hudi_utility_spark.write import delete_keys
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_utility_spark_q",
+        f"timeline_cdc_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = KeyedTable(
+        path=root,
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+        table_type=TableType.MERGE_ON_READ,
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    upsert(spark, events, table, commit_time=T1)
+    max_id = events.agg(F.max("event_id")).collect()[0][0]
+    changed = (
+        events.filter(F.col("event_type") == "click")
+        .withColumn("value", F.col("value") + 1000)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    inserts = changed.withColumn("event_id", F.col("event_id") + F.lit(max_id + 1))
+    deletes = events.filter(F.col("event_type") == "view").select(
+        "event_id", "event_type", (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts")
+    )
+    upsert(spark, changed.unionByName(inserts), table, commit_time=T2)
+    delete_keys(spark, deletes, table, commit_time=T2)
+    cdc = timeline.incremental_cdc(spark, table, since=T1, until=T2)
+    return cdc.select("op", "event_id", F.round("value", 2).alias("value"))

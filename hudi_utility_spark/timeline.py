@@ -268,3 +268,57 @@ def read_as_of(
             ~F.coalesce(F.col(DELETED_COL), F.lit(False))
         ).drop(DELETED_COL)
     return resolved
+
+
+def incremental_cdc(
+    spark: SparkSession,
+    table: KeyedTable,
+    since: str,
+    until: str | None = None,
+) -> DataFrame:
+    """Change-data-capture read: every key whose winning version changed
+    in ``(since, until]``, labeled ``op`` ∈ insert / update / delete
+    (Hudi's incremental query in CDC format — the after-image variant).
+
+    MOR only (COW physically discards the history CDC is derived from).
+    Cost: two precombine windows (winners as-of each boundary) and one
+    join keyed on the record key over only the *changed* keys — the
+    changed side is commit-pruned first, so join volume is proportional
+    to the delta, not the table.
+
+    Delete rows carry the record key, partition fields, and commit
+    columns; other columns are NULL (the before-image lives at
+    ``read_as_of(since)`` if the log retains it).
+    """
+    from hudi_utility_spark.table import DELETED_COL
+
+    if table.table_type is not TableType.MERGE_ON_READ:
+        raise ValueError("incremental_cdc requires a MERGE_ON_READ table")
+    hi = until or "9" * 17
+    after = read_as_of(spark, table, hi, keep_tombstones=True)
+    if DELETED_COL not in after.columns:
+        after = after.withColumn(DELETED_COL, F.lit(False))
+    changed = after.filter(
+        (_commit_expr() > F.lit(since)) & (_commit_expr() <= F.lit(hi))
+    )
+    before = read_as_of(spark, table, since, keep_tombstones=True)
+    if DELETED_COL not in before.columns:
+        before = before.withColumn(DELETED_COL, F.lit(False))
+    before_alive = before.filter(
+        ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+    ).select(*table.record_key, F.lit(True).alias("__existed"))
+
+    joined = changed.join(before_alive, on=table.record_key, how="left")
+    dead = F.coalesce(F.col(DELETED_COL), F.lit(False))
+    existed = F.coalesce(F.col("__existed"), F.lit(False))
+    op = (
+        F.when(dead & existed, F.lit("delete"))
+        .when(~dead & existed, F.lit("update"))
+        .when(~dead & ~existed, F.lit("insert"))
+    )  # dead & ~existed: tombstone for a never-alive key — dropped
+    out_cols = [c for c in changed.columns if c != DELETED_COL]
+    return (
+        joined.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select("op", *out_cols)
+    )

@@ -112,3 +112,36 @@ def test_upsert_preserves_untouched_commit_times(spark, sf_dir, tmp_path):
     n_clicks = changed.count()
     assert by_commit[T2] == n_clicks
     assert by_commit[T1] == events.count() - n_clicks
+
+
+def test_incremental_cdc_labels_insert_update_delete(spark, sf_dir, tmp_path):
+    from hudi_utility_spark.write import delete_keys
+
+    table = _table(tmp_path, TableType.MERGE_ON_READ)
+    events = _events(spark, sf_dir)
+    upsert(spark, events, table, commit_time=T1)
+
+    updates = events.filter(F.col("event_type") == "click").limit(15).select(
+        "event_id", "event_type", "user_id", "value",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+    )
+    max_id = events.agg(F.max("event_id")).collect()[0][0]
+    inserts = updates.withColumn("event_id", F.col("event_id") + F.lit(max_id + 1))
+    deletes = events.filter(F.col("event_type") == "view").limit(7).select(
+        "event_id", "event_type", (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts")
+    )
+    # tombstone for a key that never existed: must be dropped from CDC
+    ghost = deletes.limit(1).withColumn(
+        "event_id", F.col("event_id") + F.lit(10 * (max_id + 1))
+    )
+    upsert(spark, updates.unionByName(inserts), table, commit_time=T2)
+    delete_keys(spark, deletes.unionByName(ghost), table, commit_time=T2)
+
+    cdc = timeline.incremental_cdc(spark, table, since=T1, until=T2)
+    by_op = {r["op"]: r["cnt"] for r in cdc.groupBy("op").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert by_op == {"insert": 15, "update": 15, "delete": 7}
+    # delete rows carry the key but a NULL payload
+    dels = cdc.filter(F.col("op") == "delete")
+    assert all(r.value is None for r in dels.select("value").collect())
+    # the pre-window state is untouched: CDC over (T2, inf) is empty
+    assert timeline.incremental_cdc(spark, table, since=T2).isEmpty()
