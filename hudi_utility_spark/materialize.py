@@ -1,0 +1,135 @@
+"""Incremental materialized-view maintenance over keyed tables.
+
+A rollup (per-group count + sum) kept current by applying the CDC
+delta of each commit window instead of recomputing from the snapshot —
+the standard lakehouse pattern the reference's Hudi tables enable but
+its app never exploits (it re-reads and re-counts the whole destination
+on every run, ``pyspark_script.py:168-174``).
+
+Maintenance math per changed key (from `timeline.incremental_cdc` +
+before-images at the window start):
+
+    insert:  group += (1, value)
+    delete:  group -= (1, before_value)
+    update:  old group -= (1, before_value); new group += (1, value)
+             (an update may MOVE a row between groups)
+
+Scale: every step is proportional to the delta, not the table — the
+CDC read prunes to changed keys, before-images come from one
+left-semi-joined as-of read, the delta aggregate shuffles
+O(changed-groups) rows, and the merge outer-joins the (small) rollup
+with the (small) delta. A 100 TB fact with a 0.1 % daily churn
+maintains its rollup touching ~0.1 % of the data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hudi_utility_spark.table import KeyedTable
+from hudi_utility_spark.timeline import incremental_cdc, read_as_of
+
+
+def compute_rollup(
+    snapshot: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Full recompute — used to seed the view and as the oracle the
+    incremental path must match."""
+    return snapshot.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(value_col).alias("sum_value"),
+    )
+
+
+def seed_rollup(
+    spark: SparkSession,
+    table: KeyedTable,
+    rollup_path: str,
+    group_cols: list[str],
+    value_col: str,
+    as_of: str,
+) -> DataFrame:
+    """Materialize the rollup at instant ``as_of`` (one full pass)."""
+    snap = read_as_of(spark, table, as_of)
+    rollup = compute_rollup(snap, group_cols, value_col)
+    rollup.write.mode("overwrite").parquet(rollup_path)
+    spark.catalog.refreshByPath(rollup_path)
+    return spark.read.parquet(rollup_path)
+
+
+def maintain_rollup(
+    spark: SparkSession,
+    table: KeyedTable,
+    rollup_path: str,
+    group_cols: list[str],
+    value_col: str,
+    since: str,
+    until: str | None = None,
+) -> DataFrame:
+    """Advance the materialized rollup across ``(since, until]`` by
+    applying the CDC delta. Work ∝ changed keys; the base table is
+    never re-aggregated."""
+    cdc = incremental_cdc(spark, table, since, until)
+    keys = table.record_key
+
+    # before-images of the changed keys only (semi-join prunes the
+    # as-of read to the delta)
+    before = read_as_of(spark, table, since).join(
+        cdc.select(*keys).distinct(), on=keys, how="left_semi"
+    )
+
+    # negative contributions: the pre-change row leaves its old group
+    minus = (
+        before.join(
+            cdc.filter(F.col("op").isin("update", "delete")).select(*keys),
+            on=keys,
+            how="left_semi",
+        )
+        .groupBy(*group_cols)
+        .agg(
+            (-F.count(F.lit(1))).alias("d_cnt"),
+            (-F.sum(value_col)).alias("d_sum"),
+        )
+    )
+    # positive contributions: the after-image joins its (possibly new)
+    # group
+    plus = (
+        cdc.filter(F.col("op").isin("insert", "update"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("d_cnt"),
+            F.sum(value_col).alias("d_sum"),
+        )
+    )
+    delta = (
+        minus.unionByName(plus)
+        .groupBy(*group_cols)
+        .agg(F.sum("d_cnt").alias("d_cnt"), F.sum("d_sum").alias("d_sum"))
+    )
+
+    old = spark.read.parquet(rollup_path)
+    merged = (
+        old.join(delta, on=group_cols, how="full_outer")
+        .select(
+            *group_cols,
+            (F.coalesce("cnt", F.lit(0)) + F.coalesce("d_cnt", F.lit(0))).alias("cnt"),
+            (
+                F.coalesce("sum_value", F.lit(0.0)) + F.coalesce("d_sum", F.lit(0.0))
+            ).alias("sum_value"),
+        )
+        .filter(F.col("cnt") > 0)
+        .persist()  # the write below replaces the files `old` reads
+    )
+    merged.count()
+    tmp = rollup_path.rstrip("/") + ".maint.tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    merged.unpersist()
+    import shutil
+
+    shutil.rmtree(rollup_path)
+    shutil.move(tmp, rollup_path)
+    spark.catalog.refreshByPath(rollup_path)
+    return spark.read.parquet(rollup_path)

@@ -242,3 +242,74 @@ def lifecycle_delete_reinsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.select(
         "event_id", "event_type", F.round("value", 2).alias("value")
     )
+
+
+@query(
+    "rollup_incremental_maintenance",
+    """
+    WITH unioned AS (
+      SELECT event_id, ts, event_type, user_id, value, FALSE AS dead
+      FROM events
+      UNION ALL
+      SELECT event_id, ts + INTERVAL 1 HOUR AS ts, event_type,
+             user_id + 1 AS user_id, value * 2 AS value, FALSE AS dead
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT event_id, ts + INTERVAL 1 HOUR AS ts, event_type,
+             user_id, CAST(NULL AS DOUBLE), TRUE AS dead
+      FROM events WHERE event_type = 'view'
+    ), resolved AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_id ORDER BY ts DESC) AS rn
+      FROM unioned
+    )
+    SELECT user_id, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+    FROM resolved WHERE rn = 1 AND NOT dead
+    GROUP BY user_id
+    """,
+)
+def rollup_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: seed a per-user rollup
+    at T1, churn the table at T2 (click rows update AND move to a
+    neighboring user group; every view row is deleted), then advance the
+    rollup by applying only the CDC delta — work ∝ changed keys, the
+    fact table is never re-aggregated. The oracle recomputes the final
+    state from scratch; the maintained view must hash-match it."""
+    from hudi_utility_spark import materialize
+    from hudi_utility_spark.write import delete_keys
+
+    root = _scratch(sf_dir, "rollup_maint")
+    table = KeyedTable(
+        path=os.path.join(root, "t"),
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+        table_type=TableType.MERGE_ON_READ,
+    )
+    t1, t2 = "20260101000000001", "20260102000000001"
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "user_id", "value"
+    )
+    upsert(spark, events, table, commit_time=t1)
+    roll = os.path.join(root, "rollup")
+    materialize.seed_rollup(spark, table, roll, ["user_id"], "value", as_of=t1)
+
+    moved = events.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "event_type",
+        (F.col("user_id") + 1).alias("user_id"),
+        (F.col("value") * 2).alias("value"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+    )
+    gone = events.filter(F.col("event_type") == "view").select(
+        "event_id", "event_type", (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts")
+    )
+    upsert(spark, moved, table, commit_time=t2)
+    delete_keys(spark, gone, table, commit_time=t2)
+
+    out = materialize.maintain_rollup(
+        spark, table, roll, ["user_id"], "value", since=t1, until=t2
+    )
+    return out.select(
+        "user_id", "cnt", F.round("sum_value", 2).alias("sum_value")
+    )

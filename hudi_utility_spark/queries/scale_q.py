@@ -107,3 +107,50 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").alias("sum_user_events"),
         )
     )
+
+
+@query(
+    "index_file_skipping_scan",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS cnt,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 1000 AND 2000
+    GROUP BY l_returnflag
+    """,
+)
+def index_file_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-stats file skipping (Hudi's column_stats metadata
+    partition): write lineitem range-sorted on l_orderkey, index per-file
+    min/max, answer a range query by scanning only files whose range
+    intersects — the result must be indistinguishable from the full-scan
+    filter the oracle runs. The pruned file list is asserted strictly
+    smaller in tests/test_index.py; here the value hash pins
+    correctness."""
+    import os
+    import shutil
+    import tempfile
+
+    from hudi_utility_spark import index
+    from hudi_utility_spark.write import write_sorted_partitioned
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_utility_spark_q",
+        f"idx_skip_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem")
+    write_sorted_partitioned(
+        li, root, ["l_returnflag"], ["l_orderkey"], num_files=16
+    )
+    index.build_column_stats(spark, root, ["l_orderkey"])
+    pruned = index.read_with_skipping(spark, root, "l_orderkey", 1000, 2000)
+    return (
+        pruned.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )

@@ -74,15 +74,34 @@ def write_sorted_partitioned(
     partition_fields: list[str],
     sort_fields: list[str],
     mode: str = "overwrite",
+    num_files: int | None = None,
 ) -> None:
     """Partitioned write with files sorted on *sort_fields* inside each
     Hive partition — parquet row-group min/max stats then become tight,
     so range predicates on the sort columns skip whole row groups at
     read time (the poor man's Z-order; at 100 TB this is the difference
-    between scanning a partition and scanning a row group)."""
+    between scanning a partition and scanning a row group).
+
+    ``repartitionByRange`` on (partition, sort) keys — NOT a hash
+    repartition on the partition value alone, which would funnel each
+    Hive partition through a single task (unwritable at 100 TB) and
+    produce one file spanning the whole sort range. Range partitioning
+    splits big partitions across tasks at sort-key boundaries, so files
+    are both parallel-written and range-disjoint — exactly the layout
+    `index.build_column_stats` file skipping wants.
+
+    ``num_files`` pins the range-partition count (AQE otherwise
+    coalesces small shuffles into one file per partition value —
+    right-sizing for volume, but tests and fixed-file-budget layouts
+    want it explicit)."""
+    cols = [F.col(c) for c in [*partition_fields, *sort_fields]]
+    ranged = (
+        df.repartitionByRange(num_files, *cols)
+        if num_files
+        else df.repartitionByRange(*cols)
+    )
     (
-        df.repartition(*[F.col(c) for c in partition_fields])
-        .sortWithinPartitions(*sort_fields)
+        ranged.sortWithinPartitions(*cols)
         .write.mode(mode)
         .partitionBy(*partition_fields)
         .parquet(path)

@@ -1,0 +1,78 @@
+"""Incremental rollup maintenance must equal a full recompute after
+arbitrary insert/update/delete churn — including group-moving updates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_utility_spark import materialize
+from hudi_utility_spark.table import KeyedTable, TableType
+from hudi_utility_spark.write import delete_keys, upsert
+
+T1, T2 = "20260101000000000", "20260102000000000"
+
+
+def _rollup_dict(df):
+    return {
+        tuple(r[c] for c in ("user_id",)): (r.cnt, round(r.sum_value, 6))
+        for r in df.collect()
+    }
+
+
+def test_incremental_maintenance_matches_full_recompute(spark, events, tmp_path):
+    table = KeyedTable(
+        path=str(tmp_path / "t"),
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+        table_type=TableType.MERGE_ON_READ,
+    )
+    upsert(spark, events, table, commit_time=T1)
+    roll_path = str(tmp_path / "rollup")
+    materialize.seed_rollup(
+        spark, table, roll_path, ["user_id"], "value", as_of=T1
+    )
+
+    # churn: updates that MOVE rows between user_id groups, fresh
+    # inserts, and deletes
+    updates = events.filter(F.col("event_type") == "click").limit(20).select(
+        "event_id",
+        "event_type",
+        (F.col("user_id") + 1).alias("user_id"),
+        (F.col("value") * 2).alias("value"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+    )
+    mx = events.agg(F.max("event_id")).collect()[0][0]
+    inserts = updates.withColumn("event_id", F.col("event_id") + F.lit(mx + 1))
+    deletes = events.filter(F.col("event_type") == "view").limit(9).select(
+        "event_id", "event_type", (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts")
+    )
+    upsert(spark, updates.unionByName(inserts), table, commit_time=T2)
+    delete_keys(spark, deletes, table, commit_time=T2)
+
+    got = materialize.maintain_rollup(
+        spark, table, roll_path, ["user_id"], "value", since=T1, until=T2
+    )
+    want = materialize.compute_rollup(table.read(spark), ["user_id"], "value")
+    assert _rollup_dict(got) == _rollup_dict(want)
+
+
+def test_maintenance_is_idempotent_on_empty_window(spark, events, tmp_path):
+    table = KeyedTable(
+        path=str(tmp_path / "t"),
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+        table_type=TableType.MERGE_ON_READ,
+    )
+    upsert(spark, events, table, commit_time=T1)
+    roll_path = str(tmp_path / "rollup")
+    seeded = materialize.seed_rollup(
+        spark, table, roll_path, ["user_id"], "value", as_of=T1
+    )
+    before = _rollup_dict(seeded)
+    got = materialize.maintain_rollup(
+        spark, table, roll_path, ["user_id"], "value", since=T1
+    )
+    assert _rollup_dict(got) == before
