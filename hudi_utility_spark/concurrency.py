@@ -1,0 +1,126 @@
+"""Concurrency control for multi-writer tables.
+
+Apache Hudi guards concurrent writers with a lock provider plus
+optimistic conflict resolution (``hoodie.write.concurrency.mode=
+optimistic_concurrency_control``); the reference app sidesteps the
+problem by funneling every job through one FastAPI process (its only
+guard is the 60-minute runaway sweep, ``app.py:75-108``). This module
+gives our keyed tables the same two primitives:
+
+- ``table_lock`` — a mutual-exclusion lease implemented with an atomic
+  marker-file create (``O_CREAT|O_EXCL``) under ``<table>/_locks/``.
+  Works on any filesystem with atomic create (local, HDFS; on S3 use a
+  DynamoDB/ZK provider — same interface). Stale leases (holder died)
+  are taken over after ``timeout_s``.
+- ``write_with_cas`` — compare-and-swap commits: the caller states the
+  instant it based its write on; if the table advanced past it while
+  the writer was planning, a ``CommitConflict`` is raised instead of
+  silently clobbering the concurrent commit (the lost-update anomaly).
+
+Scale: the lock file is O(1) metadata; ``latest_commit`` on MOR reads
+only commit columns (parquet column pruning) and is collect-free until
+the final scalar.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from contextlib import contextmanager
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from hudi_utility_spark.table import KeyedTable, TableType
+from hudi_utility_spark.timeline import COMMIT_COL, EPOCH_INSTANT
+
+
+class LockHeld(RuntimeError):
+    """The table's write lock is held by another live writer."""
+
+
+class CommitConflict(RuntimeError):
+    """The table advanced past the instant this write was based on."""
+
+
+def _lock_path(table: KeyedTable) -> str:
+    return os.path.join(table.path, "_locks", "writer.lock")
+
+
+@contextmanager
+def table_lock(table: KeyedTable, owner: str = "writer", timeout_s: float = 3600.0):
+    """Exclusive writer lease. Atomic acquire via ``O_CREAT|O_EXCL``;
+    raises :class:`LockHeld` (with holder metadata) when contended.
+    A lease older than ``timeout_s`` is presumed orphaned and taken
+    over — the same liveness rule as the reference's runaway sweep."""
+    path = _lock_path(table)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    payload = json.dumps({"owner": owner, "acquired_at": time.time()})
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        try:
+            holder = json.loads(open(path).read() or "{}")
+        except (OSError, json.JSONDecodeError):
+            holder = {}
+        age = time.time() - holder.get("acquired_at", 0)
+        if age <= timeout_s:
+            raise LockHeld(
+                f"lock on {table.path} held by "
+                f"{holder.get('owner', 'unknown')} for {age:.0f}s"
+            ) from None
+        # stale lease: previous holder exceeded the timeout — take over
+        os.remove(path)
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as f:
+        f.write(payload)
+    try:
+        yield
+    finally:
+        if os.path.exists(path):
+            os.remove(path)
+
+
+def latest_commit(spark: SparkSession, table: KeyedTable) -> str:
+    """Highest ``_commit_time`` present in the table (base + log for
+    MOR); the epoch instant for pre-timeline tables."""
+    parts = []
+    base = table.read_base(spark)
+    if COMMIT_COL in base.columns:
+        parts.append(base.select(COMMIT_COL))
+    if table.table_type is TableType.MERGE_ON_READ and os.path.isdir(table.log_path):
+        log = spark.read.option("mergeSchema", "true").parquet(table.log_path)
+        if COMMIT_COL in log.columns:
+            parts.append(log.select(COMMIT_COL))
+    if not parts:
+        return EPOCH_INSTANT
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    row = merged.agg(F.max(COMMIT_COL)).collect()[0][0]
+    return row or EPOCH_INSTANT
+
+
+def write_with_cas(
+    spark: SparkSession,
+    table: KeyedTable,
+    expected_commit: str,
+    write_fn,
+    owner: str = "writer",
+    timeout_s: float = 3600.0,
+):
+    """Commit ``write_fn()`` only if the table is still at
+    ``expected_commit`` — the optimistic writer's validate-then-commit
+    step, executed under the table lock so the check and the write are
+    one critical section. Raises :class:`CommitConflict` when a
+    concurrent writer advanced the timeline first; the caller re-reads,
+    re-plans, and retries (standard OCC loop)."""
+    with table_lock(table, owner=owner, timeout_s=timeout_s):
+        current = latest_commit(spark, table)
+        if current != expected_commit:
+            raise CommitConflict(
+                f"table at {table.path} advanced to {current} "
+                f"(write based on {expected_commit}); re-read and retry"
+            )
+        return write_fn()
