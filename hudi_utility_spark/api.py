@@ -88,3 +88,79 @@ class Engine:
         stored = json.loads(row[0]["transaction_data"])
         known = {f.name for f in BootstrapRequest.__dataclass_fields__.values()}
         return self.bootstrap({k: v for k, v in stored.items() if k in known})
+
+
+class TableServices:
+    """Ledgered wrapper over the table-service surface (upsert / delete /
+    rollback / clean / savepoint / compact / CDC) for one
+    :class:`~hudi_utility_spark.table.KeyedTable` — the write operations
+    the reference's Hudi format supports but its four endpoints never
+    expose (``README.md:104-105`` stops at insert/upsert). Every mutation
+    runs under the writer lock and lands in the same transaction ledger
+    the bootstrap endpoint uses, so ``Engine.history`` shows one audit
+    trail across the whole lifecycle."""
+
+    def __init__(self, engine: Engine, table):
+        from hudi_utility_spark.table import KeyedTable  # noqa: F401
+
+        self.engine = engine
+        self.table = table
+
+    def _ledgered(self, op: str, fn):
+        from hudi_utility_spark.concurrency import table_lock
+
+        led = self.engine.ledger
+        tid = led.begin(self.table.name or "table", {"op": op, "path": self.table.path})
+        try:
+            with table_lock(self.table, owner=op):
+                out = fn()
+        except Exception as exc:
+            led.finish(tid, "FAILED", error_log=str(exc))
+            raise
+        led.finish(tid, "SUCCESS")
+        return out
+
+    def upsert(self, df: DataFrame, commit_time: str | None = None) -> DataFrame:
+        from hudi_utility_spark.write import upsert
+
+        return self._ledgered(
+            "upsert", lambda: upsert(self.engine.spark, df, self.table, commit_time)
+        )
+
+    def delete(self, keys_df: DataFrame, commit_time: str | None = None) -> DataFrame:
+        from hudi_utility_spark.write import delete_keys
+
+        return self._ledgered(
+            "delete",
+            lambda: delete_keys(self.engine.spark, keys_df, self.table, commit_time),
+        )
+
+    def rollback(self, instant: str) -> dict:
+        from hudi_utility_spark import timeline
+
+        return self._ledgered(
+            "rollback", lambda: timeline.rollback(self.engine.spark, self.table, instant)
+        )
+
+    def clean(self, older_than: str) -> dict:
+        from hudi_utility_spark import timeline
+
+        return self._ledgered(
+            "clean", lambda: timeline.clean(self.engine.spark, self.table, older_than)
+        )
+
+    def compact(self) -> None:
+        return self._ledgered("compact", lambda: self.table.compact(self.engine.spark))
+
+    def savepoint(self, instant: str) -> None:
+        from hudi_utility_spark import timeline
+
+        timeline.savepoint(self.table, instant)
+
+    def read(self) -> DataFrame:
+        return self.table.read(self.engine.spark)
+
+    def cdc(self, since: str, until: str | None = None) -> DataFrame:
+        from hudi_utility_spark import timeline
+
+        return timeline.incremental_cdc(self.engine.spark, self.table, since, until)

@@ -98,8 +98,12 @@ class KeyedTable:
         for scheme in ("file://", "hdfs://"):
             if p.startswith(scheme):
                 p = p[len(scheme):]
+        # data entries only: "."/"_"-prefixed names are session/metadata
+        # artifacts (_delta_log, _locks, _savepoints, _index, _SUCCESS) —
+        # a lock taken before the first write must not make the table
+        # "exist"
         return os.path.isdir(p) and any(
-            not e.startswith(".") for e in os.listdir(p)
+            not e.startswith((".", "_")) for e in os.listdir(p)
         )
 
     # -- read ----------------------------------------------------------

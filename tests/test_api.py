@@ -76,3 +76,42 @@ def test_rerun_replays_stored_request(engine, sf_dir, tmp_path):
     assert engine.history().count() == 2
     with pytest.raises(KeyError):
         engine.rerun("missing-tid")
+
+
+def test_table_services_facade_ledgers_every_mutation(spark, events, tmp_path):
+    from hudi_utility_spark.api import Engine, TableServices
+    from hudi_utility_spark.table import KeyedTable, TableType
+
+    eng = Engine(spark, str(tmp_path / "ledger"))
+    svc = TableServices(
+        eng,
+        KeyedTable(
+            path=str(tmp_path / "t"),
+            record_key=["event_id"],
+            precombine="ts",
+            partition_fields=["event_type"],
+            table_type=TableType.MERGE_ON_READ,
+            name="events_svc",
+        ),
+    )
+    import pyspark.sql.functions as F
+
+    svc.upsert(events, commit_time="20260101000000000")
+    victims = events.filter(F.col("event_type") == "view").limit(5).select(
+        "event_id", "event_type", (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts")
+    )
+    svc.delete(victims, commit_time="20260102000000000")
+    assert svc.read().count() == events.count() - 5
+    cdc = svc.cdc(since="20260101000000000")
+    assert cdc.filter("op = 'delete'").count() == 5
+    svc.rollback("20260101000000000")
+    assert svc.read().count() == events.count()
+
+    ops = [
+        r.transaction_data
+        for r in eng.history(transaction_id_like="events_svc").collect()
+    ]
+    for op in ("upsert", "delete", "rollback"):
+        assert any(op in d for d in ops)
+    statuses = {r.status for r in eng.history(transaction_id_like="events_svc").collect()}
+    assert statuses == {"SUCCESS"}
