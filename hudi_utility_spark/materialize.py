@@ -52,11 +52,16 @@ def seed_rollup(
     value_col: str,
     as_of: str,
 ) -> DataFrame:
-    """Materialize the rollup at instant ``as_of`` (one full pass)."""
+    """Materialize the rollup at instant ``as_of`` (one full pass) and
+    record ``as_of`` as the maintenance high-water mark (``._since``
+    marker beside the rollup — consumed by
+    ``streaming.ingest.stream_rollup_maintenance``)."""
     snap = read_as_of(spark, table, as_of)
     rollup = compute_rollup(snap, group_cols, value_col)
     rollup.write.mode("overwrite").parquet(rollup_path)
     spark.catalog.refreshByPath(rollup_path)
+    with open(rollup_path.rstrip("/") + "._since", "w") as f:
+        f.write(as_of)
     return spark.read.parquet(rollup_path)
 
 

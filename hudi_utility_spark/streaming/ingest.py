@@ -52,3 +52,60 @@ def stream_upsert(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_rollup_maintenance(
+    spark: SparkSession,
+    table: KeyedTable,
+    rollup_path: str,
+    group_cols: list[str],
+    value_col: str,
+    checkpoint_dir: str,
+    trigger_once: bool = False,
+):
+    """Continuously maintain a materialized rollup from a MOR table's
+    delta log: a file stream over the log makes each newly committed
+    batch a trigger, and the sink advances the rollup with
+    ``materialize.maintain_rollup`` — CDC-delta work per micro-batch,
+    never a recompute.
+
+    The high-water instant lives next to the rollup (``_since`` marker),
+    so restarts resume the maintenance window exactly where it stopped;
+    re-delivered triggers are no-ops because ``maintain_rollup`` over an
+    empty ``(since, since]`` window applies an empty delta. The rollup
+    must be seeded first (``materialize.seed_rollup``)."""
+    import os
+
+    from hudi_utility_spark.concurrency import latest_commit
+    from hudi_utility_spark.materialize import maintain_rollup
+
+    marker = rollup_path.rstrip("/") + "._since"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not os.path.exists(marker):
+            return  # not seeded yet
+        since = open(marker).read().strip()
+        until = latest_commit(spark, table)
+        if until <= since:
+            return
+        maintain_rollup(
+            spark, table, rollup_path, group_cols, value_col, since, until
+        )
+        with open(marker, "w") as f:
+            f.write(until)
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.option("mergeSchema", "true").parquet(table.log_path).schema
+        )
+        .option("mergeSchema", "true")
+        .parquet(table.log_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

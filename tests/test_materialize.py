@@ -76,3 +76,51 @@ def test_maintenance_is_idempotent_on_empty_window(spark, events, tmp_path):
         spark, table, roll_path, ["user_id"], "value", since=T1
     )
     assert _rollup_dict(got) == before
+
+
+def test_streaming_rollup_maintenance_tracks_commits(spark, events, tmp_path):
+    """File-stream over the delta log drives maintain_rollup per
+    micro-batch; after the stream drains, the view equals a recompute."""
+    from hudi_utility_spark.streaming.ingest import stream_rollup_maintenance
+
+    table = KeyedTable(
+        path=str(tmp_path / "t"),
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+        table_type=TableType.MERGE_ON_READ,
+    )
+    upsert(spark, events, table, commit_time=T1)
+    # MOR first-write lands in the base; put something in the log so the
+    # stream has a source, then seed at that instant
+    warm = events.limit(1).withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 MINUTE"))
+    upsert(spark, warm, table, commit_time="20260101120000000")
+    roll_path = str(tmp_path / "rollup")
+    materialize.seed_rollup(
+        spark, table, roll_path, ["user_id"], "value", as_of="20260101120000000"
+    )
+
+    churn = events.filter(F.col("event_type") == "click").limit(30).select(
+        "event_id",
+        "event_type",
+        (F.col("user_id") + 2).alias("user_id"),
+        (F.col("value") + 10).alias("value"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+    )
+    upsert(spark, churn, table, commit_time=T2)
+    deletes = events.filter(F.col("event_type") == "view").limit(4).select(
+        "event_id", "event_type", (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts")
+    )
+    delete_keys(spark, deletes, table, commit_time="20260103000000000")
+
+    q = stream_rollup_maintenance(
+        spark, table, roll_path, ["user_id"], "value",
+        checkpoint_dir=str(tmp_path / "ckpt"), trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    got = _rollup_dict(spark.read.parquet(roll_path))
+    want = _rollup_dict(
+        materialize.compute_rollup(table.read(spark), ["user_id"], "value")
+    )
+    assert got == want
