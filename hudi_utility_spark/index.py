@@ -107,3 +107,71 @@ def read_with_skipping(
         .parquet(*files)
     )
     return df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+
+
+RECORD_INDEX_DIR = "_index/record_index"
+
+
+def build_record_index(spark: SparkSession, table) -> DataFrame:
+    """Hudi's ``record_index`` metadata partition: record key → base
+    file. One projection+distinct pass over key columns and
+    ``input_file_name()``; the index is O(records) rows but only
+    key-plus-string wide, so it is orders of magnitude smaller than the
+    table (and at 100 TB it would be written bucketed by key so the
+    lookup join is shuffle-free). Enables point lookups and upsert
+    routing without scanning every file of a partition."""
+    df = table.read_base(spark)
+    idx = df.select(
+        *table.record_key, F.input_file_name().alias("file")
+    ).distinct()
+    out = os.path.join(table.path, RECORD_INDEX_DIR)
+    idx.write.mode("overwrite").parquet(out)
+    spark.catalog.refreshByPath(out)
+    return spark.read.parquet(out)
+
+
+def point_lookup(spark: SparkSession, table, keys_df: DataFrame) -> DataFrame:
+    """Read exactly the base files containing the requested keys (via
+    the record index), union the delta log for MOR, resolve precombine,
+    and return the live rows for those keys.
+
+    Scale: the index join is broadcast (keys_df is a point-lookup batch,
+    small by definition); the base scan is the matched files only —
+    ~one file per requested key on a clustered layout instead of a full
+    partition scan. The MOR log is unioned unpruned because it is the
+    small side by design (compaction keeps it so)."""
+    from hudi_utility_spark.table import DELETED_COL, TableType
+    from hudi_utility_spark.write import latest_by_key
+
+    keys = table.record_key
+    idx = spark.read.parquet(os.path.join(table.path, RECORD_INDEX_DIR))
+    files = [
+        r.file
+        for r in idx.join(F.broadcast(keys_df.select(*keys).distinct()), on=keys)
+        .select("file")
+        .distinct()
+        .collect()
+    ]
+    if files:
+        base = (
+            spark.read.option("mergeSchema", "true")
+            .option("basePath", table.base_path)
+            .parquet(*files)
+        )
+        matched = base.join(
+            F.broadcast(keys_df.select(*keys).distinct()), on=keys, how="left_semi"
+        )
+    else:
+        matched = table.read_base(spark).filter(F.lit(False))
+    if table.table_type is TableType.MERGE_ON_READ and os.path.isdir(table.log_path):
+        log = spark.read.option("mergeSchema", "true").parquet(table.log_path)
+        log_matched = log.join(
+            F.broadcast(keys_df.select(*keys).distinct()), on=keys, how="left_semi"
+        )
+        matched = matched.unionByName(log_matched, allowMissingColumns=True)
+    resolved = latest_by_key(matched, keys, table.precombine)
+    if DELETED_COL in resolved.columns:
+        resolved = resolved.filter(
+            ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+        ).drop(DELETED_COL)
+    return resolved

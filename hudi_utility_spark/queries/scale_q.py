@@ -154,3 +154,47 @@ def index_file_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
     )
+
+
+@query(
+    "index_point_lookup",
+    """
+    SELECT event_id, event_type, ROUND(value, 2) AS value
+    FROM events WHERE event_id % 97 = 0
+    """,
+)
+def index_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-level index (Hudi record_index): bootstrap events into a
+    scratch keyed table, index key→file, then answer a point-lookup
+    batch by reading only the matched base files — results must equal
+    the oracle's plain key filter. Lookup cost on a clustered layout is
+    ~one file per key instead of a partition scan."""
+    import os
+    import shutil
+    import tempfile
+
+    from hudi_utility_spark import index
+    from hudi_utility_spark.table import KeyedTable, TableType
+    from hudi_utility_spark.write import upsert
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_utility_spark_q",
+        f"idx_point_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = KeyedTable(
+        path=root,
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+        table_type=TableType.MERGE_ON_READ,
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    upsert(spark, events, table, commit_time="20260101000000001")
+    index.build_record_index(spark, table)
+    wanted = events.filter(F.col("event_id") % 97 == 0).select("event_id")
+    got = index.point_lookup(spark, table, wanted)
+    return got.select("event_id", "event_type", F.round("value", 2).alias("value"))

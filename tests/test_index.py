@@ -53,3 +53,43 @@ def test_empty_range_reads_nothing(spark, sorted_table):
         spark, sorted_table, "l_orderkey", mx + 10, mx + 20
     )
     assert got.isEmpty()
+
+
+def test_record_index_point_lookup(spark, events, tmp_path):
+    from hudi_utility_spark.table import KeyedTable, TableType
+    from hudi_utility_spark.write import delete_keys, upsert
+
+    table = KeyedTable(
+        path=str(tmp_path / "t"),
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+        table_type=TableType.MERGE_ON_READ,
+    )
+    upsert(spark, events, table, commit_time="1")
+    # log churn AFTER the index is built: updates and a delete the
+    # lookup must still see (index covers base; log is unioned live)
+    index.build_record_index(spark, table)
+    upd = events.limit(10).select(
+        "event_id", "event_type",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        F.lit(123.0).alias("value"),
+    )
+    upsert(spark, upd, table, commit_time="2")
+    dead = events.limit(3).select(
+        "event_id", "event_type", (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("ts")
+    )
+    delete_keys(spark, dead, table, commit_time="3")
+
+    wanted = events.limit(10).select("event_id")
+    got = index.point_lookup(spark, table, wanted)
+    rows = {r.event_id: r.value for r in got.select("event_id", "value").collect()}
+    dead_ids = {r.event_id for r in dead.collect()}
+    want_ids = {r.event_id for r in wanted.collect()} - dead_ids
+    assert set(rows) == want_ids
+    assert all(v == 123.0 for v in rows.values())
+
+    # missing keys resolve to nothing
+    mx = events.agg(F.max("event_id")).collect()[0][0]
+    ghost = spark.range(mx + 100, mx + 103).selectExpr("id AS event_id")
+    assert index.point_lookup(spark, table, ghost).isEmpty()
