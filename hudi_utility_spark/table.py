@@ -140,6 +140,41 @@ class KeyedTable:
         return base
 
     # -- maintenance ----------------------------------------------------
+    def cluster(
+        self,
+        spark: SparkSession,
+        sort_fields: list[str],
+        num_files: int | None = None,
+    ) -> None:
+        """Hudi's clustering table service: rewrite the base files
+        range-sorted on *sort_fields* (within the Hive partition layout)
+        so parquet row-group stats and the column-stats index get tight,
+        disjoint ranges — small files merge and range queries prune.
+        Out-of-band like compaction: snapshot content is unchanged (MOR
+        logs are folded in first — clustering implies compaction, as in
+        Hudi). Stale column-stats/record indexes under ``_index`` are
+        dropped; rebuild after clustering."""
+        import shutil
+
+        from hudi_utility_spark.write import write_sorted_partitioned
+
+        if self.table_type is TableType.MERGE_ON_READ:
+            self.compact(spark)
+        resolved = self.read_base(spark)
+        tmp = self.path.rstrip("/") + ".cluster.tmp"
+        write_sorted_partitioned(
+            resolved, tmp, self.partition_fields, sort_fields, num_files=num_files
+        )
+        for entry in os.listdir(self.path):
+            if entry.startswith((".", "_")) and entry not in ("_index",):
+                continue  # keep locks/savepoints; _index is stale → drop
+            target = os.path.join(self.path, entry)
+            shutil.rmtree(target) if os.path.isdir(target) else os.remove(target)
+        for entry in os.listdir(tmp):
+            shutil.move(os.path.join(tmp, entry), os.path.join(self.path, entry))
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.catalog.refreshByPath(self.path)
+
     def compact(self, spark: SparkSession) -> None:
         """Fold the MOR delta log into the base (rewrite, then drop log)."""
         if self.table_type is not TableType.MERGE_ON_READ:

@@ -160,3 +160,54 @@ def test_interval_join_matches_python_model(spark, leads, follows):
         if lk == fk and 0 < fs - ls <= gap
     }
     assert got == expected
+
+
+# -- delete/tombstone algebra -------------------------------------------
+
+OPS = st.lists(
+    st.tuples(
+        st.booleans(),  # True = delete, False = upsert
+        KEYS,
+        PRECOMBINE,
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _apply_python(ops):
+    """Reference semantics: per key, the version with the highest
+    precombine wins (delete beats upsert on ties iff applied later with
+    equal precombine is ambiguous — generated precombines are made
+    unique per key below to avoid the tie)."""
+    state = {}
+    for dead, k, p in ops:
+        cur = state.get(k)
+        if cur is None or p >= cur[0]:
+            state[k] = (p, dead)
+    return {k: p for k, (p, dead) in state.items() if not dead}
+
+
+@given(ops=OPS)
+@_SETTINGS
+def test_tombstone_wins_by_precombine(spark, ops):
+    """One merged resolution over upserts+tombstones must equal the
+    sequential fold: alive keys = those whose max-precombine version is
+    not a delete. Ties are broken deterministically by making the
+    precombine unique per (key, op) pair."""
+    from hudi_utility_spark.write import latest_by_key
+
+    seen = set()
+    uniq = []
+    for dead, k, p in ops:
+        while (k, p) in seen:
+            p += 101  # de-tie, preserving relative order magnitudes
+        seen.add((k, p))
+        uniq.append((dead, k, p))
+
+    df = spark.createDataFrame(
+        [(k, p, dead) for dead, k, p in uniq], ["k", "ts", "_deleted"]
+    )
+    resolved = latest_by_key(df, ["k"], "ts").filter(~F.col("_deleted"))
+    got = {r.k: r.ts for r in resolved.collect()}
+    assert got == _apply_python(uniq)

@@ -152,3 +152,34 @@ def test_savepoint_pins_time_travel_past_clean_horizon(spark, sf_dir, tmp_path):
     timeline.delete_savepoint(table, T2)
     res = timeline.clean(spark, table, older_than=T3)
     assert res["log_rows_kept"] < rows_with_sp
+
+
+def test_clustering_preserves_content_and_sorts_files(spark, sf_dir, tmp_path):
+    """Clustering rewrites the base range-sorted: same snapshot, tighter
+    files (ranges disjoint across files within each partition)."""
+    import glob
+
+    from hudi_utility_spark import index as idx_mod
+
+    table = _table(tmp_path)
+    _three_commits(spark, sf_dir, table)
+    before = _snap_vals(spark, table)
+
+    table.cluster(spark, sort_fields=["event_id"], num_files=6)
+    assert not os.path.isdir(table.log_path)  # clustering implies compaction
+    assert _snap_vals(spark, table) == before
+
+    # rebuilt column stats show non-overlapping event_id ranges within
+    # each partition dir
+    idx_mod.build_column_stats(spark, table.path, ["event_id"])
+    stats = spark.read.parquet(table.path + "/_index/column_stats").collect()
+    by_dir = {}
+    for r in stats:
+        d = os.path.dirname(r.file)
+        by_dir.setdefault(d, []).append((r.min_event_id, r.max_event_id))
+    multi = [v for v in by_dir.values() if len(v) > 1]
+    assert multi  # the layout did split partitions into several files
+    for ranges in multi:
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2  # disjoint
