@@ -113,3 +113,41 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("quality"), 4).alias("avg_quality"),
     )
+
+
+@query(
+    "pipeline_hash_split",
+    """
+    SELECT lang, split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM (
+      SELECT lang, n_chars,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2' THEN 'val'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4' THEN 'test'
+                  ELSE 'train' END AS split
+      FROM documents
+    ) GROUP BY lang, split
+    """,
+)
+def pipeline_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-stable hash
+    (md5 of the document id): the standard leakage-safe split for
+    training corpora — membership is a pure function of the id, so
+    re-runs, backfills, and incremental arrivals land in the same split
+    without any stored assignment table. Map-only until the per
+    (lang, split) aggregate; at 100 TB the hash costs one codegen'd
+    expression per row and the shuffle is O(groups)."""
+    docs = load_table(spark, sf_dir, "documents")
+    digit = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    split = (
+        F.when(digit < "2", F.lit("val"))
+        .when(digit < "4", F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
