@@ -198,3 +198,42 @@ def index_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     wanted = events.filter(F.col("event_id") % 97 == 0).select("event_id")
     got = index.point_lookup(spark, table, wanted)
     return got.select("event_id", "event_type", F.round("value", 2).alias("value"))
+
+
+@query(
+    "zorder_two_dim_scan",
+    """
+    SELECT COUNT(*) AS cnt,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE l_partkey BETWEEN 50 AND 400
+    """,
+)
+def zorder_two_dim_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering: lineitem rewritten along a Morton curve over
+    (l_orderkey, l_partkey), so the column-stats index prunes files for
+    ranges on EITHER column — here the query filters the SECOND
+    dimension, the one a plain sort cannot prune. Result must equal the
+    oracle's full-scan filter; strict pruning on both dims is asserted
+    in tests/test_index.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from hudi_utility_spark import index
+    from hudi_utility_spark.write import write_zordered
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_utility_spark_q",
+        f"zorder_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem")
+    write_zordered(li, root, ["l_orderkey", "l_partkey"], num_files=16)
+    index.build_column_stats(spark, root, ["l_orderkey", "l_partkey"])
+    pruned = index.read_with_skipping(spark, root, "l_partkey", 50, 400)
+    return pruned.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )

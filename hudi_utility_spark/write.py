@@ -372,3 +372,69 @@ def delete_keys(
         shutil.rmtree(table.base_path)
         shutil.move(tmp, table.base_path)
     return table.read(spark)
+
+
+def zorder_value(cols: list, bits: int = 16):
+    """Z-order (Morton) key over *cols*: each column is rank-normalized
+    to a ``bits``-wide integer with ``percent_rank``, then the bits are
+    interleaved — locality in ANY input dimension becomes locality in
+    the single sort key. All plain bit arithmetic inside codegen.
+
+    Rank normalization (not min/max scaling) makes the curve robust to
+    skewed value distributions — equal-population cells, the same
+    reason Delta/Hudi z-ordering samples quantiles.
+    """
+    norm = [
+        F.floor(
+            F.percent_rank().over(Window.orderBy(c)) * ((1 << bits) - 1)
+        ).cast("long")
+        for c in cols
+    ]
+    n = len(norm)
+    terms = []
+    for i in range(bits):
+        for j, col in enumerate(norm):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(col, i).bitwiseAND(F.lit(1)), i * n + j
+                )
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    partition_fields: list[str] | None = None,
+    bits: int = 16,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered write: range-partition + sort by the Morton key
+    so every file covers a small hyper-rectangle of the z-ordered
+    columns — the column-stats index (`index.build_column_stats`) then
+    prunes files for range predicates on ANY of them, not just the
+    leading sort column (the multi-dimensional upgrade of
+    `write_sorted_partitioned`).
+
+    Caveat shared with every z-order implementation: the percent_rank
+    normalization is one global sort-shuffle of the keys (Delta/Hudi
+    sample quantiles instead; same purpose). The data shuffle itself is
+    the one `repartitionByRange` any clustered rewrite pays.
+    """
+    zval = zorder_value([F.col(c) for c in zorder_cols], bits=bits)
+    tagged = df.withColumn("__z", zval)
+    ranged = (
+        tagged.repartitionByRange(num_files, F.col("__z"))
+        if num_files
+        else tagged.repartitionByRange(F.col("__z"))
+    )
+    writer = ranged.sortWithinPartitions("__z").drop("__z").write.mode(mode)
+    if partition_fields:
+        writer = writer.partitionBy(*partition_fields)
+    writer.parquet(path)
+    df.sparkSession.catalog.refreshByPath(path)

@@ -93,3 +93,21 @@ def test_record_index_point_lookup(spark, events, tmp_path):
     mx = events.agg(F.max("event_id")).collect()[0][0]
     ghost = spark.range(mx + 100, mx + 103).selectExpr("id AS event_id")
     assert index.point_lookup(spark, table, ghost).isEmpty()
+
+
+def test_zorder_prunes_on_both_dimensions(spark, lineitem, tmp_path):
+    from hudi_utility_spark.write import write_zordered
+
+    root = str(tmp_path / "zo")
+    write_zordered(lineitem, root, ["l_orderkey", "l_partkey"], num_files=16)
+    index.build_column_stats(spark, root, ["l_orderkey", "l_partkey"])
+
+    assert spark.read.parquet(root).count() == lineitem.count()
+    for c in ("l_orderkey", "l_partkey"):
+        mx = lineitem.agg(F.max(c)).collect()[0][0]
+        kept, total = index.prune_files(spark, root, c, 0, mx // 10)
+        assert 0 < len(kept) < total, c
+        # pruned read still returns exactly the filtered rows
+        got = index.read_with_skipping(spark, root, c, 0, mx // 10).count()
+        want = lineitem.filter(F.col(c) <= mx // 10).count()
+        assert got == want
