@@ -20,7 +20,13 @@ Design notes
 from hudi_utility_spark.session import get_spark
 from hudi_utility_spark.table import KeyedTable, TableType, BootstrapMode
 from hudi_utility_spark.io import read_source, sniff_format, resolve_source
-from hudi_utility_spark.write import full_bootstrap, upsert, latest_by_key
+from hudi_utility_spark.write import (
+    full_bootstrap,
+    upsert,
+    latest_by_key,
+    delete_keys,
+    write_zordered,
+)
 from hudi_utility_spark.repair import (
     missing_partitions,
     incomplete_partitions,
@@ -47,6 +53,8 @@ __all__ = [
     "full_bootstrap",
     "upsert",
     "latest_by_key",
+    "delete_keys",
+    "write_zordered",
     "missing_partitions",
     "incomplete_partitions",
     "partition_counts",

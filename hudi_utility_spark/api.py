@@ -152,6 +152,15 @@ class TableServices:
     def compact(self) -> None:
         return self._ledgered("compact", lambda: self.table.compact(self.engine.spark))
 
+
+    def cluster(self, sort_fields: list, num_files: int | None = None) -> None:
+        return self._ledgered(
+            "cluster",
+            lambda: self.table.cluster(
+                self.engine.spark, sort_fields, num_files=num_files
+            ),
+        )
+
     def savepoint(self, instant: str) -> None:
         from hudi_utility_spark import timeline
 
