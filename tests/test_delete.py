@@ -125,3 +125,41 @@ def test_clean_does_not_resurrect_deleted_keys(spark, events, tmp_path):
     # time travel respects tombstones: as-of post-delete excludes them
     asof = timeline.read_as_of(spark, table, "20260102000000000")
     assert asof.count() == want
+
+
+def test_composite_key_full_lifecycle(spark, events, tmp_path):
+    """Composite record keys (user_id, event_id) through upsert → delete
+    → CDC → point lookup — every path must treat the key as the tuple,
+    not its parts."""
+    from hudi_utility_spark import index, timeline
+
+    table = KeyedTable(
+        path=str(tmp_path / "t"),
+        record_key=["user_id", "event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+        table_type=TableType.MERGE_ON_READ,
+    )
+    upsert(spark, events, table, commit_time="20260101000000000")
+    index.build_record_index(spark, table)
+
+    victims = events.filter(F.col("event_type") == "click").limit(12).select(
+        "user_id", "event_id", "event_type",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+    )
+    delete_keys(spark, victims, table, commit_time="20260102000000000")
+    n_victims = victims.count()
+    assert table.read(spark).count() == events.count() - n_victims
+
+    cdc = timeline.incremental_cdc(spark, table, since="20260101000000000")
+    assert cdc.filter("op = 'delete'").count() == n_victims
+
+    # point lookup: a surviving composite key resolves, a deleted one is gone
+    alive = events.join(
+        victims.select("user_id", "event_id"), ["user_id", "event_id"], "left_anti"
+    ).limit(5).select("user_id", "event_id")
+    got = index.point_lookup(spark, table, alive)
+    assert got.count() == 5
+    assert index.point_lookup(
+        spark, table, victims.select("user_id", "event_id")
+    ).isEmpty()
