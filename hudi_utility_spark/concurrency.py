@@ -8,10 +8,14 @@ guard is the 60-minute runaway sweep, ``app.py:75-108``). This module
 gives our keyed tables the same two primitives:
 
 - ``table_lock`` — a mutual-exclusion lease implemented with an atomic
-  marker-file create (``O_CREAT|O_EXCL``) under ``<table>/_locks/``.
-  Works on any filesystem with atomic create (local, HDFS; on S3 use a
-  DynamoDB/ZK provider — same interface). Stale leases (holder died)
-  are taken over after ``timeout_s``.
+  hard-link publish under ``<table>/_locks/``: the payload is written
+  to a private temp file first, then ``os.link``-ed to the lock path,
+  so the lock either does not exist or exists *with* its holder
+  metadata — there is no observable empty-file window for a contender
+  to misread as a stale lease. Works on any filesystem with atomic
+  link/create (local, HDFS; on S3 use a DynamoDB/ZK provider — same
+  interface). Stale leases (holder died) are taken over after
+  ``timeout_s``.
 - ``write_with_cas`` — compare-and-swap commits: the caller states the
   instant it based its write on; if the table advanced past it while
   the writer was planning, a ``CommitConflict`` is raised instead of
@@ -26,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from contextlib import contextmanager
 
@@ -48,33 +53,70 @@ def _lock_path(table: KeyedTable) -> str:
     return os.path.join(table.path, "_locks", "writer.lock")
 
 
+def _try_publish(tmp: str, path: str) -> bool:
+    """Atomically publish ``tmp`` (payload already on disk) as the lock
+    file. True on acquire; False when another writer holds it."""
+    try:
+        os.link(tmp, path)
+        return True
+    except FileExistsError:
+        return False
+
+
+def _lease_age(path: str) -> tuple[float, str]:
+    """(age_seconds, owner) of the lease at ``path``. Falls back to the
+    file's mtime when the payload is unreadable — never to epoch 0,
+    which would make a just-acquired lease look orphaned."""
+    try:
+        holder = json.loads(open(path).read() or "{}")
+    except (OSError, json.JSONDecodeError):
+        holder = {}
+    acquired = holder.get("acquired_at")
+    if acquired is None:
+        try:
+            acquired = os.stat(path).st_mtime
+        except OSError:
+            acquired = time.time()
+    return time.time() - acquired, holder.get("owner", "unknown")
+
+
 @contextmanager
 def table_lock(table: KeyedTable, owner: str = "writer", timeout_s: float = 3600.0):
-    """Exclusive writer lease. Atomic acquire via ``O_CREAT|O_EXCL``;
-    raises :class:`LockHeld` (with holder metadata) when contended.
-    A lease older than ``timeout_s`` is presumed orphaned and taken
-    over — the same liveness rule as the reference's runaway sweep."""
+    """Exclusive writer lease. The payload is staged in a private temp
+    file and atomically ``os.link``-ed into place, so contenders always
+    observe a fully-written lease; raises :class:`LockHeld` (with holder
+    metadata) when contended. A lease older than ``timeout_s`` is
+    presumed orphaned and taken over — the same liveness rule as the
+    reference's runaway sweep."""
     path = _lock_path(table)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    payload = json.dumps({"owner": owner, "acquired_at": time.time()})
+    tmp = f"{path}.{os.getpid()}.{threading.get_ident()}.tmp"
+    with open(tmp, "w") as f:
+        f.write(json.dumps({"owner": owner, "acquired_at": time.time()}))
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
+        if not _try_publish(tmp, path):
+            age, holder = _lease_age(path)
+            if age <= timeout_s:
+                raise LockHeld(
+                    f"lock on {table.path} held by {holder} for {age:.0f}s"
+                )
+            # stale lease: previous holder exceeded the timeout — take
+            # over, but the unlink+link pair is itself contended, so a
+            # concurrent taker that wins the re-link leaves us LockHeld.
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+            if not _try_publish(tmp, path):
+                age, holder = _lease_age(path)
+                raise LockHeld(
+                    f"lock on {table.path} held by {holder} for {age:.0f}s"
+                )
+    finally:
         try:
-            holder = json.loads(open(path).read() or "{}")
-        except (OSError, json.JSONDecodeError):
-            holder = {}
-        age = time.time() - holder.get("acquired_at", 0)
-        if age <= timeout_s:
-            raise LockHeld(
-                f"lock on {table.path} held by "
-                f"{holder.get('owner', 'unknown')} for {age:.0f}s"
-            ) from None
-        # stale lease: previous holder exceeded the timeout — take over
-        os.remove(path)
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    with os.fdopen(fd, "w") as f:
-        f.write(payload)
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
     try:
         yield
     finally:
