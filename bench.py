@@ -6,6 +6,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Materialization goes through the noop datasource sink — full JVM-side
 execution of every operator (a bare count() would let Catalyst prune the
 expensive projections away).
+
+Every query (warmup and timed) is individually fenced: one broken query
+records {"error": ...} for itself and the harness still emits the JSON
+line — a benchmark that dies on query 6 of 23 produces zero evidence for
+the other 17.
 """
 
 from __future__ import annotations
@@ -14,6 +19,7 @@ import json
 import os
 import sys
 import time
+import traceback
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
@@ -51,43 +57,56 @@ HEADLINE = [
 ]
 
 
+def _run_once(qs, name: str, spark, sf_dir: str) -> str | None:
+    """Build + materialize one query; return an error string or None."""
+    try:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return None
+    except Exception:
+        return traceback.format_exc(limit=3).strip().splitlines()[-1][:300]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("bench")
-    qs = entrymod.queries()
-
-    # Warmup: one untimed pass over the full suite so the timed pass
-    # measures steady-state execution, not one-time JVM costs (codegen
-    # compilation, Arrow/Python worker spin-up, parquet footer reads,
-    # broadcast thread-pool init). Same methodology as a TPC power run
-    # or JMH: hot measurements only.
-    spark.read.parquet(f"{sf_dir}/nation.parquet").groupBy().count().write.format(
-        "noop"
-    ).mode("overwrite").save()
-    for name in HEADLINE:
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+    errors: dict[str, str] = {}
+    try:
+        spark = get_spark("bench")
+        qs = entrymod.queries()
+
+        # Warmup: one untimed pass over the full suite so the timed pass
+        # measures steady-state execution, not one-time JVM costs (codegen
+        # compilation, Arrow/Python worker spin-up, parquet footer reads,
+        # broadcast thread-pool init). Same methodology as a TPC power run
+        # or JMH: hot measurements only.
+        spark.read.parquet(f"{sf_dir}/nation.parquet").groupBy().count().write.format(
+            "noop"
+        ).mode("overwrite").save()
+        for name in HEADLINE:
+            _run_once(qs, name, spark, sf_dir)
+
+        for name in HEADLINE:
+            start = time.perf_counter()
+            err = _run_once(qs, name, spark, sf_dir)
+            if err is None:
+                timings[name] = round(time.perf_counter() - start, 3)
+            else:
+                errors[name] = err
+    except Exception:
+        errors["__harness__"] = traceback.format_exc(limit=3).strip().splitlines()[-1][:300]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    out: dict = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -13,9 +13,15 @@ gives our keyed tables the same two primitives:
   so the lock either does not exist or exists *with* its holder
   metadata — there is no observable empty-file window for a contender
   to misread as a stale lease. Works on any filesystem with atomic
-  link/create (local, HDFS; on S3 use a DynamoDB/ZK provider — same
-  interface). Stale leases (holder died) are taken over after
-  ``timeout_s``.
+  link/create and rename (local, HDFS; on S3 use a DynamoDB/ZK
+  provider — same interface). Stale leases (holder died) are taken
+  over after ``timeout_s`` via *verified* takeover: the contender
+  atomically renames the stale lease to a private name, re-checks the
+  payload it captured is the one it renamed, and only then publishes —
+  two contenders racing the takeover cannot both win, because exactly
+  one rename of the same inode succeeds. Release is owner-checked: a
+  holder whose lease was taken over after timing out does NOT delete
+  the new holder's lease.
 - ``write_with_cas`` — compare-and-swap commits: the caller states the
   instant it based its write on; if the table advanced past it while
   the writer was planning, a ``CommitConflict`` is raised instead of
@@ -66,18 +72,55 @@ def _try_publish(tmp: str, path: str) -> bool:
 def _lease_age(path: str) -> tuple[float, str]:
     """(age_seconds, owner) of the lease at ``path``. Falls back to the
     file's mtime when the payload is unreadable — never to epoch 0,
-    which would make a just-acquired lease look orphaned."""
+    which would make a just-acquired lease look orphaned. Raises
+    :class:`FileNotFoundError` when the lease vanished (holder released
+    between the contender's failed publish and this check) so the caller
+    can retry the publish instead of reporting a phantom holder."""
     try:
         holder = json.loads(open(path).read() or "{}")
+    except FileNotFoundError:
+        raise
     except (OSError, json.JSONDecodeError):
         holder = {}
     acquired = holder.get("acquired_at")
     if acquired is None:
         try:
             acquired = os.stat(path).st_mtime
+        except FileNotFoundError:
+            raise
         except OSError:
             acquired = time.time()
     return time.time() - acquired, holder.get("owner", "unknown")
+
+
+def _sweep_tmp_leases(lock_dir: str, timeout_s: float) -> None:
+    """Remove ``*.tmp`` staging files older than the lease timeout — a
+    writer hard-killed between staging its payload and the finally-
+    cleanup would otherwise leave them in ``_locks/`` forever."""
+    try:
+        names = os.listdir(lock_dir)
+    except OSError:
+        return
+    now = time.time()
+    for n in names:
+        if not n.endswith(".tmp"):
+            continue
+        p = os.path.join(lock_dir, n)
+        try:
+            if now - os.stat(p).st_mtime > timeout_s:
+                os.remove(p)
+        except OSError:
+            pass  # raced with its owner or another sweeper — fine
+
+
+def _read_payload(path: str) -> dict | None:
+    """Lease payload at ``path``; None when it vanished or is garbage."""
+    try:
+        return json.loads(open(path).read() or "{}")
+    except FileNotFoundError:
+        return None
+    except (OSError, json.JSONDecodeError):
+        return {}
 
 
 @contextmanager
@@ -87,31 +130,80 @@ def table_lock(table: KeyedTable, owner: str = "writer", timeout_s: float = 3600
     observe a fully-written lease; raises :class:`LockHeld` (with holder
     metadata) when contended. A lease older than ``timeout_s`` is
     presumed orphaned and taken over — the same liveness rule as the
-    reference's runaway sweep."""
+    reference's runaway sweep.
+
+    Takeover is *verified*: the stale lease is atomically renamed to a
+    per-contender name before removal, so of N contenders racing the
+    same stale lease exactly one rename succeeds (rename of a vanished
+    path raises) — the losers re-enter the contended path instead of
+    blindly deleting whatever currently sits at the lock path (which
+    could be the winner's fresh lease). Release only removes the lock
+    if its payload is still this holder's (``owner`` + ``acquired_at``
+    match): a holder that out-slept its lease and was taken over must
+    not delete the new holder's lease."""
     path = _lock_path(table)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    lock_dir = os.path.dirname(path)
+    os.makedirs(lock_dir, exist_ok=True)
+    _sweep_tmp_leases(lock_dir, timeout_s)
+    token = {"owner": owner, "acquired_at": time.time()}
     tmp = f"{path}.{os.getpid()}.{threading.get_ident()}.tmp"
     with open(tmp, "w") as f:
-        f.write(json.dumps({"owner": owner, "acquired_at": time.time()}))
+        f.write(json.dumps(token))
     try:
-        if not _try_publish(tmp, path):
-            age, holder = _lease_age(path)
-            if age <= timeout_s:
-                raise LockHeld(
-                    f"lock on {table.path} held by {holder} for {age:.0f}s"
-                )
-            # stale lease: previous holder exceeded the timeout — take
-            # over, but the unlink+link pair is itself contended, so a
-            # concurrent taker that wins the re-link leaves us LockHeld.
+        acquired = _try_publish(tmp, path)
+        if not acquired:
             try:
-                os.remove(path)
-            except FileNotFoundError:
-                pass
-            if not _try_publish(tmp, path):
                 age, holder = _lease_age(path)
+            except FileNotFoundError:
+                age, holder = None, None
+            if age is None:
+                # holder released between our failed publish and the
+                # age check — the lock is free, try once more
+                acquired = _try_publish(tmp, path)
+                if not acquired:
+                    age, holder = _lease_age(path)
+                    raise LockHeld(
+                        f"lock on {table.path} held by {holder} for {age:.0f}s"
+                    )
+            elif age <= timeout_s:
                 raise LockHeld(
                     f"lock on {table.path} held by {holder} for {age:.0f}s"
                 )
+            else:
+                # stale lease: capture its payload, then atomically
+                # rename it aside — only one contender's rename can
+                # succeed for a given lease file, making the takeover
+                # race-free; re-check the captured payload so we never
+                # remove a lease that was replaced under us.
+                stale_payload = _read_payload(path)
+                aside = f"{path}.takeover.{os.getpid()}.{threading.get_ident()}"
+                try:
+                    os.rename(path, aside)
+                except FileNotFoundError:
+                    aside = None  # another contender won the rename
+                if aside is not None:
+                    moved = _read_payload(aside)
+                    if stale_payload is not None and moved != stale_payload:
+                        # the lease changed hands between capture and
+                        # rename — we moved a LIVE lease we had no claim
+                        # to; put it back (unless a third party already
+                        # published) and report contention.
+                        try:
+                            os.link(aside, path)
+                        except (FileExistsError, OSError):
+                            pass
+                        os.remove(aside)
+                        raise LockHeld(
+                            f"lock on {table.path} changed holders during "
+                            "takeover; retry"
+                        )
+                    os.remove(aside)
+                acquired = _try_publish(tmp, path)
+                if not acquired:
+                    age, holder = _lease_age(path)
+                    raise LockHeld(
+                        f"lock on {table.path} held by {holder} for {age:.0f}s"
+                    )
     finally:
         try:
             os.remove(tmp)
@@ -120,8 +212,12 @@ def table_lock(table: KeyedTable, owner: str = "writer", timeout_s: float = 3600
     try:
         yield
     finally:
-        if os.path.exists(path):
-            os.remove(path)
+        # owner-checked release: only remove the lease WE published
+        if _read_payload(path) == token:
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
 
 
 def latest_commit(spark: SparkSession, table: KeyedTable) -> str:

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hudi_utility_spark.tsutil import us
+
 
 def asof_join(
     left: DataFrame,
@@ -98,8 +100,8 @@ def asof_join(
     out = filled.filter(F.col(tag) == 1)
     if tolerance_seconds is not None:
         within = (
-            F.col(ts).cast("long") - F.col("__match_ts").cast("long")
-        ) <= F.lit(tolerance_seconds)
+            us(F.col(ts)) - us(F.col("__match_ts"))
+        ) <= F.lit(tolerance_seconds) * F.lit(1_000_000)
         out = out.select(
             "*",
             *[
@@ -135,7 +137,7 @@ def range_self_join(
     # Work in microseconds throughout: second-granularity casts floor,
     # which disagrees with sub-second data at the gap boundary.
     gap_us = max_gap_seconds * 1_000_000
-    epoch = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    epoch = us(F.col(ts_col))
     base = df.select(
         *on,
         F.col(id_col).alias("id"),

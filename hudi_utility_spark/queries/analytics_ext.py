@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hudi_utility_spark.tsutil import us
+
 from hudi_utility_spark.queries import query
 from hudi_utility_spark.tables import load_table
 
@@ -115,7 +117,7 @@ def ts_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         cal.join(counts, ["event_type", "hr"], "left")
         .select(
             "event_type",
-            F.unix_micros("hr").alias("hr_us"),
+            us("hr").alias("hr_us"),
             F.coalesce("c", F.lit(0)).alias("cnt"),
         )
     )

@@ -59,7 +59,7 @@ def fmt_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT r.r_name AS region_name,
            COUNT(*) AS n_nations,
-           SUM(n.n_nationkey) AS key_sum
+           CAST(SUM(n.n_nationkey) AS BIGINT) AS key_sum
     FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY r.r_name
     """,

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hudi_utility_spark.tsutil import us
+
 from hudi_utility_spark.ops.joins import asof_join, range_self_join
 from hudi_utility_spark.queries import query
 from hudi_utility_spark.tables import load_table
@@ -48,9 +50,9 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
-        F.unix_micros("ts").alias("purchase_us"),
+        us("ts").alias("purchase_us"),
         F.col("event_id_right").alias("click_id"),
-        F.unix_micros("ts_right").alias("click_us"),
+        us("ts_right").alias("click_us"),
     )
 
 

@@ -118,7 +118,7 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pipeline_hash_split",
     """
-    SELECT lang, split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM (
       SELECT lang, n_chars,
              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2' THEN 'val'

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hudi_utility_spark.tsutil import us
+
 from hudi_utility_spark.queries import query
 from hudi_utility_spark.tables import load_table
 
@@ -417,7 +419,7 @@ def s7_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+        .select("user_id", "event_id", "event_type", us("ts").alias("ts_us"))
     )
 
 

@@ -39,8 +39,8 @@ def skew_key_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_type,
            COUNT(*) AS cnt,
-           SUM(CASE WHEN e.event_id = d.first_event_id THEN 1 ELSE 0 END)
-             AS first_events,
+           CAST(SUM(CASE WHEN e.event_id = d.first_event_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS first_events,
            ROUND(SUM(e.value), 2) AS total_value
     FROM events e JOIN dim d ON e.user_id = d.user_id
     GROUP BY e.event_type
@@ -73,7 +73,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_type,
            COUNT(*) AS cnt,
-           SUM(d.n_events) AS sum_user_events
+           CAST(SUM(d.n_events) AS BIGINT) AS sum_user_events
     FROM events e JOIN dim d ON e.user_id = d.user_id
     GROUP BY e.event_type
     """,

@@ -68,9 +68,9 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessioned AS (
-        SELECT *, SUM(gap_break) OVER (
+        SELECT *, CAST(SUM(gap_break) OVER (
             PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         FROM marked
     )
     SELECT user_id, session_seq,

@@ -190,9 +190,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_bpe_tokenize",
     r"""
     SELECT lang,
-           SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
-               AS bpe_tokens,
-           SUM(len(regexp_extract_all(text, '[0-9]+'))) AS num_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+               AS BIGINT) AS bpe_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS num_tokens,
            ROUND(AVG(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 4)
                AS avg_tokens_per_doc
     FROM documents GROUP BY lang

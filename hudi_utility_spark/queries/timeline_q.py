@@ -158,13 +158,19 @@ def timeline_cdc_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "event_type", "value"
     )
     upsert(spark, events, table, commit_time=T1)
-    max_id = events.agg(F.max("event_id")).collect()[0][0]
+    # fresh-key offset as a broadcast one-row aggregate, not a collect():
+    # keeps the insert-synthesis a single self-contained plan
+    id_base = events.agg((F.max("event_id") + F.lit(1)).alias("_id_base"))
     changed = (
         events.filter(F.col("event_type") == "click")
         .withColumn("value", F.col("value") + 1000)
         .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
     )
-    inserts = changed.withColumn("event_id", F.col("event_id") + F.lit(max_id + 1))
+    inserts = (
+        changed.crossJoin(F.broadcast(id_base))
+        .withColumn("event_id", F.col("event_id") + F.col("_id_base"))
+        .drop("_id_base")
+    )
     deletes = events.filter(F.col("event_type") == "view").select(
         "event_id", "event_type", (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts")
     )

@@ -106,17 +106,20 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q11_important_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: groups whose value exceeds a fraction of the
     global total — scalar subquery in HAVING (no partsupp: inventory
-    value proxied by retailprice x size per brand). The global total is
-    one tiny aggregate collected once; the grouped side shuffles once."""
+    value proxied by retailprice x size per brand). The global total is a
+    one-row aggregate broadcast-cross-joined onto the grouped side, so the
+    whole query is a single self-contained plan (no driver round-trip);
+    the grouped side shuffles once."""
     p = _t(spark, sf_dir, "part")
     value = F.col("p_retailprice") * F.col("p_size")
-    total = p.agg(F.sum(value)).collect()[0][0]
+    total = p.agg(F.sum(value).alias("_total"))
     return (
         p.groupBy("p_brand")
         .agg(
             F.sum(value).alias("_raw"),
         )
-        .filter(F.col("_raw") > total * 0.041)
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("_raw") > F.col("_total") * 0.041)
         .select("p_brand", F.round("_raw", 2).alias("value"))
     )
 
@@ -169,9 +172,12 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) achieving the quarter's maximum revenue —
-    aggregate once, take the max of the (small) aggregate, filter by
-    equality. The revenue view is cached so max + filter don't rescan
-    lineitem."""
+    aggregate once, rank with a global max_over window on the (small,
+    one-row-per-supplier) aggregate, filter by equality. One plan, no
+    driver round-trip; the revenue view is cached so the window pass and
+    the join don't rescan lineitem."""
+    from pyspark.sql import Window
+
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     revenue = (
@@ -185,10 +191,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
         .cache()
     )
-    max_rev = revenue.agg(F.max("total_revenue")).collect()[0][0]
+    top = revenue.withColumn(
+        "_max_rev", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("_max_rev"))
     return (
         s.join(
-            revenue.filter(F.col("total_revenue") == max_rev),
+            top,
             s.s_suppkey == F.col("supplier_no"),
         )
         .select(

@@ -25,6 +25,14 @@ _DEFAULTS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # The corpus parquet stores µs timestamps with no timezone flag, which
+    # Spark 4 infers as TIMESTAMP_NTZ. Default new timestamps (literals,
+    # to_timestamp, createDataFrame inference) to NTZ too, so engine
+    # rewrites of a partition merge cleanly with original files instead of
+    # dying in CANNOT_MERGE_INCOMPATIBLE_DATA_TYPE (NTZ vs LTZ) on the
+    # mergeSchema re-read. Epoch extraction goes through tsutil.us(),
+    # which casts to LTZ explicitly.
+    "spark.sql.timestampType": "TIMESTAMP_NTZ",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Hive-style dynamic partition overwrite: replaces only the partitions
     # present in the written DataFrame — the safe idiom for partition

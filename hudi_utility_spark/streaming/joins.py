@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hudi_utility_spark.tsutil import as_ltz, us
+
 
 def followed_within(
     left: DataFrame,
@@ -50,8 +52,10 @@ def followed_within(
         F.col(ts_col).alias("follow_ts"),
     )
     if watermark is not None:
-        lead = lead.withWatermark("lead_ts", watermark)
-        follow = follow.withWatermark("follow_ts", watermark)
+        # event time must be LTZ TIMESTAMP (NTZ is rejected); the UTC
+        # cast preserves epochs, so batch/stream parity holds
+        lead = as_ltz(lead, "lead_ts").withWatermark("lead_ts", watermark)
+        follow = as_ltz(follow, "follow_ts").withWatermark("follow_ts", watermark)
     cond = (
         (F.col(key) == F.col("__follow_key"))
         & (F.col("follow_ts") > F.col("lead_ts"))
@@ -66,6 +70,6 @@ def followed_within(
             key,
             "lead_id",
             "follow_id",
-            (F.unix_micros("follow_ts") - F.unix_micros("lead_ts")).alias("gap_us"),
+            (us("follow_ts") - us("lead_ts")).alias("gap_us"),
         )
     )

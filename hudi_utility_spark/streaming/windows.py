@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hudi_utility_spark.tsutil import as_ltz, us
+
 
 def tumbling_counts(
     df: DataFrame,
@@ -24,7 +26,7 @@ def tumbling_counts(
     """Tumbling-window counts/sums. In streaming mode, pass a watermark so
     late rows beyond the delay are dropped and state is reclaimed."""
     if watermark:
-        df = df.withWatermark(ts_col, watermark)
+        df = as_ltz(df, ts_col).withWatermark(ts_col, watermark)
     return (
         df.groupBy(F.window(ts_col, width).alias("win"), *group_cols)
         .agg(
@@ -32,7 +34,7 @@ def tumbling_counts(
             F.round(F.sum("value"), 2).alias("total_value"),
         )
         .select(
-            F.unix_micros(F.col("win.start")).alias("window_start_us"),
+            us(F.col("win.start")).alias("window_start_us"),
             *group_cols,
             "cnt",
             "total_value",
@@ -49,13 +51,13 @@ def sliding_counts(
 ) -> DataFrame:
     """Sliding-window counts (each row lands in width/slide windows)."""
     if watermark:
-        df = df.withWatermark(ts_col, watermark)
+        df = as_ltz(df, ts_col).withWatermark(ts_col, watermark)
     return (
         df.groupBy(F.window(ts_col, width, slide).alias("win"), "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
-            F.unix_micros(F.col("win.start")).alias("window_start_us"),
-            F.unix_micros(F.col("win.end")).alias("window_end_us"),
+            us(F.col("win.start")).alias("window_start_us"),
+            us(F.col("win.end")).alias("window_end_us"),
             "event_type",
             "cnt",
         )
@@ -82,7 +84,7 @@ def session_windows_batch(
     # across engines near the gap threshold)
     gap_break = (
         F.when(
-            F.unix_micros(F.col(ts_col)) - F.lag(F.unix_micros(F.col(ts_col))).over(w)
+            us(F.col(ts_col)) - F.lag(us(F.col(ts_col))).over(w)
             > gap_minutes * 60 * 1_000_000,
             1,
         )
@@ -93,8 +95,8 @@ def session_windows_batch(
         with_sess.groupBy(key_col, "session_seq")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.unix_micros(F.min(ts_col)).alias("session_start_us"),
-            F.unix_micros(F.max(ts_col)).alias("session_end_us"),
+            us(F.min(ts_col)).alias("session_start_us"),
+            us(F.max(ts_col)).alias("session_end_us"),
             F.round(F.sum("value"), 2).alias("session_value"),
         )
     )
@@ -110,13 +112,13 @@ def session_windows_stream(
     """Streaming sessionization via the native session_window (state-store
     backed, watermark-bounded)."""
     return (
-        df.withWatermark(ts_col, watermark)
+        as_ltz(df, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap).alias("win"), key_col)
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             key_col,
-            F.unix_micros(F.col("win.start")).alias("session_start_us"),
-            F.unix_micros(F.col("win.end")).alias("session_end_us"),
+            us(F.col("win.start")).alias("session_start_us"),
+            us(F.col("win.end")).alias("session_end_us"),
             "n_events",
         )
     )
@@ -128,7 +130,7 @@ def dedup_within_watermark(
     """Streaming exact dedup with bounded state
     (dropDuplicatesWithinWatermark); the streaming twin of
     ops.dedup.dedup_exact."""
-    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return as_ltz(df, ts_col).withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def run_stream_to_memory(

@@ -93,3 +93,45 @@ def test_partitions_to_repair_union(spark, events, bootstrapped):
     _truncate_partition(spark, bootstrapped, "purchase")
     dest = bootstrapped.read_base(spark)
     assert partitions_to_repair(events, dest, "event_type") == ["click", "purchase"]
+
+
+def test_resume_on_timestamp_partitioned_ntz_table(spark, events, tmp_path):
+    """The reference's signature scenario (pyspark_script.py:392-401) on
+    timestamp-partitioned NTZ data: bootstrap events partitioned by the
+    event *date* (derived from the TIMESTAMP_NTZ ts), drop one date
+    partition, corrupt another, resume, and verify the engine-rewritten
+    partitions merge cleanly with the original NTZ files (the r1
+    NTZ-vs-LTZ CANNOT_MERGE_INCOMPATIBLE_DATA_TYPE regression)."""
+    dated = events.withColumn("event_date", F.to_date("ts").cast("string"))
+    t = KeyedTable(
+        path=str(tmp_path / "events_by_date"),
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_date"],
+    )
+    full_bootstrap(spark, dated, t)
+    dates = sorted(
+        r[0] for r in dated.select("event_date").distinct().collect()
+    )
+    assert len(dates) >= 2, "need at least two date partitions"
+    dropped, truncated = dates[0], dates[-1]
+
+    shutil.rmtree(f"{t.path}/event_date={dropped}")
+    # corrupt: rewrite one partition through a round-trip (pandas →
+    # createDataFrame) — the exact path that used to come back LTZ and
+    # explode on the mergeSchema re-read
+    part = spark.read.parquet(f"{t.path}/event_date={truncated}").limit(1)
+    pdf = part.toPandas()
+    shutil.rmtree(f"{t.path}/event_date={truncated}")
+    spark.createDataFrame(pdf).write.parquet(f"{t.path}/event_date={truncated}")
+
+    # the re-read (mergeSchema over original + rewritten files) must not
+    # raise, and ts must still be NTZ end-to-end
+    merged = t.read_base(spark)
+    assert merged.schema["ts"].dataType.typeName() == "timestamp_ntz"
+
+    result = resume_bootstrap(spark, dated, t)
+    assert sorted(result["repaired_partitions"]) == sorted([dropped, truncated])
+    healed = t.read(spark)
+    assert healed.count() == events.count()
+    assert healed.schema["ts"].dataType.typeName() == "timestamp_ntz"

@@ -87,3 +87,33 @@ def test_sorted_partitioned_write_rowgroup_stats(spark, lineitem, tmp_path):
             prev_max = st.max
     # read back matches source row count
     assert spark.read.parquet(out).count() == lineitem.count()
+
+
+def test_hudi_passthrough_gate(spark, tmp_path):
+    """The real-Hudi sink adapter (SURVEY §1.3): writes through
+    format("hudi") when the bundle is on the classpath, and fails with a
+    clear actionable error (not an opaque ClassNotFound) when absent.
+    In this sandbox the bundle is absent, so the gate path is what runs;
+    on a cluster with --packages the same call round-trips through Hudi.
+    """
+    import pytest
+
+    from hudi_utility_spark.table import KeyedTable
+    from hudi_utility_spark.write import hudi_bundle_available, write_hudi
+
+    table = KeyedTable(
+        path=str(tmp_path / "hudi_tbl"),
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+    )
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "click", 1.0)],
+        "event_id bigint, ts string, event_type string, value double",
+    )
+    if hudi_bundle_available(spark):
+        write_hudi(spark, df, table)
+        assert spark.read.format("hudi").load(table.path).count() == 1
+    else:
+        with pytest.raises(RuntimeError, match="hudi-spark bundle"):
+            write_hudi(spark, df, table)

@@ -57,9 +57,11 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
+    checked = 0
     for name, fn in sorted(qs.items()):
         if name_filter and name_filter not in name:
             continue
+        checked += 1
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
@@ -118,7 +120,7 @@ def main() -> int:
             print(f"FAIL  {name}: " + "; ".join(problems))
         else:
             print(f"ok    {name}: {len(srows)} rows")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries agree")
+    print(f"\n{checked - len(failures)}/{checked} checked queries agree ({len(qs)} registered)")
     return 1 if failures else 0
 
 
