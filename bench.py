@@ -58,12 +58,24 @@ HEADLINE = [
 
 
 def _run_once(qs, name: str, spark, sf_dir: str) -> str | None:
-    """Build + materialize one query; return an error string or None."""
+    """Build + materialize one query; return an error string or None.
+
+    Clears the block-manager cache afterwards: a few operators persist()
+    intermediates their returned plan depends on (jaccard shingles, IVF
+    centroids) and can't unpersist them before returning; without the
+    clear, every run re-persists a fresh copy and the accumulated blocks
+    GC-thrash later queries (measured 5.6x inflation over the suite).
+    """
     try:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return None
     except Exception:
         return traceback.format_exc(limit=3).strip().splitlines()[-1][:300]
+    finally:
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
 
 
 def main() -> None:
