@@ -100,3 +100,90 @@ def test_concurrent_threads_serialize_under_lock(spark, events, tmp_path):
         t.join(timeout=120)
     assert sorted(results) == ["w0", "w1"]
     assert concurrency.latest_commit(spark, table) == "20260103000000000"
+
+
+def test_takeover_victim_does_not_release_new_holders_lease(spark, events, tmp_path):
+    """A holder whose lease was taken over after out-sleeping timeout_s
+    must not delete the new holder's lease on exit (owner-checked
+    release): after the victim's context exits, the taker still holds."""
+    import os
+
+    table = _table(tmp_path)
+    upsert(spark, events, table, commit_time=T1)
+    lock_path = concurrency._lock_path(table)
+    with concurrency.table_lock(table, owner="victim"):
+        # taker treats the lease as orphaned and takes over
+        ctx = concurrency.table_lock(table, owner="taker", timeout_s=0.0)
+        ctx.__enter__()
+        try:
+            assert concurrency._read_payload(lock_path)["owner"] == "taker"
+        finally:
+            pass
+    # victim's exit ran: the taker's lease must still be present
+    assert os.path.exists(lock_path)
+    assert concurrency._read_payload(lock_path)["owner"] == "taker"
+    ctx.__exit__(None, None, None)
+    assert not os.path.exists(lock_path)
+
+
+def test_stale_tmp_files_are_swept_on_acquire(spark, events, tmp_path):
+    import os
+    import time as _time
+
+    table = _table(tmp_path)
+    upsert(spark, events, table, commit_time=T1)
+    lock_dir = os.path.dirname(concurrency._lock_path(table))
+    os.makedirs(lock_dir, exist_ok=True)
+    orphan = os.path.join(lock_dir, "writer.lock.999.999.tmp")
+    open(orphan, "w").write("{}")
+    old = _time.time() - 7200
+    os.utime(orphan, (old, old))
+    with concurrency.table_lock(table, owner="a", timeout_s=3600):
+        pass
+    assert not os.path.exists(orphan)
+
+
+def test_concurrent_stale_takeover_single_winner(spark, events, tmp_path):
+    """N threads racing takeover of the same stale lease: exactly one
+    acquires; losers get LockHeld, and the winner's lease survives the
+    losers' error paths (the race ADVICE.md flagged)."""
+    import json
+    import os
+    import time as _time
+
+    table = _table(tmp_path)
+    upsert(spark, events, table, commit_time=T1)
+    lock_path = concurrency._lock_path(table)
+    # forge a stale lease directly (owner died long ago)
+    os.makedirs(os.path.dirname(lock_path), exist_ok=True)
+    with open(lock_path, "w") as f:
+        f.write(json.dumps({"owner": "dead", "acquired_at": _time.time() - 9999}))
+
+    winners, losers, errors = [], [], []
+    hold = threading.Event()
+
+    def contend(name):
+        try:
+            with concurrency.table_lock(table, owner=name, timeout_s=60):
+                winners.append(name)
+                hold.wait(2.0)  # hold while losers finish their attempts
+        except concurrency.LockHeld:
+            losers.append(name)
+        except Exception as exc:  # pragma: no cover
+            errors.append((name, repr(exc)))
+
+    threads = [threading.Thread(target=contend, args=(f"w{i}",)) for i in range(8)]
+    for t in threads:
+        t.start()
+    # let every loser run to completion while the winner still holds
+    deadline = _time.time() + 5
+    while len(winners) + len(losers) + len(errors) < 8 and _time.time() < deadline:
+        _time.sleep(0.05)
+    # the winner's lease must still be in place despite 7 failed takeovers
+    assert len(winners) == 1, (winners, losers, errors)
+    assert concurrency._read_payload(lock_path)["owner"] == winners[0]
+    hold.set()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert not os.path.exists(lock_path)

@@ -37,7 +37,9 @@ def audit(plan: str) -> dict:
         "bnlj": len(re.findall(r"BroadcastNestedLoopJoin", plan)),
         "cartesian": len(re.findall(r"CartesianProduct", plan)),
         "pushed": len(re.findall(r"PushedFilters: \[(?!\])", plan)),
-        "scans": len(re.findall(r"Scan parquet", plan)),
+        # numbered node headers only — the formatted plan repeats each
+        # scan in its per-node detail section, which would double-count
+        "scans": len(re.findall(r"\(\d+\) Scan parquet", plan)),
         "wscg": len(re.findall(r"WholeStageCodegen", plan)),
         "python": len(re.findall(r"(ArrowEvalPython|BatchEvalPython|MapInPandas)", plan)),
         "sorts": len(re.findall(r"\bSort\b", plan)),
