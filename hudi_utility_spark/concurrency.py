@@ -13,15 +13,15 @@ gives our keyed tables the same two primitives:
   so the lock either does not exist or exists *with* its holder
   metadata — there is no observable empty-file window for a contender
   to misread as a stale lease. Works on any filesystem with atomic
-  link/create and rename (local, HDFS; on S3 use a DynamoDB/ZK
+  link/create (local, HDFS; on S3 use a DynamoDB/ZK
   provider — same interface). Stale leases (holder died) are taken
-  over after ``timeout_s`` via *verified* takeover: the contender
-  atomically renames the stale lease to a private name, re-checks the
-  payload it captured is the one it renamed, and only then publishes —
-  two contenders racing the takeover cannot both win, because exactly
-  one rename of the same inode succeeds. Release is owner-checked: a
-  holder whose lease was taken over after timing out does NOT delete
-  the new holder's lease.
+  over after ``timeout_s`` via *serialized, verified* takeover:
+  contenders race for a takeover mutex (an O_CREAT|O_EXCL slot file)
+  and the holder re-verifies the lease is still stale inside it before
+  removing anything — a fresh lease published by a concurrent winner
+  is never deleted, so two contenders cannot both end up holding.
+  Release is owner-checked: a holder whose lease was taken over after
+  timing out does NOT delete the new holder's lease.
 - ``write_with_cas`` — compare-and-swap commits: the caller states the
   instant it based its write on; if the table advanced past it while
   the writer was planning, a ``CommitConflict`` is raised instead of
@@ -123,6 +123,31 @@ def _read_payload(path: str) -> dict | None:
         return {}
 
 
+def _takeover_slot(path: str, timeout_s: float):
+    """Acquire the takeover mutex (``<lock>.tk``): O_CREAT|O_EXCL, so at
+    most one contender runs the remove-stale-then-publish sequence at a
+    time. Returns the slot path, or None when another takeover is in
+    flight. A slot whose owner crashed is itself reclaimed after a short
+    bound (its critical section is microseconds, not a lease term)."""
+    slot = f"{path}.tk"
+    slot_timeout = min(timeout_s, 30.0)
+    for _ in range(2):
+        try:
+            fd = os.open(slot, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(time.time()).encode())
+            os.close(fd)
+            return slot
+        except FileExistsError:
+            try:
+                if time.time() - os.stat(slot).st_mtime > slot_timeout:
+                    os.remove(slot)
+                    continue  # reclaimed a crashed takeover; retry create
+            except OSError:
+                continue  # slot vanished or raced — retry create
+            return None
+    return None
+
+
 @contextmanager
 def table_lock(table: KeyedTable, owner: str = "writer", timeout_s: float = 3600.0):
     """Exclusive writer lease. The payload is staged in a private temp
@@ -132,15 +157,14 @@ def table_lock(table: KeyedTable, owner: str = "writer", timeout_s: float = 3600
     presumed orphaned and taken over — the same liveness rule as the
     reference's runaway sweep.
 
-    Takeover is *verified*: the stale lease is atomically renamed to a
-    per-contender name before removal, so of N contenders racing the
-    same stale lease exactly one rename succeeds (rename of a vanished
-    path raises) — the losers re-enter the contended path instead of
-    blindly deleting whatever currently sits at the lock path (which
-    could be the winner's fresh lease). Release only removes the lock
-    if its payload is still this holder's (``owner`` + ``acquired_at``
-    match): a holder that out-slept its lease and was taken over must
-    not delete the new holder's lease."""
+    Takeover protocol: contenders that judge the lease stale serialize
+    through a takeover mutex (``_takeover_slot``) and RE-VERIFY
+    staleness inside it before removing anything — so a fresh lease
+    published by a concurrent winner is never deleted, and the lock
+    path's exists-gap (between removing the stale lease and publishing
+    our own) can only be won by one ``os.link``. Release is
+    owner-checked: a holder that out-slept its lease and was taken over
+    must not delete the new holder's lease."""
     path = _lock_path(table)
     lock_dir = os.path.dirname(path)
     os.makedirs(lock_dir, exist_ok=True)
@@ -170,40 +194,45 @@ def table_lock(table: KeyedTable, owner: str = "writer", timeout_s: float = 3600
                     f"lock on {table.path} held by {holder} for {age:.0f}s"
                 )
             else:
-                # stale lease: capture its payload, then atomically
-                # rename it aside — only one contender's rename can
-                # succeed for a given lease file, making the takeover
-                # race-free; re-check the captured payload so we never
-                # remove a lease that was replaced under us.
-                stale_payload = _read_payload(path)
-                aside = f"{path}.takeover.{os.getpid()}.{threading.get_ident()}"
-                try:
-                    os.rename(path, aside)
-                except FileNotFoundError:
-                    aside = None  # another contender won the rename
-                if aside is not None:
-                    moved = _read_payload(aside)
-                    if stale_payload is not None and moved != stale_payload:
-                        # the lease changed hands between capture and
-                        # rename — we moved a LIVE lease we had no claim
-                        # to; put it back (unless a third party already
-                        # published) and report contention.
-                        try:
-                            os.link(aside, path)
-                        except (FileExistsError, OSError):
-                            pass
-                        os.remove(aside)
-                        raise LockHeld(
-                            f"lock on {table.path} changed holders during "
-                            "takeover; retry"
-                        )
-                    os.remove(aside)
-                acquired = _try_publish(tmp, path)
-                if not acquired:
-                    age, holder = _lease_age(path)
+                slot = _takeover_slot(path, timeout_s)
+                if slot is None:
                     raise LockHeld(
-                        f"lock on {table.path} held by {holder} for {age:.0f}s"
+                        f"lock on {table.path} stale; takeover already in "
+                        "flight — retry"
                     )
+                try:
+                    # re-verify INSIDE the mutex: a concurrent takeover
+                    # winner may have published a fresh lease since our
+                    # age check. Only a still-stale lease is removed.
+                    try:
+                        age2, holder2 = _lease_age(path)
+                    except FileNotFoundError:
+                        age2, holder2 = None, None
+                    if age2 is not None and age2 <= timeout_s:
+                        raise LockHeld(
+                            f"lock on {table.path} held by {holder2} for "
+                            f"{age2:.0f}s"
+                        )
+                    if age2 is not None:
+                        try:
+                            os.remove(path)
+                        except FileNotFoundError:
+                            pass
+                    # the exists-gap here is safe: if another contender's
+                    # initial publish slips in first, our link fails and
+                    # we report contention — never a double hold.
+                    acquired = _try_publish(tmp, path)
+                    if not acquired:
+                        age3, holder3 = _lease_age(path)
+                        raise LockHeld(
+                            f"lock on {table.path} held by {holder3} for "
+                            f"{age3:.0f}s"
+                        )
+                finally:
+                    try:
+                        os.remove(slot)
+                    except FileNotFoundError:
+                        pass
     finally:
         try:
             os.remove(tmp)

@@ -109,7 +109,8 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 1,
     threshold: float = 0.5,
-    broadcast_sets: bool = True,
+    broadcast_sets: bool | None = None,
+    max_broadcast_entries: int = 5_000_000,
     max_dense_vocab: int = 4096,
     max_allpairs_groups: int = 8192,
 ) -> DataFrame:
@@ -118,8 +119,13 @@ def jaccard_pairs(
 
     ``broadcast_sets``: hint the per-doc shingle-set side of the
     verification join as broadcast. Right while the doc-set relation
-    fits executor memory (≲ a few GB); at full 100 TB corpus scale pass
-    False and the verification becomes a shuffle join on id.
+    fits executor memory (≲ a few GB); at full 100 TB corpus scale the
+    verification must be a shuffle join on id instead. The default
+    (``None``) decides from the measured size of the (persisted)
+    shingle relation — broadcast only when it holds at most
+    ``max_broadcast_entries`` (id, shingle) rows, the same
+    runtime-stats dispatch AQE uses — so the operator needs no retuning
+    between a 10k-doc test corpus and a full crawl.
 
     **Adaptive verification.** One driver-side count of the distinct
     shingle vocabulary picks the physical strategy (the same move AQE
@@ -157,6 +163,11 @@ def jaccard_pairs(
     sh = sh.persist()
     vocab = sh.select("shingle").distinct()
     vocab_count = vocab.count()
+    if broadcast_sets is None:
+        # runtime-stats dispatch (the shingle relation is persisted, so
+        # this count is a cache scan): broadcast the per-doc set side
+        # only when it demonstrably fits executor memory
+        broadcast_sets = sh.count() <= max_broadcast_entries
 
     def _prefix_candidates() -> DataFrame:
         # Canonical global order: (document frequency asc, shingle) —

@@ -47,6 +47,20 @@ def test_jaccard_paths_agree_on_corpus(spark, documents):
     assert d == s and len(d) > 0
 
 
+def test_jaccard_shuffle_verification_matches_broadcast(spark, documents):
+    """The corpus-scale path (adaptive dispatch decides the doc-set
+    relation is too big to broadcast → shuffle join on id) must produce
+    exactly the broadcast path's pairs. max_broadcast_entries=0 forces
+    the shuffle path on the test corpus."""
+    bcast = D.jaccard_pairs(documents, n=1, threshold=0.8, max_dense_vocab=0)
+    shuffled = D.jaccard_pairs(
+        documents, n=1, threshold=0.8, max_dense_vocab=0, max_broadcast_entries=0
+    )
+    b = {(r.id_a, r.id_b): r.jaccard for r in bcast.collect()}
+    s = {(r.id_a, r.id_b): r.jaccard for r in shuffled.collect()}
+    assert b == s and len(b) > 0
+
+
 def test_exact_dedup_survivors_deterministic(spark):
     df = _docs(
         spark,
