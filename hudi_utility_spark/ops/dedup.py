@@ -163,11 +163,16 @@ def jaccard_pairs(
     sh = sh.persist()
     vocab = sh.select("shingle").distinct()
     vocab_count = vocab.count()
-    if broadcast_sets is None:
+
+    def _should_broadcast() -> bool:
         # runtime-stats dispatch (the shingle relation is persisted, so
         # this count is a cache scan): broadcast the per-doc set side
-        # only when it demonstrably fits executor memory
-        broadcast_sets = sh.count() <= max_broadcast_entries
+        # only when it demonstrably fits executor memory. Lazy — the
+        # dense all-pairs path never consults it, so small/template
+        # corpora skip the extra action entirely.
+        if broadcast_sets is not None:
+            return broadcast_sets
+        return sh.count() <= max_broadcast_entries
 
     def _prefix_candidates() -> DataFrame:
         # Canonical global order: (document frequency asc, shingle) —
@@ -316,7 +321,7 @@ def jaccard_pairs(
             F.col("set_size").alias("size_b"),
             *[F.col(f"w{i}").alias(f"wb{i}") for i in range(nwords)],
         )
-        if broadcast_sets:
+        if _should_broadcast():
             ma, mb = F.broadcast(ma), F.broadcast(mb)
         common = sum(
             (
@@ -345,7 +350,7 @@ def jaccard_pairs(
     sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("shingles"))
     sa = sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    if broadcast_sets:
+    if _should_broadcast():
         sa, sb = F.broadcast(sa), F.broadcast(sb)
     verified = (
         cand.join(sa, "id_a")

@@ -207,21 +207,45 @@ def random_hyperplane_sketch(
 
     cos(a,b) ≈ cos(π · hamming/planes); block on the sketch for
     candidate generation like simhash_near_pairs.
+
+    The projection is a higher-order-function fold (``zip_with`` the
+    vector against ``transform``-generated plane components, then
+    ``aggregate``): O(planes) expression nodes regardless of vector
+    width, so a 4k-dim embedding plans as fast as a 768-dim one. (An
+    earlier statically-unrolled form built planes × dims nodes — fine
+    at 768, codegen-hostile past ~2k.) The left-fold order matches the
+    unrolled sum exactly, so sketches are bit-identical across the two
+    formulations.
     """
     dim_count = len(df.select(vec_col).first()[0])
+    dims = F.sequence(F.lit(0), F.lit(dim_count - 1))
+
+    def _plane_comps(p: int):
+        # deterministic ±1 plane components from a hash of (p, dim),
+        # generated inside the expression — nothing driver-side scales
+        # with dimensionality. NB: the lambda must take exactly one
+        # parameter — PySpark passes (element, index) to two-parameter
+        # HOF lambdas, so a `p=p` default would silently rebind p to
+        # the index column.
+        prefix = f"plane{p}:dim"
+        return F.transform(
+            dims,
+            lambda d: F.when(
+                F.xxhash64(F.concat(F.lit(prefix), d.cast("string")))
+                .bitwiseAND(F.lit(1))
+                == 1,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+
     sketch = None
     for p in range(planes):
-        # deterministic ±1 plane components from a hash of (p, dim)
-        comps = [
-            F.when(
-                F.xxhash64(F.lit(f"plane{p}:dim{d}")).bitwiseAND(F.lit(1)) == 1, 1.0
-            ).otherwise(-1.0)
-            for d in range(dim_count)
-        ]
-        proj = None
-        for d, c in enumerate(comps):
-            term = F.element_at(F.col(vec_col), d + 1).cast("double") * c
-            proj = term if proj is None else proj + term
+        comps = _plane_comps(p)
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col).cast("array<double>"), comps, lambda v, c: v * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = bit * F.lit(1 << p).cast("long")
         sketch = term if sketch is None else sketch + term
