@@ -409,14 +409,19 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 2,
     threshold: float = 0.5,
-    broadcast_sigs: bool = True,
+    broadcast_sigs: bool | None = None,
+    max_broadcast_docs: int = 1_000_000,
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified by signature similarity.
 
     ``broadcast_sigs``: hint the signature side of the verification
     joins as broadcast (k×8 bytes per doc). At corpus scales where the
-    signature relation exceeds executor memory, pass False for a
-    shuffle join on id.
+    signature relation exceeds executor memory the verification must be
+    a shuffle join on id instead; the default (``None``) decides from
+    the measured doc count of the (persisted) signature relation —
+    broadcast only up to ``max_broadcast_docs`` (~k×8 bytes each, so
+    the default bound is ≈256 MB at k=32), the same runtime-stats
+    dispatch as ``jaccard_pairs``.
 
     Pipeline: signature → split into `bands` bands of k/bands rows →
     hash each band → self-join on (band_idx, band_hash) → estimated
@@ -466,7 +471,7 @@ def minhash_lsh_pairs(
     )
     sig_a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sig_b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    if broadcast_sigs:
+    if broadcast_sigs if broadcast_sigs is not None else sig.count() <= max_broadcast_docs:
         sig_a, sig_b = F.broadcast(sig_a), F.broadcast(sig_b)
     # Statically-unrolled position-match count: k primitive comparisons
     # inside whole-stage codegen (a zip_with/filter HOF here evaluates

@@ -115,3 +115,20 @@ def test_simhash_hamming_distance_expr(spark):
     df = spark.createDataFrame([(0b1011, 0b0010)], ["a", "b"])
     out = df.select(D.hamming_distance(F.col("a"), F.col("b")).alias("d")).first()
     assert out.d == 2
+
+
+def test_minhash_shuffle_verification_matches_broadcast(spark, documents):
+    """Corpus-scale shuffle-join verification (adaptive dispatch decides
+    signatures don't fit executor memory) must equal the broadcast
+    path. max_broadcast_docs=0 forces the shuffle path."""
+    b = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in D.minhash_lsh_pairs(documents, num_hashes=32, bands=8).collect()
+    }
+    s = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in D.minhash_lsh_pairs(
+            documents, num_hashes=32, bands=8, max_broadcast_docs=0
+        ).collect()
+    }
+    assert b == s and len(b) > 0
