@@ -105,8 +105,13 @@ def resume_bootstrap(
         # partition values were compared as strings; filter source by the
         # string form so typed columns (dates, ints) still match. Dynamic
         # partition overwrite replaces exactly these partitions.
-        from hudi_utility_spark.write import write_partitioned
+        from hudi_utility_spark.write import align_timestamp_types, write_partitioned
 
         src = source_df.filter(F.col(pfield).cast("string").isin(to_write))
+        if table.exists():
+            # rewritten partitions must carry the destination's timestamp
+            # flavor (NTZ vs LTZ) or the next mergeSchema read dies —
+            # no-op under the engine session, protects vanilla sessions
+            src = align_timestamp_types(src, table.read_base(spark).schema)
         write_partitioned(src, table.base_path, table.partition_fields, mode="overwrite")
     return {"repaired_partitions": sorted(to_write), "noop": False, "dry_run": dry_run}

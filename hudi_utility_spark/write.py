@@ -37,6 +37,31 @@ def latest_by_key(df: DataFrame, keys: list[str], precombine: str) -> DataFrame:
     )
 
 
+def align_timestamp_types(df: DataFrame, target_schema) -> DataFrame:
+    """Cast timestamp columns of *df* to the flavor (LTZ vs NTZ) the
+    destination table uses for the same column names.
+
+    Engine sessions default to TIMESTAMP_NTZ (session.py) so writes
+    naturally match the corpus' NTZ parquet — but a caller driving the
+    engine with a vanilla LTZ-default session would otherwise rewrite a
+    partition as LTZ next to NTZ originals and explode the next
+    mergeSchema read with CANNOT_MERGE_INCOMPATIBLE_DATA_TYPE. The cast
+    is a pure reinterpretation under a UTC session timezone.
+    """
+    ts_names = {"timestamp", "timestamp_ntz"}
+    for f in target_schema.fields:
+        if f.name not in df.columns:
+            continue
+        src_type = df.schema[f.name].dataType
+        if (
+            src_type != f.dataType
+            and src_type.typeName() in ts_names
+            and f.dataType.typeName() in ts_names
+        ):
+            df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
+    return df
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -226,6 +251,8 @@ def append_partitions(
         raise ValueError("append_partitions requires a partitioned table")
     pcol = table.partition_fields[0]
     subset = source_df.filter(F.col(pcol).isin(partition_values))
+    if table.exists():
+        subset = align_timestamp_types(subset, table.read_base(spark).schema)
     write_partitioned(subset, table.base_path, table.partition_fields, mode="overwrite")
     return {"written_partitions": sorted(str(v) for v in partition_values)}
 
@@ -254,6 +281,10 @@ def upsert(
     if not table.exists():
         write_partitioned(incoming, table.base_path, table.partition_fields)
         return table.read(spark)
+
+    # timestamp-flavor alignment with the existing table (no-op under
+    # the engine session; protects vanilla LTZ-default sessions)
+    incoming = align_timestamp_types(incoming, table.read_base(spark).schema)
 
     if table.table_type is TableType.MERGE_ON_READ:
         # log append is cheap: no read-modify-write at ingest time

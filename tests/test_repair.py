@@ -135,3 +135,39 @@ def test_resume_on_timestamp_partitioned_ntz_table(spark, events, tmp_path):
     healed = t.read(spark)
     assert healed.count() == events.count()
     assert healed.schema["ts"].dataType.typeName() == "timestamp_ntz"
+
+
+def test_resume_from_ltz_default_session_aligns_timestamps(spark, events, tmp_path):
+    """A caller driving the engine with a vanilla LTZ-default session
+    must still be able to repair an NTZ table: the repair write aligns
+    rewritten partitions to the destination's timestamp flavor, so the
+    mergeSchema re-read never sees NTZ-vs-LTZ. Simulated by flipping the
+    session default to TIMESTAMP (LTZ) around the resume."""
+    t = KeyedTable(
+        path=str(tmp_path / "events_ltz_repair"),
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+    )
+    full_bootstrap(spark, events, t)
+    assert t.read_base(spark).schema["ts"].dataType.typeName() == "timestamp_ntz"
+    _drop_partition(t, "click")
+
+    prev = spark.conf.get("spark.sql.timestampType")
+    spark.conf.set("spark.sql.timestampType", "TIMESTAMP_LTZ")
+    try:
+        # under an LTZ-default session the source frame still reads NTZ
+        # from parquet, but any session-created timestamps would be LTZ;
+        # force the worst case by round-tripping ts through an LTZ cast
+        from pyspark.sql.types import TimestampType
+
+        ltz_source = events.withColumn("ts", F.col("ts").cast(TimestampType()))
+        assert ltz_source.schema["ts"].dataType.typeName() == "timestamp"
+        result = resume_bootstrap(spark, ltz_source, t)
+        assert result["repaired_partitions"] == ["click"]
+    finally:
+        spark.conf.set("spark.sql.timestampType", prev)
+
+    healed = t.read_base(spark)  # mergeSchema read across old + new files
+    assert healed.count() == events.count()
+    assert healed.schema["ts"].dataType.typeName() == "timestamp_ntz"
