@@ -358,6 +358,9 @@ def delete_keys(
         keys_df.select(*required).withColumn(DELETED_COL, F.lit(True)),
         commit_time,
     )
+    # tombstones union with base/log rows at read time — their timestamp
+    # flavor must match the table's (no-op under the engine session)
+    tomb = align_timestamp_types(tomb, table.read_base(spark).schema)
 
     if table.table_type is TableType.MERGE_ON_READ:
         write_partitioned(tomb, table.log_path, table.partition_fields, mode="append")
