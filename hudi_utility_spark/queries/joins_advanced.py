@@ -57,6 +57,45 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_tolerance_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS user_id,
+           CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 600000000
+                THEN c.event_id END AS click_id,
+           CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 600000000
+                THEN epoch_us(c.ts) END AS click_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed as-of (kdb ``wj`` shape): like ``asof_purchase_click``
+    but matches older than 10 minutes are nulled out — the
+    ``tolerance_seconds`` arm of the union-tag window plan. The oracle
+    applies the same tolerance as a post-filter on DuckDB's native ASOF."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id"],
+        tolerance_seconds=600,
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("event_id_right").alias("click_id"),
+        us("ts_right").alias("click_us"),
+    )
+
+
+@query(
     "range_join_close_events",
     oracle="""
     SELECT a.user_id AS user_id,
