@@ -150,3 +150,45 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     the shuffle key that replaces shipping full documents around.
     """
     return df.withColumn("fingerprint", F.md5(normalized(F.col(text_col))))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 16,
+) -> DataFrame:
+    """Split documents into token-bounded, overlapping chunks — the step
+    between cleaned documents and fixed-length training samples.
+
+    Whitespace tokens; windows of ``chunk_tokens`` starting every
+    ``chunk_tokens - overlap_tokens`` tokens, so consecutive chunks share
+    ``overlap_tokens`` (context continuity at chunk boundaries). Returns
+    (id, chunk_idx, chunk_text, n_tokens).
+
+    Entirely JVM-side: regexp token array → sequence of window starts →
+    transform+slice → posexplode. O(tokens/step) output rows per doc, no
+    shuffle, no Python — at 100 TB this is a pure map stage whose output
+    feeds repartition-to-file-size for the training-data write.
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap_tokens
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step)
+    )
+    chunks = F.transform(
+        starts, lambda s: F.slice(toks, s + 1, chunk_tokens)
+    )
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .filter(F.size("chunk") > 0)
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join("chunk", " ").alias("chunk_text"),
+            F.size("chunk").alias("n_tokens"),
+        )
+    )

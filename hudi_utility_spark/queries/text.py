@@ -217,3 +217,33 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(n_bpe), 4).alias("avg_tokens_per_doc"),
         )
     )
+
+
+@query(
+    "text_chunking",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, t,
+               unnest(range(0, greatest(len(t), 1), 48)) AS s
+        FROM toks
+    )
+    SELECT doc_id,
+           s // 48 AS chunk_idx,
+           array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text,
+           len(t[s + 1 : s + 64]) AS n_tokens
+    FROM starts
+    WHERE len(t[s + 1 : s + 64]) > 0
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bounded chunking with overlap (64-token windows every 48):
+    the step between cleaned documents and fixed-length training
+    samples. Map-only transform+slice+posexplode — no shuffle, no
+    Python. Oracle reproduces the windows with DuckDB list slicing."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.chunk_documents(
+        d, id_col="doc_id", text_col="text", chunk_tokens=64, overlap_tokens=16
+    )

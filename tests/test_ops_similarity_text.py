@@ -98,3 +98,35 @@ def test_fingerprint_normalization_invariance(spark):
     )
     fps = [r.fingerprint for r in T.fingerprint(df).collect()]
     assert fps[0] == fps[1]
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from hudi_utility_spark.ops.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame(
+        [(1, words), (2, "solo"), (3, ""), (4, "   ")],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(df, chunk_tokens=4, overlap_tokens=2)
+    rows = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens) for r in out.collect()}
+    # doc 1: starts 0,2,4,6,8 → windows of 4 with 2-token overlap
+    assert rows[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert rows[(1, 1)] == ("w2 w3 w4 w5", 4)
+    assert rows[(1, 4)] == ("w8 w9", 2)  # tail chunk, clamped
+    assert rows[(2, 0)] == ("solo", 1)
+    # empty / whitespace-only docs produce no chunks
+    assert not any(k[0] in (3, 4) for k in rows)
+    # consecutive chunks share exactly the overlap
+    a, b = rows[(1, 0)][0].split(), rows[(1, 1)][0].split()
+    assert a[-2:] == b[:2]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    from hudi_utility_spark.ops.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
