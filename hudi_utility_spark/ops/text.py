@@ -192,3 +192,84 @@ def chunk_documents(
             F.size("chunk").alias("n_tokens"),
         )
     )
+
+
+# PII patterns kept Java/RE2-compatible (same semantics in Spark and
+# DuckDB): email, dotted-quad IP, international-ish phone runs.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d().-]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace emails / IPs / phone-number runs with typed placeholders —
+    the standard pretraining-corpus scrub (C4/RefinedWeb-style).
+
+    Chained ``regexp_replace`` plus per-type match counts, all JVM-side:
+    a pure map stage at any corpus size. Counts are *sequential* — each
+    rule counts matches on the text AFTER earlier rules ran, so they
+    report exactly what that rule redacted (an IP inside an
+    already-redacted email is not double-counted, and the loose phone
+    run never re-counts a dotted quad the IP rule consumed). Real
+    deployments extend PII_PATTERNS; the order-sensitive chain is what
+    this operator pins down.
+    """
+    names = ("emails", "ips", "phones")
+    red = F.col(text_col)
+    cols = []
+    for (pat, repl), name in zip(PII_PATTERNS, names):
+        cols.append(
+            F.size(F.regexp_extract_all(red, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        )
+        red = F.regexp_replace(red, pat, repl)
+    return df.select("*", *cols, red.alias(f"{text_col}_redacted"))
+
+
+def word_ngrams(col: Column, n: int = 5) -> Column:
+    """Array of lowercase word n-grams (space-joined) — the shingle unit
+    for benchmark decontamination. transform+slice over the token array;
+    O(tokens) output, no Python."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)), F.lit(1))
+    return F.filter(
+        F.transform(starts, lambda s: F.array_join(F.slice(toks, s + 1, n), " ")),
+        lambda g: F.size(F.split(g, " ")) >= n,
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with the benchmark corpus (the standard eval-leak
+    guard applied before pretraining).
+
+    Returns (id, contaminated). The benchmark's distinct n-gram set is
+    broadcast by default — eval suites are tiny next to the corpus; at
+    an unusually large benchmark pass ``broadcast_benchmark=False`` for
+    a shuffle semi-join on the gram. The corpus side is a map stage +
+    one semi-join; no pair explosion.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    bench = benchmark.select(
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    flagged = grams.join(bench, "gram", "left_semi").select(id_col).distinct()
+    return (
+        df.select(id_col)
+        .join(flagged.withColumn("contaminated", F.lit(True)), id_col, "left")
+        .select(
+            id_col, F.coalesce("contaminated", F.lit(False)).alias("contaminated")
+        )
+    )

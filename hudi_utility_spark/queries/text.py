@@ -247,3 +247,84 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.chunk_documents(
         d, id_col="doc_id", text_col="text", chunk_tokens=64, overlap_tokens=16
     )
+
+
+@query(
+    "text_pii_redaction",
+    r"""
+    WITH seeded AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id ||
+               '@example.com or 10.0.' || doc_id % 256 || '.1 tel +1555'
+               || doc_id || '00' AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b(\d{1,3}\.){3}\d{1,3}\b')) AS n_ips,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             '\+?\d[\d().-]{7,}\d', '<PHONE>', 'g') AS text_redacted
+    FROM seeded
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails/IPs/phones → typed placeholders). The corpus
+    carries no natural PII, so the query seeds each doc with
+    deterministic doc_id-derived PII first — the redacted text is then a
+    strict cross-engine equivalence check of the regex chain."""
+    d = load_table(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".1 tel +1555"),
+            F.col("doc_id").cast("string"), F.lit("00"),
+        ).alias("text"),
+    )
+    return X.redact_pii(seeded).select(
+        "doc_id", "n_emails", "n_ips", "text_redacted"
+    )
+
+
+@query(
+    "text_decontaminate",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, array_to_string(t[s + 1 : s + 5], ' ') AS gram
+        FROM toks, UNNEST(range(0, greatest(len(t) - 4, 1), 1)) AS u(s)
+        WHERE len(t[s + 1 : s + 5]) >= 5
+    ),
+    bench AS (
+        SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+    )
+    SELECT d.doc_id AS doc_id,
+           COUNT(b.gram) > 0 AS contaminated
+    FROM toks d
+    LEFT JOIN (SELECT DISTINCT g.doc_id FROM grams g
+               JOIN bench USING (gram)) hit ON d.doc_id = hit.doc_id
+    LEFT JOIN (SELECT 1 AS gram) b ON hit.doc_id IS NOT NULL
+    GROUP BY d.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any word 5-gram with the
+    pseudo-benchmark slice (doc_id % 97 == 0) are flagged. Broadcast
+    semi-join on the gram — the eval-leak guard every pretraining corpus
+    runs."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return X.decontaminate(d, bench, n=5)

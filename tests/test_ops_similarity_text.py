@@ -130,3 +130,40 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
+
+
+def test_redact_pii_patterns(spark):
+    from hudi_utility_spark.ops.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-ample.co.uk or 192.168.0.1 call +15551234567")],
+        ["doc_id", "text"],
+    )
+    r = redact_pii(df).collect()[0]
+    # sequential counts: the IP is consumed by the IP rule before the
+    # loose phone run ever sees it
+    assert r.n_emails == 1 and r.n_ips == 1 and r.n_phones == 1
+    assert "<EMAIL>" in r.text_redacted and "<IP>" in r.text_redacted
+    assert "<PHONE>" in r.text_redacted
+    assert "@" not in r.text_redacted and "192.168" not in r.text_redacted
+
+
+def test_decontaminate_flags_exact_ngram_overlap(spark):
+    from hudi_utility_spark.ops.text import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated words about nothing in particular today"),
+            (3, "brown fox jumped over variants of longer sentences"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "we saw the quick brown fox jumps over the fence")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.contaminated for r in decontaminate(corpus, bench, n=5).collect()}
+    # doc 1 shares "the quick brown fox jumps" (5-gram); doc 3's
+    # "jumped" breaks every candidate 5-gram; doc 2 shares nothing
+    assert got == {1: True, 2: False, 3: False}
