@@ -273,3 +273,41 @@ def decontaminate(
             id_col, F.coalesce("contaminated", F.lit(False)).alias("contaminated")
         )
     )
+
+
+def repetition_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of all
+    word ``n``-grams claimed by the single most repeated one
+    (``top_ngram_frac``) and the distinct/total n-gram ratio
+    (``distinct_ngram_ratio``). High top-fraction / low distinct-ratio
+    marks boilerplate and template spam — a standard pretraining quality
+    filter (Rae et al., Gopher §A1.3).
+
+    One shuffle on (doc, gram) then a per-doc aggregate; n-gram
+    generation is the same map-only transform+slice as decontamination.
+    Documents shorter than ``n`` tokens produce no grams and drop out.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    per = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per.groupBy(id_col)
+        .agg(
+            F.max("c").alias("top_cnt"),
+            F.sum("c").alias("total"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+        .select(
+            id_col,
+            F.round(F.col("top_cnt") / F.col("total"), 6).alias("top_ngram_frac"),
+            F.round(F.col("n_distinct") / F.col("total"), 6).alias(
+                "distinct_ngram_ratio"
+            ),
+        )
+    )

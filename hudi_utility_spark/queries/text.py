@@ -328,3 +328,29 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 97 == 0)
     return X.decontaminate(d, bench, n=5)
+
+
+@query(
+    "text_repetition_profile",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, array_to_string(t[s + 1 : s + 2], ' ') AS gram
+        FROM toks, UNNEST(range(0, greatest(len(t) - 1, 1), 1)) AS u(s)
+        WHERE len(t[s + 1 : s + 2]) >= 2
+    ),
+    per AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2)
+    SELECT doc_id,
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_ngram_frac,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS distinct_ngram_ratio
+    FROM per GROUP BY doc_id
+    """,
+)
+def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (Gopher §A1.3 shape): most-repeated
+    bigram fraction + distinct-bigram ratio per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.repetition_profile(d, n=2)

@@ -167,3 +167,23 @@ def test_decontaminate_flags_exact_ngram_overlap(spark):
     # doc 1 shares "the quick brown fox jumps" (5-gram); doc 3's
     # "jumped" breaks every candidate 5-gram; doc 2 shares nothing
     assert got == {1: True, 2: False, 3: False}
+
+
+def test_repetition_profile_known_values(spark):
+    from hudi_utility_spark.ops.text import repetition_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # bigrams: ab,ba,ab,ba,ab → top 3/5, distinct 2/5
+            (2, "w x y z"),          # 3 distinct bigrams, top 1/3
+            (3, "solo"),             # no bigrams → drops out
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.top_ngram_frac, r.distinct_ngram_ratio)
+        for r in repetition_profile(df, n=2).collect()
+    }
+    assert got[1] == (0.6, 0.4)
+    assert got[2] == (round(1 / 3, 6), 1.0)
+    assert 3 not in got
