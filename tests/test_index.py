@@ -95,6 +95,25 @@ def test_record_index_point_lookup(spark, events, tmp_path):
     assert index.point_lookup(spark, table, ghost).isEmpty()
 
 
+def test_zorder_plan_has_no_global_window_or_single_partition(lineitem):
+    """The r2 scale-killer: percent_rank's empty-partition window put the
+    whole table in ONE task. The quantile-boundary rewrite must keep the
+    write plan free of Window operators and single-partition Exchanges —
+    only the repartitionByRange data shuffle remains."""
+    from hudi_utility_spark.write import zorder_buckets, zorder_value
+
+    cols = ["l_orderkey", "l_partkey"]
+    zval = zorder_value(zorder_buckets(lineitem, cols, bits=8), bits=8)
+    ranged = (
+        lineitem.withColumn("__z", zval)
+        .repartitionByRange(16, F.col("__z"))
+        .sortWithinPartitions("__z")
+    )
+    plan = ranged._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+
+
 def test_zorder_prunes_on_both_dimensions(spark, lineitem, tmp_path):
     from hudi_utility_spark.write import write_zordered
 
