@@ -171,13 +171,15 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15: supplier(s) achieving the quarter's maximum revenue —
-    aggregate once, rank with a global max_over window on the (small,
-    one-row-per-supplier) aggregate, filter by equality. One plan, no
-    driver round-trip; the revenue view is cached so the window pass and
-    the join don't rescan lineitem."""
-    from pyspark.sql import Window
-
+    """TPC-H Q15: supplier(s) achieving the quarter's maximum revenue.
+    The max is a scalar aggregate broadcast back onto the revenue
+    relation via a cross-join — every stage stays fully parallel (the
+    r2 version ran an empty-partitionBy window, a single-task sort even
+    on the post-aggregate relation, and leaked a .cache() past the
+    query). Spark plans the 1-row max side as a broadcast nested-loop
+    join; lineitem is scanned twice, but both scans are shipdate-pruned
+    partial-agg pipelines — cheaper at 100 TB than funneling the
+    supplier relation through one task."""
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     revenue = (
@@ -189,11 +191,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "total_revenue"
         ))
-        .cache()
     )
-    top = revenue.withColumn(
-        "_max_rev", F.max("total_revenue").over(Window.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("_max_rev"))
+    max_rev = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    top = revenue.join(
+        F.broadcast(max_rev), F.col("total_revenue") == F.col("_max_rev")
+    ).drop("_max_rev")
     return (
         s.join(
             top,
@@ -340,7 +342,9 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema has no commit/receipt dates). The classic double
     EXISTS/NOT-EXISTS self-correlation is rewritten as one per-order
     aggregate joined back — two shuffles total instead of two extra
-    self-join scans of the fact table."""
+    self-join scans of the fact table. Both consumers of the ll join
+    sit in ONE plan, so ReusedExchange shares the join shuffle — no
+    .cache() needed (the r2 version leaked one past the query)."""
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = _t(spark, sf_dir, "supplier")
@@ -355,7 +359,6 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .alias("late"),
         )
-        .cache()
     )
     per_order = ll.groupBy("l_orderkey").agg(
         F.count_distinct("l_suppkey").alias("n_supp"),
