@@ -16,7 +16,9 @@ gives our keyed tables the same two primitives:
   link/create (local, HDFS; on S3 use a DynamoDB/ZK
   provider — same interface). Stale leases (holder died) are taken
   over after ``timeout_s`` via *serialized, verified* takeover:
-  contenders race for a takeover mutex (an O_CREAT|O_EXCL slot file)
+  contenders race for a takeover mutex (uniquely-named per-contender
+  entries, oldest non-expired entry wins — path reuse is what makes
+  reclaim racy, so there is none)
   and the holder re-verifies the lease is still stale inside it before
   removing anything — a fresh lease published by a concurrent winner
   is never deleted, so two contenders cannot both end up holding.
@@ -59,14 +61,22 @@ def _lock_path(table: KeyedTable) -> str:
     return os.path.join(table.path, "_locks", "writer.lock")
 
 
-def _try_publish(tmp: str, path: str) -> bool:
+def _try_publish(tmp: str, path: str, payload: str) -> bool:
     """Atomically publish ``tmp`` (payload already on disk) as the lock
-    file. True on acquire; False when another writer holds it."""
-    try:
-        os.link(tmp, path)
-        return True
-    except FileExistsError:
-        return False
+    file. True on acquire; False when another writer holds it. When the
+    staged tmp itself vanished (a contender's stale-tmp sweep raced us),
+    restage the payload and retry once instead of escaping with a raw
+    FileNotFoundError."""
+    for _ in range(2):
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        except FileNotFoundError:
+            with open(tmp, "w") as f:
+                f.write(payload)
+    return False
 
 
 def _lease_age(path: str) -> tuple[float, str]:
@@ -124,27 +134,58 @@ def _read_payload(path: str) -> dict | None:
 
 
 def _takeover_slot(path: str, timeout_s: float):
-    """Acquire the takeover mutex (``<lock>.tk``): O_CREAT|O_EXCL, so at
-    most one contender runs the remove-stale-then-publish sequence at a
-    time. Returns the slot path, or None when another takeover is in
-    flight. A slot whose owner crashed is itself reclaimed after a short
-    bound (its critical section is microseconds, not a lease term)."""
-    slot = f"{path}.tk"
-    slot_timeout = min(timeout_s, 30.0)
-    for _ in range(2):
+    """Acquire the takeover mutex: at most one contender runs the
+    remove-stale-lease-then-publish sequence at a time. Returns the
+    entry path to remove on exit, or None when another takeover is in
+    flight.
+
+    Each contender stages its OWN uniquely-named entry
+    (``<lock>.tk.<pid>.<tid>``) and the winner is the oldest
+    non-expired entry in deterministic (mtime, name) order — whoever
+    created second necessarily lists the earlier entry and loses, so
+    two contenders can never both win. The earlier single-path
+    ``<lock>.tk`` + stat→remove→recreate reclaim was racy: a reclaimer
+    could stat a crashed incarnation and remove the FRESH one a
+    concurrent winner had just recreated at the same path, letting two
+    contenders into the critical section. Names here are never reused,
+    so sweeping an expired (>``slot_timeout``, i.e. crashed) entry can
+    never strip a live contender."""
+    # floor at 5s: the slot guards a microsecond critical section, but a
+    # caller's tiny lease timeout (e.g. 0) must not expire live entries
+    slot_timeout = max(min(timeout_s, 30.0), 5.0)
+    mine = f"{path}.tk.{os.getpid()}.{threading.get_ident()}"
+    with open(mine, "w") as f:
+        f.write(str(time.time()))
+    me = (os.stat(mine).st_mtime, os.path.basename(mine))
+    d = os.path.dirname(path)
+    prefix = os.path.basename(path) + ".tk."
+    now = time.time()
+    entries = []
+    try:
+        names = os.listdir(d)
+    except OSError:
+        names = []
+    for n in names:
+        if not n.startswith(prefix):
+            continue
+        p = os.path.join(d, n)
         try:
-            fd = os.open(slot, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(time.time()).encode())
-            os.close(fd)
-            return slot
-        except FileExistsError:
+            m = os.stat(p).st_mtime
+        except OSError:
+            continue  # a finished contender removed its entry — fine
+        if n != os.path.basename(mine) and now - m > slot_timeout:
             try:
-                if time.time() - os.stat(slot).st_mtime > slot_timeout:
-                    os.remove(slot)
-                    continue  # reclaimed a crashed takeover; retry create
+                os.remove(p)  # crashed contender; unique names → safe
             except OSError:
-                continue  # slot vanished or raced — retry create
-            return None
+                pass
+            continue
+        entries.append((m, n))
+    if entries and min(entries) == me:
+        return mine
+    try:
+        os.remove(mine)
+    except OSError:
+        pass
     return None
 
 
@@ -168,13 +209,17 @@ def table_lock(table: KeyedTable, owner: str = "writer", timeout_s: float = 3600
     path = _lock_path(table)
     lock_dir = os.path.dirname(path)
     os.makedirs(lock_dir, exist_ok=True)
-    _sweep_tmp_leases(lock_dir, timeout_s)
+    # sweep with a generous fixed floor, never the caller's timeout: a
+    # contender invoked with a tiny timeout_s must not delete another
+    # in-flight writer's just-staged tmp file
+    _sweep_tmp_leases(lock_dir, max(timeout_s, 3600.0))
     token = {"owner": owner, "acquired_at": time.time()}
+    payload = json.dumps(token)
     tmp = f"{path}.{os.getpid()}.{threading.get_ident()}.tmp"
     with open(tmp, "w") as f:
-        f.write(json.dumps(token))
+        f.write(payload)
     try:
-        acquired = _try_publish(tmp, path)
+        acquired = _try_publish(tmp, path, payload)
         if not acquired:
             try:
                 age, holder = _lease_age(path)
@@ -183,9 +228,18 @@ def table_lock(table: KeyedTable, owner: str = "writer", timeout_s: float = 3600
             if age is None:
                 # holder released between our failed publish and the
                 # age check — the lock is free, try once more
-                acquired = _try_publish(tmp, path)
+                acquired = _try_publish(tmp, path, payload)
                 if not acquired:
-                    age, holder = _lease_age(path)
+                    try:
+                        age, holder = _lease_age(path)
+                    except FileNotFoundError:
+                        # owner released mid-race again — report
+                        # contention rather than escape with a raw
+                        # FileNotFoundError; caller retries
+                        raise LockHeld(
+                            f"lock on {table.path}: owner released "
+                            "mid-acquire — retry"
+                        )
                     raise LockHeld(
                         f"lock on {table.path} held by {holder} for {age:.0f}s"
                     )
@@ -221,9 +275,15 @@ def table_lock(table: KeyedTable, owner: str = "writer", timeout_s: float = 3600
                     # the exists-gap here is safe: if another contender's
                     # initial publish slips in first, our link fails and
                     # we report contention — never a double hold.
-                    acquired = _try_publish(tmp, path)
+                    acquired = _try_publish(tmp, path, payload)
                     if not acquired:
-                        age3, holder3 = _lease_age(path)
+                        try:
+                            age3, holder3 = _lease_age(path)
+                        except FileNotFoundError:
+                            raise LockHeld(
+                                f"lock on {table.path}: owner released "
+                                "mid-takeover — retry"
+                            )
                         raise LockHeld(
                             f"lock on {table.path} held by {holder3} for "
                             f"{age3:.0f}s"
