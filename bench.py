@@ -52,30 +52,37 @@ HEADLINE = [
     "sim_ivf_topk",
     "text_token_counts",
     "text_quality_stats",
+    "text_chunking",
+    "text_pii_redaction",
+    "text_decontaminate",
+    "text_repetition_profile",
+    "asof_tolerance_join",
     "mm_feature_extraction",
     "pipeline_corpus_clean",
 ]
 
 
 def _run_once(qs, name: str, spark, sf_dir: str) -> str | None:
-    """Build + materialize one query; return an error string or None.
-
-    Clears the block-manager cache afterwards: a few operators persist()
-    intermediates their returned plan depends on (jaccard shingles, IVF
-    centroids) and can't unpersist them before returning; without the
-    clear, every run re-persists a fresh copy and the accumulated blocks
-    GC-thrash later queries (measured 5.6x inflation over the suite).
-    """
+    """Build + materialize one query; return an error string or None."""
     try:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return None
     except Exception:
         return traceback.format_exc(limit=3).strip().splitlines()[-1][:300]
-    finally:
-        try:
-            spark.catalog.clearCache()
-        except Exception:
-            pass
+
+
+def _clear_cache(spark) -> None:
+    """Drop persisted blocks between queries, OUTSIDE the timed region:
+    a few operators persist() intermediates their returned plan depends
+    on (jaccard shingles, IVF centroids) and can't unpersist them before
+    returning; without the clear, every run re-persists a fresh copy and
+    the accumulated blocks GC-thrash later queries (measured 5.6x
+    inflation over the suite). Clearing after the clock stops keeps the
+    teardown cost out of per-query steady-state numbers."""
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
 
 
 def main() -> None:
@@ -97,12 +104,15 @@ def main() -> None:
         ).mode("overwrite").save()
         for name in HEADLINE:
             _run_once(qs, name, spark, sf_dir)
+            _clear_cache(spark)
 
         for name in HEADLINE:
             start = time.perf_counter()
             err = _run_once(qs, name, spark, sf_dir)
+            elapsed = time.perf_counter() - start
+            _clear_cache(spark)
             if err is None:
-                timings[name] = round(time.perf_counter() - start, 3)
+                timings[name] = round(elapsed, 3)
             else:
                 errors[name] = err
     except Exception:
