@@ -66,11 +66,39 @@ def sim_ivf_centroid_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ivf_topk")
+@query(
+    "sim_ivf_topk",
+    """
+    WITH dims AS (
+        SELECT label AS cell, d.i AS dim, AVG(d.v) AS mean_v
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+                             generate_subscripts(embedding, 1) AS i) d
+        GROUP BY label, d.i
+    ),
+    cents AS (
+        SELECT cell, list(mean_v ORDER BY dim) AS centroid FROM dims GROUP BY cell
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    probed AS (
+        SELECT cell FROM cents, q
+        ORDER BY list_cosine_similarity(centroid, qv) DESC, cell
+        LIMIT 3
+    )
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+    FROM embeddings e JOIN probed p ON e.label = p.cell, q
+    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
+    LIMIT 10
+    """,
+)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k (probe 3 of 10 cells, exact within) — approximate by
-    construction, so no SQL oracle; pytest checks recall ≥ 0.5 vs brute
-    force and the driver records rows-only."""
+    """IVF top-k (probe 3 of 10 cells, exact within). Approximate only
+    relative to the TRUE neighbors (pytest pins recall ≥ 0.5 vs brute
+    force); the computation itself is deterministic — centroid ranking
+    has a total order (score desc, cell asc) — so the full pipeline is
+    SQL-expressible and hash-checked against the unrolled DuckDB oracle
+    (was rows-only in r2)."""
     e = load_table(spark, sf_dir, "embeddings")
     return S.ivf_topk(e, _query_vec(spark, sf_dir), k=10, nprobe=3)
 
@@ -84,14 +112,78 @@ def sim_lsh_sketch_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.groupBy("sketch").agg(F.count(F.lit(1)).alias("n_vecs"))
 
 
-@query("cluster_kmeans_profile")
+def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
+    """Unrolled-Lloyd DuckDB oracle: k-means with fixed iteration count
+    and deterministic init (k lowest-id vectors) is a finite dataflow,
+    so each (assign, update) round becomes a CTE pair — upgrading the
+    r2 rows-only check to a full hash check. Ties and empty clusters
+    follow ops/cluster.py exactly: argmin breaks toward the lower cid,
+    an empty cluster keeps its previous centroid."""
+    parts = [
+        f"""
+    WITH emb AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    c0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+               v AS c
+        FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {k})
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    a{i} AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_distance(e.v, c.c), c.cid) AS rn
+            FROM emb e CROSS JOIN c{i - 1} c
+        ) WHERE rn = 1
+    ),
+    m{i} AS (
+        SELECT cid, list(mean_v ORDER BY dim) AS c FROM (
+            SELECT a.cid, d.i AS dim, AVG(d.v) AS mean_v
+            FROM a{i} a,
+                 LATERAL (SELECT unnest(a.v) AS v,
+                                 generate_subscripts(a.v, 1) AS i) d
+            GROUP BY a.cid, d.i
+        ) GROUP BY cid
+    ),
+    c{i} AS (
+        SELECT c{i - 1}.cid, COALESCE(m{i}.c, c{i - 1}.c) AS c
+        FROM c{i - 1} LEFT JOIN m{i} ON c{i - 1}.cid = m{i}.cid
+    )"""
+        )
+    parts.append(
+        f""",
+    final_assign AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_distance(e.v, c.c), c.cid) AS rn
+            FROM emb e CROSS JOIN c{iters} c
+        ) WHERE rn = 1
+    )
+    SELECT a.cid AS cluster, COUNT(*) AS n_members,
+           ROUND(AVG(pow(list_distance(a.v, c.c), 2)), 4) AS mean_sq_dist
+    FROM final_assign a JOIN c{iters} c ON a.cid = c.cid
+    GROUP BY a.cid
+    ORDER BY a.cid"""
+    )
+    return "".join(parts)
+
+
+@query("cluster_kmeans_profile", _kmeans_oracle(k=8, iters=3))
 def cluster_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learned coarse quantizer (rows-only: Lloyd's is iterative, not
-    SQL-expressible — pytest pins exact parity with a NumPy reference in
-    test_ops_cluster.py). 8 clusters, 3 iterations, deterministic init;
-    per-cluster membership and inertia. Assignment is map-only (centroid
-    literal evaluated in codegen); update is one shuffle of k×dim
-    partial means per iteration."""
+    """Learned coarse quantizer: 8 clusters, 3 Lloyd iterations,
+    deterministic init (8 lowest-id vectors); per-cluster membership and
+    mean within-cluster squared distance. Assignment is map-only
+    (centroid literal evaluated in codegen); update is one shuffle of
+    k×dim partial means per iteration. Fixed iteration count makes the
+    whole fit a finite dataflow, so it is hash-checked against an
+    unrolled-Lloyd DuckDB oracle (was rows-only in r2); pytest
+    additionally pins exact parity with a NumPy reference."""
     from hudi_utility_spark.ops import cluster as cl
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
