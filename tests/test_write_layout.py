@@ -56,6 +56,24 @@ def test_bucketed_join_has_no_shuffle(spark, orders, lineitem):
         assert "Exchange hashpartitioning" not in plan, plan
         assert "Bucketed: true" in plan, plan
         assert joined.count() > 0
+
+        # the amortization claim (SCALE.md): a FRESH session reloading
+        # the tables from the metastore — no lingering plan/cache state
+        # from the writing session — still gets the co-located join and
+        # the shuffle-free bucket-key aggregation
+        ns = spark.newSession()
+        ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        rejoined = ns.table("b_orders").join(
+            ns.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        replan = _plan_str(rejoined)
+        assert "Exchange hashpartitioning" not in replan, replan
+        assert "Bucketed: true" in replan, replan
+        agg_plan = _plan_str(
+            ns.table("b_lineitem").groupBy("l_orderkey").agg(F.count("*"))
+        )
+        assert "Exchange hashpartitioning" not in agg_plan, agg_plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     _drop(spark, "b_orders", "b_lineitem")
