@@ -59,6 +59,9 @@ HEADLINE = [
     "asof_tolerance_join",
     "mm_feature_extraction",
     "pipeline_corpus_clean",
+    "pack_token_sequences",
+    "rtr_bm25_topk",
+    "rtr_tfidf_keywords",
 ]
 
 

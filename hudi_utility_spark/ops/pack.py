@@ -1,0 +1,127 @@
+"""Corpus assembly operators: sequence packing and stratified sampling
+(north star — the last mile between a cleaned corpus and training
+batches).
+
+Both are deterministic pure functions of the data, so both are fully
+oracle-checkable:
+
+* **Sequence packing** assigns whole documents to fixed-token-budget
+  training sequences. A globally serial first-fit is inherently
+  sequential, so the scalable formulation shards the corpus by a
+  content-stable hash and packs each shard independently with a running
+  token total — bin index = floor(start_offset / budget), the
+  document-contiguous greedy layout with boundary overflow that data
+  loaders handle by truncation. Parallelism = shard count (scales with
+  the cluster); within a shard the window is one ordered scan.
+* **Stratified sampling** keeps a per-stratum fraction of documents by
+  comparing an md5-derived uniform against a hex threshold — membership
+  is a pure function of the id (re-runs, backfills, and incremental
+  arrivals sample identically), map-only at any scale, and identical in
+  any engine with md5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_shard(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
+    """Content-stable shard id: first 8 md5 hex chars of the id modulo
+    ``n_shards``. The parallelism unit for packing; at 100 TB raise
+    ``n_shards`` to ~cluster cores so each shard's ordered scan stays
+    one task-sized."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return df.withColumn("shard", (bucket % n_shards).cast("int"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Assign each document to a (shard, seq_idx) training sequence of
+    ~``budget`` whitespace tokens.
+
+    Within a shard, documents are laid out in ``id_col`` order and a
+    document belongs to the sequence where its start offset lands
+    (``floor(prev_running_total / budget)``) — contiguous greedy packing
+    whose only non-map stage is one hash shuffle to shards plus the
+    per-shard ordered window. No global window: the r2 z-order lesson
+    (`write.py` history) applied from the start.
+
+    Returns (id, shard, seq_idx, n_tokens, start_offset).
+    """
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    sharded = with_shard(df, id_col, n_shards).select(
+        F.col(id_col), "shard", toks.alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sharded.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset"),
+    ).withColumn(
+        "seq_idx", F.floor(F.col("start_offset") / budget).cast("int")
+    )
+
+
+def pack_profile(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Per-sequence packing readout: document count, token total, and
+    fill ratio against the budget — what a training-data engineer checks
+    before shipping a packed corpus (chronic under-fill means the shard
+    order fights the length distribution)."""
+    packed = pack_sequences(df, budget, id_col, text_col, n_shards)
+    return packed.groupBy("shard", "seq_idx").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.round(F.sum("n_tokens") / F.lit(float(budget)), 6).alias("fill_ratio"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows: uniform =
+    first 6 md5 hex chars of the id, kept iff below the stratum's
+    threshold (``frac * 16^6`` rendered as 6 hex digits). Map-only — the
+    quality-weighted downsampling step of a pretraining mix (keep 100%
+    of high-quality strata, x% of the rest) at zero shuffle cost."""
+    uniform = F.substring(
+        F.md5(F.col(id_col).cast("string").cast("binary")), 1, 6
+    )
+    keep = None
+    for stratum, frac in fractions.items():
+        cond = F.col(strata_col) == stratum
+        if frac < 1.0:  # a >= 1.0 threshold has no 6-hex-digit encoding
+            thresh = format(max(int(frac * 16**6), 0), "06x")
+            cond = cond & (uniform < thresh)
+        keep = cond if keep is None else keep | cond
+    default_thresh = format(
+        min(max(int(default_fraction * 16**6), 0), 16**6), "06x"
+    )
+    other = ~F.col(strata_col).isin(*fractions) if fractions else F.lit(True)
+    default_cond = other & (uniform < default_thresh)
+    keep = default_cond if keep is None else keep | default_cond
+    return df.filter(keep)

@@ -37,6 +37,7 @@ def load_all() -> None:
     """Import every query module so registration side effects run."""
     from hudi_utility_spark.queries import (  # noqa: F401
         analytics_ext,
+        corpus_q,
         dedup,
         engine_queries,
         formats,

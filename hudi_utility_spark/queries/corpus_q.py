@@ -1,0 +1,156 @@
+"""Corpus-assembly and retrieval queries: sequence packing, stratified
+sampling, BM25 ranking, TF-IDF keywords — all deterministic, all
+hash-checked against DuckDB oracles.
+
+The oracles reproduce the engine-portable primitives exactly: md5 hex
+prefixes for sharding/sampling, `ops.text.normalized` tokenization via
+regexp_replace(+'g')/string_split, natural log for idf, round(6) floats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hudi_utility_spark.ops import pack as PK
+from hudi_utility_spark.ops import retrieval as R
+from hudi_utility_spark.queries import query
+from hudi_utility_spark.tables import load_table
+
+# DuckDB rendition of ops.text.normalized + whitespace split, shared by
+# the retrieval oracles below.
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+_TOKS = f"list_filter(string_split({_NORM}, ' '), x -> x != '')"
+
+
+@query(
+    "pack_token_sequences",
+    """
+    WITH sharded AS (
+        SELECT doc_id,
+               CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 8 AS INTEGER) AS shard,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    ),
+    placed AS (
+        SELECT shard,
+               SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS start_offset,
+               n_tokens
+        FROM sharded
+    )
+    SELECT shard,
+           CAST(FLOOR(start_offset / 256) AS INTEGER) AS seq_idx,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / 256.0, 6) AS fill_ratio
+    FROM placed GROUP BY shard, CAST(FLOOR(start_offset / 256) AS INTEGER)
+    """,
+)
+def pack_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing readout: documents greedily laid out into
+    256-token training sequences within 8 content-stable hash shards
+    (ops/pack.py — one shard shuffle + per-shard ordered window, never a
+    global window). Per sequence: member docs, token total, fill ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    return PK.pack_profile(docs, budget=256, n_shards=8)
+
+
+@query(
+    "pack_stratified_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE (lang = 'en')
+       OR (lang = 'de' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) < '800000')
+       OR (lang = 'fr' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) < '400000')
+    """,
+)
+def pack_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling for a training mix: keep
+    all English, half the German, a quarter of the French, none of the
+    rest — membership is a pure function of doc_id (md5-uniform vs hex
+    threshold), so backfills and re-runs sample identically. Map-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return PK.stratified_sample(
+        docs, {"en": 1.0, "de": 0.5, "fr": 0.25}, strata_col="lang"
+    ).select("doc_id", "lang")
+
+
+@query(
+    "rtr_bm25_topk",
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               len({_TOKS}) AS dl,
+               len(list_filter({_TOKS}, x -> x = 'hash')) AS tf_0,
+               len(list_filter({_TOKS}, x -> x = 'vector')) AS tf_1,
+               len(list_filter({_TOKS}, x -> x = 'spark')) AS tf_2
+        FROM documents
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n, AVG(dl) AS avgdl,
+               SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+               SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+               SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+        FROM base
+    )
+    SELECT doc_id,
+           ROUND(
+             ln(1 + (n - df_0 + 0.5) / (df_0 + 0.5)) * tf_0 * 2.2
+               / (tf_0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           + ln(1 + (n - df_1 + 0.5) / (df_1 + 0.5)) * tf_1 * 2.2
+               / (tf_1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           + ln(1 + (n - df_2 + 0.5) / (df_2 + 0.5)) * tf_2 * 2.2
+               / (tf_2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6) AS score
+    FROM base, stats
+    WHERE tf_0 + tf_1 + tf_2 > 0
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def rtr_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the query {hash, vector, spark} (k1=1.2, b=0.75,
+    Lucene-style smooth idf). Map-side tf expressions + one O(terms)
+    stats aggregate broadcast back — no corpus shuffle (ops/retrieval.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return R.bm25_topk(docs, ["hash", "vector", "spark"], k=10)
+
+
+@query(
+    "rtr_tfidf_keywords",
+    f"""
+    WITH pairs AS (
+        SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM pairs GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, COUNT(*) AS term_df FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs_total FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * ln(CAST(n.n_docs_total AS DOUBLE) / dfreq.term_df), 6)
+                   AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tfidf FROM (
+        SELECT doc_id, term, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def rtr_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 tf-idf keywords (ties → lexicographically
+    first). Two high-cardinality-keyed aggregates plus a per-doc ranking
+    window — no global window, no hot keys (ops/retrieval.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return R.tfidf_top_terms(docs, top_n=3)
