@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hudi_utility_spark.ops import phash
 from hudi_utility_spark.ops.text import fingerprint, word_set
 
 
@@ -59,10 +60,14 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # ---------------------------------------------------------------------------
 
 def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """Distinct (id, shingle: long) pairs; n=1 → words, n>1 → word
-    n-grams. Shingles are emitted as 64-bit hashes: every consumer
-    (Jaccard, MinHash) operates on set identity only, and longs keep all
-    downstream joins/aggregates on primitive codegen paths.
+    """Distinct (id, shingle, hi, lo) rows; n=1 → words, n>1 → word
+    n-grams. ``shingle`` is a portable 64-bit hash (md5-derived,
+    `ops/phash.py` — identical in DuckDB, so MinHash built on top is
+    fully oracle-checkable; the r2 xxhash64 was Spark-only); ``hi``/
+    ``lo`` are its 32-bit halves, the inputs of the MinHash universal-
+    hash family. Consumers project what they need — Jaccard reads only
+    (id, shingle), and Catalyst prunes the rest, so its shuffles stay
+    two-longs wide.
 
     The n-gram path is posexplode + window ``lead``, NOT an array HOF:
     a ``transform``/``element_at`` lambda inlines the whole text-
@@ -72,35 +77,42 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     pairs — tiny rows — once.
     """
     if n == 1:
-        return df.select(
+        base = df.select(
             F.col(id_col).alias("id"),
             F.explode(word_set(F.col(text_col))).alias("s"),
-        ).select("id", F.xxhash64("s").alias("shingle")).dropDuplicates(
-            ["id", "shingle"]
         )
-    words = F.split(
-        F.trim(
-            F.regexp_replace(
-                F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " "),
-                r"\s+",
-                " ",
-            )
-        ),
-        " ",
-    )
-    pos = df.select(
-        F.col(id_col).alias("id"), F.posexplode(words).alias("pos", "w")
-    )
-    w = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", j).over(w) for j in range(1, n)]
-    return (
-        pos.select("id", *[p.alias(f"_w{j}") for j, p in enumerate(parts)])
-        .filter(F.col(f"_w{n - 1}").isNotNull())
-        .select(
-            "id", F.xxhash64(*[f"_w{j}" for j in range(n)]).alias("shingle")
+    else:
+        words = F.split(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.lower(F.col(text_col)), r"[^a-z0-9\s]", " "
+                    ),
+                    r"\s+",
+                    " ",
+                )
+            ),
+            " ",
         )
-        .dropDuplicates(["id", "shingle"])
-    )
+        pos = df.select(
+            F.col(id_col).alias("id"), F.posexplode(words).alias("pos", "w")
+        )
+        w = Window.partitionBy("id").orderBy("pos")
+        parts = [F.col("w")] + [F.lead("w", j).over(w) for j in range(1, n)]
+        base = pos.select(
+            "id", *[p.alias(f"_w{j}") for j, p in enumerate(parts)]
+        ).filter(F.col(f"_w{n - 1}").isNotNull()).select(
+            "id",
+            # words are [a-z0-9]+, so the space join is collision-free
+            F.concat_ws(" ", *[f"_w{j}" for j in range(n)]).alias("s"),
+        )
+    hi, lo = phash.parts(F.col("s"))
+    return base.select(
+        "id",
+        phash.combine64(hi, lo).alias("shingle"),
+        hi.alias("hi"),
+        lo.alias("lo"),
+    ).dropDuplicates(["id", "shingle"])
 
 
 def jaccard_pairs(
@@ -212,6 +224,10 @@ def jaccard_pairs(
     if vocab_count <= max_dense_vocab:
         # Dense path: pack each set into ⌈V/64⌉ long columns.
         nwords = max(1, (vocab_count + 63) // 64)
+        # global-window row_number is single-task by construction, but it
+        # runs on the VOCAB relation, which this branch's gate bounds to
+        # ≤ max_dense_vocab (4096) rows — never the corpus. (Source of
+        # the benign WindowExec single-partition warnings in logs.)
         tokmap = vocab.withColumn(
             "tok", F.row_number().over(Window.orderBy("shingle")) - 1
         )
@@ -382,17 +398,18 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<bigint>) MinHash signatures.
 
-    Each of the k hash functions is xxhash64 with a distinct seed column
-    baked into the input; the signature is k per-group MINs — one hash
-    aggregate over the exploded shingles, no UDFs. Signature width trades
-    accuracy vs shuffle bytes exactly as in the MinHash literature.
+    The k hash functions are the portable universal family of
+    `ops/phash.py`: hᵢ = (aᵢ·hi + bᵢ·lo + cᵢ) mod (2³¹−1) over the md5
+    halves of each shingle — ONE digest per shingle then k multiply-add-
+    mod expressions (cheaper than k fresh hashes, and reproducible in
+    DuckDB, which upgrades the driver check from rows-only to a full
+    value-hash). The signature is k per-group MINs — one hash aggregate
+    over the exploded shingles, no UDFs. Signature width trades accuracy
+    vs shuffle bytes exactly as in the MinHash literature.
     """
     sh = _shingles(df, id_col, text_col, shingle_n)
-    # Shingles arrive as 64-bit hashes; the k hash functions are cheap
-    # long-rehashes xxhash64(shingle, seed) — fixed-width JVM-side work,
-    # ~k× less than hashing k salted copies of every shingle string.
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(phash.family_hash(F.col("hi"), F.col("lo"), i)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     agg = sh.groupBy("id").agg(*mins)
@@ -443,7 +460,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
+                        phash.hash64(
                             F.concat_ws(
                                 ",",
                                 *[
@@ -574,12 +591,15 @@ def dedup_survivors(
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
     """(id, simhash) — weighted-majority bit signature over word hashes.
 
-    Per word w: h = xxhash64(w); bit i contributes +1 if set else -1;
-    simhash bit i = majority sign (2·set_count > n_words). Computed
-    entirely per-row with higher-order array functions — no explode, no
-    shuffle: at 100 TB the signature step is a map-only pass over the
-    corpus, embarrassingly parallel across whatever partitioning the
-    scan produced.
+    Per word w: h = the portable 64-bit md5-derived hash
+    (`ops/phash.py` — engine-reproducible, so the driver hash-checks the
+    full pipeline against a DuckDB oracle; the r2 xxhash64 was
+    Spark-only and demoted this to rows-only); bit i contributes +1 if
+    set else -1; simhash bit i = majority sign (2·set_count > n_words).
+    Computed entirely per-row with higher-order array functions — no
+    explode, no shuffle: at 100 TB the signature step is a map-only pass
+    over the corpus, embarrassingly parallel across whatever
+    partitioning the scan produced.
     """
     # bit masks as shift expressions: bit 63 overflows a signed-long
     # literal but wraps correctly under shift; constant-folded once
@@ -603,7 +623,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     """
     return df.select(
         F.col(id_col).alias("id"),
-        F.transform(word_set(F.col(text_col)), lambda w: F.xxhash64(w)).alias(
+        F.transform(word_set(F.col(text_col)), lambda w: phash.hash64(w)).alias(
             "_sh_hashes"
         ),
     ).select("id", F.expr(sig).alias("simhash"))

@@ -202,45 +202,29 @@ def random_hyperplane_sketch(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Sign-bit LSH sketch: bit p = sign(v · h_p) where plane h_p is a
-    deterministic pseudo-random unit direction derived from xxhash64 of
-    (plane, dim) — reproducible with no stored model.
+    deterministic pseudo-random ±1 direction derived from md5 of
+    ``plane{p}:dim{d}`` — reproducible with no stored model, in ANY
+    engine (`plane_component`), so the bucket histogram is fully
+    oracle-checkable (the r2 xxhash64 derivation was Spark-only).
 
     cos(a,b) ≈ cos(π · hamming/planes); block on the sketch for
     candidate generation like simhash_near_pairs.
 
-    The projection is a higher-order-function fold (``zip_with`` the
-    vector against ``transform``-generated plane components, then
-    ``aggregate``): O(planes) expression nodes regardless of vector
-    width, so a 4k-dim embedding plans as fast as a 768-dim one. (An
-    earlier statically-unrolled form built planes × dims nodes — fine
-    at 768, codegen-hostile past ~2k.) The left-fold order matches the
-    unrolled sum exactly, so sketches are bit-identical across the two
-    formulations.
+    The component table is k·dim driver-side scalars folded into the
+    plan as literal arrays (the same broadcast-by-value pattern as
+    k-means centroids — nothing per-row recomputes a digest); the
+    projection is a ``zip_with``/``aggregate`` fold whose left-fold
+    order matches an unrolled sum exactly, so sketches are bit-identical
+    across engines evaluating the terms in written order.
     """
     dim_count = len(df.select(vec_col).first()[0])
-    dims = F.sequence(F.lit(0), F.lit(dim_count - 1))
-
-    def _plane_comps(p: int):
-        # deterministic ±1 plane components from a hash of (p, dim),
-        # generated inside the expression — nothing driver-side scales
-        # with dimensionality. NB: the lambda must take exactly one
-        # parameter — PySpark passes (element, index) to two-parameter
-        # HOF lambdas, so a `p=p` default would silently rebind p to
-        # the index column.
-        prefix = f"plane{p}:dim"
-        return F.transform(
-            dims,
-            lambda d: F.when(
-                F.xxhash64(F.concat(F.lit(prefix), d.cast("string")))
-                .bitwiseAND(F.lit(1))
-                == 1,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
-        )
-
     sketch = None
     for p in range(planes):
-        comps = _plane_comps(p)
+        comps = F.array(
+            *[
+                F.lit(plane_component(p, d)) for d in range(dim_count)
+            ]
+        )
         proj = F.aggregate(
             F.zip_with(F.col(vec_col).cast("array<double>"), comps, lambda v, c: v * c),
             F.lit(0.0),
@@ -250,3 +234,13 @@ def random_hyperplane_sketch(
         term = bit * F.lit(1 << p).cast("long")
         sketch = term if sketch is None else sketch + term
     return df.select(F.col(id_col), sketch.alias("sketch"))
+
+
+def plane_component(p: int, d: int) -> float:
+    """±1 component d of hyperplane p: parity of the first md5 hex digit
+    of the public tag ``plane{p}:dim{d}``. Shared by the Spark sketch,
+    the DuckDB oracle builder, and tests."""
+    import hashlib
+
+    digit = int(hashlib.md5(f"plane{p}:dim{d}".encode()).hexdigest()[0], 16)
+    return 1.0 if digit % 2 == 1 else -1.0

@@ -140,19 +140,145 @@ def dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_survivors(d, pairs).select("doc_id")
 
 
-@query("dedup_minhash_lsh")
+def _minhash_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """Full MinHash+LSH pipeline in DuckDB — bigram shingles, the
+    portable md5 universal-hash family (`ops/phash.py`), banded
+    candidate join, signature-match verification. Possible at all
+    because every hash is md5-derived; the r2 xxhash64 version had no
+    oracle."""
+    from hudi_utility_spark.ops import phash
+
+    rpb = num_hashes // bands
+    hi, lo = phash.sql_parts("s")
+    mins = ",\n               ".join(
+        f"MIN({phash.sql_family('hi', 'lo', i)}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n        UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {h} AS band_hash FROM sig".format(
+            b=b,
+            h=phash.sql_hash64(
+                "concat("
+                + ", ',', ".join(
+                    f"CAST(h{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+                )
+                + ")"
+            ),
+        )
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH words AS (
+        SELECT doc_id, w, ord FROM (
+            SELECT doc_id,
+                   unnest(string_split({_NORM_SQL}, ' ')) AS w,
+                   generate_subscripts(string_split({_NORM_SQL}, ' '), 1) AS ord
+            FROM documents)
+    ),
+    grams AS (
+        SELECT doc_id, concat(w, ' ', nxt) AS s FROM (
+            SELECT doc_id, w,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY ord) AS nxt
+            FROM words)
+        WHERE nxt IS NOT NULL
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, {hi} AS hi, {lo} AS lo FROM grams
+    ),
+    sig AS (
+        SELECT doc_id, {mins}
+        FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+        {band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(({matches}) / {num_hashes}, 6) AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b
+    WHERE ({matches}) / {num_hashes} >= 0.5
+    """
+
+
+@query("dedup_minhash_lsh", _minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (banded signatures; xxhash64 is
-    engine-specific so the driver records the rows-only check — pytest
-    cross-validates candidates against exact Jaccard)."""
+    """MinHash+LSH near-dup candidates (banded signatures). Hash-checked
+    against a full DuckDB replica of the pipeline since r3 — the
+    portable md5 hash family made the r2 rows-only check obsolete;
+    pytest additionally cross-validates candidates against exact
+    Jaccard."""
     d = load_table(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(d, num_hashes=32, bands=8, shingle_n=2, threshold=0.5)
 
 
-@query("dedup_simhash")
+def _simhash_oracle(bits: int = 64, max_distance: int = 3, prefix_bits: int = 16) -> str:
+    """SimHash near-pairs in DuckDB: portable word hashes, 64 majority
+    bits, rotation blocking, xor/bit_count verification. Signed masks
+    are emitted as Python-computed 64-bit values (bit 63 = -2^63) so
+    both engines agree without overflow tricks."""
+    from hudi_utility_spark.ops import phash
+
+    def mask(i: int) -> int:
+        return (1 << i) if i < bits - 1 else -(1 << (bits - 1))
+
+    bit_sums = ",\n               ".join(
+        f"SUM(CASE WHEN (h & CAST({mask(i)} AS BIGINT)) <> 0 THEN 1 ELSE 0 END) AS b{i}"
+        for i in range(bits)
+    )
+    sig_terms = "\n             + ".join(
+        f"CASE WHEN 2 * b{i} > n THEN CAST({mask(i)} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for i in range(bits)
+    )
+    rotations = ",".join(f"({r})" for r in range(bits // prefix_bits))
+    pmask = (1 << prefix_bits) - 1
+    return f"""
+    WITH words AS (
+        SELECT DISTINCT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w
+            FROM documents)
+    ),
+    wh AS (
+        SELECT doc_id, {phash.sql_hash64('w')} AS h FROM words
+    ),
+    cnt AS (
+        SELECT doc_id, COUNT(*) AS n,
+               {bit_sums}
+        FROM wh GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id,
+               ({sig_terms}) AS simhash
+        FROM cnt
+    ),
+    rots AS (
+        SELECT doc_id, simhash, r.rot,
+               (simhash >> (r.rot * {prefix_bits})) & {pmask} AS prefix
+        FROM sig, (VALUES {rotations}) r(rot)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS distance
+    FROM rots a JOIN rots b
+      ON a.rot = b.rot AND a.prefix = b.prefix AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_distance}
+    """
+
+
+@query("dedup_simhash", _simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 3 under rotation blocking);
-    engine-specific hash → rows-only check + pytest validation."""
+    """SimHash near-dup pairs (Hamming ≤ 3 under rotation blocking).
+    Hash-checked against a full DuckDB replica since r3 (portable md5
+    word hashes); pytest validates identical/disjoint behavior."""
     d = load_table(spark, sf_dir, "documents")
     return D.simhash_near_pairs(d, max_distance=3)
 

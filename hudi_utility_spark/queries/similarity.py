@@ -103,10 +103,39 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(e, _query_vec(spark, sf_dir), k=10, nprobe=3)
 
 
-@query("sim_lsh_sketch_buckets")
+def _sketch_oracle(planes: int = 16, dim: int = 64) -> str:
+    """Hyperplane-sketch histogram in DuckDB: the ±1 plane components
+    come from the same `plane_component` derivation the Spark operator
+    uses (md5 of a public tag — shared Python, embedded as literals),
+    and each projection is written as the identical left-associated sum,
+    so the doubles agree bit-for-bit."""
+    projs = []
+    for p in range(planes):
+        terms = " + ".join(
+            f"v[{d + 1}] * {S.plane_component(p, d)}" for d in range(dim)
+        )
+        projs.append(
+            f"CASE WHEN (0.0 + {terms}) >= 0 THEN CAST({1 << p} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END"
+        )
+    sketch = "\n             + ".join(projs)
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT sketch, COUNT(*) AS n_vecs FROM (
+        SELECT ({sketch}) AS sketch FROM vecs
+    ) GROUP BY sketch
+    """
+
+
+@query("sim_lsh_sketch_buckets", _sketch_oracle())
 def sim_lsh_sketch_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH sketch histogram (deterministic hash-derived
-    planes; engine-specific hash → rows-only check)."""
+    """Random-hyperplane LSH sketch histogram. The md5-derived plane
+    components (ops/similarity.py `plane_component`) are engine-
+    reproducible, so since r3 the histogram is hash-checked against a
+    DuckDB oracle evaluating the identical fold (r2's xxhash64 planes
+    were Spark-only → rows-only)."""
     e = load_table(spark, sf_dir, "embeddings")
     sk = S.random_hyperplane_sketch(e, planes=16)
     return sk.groupBy("sketch").agg(F.count(F.lit(1)).alias("n_vecs"))
