@@ -165,8 +165,8 @@ def jaccard_pairs(
     groupBy/join/intersect runs on primitive longs, not strings — on
     template-heavy corpora where ~all pairs survive blocking,
     verification throughput dominates and long arrays intersect ~10×
-    faster. (Exact modulo xxhash64 collisions within one document's
-    shingle set: P ≈ s²/2⁶⁵.)
+    faster. (Exact modulo portable-hash64 collisions within one
+    document's shingle set: P ≈ s²/2⁶⁵ — see ops/phash.py.)
     """
     sh = _shingles(df, id_col, text_col, n)
     # The shingle relation feeds three branches (df-ranking, candidate
