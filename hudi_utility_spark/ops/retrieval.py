@@ -104,18 +104,19 @@ def tfidf_top_terms(
     idf = ln(N / df), ties → lexicographically first term) — the
     keyword-labeling pass of a corpus exploration pipeline.
 
-    (doc, term) counts shuffle once on term for df, once on doc for the
-    ranking window; both keys are high-cardinality, so no hot
-    partitions."""
+    Three keyed exchanges total — (doc, term) grouping, then a
+    term-partitioned count window for document frequency (replacing a
+    separate aggregate + self-join, which costs two more exchanges),
+    then the doc-partitioned ranking window; every key is
+    high-cardinality, so no hot partitions."""
     pairs = df.select(
         F.col(id_col), F.explode(_terms(F.col(text_col))).alias("term")
     )
     tf = pairs.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    docfreq = tf.groupBy("term").agg(
-        F.count(F.lit(1)).alias("term_df")
-    )
     n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs_total"))
-    scored = tf.join(docfreq, "term").join(F.broadcast(n_docs)).select(
+    scored = tf.withColumn(
+        "term_df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).join(F.broadcast(n_docs)).select(
         id_col,
         "term",
         F.round(
