@@ -211,3 +211,39 @@ def test_tombstone_wins_by_precombine(spark, ops):
     resolved = latest_by_key(df, ["k"], "ts").filter(~F.col("_deleted"))
     got = {r.k: r.ts for r in resolved.collect()}
     assert got == _apply_python(uniq)
+
+
+@given(
+    s=st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=40,
+    ),
+    i=st.integers(min_value=0, max_value=63),
+)
+@settings(max_examples=200, deadline=None)
+def test_phash_python_duckdb_parity(s, i):
+    """The portable hash family (ops/phash.py) must agree between the
+    Python reference and DuckDB for arbitrary unicode input — the
+    invariant every r3 oracle upgrade rests on (Spark parity is pinned
+    separately in test_phash.py; per-example Spark actions would
+    dominate here)."""
+    import duckdb
+
+    from hudi_utility_spark.ops import phash
+
+    con = duckdb.connect()
+    hi, lo = phash.sql_parts("?")
+    sql = f"SELECT {phash.sql_hash64('?')}, {phash.sql_family(hi, lo, i)}"
+    got = con.execute(sql, [s] * sql.count("?")).fetchone()
+    assert got == (phash.py_hash64(s), phash.py_family(s, i))
+
+
+def test_bench_headline_names_are_registered():
+    """Every bench HEADLINE entry must be a registered query — a typo
+    would silently record an error row instead of a timing."""
+    import bench
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, missing
