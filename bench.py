@@ -62,6 +62,7 @@ HEADLINE = [
     "pack_token_sequences",
     "rtr_bm25_topk",
     "rtr_tfidf_keywords",
+    "dq_constraint_report",
 ]
 
 

@@ -1,0 +1,161 @@
+"""Declarative data-quality constraints over any table (Deequ-style).
+
+The reference's signature capability is validation (SURVEY §2.11 V1–V6:
+argument checks, schema membership, post-write reconciliation, partition
+completeness). This module extends that posture from *pipeline*
+validation to *data* validation: a constraint suite evaluated in ONE
+aggregate pass over the table, returning a (constraint, metric, passed)
+report — the nightly-audit companion to `validate.py`'s write-time
+checks.
+
+Scale shape: every row-local constraint (not-null, range, accepted
+values, regex) is a conditional-count expression inside the same
+map-side-combinable aggregate — adding a constraint adds an expression,
+not a pass. `unique` adds one exact distinct (count_distinct on the key
+— a second shuffle keyed by the constrained columns); `referential`
+adds one left-anti join against the referenced keys (broadcast when the
+dimension is small). Nothing collects more than the k-row report.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Constraint:
+    """One named expectation; ``violations`` counts offending rows."""
+
+    name: str
+    violations: Column
+    description: str = ""
+
+
+def not_null(col: str) -> Constraint:
+    return Constraint(
+        f"not_null({col})",
+        F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)),
+    )
+
+
+def in_range(col: str, lo=None, hi=None) -> Constraint:
+    cond = F.lit(False)
+    if lo is not None:
+        cond = cond | (F.col(col) < lo)
+    if hi is not None:
+        cond = cond | (F.col(col) > hi)
+    return Constraint(
+        f"in_range({col})",
+        F.sum(F.when(F.col(col).isNotNull() & cond, 1).otherwise(0)),
+    )
+
+
+def accepted_values(col: str, values: list) -> Constraint:
+    return Constraint(
+        f"accepted_values({col})",
+        F.sum(
+            F.when(
+                F.col(col).isNotNull() & ~F.col(col).isin(*values), 1
+            ).otherwise(0)
+        ),
+    )
+
+
+def matches_regex(col: str, pattern: str) -> Constraint:
+    return Constraint(
+        f"matches_regex({col})",
+        F.sum(
+            F.when(
+                F.col(col).isNotNull() & ~F.col(col).rlike(pattern), 1
+            ).otherwise(0)
+        ),
+    )
+
+
+@dataclass(frozen=True)
+class UniqueConstraint:
+    cols: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class ReferentialConstraint:
+    col: str
+    ref: DataFrame = field(compare=False)
+    ref_col: str = ""
+    broadcast_ref: bool = True
+
+
+def unique(*cols: str) -> UniqueConstraint:
+    return UniqueConstraint(tuple(cols))
+
+
+def references(col: str, ref: DataFrame, ref_col: str, broadcast_ref: bool = True) -> ReferentialConstraint:
+    return ReferentialConstraint(col, ref, ref_col, broadcast_ref)
+
+
+def constraint_report(df: DataFrame, constraints: list) -> DataFrame:
+    """Evaluate the suite; returns (constraint, violations, passed)
+    ordered by constraint name.
+
+    Row-local constraints share one aggregate pass; each `unique` adds
+    a keyed distinct aggregate; each `references` adds a left-anti join
+    (broadcast by default — dimension keys). The report is a union of
+    k one-row relations, so the plan stays a handful of tiny aggregates
+    regardless of table size.
+    """
+    row_local = [c for c in constraints if isinstance(c, Constraint)]
+    parts: list[DataFrame] = []
+    if row_local:
+        agg = df.agg(
+            *[c.violations.cast("long").alias(f"v{i}") for i, c in enumerate(row_local)]
+        )
+        parts.append(
+            agg.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c.name).alias("constraint"),
+                                F.col(f"v{i}").alias("violations"),
+                            )
+                            for i, c in enumerate(row_local)
+                        ]
+                    )
+                ).alias("r")
+            ).select("r.constraint", "r.violations")
+        )
+    for c in constraints:
+        if isinstance(c, UniqueConstraint):
+            name = f"unique({','.join(c.cols)})"
+            dup = df.groupBy(*[F.col(x) for x in c.cols]).agg(
+                F.count(F.lit(1)).alias("n")
+            )
+            parts.append(
+                dup.agg(
+                    (F.sum("n") - F.count(F.lit(1))).cast("long").alias("violations")
+                ).select(F.lit(name).alias("constraint"), "violations")
+            )
+        elif isinstance(c, ReferentialConstraint):
+            name = f"references({c.col}->{c.ref_col})"
+            keys = c.ref.select(F.col(c.ref_col).alias(c.col)).distinct()
+            if c.broadcast_ref:
+                keys = F.broadcast(keys)
+            orphans = df.filter(F.col(c.col).isNotNull()).join(
+                keys, c.col, "left_anti"
+            )
+            parts.append(
+                orphans.agg(F.count(F.lit(1)).cast("long").alias("violations")).select(
+                    F.lit(name).alias("constraint"), "violations"
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "constraint",
+        "violations",
+        (F.col("violations") == 0).alias("passed"),
+    ).orderBy("constraint")

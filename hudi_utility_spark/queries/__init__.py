@@ -45,6 +45,7 @@ def load_all() -> None:
         lifecycle_q,
         multimodal,
         pipeline_q,
+        quality_q,
         relational,
         scale_q,
         similarity,

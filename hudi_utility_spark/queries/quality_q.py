@@ -1,0 +1,73 @@
+"""Data-quality constraint-suite query (ops/quality.py) — the
+declarative audit extending the reference's validation posture (SURVEY
+§2.11) from pipeline checks to data checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hudi_utility_spark.ops import quality as Q
+from hudi_utility_spark.queries import query
+from hudi_utility_spark.tables import load_table
+
+
+@query(
+    "dq_constraint_report",
+    """
+    SELECT "constraint", violations, violations = 0 AS passed FROM (
+        SELECT 'not_null(o_custkey)' AS "constraint",
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS violations
+        FROM orders
+        UNION ALL
+        SELECT 'in_range(o_totalprice)',
+               CAST(SUM(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice < 0
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'accepted_values(o_orderstatus)',
+               CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('F', 'O', 'P')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'matches_regex(o_orderpriority)',
+               CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                              AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'unique(o_orderkey)',
+               (SELECT CAST(SUM(n) - COUNT(*) AS BIGINT)
+                FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey))
+        UNION ALL
+        SELECT 'references(l_orderkey->o_orderkey)',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+                WHERE l.l_orderkey IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+    ) ORDER BY "constraint"
+    """,
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-constraint audit over orders (+ lineitem referential
+    integrity): row-local checks share ONE aggregate pass, uniqueness is
+    one keyed distinct, the foreign key is one broadcast anti-join —
+    the whole report is a union of one-row relations (ops/quality.py)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    report_orders = Q.constraint_report(
+        orders,
+        [
+            Q.not_null("o_custkey"),
+            Q.in_range("o_totalprice", lo=0),
+            Q.accepted_values("o_orderstatus", ["F", "O", "P"]),
+            Q.matches_regex("o_orderpriority", r"^[1-5]-"),
+            Q.unique("o_orderkey"),
+        ],
+    )
+    report_fk = Q.constraint_report(
+        lineitem,
+        [Q.references("l_orderkey", orders, "o_orderkey")],
+    )
+    return report_orders.unionByName(report_fk).orderBy("constraint")

@@ -1,0 +1,58 @@
+"""Constraint-suite semantics on seeded-violation frames."""
+
+from __future__ import annotations
+
+from hudi_utility_spark.ops import quality as Q
+
+
+def test_constraint_report_counts_each_violation_kind(spark):
+    rows = [
+        # (id, status, price, fk)
+        (1, "A", 10.0, 1),
+        (2, "B", -5.0, 1),     # range violation
+        (2, "A", 3.0, 2),      # duplicate id
+        (3, None, 7.0, 99),    # null status is NOT a violation of accepted_values; fk orphan
+        (4, "Z", None, None),  # accepted_values violation; null price/fk not violations
+        (None, "A", 1.0, 2),   # not_null(id) violation
+    ]
+    df = spark.createDataFrame(rows, "id bigint, status string, price double, fk bigint")
+    ref = spark.createDataFrame([(1,), (2,)], "k bigint")
+    rep = {
+        r["constraint"]: (r["violations"], r["passed"])
+        for r in Q.constraint_report(
+            df,
+            [
+                Q.not_null("id"),
+                Q.in_range("price", lo=0.0, hi=9.0),
+                Q.accepted_values("status", ["A", "B"]),
+                Q.unique("id"),
+                Q.references("fk", ref, "k"),
+            ],
+        ).collect()
+    }
+    assert rep["not_null(id)"] == (1, False)
+    # -5 below lo, 10 above hi; NULL price ignored
+    assert rep["in_range(price)"] == (2, False)
+    assert rep["accepted_values(status)"] == (1, False)  # only 'Z'; NULL ignored
+    # ids: [1,2,2,3,4,None] -> 6 rows over 5 groups (null its own group)
+    assert rep["unique(id)"] == (1, False)
+    assert rep["references(fk->k)"] == (1, False)  # only fk=99; NULL ignored
+
+
+def test_constraint_report_all_green(spark):
+    df = spark.createDataFrame([(1, "A"), (2, "B")], "id bigint, status string")
+    rep = Q.constraint_report(
+        df, [Q.not_null("id"), Q.accepted_values("status", ["A", "B"]), Q.unique("id")]
+    ).collect()
+    assert all(r["passed"] and r["violations"] == 0 for r in rep)
+    assert len(rep) == 3
+
+
+def test_single_aggregate_pass_for_row_local_constraints(spark, orders):
+    rep = Q.constraint_report(
+        orders,
+        [Q.not_null("o_custkey"), Q.in_range("o_totalprice", lo=0)],
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    # both row-local checks fold into one scan + one aggregate
+    assert plan.count("Scan parquet") <= 1
