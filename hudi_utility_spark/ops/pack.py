@@ -125,3 +125,45 @@ def stratified_sample(
     default_cond = other & (uniform < default_thresh)
     keep = default_cond if keep is None else keep | default_cond
     return df.filter(keep)
+
+
+def mix_corpus(
+    df: DataFrame,
+    target_weights: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Down-sample strata so the surviving corpus approaches the target
+    mix (e.g. 50% en / 30% de / 20% fr) at the maximum achievable
+    volume: the binding stratum (smallest availability/weight ratio) is
+    kept whole and every other stratum is hash-sampled down in
+    proportion.
+
+    Data-dependent but fully deterministic: per-stratum availability is
+    one tiny aggregate (k scalars collected), the keep-threshold
+    arithmetic is ``floor(((scale·w)/n)·2^24)`` evaluated in the same
+    operation order the DuckDB oracle uses, and membership is the
+    md5-uniform vs integer-threshold comparison — so re-runs and both
+    engines select the identical document set. Map-only on the corpus;
+    the sampled mix is binomially close to the target, never exact
+    (that is inherent to stateless hash sampling).
+    """
+    avail = {
+        r[0]: r[1]
+        for r in df.filter(F.col(strata_col).isin(*target_weights))
+        .groupBy(strata_col)
+        .count()
+        .collect()
+    }
+    scale = min(avail[s] / float(w) for s, w in target_weights.items())
+    uniform24 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 6),
+        16,
+        10,
+    ).cast("long")
+    keep = None
+    for s, w in target_weights.items():
+        thresh = int(scale * float(w) / avail[s] * 16_777_216)
+        cond = (F.col(strata_col) == s) & (uniform24 < F.lit(thresh))
+        keep = cond if keep is None else keep | cond
+    return df.filter(keep)

@@ -82,6 +82,41 @@ def pack_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_training_mix",
+    """
+    WITH avail AS (
+        SELECT lang, COUNT(*) AS n,
+               CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+                         WHEN 'de' THEN CAST(0.3 AS DOUBLE)
+                         ELSE CAST(0.2 AS DOUBLE) END AS w
+        FROM documents WHERE lang IN ('en', 'de', 'fr') GROUP BY lang
+    ),
+    scale AS (SELECT MIN(n / w) AS s FROM avail),
+    thr AS (
+        SELECT lang,
+               CAST(FLOOR((SELECT s FROM scale) * w / n * 16777216) AS BIGINT) AS t
+        FROM avail
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN thr ON d.lang = thr.lang
+    WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+          < thr.t
+    """,
+)
+def pack_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix assembly: down-sample {en, de, fr} toward a
+    50/30/20 mix at maximum volume — the binding stratum survives whole,
+    the rest are deterministically hash-sampled down (ops/pack.py
+    `mix_corpus`). The per-stratum thresholds are data-dependent, so the
+    oracle re-derives them with the identical double-precision operation
+    order; membership then matches document-for-document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return PK.mix_corpus(docs, {"en": 0.5, "de": 0.3, "fr": 0.2}).select(
+        "doc_id", "lang"
+    )
+
+
+@query(
     "rtr_bm25_topk",
     f"""
     WITH base AS (

@@ -136,3 +136,26 @@ def test_tfidf_top_terms_reference(spark, documents):
     assert [t for _, t in got0] == [t for _, t in scores]
     for (gs, _), (ws, _) in zip(got0, scores):
         assert abs(gs - ws) < 1e-5
+
+
+def test_mix_corpus_targets_and_determinism(spark, documents):
+    weights = {"en": 0.5, "de": 0.3, "fr": 0.2}
+    mixed = PK.mix_corpus(documents, weights)
+    got = {r[0]: r[1] for r in mixed.groupBy("lang").count().collect()}
+    avail = {
+        r[0]: r[1]
+        for r in documents.filter(F.col("lang").isin(*weights))
+        .groupBy("lang").count().collect()
+    }
+    assert set(got) <= set(weights)  # unlisted strata never survive
+    # the binding stratum (max n/weight pressure) is kept ~whole
+    binding = min(avail, key=lambda s: avail[s] / weights[s])
+    assert got[binding] >= avail[binding] * 0.99
+    # achieved mix is binomially close to the target proportions
+    total = sum(got.values())
+    for s, w in weights.items():
+        assert abs(got[s] / total - w) < 0.12, (s, got[s] / total, w)
+    # deterministic membership
+    a = sorted(r[0] for r in mixed.select("doc_id").collect())
+    b = sorted(r[0] for r in PK.mix_corpus(documents, weights).select("doc_id").collect())
+    assert a == b
