@@ -159,3 +159,45 @@ def constraint_report(df: DataFrame, constraints: list) -> DataFrame:
         "violations",
         (F.col("violations") == 0).alias("passed"),
     ).orderBy("constraint")
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column completeness/cardinality profile: (column, n_rows,
+    n_nulls, n_distinct) — the first look a data engineer takes at an
+    unfamiliar table, and the input to choosing partition/bucket keys.
+
+    One aggregate with k exact ``count_distinct``s: Spark plans the
+    multi-distinct via an Expand (k× the input rows pre-combine) — the
+    standard exact-profile cost; swap in ``approx_count_distinct`` at
+    100 TB when ±2% is acceptable (loses the oracle). Counts only, no
+    min/max: cross-engine value formatting (floats, timestamps) is not
+    portable, counts are.
+    """
+    agg = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__nul{i}")
+            for i, c in enumerate(cols)
+        ],
+        *[
+            F.count_distinct(F.col(c)).alias(f"__dis{i}")
+            for i, c in enumerate(cols)
+        ],
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col("__n").alias("n_rows"),
+                        F.col(f"__nul{i}").alias("n_nulls"),
+                        F.col(f"__dis{i}").alias("n_distinct"),
+                    )
+                    for i, c in enumerate(cols)
+                ]
+            )
+        ).alias("r")
+    ).select("r.column", "r.n_rows", "r.n_nulls", "r.n_distinct").orderBy("column")

@@ -71,3 +71,42 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         [Q.references("l_orderkey", orders, "o_orderkey")],
     )
     return report_orders.unionByName(report_fk).orderBy("constraint")
+
+
+@query(
+    "dq_column_profile",
+    """
+    WITH base AS (
+        SELECT 'o_custkey' AS "column",
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT o_totalprice) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+        FROM orders
+    )
+    SELECT * FROM base ORDER BY "column"
+    """,
+)
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-column completeness/cardinality profile of orders
+    (ops/quality.py `profile_columns`): one aggregate, Expand-planned
+    multi-distinct, k-row report."""
+    orders = load_table(spark, sf_dir, "orders")
+    return Q.profile_columns(
+        orders, ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    )

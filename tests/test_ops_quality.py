@@ -56,3 +56,15 @@ def test_single_aggregate_pass_for_row_local_constraints(spark, orders):
     plan = rep._jdf.queryExecution().executedPlan().toString()
     # both row-local checks fold into one scan + one aggregate
     assert plan.count("Scan parquet") <= 1
+
+
+def test_profile_columns_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (None, "b")], "id bigint, s string"
+    )
+    rep = {r["column"]: r for r in Q.profile_columns(df, ["id", "s"]).collect()}
+    assert rep["id"]["n_rows"] == 4
+    assert rep["id"]["n_nulls"] == 1
+    assert rep["id"]["n_distinct"] == 3
+    assert rep["s"]["n_nulls"] == 1
+    assert rep["s"]["n_distinct"] == 2
