@@ -311,3 +311,42 @@ def repetition_profile(
             ),
         )
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every word ``k``-gram, slide a
+    ``window`` over the hash sequence, keep each window's minimum; the
+    distinct minima are the document's fingerprint set. Guarantees any
+    shared run of ≥ window+k-1 words between two documents shares a
+    fingerprint — the local-similarity detector that whole-document
+    md5 (`fingerprint`) cannot provide.
+
+    Hashes are the portable md5 family (`ops/phash.py`) rather than a
+    literal Rabin-Karp rolling hash — winnowing is defined over any
+    k-gram hash, rolling is only a constant-factor optimization, and
+    portability buys a full DuckDB oracle. Entirely map-side per
+    document (transform/slice/array_min HOFs): zero shuffle at any
+    corpus size; returns (id, fingerprint) exploded and de-duplicated
+    per doc.
+    """
+    from hudi_utility_spark.ops import phash
+
+    gh = F.transform(
+        word_ngrams(F.col(text_col), k), lambda g: phash.hash64(g)
+    )
+    starts = F.sequence(F.lit(0), F.greatest(F.size(gh) - window, F.lit(0)))
+    wins = F.transform(starts, lambda i: F.array_min(F.slice(gh, i + 1, window)))
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(wins)).alias("fingerprint"),
+        )
+        .filter(F.col("fingerprint").isNotNull())
+    )

@@ -354,3 +354,44 @@ def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram fraction + distinct-bigram ratio per document."""
     d = load_table(spark, sf_dir, "documents")
     return X.repetition_profile(d, n=2)
+
+
+def _winnowing_oracle(k: int = 3, window: int = 4) -> str:
+    """Winnowing in DuckDB: gram rows → ordered hash list per doc →
+    per-row window minima via list HOFs; hashes via ops/phash.py
+    fragments, so fingerprints agree bit-for-bit with Spark."""
+    from hudi_utility_spark.ops import phash
+
+    h = phash.sql_hash64("g")
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ),
+    ghs AS (
+        SELECT doc_id, list({h} ORDER BY s) AS gh FROM (
+            SELECT doc_id, s,
+                   array_to_string(t[s + 1 : s + {k}], ' ') AS g
+            FROM toks, UNNEST(range(0, greatest(len(t) - {k - 1}, 1), 1)) AS u(s)
+            WHERE len(t[s + 1 : s + {k}]) >= {k}
+        ) GROUP BY doc_id
+    ),
+    wins AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(0, greatest(len(gh) - {window}, 0) + 1, 1),
+                   i -> list_min(list_slice(gh, i + 1, i + {window})))) AS fps
+        FROM ghs
+    )
+    SELECT doc_id, unnest(fps) AS fingerprint FROM wins
+    """
+
+
+@query("text_winnowing_fingerprints", _winnowing_oracle())
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint sets (MOSS): 3-gram hashes, window-4
+    minima, per-doc distinct — the rolling-hash-style local-similarity
+    fingerprint the brief's text-analysis family names. Map-only HOFs,
+    zero shuffle (ops/text.py `winnowing_fingerprints`)."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.winnowing_fingerprints(d, k=3, window=4)

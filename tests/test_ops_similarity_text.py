@@ -187,3 +187,28 @@ def test_repetition_profile_known_values(spark):
     assert got[1] == (0.6, 0.4)
     assert got[2] == (round(1 / 3, 6), 1.0)
     assert 3 not in got
+
+
+def test_winnowing_guarantee_and_python_parity(spark):
+    from hudi_utility_spark.ops.phash import py_hash64
+    from hudi_utility_spark.ops.text import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words >= window+k-1
+    rows = [
+        (1, f"intro words here {shared} tail one"),
+        (2, f"{shared} completely different ending text"),
+        (3, "nothing in common with the others at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in winnowing_fingerprints(df, k=3, window=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    # winnowing guarantee: a shared run of >= w+k-1 words shares a print
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+    # exact parity with a Python reference for one document
+    words = rows[0][1].lower().split()
+    gh = [py_hash64(" ".join(words[i : i + 3])) for i in range(len(words) - 2)]
+    wins = {min(gh[i : i + 4]) for i in range(len(gh) - 4 + 1)}
+    assert fps[1] == wins
