@@ -63,6 +63,7 @@ HEADLINE = [
     "rtr_bm25_topk",
     "rtr_tfidf_keywords",
     "dq_constraint_report",
+    "text_winnowing_fingerprints",
 ]
 
 

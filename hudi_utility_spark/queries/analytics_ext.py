@@ -190,3 +190,97 @@ def f_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= 5)
     )
+
+
+@query(
+    "ev_funnel_conversion",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t
+        GROUP BY e.user_id
+    )
+    SELECT stage, n_users,
+           ROUND(CAST(n_users AS DOUBLE)
+                 / NULLIF(lag(n_users) OVER (ORDER BY stage_ord), 0), 6)
+               AS conversion
+    FROM (
+        SELECT 1 AS stage_ord, 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+        UNION ALL
+        SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM c
+        UNION ALL
+        SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM p
+    ) ORDER BY stage_ord
+    """,
+)
+def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel over the events table: users whose first
+    view precedes a click precedes a purchase; per-stage user counts and
+    step conversion rates. Three keyed aggregates joined on user_id —
+    high-cardinality keys, no hot partitions; the final 3-row ranking
+    window is driver-sized. The standard product-analytics readout a
+    timeline/events store must answer."""
+    e = _t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    from pyspark.sql import Window
+
+    stages = (
+        v.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(1).alias("stage_ord"), F.lit("view").alias("stage"), "n_users"
+        )
+        .unionByName(
+            c.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(2).alias("stage_ord"), F.lit("click").alias("stage"), "n_users"
+            )
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(3).alias("stage_ord"), F.lit("purchase").alias("stage"), "n_users"
+            )
+        )
+    )
+    # global-ordering window is single-task by construction, but it runs
+    # on the THREE-row stage relation (one row per funnel stage), never
+    # on events — bounded like the gated vocab window in ops/dedup.py
+    w = Window.orderBy("stage_ord")
+    return (
+        stages.withColumn(
+            "conversion",
+            F.round(
+                F.col("n_users").cast("double")
+                / F.nullif(F.lag("n_users").over(w), F.lit(0)),
+                6,
+            ),
+        )
+        .orderBy("stage_ord")
+        .select("stage", "n_users", "conversion")
+    )
