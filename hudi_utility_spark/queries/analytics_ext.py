@@ -284,3 +284,49 @@ def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("stage_ord")
         .select("stage", "n_users", "conversion")
     )
+
+
+@query(
+    "ev_retention_cohorts",
+    """
+    WITH first_seen AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+        FROM events
+    )
+    SELECT f.cohort_week,
+           CAST((a.act_week - f.cohort_week) / 7 AS INTEGER) AS week_offset,
+           CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_users
+    FROM first_seen f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY f.cohort_week, CAST((a.act_week - f.cohort_week) / 7 AS INTEGER)
+    """,
+)
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week,
+    counted in each subsequent active week — the second standard
+    product-analytics readout next to the funnel. Two keyed aggregates
+    on user_id plus one keyed join; the (cohort, offset) matrix is
+    weeks², driver-tiny. Week truncation is ISO-Monday in both engines;
+    offsets compared as exact day multiples of 7."""
+    e = _t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("act_week")
+    ).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("act_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
