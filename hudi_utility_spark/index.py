@@ -130,6 +130,127 @@ def build_record_index(spark: SparkSession, table) -> DataFrame:
     return spark.read.parquet(out)
 
 
+BLOOM_INDEX_DIR = "_index/bloom"
+
+
+def _bloom_key(key_cols: list[str]):
+    """Composite record key as one string (the reference's comma-joined
+    key, ``pyspark_script.py:127``, normalized to a separator that can't
+    appear in values)."""
+    return F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+
+
+def bloom_bit_positions(key, m_bits: int, k: int):
+    """The k bloom bit positions of one key value, derived from the
+    portable md5 family (`ops/phash.py`) so index contents are
+    reproducible in any engine — no JVM-specific hash."""
+    from hudi_utility_spark.ops import phash
+
+    hi, lo = phash.parts(key)
+    return F.array_distinct(
+        F.array(*[phash.family_hash(hi, lo, i) % F.lit(m_bits) for i in range(k)])
+    )
+
+
+def build_bloom_index(
+    spark: SparkSession, table, m_bits: int = 4096, k: int = 3
+) -> DataFrame:
+    """Hudi's default **BLOOM index** re-expressed as a Spark-managed
+    index table: per base file, the sorted set of bloom bit positions of
+    every record key in it (reference tables get this from
+    ``hoodie.index.type=BLOOM`` file footers; the app never surfaces it).
+
+    Build cost: one explode of k positions per row + one aggregation
+    keyed on file name — map-side partial `collect_set` bounds the
+    shuffle at O(files × m_bits) values regardless of row count. The
+    index is O(files × m_bits/64) storage — for a 100k-file table at the
+    default sizing, single-digit MBs, same economics as Hudi's metadata
+    table bloom partition. Point/upsert lookups then consult the index
+    (`bloom_candidate_files`) and touch only files whose filter *might*
+    contain the key: no false negatives ever (every key's bits are set
+    in its file's filter), false positives only cost an extra file read
+    that the exact residual filter discards."""
+    df = table.read_base(spark)
+    bits = bloom_bit_positions(_bloom_key(table.record_key), m_bits, k)
+    idx = (
+        df.select(F.input_file_name().alias("file"), F.explode(bits).alias("bit"))
+        .groupBy("file")
+        .agg(F.sort_array(F.collect_set("bit")).alias("bits"))
+    )
+    out = os.path.join(table.path, BLOOM_INDEX_DIR)
+    idx.write.mode("overwrite").parquet(out)
+    spark.catalog.refreshByPath(out)
+    return spark.read.parquet(out)
+
+
+def bloom_candidate_files(
+    spark: SparkSession, table, keys_df: DataFrame, m_bits: int = 4096, k: int = 3
+) -> list[str]:
+    """Base files that may contain any of the probe keys: file f is a
+    candidate for key x iff ALL of x's bit positions are set in f's
+    filter. The probe side is a point-lookup batch — small by definition
+    — so it broadcasts into a nested-loop against the (files-sized)
+    index relation; the table's data is never touched."""
+    probes = (
+        keys_df.select(*table.record_key)
+        .distinct()
+        .select(bloom_bit_positions(_bloom_key(table.record_key), m_bits, k).alias("pbits"))
+        .distinct()
+    )
+    idx = spark.read.parquet(os.path.join(table.path, BLOOM_INDEX_DIR))
+    cand = (
+        idx.join(
+            F.broadcast(probes),
+            F.forall("pbits", lambda b: F.array_contains("bits", b)),
+        )
+        .select("file")
+        .distinct()
+        .collect()
+    )
+    return [r.file for r in cand]
+
+
+def bloom_lookup(
+    spark: SparkSession,
+    table,
+    keys_df: DataFrame,
+    m_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Point lookup routed through the bloom index: read only candidate
+    base files, exact-filter by key (discarding bloom false positives),
+    union the MOR delta log, resolve precombine. Same contract as
+    `point_lookup` but with O(m_bits)-per-file index storage instead of
+    O(records) — the trade Hudi makes between its BLOOM and
+    record-level indexes."""
+    from hudi_utility_spark.table import DELETED_COL, TableType
+    from hudi_utility_spark.write import latest_by_key
+
+    keys = table.record_key
+    probe = F.broadcast(keys_df.select(*keys).distinct())
+    files = bloom_candidate_files(spark, table, keys_df, m_bits=m_bits, k=k)
+    if files:
+        base = (
+            spark.read.option("mergeSchema", "true")
+            .option("basePath", table.base_path)
+            .parquet(*files)
+        )
+        matched = base.join(probe, on=keys, how="left_semi")
+    else:
+        matched = table.read_base(spark).filter(F.lit(False))
+    if table.table_type is TableType.MERGE_ON_READ and os.path.isdir(table.log_path):
+        log = spark.read.option("mergeSchema", "true").parquet(table.log_path)
+        matched = matched.unionByName(
+            log.join(probe, on=keys, how="left_semi"), allowMissingColumns=True
+        )
+    resolved = latest_by_key(matched, keys, table.precombine)
+    if DELETED_COL in resolved.columns:
+        resolved = resolved.filter(
+            ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+        ).drop(DELETED_COL)
+    return resolved
+
+
 def point_lookup(spark: SparkSession, table, keys_df: DataFrame) -> DataFrame:
     """Read exactly the base files containing the requested keys (via
     the record index), union the delta log for MOR, resolve precombine,

@@ -275,6 +275,47 @@ def decontaminate(
     )
 
 
+def flag_hot_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicate-span detection — the n-gram
+    approximation of substring-level dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): an
+    ``n``-gram occurring in ≥ ``min_docs`` distinct documents is *hot*;
+    each document reports its distinct-gram count, how many are hot,
+    and the hot fraction — the signal used to cut boilerplate spans and
+    templated near-copies that whole-document dedup misses.
+
+    Plan at scale: per-doc distinct grams (map-only HOF + one
+    (doc, gram) shuffle), gram document-frequency (second aggregate,
+    map-side partials), then a gram-keyed join back and a per-doc
+    aggregate — every stage keyed and combinable, no pair explosion,
+    no collect. Documents shorter than ``n`` tokens produce no grams
+    and drop out (mirrored by the oracle's inner join)."""
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    docfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        grams.join(docfreq, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("df") >= min_docs).cast("long")).alias("n_hot"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_hot",
+            F.round(F.col("n_hot") / F.col("n_grams"), 6).alias("hot_frac"),
+        )
+    )
+
+
 def repetition_profile(
     df: DataFrame,
     id_col: str = "doc_id",

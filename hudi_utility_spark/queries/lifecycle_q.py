@@ -245,6 +245,81 @@ def lifecycle_delete_reinsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s7_partial_update",
+    """
+    WITH unioned AS (
+      SELECT event_id, ts, event_type, value, props FROM events
+      UNION ALL
+      SELECT event_id, ts + INTERVAL 1 HOUR AS ts, event_type,
+             value * 2 AS value, CAST(NULL AS VARCHAR) AS props
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT event_id, ts + INTERVAL 2 HOUR AS ts, event_type,
+             CAST(NULL AS DOUBLE) AS value, 'audited' AS props
+      FROM events WHERE event_type = 'purchase'
+    ), filled AS (
+      SELECT event_id, ts, event_type,
+             LAST_VALUE(value IGNORE NULLS) OVER (
+               PARTITION BY event_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+             LAST_VALUE(props IGNORE NULLS) OVER (
+               PARTITION BY event_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS props
+      FROM unioned
+    ), resolved AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_id ORDER BY ts DESC) AS rn
+      FROM filled
+    )
+    SELECT event_id, event_type, ROUND(value, 2) AS value, props
+    FROM resolved WHERE rn = 1
+    """,
+)
+def s7_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-update payload semantics (Hudi's
+    OverwriteNonDefaultsWithLatestAvroPayload / 1.x partial merge mode):
+    two partial batches — clicks double ``value`` but carry NULL
+    ``props`` (must inherit the existing props), purchases set ``props``
+    but carry NULL ``value`` (must keep the existing value). The oracle
+    replays the per-column last-non-null resolution with IGNORE NULLS
+    windows."""
+    from hudi_utility_spark.write import upsert_partial
+
+    root = _scratch(sf_dir, "partial_update")
+    table = KeyedTable(
+        path=root,
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+        table_type=TableType.COPY_ON_WRITE,
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value", "props"
+    )
+    upsert_partial(spark, events, table, commit_time="20260101000000001")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        "event_type",
+        (F.col("value") * 2).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    upsert_partial(spark, clicks, table, commit_time="20260102000000001")
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 2 HOUR")).alias("ts"),
+        "event_type",
+        F.lit(None).cast("double").alias("value"),
+        F.lit("audited").alias("props"),
+    )
+    upsert_partial(spark, buys, table, commit_time="20260103000000001")
+    snap = table.read(spark)
+    return snap.select(
+        "event_id", "event_type", F.round("value", 2).alias("value"), "props"
+    )
+
+
+@query(
     "rollup_incremental_maintenance",
     """
     WITH unioned AS (

@@ -151,3 +151,24 @@ def pipeline_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@query(
+    "pipeline_uniform_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 100
+    """,
+)
+def pipeline_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size deterministic uniform sample: order by a content-
+    stable hash of the id and take the first N — reproducible across
+    runs and engines (md5 hex compares identically everywhere), unlike
+    `df.sample` whose membership depends on partitioning. Plans as
+    TakeOrderedAndProject: each task keeps its local top-N, the driver
+    merges — no global sort, no full shuffle, which is what makes
+    "give me exactly 10k eval docs from 100 TB" a cheap operation."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    return docs.orderBy(h).limit(100).select("doc_id", "lang")

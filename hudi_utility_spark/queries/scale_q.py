@@ -201,6 +201,53 @@ def index_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "index_bloom_lookup",
+    """
+    SELECT event_id, event_type, ROUND(value, 2) AS value
+    FROM events WHERE event_id % 89 = 0
+    """,
+)
+def index_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter index (Hudi's default BLOOM index): per-file bloom
+    bit sets built from the portable md5 hash family, probed with a
+    point-lookup key batch — only files whose filter might contain a
+    probe key are read, the exact residual filter discards false
+    positives, and false negatives are impossible by construction. The
+    oracle is the plain key filter: routing through the index must be
+    result-invisible. Strict file pruning is asserted in
+    tests/test_index.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from hudi_utility_spark import index
+    from hudi_utility_spark.table import KeyedTable, TableType
+    from hudi_utility_spark.write import upsert
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_utility_spark_q",
+        f"idx_bloom_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = KeyedTable(
+        path=root,
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+        table_type=TableType.MERGE_ON_READ,
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    upsert(spark, events, table, commit_time="20260101000000001")
+    index.build_bloom_index(spark, table)
+    wanted = events.filter(F.col("event_id") % 89 == 0).select("event_id")
+    got = index.bloom_lookup(spark, table, wanted)
+    return got.select("event_id", "event_type", F.round("value", 2).alias("value"))
+
+
+@query(
     "zorder_two_dim_scan",
     """
     SELECT COUNT(*) AS cnt,

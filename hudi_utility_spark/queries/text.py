@@ -395,3 +395,80 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffle (ops/text.py `winnowing_fingerprints`)."""
     d = load_table(spark, sf_dir, "documents")
     return X.winnowing_fingerprints(d, k=3, window=4)
+
+
+@query(
+    "text_hot_ngram_spans",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, array_to_string(t[s + 1 : s + 8], ' ') AS gram
+        FROM toks, UNNEST(range(0, greatest(len(t) - 7, 1), 1)) AS u(s)
+        WHERE len(t[s + 1 : s + 8]) >= 8
+    ),
+    freq AS (SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+           ROUND(CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS hot_frac
+    FROM grams g JOIN freq f USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def text_hot_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-span detection (substring-dedup
+    approximation, Lee et al. 2022): per doc, the fraction of its word
+    8-grams shared with at least one other document. Two keyed
+    aggregates + one gram join — no pair explosion (ops/text.py
+    `flag_hot_ngrams`)."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.flag_hot_ngrams(d, n=8, min_docs=2)
+
+
+@query(
+    "text_vocab_topk",
+    r"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents
+    ),
+    cnt AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(cnt) AS t FROM cnt),
+    top AS (SELECT tok, cnt FROM cnt ORDER BY cnt DESC, tok LIMIT 20)
+    SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+           ROUND(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / (SELECT t FROM tot), 6) AS cum_share
+    FROM top
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head profile: top-20 tokens by global frequency with
+    cumulative corpus share (the Zipf-head readout tokenizer training
+    starts from). Token counts are one hash aggregate; the top-k is
+    TakeOrdered (no global sort); the cumulative window runs on the
+    20-row result — driver-sized by construction, like the funnel's
+    stage window."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("t"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(20)
+    # cumulative window over the 20-row top-k only — bounded relation
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("cum_share", F.round(F.sum("cnt").over(w) / F.col("t"), 6))
+        .select("tok", "cnt", "cum_share")
+    )

@@ -130,3 +130,70 @@ def test_zorder_prunes_on_both_dimensions(spark, lineitem, tmp_path):
         got = index.read_with_skipping(spark, root, c, 0, mx // 10).count()
         want = lineitem.filter(F.col(c) <= mx // 10).count()
         assert got == want
+
+
+def test_bloom_index_lookup_matches_exact_filter(spark, events, tmp_path):
+    from hudi_utility_spark.table import KeyedTable, TableType
+    from hudi_utility_spark.write import delete_keys, upsert
+
+    table = KeyedTable(
+        path=str(tmp_path / "bl"),
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+        table_type=TableType.MERGE_ON_READ,
+    )
+    upsert(spark, events, table, commit_time="1")
+    index.build_bloom_index(spark, table, m_bits=2048, k=3)
+
+    # log churn AFTER the index is built: the lookup must still see it
+    upd = events.limit(10).select(
+        "event_id", "event_type",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        F.lit(77.0).alias("value"),
+    )
+    upsert(spark, upd, table, commit_time="2")
+    dead = events.limit(3).select(
+        "event_id", "event_type", (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("ts")
+    )
+    delete_keys(spark, dead, table, commit_time="3")
+
+    wanted = events.limit(10).select("event_id")
+    got = index.bloom_lookup(spark, table, wanted, m_bits=2048, k=3)
+    rows = {r.event_id: r.value for r in got.select("event_id", "value").collect()}
+    dead_ids = {r.event_id for r in dead.collect()}
+    want_ids = {r.event_id for r in wanted.collect()} - dead_ids
+    assert set(rows) == want_ids
+    assert all(v == 77.0 for v in rows.values())
+
+
+def test_bloom_index_prunes_files_and_never_misses(spark, events, tmp_path):
+    from hudi_utility_spark.table import KeyedTable, TableType
+    from hudi_utility_spark.write import upsert
+
+    table = KeyedTable(
+        path=str(tmp_path / "bl2"),
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+        table_type=TableType.COPY_ON_WRITE,
+    )
+    # many files: repartition before bootstrap so each partition dir
+    # holds several base files with distinct key sets
+    upsert(spark, events.repartition(8), table, commit_time="1")
+    idx = index.build_bloom_index(spark, table, m_bits=4096, k=3)
+    total = idx.count()
+    assert total > 4
+
+    # single-key probe: candidates must include the key's true file and
+    # (at this m/k on distinct keys) strictly prune the file set
+    one = events.limit(1).select("event_id")
+    files = index.bloom_candidate_files(spark, table, one, m_bits=4096, k=3)
+    assert 0 < len(files) < total
+    got = index.bloom_lookup(spark, table, one, m_bits=4096, k=3)
+    assert got.count() == 1
+
+    # absent key: exact residual filter discards bloom false positives
+    mx = events.agg(F.max("event_id")).collect()[0][0]
+    ghost = spark.range(mx + 500, mx + 501).selectExpr("id AS event_id")
+    assert index.bloom_lookup(spark, table, ghost, m_bits=4096, k=3).isEmpty()

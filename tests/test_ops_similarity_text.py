@@ -212,3 +212,27 @@ def test_winnowing_guarantee_and_python_parity(spark):
     gh = [py_hash64(" ".join(words[i : i + 3])) for i in range(len(words) - 2)]
     wins = {min(gh[i : i + 4]) for i in range(len(gh) - 4 + 1)}
     assert fps[1] == wins
+
+
+def test_flag_hot_ngrams_known_values(spark):
+    # doc 1 and 2 share the span "a b c d"; doc 3 is disjoint
+    rows = [
+        (1, "a b c d x y"),
+        (2, "p q a b c d"),
+        (3, "m n o r s t"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    got = {
+        r.doc_id: (r.n_grams, r.n_hot, r.hot_frac)
+        for r in T.flag_hot_ngrams(df, n=4, min_docs=2).collect()
+    }
+    # each doc has 3 distinct 4-grams; exactly one ("a b c d") is shared
+    assert got[1] == (3, 1, round(1 / 3, 6))
+    assert got[2] == (3, 1, round(1 / 3, 6))
+    assert got[3] == (3, 0, 0.0)
+
+    # a doc shorter than n tokens produces no grams and drops out
+    short = spark.createDataFrame([(9, "a b")], "doc_id INT, text STRING")
+    assert T.flag_hot_ngrams(df.unionByName(short), n=4, min_docs=2).filter(
+        "doc_id = 9"
+    ).count() == 0

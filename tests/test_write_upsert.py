@@ -171,3 +171,67 @@ def test_upsert_schema_evolution_adds_column(spark, events, tmp_path):
         n_click = events.filter(F.col("event_type") == "click").count()
         assert snap.filter(F.col("score").isNotNull()).count() == n_click
         assert snap.count() == events.count()
+
+
+def test_resolve_partial_fills_per_column_last_non_null(spark):
+    from hudi_utility_spark.write import resolve_partial
+
+    rows = [
+        # key 1: v1 sets (a=1, b=x); v2 sets only a; v3 sets only b
+        (1, 1, 1.0, "x"),
+        (1, 2, 5.0, None),
+        (1, 3, None, "z"),
+        # key 2: later version nulls stay inherited from v1
+        (2, 1, 9.0, "k"),
+        (2, 2, None, None),
+    ]
+    df = spark.createDataFrame(rows, "id INT, pc INT, a DOUBLE, b STRING")
+    got = {
+        r.id: (r.pc, r.a, r.b)
+        for r in resolve_partial(df, ["id"], "pc").collect()
+    }
+    assert got[1] == (3, 5.0, "z")   # a from v2, b from v3, pc = max
+    assert got[2] == (2, 9.0, "k")   # both inherited from v1
+
+
+def test_upsert_partial_cow_and_mor(spark, events, tmp_path):
+    from hudi_utility_spark.table import KeyedTable, TableType
+    from hudi_utility_spark.write import read_partial, upsert_partial
+
+    base = events.select("event_id", "ts", "event_type", "value", "props")
+    patch = events.limit(5).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        "event_type",
+        F.lit(None).cast("double").alias("value"),   # must inherit
+        F.lit("patched").alias("props"),             # must overwrite
+    )
+    want_vals = {r.event_id: r.value for r in events.limit(5).collect()}
+
+    for tt in (TableType.COPY_ON_WRITE, TableType.MERGE_ON_READ):
+        table = KeyedTable(
+            path=str(tmp_path / f"pu_{tt.value}"),
+            record_key=["event_id"],
+            precombine="ts",
+            partition_fields=["event_type"],
+            table_type=tt,
+        )
+        upsert_partial(spark, base, table, commit_time="1")
+        upsert_partial(spark, patch, table, commit_time="2")
+        snap = (
+            table.read(spark)
+            if tt is TableType.COPY_ON_WRITE
+            else read_partial(spark, table)
+        )
+        got = {
+            r.event_id: (r.value, r.props)
+            for r in snap.filter(F.col("event_id").isin(list(want_vals)))
+            .select("event_id", "value", "props")
+            .collect()
+        }
+        assert set(got) == set(want_vals)
+        for k, (v, p) in got.items():
+            assert p == "patched"
+            assert v == want_vals[k]  # NULL in the patch kept the old value
+        # untouched keys unchanged
+        assert snap.count() == events.count()
