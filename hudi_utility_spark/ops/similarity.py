@@ -157,6 +157,105 @@ def ivf_topk(
     )
 
 
+def pq_fit(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split each vector into
+    ``m`` contiguous subvectors and learn ``k`` centroids per subspace
+    with the deterministic fixed-iteration Lloyd's of `ops/cluster.py`
+    (init = k lowest-id subvectors, lower-cid tie break), so the whole
+    fit — like `cluster_kmeans_profile` — is a finite dataflow an SQL
+    oracle can replay. Returns ``m`` codebooks of ``k`` centroids.
+
+    Scale: each subspace fit is the k-means economics (map-only assign,
+    one k×(dim/m) shuffle per iteration); driver state is m·k·(dim/m) =
+    k·dim floats — the same size as one un-quantized centroid table."""
+    from hudi_utility_spark.ops.cluster import kmeans_fit
+
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for s in range(m):
+        sliced = df.select(
+            F.col(id_col), F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col)
+        )
+        books.append(kmeans_fit(sliced, k, vec_col, id_col, iters))
+    return books
+
+
+def pq_codes(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode each vector as ``m`` centroid codes (one per subspace):
+    argmin squared-L2 against the subspace codebook, evaluated entirely
+    in codegen over codebook literals — map-only, no shuffle, no
+    Python. The codes column is the 8×-to-64×-compressed representation
+    that makes billion-vector ANN fit in memory."""
+    from hudi_utility_spark.ops.cluster import _centroid_literal, _sq_dist
+
+    sub = len(codebooks[0][0])
+    out = df.select(F.col(id_col), F.col(vec_col))
+    for s, book in enumerate(codebooks):
+        cents = _centroid_literal(book)
+        sliced = F.slice(F.col(vec_col), s * sub + 1, sub)
+        best = F.array_sort(
+            F.transform(
+                cents,
+                lambda st: F.struct(
+                    _sq_dist(sliced, st["c"]).alias("d"), st["cid"].alias("cid")
+                ),
+            )
+        )[0]["cid"]
+        out = out.withColumn(f"code_{s}", best)
+    return out.drop(vec_col)
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    topk: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k: the query stays exact; each corpus
+    vector is its PQ codes, and distance ≈ Σₛ ‖q_s − c_{s,code_s}‖².
+    The per-subspace distance table (k scalars per subspace, computed
+    once on the driver) is folded into the plan as literal arrays, so
+    per-row work is ``m`` array lookups + an add chain — the table-
+    lookup economics that lets ADC scan compressed codes instead of raw
+    vectors. TakeOrderedAndProject keeps k rows per partition; no global
+    sort."""
+    sub = len(codebooks[0][0])
+    coded = pq_codes(df, codebooks, vec_col, id_col)
+    adc = None
+    for s, book in enumerate(codebooks):
+        q_s = [float(x) for x in query_vec[s * sub : (s + 1) * sub]]
+        table = [
+            sum((q_s[i] - c[i]) * (q_s[i] - c[i]) for i in range(sub)) for c in book
+        ]
+        term = F.element_at(
+            F.array(*[F.lit(d) for d in table]), F.col(f"code_{s}") + 1
+        )
+        adc = term if adc is None else adc + term
+    return (
+        coded.select(F.col(id_col), F.round(adc, 4).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc(id_col))
+        .limit(topk)
+    )
+
+
 def cosine_near_pairs(
     df: DataFrame,
     threshold: float = 0.95,

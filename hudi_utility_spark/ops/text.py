@@ -329,14 +329,22 @@ def repetition_profile(
     marks boilerplate and template spam — a standard pretraining quality
     filter (Rae et al., Gopher §A1.3).
 
-    One shuffle on (doc, gram) then a per-doc aggregate; n-gram
-    generation is the same map-only transform+slice as decontamination.
-    Documents shorter than ``n`` tokens produce no grams and drop out.
+    One shuffle on (doc, gram-hash) then a per-doc aggregate — but the
+    exchange carries 8-byte ``xxhash64`` gram identities, not gram
+    strings: the hash runs in the codegen'd projection right after the
+    explode and the ~50-byte gram string never leaves the map side
+    (an intra-document 64-bit collision, the only way counts could
+    shift, is ~1e-13 per doc). A zero-shuffle variant that folds over
+    the doc's own sorted gram array was tried and is ~2× SLOWER:
+    higher-order-function lambdas evaluate interpreted, so a per-row
+    O(n log n) string sort costs more than a well-keyed long shuffle —
+    the same measurement winnowing_fingerprints documents. Documents
+    shorter than ``n`` tokens produce no grams and drop out.
     """
     grams = df.select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
-    )
-    per = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    ).select(id_col, F.xxhash64("gram").alias("g"))
+    per = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
     return (
         per.groupBy(id_col)
         .agg(

@@ -53,3 +53,33 @@ def test_cluster_profile_partitions_all_vectors(spark, emb):
     assert sum(r.n_members for r in rows) == emb.count()
     assert all(r.mean_sq_dist >= 0 for r in rows)
     assert len(rows) <= K
+
+
+def test_pq_codes_and_adc_respect_cluster_structure(spark):
+    from hudi_utility_spark.ops.similarity import pq_adc_topk, pq_codes, pq_fit
+
+    # two well-separated clusters in 8-dim space: ids 0-4 near +1, 5-9 near -1
+    rows = []
+    for i in range(10):
+        base = 1.0 if i < 5 else -1.0
+        rows.append((i, [base + 0.01 * ((i * 7 + d) % 5) for d in range(8)]))
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+
+    books = pq_fit(df, m=2, k=2, iters=2)
+    assert len(books) == 2 and all(len(b) == 2 for b in books)
+    coded = pq_codes(df, books).collect()
+    # codes are valid ids and identical within each true cluster
+    for r in coded:
+        assert 0 <= r.code_0 < 2 and 0 <= r.code_1 < 2
+    c0 = {r.vec_id: (r.code_0, r.code_1) for r in coded}
+    assert len({c0[i] for i in range(5)}) == 1
+    assert len({c0[i] for i in range(5, 10)}) == 1
+    assert c0[0] != c0[9]
+
+    # ADC for a +1-side query ranks the whole +1 cluster first
+    q = [1.0] * 8
+    top = [r.vec_id for r in pq_adc_topk(df, books, q, topk=5).collect()]
+    assert set(top) == {0, 1, 2, 3, 4}
+
+    # determinism: refit gives identical codebooks
+    assert pq_fit(df, m=2, k=2, iters=2) == books
