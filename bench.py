@@ -64,6 +64,14 @@ HEADLINE = [
     "rtr_tfidf_keywords",
     "dq_constraint_report",
     "text_winnowing_fingerprints",
+    "text_hot_ngram_spans",
+    "text_vocab_topk",
+    "sim_pq_adc_topk",
+    "pipeline_uniform_sample",
+    "s7_partial_update",
+    "index_bloom_lookup",
+    "ev_funnel_conversion",
+    "ev_retention_cohorts",
 ]
 
 

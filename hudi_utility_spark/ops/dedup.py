@@ -55,6 +55,40 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def dedup_incremental(
+    batch: DataFrame,
+    corpus: DataFrame | None = None,
+    corpus_fingerprints: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Continuous-ingest dedup: admit only batch documents whose content
+    fingerprint is new — absent from the existing corpus AND not claimed
+    by a lower-id document in the same batch. The operation every
+    training-data pipeline runs on each arriving crawl shard.
+
+    Pass either ``corpus`` (fingerprints computed on the fly) or
+    ``corpus_fingerprints`` (a persisted store with a ``fingerprint``
+    column — the production shape: at 100 TB the store is (md5, id)
+    rows, ~1000× narrower than the corpus, and the anti-join shuffles
+    only the batch side if the store is bucketed on fingerprint).
+    Within-batch dedup reuses the deterministic min-id window of
+    :func:`dedup_exact`."""
+    if corpus_fingerprints is None:
+        if corpus is None:
+            raise ValueError("need corpus or corpus_fingerprints")
+        corpus_fingerprints = fingerprint(corpus, text_col)
+    store = corpus_fingerprints.select("fingerprint").distinct()
+    bfp = fingerprint(batch, text_col)
+    fresh = bfp.join(store, "fingerprint", "left_anti")
+    w = Window.partitionBy("fingerprint").orderBy(F.asc(id_col))
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "fingerprint")
+    )
+
+
 # ---------------------------------------------------------------------------
 # N-gram / unigram Jaccard near-dup
 # ---------------------------------------------------------------------------

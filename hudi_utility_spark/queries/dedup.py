@@ -305,3 +305,49 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return cosine_near_pairs(e, threshold=0.4, block_col="label")
+
+
+@query(
+    "dedup_incremental_batch",
+    f"""
+    WITH corpus AS (
+        SELECT * FROM documents WHERE doc_id % 3 <> 0
+    ),
+    batch AS (
+        SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents
+        WHERE doc_id % 3 <> 0 AND doc_id % 7 = 0
+    ),
+    store AS (SELECT DISTINCT md5({_NORM_SQL}) AS fp FROM corpus),
+    bfp AS (
+        SELECT doc_id, lang, md5({_NORM_SQL}) AS fp FROM batch
+    ),
+    fresh AS (
+        SELECT * FROM bfp WHERE fp NOT IN (SELECT fp FROM store)
+    )
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM fresh
+    ) WHERE rn = 1
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup: a new batch (every third doc, plus
+    re-keyed copies of corpus docs that MUST be rejected) admitted
+    against the existing corpus' fingerprint store — anti-join on the
+    content fingerprint, then min-id within-batch dedup
+    (ops/dedup.py `dedup_incremental`)."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    batch = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text", "lang")
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+            )
+        )
+    )
+    return D.dedup_incremental(batch, corpus=corpus).select("doc_id", "lang")

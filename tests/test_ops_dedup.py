@@ -132,3 +132,34 @@ def test_minhash_shuffle_verification_matches_broadcast(spark, documents):
         ).collect()
     }
     assert b == s and len(b) > 0
+
+
+def test_dedup_incremental_rejects_corpus_and_batch_dupes(spark):
+    from hudi_utility_spark.ops.dedup import dedup_incremental
+    from hudi_utility_spark.ops.text import fingerprint
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon")],
+        "doc_id INT, text STRING",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "Alpha  beta GAMMA!"),   # normalizes to corpus doc 1 → rejected
+            (11, "zeta eta"),             # new → kept
+            (12, "theta iota"),           # new, duplicated in batch → min id kept
+            (13, "theta iota"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    got = sorted(
+        r.doc_id for r in dedup_incremental(batch, corpus=corpus).collect()
+    )
+    assert got == [11, 12]
+
+    # persisted-store arm gives the identical answer
+    store = fingerprint(corpus).select("fingerprint")
+    got2 = sorted(
+        r.doc_id
+        for r in dedup_incremental(batch, corpus_fingerprints=store).collect()
+    )
+    assert got2 == [11, 12]
