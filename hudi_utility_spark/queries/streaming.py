@@ -146,3 +146,32 @@ def stream_running_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = running_ewma_batch(ev, alpha=0.3)
     return out.select("user_id", F.round("ewma", 4).alias("ewma"), "n_events")
+
+
+@query(
+    "stream_trending_topk",
+    """
+    WITH wc AS (
+        SELECT CAST(floor(epoch(ts) / 900) * 900 * 1000000 AS BIGINT)
+                   AS window_start_us,
+               event_type,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    )
+    SELECT window_start_us, event_type, cnt, rnk FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY window_start_us
+            ORDER BY cnt DESC, event_type) AS INTEGER) AS rnk
+        FROM wc
+    ) WHERE rnk <= 3
+    """,
+)
+def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-3 event types per 15-minute tumbling window —
+    incremental windowed counts + a per-window bounded ranking
+    (streaming splits the plan at the aggregation boundary; parity
+    pinned in tests/test_streaming_windows.py)."""
+    from hudi_utility_spark.streaming.windows import trending_topk
+
+    ev = load_table(spark, sf_dir, "events")
+    return trending_topk(ev, width="15 minutes", k=3)

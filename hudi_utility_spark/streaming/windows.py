@@ -124,6 +124,60 @@ def session_windows_stream(
     )
 
 
+def windowed_key_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    width: str = "15 minutes",
+    key_col: str = "event_type",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-(tumbling window, key) event counts — the incremental half of
+    trending top-k, safe to run as a streaming aggregation."""
+    if watermark:
+        df = as_ltz(df, ts_col).withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, width).alias("win"), key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(us(F.col("win.start")).alias("window_start_us"), key_col, "cnt")
+    )
+
+
+def rank_trending(
+    counts: DataFrame, k: int = 3, key_col: str = "event_type"
+) -> DataFrame:
+    """Keep each window's k hottest keys (deterministic ties: count desc,
+    key asc). Ranking is NOT incremental, so in streaming this runs over
+    the aggregation's output — per micro-batch in foreachBatch, or on
+    the complete-mode sink — never inside the stateful stage. The window
+    partitions on window_start, so state per task is one window's keys."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start_us").orderBy(
+        F.desc("cnt"), F.asc(key_col)
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def trending_topk(
+    df: DataFrame,
+    ts_col: str = "ts",
+    width: str = "15 minutes",
+    key_col: str = "event_type",
+    k: int = 3,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Trending readout: per tumbling window, the k keys with the most
+    events — windowed incremental counts + a bounded per-window ranking.
+    In batch this is one plan; streaming splits it at the aggregation
+    boundary (see rank_trending)."""
+    return rank_trending(
+        windowed_key_counts(df, ts_col, width, key_col, watermark), k, key_col
+    )
+
+
 def dedup_within_watermark(
     df: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "10 minutes"
 ) -> DataFrame:

@@ -74,3 +74,32 @@ def test_dedup_within_watermark_stream(spark, events_path, tmp_path):
     )
     assert got.count() == base.count()
     assert got.select("event_id").distinct().count() == base.count()
+
+
+def test_trending_topk_stream_matches_batch(spark, events_path):
+    from hudi_utility_spark.streaming.windows import (
+        rank_trending,
+        trending_topk,
+        windowed_key_counts,
+    )
+
+    batch_df = spark.read.parquet(events_path)
+    expected = sorted(map(tuple, trending_topk(batch_df, k=3).collect()))
+    # streaming half: incremental windowed counts through a memory sink,
+    # ranking applied on the sink output (the foreachBatch position)
+    counts = run_stream_to_memory(
+        spark,
+        batch_df.schema,
+        events_path,
+        lambda s: windowed_key_counts(s, watermark="1 hour"),
+        "t_trend_counts",
+        output_mode="complete",
+    )
+    got = sorted(map(tuple, rank_trending(counts, k=3).collect()))
+    assert got == expected
+    # every window contributes at most 3 rows with ranks 1..n
+    per_win = {}
+    for r in rank_trending(counts, k=3).collect():
+        per_win.setdefault(r.window_start_us, []).append(r.rnk)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 3
+               for v in per_win.values())
