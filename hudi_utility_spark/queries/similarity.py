@@ -219,18 +219,22 @@ def cluster_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cl.kmeans_cluster_profile(emb, k=8, iters=3)
 
 
-def _pq_oracle(m: int = 4, k: int = 8, iters: int = 2, dim: int = 64) -> str:
+def _pq_oracle(
+    m: int = 4, k: int = 8, iters: int = 2, dim: int = 64, nprobe: int | None = None
+) -> str:
     """Unrolled PQ-ADC DuckDB oracle: per subspace, the same fixed-
     iteration Lloyd CTE chain as `_kmeans_oracle` (init = k lowest-id
     subvectors, lower-cid ties, empty clusters keep their centroid),
     then code assignment and the asymmetric distance sum against the
     vec-0 query. Deterministic end to end, so the full PQ pipeline is
-    value-hash checked."""
+    value-hash checked. With ``nprobe`` the final scan is restricted to
+    the query's nprobe nearest label cells (the IVF-PQ composition —
+    same cells CTEs as the `sim_ivf_topk` oracle)."""
     sub = dim // m
     parts = [
         """
     WITH emb AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
     )"""
     ]
     for s in range(m):
@@ -290,11 +294,30 @@ def _pq_oracle(m: int = 4, k: int = 8, iters: int = 2, dim: int = 64) -> str:
         f"JOIN s{s}_c{iters} c{s} ON k{s}.cid = c{s}.cid"
         for s in range(m)
     )
+    probe_ctes, probe_join = "", ""
+    if nprobe is not None:
+        probe_ctes = f""",
+    cell_dims AS (
+        SELECT label AS cell, d.i AS dim, AVG(d.vv) AS mean_v
+        FROM emb, LATERAL (SELECT unnest(emb.v) AS vv,
+                                  generate_subscripts(emb.v, 1) AS i) d
+        GROUP BY label, d.i
+    ),
+    cents AS (
+        SELECT cell, list(mean_v ORDER BY dim) AS centroid
+        FROM cell_dims GROUP BY cell
+    ),
+    probed AS (
+        SELECT cell FROM cents, (SELECT v FROM emb WHERE vec_id = 0) qq
+        ORDER BY list_cosine_similarity(centroid, qq.v) DESC, cell
+        LIMIT {nprobe}
+    )"""
+        probe_join = " JOIN probed p ON e.label = p.cell"
     parts.append(
-        f""",
+        f"""{probe_ctes},
     q AS (SELECT v FROM emb WHERE vec_id = 0)
     SELECT e.vec_id, ROUND({adc_terms}, 4) AS adc
-    FROM emb e {joins}, q
+    FROM emb e {joins}{probe_join}, q
     ORDER BY ROUND({adc_terms}, 4), e.vec_id
     LIMIT 10"""
     )
@@ -313,3 +336,29 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     books = S.pq_fit(e, m=4, k=8, iters=2)
     return S.pq_adc_topk(e, books, _query_vec(spark, sf_dir), topk=10)
+
+
+@query("sim_ivfpq_topk", _pq_oracle(m=4, k=8, iters=2, dim=64, nprobe=3))
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ composition (the FAISS IVFPQ shape): rank cells
+    by centroid cosine, probe the top 3, then ADC-scan only the probed
+    cells' PQ codes. Search cost = (probed fraction of corpus) × (m
+    table lookups per row) — both knobs independent; at 100 TB the
+    cell is the write-time partition key so the probe reads only its
+    cells' files AND touches only code columns. Codebooks are trained
+    corpus-wide (deterministic Lloyd), so the oracle unrolls training,
+    cell ranking, and the restricted ADC scan in one statement."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    books = S.pq_fit(e.select("vec_id", "embedding"), m=4, k=8, iters=2)
+    cents = S.ivf_centroids(e)
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    probed = [
+        r["cell"]
+        for r in cents.select("cell", S.cosine(F.col("centroid"), q).alias("s"))
+        .orderBy(F.desc("s"), F.asc("cell"))
+        .limit(3)
+        .collect()
+    ]
+    sub = e.filter(F.col("label").isin(probed)).select("vec_id", "embedding")
+    return S.pq_adc_topk(sub, books, qv, topk=10)

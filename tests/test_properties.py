@@ -247,3 +247,55 @@ def test_bench_headline_names_are_registered():
     qs = entrymod.queries()
     missing = [n for n in bench.HEADLINE if n not in qs]
     assert not missing, missing
+
+
+@given(rows=st.lists(
+    st.tuples(KEYS, PRECOMBINE, st.one_of(st.none(), st.integers(0, 9)),
+              st.one_of(st.none(), st.integers(0, 9))),
+    min_size=1, max_size=10,
+))
+@_SETTINGS
+def test_resolve_partial_matches_python_fold(spark, rows):
+    """Partial-update resolution ≡ the sequential per-key fold: replay
+    versions in precombine order, each non-null column overwrites.
+    Precombines are de-tied per key (Hudi leaves equal-precombine
+    partial merges unordered)."""
+    from hudi_utility_spark.write import resolve_partial
+
+    seen, uniq = set(), []
+    for k, p, a, b in rows:
+        while (k, p) in seen:
+            p += 101
+        seen.add((k, p))
+        uniq.append((k, p, a, b))
+
+    df = spark.createDataFrame(uniq, "k INT, ts INT, a INT, b INT")
+    got = {r.k: (r.ts, r.a, r.b) for r in resolve_partial(df, ["k"], "ts").collect()}
+
+    expected = {}
+    for k, p, a, b in sorted(uniq, key=lambda t: (t[0], t[1])):
+        pa, pb = expected.get(k, (None, None, None))[1:] if k in expected else (None, None)
+        expected[k] = (p, a if a is not None else pa, b if b is not None else pb)
+    assert got == expected
+
+
+@given(rows=st.lists(
+    st.tuples(KEYS, PRECOMBINE, st.one_of(st.none(), st.integers(0, 9))),
+    min_size=1, max_size=10,
+))
+@_SETTINGS
+def test_resolve_partial_on_full_rows_equals_latest_by_key(spark, rows):
+    """When every version carries every column (no NULLs), partial
+    resolution degenerates to plain latest-by-key."""
+    from hudi_utility_spark.write import resolve_partial
+
+    seen, uniq = set(), []
+    for k, p, a in rows:
+        while (k, p) in seen:
+            p += 101
+        seen.add((k, p))
+        uniq.append((k, p, a if a is not None else 0))
+    df = spark.createDataFrame(uniq, "k INT, ts INT, a INT")
+    got = sorted(map(tuple, resolve_partial(df, ["k"], "ts").collect()))
+    want = sorted(map(tuple, latest_by_key(df, ["k"], "ts").collect()))
+    assert got == want
