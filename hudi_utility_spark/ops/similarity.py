@@ -198,10 +198,11 @@ def pq_codes(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Encode each vector as ``m`` centroid codes (one per subspace):
-    argmin squared-L2 against the subspace codebook, evaluated entirely
-    in codegen over codebook literals — map-only, no shuffle, no
-    Python. The codes column is the 8×-to-64×-compressed representation
-    that makes billion-vector ANN fit in memory."""
+    argmin squared-L2 against the subspace codebook folded into the
+    plan as literals — map-only, no shuffle, no Python (the HOF argmin
+    evaluates as an interpreted JVM projection; the stage stays narrow,
+    asserted in tests). The codes column is the 8×-to-64×-compressed
+    representation that makes billion-vector ANN fit in memory."""
     from hudi_utility_spark.ops.cluster import _centroid_literal, _sq_dist
 
     sub = len(codebooks[0][0])

@@ -83,3 +83,29 @@ def test_pq_codes_and_adc_respect_cluster_structure(spark):
 
     # determinism: refit gives identical codebooks
     assert pq_fit(df, m=2, k=2, iters=2) == books
+
+
+def test_pq_encode_and_adc_plans_are_map_only(spark, sf_dir):
+    """PQ encoding and the ADC scan must be map-only (zero exchanges) —
+    codebooks and distance tables are plan literals, so the only stage
+    boundary in ADC top-k is the TakeOrdered merge. (The argmin HOF
+    evaluates as an interpreted projection, not inside WholeStageCodegen
+    — Spark executes lambda expressions interpreted — but it is still a
+    single narrow stage.)"""
+    from hudi_utility_spark.ops.similarity import pq_adc_topk, pq_codes, pq_fit
+    from hudi_utility_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = pq_fit(emb, m=2, k=4, iters=1)
+    enc_plan = pq_codes(emb, books)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in enc_plan
+
+    q = list(emb.filter("vec_id = 0").first()[1])
+    adc_plan = (
+        pq_adc_topk(emb, books, q, topk=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in adc_plan
+    assert "TakeOrderedAndProject" in adc_plan
