@@ -330,3 +330,43 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "ev_top_transitions",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           COUNT(*) AS n_transitions
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY n_transitions DESC, from_type, to_type
+    LIMIT 10
+    """,
+)
+def ev_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-path analysis: the 10 most common consecutive event-type
+    transitions (lead window per user, deterministic tie order on
+    (ts, event_id)). One user-keyed window shuffle + one (from, to)
+    aggregate — high-cardinality keys, no hot partition; the standard
+    behavioral-flow readout of an events store."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.withColumn("next_type", F.lead("event_type").over(w))
+    return (
+        ordered.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy(F.desc("n_transitions"), "from_type", "to_type")
+        .limit(10)
+    )

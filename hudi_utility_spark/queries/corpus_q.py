@@ -189,3 +189,48 @@ def rtr_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     window — no global window, no hot keys (ops/retrieval.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return R.tfidf_top_terms(docs, top_n=3)
+
+
+@query(
+    "corpus_health_report",
+    r"""
+    WITH base AS (
+        SELECT doc_id, lang,
+               length(text) AS n_chars_c,
+               len(string_split_regex(trim(text), '\s+')) AS n_words,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+           ROUND(1.0 - COUNT(DISTINCT fp) / COUNT(*), 6) AS dup_rate,
+           CAST(SUM(n_chars_c) AS BIGINT) AS total_chars,
+           ROUND(AVG(n_words), 4) AS avg_words
+    FROM base GROUP BY lang
+    """,
+)
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus health readout per language: volume, exact-dup
+    rate (distinct content fingerprints vs docs), size and length
+    profile — the dashboard numbers a training-data pipeline watches per
+    ingest batch. Single scan, one aggregate (distinct-count planned via
+    Expand), no joins."""
+    from hudi_utility_spark.ops.text import fingerprint
+
+    d = fingerprint(load_table(spark, sf_dir, "documents"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_unique"),
+            F.round(
+                F.lit(1.0) - F.countDistinct("fingerprint") / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.round(F.avg(F.size(F.split(F.trim(F.col("text")), r"\s+"))), 4).alias(
+                "avg_words"
+            ),
+        )
+    )
