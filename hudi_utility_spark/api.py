@@ -127,6 +127,19 @@ class TableServices:
             "upsert", lambda: upsert(self.engine.spark, df, self.table, commit_time)
         )
 
+    def upsert_partial(
+        self, df: DataFrame, commit_time: str | None = None
+    ) -> DataFrame:
+        """Partial-update merge: incoming NULL columns keep the existing
+        value (write.upsert_partial) — ledgered and lock-guarded like
+        every other mutation."""
+        from hudi_utility_spark.write import upsert_partial
+
+        return self._ledgered(
+            "upsert_partial",
+            lambda: upsert_partial(self.engine.spark, df, self.table, commit_time),
+        )
+
     def delete(self, keys_df: DataFrame, commit_time: str | None = None) -> DataFrame:
         from hudi_utility_spark.write import delete_keys
 

@@ -106,12 +106,22 @@ def test_table_services_facade_ledgers_every_mutation(spark, events, tmp_path):
     assert cdc.filter("op = 'delete'").count() == 5
     svc.rollback("20260101000000000")
     assert svc.read().count() == events.count()
+    # partial-update arm (fully-populated batch → degenerates to plain
+    # upsert; column-inheritance semantics pinned in test_write_upsert)
+    svc.upsert_partial(
+        events.limit(3).select(
+            "event_id", "event_type", "value",
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("ts"),
+        ),
+        commit_time="20260103000000000",
+    )
+    assert svc.read().count() == events.count()
 
     ops = [
         r.transaction_data
         for r in eng.history(transaction_id_like="events_svc").collect()
     ]
-    for op in ("upsert", "delete", "rollback"):
+    for op in ("upsert", "delete", "rollback", "upsert_partial"):
         assert any(op in d for d in ops)
     statuses = {r.status for r in eng.history(transaction_id_like="events_svc").collect()}
     assert statuses == {"SUCCESS"}
