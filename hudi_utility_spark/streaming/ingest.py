@@ -109,3 +109,64 @@ def stream_rollup_maintenance(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_ingest(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    table: KeyedTable,
+    store_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_once: bool = False,
+):
+    """Continuously ingest a document stream with corpus-level exact
+    dedup: each micro-batch is admitted through
+    ``ops.dedup.dedup_incremental`` against the persisted fingerprint
+    store at ``store_path``, survivors are upserted into ``table``, and
+    their fingerprints appended to the store — so duplicates are
+    rejected across micro-batches, across restarts, and against
+    everything ever ingested. This is the streaming form of the
+    train-corpus ingest loop (crawl shard in → deduped keyed table out).
+
+    Idempotency under replay: a re-delivered batch's fingerprints are
+    already in the store, so its rows dedup to nothing and the upsert is
+    a no-op (and even a crash BETWEEN the upsert and the store append
+    only re-admits rows whose upsert is idempotent by key).
+
+    Scale: the store is (fingerprint, id) — ~1000× narrower than text;
+    per-batch work ∝ batch size (see SCALE.md, incremental dedup)."""
+    import os
+
+    from hudi_utility_spark.ops.dedup import dedup_incremental
+    from hudi_utility_spark.ops.text import fingerprint
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if os.path.isdir(store_path):
+            store = spark.read.parquet(store_path)
+        else:
+            store = fingerprint(batch_df.limit(0), text_col).select(
+                id_col, "fingerprint"
+            )
+        fresh = dedup_incremental(
+            batch_df, corpus_fingerprints=store, id_col=id_col, text_col=text_col
+        )
+        if fresh.isEmpty():
+            return
+        upsert(spark, fresh, table)
+        fingerprint(fresh, text_col).select(id_col, "fingerprint").write.mode(
+            "append"
+        ).parquet(store_path)
+        spark.catalog.refreshByPath(store_path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -76,3 +76,49 @@ def test_stream_upsert_latest_wins_and_replay_idempotent(spark, tmp_path, ttype)
     q.awaitTermination(120)
     snap2 = {r.event_id: r.value for r in table.read(spark).collect()}
     assert snap2 == snap
+
+
+def test_stream_dedup_ingest_rejects_cross_batch_duplicates(spark, tmp_path):
+    from hudi_utility_spark.streaming.ingest import stream_dedup_ingest
+
+    src = str(tmp_path / "docs_src")
+    store = str(tmp_path / "fp_store")
+    schema = "doc_id long, batch long, text string"
+    table = KeyedTable(
+        name="stream_docs",
+        path=str(tmp_path / "stream_docs"),
+        record_key=["doc_id"],
+        precombine="batch",
+        partition_fields=[],
+        table_type=TableType.COPY_ON_WRITE,
+    )
+
+    def run_once(ckpt):
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_dedup_ingest(
+            spark, stream, table, store, str(tmp_path / ckpt), trigger_once=True
+        )
+        q.awaitTermination(120)
+
+    # batch 1: two docs, one internal duplicate pair (11 dups 10)
+    spark.createDataFrame(
+        [(10, 1, "alpha beta"), (11, 1, "alpha  BETA!"), (12, 1, "gamma delta")],
+        schema,
+    ).write.mode("append").parquet(src)
+    run_once("ck1")
+    got1 = {r.doc_id for r in table.read(spark).collect()}
+    assert got1 == {10, 12}
+
+    # batch 2: duplicate of an already-ingested doc + one new doc
+    spark.createDataFrame(
+        [(20, 2, "gamma   delta"), (21, 2, "epsilon zeta")], schema
+    ).write.mode("append").parquet(src)
+    run_once("ck1")
+    got2 = {r.doc_id for r in table.read(spark).collect()}
+    assert got2 == {10, 12, 21}
+
+    # replay from a fresh checkpoint: everything already in the store —
+    # the table must not change
+    run_once("ck_replay")
+    got3 = {r.doc_id for r in table.read(spark).collect()}
+    assert got3 == got2
