@@ -70,6 +70,10 @@ HEADLINE = [
     "pipeline_uniform_sample",
     "s7_partial_update",
     "index_bloom_lookup",
+    "index_secondary_lookup",
+    "sim_ivfpq_topk",
+    "dedup_incremental_batch",
+    "stream_trending_topk",
     "ev_funnel_conversion",
     "ev_retention_cohorts",
 ]

@@ -130,6 +130,67 @@ def build_record_index(spark: SparkSession, table) -> DataFrame:
     return spark.read.parquet(out)
 
 
+SECONDARY_INDEX_DIR = "_index/secondary"
+
+
+def build_secondary_index(spark: SparkSession, table, col: str) -> DataFrame:
+    """Hudi 1.0's **secondary index**: value-of-a-non-key-column → base
+    file, enabling point lookups on predicates the record key cannot
+    serve. One projection + distinct over (col, file) — the index is
+    O(distinct (value, file) pairs), tiny next to the table whenever the
+    column clusters at all (and at 100 TB it would be written bucketed
+    on the value so probes are shuffle-free). Updates that MOVE a row's
+    value only ever add log rows — the log is unioned at lookup and the
+    post-resolution residual filter keeps results exact, so a stale
+    index entry costs an extra file read, never a wrong answer."""
+    df = table.read_base(spark)
+    idx = df.select(
+        F.col(col).alias("value"), F.input_file_name().alias("file")
+    ).distinct()
+    out = os.path.join(table.path, SECONDARY_INDEX_DIR, col)
+    idx.write.mode("overwrite").parquet(out)
+    spark.catalog.refreshByPath(out)
+    return spark.read.parquet(out)
+
+
+def secondary_lookup(
+    spark: SparkSession, table, col: str, values_df: DataFrame
+) -> DataFrame:
+    """Point lookup by a non-key column through the secondary index:
+    read only base files the index maps the probe values to, union the
+    MOR delta log, resolve precombine, then re-apply the exact predicate
+    (rows whose LATEST version left the probed value set drop out here —
+    same residual-filter contract as every index in this module)."""
+    from hudi_utility_spark.table import DELETED_COL, TableType
+    from hudi_utility_spark.write import latest_by_key
+
+    probe = F.broadcast(values_df.select(F.col(col).alias("value")).distinct())
+    idx = spark.read.parquet(os.path.join(table.path, SECONDARY_INDEX_DIR, col))
+    files = [
+        r.file
+        for r in idx.join(probe, "value").select("file").distinct().collect()
+    ]
+    if files:
+        base = (
+            spark.read.option("mergeSchema", "true")
+            .option("basePath", table.base_path)
+            .parquet(*files)
+        )
+    else:
+        base = table.read_base(spark).filter(F.lit(False))
+    if table.table_type is TableType.MERGE_ON_READ and os.path.isdir(table.log_path):
+        log = spark.read.option("mergeSchema", "true").parquet(table.log_path)
+        base = base.unionByName(log, allowMissingColumns=True)
+    resolved = latest_by_key(base, table.record_key, table.precombine)
+    if DELETED_COL in resolved.columns:
+        resolved = resolved.filter(
+            ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+        ).drop(DELETED_COL)
+    return resolved.join(
+        probe.select(F.col("value").alias(col)), col, "left_semi"
+    )
+
+
 BLOOM_INDEX_DIR = "_index/bloom"
 
 

@@ -173,21 +173,91 @@ def pq_fit(
     fit — like `cluster_kmeans_profile` — is a finite dataflow an SQL
     oracle can replay. Returns ``m`` codebooks of ``k`` centroids.
 
-    Scale: each subspace fit is the k-means economics (map-only assign,
-    one k×(dim/m) shuffle per iteration); driver state is m·k·(dim/m) =
-    k·dim floats — the same size as one un-quantized centroid table."""
-    from hudi_utility_spark.ops.cluster import kmeans_fit
-
+    Scale: ALL m subspace fits share one dataflow — the vector is
+    sliced into an (id, subspace, subvector) long relation and every
+    iteration is ONE pass (map-only assignment against the nested
+    codebook literal, one (s, cid, dim) partial-mean shuffle), so the
+    table is scanned ``iters`` times total, not ``m × iters`` as a
+    per-subspace loop would. Driver state is m·k·(dim/m) = k·dim
+    floats — the same size as one un-quantized centroid table. Init,
+    argmin tie rules, and empty-cluster behavior match
+    `cluster.kmeans_fit` exactly (lowest-id init, lower-cid ties,
+    empty keeps previous), so the per-subspace unrolled oracle is
+    unchanged."""
     dim = len(df.select(vec_col).first()[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    books = []
-    for s in range(m):
-        sliced = df.select(
-            F.col(id_col), F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col)
+
+    # (id, s, v) long relation: every subspace slice in one projection
+    slices = F.array(*[F.slice(F.col(vec_col), s * sub + 1, sub) for s in range(m)])
+    long = df.select(
+        F.col(id_col), F.posexplode(slices).alias("s", "v")
+    ).select(F.col(id_col), F.col("s"), F.col("v").cast("array<double>"))
+
+    # init: the k lowest-id vectors, sliced driver-side (k full vectors)
+    init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    books = [
+        [
+            [float(x) for x in r[0][s * sub : (s + 1) * sub]]
+            for r in init_rows
+        ]
+        for s in range(m)
+    ]
+
+    def _books_literal(bks):
+        # nested literal: element_at(lit, s+1) = subspace s's codebook
+        return F.array(
+            *[
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(cid).alias("cid"),
+                            F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+                        )
+                        for cid, c in enumerate(book)
+                    ]
+                )
+                for book in bks
+            ]
         )
-        books.append(kmeans_fit(sliced, k, vec_col, id_col, iters))
+
+    def _assign(rel, bks):
+        cents = F.element_at(_books_literal(bks), F.col("s") + 1)
+        best = F.array_sort(
+            F.transform(
+                cents,
+                lambda st: F.struct(
+                    F.aggregate(
+                        F.zip_with(F.col("v"), st["c"], lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0),
+                        lambda acc, d: acc + d,
+                    ).alias("d"),
+                    st["cid"].alias("cid"),
+                ),
+            )
+        )[0]["cid"]
+        return rel.withColumn("cid", best)
+
+    for _ in range(iters):
+        assigned = _assign(long, books)
+        per_dim = (
+            assigned.select("s", "cid", F.posexplode(F.col("v")).alias("dim", "x"))
+            .groupBy("s", "cid", "dim")
+            .agg(F.avg("x").alias("mean_x"))
+        )
+        new = {}
+        for r in per_dim.collect():
+            new.setdefault((r["s"], r["cid"]), {})[r["dim"]] = r["mean_x"]
+        books = [
+            [
+                [new[(s, cid)][d] for d in range(sub)]
+                if (s, cid) in new
+                else books[s][cid]
+                for cid in range(k)
+            ]
+            for s in range(m)
+        ]
     return books
 
 

@@ -284,3 +284,47 @@ def zorder_two_dim_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
+
+
+@query(
+    "index_secondary_lookup",
+    """
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders WHERE o_custkey % 101 = 0
+    """,
+)
+def index_secondary_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary index (Hudi 1.0): point lookup on a NON-key column —
+    o_custkey value → base files via the index, exact residual filter
+    after precombine resolution. Must be result-identical to the
+    oracle's plain filter; strict pruning + post-index log churn pinned
+    in tests/test_index.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from hudi_utility_spark import index
+    from hudi_utility_spark.table import KeyedTable, TableType
+    from hudi_utility_spark.write import upsert
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_utility_spark_q",
+        f"idx_secondary_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = KeyedTable(
+        path=root,
+        record_key=["o_orderkey"],
+        precombine="o_orderdate",
+        partition_fields=["o_orderstatus"],
+        table_type=TableType.MERGE_ON_READ,
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    upsert(spark, orders, table, commit_time="20260101000000001")
+    index.build_secondary_index(spark, table, "o_custkey")
+    wanted = orders.filter(F.col("o_custkey") % 101 == 0).select("o_custkey")
+    got = index.secondary_lookup(spark, table, "o_custkey", wanted)
+    return got.select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )

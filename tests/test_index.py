@@ -197,3 +197,50 @@ def test_bloom_index_prunes_files_and_never_misses(spark, events, tmp_path):
     mx = events.agg(F.max("event_id")).collect()[0][0]
     ghost = spark.range(mx + 500, mx + 501).selectExpr("id AS event_id")
     assert index.bloom_lookup(spark, table, ghost, m_bits=4096, k=3).isEmpty()
+
+
+def test_secondary_index_lookup_with_log_churn(spark, events, tmp_path):
+    from hudi_utility_spark.table import KeyedTable, TableType
+    from hudi_utility_spark.write import upsert
+
+    table = KeyedTable(
+        path=str(tmp_path / "sec"),
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+        table_type=TableType.MERGE_ON_READ,
+    )
+    upsert(spark, events.repartition(6), table, commit_time="1")
+    idx = index.build_secondary_index(spark, table, "user_id")
+    n_files = spark.read.parquet(str(tmp_path / "sec" / "_index/secondary/user_id")) \
+        .select("file").distinct().count()
+    assert n_files > 1
+
+    uid = events.select("user_id").first()[0]
+    probe = spark.createDataFrame([(uid,)], "user_id LONG")
+
+    # baseline: lookup == plain filter on the snapshot
+    want = {r.event_id for r in table.read(spark).filter(F.col("user_id") == uid).collect()}
+    got = {r.event_id for r in index.secondary_lookup(spark, table, "user_id", probe).collect()}
+    assert got == want and got
+
+    # log churn AFTER the index: move one of uid's events to another user
+    # (must vanish from results) and move a foreign event TO uid (must
+    # appear — the log is always unioned, no index entry needed)
+    moved_away = events.filter(F.col("user_id") == uid).limit(1).select(
+        "event_id", "event_type",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        (F.col("user_id") + 1).alias("user_id"), "value",
+    )
+    foreign = events.filter(F.col("user_id") != uid).limit(1).select(
+        "event_id", "event_type",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        F.lit(uid).alias("user_id"), "value",
+    )
+    upsert(spark, moved_away.unionByName(foreign), table, commit_time="2")
+
+    want2 = {r.event_id for r in table.read(spark).filter(F.col("user_id") == uid).collect()}
+    got2 = {r.event_id for r in index.secondary_lookup(spark, table, "user_id", probe).collect()}
+    assert got2 == want2
+    assert moved_away.first().event_id not in got2
+    assert foreign.first().event_id in got2
