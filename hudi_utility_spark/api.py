@@ -162,6 +162,25 @@ class TableServices:
             "clean", lambda: timeline.clean(self.engine.spark, self.table, older_than)
         )
 
+    def compact_if_needed(self, max_log_ratio: float = 0.2) -> bool:
+        """Size-triggered compaction (KeyedTable.compact_if_needed) —
+        ledgered only when a compaction actually runs."""
+        from hudi_utility_spark.concurrency import table_lock
+
+        with table_lock(self.table, owner="compact_check"):
+            if self.table.table_type.value != "MERGE_ON_READ":
+                return False
+            import os
+
+            if not os.path.isdir(self.table.log_path):
+                return False
+        return self._ledgered(
+            "compact_if_needed",
+            lambda: self.table.compact_if_needed(
+                self.engine.spark, max_log_ratio=max_log_ratio
+            ),
+        )
+
     def compact(self) -> None:
         return self._ledgered("compact", lambda: self.table.compact(self.engine.spark))
 

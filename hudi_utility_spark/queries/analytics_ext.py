@@ -370,3 +370,78 @@ def ev_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_transitions"), "from_type", "to_type")
         .limit(10)
     )
+
+
+@query(
+    "co_purchase_pairs",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def co_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence mining: the 20 part pairs most often bought in the
+    same order. The pair explosion is per-basket quadratic — bounded by
+    basket size (≤7 lines in TPC-H), never corpus-quadratic — and the
+    pair aggregate is map-side combinable. The same shape computes
+    token co-occurrence or doc-pair co-citation at corpus scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@query(
+    "stat_anomaly_flags",
+    """
+    WITH stats AS (
+        SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN ABS((e.value - s.mu) / NULLIF(s.sigma, 0)) > 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           ROUND(MAX(ABS((e.value - s.mu) / NULLIF(s.sigma, 0))), 4) AS max_abs_z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    GROUP BY e.event_type
+    """,
+)
+def stat_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier audit per event type: per-group mean/stddev
+    (one aggregate), broadcast back onto the fact, flag |z| > 3. The
+    two-pass shape — tiny stats relation broadcast into a map-side
+    scoring pass — is the standard distributed anomaly scan; no window
+    over the fact, no per-group sort."""
+    e = _t(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = F.abs(
+        (F.col("value") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0))
+    )
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((z > 3).cast("long")).alias("n_anomalies"),
+            F.round(F.max(z), 4).alias("max_abs_z"),
+        )
+    )

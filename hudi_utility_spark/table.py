@@ -195,6 +195,40 @@ class KeyedTable:
             shutil.move(os.path.join(tmp, entry), os.path.join(self.path, entry))
         shutil.rmtree(tmp, ignore_errors=True)
 
+    def compact_if_needed(
+        self, spark: SparkSession, max_log_ratio: float = 0.2
+    ) -> bool:
+        """Hudi's compaction *scheduling* policy, size-triggered: fold
+        the log only when log bytes exceed ``max_log_ratio`` × base
+        bytes. The decision reads filesystem metadata only (no data
+        scan), so it is safe to call after every ingest batch — this is
+        the knob that keeps MOR read amplification bounded while keeping
+        ingest append-cheap. Returns True when a compaction ran."""
+        if self.table_type is not TableType.MERGE_ON_READ:
+            return False
+        if not os.path.isdir(self.log_path):
+            return False
+
+        def _bytes(root: str) -> int:
+            total = 0
+            for dirpath, _, files in os.walk(root):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += os.path.getsize(os.path.join(dirpath, f))
+            return total
+
+        log_b = _bytes(self.log_path)
+        base_b = max(
+            _bytes(self.base_path) - log_b
+            if self.log_path.startswith(self.base_path)
+            else _bytes(self.base_path),
+            1,
+        )
+        if log_b <= max_log_ratio * base_b:
+            return False
+        self.compact(spark)
+        return True
+
     def register_metadata_only(self, spark: SparkSession, source_path: str) -> str:
         """METADATA_ONLY bootstrap: expose the source files as a catalog
         view without rewriting (SURVEY §7 hard-part (b)). Returns the

@@ -183,3 +183,48 @@ def test_clustering_preserves_content_and_sorts_files(spark, sf_dir, tmp_path):
         ranges.sort()
         for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
             assert hi1 <= lo2  # disjoint
+
+
+def test_compact_if_needed_triggers_on_log_ratio(spark, events, tmp_path):
+    from hudi_utility_spark.table import KeyedTable, TableType
+    from hudi_utility_spark.write import upsert
+    import os
+
+    table = KeyedTable(
+        path=str(tmp_path / "cin"),
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+        table_type=TableType.MERGE_ON_READ,
+    )
+    upsert(spark, events, table, commit_time="1")
+    # small log: 5 updated rows against the full base — below a 20% ratio
+    import pyspark.sql.functions as F
+    small = events.limit(5).select(
+        "event_id", "event_type",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"), "value",
+    )
+    upsert(spark, small, table, commit_time="2")
+    assert os.path.isdir(table.log_path)
+    assert table.compact_if_needed(spark, max_log_ratio=0.2) is False
+    assert os.path.isdir(table.log_path)  # untouched
+
+    # grow the log past the ratio: rewrite every row twice
+    for i, ct in enumerate(["3", "4"]):
+        churn = events.select(
+            "event_id", "event_type",
+            (F.col("ts") + F.expr(f"INTERVAL {i + 2} HOURS")).alias("ts"), "value",
+        )
+        upsert(spark, churn, table, commit_time=ct)
+    before = sorted(map(tuple, table.read(spark).select("event_id", "ts").collect()))
+    assert table.compact_if_needed(spark, max_log_ratio=0.2) is True
+    assert not os.path.isdir(table.log_path)  # folded into base
+    after = sorted(map(tuple, table.read(spark).select("event_id", "ts").collect()))
+    assert before == after  # snapshot-invariant
+
+    # COW tables never need it
+    cow = KeyedTable(
+        path=str(tmp_path / "cow"), record_key=["event_id"], precombine="ts",
+    )
+    upsert(spark, events, cow, commit_time="1")
+    assert cow.compact_if_needed(spark) is False
