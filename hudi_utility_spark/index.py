@@ -13,9 +13,12 @@ into an effective coarse B-tree. At 100 TB: the index is O(files ×
 cols) rows (a ~100k-file table indexes into ~MBs), building it is one
 map-side-partial aggregation keyed on file name, and consulting it is
 a driver-side filter of the small index relation — the same economics
-as Hudi's metadata-table lookup. (A footer-only build that reads
-parquet statistics instead of data is the production upgrade; the
-full-scan build here keeps the semantics identical and testable.)
+as Hudi's metadata-table lookup. Both builds exist: the full-scan
+build (`build_column_stats`, semantics-transparent and testable) and
+the production footer-metadata build
+(`build_column_stats_from_footers`, zero data IO) — proven
+interchangeable in tests. `refresh_indexes` rebuilds whatever indexes
+a table carries after a base rewrite.
 """
 
 from __future__ import annotations
@@ -55,6 +58,75 @@ def build_column_stats(
         df.withColumn("file", F.input_file_name())
         .groupBy("file")
         .agg(F.count(F.lit(1)).alias("num_rows"), *aggs)
+    )
+    out = _index_path(table_path)
+    stats.write.mode("overwrite").parquet(out)
+    spark.catalog.refreshByPath(out)
+    return spark.read.parquet(out)
+
+
+def build_column_stats_from_footers(
+    spark: SparkSession, table_path: str, cols: list[str]
+) -> DataFrame:
+    """The production build of the column-stats index: read per-file
+    min/max/null-count from **parquet footer metadata** (pyarrow)
+    instead of scanning data — O(files) footer reads, zero data IO,
+    exactly how Hudi/Delta populate their stats indexes. Produces the
+    same index schema as :func:`build_column_stats` (row-group stats
+    folded to file granularity), interchangeable with it for
+    `prune_files` / `read_with_skipping`.
+
+    Footer reads run distributed: the file list is parallelized and
+    each task opens only footers (a few KB per file), so a 100k-file
+    table indexes in one short metadata-only job. Files lacking stats
+    for a column get NULL min/max — `prune_files`' comparisons then
+    never eliminate them (NULL-safe: a file without stats must always
+    be read)."""
+    import glob as _glob
+
+    files = sorted(
+        _glob.glob(os.path.join(table_path, "**", "*.parquet"), recursive=True)
+    )
+    files = [f for f in files if f"{os.sep}_" not in f[len(table_path):]]
+
+    def _stats(batch):
+        import pyarrow.parquet as pq
+
+        for path in batch:
+            md = pq.ParquetFile(path).metadata
+            names = {md.schema.column(i).path: i for i in range(md.num_columns)}
+            row = ["file://" + path, md.num_rows]
+            for c in cols:
+                mn = mx = None
+                nulls = 0
+                idx = names.get(c)
+                if idx is not None:
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is None or not st.has_min_max:
+                            mn = mx = None
+                            break
+                        mn = st.min if mn is None else min(mn, st.min)
+                        mx = st.max if mx is None else max(mx, st.max)
+                        nulls += st.null_count or 0
+                row += [mn, mx, nulls]
+            yield tuple(row)
+
+    # schema must match the scan-built index: borrow column types from a
+    # zero-row projection of the table itself
+    probe = spark.read.option("mergeSchema", "true").parquet(table_path)
+    fields = ["CAST(NULL AS STRING) AS file", "CAST(0 AS LONG) AS num_rows"]
+    for c in cols:
+        t = probe.schema[c].dataType.simpleString()
+        fields += [
+            f"CAST(NULL AS {t}) AS min_{c}",
+            f"CAST(NULL AS {t}) AS max_{c}",
+            "CAST(0 AS LONG) AS nulls_" + c,
+        ]
+    schema = probe.limit(0).selectExpr(*fields).schema
+    rows = spark.sparkContext.parallelize(files, max(1, min(len(files), 64)))
+    stats = spark.createDataFrame(
+        rows.mapPartitions(lambda b: _stats(list(b))), schema
     )
     out = _index_path(table_path)
     stats.write.mode("overwrite").parquet(out)
@@ -240,6 +312,10 @@ def build_bloom_index(
     )
     out = os.path.join(table.path, BLOOM_INDEX_DIR)
     idx.write.mode("overwrite").parquet(out)
+    import json
+
+    with open(os.path.join(table.path, BLOOM_INDEX_DIR + "._meta"), "w") as f:
+        json.dump({"m_bits": m_bits, "k": k}, f)
     spark.catalog.refreshByPath(out)
     return spark.read.parquet(out)
 
@@ -357,3 +433,53 @@ def point_lookup(spark: SparkSession, table, keys_df: DataFrame) -> DataFrame:
             ~F.coalesce(F.col(DELETED_COL), F.lit(False))
         ).drop(DELETED_COL)
     return resolved
+
+
+def refresh_indexes(spark: SparkSession, table) -> list[str]:
+    """Rebuild every index present under ``<table>/_index`` — the
+    maintenance hook to run after any base rewrite (COW upsert,
+    compaction, clustering), since file-granular indexes go stale when
+    base files are replaced. Discovers what exists and how it was
+    parameterized from the stored artifacts themselves:
+
+    - ``column_stats``: indexed columns recovered from the ``min_*``
+      schema fields; rebuilt via the footer-metadata path (no data scan).
+    - ``record_index`` / ``secondary/<col>``: rebuilt as stored.
+    - ``bloom``: (m_bits, k) recovered from the ``._meta`` sidecar.
+
+    Returns the list of refreshed index names. Cost: one metadata job
+    (column stats) + one projection pass per structural index — all
+    bounded by the same economics as their original builds."""
+    import json
+
+    root = os.path.join(table.path, "_index")
+    if not os.path.isdir(root):
+        return []
+    refreshed = []
+    for entry in sorted(os.listdir(root)):
+        p = os.path.join(root, entry)
+        if entry == "column_stats":
+            cols = sorted(
+                f.name[len("min_"):]
+                for f in spark.read.parquet(p).schema.fields
+                if f.name.startswith("min_")
+            )
+            build_column_stats_from_footers(spark, table.path, cols)
+            refreshed.append("column_stats")
+        elif entry == "record_index":
+            build_record_index(spark, table)
+            refreshed.append("record_index")
+        elif entry == "bloom":
+            meta_path = p + "._meta"
+            meta = (
+                json.load(open(meta_path))
+                if os.path.exists(meta_path)
+                else {"m_bits": 4096, "k": 3}
+            )
+            build_bloom_index(spark, table, m_bits=meta["m_bits"], k=meta["k"])
+            refreshed.append("bloom")
+        elif entry == "secondary" and os.path.isdir(p):
+            for col in sorted(os.listdir(p)):
+                build_secondary_index(spark, table, col)
+                refreshed.append(f"secondary/{col}")
+    return refreshed

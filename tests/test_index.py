@@ -244,3 +244,78 @@ def test_secondary_index_lookup_with_log_churn(spark, events, tmp_path):
     assert got2 == want2
     assert moved_away.first().event_id not in got2
     assert foreign.first().event_id in got2
+
+
+def test_footer_built_index_matches_scan_built(spark, lineitem, sorted_table):
+    """The footer-metadata build must agree file-by-file with the
+    data-scan build (the documented production upgrade path) and drive
+    identical pruned reads."""
+    scan_idx = {
+        r.file: (r.num_rows, r.min_l_orderkey, r.max_l_orderkey)
+        for r in spark.read.parquet(sorted_table + "/_index/column_stats").collect()
+    }
+    footer = index.build_column_stats_from_footers(
+        spark, sorted_table, ["l_orderkey", "l_quantity"]
+    )
+    foot_idx = {
+        r.file: (r.num_rows, r.min_l_orderkey, r.max_l_orderkey)
+        for r in footer.collect()
+    }
+    assert foot_idx == scan_idx
+
+    lo, hi = 100, 500
+    got = index.read_with_skipping(spark, sorted_table, "l_orderkey", lo, hi)
+    want = lineitem.filter(
+        (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= hi)
+    )
+    assert got.count() == want.count()
+    # restore the scan-built index for any later module-scoped test
+    index.build_column_stats(spark, sorted_table, ["l_orderkey", "l_quantity"])
+
+
+def test_refresh_indexes_after_cow_rewrite(spark, events, tmp_path):
+    from hudi_utility_spark.table import KeyedTable, TableType
+    from hudi_utility_spark.write import upsert
+
+    table = KeyedTable(
+        path=str(tmp_path / "rfr"),
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+        table_type=TableType.COPY_ON_WRITE,
+    )
+    upsert(spark, events.repartition(4), table, commit_time="1")
+    index.build_record_index(spark, table)
+    index.build_bloom_index(spark, table, m_bits=2048, k=3)
+    index.build_secondary_index(spark, table, "user_id")
+
+    # COW upsert rewrites touched partitions → every file-granular index
+    # is stale; refresh discovers and rebuilds all of them
+    churn = events.limit(20).select(
+        "event_id", "event_type",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        F.lit(55.0).alias("value"), "user_id",
+    )
+    upsert(spark, churn, table, commit_time="2")
+    refreshed = index.refresh_indexes(spark, table)
+    assert refreshed == ["bloom", "record_index", "secondary/user_id"]
+
+    # post-refresh lookups are exact against the new file layout
+    wanted = events.limit(20).select("event_id")
+    got = index.point_lookup(spark, table, wanted)
+    assert got.count() == 20
+    assert {r.value for r in got.select("value").collect()} == {55.0}
+    got_b = index.bloom_lookup(spark, table, wanted, m_bits=2048, k=3)
+    assert got_b.count() == 20
+
+    uid = events.select("user_id").first()[0]
+    probe = spark.createDataFrame([(uid,)], "user_id LONG")
+    want_ids = {
+        r.event_id
+        for r in table.read(spark).filter(F.col("user_id") == uid).collect()
+    }
+    got_ids = {
+        r.event_id
+        for r in index.secondary_lookup(spark, table, "user_id", probe).collect()
+    }
+    assert got_ids == want_ids
