@@ -329,6 +329,42 @@ def latest_commit(spark: SparkSession, table: KeyedTable) -> str:
     return row or EPOCH_INSTANT
 
 
+def occ_retry(
+    spark: SparkSession,
+    table: KeyedTable,
+    plan_fn,
+    retries: int = 5,
+    owner: str = "writer",
+    timeout_s: float = 3600.0,
+):
+    """The standard optimistic-concurrency loop around
+    :func:`write_with_cas`: read the current instant, plan against it
+    (``plan_fn(base_instant)`` returns the write thunk's result), and
+    commit iff the table has not advanced; on :class:`CommitConflict`
+    OR :class:`LockHeld` (another writer holds the lease or a takeover
+    is in flight), re-read and re-plan up to ``retries`` times. This is
+    what Hudi's concurrency mode does per write; exposing the loop
+    keeps caller code to one call."""
+    last: Exception | None = None
+    for attempt in range(retries):
+        base = latest_commit(spark, table)
+        try:
+            return write_with_cas(
+                spark,
+                table,
+                base,
+                lambda: plan_fn(base),
+                owner=owner,
+                timeout_s=timeout_s,
+            )
+        except (CommitConflict, LockHeld) as exc:
+            last = exc
+            # exponential backoff: lock hold times are whole write
+            # durations (seconds), not microseconds
+            time.sleep(min(0.1 * (2 ** attempt), 5.0))
+    raise last  # type: ignore[misc]
+
+
 def write_with_cas(
     spark: SparkSession,
     table: KeyedTable,

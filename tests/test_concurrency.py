@@ -187,3 +187,53 @@ def test_concurrent_stale_takeover_single_winner(spark, events, tmp_path):
         t.join()
     assert not errors
     assert not os.path.exists(lock_path)
+
+
+def test_occ_retry_lets_conflicting_writers_both_commit(spark, events, tmp_path):
+    """Two concurrent writers: lock contention and CAS conflicts are
+    absorbed by occ_retry's re-read-and-re-plan loop — BOTH commits
+    land, serialized, with the later precombine winning contested keys."""
+    import threading
+
+    from hudi_utility_spark.concurrency import occ_retry
+    from hudi_utility_spark.table import KeyedTable, TableType
+    from hudi_utility_spark.write import upsert
+
+    table = KeyedTable(
+        path=str(tmp_path / "occ"),
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+        table_type=TableType.MERGE_ON_READ,
+    )
+    upsert(spark, events, table, commit_time="20260101000000000")
+    errs = []
+
+    def writer(tag, delta):
+        def plan(base_instant):
+            batch = events.limit(5).select(
+                "event_id", "event_type",
+                (F.col("ts") + F.expr(f"INTERVAL {delta} HOURS")).alias("ts"),
+                F.lit(float(delta)).alias("value"),
+            )
+            return upsert(spark, batch, table)
+
+        try:
+            occ_retry(spark, table, plan, retries=12, owner=tag, timeout_s=60)
+        except Exception as exc:  # pragma: no cover - failure detail
+            errs.append((tag, exc))
+
+    ts = [threading.Thread(target=writer, args=(f"w{i}", i + 1)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(180)
+    assert not errs, errs
+    # both commits landed: contested keys resolve to the 2-hour writer
+    win = (
+        table.read(spark)
+        .join(events.limit(5).select("event_id"), "event_id", "left_semi")
+        .select("value")
+        .collect()
+    )
+    assert {r.value for r in win} == {2.0}
