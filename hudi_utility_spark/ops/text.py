@@ -275,6 +275,58 @@ def decontaminate(
     )
 
 
+def unigram_logprob_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Perplexity-proxy quality scoring: fit an add-α unigram language
+    model on the corpus itself (top ``vocab_size`` tokens + an OOV
+    bucket), then score each document by its mean token negative
+    log-probability — the cheap stand-in for the KenLM-perplexity
+    filters pretraining pipelines use (CCNet, Gopher): gibberish and
+    boilerplate-rare-token spam score high, fluent corpus-typical text
+    scores low.
+
+    Plan: token counts (one hash-agg shuffle), top-V vocab via
+    TakeOrdered (driver-sized: V log-probs), broadcast-joined back onto
+    the exploded tokens (OOV coalesces to the smoothed zero-count mass),
+    one per-doc aggregate. At 100 TB the model is V+1 scalars and the
+    corpus pays exactly two keyed exchanges."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(normalized(F.col(text_col)), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_total = counts.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v_all")
+    ).collect()[0]
+    vocab = counts.orderBy(F.desc("c"), F.asc("tok")).limit(vocab_size)
+    # add-α over the top-V vocab + one OOV bucket: denominator uses the
+    # effective vocab (min(V, distinct)+1) so probabilities stay proper
+    v_eff = min(vocab_size, n_total["v_all"]) + 1
+    denom = float(n_total["n"]) + alpha * v_eff
+    lp = vocab.select(
+        "tok", F.log((F.col("c") + F.lit(alpha)) / F.lit(denom)).alias("logp")
+    )
+    import math
+
+    oov = math.log(alpha / denom)
+    scored = (
+        toks.join(F.broadcast(lp), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.round(-F.avg(F.coalesce(F.col("logp"), F.lit(oov))), 6).alias(
+                "avg_neg_logprob"
+            ),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("logp").isNull().cast("long")).alias("n_oov"),
+        )
+    )
+    return scored
+
+
 def flag_hot_ngrams(
     df: DataFrame,
     id_col: str = "doc_id",

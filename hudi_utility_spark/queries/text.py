@@ -472,3 +472,41 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cum_share", F.round(F.sum("cnt").over(w) / F.col("t"), 6))
         .select("tok", "cnt", "cum_share")
     )
+
+
+@query(
+    "text_unigram_logprob",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(
+                   lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+    ),
+    toks_nz AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    counts AS (SELECT tok, COUNT(*) AS c FROM toks_nz GROUP BY tok),
+    tot AS (SELECT SUM(c) AS n, COUNT(*) AS v_all FROM counts),
+    vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 1000),
+    denomv AS (
+        SELECT n + 1.0 * (least(1000, v_all) + 1) AS denom FROM tot
+    ),
+    lp AS (
+        SELECT tok, ln((c + 1.0) / (SELECT denom FROM denomv)) AS logp
+        FROM vocab
+    )
+    SELECT t.doc_id,
+           ROUND(-AVG(COALESCE(lp.logp,
+                 ln(1.0 / (SELECT denom FROM denomv)))), 6) AS avg_neg_logprob,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN lp.logp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+    FROM toks_nz t LEFT JOIN lp ON t.tok = lp.tok
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality filter: add-1 unigram LM fit on the
+    corpus (top-1000 vocab + OOV bucket), each doc scored by mean token
+    negative log-probability — the cheap stand-in for KenLM filtering
+    (ops/text.py `unigram_logprob_score`; model = 1001 scalars, two
+    keyed exchanges total)."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.unigram_logprob_score(d, vocab_size=1000, alpha=1.0)

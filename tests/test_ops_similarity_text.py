@@ -236,3 +236,27 @@ def test_flag_hot_ngrams_known_values(spark):
     assert T.flag_hot_ngrams(df.unionByName(short), n=4, min_docs=2).filter(
         "doc_id = 9"
     ).count() == 0
+
+
+def test_unigram_logprob_score_reference(spark):
+    import math
+
+    from hudi_utility_spark.ops.text import unigram_logprob_score
+
+    rows = [(1, "aa aa bb"), (2, "aa zz")]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    # corpus: aa=3, bb=1, zz=1 → N=5; vocab_size=2 keeps {aa, bb} (count
+    # desc, token asc tiebreak drops zz) → zz is OOV. v_eff = 3.
+    got = {
+        r.doc_id: (r.avg_neg_logprob, r.n_tokens, r.n_oov)
+        for r in unigram_logprob_score(df, vocab_size=2, alpha=1.0).collect()
+    }
+    denom = 5 + 1.0 * 3
+    lp = {"aa": math.log(4 / denom), "bb": math.log(2 / denom)}
+    oov = math.log(1 / denom)
+    d1 = -(lp["aa"] + lp["aa"] + lp["bb"]) / 3
+    d2 = -(lp["aa"] + oov) / 2
+    assert got[1] == (round(d1, 6), 3, 0)
+    assert got[2] == (round(d2, 6), 2, 1)
+    # the OOV-heavy doc scores worse (higher neg-logprob)
+    assert got[2][0] > got[1][0]
