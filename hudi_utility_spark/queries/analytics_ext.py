@@ -445,3 +445,61 @@ def stat_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(z), 4).alias("max_abs_z"),
         )
     )
+
+
+@query(
+    "ts_ohlc_resample",
+    """
+    WITH keyed AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 3600) * 3600 * 1000000 AS BIGINT)
+                   AS window_start_us,
+               value,
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                 || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+        FROM events
+    )
+    SELECT event_type, window_start_us,
+           ROUND(arg_min(value, ord), 2) AS open,
+           ROUND(MAX(value), 2) AS high,
+           ROUND(MIN(value), 2) AS low,
+           ROUND(arg_max(value, ord), 2) AS close,
+           COUNT(*) AS n_events
+    FROM keyed GROUP BY event_type, window_start_us
+    """,
+)
+def ts_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per (event_type, hourly window) the opening /
+    highest / lowest / closing value — the canonical time-series
+    resample, as ONE hash aggregate using min_by/max_by over a
+    deterministic (ts, event_id) ordering key (no window function, no
+    per-group sort; ties on ts break on event_id identically in both
+    engines via the padded string key)."""
+    from hudi_utility_spark.tsutil import us
+
+    e = _t(spark, sf_dir, "events")
+    ord_key = F.concat(
+        F.lpad(us(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    keyed = e.select(
+        "event_type",
+        F.window("ts", "1 hour").alias("win"),
+        "value",
+        ord_key.alias("ord"),
+    )
+    return (
+        keyed.groupBy("event_type", "win")
+        .agg(
+            F.round(F.min_by("value", "ord"), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", "ord"), 2).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            us(F.col("win.start")).alias("window_start_us"),
+            "open", "high", "low", "close", "n_events",
+        )
+    )

@@ -178,3 +178,125 @@ def timeline_cdc_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     delete_keys(spark, deletes, table, commit_time=T2)
     cdc = timeline.incremental_cdc(spark, table, since=T1, until=T2)
     return cdc.select("op", "event_id", F.round("value", 2).alias("value"))
+
+
+@query(
+    "timeline_read_as_of",
+    oracle="""
+    WITH unioned AS (
+      SELECT event_id, ts, event_type, value FROM events
+      UNION ALL
+      SELECT event_id, ts + INTERVAL 1 HOUR AS ts, event_type,
+             value + 1000 AS value
+      FROM events WHERE event_type = 'click'
+    ), resolved AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_id ORDER BY ts DESC) AS rn
+      FROM unioned
+    )
+    SELECT event_id, event_type, ROUND(value, 2) AS value
+    FROM resolved WHERE rn = 1
+    """,
+)
+def timeline_read_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: three commits, then ``read_as_of`` the SECOND
+    instant — the historical snapshot must be exactly the two-commit
+    state while the live table keeps all three (non-destructive, unlike
+    rollback). The MOR log is the version store; the as-of read just
+    bounds the precombine window at the instant."""
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_utility_spark_q",
+        f"timeline_asof_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = KeyedTable(
+        path=root,
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+        table_type=TableType.MERGE_ON_READ,
+    )
+    t3 = "20260103000000001"
+    events = load_table(spark, sf_dir, "events")
+    upsert(spark, events, table, commit_time=T1)
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withColumn("value", F.col("value") + 1000)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    upsert(spark, clicks, table, commit_time=T2)
+    later = clicks.withColumn("value", F.lit(-1.0)).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 HOUR")
+    )
+    upsert(spark, later, table, commit_time=t3)
+    snap = timeline.read_as_of(spark, table, T2)
+    return snap.select(
+        "event_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+@query(
+    "timeline_clean_invariance",
+    oracle="""
+    WITH unioned AS (
+      SELECT event_id, ts, event_type, value FROM events
+      UNION ALL
+      SELECT event_id, ts + INTERVAL 1 HOUR AS ts, event_type,
+             value + 1000 AS value
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT event_id, ts + INTERVAL 2 HOUR AS ts, event_type,
+             value + 2000 AS value
+      FROM events WHERE event_type = 'click'
+    ), resolved AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_id ORDER BY ts DESC) AS rn
+      FROM unioned
+    )
+    SELECT event_id, event_type, ROUND(value, 2) AS value
+    FROM resolved WHERE rn = 1
+    """,
+)
+def timeline_clean_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaner table service: after two rounds of click churn, reclaim
+    every version older than the latest instant — the SNAPSHOT must be
+    bit-identical before and after (the cleaner deletes only superseded
+    versions), which the oracle pins by recomputing the resolved state
+    from the full history."""
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_utility_spark_q",
+        f"timeline_clean_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = KeyedTable(
+        path=root,
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+        table_type=TableType.MERGE_ON_READ,
+    )
+    t3 = "20260103000000001"
+    events = load_table(spark, sf_dir, "events")
+    upsert(spark, events, table, commit_time=T1)
+    clicks = events.filter(F.col("event_type") == "click")
+    upsert(
+        spark,
+        clicks.withColumn("value", F.col("value") + 1000)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+        table,
+        commit_time=T2,
+    )
+    upsert(
+        spark,
+        clicks.withColumn("value", F.col("value") + 2000)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS")),
+        table,
+        commit_time=t3,
+    )
+    timeline.clean(spark, table, older_than=t3)
+    snap = table.read(spark)
+    return snap.select(
+        "event_id", "event_type", F.round("value", 2).alias("value")
+    )
