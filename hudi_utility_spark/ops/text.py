@@ -467,3 +467,41 @@ def winnowing_fingerprints(
         )
         .filter(F.col("fingerprint").isNotNull())
     )
+
+
+def feature_hash_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dims: int = 1024,
+) -> DataFrame:
+    """Hashed-linear-classifier scoring (the fastText / hashing-trick
+    shape, Weinberger et al. 2009): each token maps to a weight bucket
+    by portable hash; a document's score is the sigmoid of its mean
+    bucket weight. The weight table here is DETERMINISTICALLY DERIVED
+    (md5 of the bucket id → uniform [-1, 1]) — a stand-in model that
+    keeps the full scoring pipeline value-hash-checkable; a production
+    deployment broadcasts trained weights through the identical plan
+    (a D-float literal or tiny broadcast join).
+
+    Plan: explode tokens, two codegen md5 derivations per token
+    (bucket, then weight-of-bucket), one per-doc aggregate — a single
+    keyed exchange regardless of corpus size; no model state beyond the
+    D scalars."""
+    from hudi_utility_spark.ops import phash
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(normalized(F.col(text_col)), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    hi, lo = phash.parts(F.col("tok"))
+    bucket = phash.family_hash(hi, lo, 0) % F.lit(dims)
+    whi, wlo = phash.parts(F.concat(F.lit("fhw:"), bucket.cast("string")))
+    weight = phash.family_hash(whi, wlo, 1) / F.lit(float(phash.P31)) * 2.0 - 1.0
+    return (
+        toks.select(F.col(id_col), weight.alias("w"))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.avg("w"))), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )

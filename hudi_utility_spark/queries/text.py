@@ -510,3 +510,38 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed exchanges total)."""
     d = load_table(spark, sf_dir, "documents")
     return X.unigram_logprob_score(d, vocab_size=1000, alpha=1.0)
+
+
+def _fhash_oracle(dims: int = 1024) -> str:
+    """Feature-hash scorer in DuckDB: identical md5-derived bucket and
+    weight arithmetic (ops/phash.py sql fragments)."""
+    from hudi_utility_spark.ops import phash
+
+    thi, tlo = phash.sql_parts("tok")
+    bucket = f"({phash.sql_family(thi, tlo, 0)} % {dims})"
+    wexpr = f"concat('fhw:', CAST({bucket} AS VARCHAR))"
+    whi, wlo = phash.sql_parts(wexpr)
+    weight = f"({phash.sql_family(whi, wlo, 1)} / {float(phash.P31)} * 2.0 - 1.0)"
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(
+                   lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+    ),
+    nz AS (SELECT doc_id, tok FROM toks WHERE tok <> '')
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + exp(-AVG({weight}))), 6) AS score,
+           COUNT(*) AS n_tokens
+    FROM nz GROUP BY doc_id
+    """
+
+
+@query("text_feature_hash_score", _fhash_oracle(dims=1024))
+def text_feature_hash_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear classifier scoring (the fastText hashing-trick
+    pipeline): token → weight bucket → sigmoid(mean weight), with a
+    deterministically derived stand-in weight table so the full scoring
+    plan is hash-checked; trained weights drop into the identical plan
+    (ops/text.py `feature_hash_score`)."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.feature_hash_score(d, dims=1024)
