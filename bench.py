@@ -76,6 +76,13 @@ HEADLINE = [
     "stream_trending_topk",
     "ev_funnel_conversion",
     "ev_retention_cohorts",
+    "ev_top_transitions",
+    "ts_ohlc_resample",
+    "stat_anomaly_flags",
+    "co_purchase_pairs",
+    "corpus_health_report",
+    "text_unigram_logprob",
+    "text_feature_hash_score",
 ]
 
 
