@@ -1,0 +1,55 @@
+"""Plan-quality regression guard over the bench headline: no
+CartesianProduct anywhere, BroadcastNestedLoopJoin only where it is a
+deliberate scalar/1-row broadcast, and scan queries keep their filters
+pushed. Plans are built (not executed) at the test SF — a regression
+that sneaks a cartesian or an unbounded BNLJ into a headline operator
+fails here before it ever reaches a cluster."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+# deliberate BNLJ: broadcasting a 1-row/scalar relation (corpus totals,
+# IVF probe thresholds) into a map-side comparison — bounded by design
+BNLJ_OK = {
+    "dedup_jaccard_pairs",      # prefix self-join condition set
+    "rtr_bm25_topk",            # corpus-stats scalar broadcast
+    "rtr_tfidf_keywords",       # same
+    "text_vocab_topk",          # total-token scalar broadcast
+}
+
+# queries that materialize scratch tables as a side effect of plan
+# construction — exercised by their own tests/oracles; skipping keeps
+# this guard fast and read-only
+SCRATCH = {
+    "index_bloom_lookup",
+    "index_secondary_lookup",
+    "s7_partial_update",
+}
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_headline_plans_no_cartesian_bounded_bnlj(spark, sf_dir):
+    import __spark_entry__ as entrymod
+    from bench import HEADLINE
+
+    qs = entrymod.queries()
+    offenders = []
+    for name in HEADLINE:
+        if name in SCRATCH:
+            continue
+        plan = _plan(qs[name](spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "cartesian"))
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            offenders.append((name, "bnlj"))
+    assert not offenders, offenders
