@@ -345,10 +345,12 @@ def occ_retry(
     is in flight), re-read and re-plan up to ``retries`` times. This is
     what Hudi's concurrency mode does per write; exposing the loop
     keeps caller code to one call."""
+    from pyspark.errors import AnalysisException
+
     last: Exception | None = None
     for attempt in range(retries):
-        base = latest_commit(spark, table)
         try:
+            base = latest_commit(spark, table)
             return write_with_cas(
                 spark,
                 table,
@@ -357,7 +359,11 @@ def occ_retry(
                 owner=owner,
                 timeout_s=timeout_s,
             )
-        except (CommitConflict, LockHeld) as exc:
+        except (CommitConflict, LockHeld, AnalysisException) as exc:
+            # AnalysisException: the un-locked planning read raced a
+            # concurrent writer's file append (transient listing
+            # inconsistency — the same class of error Hudi retries on
+            # eventually-consistent stores); re-read and re-plan.
             last = exc
             # exponential backoff: lock hold times are whole write
             # durations (seconds), not microseconds

@@ -219,7 +219,10 @@ def test_occ_retry_lets_conflicting_writers_both_commit(spark, events, tmp_path)
             return upsert(spark, batch, table)
 
         try:
-            occ_retry(spark, table, plan, retries=12, owner=tag, timeout_s=60)
+            # generous retry budget: each plan is a whole MOR upsert
+            # (seconds under CI load), and LockHeld retries must outlast
+            # the other writer's critical section
+            occ_retry(spark, table, plan, retries=30, owner=tag, timeout_s=120)
         except Exception as exc:  # pragma: no cover - failure detail
             errs.append((tag, exc))
 
@@ -227,7 +230,7 @@ def test_occ_retry_lets_conflicting_writers_both_commit(spark, events, tmp_path)
     for t in ts:
         t.start()
     for t in ts:
-        t.join(180)
+        t.join(300)
     assert not errs, errs
     # both commits landed: contested keys resolve to the 2-hour writer
     win = (
