@@ -126,3 +126,35 @@ def test_bootstrap_failure_recorded(spark, sf_dir, tmp_path):
         bootstrap(spark, req, ledger=led)
     failed = led.history().filter("status = 'FAILED'")
     assert failed.count() == 1
+
+
+def test_bootstrap_from_csv_source(spark, events, tmp_path):
+    """The full engine lifecycle over a CSV source: format sniff →
+    header/schema-inferred read → keyed bootstrap → reconcile counts
+    (the reference accepts only parquet/ORC; CSV/JSON are our free
+    extensions through the same dispatch)."""
+    from hudi_utility_spark.engine import bootstrap
+    from hudi_utility_spark.validate import BootstrapRequest
+
+    src = str(tmp_path / "csv_src")
+    sample = events.limit(200).select("event_id", "event_type", "value")
+    sample.write.option("header", True).mode("overwrite").csv(src)
+
+    out = str(tmp_path / "csv_table")
+    res = bootstrap(
+        spark,
+        BootstrapRequest(
+            data_file_path=src,
+            table_name="csv_events",
+            record_key=["event_id"],
+            precombine="value",
+            partition_fields=["event_type"],
+            output_path=out,
+        ),
+    )
+    assert res["status"] == "SUCCESS"
+    assert res["record_counts"]["input"] == 200
+    assert res["record_counts"]["destination"] == 200
+    got = spark.read.parquet(out)
+    assert got.count() == 200
+    assert set(got.columns) >= {"event_id", "value", "event_type"}
