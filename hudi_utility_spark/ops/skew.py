@@ -63,3 +63,64 @@ def key_histogram(df: DataFrame, on: list[str], top: int = 20) -> DataFrame:
         .orderBy(F.desc("rows"), *[F.asc(c) for c in on])
         .limit(top)
     )
+
+
+def cms_sketch(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-Min sketch of a key column (Cormode & Muthukrishnan 2005):
+    ``depth`` rows × ``width`` counters, counter (j, h_j(key) % width)
+    incremented per row. Returns the (j, pos, cnt) sketch relation —
+    ``depth × width`` rows TOTAL regardless of key cardinality, which is
+    the point: hot-key detection on a 100 TB fact with billions of
+    distinct keys costs a bounded-state aggregate (map-side partials
+    reduce each task to ≤ depth·width counters before the exchange)
+    instead of an O(keys) histogram shuffle. Hashes are the portable md5
+    family, so estimates are engine-reproducible (oracle-checkable)."""
+    from hudi_utility_spark.ops import phash
+
+    hi, lo = phash.parts(F.col(key_col).cast("string"))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (phash.family_hash(hi, lo, j) % F.lit(width)).alias("pos"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.j").alias("j"), F.col("c.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Point-estimate key frequencies from a Count-Min sketch: the MIN
+    over the key's ``depth`` counters. One-sided error — estimates never
+    undercount, and overcount by ≤ εN with probability 1−δ for
+    width = e/ε, depth = ln(1/δ). The probe side is a candidate-key
+    batch joined against the broadcast-sized sketch relation."""
+    from hudi_utility_spark.ops import phash
+
+    hi, lo = phash.parts(F.col(key_col).cast("string"))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (phash.family_hash(hi, lo, j) % F.lit(width)).alias("pos"),
+            )
+            for j in range(depth)
+        ]
+    )
+    probes = keys.select(F.col(key_col), F.explode(cells).alias("c")).select(
+        key_col, F.col("c.j").alias("j"), F.col("c.pos").alias("pos")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["j", "pos"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_rows"))
+    )

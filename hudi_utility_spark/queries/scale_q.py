@@ -328,3 +328,54 @@ def index_secondary_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select(
         "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
     )
+
+
+def _cms_oracle(depth: int = 4, width: int = 1024, top: int = 20) -> str:
+    """Count-Min oracle: identical md5-family cell arithmetic, exact
+    top-N keys joined to their sketch estimates."""
+    from hudi_utility_spark.ops import phash
+
+    hi, lo = phash.sql_parts("CAST(user_id AS VARCHAR)")
+    arms = "\n        UNION ALL ".join(
+        f"SELECT user_id, {j} AS j, "
+        f"({phash.sql_family(hi, lo, j)} % {width}) AS pos FROM events"
+        for j in range(depth)
+    )
+    return f"""
+    WITH cells AS (
+        {arms}
+    ),
+    sketch AS (SELECT j, pos, COUNT(*) AS cnt FROM cells GROUP BY j, pos),
+    exact AS (
+        SELECT user_id, COUNT(*) AS "rows" FROM events GROUP BY user_id
+        ORDER BY "rows" DESC, user_id LIMIT {top}
+    ),
+    est AS (
+        SELECT p.user_id, MIN(s.cnt) AS est_rows
+        FROM (SELECT DISTINCT user_id, j, pos FROM cells) p
+        JOIN sketch s USING (j, pos)
+        GROUP BY p.user_id
+    )
+    SELECT e.user_id, e."rows", CAST(est.est_rows AS BIGINT) AS est_rows
+    FROM exact e JOIN est ON e.user_id = est.user_id
+    """
+
+
+@query("skew_cms_heavy_hitters", _cms_oracle(depth=4, width=1024, top=20))
+def skew_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy-hitter profile: the bounded-state alternative to
+    the exact key histogram — the sketch is depth×width counters no
+    matter how many distinct keys the fact has, which is what makes
+    hot-key detection (the input to salting) affordable on a
+    billion-key 100 TB fact. Estimates are one-sided (never under the
+    true count); here the exact top-20 keys are joined to their sketch
+    estimates and the whole arithmetic is oracle-replicated."""
+    from hudi_utility_spark.ops.skew import cms_estimate, cms_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_sketch(ev, "user_id", depth=4, width=1024)
+    top = key_histogram(ev, on=["user_id"], top=20)
+    est = cms_estimate(
+        sketch, top.select("user_id"), "user_id", depth=4, width=1024
+    )
+    return top.join(est, "user_id").select("user_id", "rows", "est_rows")

@@ -50,3 +50,32 @@ def test_dedup_survivors_keeps_unpaired_and_representatives(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
     kept = sorted(r.doc_id for r in dedup_survivors(df, pairs).collect())
     assert kept == [1, 10, 99]
+
+
+def test_cms_estimates_are_one_sided_and_tight_for_heavy_keys(spark, events):
+    from hudi_utility_spark.ops.skew import cms_estimate, cms_sketch
+
+    sketch = cms_sketch(events, "user_id", depth=4, width=1024)
+    # sketch size is bounded by depth*width, independent of key count
+    assert sketch.count() <= 4 * 1024
+
+    exact = {
+        r.user_id: r["rows"]
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("rows")).collect()
+    }
+    probe = spark.createDataFrame([(k,) for k in list(exact)[:50]], "user_id LONG")
+    est = {
+        r.user_id: r.est_rows
+        for r in cms_estimate(sketch, probe, "user_id", depth=4, width=1024).collect()
+    }
+    for k, e in est.items():
+        assert e >= exact[k]                     # never undercounts
+        assert e <= exact[k] + len(events.columns) * 0 + sum(exact.values()) // 100 + 4
+        # ^ loose εN bound: width=1024 ≫ distinct users at test SF, so
+        # collisions are rare and estimates stay within ~1% of N
+
+    # an unseen key estimates (near) zero
+    mx = max(exact)
+    ghost = spark.createDataFrame([(mx + 10_000,)], "user_id LONG")
+    g = cms_estimate(sketch, ghost, "user_id", depth=4, width=1024).collect()[0]
+    assert g.est_rows <= sum(exact.values()) // 100 + 4
