@@ -201,3 +201,77 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
             )
         ).alias("r")
     ).select("r.column", "r.n_rows", "r.n_nulls", "r.n_distinct").orderBy("column")
+
+
+def _rank_ladder(lo, bits: int = 32):
+    """Leading-zero rank of a ``bits``-wide nonnegative value as a pure
+    integer comparison ladder (rank = bits+1 − bit_length; value 0 →
+    bits+1). No log2/floats — a float ulp at an exact power of two
+    would flip a bucket rank differently per engine."""
+    from pyspark.sql import functions as F
+
+    expr = F.lit(bits + 1)  # lo == 0 case (all leading zeros)
+    for b in range(1, bits + 1):
+        # evaluated bottom-up: the largest threshold ends up checked first
+        expr = F.when(lo >= F.lit(1 << (b - 1)), F.lit(bits + 1 - b)).otherwise(expr)
+    return expr
+
+
+def hll_distinct(df: DataFrame, cols: list[str], p: int = 9) -> DataFrame:
+    """Portable HyperLogLog distinct-count estimates (Flajolet et al.
+    2007): bucket = md5-hi mod 2^p, rank = leading-zero count of md5-lo
+    + 1, per-bucket max rank, harmonic-mean estimate with the standard
+    small-range correction. Unlike `approx_count_distinct` (Spark's
+    engine-private HLL++), every step here is portable integer/dyadic
+    arithmetic — identical in DuckDB — so cardinality sketching joins
+    the value-hash-checked families. Returns (column, est_distinct).
+
+    Scale: per column, one exchange of ≤ 2^p (bucket, max-rank) rows
+    (map-side partial max), then a 2^p-row final aggregate — the
+    classic mergeable-sketch economics; accuracy ≈ 1.04/√2^p (~4.6% at
+    p=9)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hudi_utility_spark.ops import phash
+
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    out = None
+    for c in cols:
+        hi, lo = phash.parts(F.col(c).cast("string"))
+        bucket = (hi % F.lit(m)).alias("bucket")
+        rank = _rank_ladder(lo).alias("rank")
+        per_bucket = (
+            df.filter(F.col(c).isNotNull())
+            .select(bucket, rank)
+            .groupBy("bucket")
+            .agg(F.max("rank").alias("r"))
+        )
+        agg = per_bucket.agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s"),
+            F.count(F.lit(1)).alias("b_present"),
+        )
+        # empty buckets contribute 2^0 = 1 each; zeros drives the
+        # small-range linear-counting correction
+        est = agg.select(
+            F.lit(c).alias("column"),
+            F.col("s"),
+            (F.lit(m) - F.col("b_present")).alias("zeros"),
+        ).select(
+            "column",
+            (F.lit(alpha * m * m) / (F.col("s") + F.col("zeros"))).alias("e_raw"),
+            "zeros",
+        ).select(
+            "column",
+            F.round(
+                F.when(
+                    (F.col("e_raw") <= F.lit(2.5 * m)) & (F.col("zeros") > 0),
+                    F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros")),
+                ).otherwise(F.col("e_raw")),
+                4,
+            ).alias("est_distinct"),
+        )
+        out = est if out is None else out.unionByName(est)
+    return out

@@ -110,3 +110,55 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.profile_columns(
         orders, ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
     )
+
+
+def _hll_oracle(cols: list[str], table: str = "events", p: int = 9) -> str:
+    """Portable-HLL oracle: identical md5 bucket/rank integer arithmetic
+    and the same harmonic + linear-counting estimate, per column."""
+    from hudi_utility_spark.ops import phash
+
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    arms = []
+    for c in cols:
+        hi, lo = phash.sql_parts(f"CAST({c} AS VARCHAR)")
+        ladder = " ".join(
+            f"WHEN {lo} >= {1 << (b - 1)} THEN {33 - b}"
+            for b in range(32, 0, -1)
+        )
+        arms.append(
+            f"""
+    SELECT '{c}' AS "column",
+           ROUND(CASE WHEN e_raw <= {2.5 * m!r} AND zeros > 0
+                      THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                      ELSE e_raw END, 4) AS est_distinct
+    FROM (
+      SELECT {alpha * m * m!r} / (s + zeros) AS e_raw, zeros FROM (
+        SELECT SUM(power(2.0, -r)) AS s, {m} - COUNT(*) AS zeros FROM (
+          SELECT bucket, MAX(rank) AS r FROM (
+            SELECT ({hi} % {m}) AS bucket,
+                   (CASE {ladder} ELSE 33 END) AS rank
+            FROM {table} WHERE {c} IS NOT NULL
+          ) GROUP BY bucket
+        )
+      )
+    )"""
+        )
+    return "\n    UNION ALL".join(arms)
+
+
+@query(
+    "approx_distinct_portable",
+    _hll_oracle(["user_id", "event_type", "event_id"]),
+)
+def approx_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog cardinality estimates (ops/quality.py
+    `hll_distinct`): md5-derived buckets/ranks in pure integer
+    arithmetic + dyadic harmonic sums, so — unlike
+    `approx_distinct_profile`'s engine-private HLL++ — the estimate
+    itself is value-hash-checked against DuckDB. 2^9 mergeable counters
+    per column; ~4.6% standard error."""
+    from hudi_utility_spark.ops.quality import hll_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_distinct(ev, ["user_id", "event_type", "event_id"], p=9)

@@ -68,3 +68,32 @@ def test_profile_columns_counts(spark):
     assert rep["id"]["n_distinct"] == 3
     assert rep["s"]["n_nulls"] == 1
     assert rep["s"]["n_distinct"] == 2
+
+
+def test_hll_distinct_accuracy_and_null_handling(spark, events):
+    from hudi_utility_spark.ops.quality import hll_distinct
+
+    est = {
+        r["column"]: r.est_distinct
+        for r in hll_distinct(events, ["user_id", "event_type"], p=9).collect()
+    }
+    exact = {
+        "user_id": events.select("user_id").distinct().count(),
+        "event_type": events.select("event_type").distinct().count(),
+    }
+    # 1.04/sqrt(512) ≈ 4.6% standard error; allow 3 sigma (and the
+    # linear-counting regime for tiny cardinalities is near-exact)
+    for c, e in exact.items():
+        assert abs(est[c] - e) <= max(3 * 0.046 * e, 2.0), (c, est[c], e)
+
+    # NULLs are not counted
+    import pyspark.sql.functions as F
+    with_nulls = events.withColumn(
+        "maybe", F.when(F.col("event_id") % 2 == 0, F.col("user_id"))
+    )
+    est_n = {
+        r["column"]: r.est_distinct
+        for r in hll_distinct(with_nulls, ["maybe"], p=9).collect()
+    }
+    exact_n = with_nulls.filter("maybe IS NOT NULL").select("maybe").distinct().count()
+    assert abs(est_n["maybe"] - exact_n) <= max(3 * 0.046 * exact_n, 2.0)
