@@ -83,6 +83,8 @@ HEADLINE = [
     "corpus_health_report",
     "text_unigram_logprob",
     "text_feature_hash_score",
+    "skew_cms_heavy_hitters",
+    "approx_distinct_portable",
 ]
 
 
