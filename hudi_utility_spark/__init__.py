@@ -23,7 +23,9 @@ from hudi_utility_spark.io import read_source, sniff_format, resolve_source
 from hudi_utility_spark.write import (
     full_bootstrap,
     upsert,
+    upsert_partial,
     latest_by_key,
+    resolve_partial,
     delete_keys,
     write_zordered,
 )
@@ -52,7 +54,9 @@ __all__ = [
     "resolve_source",
     "full_bootstrap",
     "upsert",
+    "upsert_partial",
     "latest_by_key",
+    "resolve_partial",
     "delete_keys",
     "write_zordered",
     "missing_partitions",
