@@ -127,6 +127,79 @@ def stratified_sample(
     return df.filter(keep)
 
 
+def select_until_budget(
+    df: DataFrame,
+    token_budget: int,
+    score_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_ranges: int = 32,
+) -> DataFrame:
+    """Select the best-scoring documents until a *global* token budget is
+    exhausted — the "give me the top N-billion tokens by quality" cut
+    that decides what actually enters a pretraining run.
+
+    Semantics: lay documents out in ``(score DESC, id ASC)`` order and
+    keep every document whose start offset in that order is below
+    ``token_budget`` (the straddling document is kept whole — data
+    loaders truncate, as in :func:`pack_sequences`).
+
+    The naive plan is a cumulative sum over a global window — a single
+    task holding the whole corpus (the round-2 z-order scale-killer
+    shape). This is instead the classic **distributed prefix sum**:
+
+    1. ``repartitionByRange`` on the sort key → sampled range boundaries,
+       fully parallel sort-shuffle (the same machinery as any global
+       ``orderBy``);
+    2. local cumulative sums within each range partition (per-partition
+       window keyed by the partition id);
+    3. per-partition token totals — ``n_ranges`` scalars — collected and
+       prefix-summed on the driver, then broadcast back as a literal
+       map: ``global_cum = offset[pid] + local_cum``.
+
+    Every stage is parallel; driver state is O(n_ranges). The relation
+    is persisted across the two jobs (totals, output) so both see the
+    one sampled partitioning — membership itself is partition-invariant
+    (any range split yields the same global prefix sums), so the
+    sampling nondeterminism inside ``repartitionByRange`` never reaches
+    the result. Returns (id, score, n_tokens, start_offset).
+    """
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    base = df.select(
+        F.col(id_col), F.col(score_col), toks.alias("n_tokens")
+    )
+    tagged = (
+        base.repartitionByRange(n_ranges, F.desc(score_col), F.asc(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = {
+        r[0]: r[1]
+        for r in tagged.groupBy("_pid").agg(F.sum("n_tokens")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for p in sorted(totals):
+        offsets[p] = acc
+        acc += totals[p]
+    off_map = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.desc(score_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (
+        off_map[F.col("_pid")] + F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        tagged.withColumn("start_offset", start)
+        .filter(F.col("start_offset") < token_budget)
+        .drop("_pid")
+    )
+
+
 def mix_corpus(
     df: DataFrame,
     target_weights: dict[str, float],

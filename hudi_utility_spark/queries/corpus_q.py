@@ -117,6 +117,48 @@ def pack_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_budget_selection",
+    """
+    WITH t AS (
+        SELECT doc_id, n_chars AS score,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, score, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS start_offset
+        FROM t
+    )
+    SELECT doc_id, CAST(score AS BIGINT) AS score, n_tokens,
+           CAST(start_offset AS BIGINT) AS start_offset
+    FROM c WHERE start_offset < 20000
+    """,
+)
+def pack_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token-budget cut: keep the highest-scoring documents (score
+    = n_chars here; any quality column drops in) until 20k cumulative
+    tokens. The oracle is the textbook global-window cumsum; the engine
+    plan is the distributed prefix sum in ops/pack.py
+    `select_until_budget` — range repartition + per-partition local
+    cumsums + driver-side offset ladder (n_ranges scalars) — with no
+    single-partition stage anywhere. Membership is provably
+    partition-invariant, so both formulations select the identical set."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = PK.select_until_budget(
+        docs, token_budget=20_000, score_col="n_chars", n_ranges=8
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("score"),
+        "n_tokens",
+        F.col("start_offset").cast("long").alias("start_offset"),
+    )
+
+
+@query(
     "rtr_bm25_topk",
     f"""
     WITH base AS (

@@ -159,3 +159,33 @@ def test_mix_corpus_targets_and_determinism(spark, documents):
     a = sorted(r[0] for r in mixed.select("doc_id").collect())
     b = sorted(r[0] for r in PK.mix_corpus(documents, weights).select("doc_id").collect())
     assert a == b
+
+
+def test_select_until_budget_matches_global_cumsum(spark, documents):
+    budget = 20_000
+    got = PK.select_until_budget(
+        documents, token_budget=budget, score_col="n_chars", n_ranges=8
+    )
+    rows = {r["doc_id"]: r for r in got.collect()}
+
+    # Python reference: exact global-order cumulative sum
+    ref = [
+        (r["doc_id"], r["n_chars"], len(r["text"].strip().split()))
+        for r in documents.select("doc_id", "n_chars", "text").collect()
+    ]
+    ref.sort(key=lambda t: (-t[1], t[0]))
+    run, want = 0, {}
+    for doc_id, score, n_tokens in ref:
+        if run < budget:
+            want[doc_id] = (run, n_tokens)
+        run += n_tokens
+
+    assert set(rows) == set(want)
+    for doc_id, (start, n_tokens) in want.items():
+        assert rows[doc_id]["start_offset"] == start
+        assert rows[doc_id]["n_tokens"] == n_tokens
+    # a strict subset was cut (the budget actually binds at this sf)
+    assert 0 < len(rows) < documents.count()
+    # distributed prefix sum: no single-partition stage in the plan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
