@@ -122,6 +122,64 @@ def extract_features(
     return df.mapInPandas(run, schema=schema)
 
 
+def export_binary_files(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    ext: str = "bin",
+) -> int:
+    """Export media payloads as one object file per row, written from the
+    EXECUTORS (mapInPandas side effect) — the corpus→object-store export
+    path, the write-side twin of the ``binaryFile`` datasource. No row
+    ever crosses the driver; parallelism = input partitions; re-runs
+    overwrite byte-identically (filenames are ``<id>.<ext>``). Returns
+    the number of files written. On a cluster, ``out_dir`` is any
+    Hadoop-visible URI mounted on the executors (s3a/hdfs via the local
+    mount or a FileSystem call in the kernel); here it is a local path.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    count_schema = T.StructType([T.StructField("n", T.LongType(), False)])
+
+    def write_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        for pdf in batches:
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                tmp = os.path.join(out_dir, f".{mid}.{ext}.tmp")
+                with open(tmp, "wb") as fh:
+                    fh.write(bytes(payload) if payload is not None else b"")
+                os.replace(tmp, os.path.join(out_dir, f"{mid}.{ext}"))
+                n += 1
+        yield pd.DataFrame({"n": [n]})
+
+    written = (
+        df.select(id_col, payload_col)
+        .mapInPandas(write_batches, schema=count_schema)
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    return int(written or 0)
+
+
+def read_binary_files(
+    spark, path: str, glob: str | None = None, recursive: bool = False
+) -> DataFrame:
+    """Scan a directory of opaque media objects with Spark's built-in
+    ``binaryFile`` datasource → (path, modificationTime, length, content).
+    ``pathGlobFilter`` prunes at FILE LISTING time (no bytes read for
+    filtered-out objects) and ``length`` is listing metadata too — size
+    filters run before any content IO. The production entry point the
+    `attach_binary` stand-in documents."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)
+
+
 def resize_stub(df: DataFrame, target: tuple[int, int] = (224, 224)) -> DataFrame:
     """Image resize plumbing: passes payloads through the same batch shape
     with the declared output geometry in metadata. Kernel stubbed (no

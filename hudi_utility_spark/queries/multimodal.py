@@ -64,6 +64,40 @@ def mm_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_binaryfile_roundtrip",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def mm_binaryfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real ``binaryFile`` datasource round trip: payloads exported as one
+    object per document from the executors (`ops/multimodal.py
+    export_binary_files` — no driver collect), then scanned back with
+    ``spark.read.format("binaryFile")`` with a `pathGlobFilter`. The id
+    is recovered from the object path, the byte length comes from the
+    datasource's listing metadata (`length` — no content IO needed for
+    size filters), and the md5 proves the content survived byte-for-byte
+    against the source-of-truth documents table."""
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    media = M.attach_binary(d, "text", "doc_id")
+    out_dir = tempfile.mkdtemp(prefix="mm_binfiles_")
+    M.export_binary_files(media, out_dir)
+    files = M.read_binary_files(spark, out_dir, glob="*.bin")
+    return files.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("media_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+@query(
     "mm_frame_sample_plan",
     """
     SELECT doc_id AS media_id,
