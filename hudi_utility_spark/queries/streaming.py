@@ -7,6 +7,7 @@ exercised in tests/test_streaming.py with real readStream/watermarks).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hudi_utility_spark.queries import query
 from hudi_utility_spark.streaming.windows import (
@@ -86,6 +87,39 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming twin uses F.session_window — tests/test_streaming.py)."""
     ev = load_table(spark, sf_dir, "events")
     return session_windows_batch(ev, gap_minutes=30)
+
+
+@query(
+    "stream_static_enrich",
+    """
+    SELECT e.event_id, e.user_id, e.event_type,
+           c.c_mktsegment AS segment, c.c_nationkey AS nationkey
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment, batch twin: every event joined
+    to the customer dimension under an explicit broadcast hint — the
+    stream side never shuffles. True-streaming parity (append mode, no
+    state store, per-micro-batch dim re-read) in
+    tests/test_streaming_joins.py."""
+    from hudi_utility_spark.streaming.joins import enrich_with_dim
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return enrich_with_dim(
+        ev.select("event_id", "user_id", "event_type"),
+        cust,
+        key="user_id",
+        dim_key="c_custkey",
+        dim_cols=["c_mktsegment", "c_nationkey"],
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
 
 
 @query(

@@ -25,6 +25,32 @@ from pyspark.sql import functions as F
 from hudi_utility_spark.tsutil import as_ltz, us
 
 
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    dim_key: str,
+    dim_cols: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join a (possibly streaming) fact against
+    a small dimension with an explicit broadcast hint — the standard
+    "attach the slowly-changing dimension" stage in front of windowed
+    aggregation.
+
+    Works identically on batch frames (the oracle twin) and on
+    ``readStream`` frames: stream-static equi-joins are supported in
+    append mode with NO watermark and NO state store — the stream side
+    never shuffles (broadcast hash join per micro-batch), and because the
+    static side is re-planned at every micro-batch, a file-backed
+    dimension picks up updates between batches. At 100 TB of stream the
+    per-batch cost stays map-only; if the dimension outgrows broadcast,
+    drop the hint and pre-bucket both sides instead.
+    """
+    d = dim.select(F.col(dim_key).alias(key), *dim_cols)
+    return stream.join(F.broadcast(d), key, how)
+
+
 def followed_within(
     left: DataFrame,
     right: DataFrame,

@@ -64,3 +64,41 @@ def test_interval_join_gap_bounds(spark):
     out = followed_within(lead, df, gap_seconds=1800)
     got = {r.follow_id for r in out.collect()}
     assert got == {2, 3}  # strict lower bound, inclusive upper, key-scoped
+
+
+def test_stream_static_enrich_matches_batch_and_stays_mapside(spark, events_path, sf_dir):
+    from hudi_utility_spark.streaming.joins import enrich_with_dim
+
+    batch_df = spark.read.parquet(events_path)
+    cust = load_table(spark, sf_dir, "customer")
+
+    def build(ev):
+        return enrich_with_dim(
+            ev.select("event_id", "user_id", "event_type"),
+            cust,
+            key="user_id",
+            dim_key="c_custkey",
+            dim_cols=["c_mktsegment"],
+        )
+
+    enriched = build(batch_df)
+    expected = sorted(map(tuple, enriched.collect()))
+    # broadcast hint honored: the fact side never hash-shuffles
+    plan = enriched._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+    stream = (
+        spark.readStream.schema(batch_df.schema).format("parquet").load(events_path)
+    )
+    q = (
+        build(stream)
+        .writeStream.outputMode("append")  # stream-static: no state store
+        .format("memory")
+        .queryName("t_static_enrich")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(map(tuple, spark.sql("SELECT * FROM t_static_enrich").collect()))
+    assert got == expected
