@@ -275,3 +275,63 @@ def hll_distinct(df: DataFrame, cols: list[str], p: int = 9) -> DataFrame:
         )
         out = est if out is None else out.unionByName(est)
     return out
+
+
+def equi_width_histogram(
+    df: DataFrame,
+    col: str,
+    n_buckets: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Exact equi-width histogram of a numeric column: the distribution
+    readout behind data-profiling dashboards and skew triage.
+
+    One tiny min/max aggregate (two scalars to the driver, skipped when
+    the caller supplies bounds) followed by one map-side bucket
+    assignment + hash aggregate — two scans total, no sort, no window,
+    state O(n_buckets). The deliberate contrast is Spark's own
+    ``approxQuantile`` (sketch-based, engine-private): this profile is a
+    pure function of the data, so it is value-hash-checkable in any
+    engine — same trade as `hll_distinct` vs `approx_count_distinct`.
+
+    Returns (bucket, bucket_lo, bucket_hi, n) with the top bucket closed
+    (max lands in bucket n_buckets-1), nulls dropped.
+    """
+    x = F.col(col).cast("double")
+    if lo is None or hi is None:
+        row = df.agg(F.min(x).alias("lo"), F.max(x).alias("hi")).collect()[0]
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    if hi <= lo:  # degenerate: all values identical -> single bucket
+        return (
+            df.na.drop(subset=[col])
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.lit(0).cast("long").alias("bucket"),
+                F.lit(float(lo)).alias("bucket_lo"),
+                F.lit(float(hi)).alias("bucket_hi"),
+                "n",
+            )
+        )
+    span = hi - lo
+    bucket = F.least(
+        F.floor((x - F.lit(lo)) * n_buckets / F.lit(span)).cast("long"),
+        F.lit(n_buckets - 1).cast("long"),
+    )
+    return (
+        df.na.drop(subset=[col])
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            F.round(F.lit(lo) + F.col("bucket") * F.lit(span) / n_buckets, 6).alias(
+                "bucket_lo"
+            ),
+            F.round(
+                F.lit(lo) + (F.col("bucket") + 1) * F.lit(span) / n_buckets, 6
+            ).alias("bucket_hi"),
+            "n",
+        )
+    )

@@ -162,3 +162,38 @@ def approx_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return hll_distinct(ev, ["user_id", "event_type", "event_id"], p=9)
+
+
+@query(
+    "dq_value_histogram",
+    """
+    WITH b AS (SELECT MIN(CAST(value AS DOUBLE)) AS lo,
+                      MAX(CAST(value AS DOUBLE)) AS hi
+               FROM events),
+    h AS (
+        SELECT LEAST(CAST(FLOOR((CAST(value AS DOUBLE) - (SELECT lo FROM b)) * 16
+                                / ((SELECT hi FROM b) - (SELECT lo FROM b)))
+                          AS BIGINT),
+                     15) AS bucket
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT bucket,
+           ROUND((SELECT lo FROM b)
+                 + bucket * ((SELECT hi FROM b) - (SELECT lo FROM b)) / 16,
+                 6) AS bucket_lo,
+           ROUND((SELECT lo FROM b)
+                 + (bucket + 1) * ((SELECT hi FROM b) - (SELECT lo FROM b)) / 16,
+                 6) AS bucket_hi,
+           COUNT(*) AS n
+    FROM h GROUP BY bucket
+    """,
+)
+def dq_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 16-bucket equi-width histogram of the event value column
+    (ops/quality.py `equi_width_histogram`): one 2-scalar min/max
+    aggregate + one map-side bucket assignment and hash aggregate — the
+    engine-portable profile whose arithmetic the oracle replays
+    operation-for-operation (vs approxQuantile's engine-private
+    sketch)."""
+    ev = load_table(spark, sf_dir, "events")
+    return Q.equi_width_histogram(ev, "value", n_buckets=16)

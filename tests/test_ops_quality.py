@@ -97,3 +97,34 @@ def test_hll_distinct_accuracy_and_null_handling(spark, events):
     }
     exact_n = with_nulls.filter("maybe IS NOT NULL").select("maybe").distinct().count()
     assert abs(est_n["maybe"] - exact_n) <= max(3 * 0.046 * exact_n, 2.0)
+
+
+def test_equi_width_histogram_counts_and_edges(spark, events):
+    from hudi_utility_spark.ops.quality import equi_width_histogram
+
+    hist = equi_width_histogram(events, "value", n_buckets=10)
+    rows = sorted(hist.collect(), key=lambda r: r["bucket"])
+    vals = [r["value"] for r in events.select("value").collect() if r["value"] is not None]
+    lo, hi = min(vals), max(vals)
+    # lossless: bucket counts partition the non-null rows
+    assert sum(r["n"] for r in rows) == len(vals)
+    # python reference per bucket
+    import collections
+
+    want = collections.Counter(
+        min(int((v - lo) * 10 / (hi - lo)), 9) for v in vals
+    )
+    got = {r["bucket"]: r["n"] for r in rows}
+    assert got == dict(want)
+    # edges tile [lo, hi] without gaps
+    for r in rows:
+        assert r["bucket_lo"] < r["bucket_hi"]
+
+
+def test_equi_width_histogram_degenerate_single_value(spark):
+    from hudi_utility_spark.ops.quality import equi_width_histogram
+
+    df = spark.createDataFrame([(1.5,)] * 7 + [(None,)], ["x"])
+    hist = equi_width_histogram(df, "x", n_buckets=8)
+    rows = hist.collect()
+    assert len(rows) == 1 and rows[0]["n"] == 7 and rows[0]["bucket"] == 0
