@@ -414,3 +414,41 @@ def plane_component(p: int, d: int) -> float:
 
     digit = int(hashlib.md5(f"plane{p}:dim{d}".encode()).hexdigest()[0], 16)
     return 1.0 if digit % 2 == 1 else -1.0
+
+
+def centroid_scores(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Cosine of every vector to its group's mean vector — the semantic
+    outlier signal (a document far from its cluster/language centroid is
+    mislabeled, noise, or genuinely novel; SemDeDup prunes the opposite
+    end of the same score).
+
+    Plan shape: the centroid table is ONE map-side-combinable hash
+    aggregate — ``dim`` scalar ``avg(vec[i])`` columns reassembled into
+    an array, no explode, no (row × dim) long relation ever shuffled —
+    then a broadcast join back on the label and a fused HOF cosine per
+    row. Total cost at 100 TB: one scan + one tiny (labels × dim)
+    broadcast; the score projection is map-only.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    mu = df.groupBy(label_col).agg(
+        F.array(
+            *[F.avg(F.element_at(F.col(vec_col), i + 1)) for i in range(dim)]
+        ).alias("__mu")
+    )
+    return (
+        df.join(F.broadcast(mu), label_col)
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            F.round(cosine(F.col(vec_col), F.col("__mu")), 6).alias(
+                "cos_centroid"
+            ),
+        )
+    )

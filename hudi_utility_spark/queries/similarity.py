@@ -362,3 +362,35 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     sub = e.filter(F.col("label").isin(probed)).select("vec_id", "embedding")
     return S.pq_adc_topk(sub, books, qv, topk=10)
+
+
+@query(
+    "sim_centroid_outliers",
+    """
+    WITH mu AS (
+        SELECT label, t.i AS i, AVG(CAST(embedding[t.i] AS DOUBLE)) AS m
+        FROM embeddings, range(1, 65) t(i)
+        GROUP BY label, t.i
+    ),
+    parts AS (
+        SELECT e.vec_id, e.label,
+               SUM(CAST(e.embedding[mu.i] AS DOUBLE) * mu.m) AS dp,
+               SQRT(SUM(CAST(e.embedding[mu.i] AS DOUBLE)
+                        * CAST(e.embedding[mu.i] AS DOUBLE))) AS na,
+               SQRT(SUM(mu.m * mu.m)) AS nb
+        FROM embeddings e JOIN mu ON e.label = mu.label
+        GROUP BY e.vec_id, e.label
+    )
+    SELECT vec_id, label, ROUND(dp / (na * nb), 6) AS cos_centroid
+    FROM parts
+    """,
+)
+def sim_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic outlier scoring: cosine of each embedding to its label's
+    mean vector (ops/similarity.py `centroid_scores`). One hash aggregate
+    builds all 64 centroid components (no explode, no long-relation
+    shuffle), the (labels × dim) centroid table broadcasts back, and the
+    per-row cosine is a fused HOF fold. The oracle rebuilds the same
+    centroids positionally and must agree to 6 decimals."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.centroid_scores(e, dim=64)

@@ -260,3 +260,30 @@ def test_unigram_logprob_score_reference(spark):
     assert got[2] == (round(d2, 6), 2, 1)
     # the OOV-heavy doc scores worse (higher neg-logprob)
     assert got[2][0] > got[1][0]
+
+
+def test_centroid_scores_numpy_parity_and_plan(spark, embeddings):
+    import numpy as np
+
+    from hudi_utility_spark.ops.similarity import centroid_scores
+
+    got = {
+        r["vec_id"]: (r["label"], r["cos_centroid"])
+        for r in centroid_scores(embeddings, dim=64).collect()
+    }
+    rows = embeddings.select("vec_id", "label", "embedding").collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(np.array(r["embedding"], dtype=np.float64))
+    mus = {lbl: np.mean(np.stack(vs), axis=0) for lbl, vs in by_label.items()}
+    for r in rows:
+        mu = mus[r["label"]]
+        v = np.array(r["embedding"], dtype=np.float64)
+        want = float(v @ mu / (np.linalg.norm(v) * np.linalg.norm(mu)))
+        lbl, score = got[r["vec_id"]]
+        assert lbl == r["label"]
+        assert abs(score - want) < 1e-5, (r["vec_id"], score, want)
+    # centroid build is one aggregate (no explode) and the join broadcasts
+    plan = centroid_scores(embeddings, dim=64)._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, plan          # no posexplode long relation
+    assert "BroadcastHashJoin" in plan, plan     # centroids broadcast back
