@@ -85,6 +85,10 @@ HEADLINE = [
     "text_feature_hash_score",
     "skew_cms_heavy_hitters",
     "approx_distinct_portable",
+    "pack_budget_selection",
+    "stream_static_enrich",
+    "dq_value_histogram",
+    "sim_centroid_outliers",
 ]
 
 
