@@ -322,3 +322,63 @@ def incremental_cdc(
         .filter(F.col("op").isNotNull())
         .select("op", *out_cols)
     )
+
+
+def expire_partitions(
+    spark: SparkSession, table: KeyedTable, cutoff: str
+) -> dict:
+    """Data-retention sweep (TTL / compliance delete): drop every
+    partition whose partition VALUE orders strictly below ``cutoff`` —
+    a **metadata-only** operation: directory removals on base and MOR
+    log, zero data scanned or rewritten, O(partitions) filesystem calls
+    at any data size. (Hive-layout values are strings; for ISO dates
+    and zero-padded keys lexical order is the value order, same
+    assumption the reference's partition regexes make.)
+
+    Contrast with `delete_keys` (row-granular, rewrites touched
+    partitions) and `clean` (version-granular, preserves the current
+    snapshot): expiry removes CURRENT data wholesale and therefore also
+    invalidates time travel into the dropped range — savepoints inside
+    it are refused, matching Hudi's delete_partition + savepoint guard.
+
+    Returns {"dropped": [values], "kept": n_remaining_partitions}.
+    """
+    import os
+    import shutil
+
+    if not table.partition_fields:
+        raise ValueError("expire_partitions requires a partitioned table")
+    pfield = table.partition_fields[0]
+    prefix = f"{pfield}="
+
+    def _parts(root: str) -> list[str]:
+        if not os.path.isdir(root):
+            return []
+        return [d for d in os.listdir(root) if d.startswith(prefix)]
+
+    doomed = {
+        d for d in _parts(table.base_path) + _parts(table.log_path)
+        if d[len(prefix):] < cutoff
+    }
+    # savepoints pin history; refuse to silently break one
+    if doomed:
+        for sp in list_savepoints(table):
+            snap = read_as_of(spark, table, sp, keep_tombstones=True)
+            hit = (
+                snap.filter(F.col(pfield).cast("string") < F.lit(cutoff))
+                .limit(1)
+                .count()
+            )
+            if hit:
+                raise ValueError(
+                    f"savepoint {sp} pins data below cutoff {cutoff!r}; "
+                    "delete the savepoint before expiring"
+                )
+    for root in (table.base_path, table.log_path):
+        for d in _parts(root):
+            if d in doomed:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    dropped = sorted(d[len(prefix):] for d in doomed)
+    kept = len(_parts(table.base_path))
+    spark.catalog.refreshByPath(table.base_path)
+    return {"dropped": dropped, "kept": kept}

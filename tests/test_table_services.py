@@ -228,3 +228,62 @@ def test_compact_if_needed_triggers_on_log_ratio(spark, events, tmp_path):
     )
     upsert(spark, events, cow, commit_time="1")
     assert cow.compact_if_needed(spark) is False
+
+
+def _day_table(spark, sf_dir, tmp_path, table_type=TableType.COPY_ON_WRITE):
+    t = KeyedTable(
+        path=str(tmp_path / "retain"),
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["day"],
+        table_type=table_type,
+    )
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    upsert(spark, ev, t, commit_time=T1)
+    return t, ev
+
+
+def test_expire_partitions_is_metadata_only_drop(spark, sf_dir, tmp_path):
+    t, ev = _day_table(spark, sf_dir, tmp_path)
+    days = sorted(r[0] for r in ev.select("day").distinct().collect())
+    assert len(days) >= 2, days
+    cutoff = days[1]  # drop exactly the first day
+    before = t.read(spark).count()
+    gone = ev.filter(F.col("day") < cutoff).count()
+    res = timeline.expire_partitions(spark, t, cutoff)
+    assert res["dropped"] == [days[0]]
+    assert res["kept"] == len(days) - 1
+    assert not os.path.isdir(os.path.join(t.base_path, f"day={days[0]}"))
+    after = t.read(spark)
+    assert after.count() == before - gone
+    assert after.filter(F.col("day") < cutoff).count() == 0
+
+
+def test_expire_partitions_sweeps_mor_log_too(spark, sf_dir, tmp_path):
+    t, ev = _day_table(spark, sf_dir, tmp_path, TableType.MERGE_ON_READ)
+    # a second commit puts rows in the delta log across days
+    upsert(
+        spark,
+        ev.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+        t,
+        commit_time=T2,
+    )
+    days = sorted(r[0] for r in ev.select("day").distinct().collect())
+    cutoff = days[1]
+    timeline.expire_partitions(spark, t, cutoff)
+    assert not os.path.isdir(os.path.join(t.log_path, f"day={days[0]}"))
+    assert t.read(spark).filter(F.col("day") < cutoff).count() == 0
+
+
+def test_expire_partitions_refuses_to_break_savepoint(spark, sf_dir, tmp_path):
+    t, ev = _day_table(spark, sf_dir, tmp_path, TableType.MERGE_ON_READ)
+    days = sorted(r[0] for r in ev.select("day").distinct().collect())
+    timeline.savepoint(t, T1)
+    with pytest.raises(ValueError, match="savepoint"):
+        timeline.expire_partitions(spark, t, days[1])
+    # un-pin and the sweep proceeds
+    timeline.delete_savepoint(t, T1)
+    res = timeline.expire_partitions(spark, t, days[1])
+    assert res["dropped"] == [days[0]]
