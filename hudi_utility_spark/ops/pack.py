@@ -127,6 +127,31 @@ def stratified_sample(
     return df.filter(keep)
 
 
+def sample_n_per_group(
+    df: DataFrame,
+    n: int,
+    group_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-N-per-group deterministic sample (the eval-holdout carve:
+    "hold out 100 documents per language, reproducibly, forever").
+
+    Rank rows within each group by ``(md5(id), id)`` — a content-stable
+    uniform order — and keep rank ≤ n. One shuffle keyed by the group;
+    the ranking window is per-group (state O(group size), parallelism =
+    #groups). Unlike fraction-based `stratified_sample`, membership here
+    depends on which OTHER ids share the group, so it's for frozen
+    snapshots (eval sets), not incremental ingest.
+    """
+    u = F.md5(F.col(id_col).cast("string").cast("binary"))
+    w = Window.partitionBy(group_col).orderBy(u, F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )
+
+
 def select_until_budget(
     df: DataFrame,
     token_budget: int,

@@ -276,3 +276,25 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "pack_eval_holdout",
+    """
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= 20
+    """,
+)
+def pack_eval_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen eval carve-out: exactly 20 documents per language, chosen
+    by a content-stable md5 order (ops/pack.py `sample_n_per_group`) —
+    one group-keyed shuffle + per-group ranking window, reproducible in
+    any md5-bearing engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    return PK.sample_n_per_group(docs, 20, "lang").select("doc_id", "lang")

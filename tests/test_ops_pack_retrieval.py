@@ -189,3 +189,17 @@ def test_select_until_budget_matches_global_cumsum(spark, documents):
     # distributed prefix sum: no single-partition stage in the plan
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
+
+
+def test_sample_n_per_group_exact_and_stable(spark, documents):
+    out = PK.sample_n_per_group(documents, 7, "lang")
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    avail = {r["lang"]: r["n"] for r in documents.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(7, avail[lang])
+    assert set(counts) == set(avail)  # every group represented
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in PK.sample_n_per_group(documents, 7, "lang").collect())
+    assert a == b  # frozen: identical membership across runs
+    # schema passthrough: all source columns survive
+    assert set(out.columns) == set(documents.columns)
