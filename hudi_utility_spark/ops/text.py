@@ -9,7 +9,7 @@ with zero shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # BPE-ish word/number/punct segmentation: letters runs, digit runs, or a
@@ -343,17 +343,21 @@ def flag_hot_ngrams(
     templated near-copies that whole-document dedup misses.
 
     Plan at scale: per-doc distinct grams (map-only HOF + one
-    (doc, gram) shuffle), gram document-frequency (second aggregate,
-    map-side partials), then a gram-keyed join back and a per-doc
-    aggregate — every stage keyed and combinable, no pair explosion,
-    no collect. Documents shorter than ``n`` tokens produce no grams
-    and drop out (mirrored by the oracle's inner join)."""
+    (doc, gram) shuffle), then gram document-frequency as a COUNT window
+    partitioned by gram — one gram-keyed shuffle annotates every
+    (doc, gram) row with its df in place, where the groupBy+join
+    formulation re-shuffles the full gram relation a second time for
+    the join (the aggregate's output partitioning, by gram, doesn't
+    match the (doc, gram)-hashed left side). Then one per-doc
+    aggregate — every stage keyed, no pair explosion, no collect.
+    Documents shorter than ``n`` tokens produce no grams and drop
+    out (mirrored by the oracle's inner join)."""
     grams = df.select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
     ).distinct()
-    docfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("gram")
     return (
-        grams.join(docfreq, "gram")
+        grams.withColumn("df", F.count(F.lit(1)).over(w))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

@@ -389,17 +389,31 @@ def ev_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def co_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-occurrence mining: the 20 part pairs most often bought in the
-    same order. The pair explosion is per-basket quadratic — bounded by
-    basket size (≤7 lines in TPC-H), never corpus-quadratic — and the
-    pair aggregate is map-side combinable. The same shape computes
-    token co-occurrence or doc-pair co-citation at corpus scale."""
+    same order. Baskets are assembled with ONE order-keyed aggregate
+    (``collect_set`` — bounded by basket size, ≤7 lines in TPC-H) and
+    the pair explosion is a map-side HOF over the sorted basket array
+    (i<j slices ⇒ part_a < part_b by construction): two shuffles total
+    (basket build, pair count + TakeOrdered). The previous self-join
+    formulation re-shuffled the distinct item relation twice more to
+    co-locate the join. Per-basket quadratic, never corpus-quadratic —
+    the same shape computes token co-occurrence or doc-pair co-citation
+    at corpus scale."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
