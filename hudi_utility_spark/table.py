@@ -154,8 +154,6 @@ class KeyedTable:
         logs are folded in first — clustering implies compaction, as in
         Hudi). Stale column-stats/record indexes under ``_index`` are
         dropped; rebuild after clustering."""
-        import shutil
-
         from hudi_utility_spark.write import write_sorted_partitioned
 
         if self.table_type is TableType.MERGE_ON_READ:
@@ -165,14 +163,10 @@ class KeyedTable:
         write_sorted_partitioned(
             resolved, tmp, self.partition_fields, sort_fields, num_files=num_files
         )
-        for entry in os.listdir(self.path):
-            if entry.startswith((".", "_")) and entry not in ("_index",):
-                continue  # keep locks/savepoints; _index is stale → drop
-            target = os.path.join(self.path, entry)
-            shutil.rmtree(target) if os.path.isdir(target) else os.remove(target)
-        for entry in os.listdir(tmp):
-            shutil.move(os.path.join(tmp, entry), os.path.join(self.path, entry))
-        shutil.rmtree(tmp, ignore_errors=True)
+        from hudi_utility_spark.write import atomic_swap_dir
+
+        # keep locks/savepoints; _index is stale after the rewrite → drop
+        atomic_swap_dir(tmp, self.path, drop_meta=("_index",))
         spark.catalog.refreshByPath(self.path)
 
     def compact(self, spark: SparkSession) -> None:
@@ -186,14 +180,12 @@ class KeyedTable:
 
         tmp = self.path.rstrip("/") + ".compact.tmp"
         write_partitioned(resolved, tmp, self.partition_fields, mode="overwrite")
-        import shutil
+        from hudi_utility_spark.write import atomic_swap_dir
 
-        for entry in os.listdir(self.path):
-            target = os.path.join(self.path, entry)
-            shutil.rmtree(target) if os.path.isdir(target) else os.remove(target)
-        for entry in os.listdir(tmp):
-            shutil.move(os.path.join(tmp, entry), os.path.join(self.path, entry))
-        shutil.rmtree(tmp, ignore_errors=True)
+        # the folded _delta_log and any stale _index go; locks and
+        # savepoints survive (the pre-r3 swap deleted the active writer
+        # lease out from under TableServices' own critical section)
+        atomic_swap_dir(tmp, self.path, drop_meta=(_MOR_LOG_DIR, "_index"))
 
     def compact_if_needed(
         self, spark: SparkSession, max_log_ratio: float = 0.2

@@ -102,8 +102,9 @@ def _rewrite_log(spark: SparkSession, table: KeyedTable, kept: DataFrame) -> int
         return 0
     tmp = table.log_path.rstrip("/") + ".rewrite.tmp"
     write_partitioned(kept, tmp, table.partition_fields, mode="overwrite")
-    shutil.rmtree(table.log_path)
-    shutil.move(tmp, table.log_path)
+    from hudi_utility_spark.write import atomic_swap_dir
+
+    atomic_swap_dir(tmp, table.log_path)
     return n
 
 

@@ -18,6 +18,45 @@ from pyspark.sql import functions as F
 from hudi_utility_spark.table import BootstrapMode, KeyedTable, TableType
 
 
+def atomic_swap_dir(
+    new_dir: str, target: str, drop_meta: tuple[str, ...] = ()
+) -> None:
+    """Replace the DATA entries of directory ``target`` with the
+    contents of ``new_dir``, crash-safely and metadata-preservingly.
+
+    * Crash-safe ordering: old data moves ASIDE (into ``<target>.trash``)
+      before the new data moves in, and is deleted only at the end. A
+      crash leaves the old table (swap not reached, tmp remnant), a
+      recoverable trash remnant, or the new table — never the
+      deleted-but-not-replaced hole the naive ``rmtree(target);
+      move(tmp, target)`` sequence has.
+    * Metadata-preserving: ``.``/``_``-prefixed entries (writer leases in
+      ``_locks``, ``_savepoints``, the MOR ``_delta_log``…) survive the
+      swap untouched — a rewrite that dropped them would delete the very
+      lease serializing it (the pre-r3 ``compact()`` bug). Pass
+      ``drop_meta`` for metadata the rewrite *invalidates* (a folded
+      ``_delta_log``, a stale ``_index``).
+
+    Local FS / HDFS renames are atomic; object stores have no rename, so
+    there the commit point is the ledger + CAS instant in
+    `concurrency.write_with_cas` and this physical swap is the
+    best-effort half below it.
+    """
+    import shutil
+
+    trash = target.rstrip("/") + ".trash"
+    shutil.rmtree(trash, ignore_errors=True)
+    os.makedirs(trash)
+    for entry in os.listdir(target):
+        if entry.startswith((".", "_")) and entry not in drop_meta:
+            continue
+        os.rename(os.path.join(target, entry), os.path.join(trash, entry))
+    for entry in os.listdir(new_dir):
+        os.rename(os.path.join(new_dir, entry), os.path.join(target, entry))
+    shutil.rmtree(trash, ignore_errors=True)
+    shutil.rmtree(new_dir, ignore_errors=True)
+
+
 def latest_by_key(df: DataFrame, keys: list[str], precombine: str) -> DataFrame:
     """Deterministic dedup: keep the latest row per key by *precombine*.
 
@@ -312,11 +351,7 @@ def upsert(
         resolved = latest_by_key(merged, table.record_key, table.precombine)
         tmp = table.base_path.rstrip("/") + ".upsert.tmp"
         write_partitioned(resolved, tmp, [], mode="overwrite")
-        import os
-        import shutil
-
-        shutil.rmtree(table.base_path)
-        shutil.move(tmp, table.base_path)
+        atomic_swap_dir(tmp, table.base_path)
     return table.read(spark)
 
 
@@ -397,10 +432,7 @@ def upsert_partial(
         resolved = resolve_partial(merged, table.record_key, table.precombine)
         tmp = table.base_path.rstrip("/") + ".upsert.tmp"
         write_partitioned(resolved, tmp, [], mode="overwrite")
-        import shutil
-
-        shutil.rmtree(table.base_path)
-        shutil.move(tmp, table.base_path)
+        atomic_swap_dir(tmp, table.base_path)
     return table.read(spark)
 
 
@@ -497,10 +529,7 @@ def delete_keys(
         )
         tmp = table.base_path.rstrip("/") + ".delete.tmp"
         write_partitioned(kept, tmp, [], mode="overwrite")
-        import shutil
-
-        shutil.rmtree(table.base_path)
-        shutil.move(tmp, table.base_path)
+        atomic_swap_dir(tmp, table.base_path)
     return table.read(spark)
 
 

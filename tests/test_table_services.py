@@ -287,3 +287,47 @@ def test_expire_partitions_refuses_to_break_savepoint(spark, sf_dir, tmp_path):
     timeline.delete_savepoint(t, T1)
     res = timeline.expire_partitions(spark, t, days[1])
     assert res["dropped"] == [days[0]]
+
+
+def test_compact_preserves_lease_and_savepoints(spark, sf_dir, tmp_path):
+    from hudi_utility_spark import concurrency
+
+    t = _table(tmp_path)  # MOR
+    _three_commits(spark, sf_dir, t)
+    before = _snap_vals(spark, t)
+    timeline.savepoint(t, T3)
+    with concurrency.table_lock(t, owner="compactor"):
+        lease = concurrency._lock_path(t)
+        assert os.path.exists(lease)
+        t.compact(spark)
+        # the rewrite must NOT delete the lease serializing it
+        assert os.path.exists(lease), "compact deleted the active writer lease"
+    assert timeline.list_savepoints(t) == [T3]
+    assert _snap_vals(spark, t) == before  # snapshot-invariant
+    assert not os.path.isdir(t.log_path)   # log folded
+    # no trash/tmp remnants after a clean swap
+    assert not os.path.isdir(t.path.rstrip("/") + ".trash")
+    assert not os.path.isdir(t.path.rstrip("/") + ".compact.tmp")
+
+
+def test_nonpartitioned_upsert_swap_preserves_metadata(spark, sf_dir, tmp_path):
+    t = KeyedTable(
+        path=str(tmp_path / "flat"),
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=[],
+        table_type=TableType.COPY_ON_WRITE,
+    )
+    ev = load_table(spark, sf_dir, "events").limit(100)
+    upsert(spark, ev, t, commit_time=T1)
+    timeline.savepoint(t, T1)
+    upsert(
+        spark,
+        ev.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+        t,
+        commit_time=T2,
+    )
+    # the whole-directory rewrite kept the _savepoints metadata dir
+    assert timeline.list_savepoints(t) == [T1]
+    assert t.read(spark).count() == 100
+    assert not os.path.isdir(t.path.rstrip("/") + ".trash")
