@@ -831,3 +831,50 @@ def a_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linestatus",
         "stack(3, 'A', A, 'N', N, 'R', R) AS (l_returnflag, sum_qty)",
     ).filter(F.col("sum_qty").isNotNull())
+
+
+_SQL_REVENUE_RANK = """
+    WITH rev AS (
+        SELECT n.n_name AS nation, r.r_name AS region,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM {lineitem} l
+        JOIN {orders} o ON l.l_orderkey = o.o_orderkey
+        JOIN {customer} c ON o.o_custkey = c.c_custkey
+        JOIN {nation} n ON c.c_nationkey = n.n_nationkey
+        JOIN {region} r ON n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name, r.r_name
+    )
+    SELECT region, nation, revenue,
+           RANK() OVER (PARTITION BY region ORDER BY revenue DESC) AS rnk
+    FROM rev
+"""
+
+
+@query(
+    "sql_api_revenue_rank",
+    _SQL_REVENUE_RANK.format(
+        lineitem="lineitem",
+        orders="orders",
+        customer="customer",
+        nation="nation",
+        region="region",
+    ),
+)
+def sql_api_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``spark.sql`` entry point end-to-end: temp views over the
+    corpus + ONE SQL text (5-way join, aggregate, ranking window) that
+    is byte-identical modulo view names to the DuckDB oracle — proving
+    the engine's SQL surface plans the same semantics as its DataFrame
+    surface (Catalyst compiles both to the same broadcast-dim +
+    fact-shuffle physical plan)."""
+    for t in ("lineitem", "orders", "customer", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_sqlapi")
+    return spark.sql(
+        _SQL_REVENUE_RANK.format(
+            lineitem="lineitem_sqlapi",
+            orders="orders_sqlapi",
+            customer="customer_sqlapi",
+            nation="nation_sqlapi",
+            region="region_sqlapi",
+        )
+    )
