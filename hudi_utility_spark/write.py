@@ -47,12 +47,29 @@ def atomic_swap_dir(
     trash = target.rstrip("/") + ".trash"
     shutil.rmtree(trash, ignore_errors=True)
     os.makedirs(trash)
-    for entry in os.listdir(target):
-        if entry.startswith((".", "_")) and entry not in drop_meta:
-            continue
-        os.rename(os.path.join(target, entry), os.path.join(trash, entry))
-    for entry in os.listdir(new_dir):
-        os.rename(os.path.join(new_dir, entry), os.path.join(target, entry))
+    moved_out: list[str] = []
+    moved_in: list[str] = []
+    try:
+        for entry in os.listdir(target):
+            if entry.startswith((".", "_")) and entry not in drop_meta:
+                continue
+            os.rename(os.path.join(target, entry), os.path.join(trash, entry))
+            moved_out.append(entry)
+        for entry in os.listdir(new_dir):
+            os.rename(os.path.join(new_dir, entry), os.path.join(target, entry))
+            moved_in.append(entry)
+    except BaseException:
+        # roll the swap back: new entries return to the tmp dir, old data
+        # returns from trash — the table is exactly its old self and the
+        # caller may retry from the intact tmp. (A hard crash instead of
+        # an exception leaves the parked data in `.trash`/the tmp dir for
+        # manual recovery — never silently gone.)
+        for entry in reversed(moved_in):
+            os.rename(os.path.join(target, entry), os.path.join(new_dir, entry))
+        for entry in reversed(moved_out):
+            os.rename(os.path.join(trash, entry), os.path.join(target, entry))
+        shutil.rmtree(trash, ignore_errors=True)
+        raise
     shutil.rmtree(trash, ignore_errors=True)
     shutil.rmtree(new_dir, ignore_errors=True)
 

@@ -235,3 +235,74 @@ def test_upsert_partial_cow_and_mor(spark, events, tmp_path):
             assert v == want_vals[k]  # NULL in the patch kept the old value
         # untouched keys unchanged
         assert snap.count() == events.count()
+
+
+def test_atomic_swap_dir_rolls_back_on_failure_at_any_step(tmp_path, monkeypatch):
+    """Inject a rename failure at every possible step of the swap; after
+    the rollback the target must hold exactly its old contents and the
+    staged tmp dir must be intact for retry — never a half-swapped or
+    empty table."""
+    import os as _os
+
+    from hudi_utility_spark.write import atomic_swap_dir
+
+    def build(i):
+        tgt = tmp_path / f"tbl{i}"
+        tmp = tmp_path / f"tmp{i}"
+        tgt.mkdir(), tmp.mkdir()
+        (tgt / "_locks").mkdir()
+        (tgt / "_locks" / "writer.lock").write_text("lease")
+        for f in ("a.parquet", "b.parquet"):
+            (tgt / f).write_text("old:" + f)
+        (tgt / "day=1").mkdir()
+        (tgt / "day=1" / "p.parquet").write_text("old:part")
+        for f in ("c.parquet",):
+            (tmp / f).write_text("new:" + f)
+        (tmp / "day=1").mkdir()
+        (tmp / "day=1" / "q.parquet").write_text("new:part")
+        return tgt, tmp
+
+    def snapshot(root):
+        out = {}
+        for dirpath, _dirs, files in _os.walk(root):
+            for f in files:
+                p = _os.path.join(dirpath, f)
+                out[_os.path.relpath(p, root)] = open(p).read()
+        return out
+
+    real_rename = _os.rename
+    step = 5  # total renames for this layout: 3 out + 2 in
+    for fail_at in range(step):
+        tgt, tmp = build(fail_at)
+        old_tgt, old_tmp = snapshot(tgt), snapshot(tmp)
+        calls = {"n": 0}
+
+        def flaky(src, dst, *, _fail_at=fail_at, **kw):
+            # one transient fault, then recover (the rollback's own
+            # renames must succeed; a hard crash mid-swap instead leaves
+            # the parked trash/tmp dirs for manual recovery)
+            calls["n"] += 1
+            if calls["n"] - 1 == _fail_at:
+                raise OSError("injected crash")
+            return real_rename(src, dst, **kw)
+
+        monkeypatch.setattr(_os, "rename", flaky)
+        try:
+            atomic_swap_dir(str(tmp), str(tgt))
+            raised = False
+        except OSError:
+            raised = True
+        finally:
+            monkeypatch.setattr(_os, "rename", real_rename)
+        assert raised, f"fail_at={fail_at} did not trigger"
+        assert snapshot(tgt) == old_tgt, f"target mutated at fail_at={fail_at}"
+        assert snapshot(tmp) == old_tmp, f"tmp lost entries at fail_at={fail_at}"
+    # and with no injection the swap commits fully
+    tgt, tmp = build(99)
+    atomic_swap_dir(str(tmp), str(tgt))
+    got = snapshot(tgt)
+    assert got["_locks/writer.lock"] == "lease"
+    assert got["c.parquet"] == "new:c.parquet"
+    assert got["day=1/q.parquet"] == "new:part"
+    assert "a.parquet" not in got and "day=1/p.parquet" not in got
+    assert not _os.path.isdir(str(tgt) + ".trash") and not _os.path.isdir(tmp)
