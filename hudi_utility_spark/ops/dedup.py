@@ -258,10 +258,10 @@ def jaccard_pairs(
     if vocab_count <= max_dense_vocab:
         # Dense path: pack each set into ⌈V/64⌉ long columns.
         nwords = max(1, (vocab_count + 63) // 64)
-        # global-window row_number is single-task by construction, but it
-        # runs on the VOCAB relation, which this branch's gate bounds to
-        # ≤ max_dense_vocab (4096) rows — never the corpus. (Source of
-        # the benign WindowExec single-partition warnings in logs.)
+        # single-task by construction, but over the VOCAB relation,
+        # which this branch's gate bounds to ≤ max_dense_vocab (4096)
+        # rows — never the corpus (SCALE.md "Bounded single-partition
+        # windows")
         tokmap = vocab.withColumn(
             "tok", F.row_number().over(Window.orderBy("shingle")) - 1
         )

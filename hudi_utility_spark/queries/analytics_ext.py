@@ -268,9 +268,9 @@ def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    # global-ordering window is single-task by construction, but it runs
-    # on the THREE-row stage relation (one row per funnel stage), never
-    # on events — bounded like the gated vocab window in ops/dedup.py
+    # single-task by construction, but over the THREE-row stage relation
+    # (one row per funnel stage), never events (SCALE.md "Bounded
+    # single-partition windows")
     w = Window.orderBy("stage_ord")
     return (
         stages.withColumn(

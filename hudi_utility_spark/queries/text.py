@@ -464,6 +464,8 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = counts.agg(F.sum("cnt").alias("t"))
     top = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(20)
     # cumulative window over the 20-row top-k only — bounded relation
+    # (one of the three documented bounded global windows; SCALE.md
+    # "Bounded single-partition windows")
     w = Window.orderBy(F.desc("cnt"), F.asc("tok")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
