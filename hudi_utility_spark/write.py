@@ -42,17 +42,27 @@ def atomic_swap_dir(
     `concurrency.write_with_cas` and this physical swap is the
     best-effort half below it.
     """
+    import json
     import shutil
 
     trash = target.rstrip("/") + ".trash"
     shutil.rmtree(trash, ignore_errors=True)
     os.makedirs(trash)
+    old_entries = [
+        e
+        for e in os.listdir(target)
+        if not (e.startswith((".", "_")) and e not in drop_meta)
+    ]
+    # the manifest names every parked entry BEFORE anything moves, so a
+    # hard crash at any later point is recoverable by `recover_swap`:
+    # old state = manifest entries (in trash or already returned), new
+    # entries in target are identifiable as exactly the non-manifest ones
+    with open(os.path.join(trash, _SWAP_MANIFEST), "w") as fh:
+        json.dump(old_entries, fh)
     moved_out: list[str] = []
     moved_in: list[str] = []
     try:
-        for entry in os.listdir(target):
-            if entry.startswith((".", "_")) and entry not in drop_meta:
-                continue
+        for entry in old_entries:
             os.rename(os.path.join(target, entry), os.path.join(trash, entry))
             moved_out.append(entry)
         for entry in os.listdir(new_dir):
@@ -62,8 +72,7 @@ def atomic_swap_dir(
         # roll the swap back: new entries return to the tmp dir, old data
         # returns from trash — the table is exactly its old self and the
         # caller may retry from the intact tmp. (A hard crash instead of
-        # an exception leaves the parked data in `.trash`/the tmp dir for
-        # manual recovery — never silently gone.)
+        # an exception is `recover_swap`'s job.)
         for entry in reversed(moved_in):
             os.rename(os.path.join(target, entry), os.path.join(new_dir, entry))
         for entry in reversed(moved_out):
@@ -72,6 +81,56 @@ def atomic_swap_dir(
         raise
     shutil.rmtree(trash, ignore_errors=True)
     shutil.rmtree(new_dir, ignore_errors=True)
+
+
+_SWAP_MANIFEST = "_swap_manifest.json"
+
+
+def recover_swap(target: str) -> str:
+    """Recover a table directory from a HARD crash (SIGKILL / node loss)
+    inside :func:`atomic_swap_dir`, restoring the pre-swap state.
+
+    States and actions (trash = ``<target>.trash``):
+
+    * no trash → nothing to do (a lone ``*.tmp`` rewrite staging dir is
+      uncommitted by definition and may be deleted by the caller);
+    * trash with manifest → the old data is authoritative: every
+      manifest entry returns from trash to target (entries already in
+      target that the manifest does NOT name are half-moved-in NEW data
+      → deleted); then trash is removed. The table is bit-identical to
+      its pre-swap self.
+
+    Returns one of ``"clean"`` / ``"restored"``. Callers re-run the
+    rewrite afterwards; idempotent under repeated crashes because the
+    manifest is written before anything moves and only removed with the
+    trash dir itself.
+    """
+    import json
+    import shutil
+
+    trash = target.rstrip("/") + ".trash"
+    if not os.path.isdir(trash):
+        return "clean"
+    manifest_path = os.path.join(trash, _SWAP_MANIFEST)
+    with open(manifest_path) as fh:
+        old_entries = set(json.load(fh))
+    for entry in os.listdir(target):
+        if entry.startswith((".", "_")):
+            continue
+        if entry not in old_entries:  # half-moved-in new data
+            p = os.path.join(target, entry)
+            shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+    for entry in old_entries:
+        src = os.path.join(trash, entry)
+        if os.path.exists(src):  # parked old entry: authoritative
+            dst = os.path.join(target, entry)
+            if os.path.exists(dst):
+                # same-named entry in target is NEW data (the old one was
+                # parked first): a partition dir the crash half-replaced
+                shutil.rmtree(dst) if os.path.isdir(dst) else os.remove(dst)
+            os.rename(src, dst)
+    shutil.rmtree(trash, ignore_errors=True)
+    return "restored"
 
 
 def latest_by_key(df: DataFrame, keys: list[str], precombine: str) -> DataFrame:

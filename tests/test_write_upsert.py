@@ -306,3 +306,68 @@ def test_atomic_swap_dir_rolls_back_on_failure_at_any_step(tmp_path, monkeypatch
     assert got["day=1/q.parquet"] == "new:part"
     assert "a.parquet" not in got and "day=1/p.parquet" not in got
     assert not _os.path.isdir(str(tgt) + ".trash") and not _os.path.isdir(tmp)
+
+
+def test_recover_swap_restores_pre_crash_state_at_every_kill_point(tmp_path):
+    """Simulate a HARD crash (no rollback ran) at every rename step of
+    the swap by replaying the exact sequence of renames up to step k,
+    then assert recover_swap restores the pre-swap state bit-for-bit."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from hudi_utility_spark.write import _SWAP_MANIFEST, recover_swap
+
+    def build(i):
+        tgt = tmp_path / f"t{i}"
+        tmp = tmp_path / f"n{i}"
+        tgt.mkdir(), tmp.mkdir()
+        (tgt / "_locks").mkdir()
+        (tgt / "_locks" / "writer.lock").write_text("lease")
+        (tgt / "a.parquet").write_text("old:a")
+        (tgt / "day=1").mkdir()
+        (tgt / "day=1" / "p.parquet").write_text("old:p")
+        (tmp / "b.parquet").write_text("new:b")
+        (tmp / "day=1").mkdir()
+        (tmp / "day=1" / "q.parquet").write_text("new:q")
+        return tgt, tmp
+
+    def snapshot(root):
+        out = {}
+        for dirpath, _dirs, files in _os.walk(root):
+            for f in files:
+                p = _os.path.join(dirpath, f)
+                out[_os.path.relpath(p, root)] = open(p).read()
+        return out
+
+    # the swap's rename schedule for this layout: park 2 old entries,
+    # move in 2 new entries; crash points 0..4 (before each op + done-
+    # before-trash-delete)
+    old_entries = ["a.parquet", "day=1"]
+    new_entries = ["b.parquet", "day=1"]
+    for crash_at in range(5):
+        tgt, tmp = build(crash_at)
+        want = snapshot(tgt)
+        trash = str(tgt) + ".trash"
+        _os.makedirs(trash)
+        with open(_os.path.join(trash, _SWAP_MANIFEST), "w") as fh:
+            _json.dump(old_entries, fh)
+        step = 0
+        for e in old_entries:  # park old
+            if step == crash_at:
+                break
+            _os.rename(_os.path.join(tgt, e), _os.path.join(trash, e))
+            step += 1
+        else:
+            for e in new_entries:  # move new in
+                if step == crash_at:
+                    break
+                _os.rename(_os.path.join(tmp, e), _os.path.join(tgt, e))
+                step += 1
+        assert recover_swap(str(tgt)) == "restored"
+        assert snapshot(tgt) == want, f"crash_at={crash_at}"
+        assert not _os.path.isdir(trash)
+        _shutil.rmtree(tgt), _shutil.rmtree(tmp, ignore_errors=True)
+    # no trash -> clean
+    tgt, _tmp = build(9)
+    assert recover_swap(str(tgt)) == "clean"
