@@ -205,3 +205,34 @@ class TableServices:
         from hudi_utility_spark import timeline
 
         return timeline.incremental_cdc(self.engine.spark, self.table, since, until)
+
+    def expire_partitions(self, cutoff: str) -> dict:
+        """Retention sweep (timeline.expire_partitions): metadata-only
+        partition drops below *cutoff* — ledgered and lock-guarded like
+        every other mutation."""
+        from hudi_utility_spark import timeline
+
+        return self._ledgered(
+            "expire_partitions",
+            lambda: timeline.expire_partitions(
+                self.engine.spark, self.table, cutoff
+            ),
+        )
+
+    def recover(self) -> str:
+        """Recover from a hard crash inside a rewrite swap
+        (write.recover_swap) — lock-guarded (a concurrent writer must
+        not race the restore) and ledgered when something was restored."""
+        from hudi_utility_spark.concurrency import table_lock
+        from hudi_utility_spark.write import recover_swap
+
+        with table_lock(self.table, owner="recover"):
+            out = recover_swap(self.table.path)
+        if out != "clean":
+            tid = self.engine.ledger.begin(
+                self.table.name or "table",
+                {"op": "recover", "path": self.table.path},
+            )
+            self.engine.ledger.finish(tid, "SUCCESS")
+        self.engine.spark.catalog.refreshByPath(self.table.path)
+        return out

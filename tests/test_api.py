@@ -125,3 +125,56 @@ def test_table_services_facade_ledgers_every_mutation(spark, events, tmp_path):
         assert any(op in d for d in ops)
     statuses = {r.status for r in eng.history(transaction_id_like="events_svc").collect()}
     assert statuses == {"SUCCESS"}
+
+
+def test_facade_expire_and_recover(spark, events, tmp_path):
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from hudi_utility_spark.api import Engine, TableServices
+    from hudi_utility_spark.table import KeyedTable
+
+    eng = Engine(spark, str(tmp_path / "ledger"))
+    svc = TableServices(
+        eng,
+        KeyedTable(
+            path=str(tmp_path / "t"),
+            record_key=["event_id"],
+            precombine="ts",
+            partition_fields=["day"],
+            name="events_retain",
+        ),
+    )
+    ev = events.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    svc.upsert(ev, commit_time="20260101000000000")
+    days = sorted(r[0] for r in ev.select("day").distinct().collect())
+    res = svc.expire_partitions(days[1])
+    assert res["dropped"] == [days[0]]
+    assert svc.read().filter(F.col("day") < days[1]).count() == 0
+    assert (
+        eng.history().filter("transaction_id LIKE 'events_retain%'").count() >= 1
+    )
+
+    # clean recover is a no-op; a staged trash manifest gets restored
+    assert svc.recover() == "clean"
+    import json
+
+    from hudi_utility_spark.write import _SWAP_MANIFEST
+
+    trash = svc.table.path.rstrip("/") + ".trash"
+    os.makedirs(trash)
+    # a real crash leaves a manifest naming EVERY old data entry (written
+    # before anything moves); simulate dying after parking just one
+    all_parts = [
+        e for e in os.listdir(svc.table.path) if not e.startswith((".", "_"))
+    ]
+    part = f"day={days[1]}"
+    with open(os.path.join(trash, _SWAP_MANIFEST), "w") as fh:
+        json.dump(all_parts, fh)
+    shutil.move(os.path.join(svc.table.path, part), os.path.join(trash, part))
+    before = svc.read().count()  # readable even half-swapped (other days)
+    assert svc.recover() == "restored"
+    assert svc.read().filter(F.col("day") == days[1]).count() > 0
+    assert svc.read().count() > before
