@@ -115,3 +115,43 @@ def resume_bootstrap(
             src = align_timestamp_types(src, table.read_base(spark).schema)
         write_partitioned(src, table.base_path, table.partition_fields, mode="overwrite")
     return {"repaired_partitions": sorted(to_write), "noop": False, "dry_run": dry_run}
+
+
+def file_layout_report(
+    spark: SparkSession,
+    table: KeyedTable,
+    small_file_bytes: int = 32 * 1024 * 1024,
+) -> DataFrame:
+    """Physical-layout health per partition: file count, bytes, average
+    file size, and a small-files flag — the diagnostic that decides
+    which partitions need `KeyedTable.cluster` (and what
+    `compact_if_needed`'s ratio is made of).
+
+    Zero data IO at any scale: the scan is the `binaryFile` datasource
+    over the parquet files, whose `length` column comes from FILE
+    LISTING metadata — no parquet footer, let alone pages, is read. One
+    aggregate over O(files) rows. The default threshold is the classic
+    small-file bound (32 MB) — files far below the 128 MB scan-split
+    size waste task scheduling and defeat row-group pruning.
+    """
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "false")
+        .load(table.base_path)
+        .select("path", "length")
+    )
+    if table.partition_fields:
+        pfield = table.partition_fields[0]
+        part = F.regexp_extract(F.col("path"), f"{pfield}=([^/]+)/", 1)
+    else:
+        pfield, part = "partition", F.lit("<unpartitioned>")
+    return (
+        files.groupBy(part.alias(pfield))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("length").alias("bytes"),
+            (F.sum("length") / F.count(F.lit(1))).cast("long").alias("avg_bytes"),
+        )
+        .withColumn("small_files", F.col("avg_bytes") < small_file_bytes)
+    )

@@ -171,3 +171,36 @@ def test_resume_from_ltz_default_session_aligns_timestamps(spark, events, tmp_pa
     healed = t.read_base(spark)  # mergeSchema read across old + new files
     assert healed.count() == events.count()
     assert healed.schema["ts"].dataType.typeName() == "timestamp_ntz"
+
+
+def test_file_layout_report_matches_filesystem(spark, events, tmp_path):
+    import os
+
+    from hudi_utility_spark.repair import file_layout_report
+    from hudi_utility_spark.table import KeyedTable
+    from hudi_utility_spark.write import full_bootstrap
+
+    t = KeyedTable(
+        path=str(tmp_path / "layout"),
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+    )
+    full_bootstrap(spark, events, t)
+    got = {
+        r["event_type"]: (r["n_files"], r["bytes"], r["small_files"])
+        for r in file_layout_report(spark, t).collect()
+    }
+    want = {}
+    for d in os.listdir(t.base_path):
+        if not d.startswith("event_type="):
+            continue
+        files = [
+            os.path.join(t.base_path, d, f)
+            for f in os.listdir(os.path.join(t.base_path, d))
+            if f.endswith(".parquet")
+        ]
+        want[d.split("=", 1)[1]] = (len(files), sum(os.path.getsize(f) for f in files))
+    assert {k: v[:2] for k, v in got.items()} == want
+    # sf0.001 parquet partitions are tiny -> all flagged small
+    assert all(v[2] for v in got.values())
