@@ -1,0 +1,77 @@
+"""Grouped model fitting via ``applyInPandas`` — the Arrow grouped-map
+surface (SURVEY §2.10 names the full UDF family; this is the member the
+rest of the engine deliberately avoids when built-ins suffice).
+
+The demo kernel is a closed-form per-group ordinary-least-squares fit,
+chosen BECAUSE it is deterministic and SQL-expressible (DuckDB
+``regr_slope``/``regr_intercept``) — so even the Python-kernel path
+stays under the value-hash oracle gate. A real deployment swaps the
+kernel body for sklearn/statsmodels/torch per group; the Spark-side
+plumbing (hash-shuffle by group, one Arrow batch per group, schema
+contract) is exactly what is exercised here.
+
+Scale: one shuffle keyed by the group column; per-task memory is the
+largest single group (the applyInPandas contract — a group must fit in
+one worker). Groups ≫ cores parallelize perfectly; a dominant group is
+the same skew hazard as any groupBy and salts the same way (fit on
+salted subgroups, merge moments).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def group_linear_fit(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group OLS ``y = slope·x + intercept`` via grouped-map
+    ``applyInPandas``: returns (group, n, slope, intercept, r2).
+
+    Kernel math is the centered closed form in float64 — the same
+    moments DuckDB's ``regr_*`` aggregates compute, so results agree to
+    rounding. NaNs/nulls in either column are dropped per group (as the
+    SQL aggregates do)."""
+    schema = T.StructType(
+        [
+            T.StructField("group", T.StringType(), False),
+            T.StructField("n", T.LongType(), False),
+            T.StructField("slope", T.DoubleType(), True),
+            T.StructField("intercept", T.DoubleType(), True),
+            T.StructField("r2", T.DoubleType(), True),
+        ]
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        sub = pdf[[group_col, x_col, y_col]].dropna()
+        g = str(pdf[group_col].iloc[0])
+        n = len(sub)
+        if n < 2:
+            return pd.DataFrame(
+                {"group": [g], "n": [n], "slope": [None], "intercept": [None], "r2": [None]}
+            )
+        x = sub[x_col].to_numpy(dtype="float64")
+        y = sub[y_col].to_numpy(dtype="float64")
+        xm, ym = x.mean(), y.mean()
+        sxx = ((x - xm) ** 2).sum()
+        sxy = ((x - xm) * (y - ym)).sum()
+        syy = ((y - ym) ** 2).sum()
+        slope = sxy / sxx if sxx else None
+        intercept = ym - slope * xm if slope is not None else None
+        r2 = (sxy * sxy) / (sxx * syy) if sxx and syy else None
+        return pd.DataFrame(
+            {
+                "group": [g],
+                "n": [n],
+                "slope": [slope],
+                "intercept": [intercept],
+                "r2": [r2],
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandas(fit, schema=schema)

@@ -517,3 +517,44 @@ def ts_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "open", "high", "low", "close", "n_events",
         )
     )
+
+
+@query(
+    "ml_group_linfit",
+    """
+    SELECT event_type AS "group",
+           COUNT(*) AS n,
+           ROUND(regr_slope(value,
+                 (epoch_us(ts) - 1704067200000000) / 3600000000.0), 5) AS slope,
+           ROUND(regr_intercept(value,
+                 (epoch_us(ts) - 1704067200000000) / 3600000000.0), 5) AS intercept,
+           ROUND(regr_r2(value,
+                 (epoch_us(ts) - 1704067200000000) / 3600000000.0), 5) AS r2
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def ml_group_linfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group model fitting through the grouped-map `applyInPandas`
+    surface (ops/mlfit.py): OLS of event value over event-time hours,
+    one Arrow batch per event type. The kernel is the closed-form fit —
+    deliberately SQL-expressible (`regr_slope`/`regr_intercept`/
+    `regr_r2`) so the Python-kernel path itself sits under the oracle
+    hash gate; a sklearn/torch fit drops into the same plumbing."""
+    from hudi_utility_spark.ops.mlfit import group_linear_fit
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    xs = ((us("ts") - F.lit(1704067200000000)) / F.lit(3.6e9)).alias("x_hours")
+    fit = group_linear_fit(
+        ev.select("event_type", xs, F.col("value")),
+        group_col="event_type",
+        x_col="x_hours",
+        y_col="value",
+    )
+    return fit.select(
+        F.col("group"),
+        "n",
+        F.round("slope", 5).alias("slope"),
+        F.round("intercept", 5).alias("intercept"),
+        F.round("r2", 5).alias("r2"),
+    )

@@ -109,3 +109,26 @@ def test_pq_encode_and_adc_plans_are_map_only(spark, sf_dir):
     )
     assert "Exchange" not in adc_plan
     assert "TakeOrderedAndProject" in adc_plan
+
+
+def test_group_linear_fit_matches_numpy_and_handles_degenerates(spark):
+    import numpy as np
+
+    from hudi_utility_spark.ops.mlfit import group_linear_fit
+
+    rows = []
+    rng = [(i, float(i) * 2.0 + 3.0 + (0.1 if i % 2 else -0.1)) for i in range(20)]
+    rows += [("lin", float(x), y) for x, y in rng]   # near-perfect line
+    rows += [("one", 1.0, 5.0)]                       # n < 2 -> nulls
+    rows += [("flat", 2.0, 7.0), ("flat", 2.0, 9.0)]  # zero x-variance
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["group"]: r for r in group_linear_fit(df, "g", "x", "y").collect()}
+
+    x = np.array([x for x, _ in rng]); y = np.array([y for _, y in rng])
+    slope, intercept = np.polyfit(x, y, 1)
+    assert got["lin"]["n"] == 20
+    assert abs(got["lin"]["slope"] - slope) < 1e-9
+    assert abs(got["lin"]["intercept"] - intercept) < 1e-9
+    assert got["lin"]["r2"] > 0.99
+    assert got["one"]["slope"] is None and got["one"]["n"] == 1
+    assert got["flat"]["slope"] is None  # sxx == 0 guarded
