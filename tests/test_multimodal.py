@@ -66,3 +66,19 @@ def test_export_rerun_is_idempotent(spark, documents, tmp_path):
 def test_decode_stub_gates_without_fake():
     with pytest.raises(NotImplementedError):
         M.decode_stub(b"\x00\x01", "image", fake=False)
+
+
+def test_resize_stub_and_frame_plan_shapes(spark, documents):
+    media = M.attach_binary(documents.limit(10), "text", "doc_id", media_type="video")
+    sized = M.resize_stub(media, target=(320, 240))
+    rows = sized.select("media_id", "target_w", "target_h").collect()
+    assert all((r["target_w"], r["target_h"]) == (320, 240) for r in rows)
+    frames = M.frame_sample_plan(media, every_n_seconds=7)
+    got = frames.collect()
+    # one row per (video, sampled ts); ts stride honored, bounded by duration
+    per = {}
+    for r in got:
+        per.setdefault(r["media_id"], []).append(r["frame_ts_s"])
+    for mid, ts in per.items():
+        ts.sort()
+        assert ts[0] == 0 and all(b - a == 7 for a, b in zip(ts, ts[1:]))
