@@ -89,6 +89,8 @@ HEADLINE = [
     "stream_static_enrich",
     "dq_value_histogram",
     "sim_centroid_outliers",
+    "sql_api_revenue_rank",
+    "ml_group_linfit",
 ]
 
 
