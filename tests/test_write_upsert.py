@@ -371,3 +371,48 @@ def test_recover_swap_restores_pre_crash_state_at_every_kill_point(tmp_path):
     # no trash -> clean
     tgt, _tmp = build(9)
     assert recover_swap(str(tgt)) == "clean"
+
+
+def test_upsert_widens_narrow_incoming_types(spark, tmp_path):
+    """A batch arriving with int columns upserts into a bigint table:
+    unionByName's type coercion widens, the table schema stays bigint,
+    and precombine arbitration still works (the reference reconciles
+    types by DataType equality — pyspark_script.py:153-165 — so silent
+    narrowing would fail its own audit)."""
+    t = KeyedTable(
+        path=str(tmp_path / "widen"),
+        record_key=["id"],
+        precombine="v",
+        partition_fields=["p"],
+    )
+    base = spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], "id long, v long, p string")
+    full_bootstrap(spark, base, t)
+    inc = spark.createDataFrame([(1, 2, "a")], "id int, v int, p string")
+    out = upsert(spark, inc, t)
+    assert dict(out.dtypes)["id"] == "bigint" and dict(out.dtypes)["v"] == "bigint"
+    assert sorted((r.id, r.v) for r in out.collect()) == [(1, 2), (2, 1)]
+
+
+def test_two_level_partitioned_bootstrap_and_upsert(spark, tmp_path):
+    import os
+
+    t = KeyedTable(
+        path=str(tmp_path / "two_level"),
+        record_key=["id"],
+        precombine="v",
+        partition_fields=["p", "q"],
+    )
+    base = spark.createDataFrame(
+        [(1, 1, "a", "x"), (2, 1, "a", "y"), (3, 1, "b", "x")],
+        "id long, v long, p string, q string",
+    )
+    full_bootstrap(spark, base, t)
+    assert os.path.isdir(os.path.join(t.base_path, "p=a", "q=x"))
+    out = upsert(
+        spark,
+        spark.createDataFrame([(1, 2, "a", "x")], "id long, v long, p string, q string"),
+        t,
+    )
+    assert sorted((r.id, r.v) for r in out.collect()) == [(1, 2), (2, 1), (3, 1)]
+    # untouched sibling sub-partition survives the dynamic overwrite
+    assert os.path.isdir(os.path.join(t.base_path, "p=a", "q=y"))
