@@ -132,9 +132,8 @@ def maintain_rollup(
     tmp = rollup_path.rstrip("/") + ".maint.tmp"
     merged.write.mode("overwrite").parquet(tmp)
     merged.unpersist()
-    import shutil
+    from hudi_utility_spark.write import atomic_swap_dir
 
-    shutil.rmtree(rollup_path)
-    shutil.move(tmp, rollup_path)
+    atomic_swap_dir(tmp, rollup_path)
     spark.catalog.refreshByPath(rollup_path)
     return spark.read.parquet(rollup_path)
