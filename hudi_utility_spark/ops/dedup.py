@@ -452,6 +452,103 @@ def minhash_signatures(
     )
 
 
+def _band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, band_hash) rows from a signature relation — the LSH
+    bucket keys. This is also the PERSISTED STORE layout for
+    incremental near-dup (`incremental_minhash`): (band, band_hash, id)
+    is ~24 bytes/band/doc regardless of document size, and bucketing
+    the store on (band, band_hash) makes the per-batch probe a
+    store-side-stationary join."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        phash.hash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select(
+        "id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash")
+    )
+
+
+def minhash_bands(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Banded LSH keys for a corpus — the near-dup analogue of
+    `fingerprint`'s exact store. Persist this (not the text, not even
+    the signatures) as the continuously-maintained near-dup index."""
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    return _band_rows(sig, num_hashes, bands)
+
+
+def incremental_minhash(
+    batch: DataFrame,
+    store_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Continuous-ingest NEAR-dup gate: admit only batch documents with
+    no LSH band collision against the persisted corpus band store
+    (`minhash_bands`) and none against a lower-id document of the same
+    batch — the approximate twin of `dedup_incremental`'s exact gate,
+    catching near-copies (boilerplate edits, re-crawls with changed
+    headers) that exact fingerprints miss.
+
+    Deliberately verification-free: a band collision alone rejects
+    (conservative-precision, S-curve-bounded false-positive rate), so
+    no signatures need be stored or joined — the store stays (band,
+    band_hash, id) and the whole gate is two semi-join-shaped probes of
+    it. At 100 TB: batch bands ≪ store bands; with the store bucketed
+    on (band, band_hash) only the batch side shuffles. Admitted docs'
+    bands then append to the store (caller's move, mirroring the
+    fingerprint-store append in `stream_dedup_ingest`).
+    """
+    bb = minhash_bands(batch, id_col, text_col, num_hashes, bands, shingle_n).persist()
+    hit_corpus = (
+        bb.join(store_bands, ["band", "band_hash"], "left_semi")
+        .select("id")
+        .distinct()
+    )
+    a, b = bb.alias("a"), bb.alias("b")
+    hit_batch = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+    )
+    rejected = hit_corpus.union(hit_batch).distinct()
+    return batch.join(
+        rejected.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -480,35 +577,13 @@ def minhash_lsh_pairs(
     At 100 TB: the band join shuffles only (band_hash, id) pairs, and the
     S-curve keeps candidate volume near the true-pair volume.
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     sig = sig.persist()
     # Band rows carry ONLY (id, band, band_hash): the clustered self-join
     # multiplies candidate pairs by shared-band count, and dragging the
     # k×8-byte signature arrays through that join + dropDuplicates is the
     # dominant shuffle at scale. Join signatures back after dedup instead.
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        phash.hash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bh"),
-    ).select("id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+    banded = _band_rows(sig, num_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

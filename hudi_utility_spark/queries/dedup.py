@@ -140,12 +140,10 @@ def dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_survivors(d, pairs).select("doc_id")
 
 
-def _minhash_oracle(num_hashes: int = 32, bands: int = 8) -> str:
-    """Full MinHash+LSH pipeline in DuckDB — bigram shingles, the
-    portable md5 universal-hash family (`ops/phash.py`), banded
-    candidate join, signature-match verification. Possible at all
-    because every hash is md5-derived; the r2 xxhash64 version had no
-    oracle."""
+def _minhash_prefix(num_hashes: int, bands: int) -> str:
+    """Shared DuckDB CTE chain words→grams→sh→sig→banded replicating
+    `ops/dedup.py` minhash_signatures + _band_rows bit-for-bit (the
+    portable md5 hash family makes this possible)."""
     from hudi_utility_spark.ops import phash
 
     rpb = num_hashes // bands
@@ -167,12 +165,8 @@ def _minhash_oracle(num_hashes: int = 32, bands: int = 8) -> str:
         )
         for b in range(bands)
     )
-    matches = " + ".join(
-        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
-        for i in range(num_hashes)
-    )
     return f"""
-    WITH words AS (
+    words AS (
         SELECT doc_id, w, ord FROM (
             SELECT doc_id,
                    unnest(string_split({_NORM_SQL}, ' ')) AS w,
@@ -195,7 +189,21 @@ def _minhash_oracle(num_hashes: int = 32, bands: int = 8) -> str:
     ),
     banded AS (
         {band_rows}
-    ),
+    )"""
+
+
+def _minhash_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """Full MinHash+LSH pipeline in DuckDB — bigram shingles, the
+    portable md5 universal-hash family (`ops/phash.py`), banded
+    candidate join, signature-match verification. Possible at all
+    because every hash is md5-derived; the r2 xxhash64 version had no
+    oracle."""
+    matches = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH {_minhash_prefix(num_hashes, bands)},
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM banded a JOIN banded b
@@ -209,6 +217,45 @@ def _minhash_oracle(num_hashes: int = 32, bands: int = 8) -> str:
     JOIN sig sb ON sb.doc_id = c.id_b
     WHERE ({matches}) / {num_hashes} >= 0.5
     """
+
+
+def _incremental_minhash_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """Incremental near-dup gate in DuckDB: batch = odd doc_ids probed
+    against the corpus (even doc_ids) band store, plus the within-batch
+    lower-id rule — the exact semantics of `ops/dedup.py`
+    incremental_minhash."""
+    return f"""
+    WITH {_minhash_prefix(num_hashes, bands)},
+    cb AS (SELECT * FROM banded WHERE doc_id % 2 = 0),
+    bb AS (SELECT * FROM banded WHERE doc_id % 2 = 1),
+    hit AS (
+        SELECT DISTINCT b.doc_id FROM bb b
+        JOIN cb c ON b.band = c.band AND b.band_hash = c.band_hash
+        UNION
+        SELECT DISTINCT hi.doc_id FROM bb hi
+        JOIN bb lo ON hi.band = lo.band AND hi.band_hash = lo.band_hash
+                  AND lo.doc_id < hi.doc_id
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id % 2 = 1 AND d.doc_id NOT IN (SELECT doc_id FROM hit)
+    """
+
+
+@query("dedup_incremental_minhash", _incremental_minhash_oracle())
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest NEAR-dup gate (ops/dedup.py
+    `incremental_minhash`): the odd-id half of the corpus arrives as a
+    batch and is admitted only if it collides with no LSH band of the
+    even-id corpus' persisted band store (`minhash_bands` — the (band,
+    band_hash, id) index that replaces storing text or signatures) nor
+    with a lower-id batch document. The approximate twin of
+    `dedup_incremental_batch`, catching near-copies exact fingerprints
+    miss; the oracle replays signatures, banding, and both probes."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    store = D.minhash_bands(corpus)
+    return D.incremental_minhash(batch, store).select("doc_id", "lang")
 
 
 @query("dedup_minhash_lsh", _minhash_oracle())

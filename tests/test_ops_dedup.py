@@ -163,3 +163,34 @@ def test_dedup_incremental_rejects_corpus_and_batch_dupes(spark):
         for r in dedup_incremental(batch, corpus_fingerprints=store).collect()
     )
     assert got2 == [11, 12]
+
+
+def test_incremental_minhash_gates_near_copies(spark, documents):
+    from hudi_utility_spark.ops.dedup import incremental_minhash, minhash_bands
+
+    corpus = documents.limit(100)
+    store = minhash_bands(corpus)
+    # replaying the corpus itself as the batch: every doc collides with
+    # its own banded signature in the store -> nothing admitted
+    readmitted = incremental_minhash(corpus, store)
+    assert readmitted.count() == 0
+    # a genuinely fresh batch (disjoint ids, fresh text) is admitted
+    fresh = spark.createDataFrame(
+        [(100000 + i, f"utterly novel content piece number {i} "
+          f"with distinct trailing words {i * 7} {i * 13}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    admitted = incremental_minhash(fresh, store)
+    assert admitted.count() == 5
+    # near-copy of an admitted batch doc with a HIGHER id is rejected
+    # by the within-batch lower-id rule
+    near = fresh.union(
+        spark.createDataFrame(
+            [(200000, "utterly novel content piece number 0 "
+              "with distinct trailing words 0 0")],
+            "doc_id long, text string",
+        )
+    )
+    kept = incremental_minhash(near, store)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 200000 not in ids and len(ids) == 5
