@@ -170,3 +170,66 @@ def stream_dedup_ingest(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_neardedup_ingest(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    table: KeyedTable,
+    band_store_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    trigger_once: bool = False,
+):
+    """`stream_dedup_ingest`'s NEAR-dup sibling: each micro-batch is
+    gated by ``ops.dedup.incremental_minhash`` against the persisted
+    LSH band store at ``band_store_path`` (a (band, band_hash, id)
+    index — `minhash_bands`), survivors are upserted into ``table`` and
+    their bands appended to the store. Rejects re-crawls with edited
+    boilerplate and near-copies that exact fingerprints admit.
+
+    Replay idempotency: a re-delivered batch collides with its own
+    bands already in the store → admits nothing; a crash between upsert
+    and store append only re-admits rows whose upsert is idempotent by
+    key. Store growth is bands×~24 bytes per admitted doc.
+    """
+    import os
+
+    from hudi_utility_spark.ops.dedup import incremental_minhash, minhash_bands
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if os.path.isdir(band_store_path):
+            store = spark.read.parquet(band_store_path)
+        else:
+            store = minhash_bands(
+                batch_df.limit(0), id_col, text_col, num_hashes, bands
+            )
+        fresh = incremental_minhash(
+            batch_df,
+            store,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+        )
+        if fresh.isEmpty():
+            return
+        upsert(spark, fresh, table)
+        minhash_bands(fresh, id_col, text_col, num_hashes, bands).write.mode(
+            "append"
+        ).parquet(band_store_path)
+        spark.catalog.refreshByPath(band_store_path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -122,3 +122,52 @@ def test_stream_dedup_ingest_rejects_cross_batch_duplicates(spark, tmp_path):
     run_once("ck_replay")
     got3 = {r.doc_id for r in table.read(spark).collect()}
     assert got3 == got2
+
+
+def test_stream_neardedup_ingest_rejects_near_copies_across_batches(spark, tmp_path):
+    from hudi_utility_spark.streaming.ingest import stream_neardedup_ingest
+
+    src = str(tmp_path / "near_src")
+    store = str(tmp_path / "band_store")
+    schema = "doc_id long, batch long, text string"
+    table = KeyedTable(
+        name="stream_near_docs",
+        path=str(tmp_path / "stream_near_docs"),
+        record_key=["doc_id"],
+        precombine="batch",
+        partition_fields=[],
+        table_type=TableType.COPY_ON_WRITE,
+    )
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "wanders far across the wide open field before resting")
+    other = ("completely different content about distributed query "
+             "engines shuffling partitioned columnar data at scale")
+
+    def run_once(ckpt):
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_neardedup_ingest(
+            spark, stream, table, store, str(tmp_path / ckpt), trigger_once=True
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(1, 1, base), (2, 1, other)], schema).write.mode(
+        "append"
+    ).parquet(src)
+    run_once("ck1")
+    assert {r.doc_id for r in table.read(spark).collect()} == {1, 2}
+
+    # batch 2: a NEAR copy of doc 1 (one word changed — exact
+    # fingerprints would admit it) plus a genuinely new doc
+    near = base.replace("lazy", "sleepy")
+    fresh = ("novel text with entirely unrelated vocabulary discussing "
+             "oceanic currents and atmospheric pressure gradients")
+    spark.createDataFrame([(3, 2, near), (4, 2, fresh)], schema).write.mode(
+        "append"
+    ).parquet(src)
+    run_once("ck1")
+    assert {r.doc_id for r in table.read(spark).collect()} == {1, 2, 4}
+
+    # replay everything from a fresh checkpoint: store already carries
+    # all admitted bands — the table must not change
+    run_once("ck_replay")
+    assert {r.doc_id for r in table.read(spark).collect()} == {1, 2, 4}
