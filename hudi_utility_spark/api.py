@@ -22,6 +22,7 @@ Spark job here — SURVEY §3.1).
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -222,12 +223,24 @@ class TableServices:
     def recover(self) -> str:
         """Recover from a hard crash inside a rewrite swap
         (write.recover_swap) — lock-guarded (a concurrent writer must
-        not race the restore) and ledgered when something was restored."""
+        not race the restore) and ledgered when something was restored.
+        Also sweeps stale rewrite staging dirs (``<path>.*.tmp``): a
+        tmp without a trash is an UNCOMMITTED rewrite by construction
+        (the swap starts only after the staging write completes), so
+        dropping it is always safe — and holding the lock here means no
+        live writer's staging can be in flight."""
+        import shutil
+
         from hudi_utility_spark.concurrency import table_lock
         from hudi_utility_spark.write import recover_swap
 
         with table_lock(self.table, owner="recover"):
             out = recover_swap(self.table.path)
+            base = self.table.path.rstrip("/")
+            parent, name = os.path.split(base)
+            for entry in os.listdir(parent or "."):
+                if entry.startswith(name + ".") and entry.endswith(".tmp"):
+                    shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
         if out != "clean":
             tid = self.engine.ledger.begin(
                 self.table.name or "table",

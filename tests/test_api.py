@@ -178,3 +178,29 @@ def test_facade_expire_and_recover(spark, events, tmp_path):
     assert svc.recover() == "restored"
     assert svc.read().filter(F.col("day") == days[1]).count() > 0
     assert svc.read().count() > before
+
+
+def test_facade_recover_sweeps_stale_staging_dirs(spark, events, tmp_path):
+    import os
+
+    from hudi_utility_spark.api import Engine, TableServices
+    from hudi_utility_spark.table import KeyedTable
+
+    eng = Engine(spark, str(tmp_path / "ledger"))
+    svc = TableServices(
+        eng,
+        KeyedTable(
+            path=str(tmp_path / "t"),
+            record_key=["event_id"],
+            precombine="ts",
+            partition_fields=["event_type"],
+            name="events_sweep",
+        ),
+    )
+    svc.upsert(events.limit(50), commit_time="20260101000000000")
+    stale = svc.table.path.rstrip("/") + ".upsert.tmp"
+    os.makedirs(stale)
+    open(os.path.join(stale, "part-stale.parquet"), "w").write("junk")
+    assert svc.recover() == "clean"
+    assert not os.path.isdir(stale)
+    assert svc.read().count() == 50
