@@ -547,3 +547,60 @@ def text_feature_hash_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ops/text.py `feature_hash_score`)."""
     d = load_table(spark, sf_dir, "documents")
     return X.feature_hash_score(d, dims=1024)
+
+
+@query(
+    "pipeline_curriculum_bins",
+    r"""
+    WITH stats AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS n_words,
+             ROUND(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+                   / greatest(length(text), 1), 6) AS punct_ratio,
+             ROUND(len(list_intersect(
+                     list_transform(string_split_regex(trim(text), '\s+'),
+                                    x -> lower(x)),
+                     ['the','a','an','and','or','of','to','in','is','are',
+                      'was','were','be','been','it','this','that','for',
+                      'on','with','as','by','at','from']))
+                   / greatest(len(string_split_regex(trim(text), '\s+')), 1),
+                   6) AS stopword_ratio
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, n_words,
+             ROUND(CASE WHEN n_words < 5 THEN 0.0
+                        WHEN punct_ratio > 0.3 THEN 0.2
+                        ELSE least(1.0,
+                                   ROUND(0.4 * least(n_words / 100.0, 1.0)
+                                         + 0.3 * (1 - punct_ratio)
+                                         + 0.3 * least(stopword_ratio * 4, 1.0),
+                                         6))
+                   END, 6) AS quality
+      FROM stats
+    )
+    SELECT LEAST(CAST(FLOOR(quality * 5) AS BIGINT), 4) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS bin_tokens,
+           ROUND(AVG(quality), 6) AS mean_quality
+    FROM scored GROUP BY 1
+    """,
+)
+def pipeline_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ladder report: documents bucketed into five fixed
+    quality bins (the staged-training mix a curriculum scheduler feeds
+    from), per bin: volume in documents and tokens plus mean score. One
+    map-only scoring pass (quality_score — pure built-ins) and one
+    5-group hash aggregate; the bin arithmetic is replayed exactly by
+    the oracle on top of the shared quality CTE."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = X.quality_score(d)
+    bin_col = F.least(F.floor(F.col("quality") * 5).cast("long"), F.lit(4).cast("long"))
+    return (
+        scored.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("bin_tokens"),
+            F.round(F.avg("quality"), 6).alias("mean_quality"),
+        )
+    )
