@@ -236,11 +236,22 @@ class TableServices:
 
         with table_lock(self.table, owner="recover"):
             out = recover_swap(self.table.path)
-            base = self.table.path.rstrip("/")
-            parent, name = os.path.split(base)
-            for entry in os.listdir(parent or "."):
-                if entry.startswith(name + ".") and entry.endswith(".tmp"):
-                    shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+            # the MOR log rewrite (clean/rollback) swaps _delta_log
+            # itself — recover that swap too, else a crash there would
+            # silently drop log rows while this reports "clean"
+            if os.path.isdir(self.table.log_path):
+                log_out = recover_swap(self.table.log_path)
+                if log_out != "clean" and out == "clean":
+                    out = log_out
+            for root in (self.table.path, os.path.dirname(self.table.path.rstrip("/"))):
+                base = self.table.path.rstrip("/")
+                name = os.path.basename(base)
+                for entry in os.listdir(root or "."):
+                    if entry.endswith(".tmp") and (
+                        entry.startswith(name + ".")
+                        or entry.startswith("_delta_log.")
+                    ):
+                        shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
         if out != "clean":
             tid = self.engine.ledger.begin(
                 self.table.name or "table",

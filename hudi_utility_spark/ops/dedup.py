@@ -509,7 +509,8 @@ def incremental_minhash(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 2,
-) -> DataFrame:
+    return_bands: bool = False,
+):
     """Continuous-ingest NEAR-dup gate: admit only batch documents with
     no LSH band collision against the persisted corpus band store
     (`minhash_bands`) and none against a lower-id document of the same
@@ -525,6 +526,13 @@ def incremental_minhash(
     on (band, band_hash) only the batch side shuffles. Admitted docs'
     bands then append to the store (caller's move, mirroring the
     fingerprint-store append in `stream_dedup_ingest`).
+
+    Set ``return_bands=True`` to also receive the (persisted) batch band
+    relation — callers that append admitted bands to the store reuse it
+    (no second signature pass) and OWN the ``unpersist()`` (the
+    streaming sink does both; a long-lived session that discards the
+    result should clear the cache between units of work as bench.py
+    does).
     """
     bb = minhash_bands(batch, id_col, text_col, num_hashes, bands, shingle_n).persist()
     hit_corpus = (
@@ -544,9 +552,12 @@ def incremental_minhash(
         .distinct()
     )
     rejected = hit_corpus.union(hit_batch).distinct()
-    return batch.join(
+    admitted = batch.join(
         rejected.withColumnRenamed("id", id_col), id_col, "left_anti"
     )
+    if return_bands:
+        return admitted, bb
+    return admitted
 
 
 def minhash_lsh_pairs(

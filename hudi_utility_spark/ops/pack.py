@@ -187,7 +187,12 @@ def select_until_budget(
     one sampled partitioning — membership itself is partition-invariant
     (any range split yields the same global prefix sums), so the
     sampling nondeterminism inside ``repartitionByRange`` never reaches
-    the result. Returns (id, score, n_tokens, start_offset).
+    the result. The persisted blocks must outlive the returned plan
+    (unpersisting before the output materializes would re-sample the
+    partitioning and corrupt the offsets), so long-lived sessions clear
+    the cache between units of work, as bench.py does — same contract
+    as `jaccard_pairs`' shingle relation. Returns (id, score, n_tokens,
+    start_offset).
     """
     toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
     base = df.select(

@@ -301,6 +301,10 @@ def equi_width_histogram(
     x = F.col(col).cast("double")
     if lo is None or hi is None:
         row = df.agg(F.min(x).alias("lo"), F.max(x).alias("hi")).collect()[0]
+        if row["lo"] is None or row["hi"] is None:  # empty / all-null column
+            return df.sparkSession.createDataFrame(
+                [], "bucket long, bucket_lo double, bucket_hi double, n long"
+            )
         lo = float(row["lo"]) if lo is None else lo
         hi = float(row["hi"]) if hi is None else hi
     if hi <= lo:  # degenerate: all values identical -> single bucket
@@ -316,9 +320,14 @@ def equi_width_histogram(
             )
         )
     span = hi - lo
-    bucket = F.least(
-        F.floor((x - F.lit(lo)) * n_buckets / F.lit(span)).cast("long"),
-        F.lit(n_buckets - 1).cast("long"),
+    # clamp BOTH ends: with caller-supplied bounds, out-of-range values
+    # land in the edge buckets instead of minting bins outside [lo, hi]
+    bucket = F.greatest(
+        F.least(
+            F.floor((x - F.lit(lo)) * n_buckets / F.lit(span)).cast("long"),
+            F.lit(n_buckets - 1).cast("long"),
+        ),
+        F.lit(0).cast("long"),
     )
     return (
         df.na.drop(subset=[col])

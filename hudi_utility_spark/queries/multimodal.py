@@ -81,11 +81,17 @@ def mm_binaryfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     datasource's listing metadata (`length` — no content IO needed for
     size filters), and the md5 proves the content survived byte-for-byte
     against the source-of-truth documents table."""
+    import hashlib
+    import os
     import tempfile
 
     d = load_table(spark, sf_dir, "documents")
     media = M.attach_binary(d, "text", "doc_id")
-    out_dir = tempfile.mkdtemp(prefix="mm_binfiles_")
+    # deterministic per-corpus dir (not mkdtemp): re-runs overwrite the
+    # same objects byte-identically instead of leaking a fresh
+    # corpus-sized directory per invocation
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"mm_binfiles_{tag}")
     M.export_binary_files(media, out_dir)
     files = M.read_binary_files(spark, out_dir, glob="*.bin")
     return files.select(

@@ -18,6 +18,7 @@ log, no read-modify-write); compaction runs out-of-band via
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hudi_utility_spark.table import KeyedTable
 from hudi_utility_spark.write import latest_by_key, upsert
@@ -153,14 +154,17 @@ def stream_dedup_ingest(
             )
         fresh = dedup_incremental(
             batch_df, corpus_fingerprints=store, id_col=id_col, text_col=text_col
-        )
-        if fresh.isEmpty():
-            return
-        upsert(spark, fresh, table)
-        fingerprint(fresh, text_col).select(id_col, "fingerprint").write.mode(
-            "append"
-        ).parquet(store_path)
-        spark.catalog.refreshByPath(store_path)
+        ).persist()  # consumed by emptiness probe + upsert + store append
+        try:
+            if fresh.isEmpty():
+                return
+            upsert(spark, fresh, table)
+            fingerprint(fresh, text_col).select(id_col, "fingerprint").write.mode(
+                "append"
+            ).parquet(store_path)
+            spark.catalog.refreshByPath(store_path)
+        finally:
+            fresh.unpersist()
 
     writer = (
         stream_df.writeStream.foreachBatch(_sink)
@@ -209,21 +213,29 @@ def stream_neardedup_ingest(
             store = minhash_bands(
                 batch_df.limit(0), id_col, text_col, num_hashes, bands
             )
-        fresh = incremental_minhash(
+        fresh, batch_bands = incremental_minhash(
             batch_df,
             store,
             id_col=id_col,
             text_col=text_col,
             num_hashes=num_hashes,
             bands=bands,
+            return_bands=True,
         )
-        if fresh.isEmpty():
-            return
-        upsert(spark, fresh, table)
-        minhash_bands(fresh, id_col, text_col, num_hashes, bands).write.mode(
-            "append"
-        ).parquet(band_store_path)
-        spark.catalog.refreshByPath(band_store_path)
+        fresh = fresh.persist()  # consumed by emptiness probe + upsert + append
+        try:
+            if fresh.isEmpty():
+                return
+            upsert(spark, fresh, table)
+            # admitted bands = the already-computed batch bands filtered
+            # to admitted ids — no second signature pass over the text
+            batch_bands.join(
+                fresh.select(F.col(id_col).alias("id")), "id", "left_semi"
+            ).write.mode("append").parquet(band_store_path)
+            spark.catalog.refreshByPath(band_store_path)
+        finally:
+            fresh.unpersist()
+            batch_bands.unpersist()
 
     writer = (
         stream_df.writeStream.foreachBatch(_sink)

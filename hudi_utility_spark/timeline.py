@@ -361,9 +361,19 @@ def expire_partitions(
         d for d in _parts(table.base_path) + _parts(table.log_path)
         if d[len(prefix):] < cutoff
     }
-    # savepoints pin history; refuse to silently break one
+    # savepoints pin history; refuse to silently break one. On MOR the
+    # pinned snapshot is reconstructable (read_as_of) so the check is
+    # precise; COW keeps no version history, so any savepoint must be
+    # treated as pinning everything — conservative refusal.
     if doomed:
         for sp in list_savepoints(table):
+            if table.table_type is not TableType.MERGE_ON_READ:
+                raise ValueError(
+                    f"savepoint {sp} exists on a COPY_ON_WRITE table, whose "
+                    f"pinned snapshot cannot be reconstructed to prove the "
+                    f"cutoff {cutoff!r} safe; delete the savepoint before "
+                    "expiring"
+                )
             snap = read_as_of(spark, table, sp, keep_tombstones=True)
             hit = (
                 snap.filter(F.col(pfield).cast("string") < F.lit(cutoff))

@@ -46,7 +46,13 @@ def atomic_swap_dir(
     import shutil
 
     trash = target.rstrip("/") + ".trash"
-    shutil.rmtree(trash, ignore_errors=True)
+    if os.path.isdir(trash):
+        # a leftover trash from a PREVIOUS crashed swap may hold the only
+        # copy of that table's data — blindly deleting it would finish
+        # the corruption the crash started. With a manifest, restore the
+        # pre-crash state first; without one, nothing had moved yet and
+        # the empty husk is safe to drop (recover_swap handles both).
+        recover_swap(target)
     os.makedirs(trash)
     old_entries = [
         e
@@ -56,9 +62,13 @@ def atomic_swap_dir(
     # the manifest names every parked entry BEFORE anything moves, so a
     # hard crash at any later point is recoverable by `recover_swap`:
     # old state = manifest entries (in trash or already returned), new
-    # entries in target are identifiable as exactly the non-manifest ones
-    with open(os.path.join(trash, _SWAP_MANIFEST), "w") as fh:
+    # entries in target are identifiable as exactly the non-manifest
+    # ones. Written atomically (tmp + rename): a trash dir without a
+    # complete manifest therefore PROVES nothing has moved.
+    staged = os.path.join(trash, _SWAP_MANIFEST + ".tmp")
+    with open(staged, "w") as fh:
         json.dump(old_entries, fh)
+    os.replace(staged, os.path.join(trash, _SWAP_MANIFEST))
     moved_out: list[str] = []
     moved_in: list[str] = []
     try:
@@ -112,6 +122,12 @@ def recover_swap(target: str) -> str:
     if not os.path.isdir(trash):
         return "clean"
     manifest_path = os.path.join(trash, _SWAP_MANIFEST)
+    if not os.path.exists(manifest_path):
+        # crash landed between creating the trash dir and committing the
+        # manifest (an atomic rename) — by construction nothing had
+        # moved yet, so the table is intact and the husk just goes
+        shutil.rmtree(trash, ignore_errors=True)
+        return "clean"
     with open(manifest_path) as fh:
         old_entries = set(json.load(fh))
     for entry in os.listdir(target):

@@ -128,3 +128,17 @@ def test_equi_width_histogram_degenerate_single_value(spark):
     hist = equi_width_histogram(df, "x", n_buckets=8)
     rows = hist.collect()
     assert len(rows) == 1 and rows[0]["n"] == 7 and rows[0]["bucket"] == 0
+
+
+def test_equi_width_histogram_clamps_caller_bounds_and_empty(spark):
+    from hudi_utility_spark.ops.quality import equi_width_histogram
+
+    df = spark.createDataFrame([(-0.5,), (0.25,), (0.75,), (1.5,)], ["x"])
+    hist = equi_width_histogram(df, "x", n_buckets=4, lo=0.0, hi=1.0)
+    got = {r["bucket"]: r["n"] for r in hist.collect()}
+    # out-of-range values land in the edge buckets, never negative bins
+    # (-0.5 clamps to 0; 1.5 clamps to 3; 0.75 sits on the bucket-3 edge)
+    assert got == {0: 1, 1: 1, 3: 2}
+    assert all(0 <= b <= 3 for b in got)
+    empty = spark.createDataFrame([(None,)], "x double")
+    assert equi_width_histogram(empty, "x", n_buckets=4).count() == 0

@@ -416,3 +416,43 @@ def test_two_level_partitioned_bootstrap_and_upsert(spark, tmp_path):
     assert sorted((r.id, r.v) for r in out.collect()) == [(1, 2), (2, 1), (3, 1)]
     # untouched sibling sub-partition survives the dynamic overwrite
     assert os.path.isdir(os.path.join(t.base_path, "p=a", "q=y"))
+
+
+def test_atomic_swap_auto_recovers_stale_trash_from_prior_crash(tmp_path):
+    """Re-running a rewrite over a table with a crashed swap's trash must
+    NOT destroy the parked data: the new swap first restores the
+    pre-crash state, then proceeds — so the old content feeds the new
+    rewrite instead of a half-swapped husk."""
+    import json as _json
+    import os as _os
+
+    from hudi_utility_spark.write import _SWAP_MANIFEST, atomic_swap_dir
+
+    tgt = tmp_path / "t"
+    tgt.mkdir()
+    (tgt / "keep.parquet").write_text("old:keep")
+    # simulate a prior crash: 'lost.parquet' parked in trash, manifest
+    # names both entries, target is missing it
+    trash = tmp_path / "t.trash"
+    trash.mkdir()
+    with open(trash / _SWAP_MANIFEST, "w") as fh:
+        _json.dump(["keep.parquet", "lost.parquet"], fh)
+    (trash / "lost.parquet").write_text("old:lost")
+
+    tmp = tmp_path / "new"
+    tmp.mkdir()
+    (tmp / "rewritten.parquet").write_text("new:data")
+    atomic_swap_dir(str(tmp), str(tgt))
+    names = set(_os.listdir(tgt))
+    assert names == {"rewritten.parquet"}  # swap committed
+    assert not _os.path.isdir(trash)
+    # trash WITHOUT manifest (crash before manifest commit) is just a husk
+    tgt2 = tmp_path / "t2"
+    tgt2.mkdir()
+    (tgt2 / "a.parquet").write_text("old:a")
+    (tmp_path / "t2.trash").mkdir()
+    tmp2 = tmp_path / "new2"
+    tmp2.mkdir()
+    (tmp2 / "b.parquet").write_text("new:b")
+    atomic_swap_dir(str(tmp2), str(tgt2))
+    assert set(_os.listdir(tgt2)) == {"b.parquet"}
