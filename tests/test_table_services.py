@@ -331,3 +331,14 @@ def test_nonpartitioned_upsert_swap_preserves_metadata(spark, sf_dir, tmp_path):
     assert timeline.list_savepoints(t) == [T1]
     assert t.read(spark).count() == 100
     assert not os.path.isdir(t.path.rstrip("/") + ".trash")
+
+
+def test_expire_partitions_cow_savepoint_refuses_conservatively(spark, sf_dir, tmp_path):
+    t, ev = _day_table(spark, sf_dir, tmp_path, TableType.COPY_ON_WRITE)
+    days = sorted(r[0] for r in ev.select("day").distinct().collect())
+    timeline.savepoint(t, T1)
+    # COW keeps no version history: any savepoint blocks expiry outright
+    with pytest.raises(ValueError, match="COPY_ON_WRITE"):
+        timeline.expire_partitions(spark, t, days[1])
+    timeline.delete_savepoint(t, T1)
+    assert timeline.expire_partitions(spark, t, days[1])["dropped"] == [days[0]]
