@@ -48,6 +48,7 @@ def load_all() -> None:
         quality_q,
         relational,
         scale_q,
+        scd_q,
         similarity,
         streaming,
         text,
