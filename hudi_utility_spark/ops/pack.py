@@ -270,3 +270,43 @@ def mix_corpus(
         cond = (F.col(strata_col) == s) & (uniform24 < F.lit(thresh))
         keep = cond if keep is None else keep | cond
     return df.filter(keep)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling *without replacement* of exactly ``k`` rows —
+    the Efraimidis–Spirakis exponential-clocks scheme (A-ES): each row
+    draws a deterministic uniform ``u`` from md5 of its id and races
+    with key ``-ln(u) / w``; the ``k`` smallest keys win. Inclusion
+    probability is proportional to weight, membership is a pure
+    function of (id, weight) — re-runs, engines, and backfills agree.
+
+    This is the quality-weighted corpus cut ("sample 10M documents,
+    preferring high scores") that fraction-based `stratified_sample`
+    can't express: it needs *exactly k* winners and continuous weights.
+
+    Scale: the uniform and key are map-only expressions; the top-k is
+    TakeOrderedAndProject (each task keeps its local k, driver merges
+    task winners) — no global sort shuffle, driver state O(k). Rows
+    with NULL or non-positive weight never win (they'd need an
+    infinite clock) and are filtered before the race.
+    """
+    # 48-bit md5 prefix -> u in (0,1); +0.5 keeps u strictly positive
+    x = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    u = (x + F.lit(0.5)) / F.lit(float(1 << 48))
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_race_key", key)
+        .orderBy(F.col("_race_key").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_race_key")
+    )

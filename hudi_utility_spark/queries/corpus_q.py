@@ -298,3 +298,28 @@ def pack_eval_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     any md5-bearing engine."""
     docs = load_table(spark, sf_dir, "documents")
     return PK.sample_n_per_group(docs, 20, "lang").select("doc_id", "lang")
+
+
+@query(
+    "pack_weighted_sample",
+    """
+    SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+               -ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 12)) AS BIGINT) + 0.5)
+                   / 281474976710656.0) / CAST(n_chars AS DOUBLE) AS race_key
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0
+    ) ORDER BY race_key, doc_id LIMIT 100
+    """,
+)
+def pack_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement (ops/pack.py
+    `weighted_sample`, Efraimidis–Spirakis): 100 documents with
+    inclusion probability ∝ length. Deterministic md5 uniforms make the
+    exponential race replayable in DuckDB; the Spark plan is map-only +
+    TakeOrderedAndProject (local top-k per task, no global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return PK.weighted_sample(docs, 100, "n_chars").select(
+        "doc_id", "lang", "n_chars"
+    )

@@ -203,3 +203,24 @@ def test_sample_n_per_group_exact_and_stable(spark, documents):
     assert a == b  # frozen: identical membership across runs
     # schema passthrough: all source columns survive
     assert set(out.columns) == set(documents.columns)
+
+
+def test_weighted_sample_exact_k_deterministic_and_plan(spark, documents):
+    a = PK.weighted_sample(documents, 50, "n_chars")
+    b = PK.weighted_sample(documents, 50, "n_chars")
+    assert a.count() == 50
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    # one row with an astronomically heavy weight must win a k=1 draw;
+    # null / non-positive weights never win at any k
+    rows = [(i, 1e-9) for i in range(100)] + [(999, 1e9), (998, None), (997, -5.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [r["doc_id"] for r in PK.weighted_sample(df, 1, "w").collect()]
+    assert got == [999]
+    all_ids = {r["doc_id"] for r in PK.weighted_sample(df, 200, "w").collect()}
+    assert 998 not in all_ids and 997 not in all_ids
+    assert len(all_ids) == 101  # 100 light + 1 heavy, nothing else
