@@ -558,3 +558,72 @@ def ml_group_linfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("intercept", 5).alias("intercept"),
         F.round("r2", 5).alias("r2"),
     )
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Unrolled power-iteration SQL mirroring ops/graph.py::pagerank
+    term-for-term (same multiply-by-reciprocal form, all-DOUBLE
+    arithmetic) over the symmetrized co-purchase graph."""
+    sql = """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+            FROM edges GROUP BY src),
+    nodes AS (SELECT src AS node FROM deg),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes)
+    """
+    for i in range(1, iters + 1):
+        sql += f""",
+    c{i} AS (
+      SELECT e.dst, SUM(r.rank * (CAST(1.0 AS DOUBLE) / d.deg)) AS m
+      FROM edges e
+      JOIN r{i - 1} r ON e.src = r.node
+      JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT n.node,
+             CAST(0.15 AS DOUBLE)
+             + CAST(0.85 AS DOUBLE) * COALESCE(c{i}.m, CAST(0 AS DOUBLE))
+               AS rank
+      FROM nodes n LEFT JOIN c{i} ON n.node = c{i}.dst
+    )"""
+    return sql + f"""
+    SELECT node AS part, ROUND(rank, 6) AS rank FROM r{iters}
+    """
+
+
+@query("graph_pagerank_parts", _pagerank_oracle(3))
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the co-purchase graph (parts linked when
+    they appear in the same order), 3 power-iteration rounds at damping
+    0.85 — `ops/graph.py::pagerank`. The persisted weighted-edge
+    relation makes each round one src-keyed join + dst-keyed aggregate;
+    the oracle replays the identical arithmetic as unrolled SQL."""
+    from hudi_utility_spark.ops.graph import pagerank
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iters=3, damping=0.85)
+    return ranks.select(
+        F.col("node").alias("part"), F.round("rank", 6).alias("rank")
+    )

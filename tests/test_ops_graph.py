@@ -1,0 +1,62 @@
+"""PageRank semantics: NumPy parity on a handcrafted graph, fixed
+points, mass conservation, symmetrize dedup."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from hudi_utility_spark.ops.graph import pagerank, symmetrize
+
+
+def _ranks(df) -> dict:
+    return {r["node"]: r["rank"] for r in df.collect()}
+
+
+def test_symmetric_regular_graph_is_fixed_point(spark):
+    # 3-cycle, symmetrized: every node deg 2, rank stays exactly 1.0
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    got = _ranks(pagerank(symmetrize(edges), iters=4))
+    assert got == {1: 1.0, 2: 1.0, 3: 1.0}
+
+
+def test_star_graph_matches_numpy_power_iteration(spark):
+    # star: center 0 <-> leaves 1..4 (symmetrized)
+    leaves = [1, 2, 3, 4]
+    edges = spark.createDataFrame(
+        [(0, v) for v in leaves], "src long, dst long"
+    )
+    got = _ranks(pagerank(symmetrize(edges), iters=3, damping=0.85))
+
+    nodes = [0] + leaves
+    deg = {0: 4, **{v: 1 for v in leaves}}
+    out = {0: leaves, **{v: [0] for v in leaves}}
+    r = {v: 1.0 for v in nodes}
+    for _ in range(3):
+        r = {
+            v: 0.15 + 0.85 * sum(r[u] / deg[u] for u in nodes if v in out[u])
+            for v in nodes
+        }
+    for v in nodes:
+        assert np.isclose(got[v], r[v], rtol=1e-12), (v, got[v], r[v])
+    # center of a star out-ranks the leaves
+    assert got[0] > got[1]
+
+
+def test_mass_conservation_on_symmetrized_graph(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "src long, dst long"
+    )
+    sym = symmetrize(edges)
+    n = sym.select("src").distinct().count()
+    ranks = pagerank(sym, iters=5)
+    total = sum(r["rank"] for r in ranks.collect())
+    assert np.isclose(total, float(n), rtol=1e-9)
+
+
+def test_symmetrize_dedups_both_directions(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2)], "src long, dst long"
+    )
+    assert symmetrize(edges).count() == 2
