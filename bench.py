@@ -91,6 +91,9 @@ HEADLINE = [
     "sim_centroid_outliers",
     "sql_api_revenue_rank",
     "ml_group_linfit",
+    "scd2_incremental_apply",
+    "pack_weighted_sample",
+    "graph_pagerank_parts",
 ]
 
 

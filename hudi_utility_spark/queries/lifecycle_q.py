@@ -388,3 +388,73 @@ def rollup_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     return out.select(
         "user_id", "cnt", F.round("sum_value", 2).alias("sum_value")
     )
+
+
+@query(
+    "merge_multi_action",
+    """
+    WITH b AS (
+      SELECT event_id, ts, user_id, event_type, value FROM events
+    ), srcm AS (
+      SELECT * FROM b WHERE event_id % 10 < 3
+    ), srci AS (
+      SELECT event_id + 10000000 AS event_id, ts, user_id, event_type, value
+      FROM b WHERE event_id % 10 = 7
+    ), kept AS (
+      SELECT t.event_id, t.ts, t.user_id, t.event_type,
+             CASE WHEN s.event_id IS NOT NULL AND t.user_id % 2 = 0
+                  THEN ROUND(t.value + s.value, 2)
+                  ELSE t.value END AS value
+      FROM b t LEFT JOIN srcm s ON t.event_id = s.event_id
+      WHERE NOT (s.event_id IS NOT NULL AND t.event_type = 'error')
+    ), final AS (
+      SELECT * FROM kept UNION ALL SELECT * FROM srci
+    )
+    SELECT event_id, user_id, event_type, ROUND(value, 2) AS value,
+           epoch_us(ts) AS ts_us
+    FROM final
+    """,
+)
+def merge_multi_action(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-action MERGE lifecycle (`write.merge_into`): bootstrap
+    events as a COW keyed table, then one merge that simultaneously
+    (a) deletes matched rows sitting in the 'error' partition,
+    (b) updates matched even-user rows (`value += s.value`), and
+    (c) inserts never-seen keys — clause order delete→update, Hudi
+    style. The oracle replays the same CASE/anti-predicate algebra in
+    SQL over the untouched source parquet."""
+    from hudi_utility_spark import tsutil
+    from hudi_utility_spark.write import merge_into
+
+    root = _scratch(sf_dir, "merge_multi")
+    table = KeyedTable(
+        path=root,
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+        table_type=TableType.COPY_ON_WRITE,
+    )
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    upsert(spark, base, table)
+    matched_src = base.filter(F.col("event_id") % 10 < 3)
+    inserts = base.filter(F.col("event_id") % 10 == 7).withColumn(
+        "event_id", F.col("event_id") + F.lit(10_000_000)
+    )
+    merge_into(
+        spark,
+        matched_src.unionByName(inserts),
+        table,
+        update_set={"value": "ROUND(t.value + s.value, 2)"},
+        update_condition="t.user_id % 2 = 0",
+        delete_condition="t.event_type = 'error'",
+    )
+    snap = table.read(spark)
+    return snap.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        tsutil.us("ts").alias("ts_us"),
+    )

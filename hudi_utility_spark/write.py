@@ -625,6 +625,154 @@ def delete_keys(
     return table.read(spark)
 
 
+def merge_into(
+    spark: SparkSession,
+    source: DataFrame,
+    table: KeyedTable,
+    update_set: dict[str, str] | None = None,
+    update_condition: str | None = None,
+    delete_condition: str | None = None,
+    insert_condition: str | None = None,
+    insert_values: dict[str, str] | None = None,
+    commit_time: str | None = None,
+) -> DataFrame:
+    """Multi-action MERGE (Spark SQL ``MERGE INTO`` / Hudi's
+    merge-into-with-payload): one pass over target ∪ source that can
+    delete, update, and insert under separate predicates — the general
+    form of the reference's insert/upsert operation list
+    (``README.md:104-105``).
+
+    Per joined row (keys equal ⇒ matched; clause order fixed:
+    delete, then update, like Hudi's ordered WHEN list):
+
+    - matched & ``delete_condition``      → row removed
+    - matched & ``update_condition``      → columns in ``update_set``
+      re-evaluated (SQL exprs over aliases ``t`` = target, ``s`` =
+      source); all others keep the target value
+    - matched otherwise                   → target row untouched
+    - source-only & ``insert_condition``  → inserted (``insert_values``
+      exprs, defaulting to the source column, NULL when absent)
+    - target-only                         → untouched
+
+    Record-key and partition columns cannot be assigned (row identity /
+    routing are immutable — Spark's own MERGE restriction). MOR tables
+    are compacted first, then merged as COW: conditional update/delete
+    needs the resolved snapshot anyway, and appending merge output as
+    log rows would make visibility depend on precombine ordering
+    instead of the MERGE predicates.
+
+    Scale: one full-outer shuffle join on the record key over the
+    source-touched partitions only (the isin lands on the scan as
+    partition pruning, exactly like :func:`upsert`), then a dynamic
+    partition overwrite of those partitions. Untouched partitions are
+    never read or written.
+    """
+    from hudi_utility_spark.timeline import new_instant
+
+    if not table.exists():
+        raise ValueError(f"cannot merge into non-existent table at {table.path}")
+    frozen = set(table.record_key) | set(table.partition_fields)
+    for m in (update_set or {}), (insert_values or {}):
+        bad = sorted(frozen & set(m))
+        if bad:
+            raise ValueError(
+                f"MERGE cannot assign record-key/partition columns: {bad}"
+            )
+    for c in (*table.record_key, *table.partition_fields):
+        if c not in source.columns:
+            raise ValueError(
+                f"source is missing required column {c!r} "
+                "(record key + partition fields route the merge)"
+            )
+
+    if table.table_type is TableType.MERGE_ON_READ:
+        table.compact(spark)
+
+    instant = commit_time or new_instant()
+    existing = table.read_base(spark)
+    source = align_timestamp_types(source, existing.schema)
+
+    touched: list | None = None
+    if table.partition_fields:
+        pcol = table.partition_fields[0]
+        touched = [r[0] for r in source.select(pcol).distinct().collect()]
+        existing = existing.filter(F.col(pcol).isin(touched))
+
+    t = existing.withColumn("_t_ex", F.lit(True)).alias("t")
+    s = source.withColumn("_s_ex", F.lit(True)).alias("s")
+    on = F.lit(True)
+    for k in table.record_key:
+        on = on & (F.col(f"t.{k}") == F.col(f"s.{k}"))
+    j = t.join(s, on, "full_outer")
+
+    matched = F.col("t._t_ex").isNotNull() & F.col("s._s_ex").isNotNull()
+    s_only = F.col("t._t_ex").isNull()
+    del_gate = (
+        matched & F.expr(delete_condition)
+        if delete_condition
+        else F.lit(False)
+    )
+    upd_gate = (
+        (matched & F.expr(update_condition))
+        if (update_set and update_condition)
+        else (matched if update_set else F.lit(False))
+    )
+    ins_gate = (
+        (s_only & F.expr(insert_condition)) if insert_condition else s_only
+    )
+    j = j.filter(~del_gate & ~(s_only & ~ins_gate))
+
+    from hudi_utility_spark.timeline import COMMIT_COL
+
+    cols = []
+    for f in existing.schema.fields:
+        c = f.name
+        if c == "_t_ex":
+            continue
+        t_c = F.col(f"t.{c}")
+        if c == COMMIT_COL:
+            upd_val = ins_val = F.lit(instant)
+        else:
+            upd_val = (
+                F.expr(update_set[c]) if update_set and c in update_set else t_c
+            )
+            if insert_values and c in insert_values:
+                ins_val = F.expr(insert_values[c])
+            elif c in source.columns:
+                ins_val = F.col(f"s.{c}")
+            else:
+                ins_val = F.lit(None)
+        out = (
+            F.when(upd_gate, upd_val)
+            .when(matched | ~s_only, t_c)
+            .otherwise(ins_val)
+            .cast(f.dataType)
+            .alias(c)
+        )
+        cols.append(out)
+    result = j.select(*cols)
+
+    if table.partition_fields:
+        pcol = table.partition_fields[0]
+        kept = result.persist()  # the plan reads the files the write
+        # replaces — materialize before the overwrite (same contract as
+        # delete_keys)
+        survivors = {r[0] for r in kept.select(pcol).distinct().collect()}
+        write_partitioned(kept, table.base_path, table.partition_fields, mode="overwrite")
+        kept.unpersist()
+        import shutil
+
+        for v in set(touched or []) - survivors:
+            d = os.path.join(table.base_path, f"{pcol}={v}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+    else:
+        tmp = table.base_path.rstrip("/") + ".merge.tmp"
+        write_partitioned(result, tmp, [], mode="overwrite")
+        atomic_swap_dir(tmp, table.base_path)
+    return table.read(spark)
+
+
 def zorder_buckets(
     df: DataFrame, cols: list[str], bits: int = 8
 ) -> list:
