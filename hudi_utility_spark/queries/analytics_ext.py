@@ -627,3 +627,47 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("part"), F.round("rank", 6).alias("rank")
     )
+
+
+@query(
+    "ts_rolling_features",
+    """
+    SELECT event_id, user_id, ts_us,
+           COUNT(*) OVER w AS n_1h,
+           ROUND(SUM(value) OVER w, 2) AS sum_1h,
+           ROUND(MAX(value) OVER w, 2) AS max_1h
+    FROM (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+    )
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts_us
+      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def ts_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-1-hour activity features at every event
+    (count / sum / max over a RANGE frame keyed by epoch-µs) — the
+    point-in-time feature-engineering shape behind fraud/abuse scoring
+    and train-time feature backfill. One key shuffle; the three
+    aggregates share a single range frame, state per task is one
+    sliding window over each user's ordered events — no self-join, no
+    per-row subquery, scales linearly in events."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", us("ts").alias("ts_us"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+        F.round(F.max("value").over(w), 2).alias("max_1h"),
+    )
