@@ -42,6 +42,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    broadcast_max_nodes: int = 2_000_000,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list. Every node
     must have out-degree ≥ 1 (symmetrize undirected graphs first — that
@@ -50,30 +51,48 @@ def pagerank(
     (the non-normalized "mass" formulation, total mass |V| at every
     round). Returns (node, rank).
 
-    The contribution weights ``1/deg(u)`` are attached to the edge
-    relation once and the result persisted — each of the ``iters``
-    rounds then reuses it for a single src-keyed join + dst-keyed
-    aggregate. Nodes with no in-edges keep the teleport mass (1-d).
+    Physical shape: the raw edge relation is persisted first so the
+    (possibly expensive) upstream plan that produced it — e.g. a
+    co-occurrence self-join — executes exactly once; the degree
+    relation and the ``1/deg(u)``-pre-weighted edge relation are
+    derived from that cache and persisted themselves. When the graph
+    has at most ``broadcast_max_nodes`` vertices (counted from the
+    degree relation, a decision made on runtime stats, not guesses),
+    each round joins the cached edges against a BROADCAST of the rank
+    vector — map-only — and the only shuffle per round is the dst-keyed
+    aggregate, whose partial (map-side) combine caps shuffle volume at
+    |V| rows per task. Above the threshold the rank join falls back to
+    a src-keyed shuffle join. The persisted relations back the returned
+    lazy plan, so clear the cache only after materializing the result
+    (same contract as `jaccard_pairs`' shingle relation).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    deg = (
+        e.groupBy("src")
+        .agg(F.count("*").alias("_deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_nodes = deg.count()  # materializes deg (and e); also the broadcast gate
     weighted = (
         e.join(deg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("_deg")).alias("w"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    nodes = deg.select(F.col("src").alias("node")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    nodes = deg.select(F.col("src").alias("node"))
+    small = n_nodes <= broadcast_max_nodes
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     for _ in range(iters):
+        r = F.broadcast(ranks) if small else ranks
         contrib = (
-            weighted.join(ranks, weighted.src == ranks.node)
+            weighted.join(r, weighted.src == r.node)
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("w")).alias("_in"))
         )
+        c = F.broadcast(contrib) if small else contrib
         ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            nodes.join(c, nodes.node == c.dst, "left")
             .select(
                 "node",
                 (

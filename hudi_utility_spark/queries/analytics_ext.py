@@ -601,27 +601,35 @@ def _pagerank_oracle(iters: int = 3) -> str:
 def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the co-purchase graph (parts linked when
     they appear in the same order), 3 power-iteration rounds at damping
-    0.85 — `ops/graph.py::pagerank`. The persisted weighted-edge
-    relation makes each round one src-keyed join + dst-keyed aggregate;
-    the oracle replays the identical arithmetic as unrolled SQL."""
+    0.85 — `ops/graph.py::pagerank`. Edges are built with the
+    co_purchase basket-HOF shape (one order-keyed aggregate + map-side
+    i<j pair explosion + one distinct, then a map-only reverse union —
+    no self-join); inside pagerank the cached weighted edges join a
+    broadcast rank vector per round. The oracle replays the identical
+    arithmetic as unrolled SQL."""
     from hudi_utility_spark.ops.graph import pagerank
 
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.src", "p.dst")
         .distinct()
     )
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .distinct()
+    # src < dst by construction; the reversed union is distinct for free
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     ranks = pagerank(edges, iters=3, damping=0.85)
     return ranks.select(
