@@ -509,3 +509,57 @@ def feature_hash_score(
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+def dedup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 15,
+) -> DataFrame:
+    """Cross-document duplicated-span removal with reassembly — the
+    block-granular form of exact substring dedup (the Lee et al.
+    "Deduplicating Training Data" recipe, at fixed word-window
+    granularity instead of suffix-array granularity, which keeps it
+    expressible as two shuffles).
+
+    Documents are cut into non-overlapping ``span_tokens``-word spans;
+    a span whose text occurs anywhere else in the corpus survives only
+    at its first occurrence (smallest ``(id, span index)``); each
+    document is rebuilt from its surviving spans in order. Returns
+    ``(id, n_spans, n_kept, rebuilt)`` — documents whose every span was
+    seen earlier rebuild to the empty string (drop or quarantine
+    downstream).
+
+    Two shuffles at any scale: one keyed by the span fingerprint (the
+    first-occurrence window — value rows carry the span text exactly
+    once), one keyed by the document id (ordered reassembly via
+    collect+sort of that document's own spans, state bounded by
+    document length). No all-pairs stage anywhere.
+    """
+    from hudi_utility_spark.ops.phash import md5_hex
+
+    spans = chunk_documents(
+        df, id_col, text_col, chunk_tokens=span_tokens, overlap_tokens=0
+    )
+    w = Window.partitionBy(md5_hex(F.col("chunk_text"))).orderBy(
+        id_col, "chunk_idx"
+    )
+    flagged = spans.withColumn("_rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("_rn") == 1, F.struct("chunk_idx", "chunk_text")
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("_rn") == 1).cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.chunk_text,
+                ),
+                " ",
+            ).alias("rebuilt"),
+        )
+    )

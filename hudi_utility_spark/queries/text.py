@@ -604,3 +604,42 @@ def pipeline_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("quality"), 6).alias("mean_quality"),
         )
     )
+
+
+@query(
+    "text_span_dedup_rebuild",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), 15)) AS s
+        FROM toks
+    ),
+    spans AS (
+        SELECT doc_id, s // 15 AS chunk_idx,
+               array_to_string(t[s + 1 : s + 15], ' ') AS chunk_text
+        FROM starts
+        WHERE len(t[s + 1 : s + 15]) > 0
+    ),
+    flagged AS (
+        SELECT doc_id, chunk_idx, chunk_text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY chunk_text ORDER BY doc_id, chunk_idx) AS rn
+        FROM spans
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk_text END,
+                               ' ' ORDER BY chunk_idx), '') AS rebuilt
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def text_span_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus duplicated-span removal + document reassembly
+    (ops/text.py `dedup_spans`): 15-word spans, first occurrence wins,
+    documents rebuilt from their surviving spans in order. Two shuffles
+    (span-fingerprint window, doc-keyed ordered reassembly)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.dedup_spans(docs, span_tokens=15)

@@ -194,3 +194,32 @@ def test_incremental_minhash_gates_near_copies(spark, documents):
     kept = incremental_minhash(near, store)
     ids = {r["doc_id"] for r in kept.collect()}
     assert 200000 not in ids and len(ids) == 5
+
+
+def test_dedup_spans_first_occurrence_wins_and_rebuilds(spark):
+    from hudi_utility_spark.ops.text import dedup_spans
+
+    # spans of 3 words; doc 1 owns "a b c"; doc 2 repeats it then adds
+    # fresh content; doc 3 is entirely a repeat of doc 1
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c x y z"),
+        (3, "a b c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_kept"], r["rebuilt"])
+        for r in dedup_spans(df, span_tokens=3).collect()
+    }
+    assert got[1] == (2, 2, "a b c d e f")
+    assert got[2] == (2, 1, "x y z")  # duplicate leading span removed
+    assert got[3] == (1, 0, "")  # fully-duplicated doc rebuilds empty
+
+
+def test_dedup_spans_preserves_span_order(spark):
+    from hudi_utility_spark.ops.text import dedup_spans
+
+    text = " ".join(f"w{i}" for i in range(9))  # 3 distinct spans of 3
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    r = dedup_spans(df, span_tokens=3).collect()[0]
+    assert (r["n_spans"], r["n_kept"], r["rebuilt"]) == (3, 3, text)
