@@ -245,3 +245,79 @@ def stream_neardedup_ingest(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_scd2_maintenance(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    dim_path: str,
+    keys: list[str],
+    ts_col: str,
+    tracked: list[str],
+    checkpoint_dir: str,
+    tiebreak: list[str] | None = None,
+    trigger_once: bool = False,
+):
+    """Continuously maintain an SCD2 dimension from a change stream:
+    each micro-batch runs ``scd.scd2_apply`` against the dimension on
+    disk and atomically swaps in the result — the versioned-table twin
+    of ``stream_upsert``'s latest-wins ingest.
+
+    Replay safety (checkpointed batch ids re-deliver after recovery):
+    before applying, the batch is filtered to changes strictly NEWER
+    than each key's current ``effective_from`` (an anti-condition join
+    against only the current slice, broadcast-sized). A replayed batch
+    therefore re-applies as a no-op — without the filter, replaying a
+    batch that carried several versions of one key would re-open
+    already-closed spans and duplicate them. Ties at exactly
+    ``effective_from`` are dropped by the same rule (the forward-only
+    SCD2 contract; an equal-timestamp contradiction is ambiguous
+    anyway).
+
+    Per micro-batch cost: O(current versions + batch) — closed history
+    passes through untouched inside ``scd2_apply``; the swap is the
+    crash-safe ``atomic_swap_dir`` used by every table rewrite.
+    """
+    import os
+
+    from hudi_utility_spark.scd import EFF_FROM, IS_CURRENT, scd2_apply, scd2_from_history
+    from hudi_utility_spark.write import atomic_swap_dir, write_partitioned
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if os.path.isdir(dim_path):
+            dim = spark.read.parquet(dim_path)
+            cur = dim.filter(F.col(IS_CURRENT)).select(
+                *keys, F.col(EFF_FROM).alias("_cur_from")
+            )
+            fresh = (
+                batch_df.join(cur, on=keys, how="left")
+                .filter(
+                    F.col("_cur_from").isNull()
+                    | (F.col(ts_col) > F.col("_cur_from"))
+                )
+                .drop("_cur_from")
+            )
+            if fresh.isEmpty():
+                return
+            new_dim = scd2_apply(dim, fresh, keys, ts_col, tracked, tiebreak)
+        else:
+            new_dim = scd2_from_history(
+                batch_df, keys, ts_col, tracked, tiebreak
+            )
+        tmp = dim_path.rstrip("/") + f".b{batch_id}.tmp"
+        write_partitioned(new_dim, tmp, [], mode="overwrite")
+        if os.path.isdir(dim_path):
+            atomic_swap_dir(tmp, dim_path)
+        else:
+            os.rename(tmp, dim_path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -171,3 +171,59 @@ def test_stream_neardedup_ingest_rejects_near_copies_across_batches(spark, tmp_p
     # all admitted bands — the table must not change
     run_once("ck_replay")
     assert {r.doc_id for r in table.read(spark).collect()} == {1, 2, 4}
+
+
+def test_stream_scd2_maintenance_matches_batch_and_replays_as_noop(
+    spark, tmp_path
+):
+    from hudi_utility_spark.scd import scd2_from_history
+    from hudi_utility_spark.streaming.ingest import stream_scd2_maintenance
+
+    src = str(tmp_path / "scd_src")
+    dim_path = str(tmp_path / "scd_dim")
+    t0 = dt.datetime(2024, 1, 1)
+
+    def run(ckpt):
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        ).parquet(src)
+        q = stream_scd2_maintenance(
+            spark,
+            stream,
+            dim_path,
+            keys=["event_id"],
+            ts_col="ts",
+            tracked=["event_type"],
+            checkpoint_dir=str(tmp_path / ckpt),
+            trigger_once=True,
+        )
+        q.awaitTermination(120)
+
+    # batch 1 seeds; batch 2 carries a run-extension, a change, and a
+    # multi-version key (two changes in one batch)
+    _write_batch(spark, src, [(1, t0, "click", 0.0), (2, t0, "view", 0.0)])
+    run("ck1")
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, t0 + dt.timedelta(hours=1), "click", 0.0),  # same attr: extends
+            (2, t0 + dt.timedelta(hours=1), "purchase", 0.0),  # closes+opens
+            (2, t0 + dt.timedelta(hours=2), "view", 0.0),  # second change
+            (3, t0 + dt.timedelta(hours=1), "signup", 0.0),  # new key
+        ],
+    )
+    run("ck1")
+
+    history = spark.read.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).parquet(src)
+    expected = scd2_from_history(history, ["event_id"], "ts", ["event_type"])
+    got = spark.read.parquet(dim_path)
+    assert got.exceptAll(expected).isEmpty() and expected.exceptAll(got).isEmpty()
+
+    # fresh checkpoint replays every file: the newer-than-current filter
+    # must make the whole replay a no-op
+    run("ck2")
+    again = spark.read.parquet(dim_path)
+    assert again.exceptAll(expected).isEmpty() and expected.exceptAll(again).isEmpty()
