@@ -185,6 +185,23 @@ class TableServices:
     def compact(self) -> None:
         return self._ledgered("compact", lambda: self.table.compact(self.engine.spark))
 
+    def optimize(
+        self,
+        small_file_bytes: int = 32 * 1024 * 1024,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> dict:
+        """Partition-targeted small-file compaction (Delta/Hudi
+        OPTIMIZE): rewrites only partitions whose average file size is
+        below the threshold. See `KeyedTable.compact_small_files`."""
+        return self._ledgered(
+            "optimize",
+            lambda: self.table.compact_small_files(
+                self.engine.spark,
+                small_file_bytes=small_file_bytes,
+                target_file_bytes=target_file_bytes,
+            ),
+        )
+
 
     def cluster(self, sort_fields: list, num_files: int | None = None) -> None:
         return self._ledgered(

@@ -221,6 +221,90 @@ class KeyedTable:
         self.compact(spark)
         return True
 
+    def compact_small_files(
+        self,
+        spark: SparkSession,
+        small_file_bytes: int = 32 * 1024 * 1024,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> dict:
+        """Partition-targeted small-file compaction — Hudi/Delta's
+        OPTIMIZE bin-packing, scoped to only the partitions that need
+        it: partitions whose average file size falls below
+        ``small_file_bytes`` (per ``repair.file_layout_report``, a
+        zero-data-IO listing scan) are rewritten into
+        ≈``ceil(bytes / target_file_bytes)`` files each (exact up to
+        hash collisions of salt groups into shuffle tasks); every other
+        partition is neither read nor written.
+
+        The per-partition output file count is steered with a salt
+        column hashed from the record key modulo that partition's file
+        budget (broadcast as a literal map of O(flagged partitions)
+        entries), then one ``repartition(partition, salt)`` shuffle —
+        so one big flagged partition packs to N files while a tiny one
+        packs to 1, in a single job. Unlike :meth:`cluster` (whole-table
+        sort rewrite), cost is O(flagged bytes). Returns
+        ``{"compacted": {partition: n_files}, "noop": bool}``.
+        """
+        import math
+
+        from hudi_utility_spark.repair import file_layout_report
+
+        if not self.partition_fields:
+            report = [
+                r
+                for r in file_layout_report(
+                    spark, self, small_file_bytes=small_file_bytes
+                ).collect()
+                if r["small_files"] and r["n_files"] > 1
+            ]
+            if not report:
+                return {"compacted": {}, "noop": True}
+            n = max(1, math.ceil(report[0]["bytes"] / target_file_bytes))
+            from hudi_utility_spark.write import atomic_swap_dir, write_partitioned
+
+            packed = self.read_base(spark).repartition(n)
+            tmp = self.path.rstrip("/") + ".optimize.tmp"
+            write_partitioned(packed, tmp, [], mode="overwrite")
+            atomic_swap_dir(tmp, self.path, drop_meta=("_index",))
+            spark.catalog.refreshByPath(self.path)
+            return {"compacted": {"<unpartitioned>": n}, "noop": False}
+
+        pcol = self.partition_fields[0]
+        flagged = {
+            r[pcol]: max(1, math.ceil(r["bytes"] / target_file_bytes))
+            for r in file_layout_report(
+                spark, self, small_file_bytes=small_file_bytes
+            ).collect()
+            if r["small_files"] and r["n_files"] > 1
+        }
+        if not flagged:
+            return {"compacted": {}, "noop": True}
+
+        from pyspark.sql import functions as F
+
+        from hudi_utility_spark.write import write_partitioned
+
+        budget = F.create_map(
+            *[F.lit(v) for kv in flagged.items() for v in kv]
+        )
+        scoped = self.read_base(spark).filter(
+            F.col(pcol).cast("string").isin(*flagged)
+        )
+        salt = F.pmod(
+            F.hash(*[F.col(k) for k in self.record_key]),
+            budget[F.col(pcol).cast("string")],
+        )
+        packed = (
+            scoped.withColumn("_salt", salt)
+            .repartition(F.col(pcol), F.col("_salt"))
+            .drop("_salt")
+        )
+        write_partitioned(
+            packed, self.base_path, self.partition_fields, mode="overwrite"
+        )
+        spark.catalog.refreshByPath(self.path)
+        return {"compacted": flagged, "noop": False}
+
     def register_metadata_only(self, spark: SparkSession, source_path: str) -> str:
         """METADATA_ONLY bootstrap: expose the source files as a catalog
         view without rewriting (SURVEY §7 hard-part (b)). Returns the

@@ -342,3 +342,71 @@ def test_expire_partitions_cow_savepoint_refuses_conservatively(spark, sf_dir, t
         timeline.expire_partitions(spark, t, days[1])
     timeline.delete_savepoint(t, T1)
     assert timeline.expire_partitions(spark, t, days[1])["dropped"] == [days[0]]
+
+
+def test_compact_small_files_targets_only_flagged_partitions(spark, tmp_path):
+    import os
+
+    from hudi_utility_spark.table import KeyedTable, TableType
+
+    table = KeyedTable(
+        path=str(tmp_path / "opt"),
+        record_key=["id"],
+        precombine="v",
+        partition_fields=["part"],
+        table_type=TableType.COPY_ON_WRITE,
+    )
+    # partition a: fragmented by 6 tiny append batches (the MOR-ingest /
+    # frequent-small-upsert layout); partition b: one solid file
+    for k in range(6):
+        spark.createDataFrame(
+            [(k * 400 + i, 1, "a", float(i)) for i in range(400)],
+            "id long, v long, part string, value double",
+        ).coalesce(1).write.partitionBy("part").mode("append").parquet(
+            table.base_path
+        )
+    spark.createDataFrame(
+        [(i + 10_000, 1, "b", float(i)) for i in range(2000)],
+        "id long, v long, part string, value double",
+    ).coalesce(1).write.partitionBy("part").mode("append").parquet(
+        table.base_path
+    )
+
+    def files(p):
+        d = os.path.join(table.base_path, f"part={p}")
+        return sorted(
+            f for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    before_a, before_b = files("a"), files("b")
+    assert len(before_a) > 4
+    b_mtimes = {
+        f: os.path.getmtime(os.path.join(table.base_path, "part=b", f))
+        for f in before_b
+    }
+    before_rows = sorted(
+        (r["id"], r["value"]) for r in table.read(spark).collect()
+    )
+
+    res = table.compact_small_files(
+        spark, small_file_bytes=32 * 1024 * 1024, target_file_bytes=10**9
+    )
+    assert not res["noop"]
+    assert set(res["compacted"]) == {"a"}  # b's single file is not flagged
+    after_a, after_b = files("a"), files("b")
+    assert len(after_a) < len(before_a)
+    assert len(after_a) >= 1
+    assert after_b == before_b
+    assert b_mtimes == {
+        f: os.path.getmtime(os.path.join(table.base_path, "part=b", f))
+        for f in after_b
+    }  # untouched partition not rewritten
+    after_rows = sorted(
+        (r["id"], r["value"]) for r in table.read(spark).collect()
+    )
+    assert after_rows == before_rows
+
+    # second run: nothing left to do
+    assert table.compact_small_files(
+        spark, small_file_bytes=32 * 1024 * 1024, target_file_bytes=10**9
+    )["noop"] or len(files("a")) == len(after_a)
