@@ -27,17 +27,23 @@ from pyspark.sql import functions as F
 
 @dataclass(frozen=True)
 class Constraint:
-    """One named expectation; ``violations`` counts offending rows."""
+    """One named expectation; ``violations`` counts offending rows.
+    Row-local constraints also carry ``row_bad`` — the per-row offense
+    predicate — which powers :func:`quarantine_split` (the
+    expect-or-quarantine enforcement mode)."""
 
     name: str
     violations: Column
     description: str = ""
+    row_bad: Column | None = None
 
 
 def not_null(col: str) -> Constraint:
+    bad = F.col(col).isNull()
     return Constraint(
         f"not_null({col})",
-        F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)),
+        F.sum(F.when(bad, 1).otherwise(0)),
+        row_bad=bad,
     )
 
 
@@ -47,32 +53,57 @@ def in_range(col: str, lo=None, hi=None) -> Constraint:
         cond = cond | (F.col(col) < lo)
     if hi is not None:
         cond = cond | (F.col(col) > hi)
+    bad = F.col(col).isNotNull() & cond
     return Constraint(
         f"in_range({col})",
-        F.sum(F.when(F.col(col).isNotNull() & cond, 1).otherwise(0)),
+        F.sum(F.when(bad, 1).otherwise(0)),
+        row_bad=bad,
     )
 
 
 def accepted_values(col: str, values: list) -> Constraint:
+    bad = F.col(col).isNotNull() & ~F.col(col).isin(*values)
     return Constraint(
         f"accepted_values({col})",
-        F.sum(
-            F.when(
-                F.col(col).isNotNull() & ~F.col(col).isin(*values), 1
-            ).otherwise(0)
-        ),
+        F.sum(F.when(bad, 1).otherwise(0)),
+        row_bad=bad,
     )
 
 
 def matches_regex(col: str, pattern: str) -> Constraint:
+    bad = F.col(col).isNotNull() & ~F.col(col).rlike(pattern)
     return Constraint(
         f"matches_regex({col})",
-        F.sum(
-            F.when(
-                F.col(col).isNotNull() & ~F.col(col).rlike(pattern), 1
-            ).otherwise(0)
-        ),
+        F.sum(F.when(bad, 1).otherwise(0)),
+        row_bad=bad,
     )
+
+
+def quarantine_split(
+    df: DataFrame, constraints: list
+) -> tuple[DataFrame, DataFrame]:
+    """Expectation enforcement with quarantine (the Delta Live Tables
+    "expect or drop + quarantine table" pattern): returns ``(good,
+    bad)`` where ``bad`` rows carry a ``violations`` array naming every
+    row-local expectation they fail, in suite order. Only row-local
+    constraints participate (``unique``/``references`` are relation-
+    level — enforce those with `constraint_report` gates).
+
+    Map-only at any scale: the violation array is one codegen'd
+    expression, both outputs are filters over the same annotated plan
+    — zero shuffles, and writing good/bad to separate sinks re-reads
+    nothing when the annotated relation is persisted by the caller.
+    """
+    rows = [c for c in constraints if isinstance(c, Constraint) and c.row_bad is not None]
+    if not rows:
+        raise ValueError("quarantine_split needs at least one row-local constraint")
+    viol = F.array_compact(
+        F.array(*[F.when(c.row_bad, F.lit(c.name)) for c in rows])
+    )
+    flagged = df.withColumn("violations", viol)
+    good = flagged.filter(F.size("violations") == 0).drop("violations")
+    bad = flagged.filter(F.size("violations") > 0)
+    return good, bad
 
 
 @dataclass(frozen=True)

@@ -197,3 +197,44 @@ def dq_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch)."""
     ev = load_table(spark, sf_dir, "events")
     return Q.equi_width_histogram(ev, "value", n_buckets=16)
+
+
+@query(
+    "dq_quarantine_rows",
+    """
+    SELECT event_id, event_type, ROUND(value, 2) AS value, violations
+    FROM (
+      SELECT event_id, event_type, value,
+             list_filter([
+               CASE WHEN value IS NULL THEN 'not_null(value)' END,
+               CASE WHEN value IS NOT NULL AND (value < 0 OR value > 450)
+                    THEN 'in_range(value)' END,
+               CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                         ('click', 'view', 'purchase', 'signup')
+                    THEN 'accepted_values(event_type)' END
+             ], x -> x IS NOT NULL) AS violations
+      FROM events
+    ) WHERE len(violations) > 0
+    """,
+)
+def dq_quarantine_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation enforcement with quarantine (ops/quality.py
+    `quarantine_split`, the DLT expect-or-quarantine pattern): bad rows
+    annotated with every failed expectation in suite order. The
+    violation array is one codegen'd map-only expression — good/bad are
+    two filters over the same annotated plan, zero shuffles."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    suite = [
+        Q.not_null("value"),
+        Q.in_range("value", 0, 450),
+        Q.accepted_values("event_type", ["click", "view", "purchase", "signup"]),
+    ]
+    good, bad = Q.quarantine_split(ev, suite)
+    return bad.select(
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        "violations",
+    )

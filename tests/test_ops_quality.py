@@ -142,3 +142,40 @@ def test_equi_width_histogram_clamps_caller_bounds_and_empty(spark):
     assert all(0 <= b <= 3 for b in got)
     empty = spark.createDataFrame([(None,)], "x double")
     assert equi_width_histogram(empty, "x", n_buckets=4).count() == 0
+
+
+def test_quarantine_split_partitions_rows_and_names_failures(spark):
+    from hudi_utility_spark.ops import quality as Q
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "ok"),
+            (2, None, "ok"),       # null value
+            (3, 999.0, "bad"),     # range + accepted_values
+            (4, 5.0, "bad"),       # accepted_values only
+        ],
+        "id long, v double, status string",
+    )
+    suite = [
+        Q.not_null("v"),
+        Q.in_range("v", 0, 100),
+        Q.accepted_values("status", ["ok"]),
+    ]
+    good, bad = Q.quarantine_split(df, suite)
+    assert [r["id"] for r in good.orderBy("id").collect()] == [1]
+    got = {r["id"]: r["violations"] for r in bad.collect()}
+    assert got[2] == ["not_null(v)"]
+    assert got[3] == ["in_range(v)", "accepted_values(status)"]  # suite order
+    assert got[4] == ["accepted_values(status)"]
+    # good ∪ bad is a partition of the input
+    assert good.count() + bad.count() == df.count()
+
+
+def test_quarantine_split_requires_row_local_constraint(spark):
+    import pytest
+
+    from hudi_utility_spark.ops import quality as Q
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="row-local"):
+        Q.quarantine_split(df, [Q.unique("id")])
