@@ -116,3 +116,37 @@ def range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_self_join(
         ev, on=["user_id"], ts_col="ts", max_gap_seconds=300, id_col="event_id"
     )
+
+
+@query(
+    "j_bloom_reduced_join",
+    """
+    SELECT p.p_partkey AS partkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_type LIKE 'PROMO%'
+    GROUP BY p.p_partkey
+    """,
+)
+def j_bloom_reduced_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filtered fact⋈dim join (ops/joins.py `bloom_reduce_join`):
+    the PROMO part keys compress into a broadcast Bloom word array; the
+    fact is membership-filtered map-side before the join shuffle. No
+    false negatives, so the oracle is simply the plain join — false
+    positives cost only shuffle bytes, which the join then discards."""
+    from hudi_utility_spark.ops.joins import bloom_reduce_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    promo = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type").like("PROMO%"))
+        .select("p_partkey")
+    )
+    joined = bloom_reduce_join(li, promo, "l_partkey", "p_partkey")
+    return joined.groupBy(F.col("p_partkey").alias("partkey")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )

