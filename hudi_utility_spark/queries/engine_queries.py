@@ -105,3 +105,54 @@ def percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
+
+
+@query(
+    "v_table_diff",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, event_type, value FROM events
+    ), r AS (
+      SELECT event_id, user_id, event_type,
+             CASE WHEN event_id % 100 = 0 THEN value + 1 ELSE value END AS value
+      FROM events WHERE event_id % 10 <> 7
+      UNION ALL
+      SELECT event_id + 10000000 AS event_id, user_id, event_type, value
+      FROM events WHERE event_id % 10 = 3
+    )
+    SELECT COALESCE(l.event_id, r.event_id) AS event_id,
+           CASE WHEN l.event_id IS NULL THEN 'added'
+                WHEN r.event_id IS NULL THEN 'removed'
+                WHEN l.user_id IS DISTINCT FROM r.user_id
+                  OR l.event_type IS DISTINCT FROM r.event_type
+                  OR l.value IS DISTINCT FROM r.value THEN 'changed'
+           END AS change_type
+    FROM l FULL OUTER JOIN r ON l.event_id = r.event_id
+    WHERE (l.event_id IS NULL) OR (r.event_id IS NULL)
+       OR l.user_id IS DISTINCT FROM r.user_id
+       OR l.event_type IS DISTINCT FROM r.event_type
+       OR l.value IS DISTINCT FROM r.value
+    """,
+)
+def v_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level reconciliation (`validate.table_diff`): diff the events
+    table against a synthetic migrated copy that drops every id%10==7
+    row (removed), perturbs every id%100==0 value (changed), and clones
+    id%10==3 rows under offset keys (added). One full-outer key join +
+    null-safe struct equality — the value-granular upgrade of the
+    reference's count-only reconcile."""
+    from hudi_utility_spark.validate import table_diff
+
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    migrated = base.filter(F.col("event_id") % 10 != 7).withColumn(
+        "value",
+        F.when(F.col("event_id") % 100 == 0, F.col("value") + 1).otherwise(
+            F.col("value")
+        ),
+    )
+    added = base.filter(F.col("event_id") % 10 == 3).withColumn(
+        "event_id", F.col("event_id") + F.lit(10_000_000)
+    )
+    return table_diff(base, migrated.unionByName(added), ["event_id"])

@@ -98,3 +98,34 @@ def test_reconcile_pass_and_fail(spark, events, tmp_path):
     bigger = events.union(events.limit(1))
     with pytest.raises(ValidationError, match="count mismatch"):
         reconcile(spark, bigger, t)
+
+
+def test_table_diff_classifies_and_drops_matches(spark):
+    from hudi_utility_spark.validate import table_diff
+
+    left = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, None, 4.0)],
+        "id long, s string, v double",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, "a", 1.0),      # identical -> dropped
+            (2, "b", None),     # identical incl. NULL -> dropped (null-safe)
+            (3, "c", 99.0),     # changed
+            (5, "e", 5.0),      # added
+        ],
+        "id long, s string, v double",
+    )
+    got = {
+        r["id"]: r["change_type"] for r in table_diff(left, right, ["id"]).collect()
+    }
+    assert got == {3: "changed", 4: "removed", 5: "added"}
+
+
+def test_table_diff_restricts_to_compare_cols(spark):
+    from hudi_utility_spark.validate import table_diff
+
+    left = spark.createDataFrame([(1, "a", 1.0)], "id long, s string, v double")
+    right = spark.createDataFrame([(1, "a", 9.0)], "id long, s string, v double")
+    # v excluded -> rows agree
+    assert table_diff(left, right, ["id"], compare_cols=["s"]).isEmpty()
