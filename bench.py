@@ -94,6 +94,12 @@ HEADLINE = [
     "scd2_incremental_apply",
     "pack_weighted_sample",
     "graph_pagerank_parts",
+    "text_span_dedup_rebuild",
+    "ts_rolling_features",
+    "dq_quarantine_rows",
+    "j_bloom_reduced_join",
+    "v_table_diff",
+    "merge_multi_action",
 ]
 
 

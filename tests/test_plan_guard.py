@@ -28,6 +28,7 @@ SCRATCH = {
     "index_bloom_lookup",
     "index_secondary_lookup",
     "s7_partial_update",
+    "merge_multi_action",
 }
 
 

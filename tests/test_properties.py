@@ -299,3 +299,111 @@ def test_resolve_partial_on_full_rows_equals_latest_by_key(spark, rows):
     got = sorted(map(tuple, resolve_partial(df, ["k"], "ts").collect()))
     want = sorted(map(tuple, latest_by_key(df, ["k"], "ts").collect()))
     assert got == want
+
+
+# --- SCD2: incremental apply ≡ batch rebuild for ANY time-ordered split ---
+
+_SCD_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # key
+        st.integers(min_value=0, max_value=20),  # ts (day offset)
+        st.sampled_from(["A", "B", None]),       # tracked attr (incl. NULL)
+    ),
+    min_size=1,
+    max_size=14,
+    unique_by=lambda r: (r[0], r[1]),  # one change per (key, ts)
+)
+
+
+def _scd_frame(spark, rows):
+    import datetime as dt
+
+    data = [
+        (k, dt.datetime(2024, 1, 1) + dt.timedelta(days=t), a)
+        for k, t, a in rows
+    ]
+    return spark.createDataFrame(data, "k int, ts timestamp, attr string")
+
+
+@given(rows=_SCD_ROWS, cut=st.integers(min_value=0, max_value=21))
+@_SETTINGS
+def test_scd2_apply_equals_rebuild_any_split(spark, rows, cut):
+    import datetime as dt
+
+    from hudi_utility_spark.scd import scd2_apply, scd2_from_history
+
+    df = _scd_frame(spark, rows)
+    boundary = dt.datetime(2024, 1, 1) + dt.timedelta(days=cut)
+    hist = df.filter(F.col("ts") < F.lit(boundary))
+    changes = df.filter(F.col("ts") >= F.lit(boundary))
+    batch = scd2_from_history(df, ["k"], "ts", ["attr"])
+    if hist.isEmpty():
+        merged = scd2_from_history(changes, ["k"], "ts", ["attr"])
+    else:
+        dim = scd2_from_history(hist, ["k"], "ts", ["attr"])
+        merged = scd2_apply(dim, changes, ["k"], "ts", ["attr"])
+    assert merged.exceptAll(batch).isEmpty()
+    assert batch.exceptAll(merged).isEmpty()
+
+
+# --- MERGE INTO vs a row-by-row Python reference model ---
+
+_MERGE_TARGET = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 100)),  # (id, value)
+    min_size=1,
+    max_size=8,
+    unique_by=lambda r: r[0],
+)
+_MERGE_SOURCE = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 100)),
+    min_size=0,
+    max_size=8,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(target=_MERGE_TARGET, source=_MERGE_SOURCE)
+@_SETTINGS
+def test_merge_into_matches_reference_model(spark, target, source, tmp_path_factory):
+    from hudi_utility_spark.table import KeyedTable, TableType
+    from hudi_utility_spark.write import merge_into, upsert
+
+    root = tmp_path_factory.mktemp("mrg")
+    table = KeyedTable(
+        path=str(root / "t"),
+        record_key=["id"],
+        precombine="pc",
+        partition_fields=[],
+        table_type=TableType.COPY_ON_WRITE,
+    )
+    upsert(
+        spark,
+        spark.createDataFrame(
+            [(i, 1, float(v)) for i, v in target], "id long, pc long, value double"
+        ),
+        table,
+    )
+    src = spark.createDataFrame(
+        [(i, 2, float(v)) for i, v in source], "id long, pc long, value double"
+    )
+    merge_into(
+        spark,
+        src,
+        table,
+        update_set={"value": "t.value + s.value"},
+        update_condition="s.value >= 50",
+        delete_condition="s.value < 10",
+    )
+    got = {r["id"]: r["value"] for r in table.read(spark).collect()}
+
+    # reference model: delete wins, then conditional update, then insert
+    model = {i: float(v) for i, v in target}
+    for i, v in source:
+        if i in model:
+            if v < 10:
+                del model[i]
+            elif v >= 50:
+                model[i] = model[i] + v
+        else:
+            model[i] = float(v)
+    assert got == model
