@@ -75,3 +75,48 @@ def group_linear_fit(
         )
 
     return df.groupBy(group_col).applyInPandas(fit, schema=schema)
+
+
+def trimmed_mean_agg(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    trim: float = 0.1,
+) -> DataFrame:
+    """Per-group trimmed mean via a GROUPED_AGG ``pandas_udf`` — the
+    vectorized custom-aggregate member of the §2.10 UDF matrix (scalar
+    pandas_udf, grouped-map `group_linear_fit`, mapInPandas multimodal,
+    applyInPandasWithState EWMA are the others). Drops the lowest and
+    highest ``floor(n·trim)`` values per group, then means the middle —
+    the robust-location statistic quality dashboards use when outliers
+    poison a plain AVG.
+
+    Chosen (like the OLS kernel) because it is deterministic and
+    SQL-expressible — rank-window + AVG in the oracle — so the Arrow
+    UDAF path itself sits under the value-hash gate. Execution is a
+    hash aggregate keyed by the group with the UDAF evaluated per
+    group over Arrow batches: one shuffle, per-task state bounded by
+    the largest group's values (same contract as any grouped-agg
+    pandas UDF; a dominant group salts like any groupBy skew).
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("double")
+    def _tmean(v: pd.Series) -> float:
+        vals = np.sort(v.dropna().to_numpy(dtype="float64"))
+        n = vals.size
+        if n == 0:
+            return float("nan")
+        k = int(n * trim)
+        return float(np.mean(vals[k : n - k])) if n - 2 * k > 0 else float("nan")
+
+    # Spark forbids mixing GROUPED_AGG pandas UDFs with JVM aggregates
+    # in one agg, so the count rides the same Arrow path
+    @F.pandas_udf("long")
+    def _n(v: pd.Series) -> int:
+        return int(v.notna().sum())
+
+    return df.groupBy(group_col).agg(
+        _n(value_col).alias("n"), _tmean(value_col).alias("trimmed_mean")
+    )

@@ -679,3 +679,38 @@ def ts_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w), 2).alias("sum_1h"),
         F.round(F.max("value").over(w), 2).alias("max_1h"),
     )
+
+
+@query(
+    "stat_trimmed_mean",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           MAX(n) AS n,
+           ROUND(AVG(value) FILTER (
+             rn > FLOOR(n * 0.1) AND rn <= n - FLOOR(n * 0.1)), 4)
+             AS trimmed_mean
+    FROM ranked GROUP BY event_type
+    """,
+)
+def stat_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of value per event type via a GROUPED_AGG
+    pandas UDF (ops/mlfit.py `trimmed_mean_agg`) — the custom-
+    vectorized-aggregate arm of the UDF surface, oracle-checked against
+    the rank-window trim in SQL (ties at the cut share a value, so the
+    mean is cut-invariant)."""
+    from hudi_utility_spark.ops.mlfit import trimmed_mean_agg
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    out = trimmed_mean_agg(ev, "event_type", "value", trim=0.1)
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("trimmed_mean", 4).alias("trimmed_mean"),
+    )

@@ -132,3 +132,24 @@ def test_group_linear_fit_matches_numpy_and_handles_degenerates(spark):
     assert got["lin"]["r2"] > 0.99
     assert got["one"]["slope"] is None and got["one"]["n"] == 1
     assert got["flat"]["slope"] is None  # sxx == 0 guarded
+
+
+def test_trimmed_mean_agg_matches_numpy_reference(spark):
+    import numpy as np
+
+    from hudi_utility_spark.ops.mlfit import trimmed_mean_agg
+
+    rows = [("g", float(v)) for v in [1, 2, 3, 4, 100]] + [
+        ("h", 5.0),
+        ("h", None),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["g"]: (r["n"], r["trimmed_mean"])
+        for r in trimmed_mean_agg(df, "g", "v", trim=0.2).collect()
+    }
+    # g: n=5, k=1 -> mean(2,3,4) = 3.0 (the 100 outlier is cut)
+    assert got["g"] == (5, 3.0)
+    # h: one non-null value, k=0 -> mean([5]) = 5
+    assert got["h"] == (1, 5.0)
+    assert np.isclose(got["g"][1], 3.0)
