@@ -16,6 +16,9 @@ Embeddings are ``array<float>`` columns; all arithmetic stays JVM-side
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -451,4 +454,37 @@ def centroid_scores(
                 "cos_centroid"
             ),
         )
+    )
+
+
+def brute_force_topk_arrow(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via a SCALAR Arrow ``pandas_udf`` — the
+    vectorized-Python twin of :func:`brute_force_topk`, kept as the
+    documented fallback shape for kernels the built-in HOFs can't
+    express (learned scorers, quantized distance tables, anything
+    NumPy/torch). Same plan skeleton: map-only scoring →
+    TakeOrderedAndProject; the only difference is each Arrow batch
+    crossing into one NumPy matmul instead of fused codegen. Use the
+    HOF version when the math is expressible — the Arrow hop costs
+    serialization the JVM path doesn't pay.
+    """
+    q = np.asarray(query_vec, dtype="float64")
+    qn = float(np.sqrt((q * q).sum()))
+
+    @F.pandas_udf("double")
+    def _cos(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy()).astype("float64")  # (batch, dim)
+        sims = (m @ q) / (np.sqrt((m * m).sum(axis=1)) * qn)
+        return pd.Series(sims)
+
+    return (
+        df.select(F.col(id_col), F.round(_cos(vec_col), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
     )

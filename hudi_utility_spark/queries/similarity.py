@@ -394,3 +394,24 @@ def sim_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids positionally and must agree to 6 decimals."""
     e = load_table(spark, sf_dir, "embeddings")
     return S.centroid_scores(e, dim=64)
+
+
+@query(
+    "sim_bruteforce_topk_arrow",
+    """
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+    FROM embeddings e,
+         (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def sim_bruteforce_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALAR pandas_udf arm of the UDF matrix: exact cosine top-10
+    via one NumPy matmul per Arrow batch (ops/similarity.py
+    `brute_force_topk_arrow`), sharing the fused-HOF query's oracle —
+    both paths must produce identical neighbors and scores."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = [r[0] for r in e.filter(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+    return S.brute_force_topk_arrow(e, q, k=10)

@@ -287,3 +287,19 @@ def test_centroid_scores_numpy_parity_and_plan(spark, embeddings):
     plan = centroid_scores(embeddings, dim=64)._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in plan, plan          # no posexplode long relation
     assert "BroadcastHashJoin" in plan, plan     # centroids broadcast back
+
+
+def test_arrow_cosine_matches_hof_cosine(spark, embeddings):
+    from hudi_utility_spark.ops import similarity as S
+
+    q = [
+        r[0]
+        for r in embeddings.filter("vec_id = 0")
+        .select(F.explode("embedding"))
+        .collect()
+    ]
+    hof = S.brute_force_topk(embeddings, q, k=15).collect()
+    arrow = S.brute_force_topk_arrow(embeddings, q, k=15).collect()
+    assert [(r["vec_id"], r["score"]) for r in hof] == [
+        (r["vec_id"], r["score"]) for r in arrow
+    ]
