@@ -184,15 +184,17 @@ def bloom_reduce_join(
     membership test on the fact, and only the surviving sliver of the
     fact enters the join shuffle.
 
-    Build is fully distributed: each dim key sets ``k`` md5-family bit
-    positions (ops/phash.py), positions fold into 64-bit words with one
-    ``bit_or`` hash aggregate (map-side combinable, ≤ ``m_bits/64``
-    rows), and the collected word array — O(m_bits/8) bytes of driver
-    traffic regardless of dim row count — re-enters the plan as a
-    literal array the codegen'd test indexes per row. No false
-    negatives by construction, so the result equals the plain join
-    exactly; false positives only cost shuffle bytes, never
-    correctness.
+    Build is fully distributed: each dim key sets ``k`` bit positions
+    derived from seeded ``xxhash64`` (JVM-native — the bitmap never
+    crosses engines, so the portable-md5 family is unnecessary weight
+    here; the oracle for any bloom-reduced query is simply the plain
+    join), positions fold into 64-bit words with one ``bit_or`` hash
+    aggregate (map-side combinable, ≤ ``m_bits/64`` rows), and the
+    collected word array — O(m_bits/8) bytes of driver traffic
+    regardless of dim row count — re-enters the plan as ONE array
+    literal the codegen'd test indexes per row. No false negatives by
+    construction, so the result equals the plain join exactly; false
+    positives only cost shuffle bytes, never correctness.
 
     When to use over alternatives: broadcast-hash join already handles
     a small dim; this wins when the dim's key SET is Bloom-compressible
@@ -201,13 +203,12 @@ def bloom_reduce_join(
     ``m_bits`` ≈ 10–16 bits per expected dim key for sub-1% false
     positives.
     """
-    from hudi_utility_spark.ops.phash import family_hash, parts
-
     n_words = (m_bits + 63) // 64
 
     def positions(col):
-        hi, lo = parts(col.cast("string"))
-        return [family_hash(hi, lo, i) % F.lit(m_bits) for i in range(k)]
+        return [
+            F.pmod(F.xxhash64(F.lit(i), col), F.lit(m_bits)) for i in range(k)
+        ]
 
     # SQL shiftleft accepts a column shift amount (the F.shiftleft
     # wrapper requires a literal), so masks derive from a named column
@@ -229,7 +230,9 @@ def bloom_reduce_join(
     arr = [0] * n_words
     for r in words:
         arr[r["word"]] = r["mask"]
-    arr_lit = F.array(*[F.lit(v).cast("long") for v in arr])
+    # a single ARRAY LITERAL (not CreateArray of m/64 literal nodes,
+    # which codegen would rebuild per probed row x k probes)
+    arr_lit = F.lit([int(v) for v in arr])
 
     pos_cols = [f"_bp{i}" for i in range(k)]
     probed = fact

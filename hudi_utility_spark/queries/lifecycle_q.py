@@ -458,3 +458,57 @@ def merge_multi_action(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("value"),
         tsutil.us("ts").alias("ts_us"),
     )
+
+
+@query(
+    "sql_api_mor_view",
+    """
+    WITH unioned AS (
+      SELECT event_id, ts, user_id, event_type, value FROM events
+      UNION ALL
+      SELECT event_id,
+             ts + INTERVAL 1 HOUR AS ts,
+             user_id, event_type,
+             value + 5000 AS value
+      FROM events WHERE event_type = 'signup'
+    ), resolved AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_id ORDER BY ts DESC) AS rn
+      FROM unioned
+    )
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM resolved WHERE rn = 1
+    GROUP BY event_type
+    """,
+)
+def sql_api_mor_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door over a MOR keyed table: `create_or_replace_view`
+    registers the resolved snapshot (base+log precombine window), then
+    a plain `spark.sql` aggregate runs against it — a user who only
+    speaks SQL sees exactly what `KeyedTable.read` returns. Oracle
+    replays the log-resolution union+window, then the same aggregate."""
+    root = _scratch(sf_dir, "sql_mor_view")
+    table = KeyedTable(
+        path=root,
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+        table_type=TableType.MERGE_ON_READ,
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    upsert(spark, events, table)
+    changed = (
+        events.filter(F.col("event_type") == "signup")
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        .withColumn("value", F.col("value") + 5000)
+    )
+    upsert(spark, changed, table)
+    view = table.create_or_replace_view(spark, "mor_view_q")
+    return spark.sql(
+        f"""
+        SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+        FROM {view} GROUP BY event_type
+        """
+    )

@@ -305,6 +305,24 @@ class KeyedTable:
         spark.catalog.refreshByPath(self.path)
         return {"compacted": flagged, "noop": False}
 
+    def create_or_replace_view(
+        self, spark: SparkSession, name: str | None = None
+    ) -> str:
+        """Register the RESOLVED snapshot (MOR base+log precombine
+        window, tombstones dropped) as a temp view so plain
+        ``spark.sql`` queries see exactly what :meth:`read` returns —
+        the SQL-first front door to a keyed table. Returns the
+        registered name. The view captures the lazy plan, so it tracks
+        the table's files at query time (refresh after rewrites is
+        handled by the write paths' ``refreshByPath``); re-register
+        after log appends to pick up new files."""
+        view = name or (
+            self.name or os.path.basename(self.path.rstrip("/")) or "keyed_table"
+        )
+        view = view.replace("-", "_").replace(".", "_")
+        self.read(spark).createOrReplaceTempView(view)
+        return view
+
     def register_metadata_only(self, spark: SparkSession, source_path: str) -> str:
         """METADATA_ONLY bootstrap: expose the source files as a catalog
         view without rewriting (SURVEY §7 hard-part (b)). Returns the
