@@ -456,3 +456,40 @@ def test_atomic_swap_auto_recovers_stale_trash_from_prior_crash(tmp_path):
     (tmp2 / "b.parquet").write_text("new:b")
     atomic_swap_dir(str(tmp2), str(tgt2))
     assert set(_os.listdir(tgt2)) == {"b.parquet"}
+
+
+def test_create_or_replace_view_resolves_snapshot(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hudi_utility_spark.table import KeyedTable, TableType
+    from hudi_utility_spark.write import upsert
+
+    table = KeyedTable(
+        path=str(tmp_path / "vt"),
+        record_key=["id"],
+        precombine="v",
+        partition_fields=["p"],
+        table_type=TableType.MERGE_ON_READ,
+    )
+    upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, 1, "a", 10.0), (2, 1, "a", 20.0)],
+            "id long, v long, p string, x double",
+        ),
+        table,
+    )
+    # log-side newer version of id 1: the VIEW must show the winner
+    upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, 2, "a", 99.0)], "id long, v long, p string, x double"
+        ),
+        table,
+    )
+    name = table.create_or_replace_view(spark, "vt_view")
+    got = {
+        r["id"]: r["x"]
+        for r in spark.sql(f"SELECT id, x FROM {name}").collect()
+    }
+    assert got == {1: 99.0, 2: 20.0}
