@@ -100,6 +100,8 @@ HEADLINE = [
     "j_bloom_reduced_join",
     "v_table_diff",
     "merge_multi_action",
+    "stat_trimmed_mean",
+    "sim_bruteforce_topk_arrow",
 ]
 
 
