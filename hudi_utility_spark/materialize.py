@@ -137,3 +137,71 @@ def maintain_rollup(
     atomic_swap_dir(tmp, rollup_path)
     spark.catalog.refreshByPath(rollup_path)
     return spark.read.parquet(rollup_path)
+
+
+def replicate_incremental(
+    spark: SparkSession,
+    src: KeyedTable,
+    dst: KeyedTable,
+) -> dict:
+    """One step of incremental table-to-table replication — the
+    flagship Hudi incremental-ETL chain (downstream table fed by the
+    upstream's incremental query instead of full recomputes): read
+    ``src``'s CDC delta since the last applied instant, apply inserts/
+    updates as an upsert and deletes as key deletes on ``dst``, advance
+    the high-water marker (``._sync_since`` beside the destination,
+    same pattern as the rollup's ``._since``).
+
+    Invariants (pinned by tests): after a sync, ``dst``'s snapshot
+    equals ``src``'s snapshot modulo commit instants (dst keeps its own
+    timeline); a second sync with no new upstream commits is a no-op;
+    the first sync against an empty marker bootstraps dst from the full
+    CDC-since-epoch window. CDC delete rows carry the tombstone's own
+    precombine, so a later upstream re-insert replays correctly against
+    the replica's tombstone ordering.
+
+    Cost per step: the CDC read (two as-of windows joined over the
+    commit-pruned changed slice — O(delta)) plus upsert/delete on only
+    the touched partitions. A 100 TB upstream with 0.1 % churn syncs
+    its replica touching ~0.1 % of the data. Returns
+    ``{"applied_upserts": n, "applied_deletes": n, "since": s,
+    "until": u}``.
+    """
+    from hudi_utility_spark.concurrency import latest_commit
+    from hudi_utility_spark.timeline import EPOCH_INSTANT
+    from hudi_utility_spark.write import delete_keys, upsert
+
+    marker = dst.path.rstrip("/") + "._sync_since"
+    since = EPOCH_INSTANT
+    if os.path.exists(marker):
+        since = open(marker).read().strip() or EPOCH_INSTANT
+    until = latest_commit(spark, src)
+    if until <= since:
+        return {
+            "applied_upserts": 0,
+            "applied_deletes": 0,
+            "since": since,
+            "until": until,
+        }
+    cdc = incremental_cdc(spark, src, since, until).persist()
+    ups = cdc.filter(F.col("op") != "delete").drop("op")
+    dels = cdc.filter(F.col("op") == "delete").select(
+        *src.record_key, src.precombine, *src.partition_fields
+    )
+    n_ups, n_dels = ups.count(), dels.count()
+    if n_ups:
+        upsert(spark, ups, dst)
+    if n_dels:
+        if dst.exists():
+            delete_keys(spark, dels, dst)
+        # deletes against a not-yet-created replica have nothing to do
+    cdc.unpersist()
+    os.makedirs(os.path.dirname(marker) or ".", exist_ok=True)
+    with open(marker, "w") as f:
+        f.write(until)
+    return {
+        "applied_upserts": n_ups,
+        "applied_deletes": n_dels,
+        "since": since,
+        "until": until,
+    }

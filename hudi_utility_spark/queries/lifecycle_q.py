@@ -512,3 +512,77 @@ def sql_api_mor_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {view} GROUP BY event_type
         """
     )
+
+
+@query(
+    "replication_sync",
+    """
+    WITH u AS (
+      SELECT event_id, ts, user_id, event_type, value, FALSE AS dead
+      FROM events
+      UNION ALL
+      SELECT event_id, ts + INTERVAL 1 HOUR, user_id, event_type,
+             value + 5000, FALSE
+      FROM events WHERE event_type = 'signup'
+      UNION ALL
+      SELECT event_id, ts + INTERVAL 2 HOUR, user_id, event_type,
+             NULL, TRUE
+      FROM events WHERE event_type = 'error'
+    ), resolved AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_id ORDER BY ts DESC) AS rn
+      FROM u
+    )
+    SELECT event_id, user_id, event_type, ROUND(value, 2) AS value
+    FROM resolved WHERE rn = 1 AND NOT dead
+    """,
+)
+def replication_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental replication lifecycle (`materialize.
+    replicate_incremental`): a MOR source takes an upsert wave and a
+    delete wave; two CDC-driven sync steps roll the deltas into a COW
+    replica, whose snapshot the oracle recomputes from first
+    principles (union + precombine window + tombstone drop). Sync cost
+    is O(delta) per step — the Hudi incremental-ETL chain."""
+    from hudi_utility_spark.materialize import replicate_incremental
+    from hudi_utility_spark.write import delete_keys
+
+    root = _scratch(sf_dir, "replication_sync")
+    src = KeyedTable(
+        path=os.path.join(root, "src"),
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+        table_type=TableType.MERGE_ON_READ,
+    )
+    dst = KeyedTable(
+        path=os.path.join(root, "dst"),
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+        table_type=TableType.COPY_ON_WRITE,
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    upsert(spark, events, src, commit_time="20260101000000000")
+    replicate_incremental(spark, src, dst)  # bootstrap sync
+
+    changed = (
+        events.filter(F.col("event_type") == "signup")
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        .withColumn("value", F.col("value") + 5000)
+    )
+    upsert(spark, changed, src, commit_time="20260102000000000")
+    dead = events.filter(F.col("event_type") == "error").withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 2 HOURS")
+    )
+    delete_keys(spark, dead, src, commit_time="20260103000000000")
+    replicate_incremental(spark, src, dst)  # delta sync
+
+    return dst.read(spark).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+    )
