@@ -163,3 +163,34 @@ def test_merge_on_mor_compacts_then_matches_cow_result(spark, tmp_path):
     got = _snap(spark, mor)
     assert got[3] == ("b", 340.0)  # merged against the RESOLVED snapshot
     assert not os.path.isdir(mor.log_path) or not os.listdir(mor.log_path)
+
+
+def test_merge_composite_key(spark, tmp_path):
+    from hudi_utility_spark.table import KeyedTable, TableType
+    from hudi_utility_spark.write import merge_into, upsert
+
+    table = KeyedTable(
+        path=str(tmp_path / "ck"),
+        record_key=["k1", "k2"],
+        precombine="v",
+        partition_fields=["part"],
+        table_type=TableType.COPY_ON_WRITE,
+    )
+    upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, "x", 1, "a", 1.0), (1, "y", 1, "a", 2.0)],
+            "k1 long, k2 string, v long, part string, value double",
+        ),
+        table,
+    )
+    src = spark.createDataFrame(
+        [(1, "x", 2, "a", 10.0), (2, "z", 2, "a", 3.0)],
+        "k1 long, k2 string, v long, part string, value double",
+    )
+    merge_into(spark, src, table, update_set={"value": "s.value"})
+    got = {
+        (r["k1"], r["k2"]): r["value"] for r in table.read(spark).collect()
+    }
+    # only the FULL composite key (1,'x') matched; (1,'y') untouched
+    assert got == {(1, "x"): 10.0, (1, "y"): 2.0, (2, "z"): 3.0}

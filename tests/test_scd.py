@@ -134,3 +134,25 @@ def test_build_is_single_shuffle(spark, events):
     )
     plan = dim._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_scd2_composite_key(spark):
+    from datetime import datetime
+
+    from hudi_utility_spark.scd import EFF_FROM, IS_CURRENT, scd2_from_history
+
+    rows = [
+        (1, "eu", datetime(2024, 1, 1), "A"),
+        (1, "eu", datetime(2024, 1, 2), "B"),
+        (1, "us", datetime(2024, 1, 1), "A"),  # different composite key
+    ]
+    df = spark.createDataFrame(rows, "k int, region string, ts timestamp, attr string")
+    dim = scd2_from_history(df, ["k", "region"], "ts", ["attr"])
+    cur = {
+        (r["k"], r["region"]): (r["attr"], r[EFF_FROM])
+        for r in dim.filter(F.col(IS_CURRENT)).collect()
+    }
+    assert cur == {
+        (1, "eu"): ("B", datetime(2024, 1, 2)),
+        (1, "us"): ("A", datetime(2024, 1, 1)),
+    }
