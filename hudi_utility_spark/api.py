@@ -185,6 +185,42 @@ class TableServices:
     def compact(self) -> None:
         return self._ledgered("compact", lambda: self.table.compact(self.engine.spark))
 
+    def merge(self, source: DataFrame, **merge_kwargs) -> DataFrame:
+        """Ledgered multi-action MERGE INTO this table (see
+        `write.merge_into` for the clause semantics)."""
+        from hudi_utility_spark.write import merge_into
+
+        return self._ledgered(
+            "merge",
+            lambda: merge_into(
+                self.engine.spark, source, self.table, **merge_kwargs
+            ),
+        )
+
+    def replicate_from(self, src_table) -> dict:
+        """Ledgered incremental sync step from *src_table* into this
+        table (`materialize.replicate_incremental`)."""
+        from hudi_utility_spark.materialize import replicate_incremental
+
+        return self._ledgered(
+            "replicate",
+            lambda: replicate_incremental(
+                self.engine.spark, src_table, self.table
+            ),
+        )
+
+    def diff_against(self, other: DataFrame, compare_cols=None) -> DataFrame:
+        """Row-level diff of this table's snapshot against *other*
+        (`validate.table_diff`) — read-only, so not ledgered."""
+        from hudi_utility_spark.validate import table_diff
+
+        return table_diff(
+            self.table.read(self.engine.spark),
+            other,
+            self.table.record_key,
+            compare_cols=compare_cols,
+        )
+
     def optimize(
         self,
         small_file_bytes: int = 32 * 1024 * 1024,

@@ -321,3 +321,41 @@ def stream_scd2_maintenance(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_replication(
+    spark: SparkSession,
+    src_table: KeyedTable,
+    dst_table: KeyedTable,
+    checkpoint_dir: str,
+    trigger_once: bool = False,
+):
+    """Continuous table-to-table replication: a file stream over the
+    source MOR delta log makes every committed batch a trigger, and the
+    sink advances the replica with ``materialize.replicate_incremental``
+    — CDC-delta work per micro-batch, the streaming twin of the rollup
+    maintainer. Restart-safe the same way: the ``._sync_since`` marker
+    lives beside the replica, and a re-delivered trigger syncs an empty
+    ``(since, since]`` window (no-op)."""
+    from hudi_utility_spark.materialize import replicate_incremental
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        replicate_incremental(spark, src_table, dst_table)
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.option("mergeSchema", "true")
+            .parquet(src_table.log_path)
+            .schema
+        )
+        .option("mergeSchema", "true")
+        .parquet(src_table.log_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

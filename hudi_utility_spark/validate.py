@@ -194,8 +194,14 @@ def table_diff(
     columns default to the non-key columns present on BOTH sides
     (schema drift audits pair this with :func:`schema_diff`).
     """
+    # `_`-prefixed meta columns (commit instants etc.) are excluded by
+    # default, matching the reference's reconciliation rule for Hudi
+    # meta columns (`pyspark_script.py:154`): a replica legitimately
+    # carries its own timeline.
     cols = compare_cols or [
-        c for c in left.columns if c not in keys and c in right.columns
+        c
+        for c in left.columns
+        if c not in keys and c in right.columns and not c.startswith("_")
     ]
     l = left.select(*keys, F.struct(*cols).alias("_l"))
     r = right.select(*keys, F.struct(*cols).alias("_r"))

@@ -204,3 +204,54 @@ def test_facade_recover_sweeps_stale_staging_dirs(spark, events, tmp_path):
     assert svc.recover() == "clean"
     assert not os.path.isdir(stale)
     assert svc.read().count() == 50
+
+
+def test_table_services_merge_replicate_diff(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from hudi_utility_spark.api import Engine, TableServices
+    from hudi_utility_spark.table import KeyedTable, TableType
+
+    eng = Engine(spark, str(tmp_path / "ledger"))
+    src_svc = TableServices(
+        eng,
+        KeyedTable(
+            path=str(tmp_path / "src"),
+            record_key=["id"],
+            precombine="v",
+            partition_fields=["p"],
+            table_type=TableType.MERGE_ON_READ,
+            name="repl_src",
+        ),
+    )
+    dst_svc = TableServices(
+        eng,
+        KeyedTable(
+            path=str(tmp_path / "dst"),
+            record_key=["id"],
+            precombine="v",
+            partition_fields=["p"],
+            table_type=TableType.COPY_ON_WRITE,
+            name="repl_dst",
+        ),
+    )
+    base = spark.createDataFrame(
+        [(1, 1, "a", 1.0), (2, 1, "a", 2.0)], "id long, v long, p string, x double"
+    )
+    src_svc.upsert(base, commit_time="20260101000000000")
+
+    res = dst_svc.replicate_from(src_svc.table)
+    assert res["applied_upserts"] == 2
+    assert dst_svc.diff_against(src_svc.table.read(spark)).isEmpty()
+
+    dst_svc.merge(
+        spark.createDataFrame([(2, 9, "a", 0.0)], "id long, v long, p string, x double"),
+        delete_condition="true",
+    )
+    diff = dst_svc.diff_against(src_svc.table.read(spark)).collect()
+    assert [(r["id"], r["change_type"]) for r in diff] == [(2, "added")]
+    datas = [
+        r["transaction_data"] for r in eng.ledger.history().collect()
+    ]
+    assert any('"op": "replicate"' in d for d in datas)
+    assert any('"op": "merge"' in d for d in datas)

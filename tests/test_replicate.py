@@ -102,3 +102,27 @@ def test_replication_steps_compose_to_one_shot(spark, tmp_path):
 
     replicate_incremental(spark, src, once_dst)
     assert _snap(spark, step_dst) == _snap(spark, once_dst) == _snap(spark, src)
+
+
+def test_stream_replication_drains_log_commits(spark, tmp_path):
+    from hudi_utility_spark.streaming.ingest import stream_replication
+
+    src, dst = _tables(tmp_path)
+    upsert(spark, _df(spark, [(1, 0, "a", 1), (2, 0, "b", 2)]), src, commit_time=T1)
+    # log-side churn so the file stream has log files to trigger on
+    upsert(spark, _df(spark, [(1, 4, "a", 10), (3, 4, "a", 3)]), src, commit_time=T2)
+
+    q = stream_replication(
+        spark, src, dst, str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination(120)
+    assert _snap(spark, dst) == _snap(spark, src)
+
+    # another upstream commit, another drain
+    upsert(spark, _df(spark, [(2, 8, "b", 22)]), src, commit_time=T3)
+    q = stream_replication(
+        spark, src, dst, str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination(120)
+    assert _snap(spark, dst) == _snap(spark, src)
+    assert (2, "b", 22.0) in _snap(spark, dst)
