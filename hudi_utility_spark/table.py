@@ -305,6 +305,39 @@ class KeyedTable:
         spark.catalog.refreshByPath(self.path)
         return {"compacted": flagged, "noop": False}
 
+    def repartition_layout(
+        self, spark: SparkSession, new_partition_fields: list[str]
+    ) -> "KeyedTable":
+        """Partition-scheme evolution (the Iceberg capability Hudi
+        lacks, here as an explicit rewrite): re-lay the table out under
+        a different Hive partition hierarchy. MOR logs fold in first
+        (the new routing applies to every live version), the rewrite
+        lands via the crash-safe swap (locks/savepoints survive; stale
+        `_index` entries drop — rebuild with `index.refresh_indexes`),
+        and a NEW `KeyedTable` spec pointing at the same path is
+        returned; the old spec's reads are stale after this.
+
+        Cost: one full sorted-less rewrite — the honest price of
+        physical re-routing; at 100 TB schedule it like `cluster` (an
+        out-of-band table service, not an ingest-path step). Snapshot
+        content is pinned invariant by test.
+        """
+        from dataclasses import replace
+
+        resolved = (
+            self.read(spark) if self.table_type is TableType.MERGE_ON_READ else self.read_base(spark)
+        )
+        missing = [c for c in new_partition_fields if c not in resolved.columns]
+        if missing:
+            raise ValueError(f"partition fields not in schema: {missing}")
+        from hudi_utility_spark.write import atomic_swap_dir, write_partitioned
+
+        tmp = self.path.rstrip("/") + ".relayout.tmp"
+        write_partitioned(resolved, tmp, new_partition_fields, mode="overwrite")
+        atomic_swap_dir(tmp, self.path, drop_meta=(_MOR_LOG_DIR, "_index"))
+        spark.catalog.refreshByPath(self.path)
+        return replace(self, partition_fields=list(new_partition_fields))
+
     def create_or_replace_view(
         self, spark: SparkSession, name: str | None = None
     ) -> str:

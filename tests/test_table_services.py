@@ -410,3 +410,53 @@ def test_compact_small_files_targets_only_flagged_partitions(spark, tmp_path):
     assert table.compact_small_files(
         spark, small_file_bytes=32 * 1024 * 1024, target_file_bytes=10**9
     )["noop"] or len(files("a")) == len(after_a)
+
+
+def test_repartition_layout_evolves_scheme_content_invariant(spark, tmp_path):
+    import os
+
+    from hudi_utility_spark.table import KeyedTable, TableType
+    from hudi_utility_spark.write import upsert
+
+    table = KeyedTable(
+        path=str(tmp_path / "rl"),
+        record_key=["id"],
+        precombine="v",
+        partition_fields=["p"],
+        table_type=TableType.MERGE_ON_READ,
+    )
+    upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, 1, "a", "x", 1.0), (2, 1, "b", "y", 2.0), (3, 1, "a", "y", 3.0)],
+            "id long, v long, p string, q string, value double",
+        ),
+        table,
+    )
+    # log churn: new version of id 1 routed to a different q
+    upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, 2, "a", "y", 11.0)], "id long, v long, p string, q string, value double"
+        ),
+        table,
+    )
+    before = {
+        (r["id"], r["q"], r["value"]) for r in table.read(spark).collect()
+    }
+
+    evolved = table.repartition_layout(spark, ["q"])
+    assert evolved.partition_fields == ["q"]
+    dirs = {d for d in os.listdir(evolved.base_path) if d.startswith("q=")}
+    # every winner routes to q=y (id 1's q=x version is superseded)
+    assert dirs == {"q=" + q for _, q, _ in before} == {"q=y"}
+    after = {
+        (r["id"], r["q"], r["value"]) for r in evolved.read(spark).collect()
+    }
+    assert after == before  # snapshot invariant (log folded in first)
+    # old-layout dirs are gone; the log folded away
+    assert not any(d.startswith("p=") for d in os.listdir(evolved.base_path))
+    assert not os.path.isdir(evolved.log_path) or not os.listdir(evolved.log_path)
+
+    with pytest.raises(ValueError, match="not in schema"):
+        evolved.repartition_layout(spark, ["nope"])
