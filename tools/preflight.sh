@@ -12,10 +12,12 @@ echo "== oracle check (sf0.01) =="
 python tools/check_oracles.py /root/testdata/sf0.01 2>/dev/null | tail -3 || rc=1
 
 if [[ "${1:-}" != "--quick" ]]; then
-  echo "== pytest (half 1) =="
+  echo "== pytest (third 1) =="
   python -m pytest $(ls tests/test_*.py | head -13) -q 2>&1 | tail -2 || rc=1
-  echo "== pytest (half 2) =="
-  python -m pytest $(ls tests/test_*.py | tail -n +14) -q 2>&1 | tail -2 || rc=1
+  echo "== pytest (third 2) =="
+  python -m pytest $(ls tests/test_*.py | sed -n '14,27p') -q 2>&1 | tail -2 || rc=1
+  echo "== pytest (third 3) =="
+  python -m pytest $(ls tests/test_*.py | tail -n +28) -q 2>&1 | tail -2 || rc=1
   echo "== bench (sf0.01) =="
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py 2>/dev/null | tail -1 || rc=1
 fi
