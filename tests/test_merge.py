@@ -194,3 +194,32 @@ def test_merge_composite_key(spark, tmp_path):
     }
     # only the FULL composite key (1,'x') matched; (1,'y') untouched
     assert got == {(1, "x"): 10.0, (1, "y"): 2.0, (2, "z"): 3.0}
+
+
+def test_merge_prunes_target_scan_to_touched_partitions(spark, tmp_path, monkeypatch):
+    """The target side of the merge join must scan ONLY source-touched
+    partitions (partition pruning from the isin filter) — at 100 TB
+    this is the difference between reading one day and the table."""
+    import hudi_utility_spark.write as W
+
+    table = _table(tmp_path)
+    _seed(spark, table)
+    src = spark.createDataFrame(
+        [(1, 99, "a", 5.0)], "id long, v long, part string, value double"
+    )
+
+    captured = {}
+    real_write = W.write_partitioned
+
+    def spy(df, path, parts, mode="overwrite", dynamic=True):
+        captured["plan"] = df._jdf.queryExecution().executedPlan().toString()
+        return real_write(df, path, parts, mode=mode, dynamic=dynamic)
+
+    monkeypatch.setattr(W, "write_partitioned", spy)
+    W.merge_into(spark, src, table, update_set={"value": "s.value"})
+    plan = captured["plan"]
+    import re
+
+    scans = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert scans, plan
+    assert any("part" in s_ and ("a" in s_) for s_ in scans), plan
