@@ -5,6 +5,7 @@ declarative audit extending the reference's validation posture (SURVEY
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hudi_utility_spark.ops import quality as Q
 from hudi_utility_spark.queries import query
@@ -237,4 +238,72 @@ def dq_quarantine_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round("value", 2).alias("value"),
         "violations",
+    )
+
+
+@query(
+    "dq_equidepth_histogram",
+    """
+    WITH t AS (
+      SELECT value, NTILE(8) OVER (ORDER BY value, event_id) AS bucket
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT bucket, COUNT(*) AS n,
+           ROUND(MIN(value), 2) AS lo, ROUND(MAX(value), 2) AS hi
+    FROM t GROUP BY bucket
+    """,
+)
+def dq_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (quantile buckets, NTILE(8) semantics):
+    ±1-equal bucket populations with exact bucket bounds — the
+    complement of `dq_value_histogram`'s equi-width bins.
+
+    NO global window: `ntile().over(Window.orderBy(...))` would funnel
+    the table through one task (the banned single-partition shape).
+    Exact global ranks come from the distributed prefix sum instead —
+    `repartitionByRange` on the sort key, per-range local row numbers,
+    per-range counts (k scalars) prefix-summed on the driver and
+    broadcast back — then NTILE's ±1 split is a closed-form expression
+    of (rank, N). Same machinery as `select_until_budget`; every stage
+    parallel, driver state O(ranges)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "value")
+    )
+    n_ranges = 32
+    tagged = (
+        ev.repartitionByRange(n_ranges, F.asc("value"), F.asc("event_id"))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r[0]: r[1] for r in tagged.groupBy("_pid").count().collect()
+    }
+    total = sum(counts.values())
+    offsets, acc = {}, 0
+    for p_ in sorted(counts):
+        offsets[p_] = acc
+        acc += counts[p_]
+    off_map = F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
+
+    from pyspark.sql import Window
+
+    local = Window.partitionBy("_pid").orderBy(F.asc("value"), F.asc("event_id"))
+    rank = off_map[F.col("_pid")] + F.row_number().over(local)
+    # NTILE(k) closed form: the first N%k buckets hold ceil(N/k) rows
+    k = 8
+    base, rem = total // k, total % k
+    big = rem * (base + 1)
+    bucket = F.when(
+        rank <= F.lit(big), F.ceil(rank / F.lit(base + 1))
+    ).otherwise(F.lit(rem) + F.ceil((rank - F.lit(big)) / F.lit(max(base, 1))))
+    return (
+        tagged.withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
     )
