@@ -563,3 +563,59 @@ def dedup_spans(
             ).alias("rebuilt"),
         )
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Cross-source n-gram overlap matrix — the corpus-composition
+    diagnostic behind dedup planning ("how much of source B is already
+    in source A before we mix them"). Per source, the DISTINCT set of
+    word n-grams; per source pair (a < b), the intersection size and
+    the containment ratios |A∩B|/|A| and |A∩B|/|B|.
+
+    Scale shape: explode to (gram, source), distinct (one gram-keyed
+    shuffle — the gram space is the data size, sources are a handful),
+    then a gram-keyed self-join whose per-gram fan-out is bounded by
+    the SOURCE count (≤ sources² pairs per gram), never by corpus size
+    — the same bucketed-join discipline as every dedup operator. The
+    per-source distinct totals ride the same relation; output is
+    O(sources²) rows.
+    """
+    grams = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+        )
+        .distinct()
+        .persist()
+    )
+    totals = grams.groupBy("src").agg(F.count("*").alias("n_grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(
+            F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    ta = totals.select(F.col("src").alias("src_a"), F.col("n_grams").alias("grams_a"))
+    tb = totals.select(F.col("src").alias("src_b"), F.col("n_grams").alias("grams_b"))
+    return (
+        inter.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(F.col("n_common") / F.col("grams_a"), 6).alias("containment_a"),
+            F.round(F.col("n_common") / F.col("grams_b"), 6).alias("containment_b"),
+        )
+    )

@@ -643,3 +643,41 @@ def text_span_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     (span-fingerprint window, doc-keyed ordered reassembly)."""
     docs = load_table(spark, sf_dir, "documents")
     return X.dedup_spans(docs, span_tokens=15)
+
+
+@query(
+    "text_source_overlap",
+    r"""
+    WITH toks AS (
+        SELECT source, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT source AS src,
+               array_to_string(t[s + 1 : s + 5], ' ') AS gram
+        FROM toks, UNNEST(range(0, greatest(len(t) - 4, 1), 1)) AS u(s)
+        WHERE len(t[s + 1 : s + 5]) >= 5
+    ),
+    totals AS (SELECT src, COUNT(*) AS n_grams FROM grams GROUP BY src),
+    inter AS (
+        SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_common
+        FROM grams a JOIN grams b
+          ON a.gram = b.gram AND a.src < b.src
+        GROUP BY a.src, b.src
+    )
+    SELECT i.src_a, i.src_b, i.n_common,
+           ROUND(i.n_common / ta.n_grams, 6) AS containment_a,
+           ROUND(i.n_common / tb.n_grams, 6) AS containment_b
+    FROM inter i
+    JOIN totals ta ON i.src_a = ta.src
+    JOIN totals tb ON i.src_b = tb.src
+    """,
+)
+def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source 5-gram overlap matrix (ops/text.py
+    `source_overlap_matrix`): intersection size + containment ratios
+    per source pair — the composition diagnostic run before mixing
+    corpora. Gram-keyed self-join with per-gram fan-out bounded by the
+    source count (never corpus-quadratic); totals broadcast back."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.source_overlap_matrix(docs)

@@ -303,3 +303,25 @@ def test_arrow_cosine_matches_hof_cosine(spark, embeddings):
     assert [(r["vec_id"], r["score"]) for r in hof] == [
         (r["vec_id"], r["score"]) for r in arrow
     ]
+
+
+def test_source_overlap_matrix_counts_and_containment(spark):
+    from hudi_utility_spark.ops.text import source_overlap_matrix
+
+    rows = [
+        ("A", "one two three four five six"),     # grams: 2 distinct
+        ("B", "one two three four five"),          # gram: 1 (shared w/ A)
+        ("C", "totally different words here now"), # 1, disjoint
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r["src_a"], r["src_b"]): (
+            r["n_common"],
+            r["containment_a"],
+            r["containment_b"],
+        )
+        for r in source_overlap_matrix(df).collect()
+    }
+    # A has grams {1..5, 2..6}; B {1..5}; intersection 1
+    assert got[("A", "B")] == (1, 0.5, 1.0)
+    assert ("A", "C") not in got and ("B", "C") not in got  # zero rows absent
