@@ -488,3 +488,55 @@ def brute_force_topk_arrow(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    ``k`` most-similar vectors carrying a DIFFERENT label — the pairs
+    that actually move a contrastive/triplet loss (easy negatives are
+    already far away).
+
+    ``block_col=None`` is the exact all-pairs baseline arm (same
+    contract as ``cosine_near_pairs``'s small-table arm — fine for
+    rescoring a candidate pool, wrong for a raw 100 TB corpus). The
+    scale path mines within blocks: pass an IVF cell id
+    (``assign_cells``) or LSH bucket as ``block_col`` and candidates
+    are generated per block — the bucketed-join discipline every other
+    similarity operator uses; the top-k window then ranks per anchor
+    (anchor-keyed, uniformly distributed).
+    """
+    a, b = df.alias("a"), df.alias("b")
+    cond = F.col(f"a.{label_col}") != F.col(f"b.{label_col}")
+    if block_col is not None:
+        cond = (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & cond
+    score = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    from pyspark.sql import Window
+
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("anchor_id"),
+            F.col(f"b.{id_col}").alias("neg_id"),
+            F.col(f"a.{label_col}").alias("anchor_label"),
+            F.col(f"b.{label_col}").alias("neg_label"),
+            F.round(score, 6).alias("score"),
+            score.alias("_raw"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("anchor_id").orderBy(
+                    F.desc("_raw"), F.asc("neg_id")
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_raw")
+    )

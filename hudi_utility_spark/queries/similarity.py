@@ -415,3 +415,29 @@ def sim_bruteforce_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = [r[0] for r in e.filter(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
     return S.brute_force_topk_arrow(e, q, k=10)
+
+
+@query(
+    "sim_hard_negatives",
+    """
+    SELECT anchor_id, neg_id, anchor_label, neg_label, score FROM (
+      SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+             a.label AS anchor_label, b.label AS neg_label,
+             ROUND(list_cosine_similarity(
+               a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(
+                 a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                 b.vec_id) AS rn
+      FROM embeddings a JOIN embeddings b ON a.label <> b.label
+    ) WHERE rn = 1
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (ops/similarity.py `hard_negatives`): each
+    vector's most-similar DIFFERENT-label neighbor — the contrastive-
+    loss pair miner. Exact all-pairs arm here (the oracle-checkable
+    baseline); production blocks by IVF cell via `block_col`."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.hard_negatives(e, k=1)

@@ -325,3 +325,27 @@ def test_source_overlap_matrix_counts_and_containment(spark):
     # A has grams {1..5, 2..6}; B {1..5}; intersection 1
     assert got[("A", "B")] == (1, 0.5, 1.0)
     assert ("A", "C") not in got and ("B", "C") not in got  # zero rows absent
+
+
+def test_hard_negatives_exact_and_blocked(spark):
+    from hudi_utility_spark.ops.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 0, "c0"),
+        (1, [0.9, 0.1], 0, "c0"),   # same label as 0: never a negative
+        (2, [0.8, 0.2], 1, "c0"),   # closest different-label for 0
+        (3, [0.0, 1.0], 1, "c1"),   # far, other block
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int, cell string")
+    exact = {
+        r["anchor_id"]: r["neg_id"] for r in hard_negatives(df, k=1).collect()
+    }
+    assert exact[0] == 2 and exact[1] == 2
+    assert exact[2] in (0, 1)  # whichever same-ish vector scores higher
+    # blocked arm: anchor 3 has no different-label vector in its block
+    blocked = {
+        r["anchor_id"]: r["neg_id"]
+        for r in hard_negatives(df, k=1, block_col="cell").collect()
+    }
+    assert 3 not in blocked
+    assert blocked[0] == 2
