@@ -38,14 +38,21 @@ def asof_join(
     right_cols: list[str] | None = None,
     tolerance_seconds: int | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row with
-    ``right.ts <= left.ts`` sharing the ``on`` keys (backward as-of).
+    ``right.ts <= left.ts`` sharing the ``on`` keys (backward as-of) —
+    or, with ``direction="forward"``, the EARLIEST right row with
+    ``right.ts >= left.ts`` (next-event semantics: "first click after
+    the purchase"). Same single-shuffle union-tag plan either way: the
+    forward variant just scans the per-key order in reverse.
 
-    Columns from the right side are suffixed. Rows with no prior right
-    match keep nulls. ``tolerance_seconds`` drops matches older than the
-    tolerance (kdb ``wj``-style windowed as-of).
+    Columns from the right side are suffixed. Rows with no match keep
+    nulls. ``tolerance_seconds`` drops matches farther than the
+    tolerance in the match direction (kdb ``wj``-style windowed as-of).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     right_cols = right_cols or [
         c for c in right.columns if c not in set(on) | {right_ts}
     ]
@@ -79,9 +86,12 @@ def asof_join(
 
     # Right rows sort before left rows at equal timestamps (tag 0 < 1) so
     # a right row at exactly left.ts IS visible to that left row.
+    # Forward as-of scans the per-key order newest-first, making "last
+    # right seen" the earliest right row at-or-after the left row.
+    ts_order = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts).asc(), F.col(tag).asc())
+        .orderBy(ts_order, F.col(tag).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = lhs.unionByName(rhs_aligned)
@@ -99,9 +109,10 @@ def asof_join(
     )
     out = filled.filter(F.col(tag) == 1)
     if tolerance_seconds is not None:
-        within = (
-            us(F.col(ts)) - us(F.col("__match_ts"))
-        ) <= F.lit(tolerance_seconds) * F.lit(1_000_000)
+        gap = us(F.col(ts)) - us(F.col("__match_ts"))
+        if direction == "forward":
+            gap = -gap
+        within = gap <= F.lit(tolerance_seconds) * F.lit(1_000_000)
         out = out.select(
             "*",
             *[

@@ -150,3 +150,45 @@ def j_bloom_reduced_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue")
     )
+
+
+@query(
+    "asof_forward_next_click",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS user_id,
+           epoch_us(p.ts) AS purchase_us,
+           c.event_id AS click_id,
+           epoch_us(c.ts) AS click_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def asof_forward_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each purchase joined to the user's FIRST click
+    at-or-after it (next-event attribution). Same union-tag
+    single-shuffle plan as the backward join, scanning the per-key
+    order newest-first (`ops/joins.asof_join(direction="forward")`);
+    the oracle is DuckDB's native forward ASOF."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"), F.col("ts"), F.col("user_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event"), F.col("ts"), F.col("user_id")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        right_cols=["click_event"],
+        direction="forward",
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        us("ts").alias("purchase_us"),
+        F.col("click_event_right").alias("click_id"),
+        us("ts_right").alias("click_us"),
+    )

@@ -120,3 +120,45 @@ def test_bloom_reduce_join_no_false_negatives_small_m(spark):
     got = bloom_reduce_join(fact, dim, "fk", "dk", m_bits=256, k=2)
     plain = fact.join(dim, fact.fk == dim.dk)
     assert got.count() == plain.count() == 667
+
+
+def test_asof_join_forward_next_event(spark):
+    import datetime as dt
+
+    from hudi_utility_spark.ops.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, ts(10), "p1"), (1, ts(50), "p2"), (2, ts(10), "p3")],
+        "k long, ts timestamp, pid string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(10), "c0"), (1, ts(30), "c1"), (1, ts(5), "cX")],
+        "k long, ts timestamp, cid string",
+    )
+    out = {
+        r["pid"]: (r["cid_right"], r["ts_right"])
+        for r in asof_join(
+            left, right, ["k"], direction="forward"
+        ).collect()
+    }
+    assert out["p1"] == ("c0", ts(10))  # equal-ts right IS visible
+    assert out["p2"] == (None, None)  # nothing at-or-after 50
+    assert out["p3"] == (None, None)  # key 2 has no right rows
+
+    # tolerance: next event must be within 15 min
+    tol = {
+        r["pid"]: r["cid_right"]
+        for r in asof_join(
+            left.filter("pid = 'p1'"),
+            right.filter("cid = 'c1'"),
+            ["k"],
+            direction="forward",
+            tolerance_seconds=900,
+        ).collect()
+    }
+    assert tol["p1"] is None  # c1 is 20 min after p1: outside tolerance
