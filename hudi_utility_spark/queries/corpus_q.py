@@ -323,3 +323,39 @@ def pack_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PK.weighted_sample(docs, 100, "n_chars").select(
         "doc_id", "lang", "n_chars"
     )
+
+
+@query(
+    "rtr_inverted_index",
+    r"""
+    WITH pairs AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents
+    )
+    SELECT tok, COUNT(*) AS df,
+           list(doc_id ORDER BY doc_id) AS postings
+    FROM pairs GROUP BY tok
+    """,
+)
+def rtr_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized inverted index: term → document frequency + sorted
+    postings list — the precomputed form of what `rtr_bm25_topk`
+    derives per query. One (doc, term) distinct + one term-keyed
+    aggregate; postings arrays are per-term state (the classic IR
+    shard unit — at 100 TB, partition the index BY TERM so each
+    posting list lives in one task, and cap/segment pathological
+    stop-word terms the same way Lucene does)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    ).distinct()
+    return pairs.groupBy("tok").agg(
+        F.count("*").alias("df"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    )
