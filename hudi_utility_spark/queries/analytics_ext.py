@@ -714,3 +714,87 @@ def stat_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round("trimmed_mean", 4).alias("trimmed_mean"),
     )
+
+
+@query(
+    "ev_user_similarity",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), grams AS (
+      SELECT DISTINCT user_id, prev || '>' || event_type AS bg
+      FROM seq WHERE prev IS NOT NULL
+    ), totals AS (
+      SELECT user_id, COUNT(*) AS n FROM grams GROUP BY user_id
+    ), pairs AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b, COUNT(*) AS common
+      FROM grams a JOIN grams b
+        ON a.bg = b.bg AND a.user_id < b.user_id
+      GROUP BY a.user_id, b.user_id
+    )
+    SELECT p.user_a, p.user_b, p.common,
+           ROUND(p.common / (ta.n + tb.n - p.common), 6) AS jaccard
+    FROM pairs p
+    JOIN totals ta ON p.user_a = ta.user_id
+    JOIN totals tb ON p.user_b = tb.user_id
+    ORDER BY p.common / (ta.n + tb.n - p.common) DESC, p.user_a, p.user_b
+    LIMIT 50
+    """,
+)
+def ev_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-sequence similarity (REPOSE-style trajectory top-k,
+    reduced to transition shingles): each user's event stream becomes a
+    distinct set of `prev>next` transition bigrams; pair similarity is
+    set Jaccard, computed with a gram-keyed self-join whose per-gram
+    fan-out is bounded by the number of users sharing that transition —
+    never all-pairs over users. Totals broadcast back; top-50 via
+    TakeOrdered. The blocking discipline is identical to
+    `text_source_overlap`/PPJoin; at 100 TB block further by coarse
+    behavior signature (e.g. most-common transition) before the join."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    grams = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "user_id",
+            F.concat_ws(">", F.col("prev"), F.col("event_type")).alias("bg"),
+        )
+        .distinct()
+    )
+    totals = grams.groupBy("user_id").agg(F.count("*").alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bg") == F.col("b.bg"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    ta = totals.select(F.col("user_id").alias("user_a"), F.col("n").alias("na"))
+    tb = totals.select(F.col("user_id").alias("user_b"), F.col("n").alias("nb"))
+    jacc = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        pairs.join(F.broadcast(ta), "user_a")
+        .join(F.broadcast(tb), "user_b")
+        .select(
+            "user_a",
+            "user_b",
+            "common",
+            F.round(jacc, 6).alias("jaccard"),
+            jacc.alias("_j"),
+        )
+        .orderBy(F.desc("_j"), "user_a", "user_b")
+        .limit(50)
+        .drop("_j")
+    )
