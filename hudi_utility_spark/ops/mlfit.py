@@ -120,3 +120,43 @@ def trimmed_mean_agg(
     return df.groupBy(group_col).agg(
         _n(value_col).alias("n"), _tmean(value_col).alias("trimmed_mean")
     )
+
+
+def compile_tree(tree: dict):
+    """Compile a decision-tree dict into a single nested CASE Column —
+    GBM/random-forest INFERENCE as a pure Catalyst expression (the
+    operator-fusion trick: scoring shallow tree ensembles needs no UDF,
+    no model server, no Python worker — it rides whole-stage codegen at
+    scan bandwidth). Node spec: ``{"feature": col, "threshold": t,
+    "left": <node>, "right": <node>}`` (left = feature < threshold,
+    NULLs fall right, XGBoost-style); leaf spec: ``{"leaf": value}``.
+    """
+    from pyspark.sql import functions as F
+
+    if "leaf" in tree:
+        return F.lit(float(tree["leaf"]))
+    cond = F.col(tree["feature"]) < F.lit(float(tree["threshold"]))
+    return F.when(cond, compile_tree(tree["left"])).otherwise(
+        compile_tree(tree["right"])
+    )
+
+
+def tree_sql(tree: dict) -> str:
+    """The same tree as ANSI SQL (oracle mirror of :func:`compile_tree`
+    — identical branch structure and literal arithmetic)."""
+    if "leaf" in tree:
+        return f"CAST({float(tree['leaf'])} AS DOUBLE)"
+    return (
+        f"CASE WHEN {tree['feature']} < CAST({float(tree['threshold'])} AS DOUBLE) "
+        f"THEN {tree_sql(tree['left'])} ELSE {tree_sql(tree['right'])} END"
+    )
+
+
+def ensemble_score(df: DataFrame, trees: list[dict], out_col: str = "score"):
+    """Sum-of-trees ensemble score as one fused expression column."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    total = reduce(lambda a, t: a + compile_tree(t), trees, F.lit(0.0))
+    return df.withColumn(out_col, total)

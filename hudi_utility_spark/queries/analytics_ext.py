@@ -798,3 +798,65 @@ def ev_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .drop("_j")
     )
+
+
+_TREES = [
+    {
+        "feature": "value",
+        "threshold": 120.0,
+        "left": {
+            "feature": "hr",
+            "threshold": 12.0,
+            "left": {"leaf": -0.4},
+            "right": {"leaf": 0.1},
+        },
+        "right": {
+            "feature": "u7",
+            "threshold": 3.0,
+            "left": {"leaf": 0.7},
+            "right": {"leaf": 1.2},
+        },
+    },
+    {
+        "feature": "hr",
+        "threshold": 18.0,
+        "left": {"feature": "value", "threshold": 60.0,
+                 "left": {"leaf": -0.2}, "right": {"leaf": 0.3}},
+        "right": {"leaf": 0.5},
+    },
+]
+
+
+def _ensemble_oracle() -> str:
+    from hudi_utility_spark.ops.mlfit import tree_sql
+
+    score = " + ".join(f"({tree_sql(t)})" for t in _TREES)
+    return f"""
+    WITH feats AS (
+      SELECT event_id, value, user_id % 7 AS u7,
+             CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS hr
+      FROM events
+    )
+    SELECT event_id, ROUND({score}, 6) AS score FROM feats
+    """
+
+
+@query("ml_tree_ensemble_score", _ensemble_oracle())
+def ml_tree_ensemble_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tree-ensemble inference as ONE fused Catalyst expression
+    (ops/mlfit.py `compile_tree`/`ensemble_score`): a two-tree GBM-style
+    scorer over derived features runs at scan bandwidth inside
+    whole-stage codegen — no UDF, no Python worker, no model server.
+    The oracle is the same trees compiled to SQL CASE by the same
+    spec, so branch structure and literal arithmetic are mirrored."""
+    from hudi_utility_spark.ops.mlfit import ensemble_score
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        (F.col("user_id") % 7).alias("u7"),
+        F.hour("ts").cast("double").alias("hr"),
+    )
+    return ensemble_score(ev, _TREES).select(
+        "event_id", F.round("score", 6).alias("score")
+    )

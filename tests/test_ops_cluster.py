@@ -153,3 +153,22 @@ def test_trimmed_mean_agg_matches_numpy_reference(spark):
     # h: one non-null value, k=0 -> mean([5]) = 5
     assert got["h"] == (1, 5.0)
     assert np.isclose(got["g"][1], 3.0)
+
+
+def test_tree_ensemble_null_falls_right_and_sums(spark):
+    from hudi_utility_spark.ops.mlfit import ensemble_score
+
+    tree = {
+        "feature": "x",
+        "threshold": 5.0,
+        "left": {"leaf": 1.0},
+        "right": {"leaf": 2.0},
+    }
+    df = spark.createDataFrame(
+        [(1, 3.0), (2, 7.0), (3, None)], "id long, x double"
+    )
+    got = {
+        r["id"]: r["score"]
+        for r in ensemble_score(df, [tree, tree]).collect()
+    }
+    assert got == {1: 2.0, 2: 4.0, 3: 4.0}  # NULL routes right, trees sum
