@@ -102,6 +102,12 @@ HEADLINE = [
     "merge_multi_action",
     "stat_trimmed_mean",
     "sim_bruteforce_topk_arrow",
+    "asof_forward_next_click",
+    "dq_equidepth_histogram",
+    "text_source_overlap",
+    "ev_user_similarity",
+    "rtr_inverted_index",
+    "ml_tree_ensemble_score",
 ]
 
 
