@@ -130,6 +130,10 @@ def _clear_cache(spark) -> None:
     teardown cost out of per-query steady-state numbers."""
     try:
         spark.catalog.clearCache()
+        # nudge the ContextCleaner: broadcast/shuffle state is reclaimed
+        # on driver GC, and without it the suite's tail inherits hundreds
+        # of queries of pinned blocks (measured 10x+ tail inflation)
+        spark.sparkContext._jvm.System.gc()
     except Exception:
         pass
 

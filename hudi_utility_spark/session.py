@@ -40,6 +40,15 @@ _DEFAULTS = {
     # pyspark_script.py:273-276).
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.ui.enabled": "false",
+    # ContextCleaner reclaims broadcast/shuffle/RDD state only when the
+    # DRIVER GCs; the stock periodic System.gc() fires every 30 min —
+    # never, for a benchmark or test session — so hundreds of queries
+    # accumulate broadcast blocks and shuffle files until storage memory
+    # pressure (and disk-evicted broadcasts) degrade late queries 10×+
+    # (measured: the 80-query suite's tail ran 41 s vs 3.6 s fresh).
+    # One minute keeps long-lived sessions flat; on a cluster the same
+    # setting protects multi-tenant executors.
+    "spark.cleaner.periodicGC.interval": "60s",
 }
 
 
