@@ -25,10 +25,18 @@ from hudi_utility_spark.write import (
     upsert,
     upsert_partial,
     latest_by_key,
+    merge_into,
     resolve_partial,
     delete_keys,
     write_zordered,
 )
+from hudi_utility_spark.scd import (
+    asof_dimension_join,
+    scd2_apply,
+    scd2_from_history,
+)
+from hudi_utility_spark.materialize import replicate_incremental
+from hudi_utility_spark.validate import table_diff
 from hudi_utility_spark.repair import (
     missing_partitions,
     incomplete_partitions,
@@ -58,7 +66,13 @@ __all__ = [
     "latest_by_key",
     "resolve_partial",
     "delete_keys",
+    "merge_into",
     "write_zordered",
+    "scd2_from_history",
+    "scd2_apply",
+    "asof_dimension_join",
+    "replicate_incremental",
+    "table_diff",
     "missing_partitions",
     "incomplete_partitions",
     "partition_counts",
