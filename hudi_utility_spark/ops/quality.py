@@ -375,3 +375,31 @@ def equi_width_histogram(
             "n",
         )
     )
+
+
+def pseudonymize(
+    df: DataFrame,
+    cols: list[str],
+    salt: str,
+) -> DataFrame:
+    """Deterministic keyed pseudonymization: each listed column is
+    replaced by ``md5(salt || value)`` (NULLs stay NULL) — the
+    privacy-preserving release form that still JOINS: the same value
+    under the same salt maps to the same token in every table and every
+    run, so pseudonymized fact/dim datasets remain linkable without
+    exposing raw identifiers. Rotating the salt severs linkage to past
+    releases (the GDPR re-keying pattern); brute-forceable low-entropy
+    domains need the salt kept secret, exactly like an HMAC key.
+
+    Map-only (one md5 expression per column, codegen'd) at any scale.
+    Columns are replaced in place — emitting raw and token side by side
+    would defeat the point.
+    """
+    out = df
+    for c in cols:
+        token = F.when(
+            F.col(c).isNotNull(),
+            F.md5(F.concat(F.lit(salt), F.col(c).cast("string")).cast("binary")),
+        )
+        out = out.withColumn(c, token)
+    return out

@@ -307,3 +307,46 @@ def dq_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 2).alias("hi"),
         )
     )
+
+
+@query(
+    "dq_pseudonymized_join",
+    """
+    WITH ev AS (
+      SELECT md5('k7' || CAST(user_id AS VARCHAR)) AS user_tok,
+             event_type, value
+      FROM events
+    ), cust AS (
+      SELECT DISTINCT md5('k7' || CAST(user_id AS VARCHAR)) AS user_tok,
+             user_id % 3 AS segment
+      FROM events
+    )
+    SELECT c.segment, ev.event_type, COUNT(*) AS n,
+           ROUND(SUM(ev.value), 2) AS total_value
+    FROM ev JOIN cust c ON ev.user_tok = c.user_tok
+    GROUP BY c.segment, ev.event_type
+    """,
+)
+def dq_pseudonymized_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-preserving linkage (ops/quality.py `pseudonymize`): both
+    relations pseudonymize `user_id` under the same salt, then join on
+    the TOKEN — raw identifiers never appear in the joined output, yet
+    the linkage is exact. Map-only tokenization + one token-keyed
+    join; the oracle replays the identical md5(salt||value) algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    facts = Q.pseudonymize(
+        ev.select("user_id", "event_type", "value"), ["user_id"], salt="k7"
+    ).withColumnRenamed("user_id", "user_tok")
+    dim = Q.pseudonymize(
+        ev.select("user_id", (F.col("user_id") % 3).alias("segment")).distinct(),
+        ["user_id"],
+        salt="k7",
+    ).withColumnRenamed("user_id", "user_tok")
+    return (
+        facts.join(dim, "user_tok")
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

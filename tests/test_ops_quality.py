@@ -179,3 +179,21 @@ def test_quarantine_split_requires_row_local_constraint(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError, match="row-local"):
         Q.quarantine_split(df, [Q.unique("id")])
+
+
+def test_pseudonymize_links_across_tables_and_rotates(spark):
+    from hudi_utility_spark.ops import quality as Q
+
+    a = spark.createDataFrame([(1, "x"), (2, "y"), (None, "z")], "uid long, p string")
+    b = spark.createDataFrame([(1, "seg1"), (2, "seg2")], "uid long, seg string")
+    ta = Q.pseudonymize(a, ["uid"], salt="s1")
+    tb = Q.pseudonymize(b, ["uid"], salt="s1")
+    joined = ta.join(tb, "uid")
+    assert joined.count() == 2  # same salt -> tokens link exactly
+    assert {r["p"] for r in joined.collect()} == {"x", "y"}
+    # raw ids never survive
+    toks = {r["uid"] for r in ta.collect()}
+    assert None in toks and all(t is None or len(t) == 32 for t in toks)
+    # rotated salt severs linkage
+    tb2 = Q.pseudonymize(b, ["uid"], salt="s2")
+    assert ta.join(tb2, "uid").isEmpty()
