@@ -393,3 +393,73 @@ def expire_partitions(
     kept = len(_parts(table.base_path))
     spark.catalog.refreshByPath(table.base_path)
     return {"dropped": dropped, "kept": kept}
+
+
+def export_snapshot(
+    spark: SparkSession, table: KeyedTable, dest: str
+) -> dict:
+    """Backup service: write the table's RESOLVED current snapshot
+    (MOR base+log folded, tombstones dropped) to ``dest`` as a plain
+    partitioned-parquet layout, plus an ``_export_meta.json`` recording
+    the table spec and the exported instant. The backup is
+    self-contained — readable by any engine, importable by
+    :func:`restore_snapshot` — and costs one resolved read + one
+    partitioned write (the same IO as a clustering pass over the live
+    data). Savepoint-style guarantees without retaining the log:
+    export is the off-table archival arm, savepoints the in-table one.
+    """
+    import json as _json
+    import os
+
+    from hudi_utility_spark.concurrency import latest_commit
+    from hudi_utility_spark.write import write_partitioned
+
+    snap = table.read(spark)
+    instant = latest_commit(spark, table)
+    write_partitioned(snap, dest, table.partition_fields, mode="overwrite")
+    meta = {
+        "record_key": table.record_key,
+        "precombine": table.precombine,
+        "partition_fields": table.partition_fields,
+        "instant": instant,
+        "rows": spark.read.parquet(dest).count(),
+    }
+    with open(os.path.join(dest, "_export_meta.json"), "w") as f:
+        f.write(_json.dumps(meta))
+    return meta
+
+
+def restore_snapshot(
+    spark: SparkSession, table: KeyedTable, backup: str
+) -> dict:
+    """Restore a table from an :func:`export_snapshot` backup: the
+    backup's data replaces the table's base via the crash-safe swap
+    (leases/savepoints survive; the MOR log and stale indexes drop —
+    the restored state IS the resolved snapshot, so the log is
+    incorporated by construction). Refuses a backup whose key spec
+    disagrees with the table's. Returns the backup metadata."""
+    import json as _json
+    import os
+    import shutil
+
+    from hudi_utility_spark.table import _MOR_LOG_DIR
+    from hudi_utility_spark.write import atomic_swap_dir
+
+    meta_path = os.path.join(backup, "_export_meta.json")
+    if not os.path.exists(meta_path):
+        raise ValueError(f"{backup} is not an export_snapshot backup")
+    meta = _json.loads(open(meta_path).read())
+    for k in ("record_key", "precombine", "partition_fields"):
+        if meta[k] != getattr(table, k):
+            raise ValueError(
+                f"backup {k}={meta[k]!r} does not match table "
+                f"{getattr(table, k)!r}"
+            )
+    tmp = table.path.rstrip("/") + ".restore.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(
+        backup, tmp, ignore=shutil.ignore_patterns("_export_meta.json")
+    )
+    atomic_swap_dir(tmp, table.path, drop_meta=(_MOR_LOG_DIR, "_index"))
+    spark.catalog.refreshByPath(table.path)
+    return meta

@@ -460,3 +460,67 @@ def test_repartition_layout_evolves_scheme_content_invariant(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not in schema"):
         evolved.repartition_layout(spark, ["nope"])
+
+
+def test_export_restore_snapshot_round_trip(spark, tmp_path):
+    from hudi_utility_spark.table import KeyedTable, TableType
+    from hudi_utility_spark.write import upsert
+    import pyspark.sql.functions as F
+
+    table = KeyedTable(
+        path=str(tmp_path / "bk"),
+        record_key=["id"],
+        precombine="v",
+        partition_fields=["p"],
+        table_type=TableType.MERGE_ON_READ,
+    )
+    upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, 1, "a", 1.0), (2, 1, "b", 2.0)], "id long, v long, p string, x double"
+        ),
+        table,
+        commit_time="20260101000000000",
+    )
+    # log churn before export: backup must hold the RESOLVED snapshot
+    upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, 2, "a", 11.0)], "id long, v long, p string, x double"
+        ),
+        table,
+        commit_time="20260102000000000",
+    )
+    want = {(r["id"], r["x"]) for r in table.read(spark).collect()}
+
+    backup = str(tmp_path / "backup")
+    meta = timeline.export_snapshot(spark, table, backup)
+    assert meta["rows"] == 2 and meta["instant"] == "20260102000000000"
+    # backup is plain parquet: readable standalone
+    assert spark.read.parquet(backup).count() == 2
+
+    # diverge the live table, then restore
+    upsert(
+        spark,
+        spark.createDataFrame(
+            [(3, 3, "a", 99.0)], "id long, v long, p string, x double"
+        ),
+        table,
+    )
+    timeline.savepoint(table, "20260101000000000")
+    timeline.restore_snapshot(spark, table, backup)
+    got = {(r["id"], r["x"]) for r in table.read(spark).collect()}
+    assert got == want
+    assert timeline.list_savepoints(table) == ["20260101000000000"]  # meta survived
+
+    # spec mismatch refused
+    import pytest as _pytest
+
+    other = KeyedTable(
+        path=str(tmp_path / "other"),
+        record_key=["other_id"],
+        precombine="v",
+        partition_fields=["p"],
+    )
+    with _pytest.raises(ValueError, match="does not match"):
+        timeline.restore_snapshot(spark, other, backup)
