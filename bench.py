@@ -108,6 +108,7 @@ HEADLINE = [
     "ev_user_similarity",
     "rtr_inverted_index",
     "ml_tree_ensemble_score",
+    "dq_pseudonymized_join",
 ]
 
 

@@ -209,6 +209,27 @@ class TableServices:
             ),
         )
 
+    def export_to(self, dest: str) -> dict:
+        """Ledgered snapshot backup (`timeline.export_snapshot`)."""
+        from hudi_utility_spark import timeline
+
+        return self._ledgered(
+            "export",
+            lambda: timeline.export_snapshot(self.engine.spark, self.table, dest),
+        )
+
+    def restore_from(self, backup: str) -> dict:
+        """Ledgered restore from a snapshot backup
+        (`timeline.restore_snapshot`)."""
+        from hudi_utility_spark import timeline
+
+        return self._ledgered(
+            "restore",
+            lambda: timeline.restore_snapshot(
+                self.engine.spark, self.table, backup
+            ),
+        )
+
     def diff_against(self, other: DataFrame, compare_cols=None) -> DataFrame:
         """Row-level diff of this table's snapshot against *other*
         (`validate.table_diff`) — read-only, so not ledgered."""

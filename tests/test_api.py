@@ -255,3 +255,31 @@ def test_table_services_merge_replicate_diff(spark, tmp_path):
     ]
     assert any('"op": "replicate"' in d for d in datas)
     assert any('"op": "merge"' in d for d in datas)
+
+
+def test_table_services_export_restore(spark, tmp_path):
+    from hudi_utility_spark.api import Engine, TableServices
+    from hudi_utility_spark.table import KeyedTable, TableType
+
+    eng = Engine(spark, str(tmp_path / "ledger"))
+    svc = TableServices(
+        eng,
+        KeyedTable(
+            path=str(tmp_path / "t"),
+            record_key=["id"],
+            precombine="v",
+            partition_fields=["p"],
+            table_type=TableType.COPY_ON_WRITE,
+            name="bk_svc",
+        ),
+    )
+    svc.upsert(
+        spark.createDataFrame([(1, 1, "a", 1.0)], "id long, v long, p string, x double")
+    )
+    meta = svc.export_to(str(tmp_path / "bkup"))
+    assert meta["rows"] == 1
+    svc.upsert(
+        spark.createDataFrame([(2, 1, "a", 2.0)], "id long, v long, p string, x double")
+    )
+    svc.restore_from(str(tmp_path / "bkup"))
+    assert svc.read().count() == 1
