@@ -407,3 +407,42 @@ def test_merge_into_matches_reference_model(spark, target, source, tmp_path_fact
         else:
             model[i] = float(v)
     assert got == model
+
+
+# --- span dedup: every distinct span survives exactly once, corpus-wide ---
+
+_WORDS = st.sampled_from(["a", "b", "c"])
+_DOCS = st.lists(
+    st.lists(_WORDS, min_size=2, max_size=8),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(docs=_DOCS)
+@_SETTINGS
+def test_dedup_spans_conservation(spark, docs):
+    from hudi_utility_spark.ops.text import dedup_spans
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_spans(df, span_tokens=2).collect()
+
+    # expected span multiset per doc (non-overlapping 2-word windows,
+    # short tail kept)
+    def spans(ws):
+        return [" ".join(ws[i : i + 2]) for i in range(0, len(ws), 2)]
+
+    all_spans = [s for ws in docs for s in spans(ws)]
+    distinct = set(all_spans)
+    got_total = sum(r["n_spans"] for r in out)
+    got_kept = sum(r["n_kept"] for r in out)
+    assert got_total == len(all_spans)  # nothing lost before dedup
+    assert got_kept == len(distinct)  # each distinct span survives ONCE
+    # rebuilt docs contain only kept spans, in order, space-joined
+    kept_spans = []
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        if r["rebuilt"]:
+            kept_spans.extend(r["rebuilt"].split(" "))
+    # every rebuilt token multiset ⊆ original corpus tokens
+    assert len(kept_spans) <= sum(len(ws) for ws in docs)
