@@ -54,3 +54,34 @@ def test_headline_plans_no_cartesian_bounded_bnlj(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             offenders.append((name, "bnlj"))
     assert not offenders, offenders
+
+
+# queries whose kernels are DECLARED Arrow/Python (the five-entry UDF
+# matrix); everything else must stay entirely JVM-side
+ARROW_OK = {
+    "mm_feature_extraction",
+    "ml_group_linfit",
+    "stat_trimmed_mean",
+    "sim_bruteforce_topk_arrow",
+}
+
+
+def test_headline_plans_stay_jvm_side(spark, sf_dir):
+    """SURVEY §2.10 policy, enforced: no Python evaluation nodes in any
+    headline plan outside the declared Arrow kernels — a built-in
+    expression silently degrading to a Python UDF (easy to do via
+    api changes or accidental closures) fails here, not on a cluster."""
+    import re
+
+    import __spark_entry__ as entrymod
+    from bench import HEADLINE
+
+    qs = entrymod.queries()
+    offenders = []
+    for name in HEADLINE:
+        if name in SCRATCH or name in ARROW_OK:
+            continue
+        plan = _plan(qs[name](spark, sf_dir))
+        if re.search(r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas", plan):
+            offenders.append(name)
+    assert not offenders, offenders
