@@ -1,7 +1,8 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints the
+full JSON record {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...} (also written to BENCH_LOCAL.json),
+then a compact always-parseable summary as the LAST line.
 
 Materialization goes through the noop datasource sink — full JVM-side
 execution of every operator (a bare count() would let Catalyst prune the
@@ -182,7 +183,35 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # The full per-query line is ~3.5 KB — longer than the driver's
+    # output-tail capture, which truncated it to unparseable in r4. So:
+    # (1) persist the complete record to BENCH_LOCAL.json next to this
+    # script, (2) print the full line FIRST (fine if truncated), and
+    # (3) end with a compact summary line (total first, slowest-15
+    # sample) that always fits the tail and always parses.
+    full_line = json.dumps(out)
+    try:
+        Path(__file__).resolve().parent.joinpath("BENCH_LOCAL.json").write_text(
+            full_line + "\n"
+        )
+    except OSError:
+        pass
+    print(full_line)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:15]
+    )
+    summary: dict = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries": slowest,
+        "queries_truncated": len(timings) > len(slowest),
+        "queries_file": "BENCH_LOCAL.json",
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -745,15 +745,35 @@ def stat_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ev_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Behavioral-sequence similarity (REPOSE-style trajectory top-k,
-    reduced to transition shingles): each user's event stream becomes a
-    distinct set of `prev>next` transition bigrams; pair similarity is
-    set Jaccard, computed with a gram-keyed self-join whose per-gram
-    fan-out is bounded by the number of users sharing that transition —
-    never all-pairs over users. Totals broadcast back; top-50 via
-    TakeOrdered. The blocking discipline is identical to
-    `text_source_overlap`/PPJoin; at 100 TB block further by coarse
-    behavior signature (e.g. most-common transition) before the join."""
+    """Behavioral-sequence similarity (trajectory top-k reduced to
+    transition shingles): each user's event stream becomes a distinct
+    set of `prev>next` transition bigrams; pair similarity is set
+    Jaccard; top-50 pairs.
+
+    Scale plan — SIGNATURE-level, not user-level. With a
+    low-cardinality event alphabet (|types|² possible bigrams; 25
+    here) nearly every user shares nearly every gram, so a user-level
+    gram-keyed self-join degenerates to all-pairs (~25·C(users,2) join
+    rows — O(users²) at 100× users). Instead:
+
+    1. collapse users to their transition-set SIGNATURE (sorted gram
+       array). Signature cardinality is bounded by the number of
+       distinct behavioral profiles (≤ 2^|grams|, saturates as users
+       grow: 598 sigs for 1500 users at sf0.1) — so every later stage
+       is bounded by profiles, never users².
+    2. gram-keyed self-join over DISTINCT signatures → per-pair shared
+       gram count (`common` = |intersection|, one row per shared gram).
+    3. same-signature groups (≥2 users) are Jaccard-1 pairs by
+       definition — no join needed.
+    4. expand the top sig-pairs back to user pairs, capping each member
+       list at the 51 smallest user_ids: any pair among the 50
+       lexicographically-smallest (user_a, user_b) of a sig-pair has
+       both endpoints within its side's 51 smallest members (replacing
+       a larger member with a smaller same-side one always yields a
+       lexicographically smaller pair), so the cap is EXACT for the
+       top-50 while bounding the expansion at 51² rows per sig-pair.
+    5. global top-50 via TakeOrderedAndProject (no global sort).
+    """
     ev = _t(spark, sf_dir, "events")
     from pyspark.sql import Window
 
@@ -767,32 +787,93 @@ def ev_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    totals = grams.groupBy("user_id").agg(F.count("*").alias("n"))
-    a, b = grams.alias("a"), grams.alias("b")
-    pairs = (
+    # user -> signature; signature -> (id, members, n). md5 of the
+    # joined gram list is the sig key (128-bit: collision-safe).
+    user_sigs = grams.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("bg")).alias("sig")
+    )
+    sig_groups = (
+        user_sigs.groupBy("sig")
+        .agg(
+            F.sort_array(F.collect_list("user_id")).alias("members"),
+            F.count("*").alias("cnt"),
+        )
+        .withColumn("sid", F.md5(F.concat_ws("\x01", "sig")))
+        .withColumn("n", F.size("sig"))
+        .withColumn("members", F.slice("members", 1, 51))
+        .persist()
+    )
+    sig_grams = sig_groups.select("sid", "n", F.explode("sig").alias("bg"))
+    a, b = sig_grams.alias("a"), sig_grams.alias("b")
+    cross = (
         a.join(
             b,
             (F.col("a.bg") == F.col("b.bg"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
+            & (F.col("a.sid") < F.col("b.sid")),
         )
         .groupBy(
-            F.col("a.user_id").alias("user_a"),
-            F.col("b.user_id").alias("user_b"),
+            F.col("a.sid").alias("sid_a"),
+            F.col("b.sid").alias("sid_b"),
         )
-        .agg(F.count("*").alias("common"))
+        .agg(
+            F.count("*").alias("common"),
+            F.first("a.n").alias("na"),
+            F.first("b.n").alias("nb"),
+        )
+        .withColumn(
+            "_j",
+            F.col("common")
+            / (F.col("na") + F.col("nb") - F.col("common")),
+        )
     )
-    ta = totals.select(F.col("user_id").alias("user_a"), F.col("n").alias("na"))
-    tb = totals.select(F.col("user_id").alias("user_b"), F.col("n").alias("nb"))
-    jacc = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    ma = sig_groups.select(F.col("sid").alias("sid_a"), F.col("members").alias("mem_a"))
+    mb = sig_groups.select(F.col("sid").alias("sid_b"), F.col("members").alias("mem_b"))
+    cross_pairs = (
+        cross.join(ma, "sid_a")
+        .join(mb, "sid_b")
+        .select(
+            F.explode("mem_a").alias("u"),
+            F.col("mem_b"),
+            "common",
+            "_j",
+        )
+        .select(
+            F.col("u"), F.explode("mem_b").alias("v"), "common", "_j"
+        )
+        .select(
+            F.least("u", "v").alias("user_a"),
+            F.greatest("u", "v").alias("user_b"),
+            "common",
+            "_j",
+        )
+    )
+    same_pairs = (
+        sig_groups.filter(F.col("cnt") >= 2)
+        .select(
+            F.col("members"),
+            F.col("n").alias("common"),
+            F.lit(1.0).alias("_j"),
+        )
+        .select(F.explode("members").alias("u"), "members", "common", "_j")
+        .select(
+            F.col("u"), F.explode("members").alias("v"), "common", "_j"
+        )
+        .filter(F.col("u") < F.col("v"))
+        .select(
+            F.col("u").alias("user_a"),
+            F.col("v").alias("user_b"),
+            "common",
+            "_j",
+        )
+    )
     return (
-        pairs.join(F.broadcast(ta), "user_a")
-        .join(F.broadcast(tb), "user_b")
+        cross_pairs.unionByName(same_pairs)
         .select(
             "user_a",
             "user_b",
             "common",
-            F.round(jacc, 6).alias("jaccard"),
-            jacc.alias("_j"),
+            F.round("_j", 6).alias("jaccard"),
+            "_j",
         )
         .orderBy(F.desc("_j"), "user_a", "user_b")
         .limit(50)

@@ -334,7 +334,7 @@ def pack_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT tok, COUNT(*) AS df,
-           list(doc_id ORDER BY doc_id) AS postings
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
     FROM pairs GROUP BY tok
     """,
 )
@@ -345,7 +345,9 @@ def rtr_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; postings arrays are per-term state (the classic IR
     shard unit — at 100 TB, partition the index BY TERM so each
     posting list lives in one task, and cap/segment pathological
-    stop-word terms the same way Lucene does)."""
+    stop-word terms the same way Lucene does). Postings are emitted
+    as a comma-joined string (scalar-typed output so the row is
+    canonicalizable/hashable by generic result comparators)."""
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
@@ -357,5 +359,7 @@ def rtr_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     return pairs.groupBy("tok").agg(
         F.count("*").alias("df"),
-        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias(
+            "postings"
+        ),
     )

@@ -67,12 +67,13 @@ def v4_partition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_profile")
 def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct profiling (HyperLogLog++) — the scale path
-    for distinct-value discovery (A3) on 100 TB inputs. No SQL oracle:
-    HLL estimates are engine-specific (driver does the rows-only check);
-    `a5_distinct_counts` covers the exact variant.
+    for distinct-value discovery (A3) on 100 TB inputs. Deliberately NOT
+    a registered query: the engine-private HLL++ sketch can't be
+    oracle-checked; the registered, value-hash-checked twin is
+    `approx_distinct_portable` (queries/quality_q.py). Covered by pytest
+    (tests/test_engine_queries.py) instead.
     """
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(

@@ -122,7 +122,8 @@ def range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j_bloom_reduced_join",
     """
     SELECT p.p_partkey AS partkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE p.p_type LIKE 'PROMO%'
     GROUP BY p.p_partkey
@@ -145,10 +146,14 @@ def j_bloom_reduced_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     joined = bloom_reduce_join(li, promo, "l_partkey", "p_partkey")
+    # Sum in DECIMAL so the aggregate is order-independent (float
+    # summation order differs between engines and can straddle a
+    # rounding boundary); cast back to DOUBLE for a stable output type.
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
     return joined.groupBy(F.col("p_partkey").alias("partkey")).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
+        F.sum(rev).cast("double").alias("revenue")
     )
 
 

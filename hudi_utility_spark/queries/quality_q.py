@@ -203,7 +203,8 @@ def dq_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dq_quarantine_rows",
     """
-    SELECT event_id, event_type, ROUND(value, 2) AS value, violations
+    SELECT event_id, event_type, ROUND(value, 2) AS value,
+           array_to_string(violations, ';') AS violations
     FROM (
       SELECT event_id, event_type, value,
              list_filter([
@@ -223,7 +224,9 @@ def dq_quarantine_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     `quarantine_split`, the DLT expect-or-quarantine pattern): bad rows
     annotated with every failed expectation in suite order. The
     violation array is one codegen'd map-only expression — good/bad are
-    two filters over the same annotated plan, zero shuffles."""
+    two filters over the same annotated plan, zero shuffles. Violations
+    are emitted ';'-joined (scalar output, canonicalizable by generic
+    result comparators); `quarantine_split` itself keeps the array."""
     from pyspark.sql import functions as F
 
     ev = load_table(spark, sf_dir, "events")
@@ -237,7 +240,7 @@ def dq_quarantine_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         F.round("value", 2).alias("value"),
-        "violations",
+        F.concat_ws(";", "violations").alias("violations"),
     )
 
 

@@ -649,10 +649,18 @@ def merge_into(
     - matched & ``update_condition``      → columns in ``update_set``
       re-evaluated (SQL exprs over aliases ``t`` = target, ``s`` =
       source); all others keep the target value
+    - a clause predicate evaluating to NULL is NOT taken (ANSI MERGE
+      semantics — NULL never deletes/updates/inserts)
     - matched otherwise                   → target row untouched
     - source-only & ``insert_condition``  → inserted (``insert_values``
       exprs, defaulting to the source column, NULL when absent)
     - target-only                         → untouched
+
+    A source with multiple rows per record key is precombined first
+    (latest by the table's precombine field, like Hudi); if the source
+    lacks the precombine column, duplicate keys raise (Spark's
+    MERGE_CARDINALITY_VIOLATION analogue) instead of fanning one target
+    row out N ways.
 
     Record-key and partition columns cannot be assigned (row identity /
     routing are immutable — Spark's own MERGE restriction). MOR tables
@@ -692,6 +700,29 @@ def merge_into(
     existing = table.read_base(spark)
     source = align_timestamp_types(source, existing.schema)
 
+    # Source-duplicate guard: N source rows per key would fan one target
+    # row out N ways and write duplicate keys into a keyed table (Spark
+    # MERGE raises MERGE_CARDINALITY_VIOLATION here). We precombine like
+    # Hudi instead: latest source row per key wins, ties resolved by the
+    # table's precombine field.
+    if table.precombine in source.columns:
+        source = latest_by_key(source, list(table.record_key), table.precombine)
+    else:
+        dup = (
+            source.groupBy(*table.record_key)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                "MERGE source has multiple rows per record key "
+                f"(e.g. {dict((k, dup[0][k]) for k in table.record_key)}) and no "
+                f"precombine column {table.precombine!r} to resolve them; "
+                "dedup the source or include the precombine field"
+            )
+
     touched: list | None = None
     if table.partition_fields:
         pcol = table.partition_fields[0]
@@ -707,18 +738,26 @@ def merge_into(
 
     matched = F.col("t._t_ex").isNotNull() & F.col("s._s_ex").isNotNull()
     s_only = F.col("t._t_ex").isNull()
+
+    def _gate(cond: str) -> F.Column:
+        # SQL MERGE semantics: a WHEN clause whose predicate evaluates
+        # to NULL is NOT taken. Without the coalesce, `~NULL` is NULL
+        # and the filter below would silently DROP the row (i.e. a NULL
+        # delete_condition value would delete data).
+        return F.coalesce(F.expr(cond), F.lit(False))
+
     del_gate = (
-        matched & F.expr(delete_condition)
+        matched & _gate(delete_condition)
         if delete_condition
         else F.lit(False)
     )
     upd_gate = (
-        (matched & F.expr(update_condition))
+        (matched & _gate(update_condition))
         if (update_set and update_condition)
         else (matched if update_set else F.lit(False))
     )
     ins_gate = (
-        (s_only & F.expr(insert_condition)) if insert_condition else s_only
+        (s_only & _gate(insert_condition)) if insert_condition else s_only
     )
     j = j.filter(~del_gate & ~(s_only & ~ins_gate))
 

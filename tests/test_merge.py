@@ -165,6 +165,73 @@ def test_merge_on_mor_compacts_then_matches_cow_result(spark, tmp_path):
     assert not os.path.isdir(mor.log_path) or not os.listdir(mor.log_path)
 
 
+def test_merge_null_condition_is_not_taken(spark, tmp_path):
+    """ANSI MERGE: a WHEN clause whose predicate evaluates to NULL is
+    NOT taken. A NULL delete_condition value must leave the row alone
+    (the ~NULL-is-NULL filter bug silently deleted it)."""
+    table = _table(tmp_path)
+    _seed(spark, table)
+    # id 1: value NULL via update first? Simpler: condition referencing a
+    # NULL source column -> predicate is NULL for that row.
+    src = spark.createDataFrame(
+        [(1, 99, "a", None), (3, 99, "b", 7.0)],
+        "id long, v long, part string, value double",
+    )
+    merge_into(
+        spark,
+        src,
+        table,
+        update_set={"value": "t.value + s.value"},
+        update_condition="s.value < 100",
+        delete_condition="s.value > 1000",
+    )
+    got = _snap(spark, table)
+    # id 1: s.value is NULL -> delete gate NULL (not taken), update gate
+    # NULL (not taken) -> target row untouched
+    assert got[1] == ("a", 100.0)
+    # id 3: delete NULL? no, 7.0 > 1000 is FALSE; update 7.0 < 100 TRUE
+    assert got[3] == ("b", 307.0)
+
+
+def test_merge_null_insert_condition_not_taken(spark, tmp_path):
+    table = _table(tmp_path)
+    _seed(spark, table)
+    src = spark.createDataFrame(
+        [(8, 1, "a", None), (9, 99, "a", 2.0)],
+        "id long, v long, part string, value double",
+    )
+    merge_into(spark, src, table, insert_condition="s.value > 1")
+    got = _snap(spark, table)
+    assert 8 not in got  # NULL insert predicate -> not inserted
+    assert got[9] == ("a", 2.0)
+
+
+def test_merge_source_duplicate_keys_precombined(spark, tmp_path):
+    """A source with 2 rows per key precombines (latest by the table's
+    precombine field wins) instead of writing duplicate keys."""
+    table = _table(tmp_path)
+    _seed(spark, table)
+    src = spark.createDataFrame(
+        [(3, 5, "b", 1.0), (3, 50, "b", 2.0), (3, 20, "b", 3.0)],
+        "id long, v long, part string, value double",
+    )
+    merge_into(spark, src, table, update_set={"value": "s.value"})
+    rows = [r for r in table.read(spark).collect() if r["id"] == 3]
+    assert len(rows) == 1
+    assert rows[0]["value"] == 2.0  # v=50 row won
+
+
+def test_merge_source_duplicates_without_precombine_raise(spark, tmp_path):
+    table = _table(tmp_path)
+    _seed(spark, table)
+    src = spark.createDataFrame(
+        [(3, "b", 1.0), (3, "b", 2.0)],
+        "id long, part string, value double",
+    )
+    with pytest.raises(ValueError, match="multiple rows per record key"):
+        merge_into(spark, src, table, update_set={"value": "s.value"})
+
+
 def test_merge_composite_key(spark, tmp_path):
     from hudi_utility_spark.table import KeyedTable, TableType
     from hudi_utility_spark.write import merge_into, upsert

@@ -59,7 +59,7 @@ def main() -> int:
     failures = []
     checked = 0
     for name, fn in sorted(qs.items()):
-        if name_filter and name_filter not in name:
+        if name_filter and not __import__("re").search(name_filter, name):
             continue
         checked += 1
         try:
