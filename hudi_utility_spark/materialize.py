@@ -197,8 +197,16 @@ def replicate_incremental(
         # deletes against a not-yet-created replica have nothing to do
     cdc.unpersist()
     os.makedirs(os.path.dirname(marker) or ".", exist_ok=True)
-    with open(marker, "w") as f:
+    # atomic marker write (temp + rename, same discipline as
+    # write.atomic_swap_dir): a crash mid-write must leave the old
+    # watermark intact, never a truncated one that would re-sync from
+    # a garbage instant
+    tmp_marker = marker + ".tmp"
+    with open(tmp_marker, "w") as f:
         f.write(until)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp_marker, marker)
     return {
         "applied_upserts": n_ups,
         "applied_deletes": n_dels,

@@ -213,7 +213,20 @@ def bloom_reduce_join(
     fact is huge — the classic 100 TB fact ⋈ 100 M-row dim. Size
     ``m_bits`` ≈ 10–16 bits per expected dim key for sub-1% false
     positives.
+
+    Only ``inner``/``semi`` (and ``right``, whose unmatched side is the
+    dim) are accepted: the pre-filter drops fact rows with no dim match
+    before the join, so any mode that must PRESERVE unmatched fact rows
+    (``left``/``full`` outer, ``anti``) would silently lose them.
     """
+    allowed = {"inner", "semi", "leftsemi", "left_semi", "right", "rightouter", "right_outer"}
+    if how.lower().replace("_", "") not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"bloom_reduce_join: how={how!r} is not equivalence-preserving — "
+            "the Bloom pre-filter drops unmatched fact rows, so only "
+            "inner/semi/right joins (whose results never keep them) are "
+            "supported; use a plain join for left/full/anti"
+        )
     n_words = (m_bits + 63) // 64
 
     def positions(col):

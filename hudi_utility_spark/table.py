@@ -294,13 +294,28 @@ class KeyedTable:
             F.hash(*[F.col(k) for k in self.record_key]),
             budget[F.col(pcol).cast("string")],
         )
+        # Pin the shuffle-partition count (disables AQE coalescing for
+        # this exchange) at 4x the total file budget so distinct
+        # (partition, salt) groups rarely collide into one task — each
+        # flagged partition then fans across ~budget tasks and writes
+        # ~budget files in parallel, instead of collapsing to a single
+        # task per partition.
+        total_budget = sum(flagged.values())
+        nparts = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+            4 * total_budget,
+        )
         packed = (
             scoped.withColumn("_salt", salt)
-            .repartition(F.col(pcol), F.col("_salt"))
+            .repartition(nparts, F.col(pcol), F.col("_salt"))
             .drop("_salt")
         )
         write_partitioned(
-            packed, self.base_path, self.partition_fields, mode="overwrite"
+            packed,
+            self.base_path,
+            self.partition_fields,
+            mode="overwrite",
+            pre_partitioned=True,
         )
         spark.catalog.refreshByPath(self.path)
         return {"compacted": flagged, "noop": False}

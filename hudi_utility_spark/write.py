@@ -199,6 +199,7 @@ def write_partitioned(
     partition_fields: list[str],
     mode: str = "overwrite",
     dynamic: bool = True,
+    pre_partitioned: bool = False,
 ) -> None:
     """partitionBy parquet write with small-file control.
 
@@ -207,9 +208,20 @@ def write_partitioned(
     files instead of (num_shuffle_partitions × num_values); AQE coalescing
     keeps tiny partitions merged. At 100 TB the same layout holds — file
     count scales with data volume, not task count.
+
+    ``pre_partitioned=True`` skips the repartition: the caller has
+    already laid the rows out (e.g. ``compact_small_files``' salted
+    ``(partition, salt)`` shuffle that fans one Hive partition across a
+    file budget of tasks) and a second repartition here would collapse
+    each partition back to a single task/file.
     """
     if partition_fields:
-        writer = df.repartition(*[F.col(c) for c in partition_fields]).write.mode(mode)
+        out = (
+            df
+            if pre_partitioned
+            else df.repartition(*[F.col(c) for c in partition_fields])
+        )
+        writer = out.write.mode(mode)
         # dynamic overwrite replaces only the partitions present in df
         # (partition repair); static overwrite wipes the whole table
         # (full bootstrap) — set per-write, independent of session config.

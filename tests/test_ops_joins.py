@@ -122,6 +122,23 @@ def test_bloom_reduce_join_no_false_negatives_small_m(spark):
     assert got.count() == plain.count() == 667
 
 
+def test_bloom_reduce_join_rejects_fact_preserving_modes(spark):
+    # the Bloom pre-filter drops unmatched fact rows, so left/full/anti
+    # would silently lose rows the join mode promises to keep
+    import pytest as _pytest
+
+    from hudi_utility_spark.ops.joins import bloom_reduce_join
+
+    fact = spark.createDataFrame([(1,)], "fk long")
+    dim = spark.createDataFrame([(1,)], "dk long")
+    for how in ("left", "leftouter", "left_outer", "full", "outer", "anti", "left_anti"):
+        with _pytest.raises(ValueError, match="not equivalence-preserving"):
+            bloom_reduce_join(fact, dim, "fk", "dk", how=how)
+    # semi and right remain accepted
+    assert bloom_reduce_join(fact, dim, "fk", "dk", how="semi").count() == 1
+    assert bloom_reduce_join(fact, dim, "fk", "dk", how="right").count() == 1
+
+
 def test_asof_join_forward_next_event(spark):
     import datetime as dt
 

@@ -81,6 +81,15 @@ def test_replica_tracks_source_through_churn(spark, tmp_path):
     assert _snap(spark, dst) == _snap(spark, src)
     assert (2, "b", 22.0) in _snap(spark, dst)
 
+    # watermark marker is written atomically: final file present with
+    # the latest instant, no torn .tmp remnant left behind
+    import os
+
+    marker = dst.path.rstrip("/") + "._sync_since"
+    assert os.path.exists(marker)
+    assert open(marker).read().strip() == r4["until"]
+    assert not os.path.exists(marker + ".tmp")
+
 
 def test_replication_steps_compose_to_one_shot(spark, tmp_path):
     """Syncing after every commit and syncing once at the end land on

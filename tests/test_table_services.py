@@ -412,6 +412,54 @@ def test_compact_small_files_targets_only_flagged_partitions(spark, tmp_path):
     )["noop"] or len(files("a")) == len(after_a)
 
 
+def test_compact_small_files_honors_multi_file_budget(spark, tmp_path):
+    """A flagged partition with file budget N>1 is rewritten across N
+    parallel tasks into N files — not funneled through one task into
+    one file (the 100 TB big-partition rewrite path)."""
+    import os
+
+    from hudi_utility_spark.table import KeyedTable, TableType
+
+    table = KeyedTable(
+        path=str(tmp_path / "optn"),
+        record_key=["id"],
+        precombine="v",
+        partition_fields=["part"],
+        table_type=TableType.COPY_ON_WRITE,
+    )
+    # partition a: 6 fragments totalling well over target_file_bytes
+    for k in range(6):
+        spark.createDataFrame(
+            [(k * 3000 + i, 1, "a", float(i)) for i in range(3000)],
+            "id long, v long, part string, value double",
+        ).coalesce(1).write.partitionBy("part").mode("append").parquet(
+            table.base_path
+        )
+
+    def files(p):
+        d = os.path.join(table.base_path, f"part={p}")
+        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+    a_bytes = sum(
+        os.path.getsize(os.path.join(table.base_path, "part=a", f))
+        for f in files("a")
+    )
+    target = a_bytes // 3  # -> budget of 3 or 4 files
+    before_rows = sorted(
+        (r["id"], r["value"]) for r in table.read(spark).collect()
+    )
+    res = table.compact_small_files(
+        spark, small_file_bytes=32 * 1024 * 1024, target_file_bytes=target
+    )
+    budget = res["compacted"]["a"]
+    assert budget > 1
+    assert len(files("a")) == budget
+    after_rows = sorted(
+        (r["id"], r["value"]) for r in table.read(spark).collect()
+    )
+    assert after_rows == before_rows
+
+
 def test_repartition_layout_evolves_scheme_content_invariant(spark, tmp_path):
     import os
 
