@@ -94,6 +94,7 @@ HEADLINE = [
     "ml_group_linfit",
     "scd2_incremental_apply",
     "pack_weighted_sample",
+    "pack_temperature_sample",
     "graph_pagerank_parts",
     "text_span_dedup_rebuild",
     "ts_rolling_features",

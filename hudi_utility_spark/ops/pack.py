@@ -310,3 +310,66 @@ def weighted_sample(
         .limit(k)
         .drop("_race_key")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    budget_fraction: float = 0.5,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based group rebalancing — the classic multilingual
+    pretraining recipe (sample language g with probability ∝ p_g^α,
+    α<1 flattening the distribution so low-resource languages are
+    upweighted relative to their share): keep-rate for group g is
+    ``min(1, q_g · B / n_g)`` with ``q_g = p_g^α / Σ_h p_h^α``,
+    ``p_g = n_g / N`` and row budget ``B = floor(N · budget_fraction)``.
+
+    Deterministic and engine-portable by construction, like the rest of
+    the sampling family: membership is the md5-uniform vs
+    integer-threshold comparison, and every data-dependent float step
+    is IEEE-reproducible — ``α = 0.5`` routes through ``sqrt``
+    (correctly rounded by IEEE 754, unlike ``pow``, which libm only
+    bounds to ~1 ulp), and the normalizer Σ p^α is summed in
+    DECIMAL(38,20) so it is exact and order-independent before the
+    single cast back to double. Other α values use ``pow`` and carry a
+    ≤1-ulp cross-engine caveat at threshold boundaries.
+
+    Plan: one tiny group-count aggregate (|groups| rows), two
+    single-row aggregate broadcasts, then a broadcast threshold join +
+    map-only filter over the corpus — no corpus-sized shuffle. Rows
+    with a NULL group are dropped (no temperature semantics without a
+    group).
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    c = counts.crossJoin(F.broadcast(tot))
+    p = F.col("n").cast("double") / F.col("total")
+    pa = F.sqrt(p) if alpha == 0.5 else F.pow(p, F.lit(float(alpha)))
+    c = c.withColumn("pa", pa)
+    ssum = c.agg(
+        F.sum(F.col("pa").cast("decimal(38,20)")).cast("double").alias("s")
+    )
+    c = c.crossJoin(F.broadcast(ssum))
+    budget = F.floor(
+        F.col("total").cast("double") * F.lit(float(budget_fraction))
+    )
+    thr = c.select(
+        F.col(group_col),
+        F.floor(
+            budget.cast("double")
+            * F.col("pa")
+            / F.col("s")
+            / F.col("n").cast("double")
+            * F.lit(16777216.0)
+        )
+        .cast("long")
+        .alias("_t"),
+    )
+    uniform = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 6),
+        16,
+        10,
+    ).cast("long")
+    return df.join(F.broadcast(thr), group_col).filter(uniform < F.col("_t")).drop("_t")

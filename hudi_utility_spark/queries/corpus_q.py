@@ -82,6 +82,48 @@ def pack_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_temperature_sample",
+    """
+    WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(n) AS total FROM counts),
+    pa AS (
+        SELECT lang, n,
+               SQRT(CAST(n AS DOUBLE) / (SELECT total FROM tot)) AS pa
+        FROM counts
+    ),
+    s AS (SELECT CAST(SUM(CAST(pa AS DECIMAL(38,20))) AS DOUBLE) AS s FROM pa),
+    thr AS (
+        SELECT lang,
+               CAST(FLOOR(
+                   CAST(FLOOR(CAST((SELECT total FROM tot) AS DOUBLE) * 0.5)
+                        AS DOUBLE)
+                   * pa / (SELECT s FROM s) / CAST(n AS DOUBLE) * 16777216.0
+               ) AS BIGINT) AS t
+        FROM pa
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    JOIN thr ON d.lang = thr.lang
+    WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))
+               AS BIGINT) < thr.t
+    """,
+)
+def pack_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (ops/pack.py
+    `temperature_sample`, the multilingual-pretraining p^alpha recipe):
+    sample half the corpus with per-language rates flattened at
+    alpha=0.5, so low-resource languages keep a larger share than their
+    natural frequency. Every float step is IEEE-reproducible (sqrt, a
+    DECIMAL-summed normalizer, one fixed operation order), so the
+    oracle re-derives the data-dependent thresholds and membership
+    matches document-for-document. Plan: tiny count aggregate +
+    broadcast thresholds + map-only md5 filter — no corpus shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return PK.temperature_sample(
+        docs, alpha=0.5, budget_fraction=0.5, group_col="lang"
+    ).select("doc_id", "lang")
+
+
+@query(
     "pack_training_mix",
     """
     WITH avail AS (

@@ -224,3 +224,49 @@ def test_weighted_sample_prefers_heavy_weights(spark):
     all_ids = {r["doc_id"] for r in PK.weighted_sample(df, 200, "w").collect()}
     assert 998 not in all_ids and 997 not in all_ids
     assert len(all_ids) == 101  # 100 light + 1 heavy, nothing else
+
+
+def test_temperature_sample_flattens_and_is_deterministic(spark, documents):
+    from pyspark.sql import functions as F
+
+    from hudi_utility_spark.ops.pack import temperature_sample
+
+    natural = {
+        r["lang"]: r["count"]
+        for r in documents.groupBy("lang").count().collect()
+    }
+    out = temperature_sample(documents, alpha=0.5, budget_fraction=0.5)
+    sampled = {
+        r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()
+    }
+    # alpha<1 flattens: every low-resource language keeps a HIGHER rate
+    # than every higher-resource one (monotone in 1/sqrt(n))
+    rates = {
+        g: sampled.get(g, 0) / n for g, n in natural.items() if n >= 20
+    }
+    ordered = sorted(rates, key=lambda g: natural[g])
+    for small, big in zip(ordered, ordered[1:]):
+        assert rates[small] >= rates[big] - 0.12, (small, big, rates)
+    # budget is approximately honored (binomial noise only)
+    total = sum(natural.values())
+    assert abs(sum(sampled.values()) - total / 2) < 0.15 * total
+    # pure function of doc_id + corpus stats: re-run is identical
+    again = temperature_sample(documents, alpha=0.5, budget_fraction=0.5)
+    assert out.select("doc_id").exceptAll(again.select("doc_id")).isEmpty()
+    assert again.select("doc_id").exceptAll(out.select("doc_id")).isEmpty()
+
+
+def test_temperature_sample_upweights_rare_group(spark):
+    from hudi_utility_spark.ops.pack import temperature_sample
+
+    rows = [(i, "big") for i in range(900)] + [
+        (i + 10_000, "rare") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(df, alpha=0.5, budget_fraction=0.5)
+    got = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    # natural share of 'rare' is 10%; sqrt-flattened target share is
+    # sqrt(.1)/(sqrt(.9)+sqrt(.1)) ~ 25% -> of a 500-row budget ~ 125,
+    # i.e. MORE than a proportional 50
+    assert got.get("rare", 0) > 70
+    assert got["big"] < 450

@@ -19,6 +19,7 @@ BNLJ_OK = {
     "rtr_bm25_topk",            # corpus-stats scalar broadcast
     "rtr_tfidf_keywords",       # same
     "text_vocab_topk",          # total-token scalar broadcast
+    "pack_temperature_sample",  # corpus-total + normalizer 1-row broadcasts
 }
 
 # queries that materialize scratch tables as a side effect of plan
