@@ -90,6 +90,7 @@ HEADLINE = [
     "stream_static_enrich",
     "dq_value_histogram",
     "sim_centroid_outliers",
+    "sim_eval_decontaminate",
     "sql_api_revenue_rank",
     "ml_group_linfit",
     "scd2_incremental_apply",

@@ -540,3 +540,46 @@ def hard_negatives(
         .filter(F.col("_rn") <= k)
         .drop("_rn", "_raw")
     )
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic twin of
+    n-gram `ops/text.decontaminate` (phi-style): a corpus row is
+    contaminated when its max cosine against ANY eval-set vector
+    reaches *threshold* (paraphrased leaks that share no exact n-gram
+    still land near the eval point in embedding space).
+
+    Plan: the eval set — small by definition (an eval benchmark, not a
+    corpus) — is collected once and re-enters the plan as ONE
+    array-of-arrays literal; the max-cosine fold is a codegen'd HOF
+    chain evaluated per corpus row. Map-only, zero shuffle, zero
+    Python — the same literal-broadcast discipline as `pq_adc_topk`'s
+    codebooks. At 100 TB the corpus side streams at scan bandwidth;
+    an eval set beyond literal size (≫10⁴ vectors) should move to the
+    broadcast-join + max-agg form instead.
+
+    Returns the corpus with ``max_eval_cos`` (rounded, 6dp) and
+    ``contaminated`` appended.
+    """
+    evals = [list(map(float, r[0])) for r in eval_set.select(vec_col).collect()]
+    if not evals:
+        return corpus.withColumn(
+            "max_eval_cos", F.lit(None).cast("double")
+        ).withColumn("contaminated", F.lit(False))
+    best = F.aggregate(
+        F.lit(evals),
+        F.lit(-2.0),
+        lambda acc, ev: F.greatest(acc, cosine(F.col(vec_col), ev)),
+    )
+    return (
+        corpus.withColumn("_m", best)
+        .withColumn("max_eval_cos", F.round("_m", 6))
+        .withColumn("contaminated", F.col("_m") >= F.lit(float(threshold)))
+        .drop("_m")
+    )

@@ -349,3 +349,37 @@ def test_hard_negatives_exact_and_blocked(spark):
     }
     assert 3 not in blocked
     assert blocked[0] == 2
+
+
+def test_embedding_decontaminate_flags_planted_leak(spark):
+    from pyspark.sql import functions as F
+
+    from hudi_utility_spark.ops.similarity import embedding_decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),   # exact copy of eval vector -> cos 1
+            (2, [0.9, 0.1, 0.0]),   # near-paraphrase -> cos ~0.99
+            (3, [0.0, 0.0, 1.0]),   # orthogonal -> cos 0
+            (4, [-1.0, 0.0, 0.0]),  # opposite -> cos -1
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    evals = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = embedding_decontaminate(corpus, evals, threshold=0.95)
+    got = {
+        r["vec_id"]: (r["contaminated"], r["max_eval_cos"])
+        for r in out.collect()
+    }
+    assert got[1] == (True, 1.0)
+    assert got[2][0] is True and got[2][1] > 0.95
+    assert got[3] == (False, 0.0)
+    assert got[4] == (False, -1.0)
+
+    # empty eval set: nothing is contaminated, score is NULL
+    empty = evals.filter(F.lit(False))
+    out2 = embedding_decontaminate(corpus, empty, threshold=0.95)
+    assert out2.filter("contaminated").count() == 0
+    assert out2.filter("max_eval_cos IS NOT NULL").count() == 0
