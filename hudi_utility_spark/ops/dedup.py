@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from hudi_utility_spark.ops import phash
+from hudi_utility_spark.ops import phash, widen_for_compute
 from hudi_utility_spark.ops.text import fingerprint, word_set
 
 
@@ -110,6 +110,7 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     evaluates it exactly once; the lead window shuffles (id, word)
     pairs — tiny rows — once.
     """
+    df = widen_for_compute(df)  # compute-bound: scan width != CPU width
     if n == 1:
         base = df.select(
             F.col(id_col).alias("id"),
@@ -721,6 +722,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     over the corpus, embarrassingly parallel across whatever
     partitioning the scan produced.
     """
+    df = widen_for_compute(df)  # compute-bound: scan width != CPU width
     # bit masks as shift expressions: bit 63 overflows a signed-long
     # literal but wraps correctly under shift; constant-folded once
     masks = "array(" + ",".join(f"shiftleft(1L,{i})" for i in range(bits)) + ")"

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hudi_utility_spark.ops import widen_for_compute
+
 # BPE-ish word/number/punct segmentation: letters runs, digit runs, or a
 # single non-alnum non-space symbol — a deterministic stand-in for a real
 # subword tokenizer at identical plumbing cost.
@@ -257,6 +259,7 @@ def decontaminate(
     a shuffle semi-join on the gram. The corpus side is a map stage +
     one semi-join; no pair explosion.
     """
+    df = widen_for_compute(df)  # compute-bound: scan width != CPU width
     grams = df.select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
     )
@@ -295,6 +298,7 @@ def unigram_logprob_score(
     the exploded tokens (OOV coalesces to the smoothed zero-count mass),
     one per-doc aggregate. At 100 TB the model is V+1 scalars and the
     corpus pays exactly two keyed exchanges."""
+    df = widen_for_compute(df)  # compute-bound: scan width != CPU width
     toks = df.select(
         F.col(id_col), F.explode(F.split(normalized(F.col(text_col)), " ")).alias("tok")
     ).filter(F.col("tok") != "")
@@ -352,6 +356,7 @@ def flag_hot_ngrams(
     aggregate — every stage keyed, no pair explosion, no collect.
     Documents shorter than ``n`` tokens produce no grams and drop
     out (mirrored by the oracle's inner join)."""
+    df = widen_for_compute(df)  # compute-bound: scan width != CPU width
     grams = df.select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
     ).distinct()
@@ -397,6 +402,7 @@ def repetition_profile(
     the same measurement winnowing_fingerprints documents. Documents
     shorter than ``n`` tokens produce no grams and drop out.
     """
+    df = widen_for_compute(df)  # compute-bound: scan width != CPU width
     grams = df.select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
     ).select(id_col, F.xxhash64("gram").alias("g"))
@@ -448,6 +454,7 @@ def winnowing_fingerprints(
     repetition profile documents: a well-keyed shuffle beats
     interpreted per-element work.
     """
+    df = widen_for_compute(df)  # compute-bound: scan width != CPU width
     from hudi_utility_spark.ops import phash
 
     grams = df.select(
@@ -492,6 +499,7 @@ def feature_hash_score(
     (bucket, then weight-of-bucket), one per-doc aggregate — a single
     keyed exchange regardless of corpus size; no model state beyond the
     D scalars."""
+    df = widen_for_compute(df)  # compute-bound: scan width != CPU width
     from hudi_utility_spark.ops import phash
 
     toks = df.select(
@@ -537,6 +545,7 @@ def dedup_spans(
     collect+sort of that document's own spans, state bounded by
     document length). No all-pairs stage anywhere.
     """
+    df = widen_for_compute(df)  # compute-bound: scan width != CPU width
     from hudi_utility_spark.ops.phash import md5_hex
 
     spans = chunk_documents(
@@ -585,6 +594,7 @@ def source_overlap_matrix(
     per-source distinct totals ride the same relation; output is
     O(sources²) rows.
     """
+    df = widen_for_compute(df)  # compute-bound: scan width != CPU width
     grams = (
         df.select(
             F.col(source_col).alias("src"),
