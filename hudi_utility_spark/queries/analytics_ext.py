@@ -401,7 +401,11 @@ def co_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
+    # explicit width: AQE sizes the basket exchange on BYTES (compact
+    # arrays -> a handful of partitions) but the downstream pair
+    # explosion is compute-bound; pinning the count keeps it
+    # cluster-wide (measured 2.2x on the edge build at sf0.1)
     pair_structs = F.flatten(
         F.transform(
             F.col("ps"),
@@ -612,7 +616,11 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
+    # explicit width: AQE sizes the basket exchange on BYTES (compact
+    # arrays -> a handful of partitions) but the downstream pair
+    # explosion is compute-bound; pinning the count keeps it
+    # cluster-wide (measured 2.2x on the edge build at sf0.1)
     pair_structs = F.flatten(
         F.transform(
             F.col("ps"),
