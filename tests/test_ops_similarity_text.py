@@ -383,3 +383,29 @@ def test_embedding_decontaminate_flags_planted_leak(spark):
     out2 = embedding_decontaminate(corpus, empty, threshold=0.95)
     assert out2.filter("contaminated").count() == 0
     assert out2.filter("max_eval_cos IS NOT NULL").count() == 0
+
+
+def test_widen_for_compute_guards_narrow_scans(spark):
+    """Tokenization-heavy kernels must not inherit single-task width
+    from byte-small scans (perf regression guard for the sf0.1 text
+    suite): a 1-partition input widens to defaultParallelism, an
+    already-wide input is left alone (no extra shuffle at 100 TB)."""
+    from hudi_utility_spark.ops import widen_for_compute
+    from hudi_utility_spark.ops.dedup import _shingles
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon {i}") for i in range(200)],
+        "doc_id long, text string",
+    ).coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    assert widen_for_compute(narrow).rdd.getNumPartitions() == target
+    wide = narrow.repartition(target + 7)
+    assert widen_for_compute(wide) is wide  # untouched, zero extra shuffle
+    # and the shingle relation is wired through the widening exchange
+    # (its OUTPUT partition count is AQE-coalesced post-shuffle, so
+    # assert the round-robin exchange feeding the tokenize stage
+    # instead)
+    sh = _shingles(narrow, "doc_id", "text", 1)
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan, plan
