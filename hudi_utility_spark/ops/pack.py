@@ -342,7 +342,9 @@ def temperature_sample(
     with a NULL group are dropped (no temperature semantics without a
     group).
     """
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    # |groups| rows; persisted because three derivations (total,
+    # normalizer, thresholds) would otherwise each re-scan the corpus
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n")).persist()
     tot = counts.agg(F.sum("n").alias("total"))
     c = counts.crossJoin(F.broadcast(tot))
     p = F.col("n").cast("double") / F.col("total")
