@@ -446,3 +446,123 @@ def test_dedup_spans_conservation(spark, docs):
             kept_spans.extend(r["rebuilt"].split(" "))
     # every rebuilt token multiset ⊆ original corpus tokens
     assert len(kept_spans) <= sum(len(ws) for ws in docs)
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO vs a Python reference model (ANSI semantics: NULL clause
+# predicates are not taken; source precombines to latest-per-key first;
+# delete outranks update; insert defaults to the source column)
+# ---------------------------------------------------------------------------
+
+_MERGE_IDS = st.integers(min_value=0, max_value=4)
+_MERGE_VALS = st.one_of(st.none(), st.integers(min_value=-5, max_value=50))
+
+_TGT_ROWS = st.lists(
+    st.tuples(_MERGE_IDS, _MERGE_VALS),
+    min_size=1,
+    max_size=5,
+    unique_by=lambda t: t[0],
+)
+_SRC_ROWS = st.lists(
+    st.tuples(_MERGE_IDS, st.integers(min_value=1, max_value=9), _MERGE_VALS),
+    max_size=8,
+    unique_by=lambda t: (t[0], t[1]),  # unique precombine per key: ties
+    # between equal precombine values are resolved arbitrarily (as in
+    # Hudi), so the model only covers the deterministic space
+)
+
+# (SQL text evaluated by merge_into, python twin over (s_value, t_value));
+# NULL SQL results must map to False ("clause not taken")
+_CONDS = st.sampled_from(
+    [
+        (None, None),
+        ("s.value > t.value", lambda s, t: s is not None and t is not None and s > t),
+        ("s.value IS NULL", lambda s, t: s is None),
+        ("t.value >= 10", lambda s, t: t is not None and t >= 10),
+        ("s.value + t.value > 20", lambda s, t: s is not None and t is not None and s + t > 20),
+    ]
+)
+_UPDATES = st.sampled_from(
+    [
+        ("s.value", lambda s, t: s),
+        ("t.value + s.value", lambda s, t: None if (s is None or t is None) else t + s),
+    ]
+)
+_INS_CONDS = st.sampled_from(
+    [
+        (None, None),
+        ("s.value >= 0", lambda s: s is not None and s >= 0),
+        ("s.value IS NOT NULL", lambda s: s is not None),
+    ]
+)
+
+_merge_case_counter = [0]
+
+
+@given(
+    tgt=_TGT_ROWS,
+    src=_SRC_ROWS,
+    del_c=_CONDS,
+    upd_c=_CONDS,
+    upd=_UPDATES,
+    ins_c=_INS_CONDS,
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_merge_into_matches_reference_model(spark, tmp_path_factory, tgt, src, del_c, upd_c, upd, ins_c):
+    from hudi_utility_spark.table import KeyedTable, TableType
+    from hudi_utility_spark.write import merge_into, upsert
+
+    _merge_case_counter[0] += 1
+    base = tmp_path_factory.mktemp(f"merge_prop_{_merge_case_counter[0]}")
+    table = KeyedTable(
+        path=str(base / "t"),
+        record_key=["id"],
+        precombine="v",
+        partition_fields=["part"],
+        table_type=TableType.COPY_ON_WRITE,
+    )
+    part_of = lambda i: "a" if i % 2 == 0 else "b"
+    upsert(
+        spark,
+        spark.createDataFrame(
+            [(i, 0, part_of(i), float(x) if x is not None else None) for i, x in tgt],
+            "id long, v long, part string, value double",
+        ),
+        table,
+    )
+    src_df = spark.createDataFrame(
+        [(i, v, part_of(i), float(x) if x is not None else None) for i, v, x in src],
+        "id long, v long, part string, value double",
+    )
+    merge_into(
+        spark,
+        src_df,
+        table,
+        update_set={"value": upd[0]},
+        update_condition=upd_c[0],
+        delete_condition=del_c[0],
+        insert_condition=ins_c[0],
+    )
+    got = {r["id"]: r["value"] for r in table.read(spark).collect()}
+
+    # reference model
+    model = {i: (float(x) if x is not None else None) for i, x in tgt}
+    latest = {}
+    for i, v, x in src:
+        if i not in latest or v > latest[i][0]:
+            latest[i] = (v, float(x) if x is not None else None)
+    for i, (_, s_val) in sorted(latest.items()):
+        if i in model:
+            t_val = model[i]
+            if del_c[1] is not None and del_c[1](s_val, t_val):
+                del model[i]
+            elif upd_c[0] is None or upd_c[1](s_val, t_val):
+                model[i] = upd[1](s_val, t_val)
+        else:
+            if ins_c[0] is None or ins_c[1](s_val):
+                model[i] = s_val
+    assert got == model, (got, model, tgt, src, del_c[0], upd_c[0], upd[0], ins_c[0])
