@@ -169,19 +169,92 @@ class KeyedTable:
         atomic_swap_dir(tmp, self.path, drop_meta=("_index",))
         spark.catalog.refreshByPath(self.path)
 
-    def compact(self, spark: SparkSession) -> None:
-        """Fold the MOR delta log into the base (rewrite, then drop log)."""
+    def compact(
+        self, spark: SparkSession, partitions: list | None = None
+    ) -> None:
+        """Fold the MOR delta log into the base — PARTITION-SCOPED, the
+        Hudi discipline: only partitions that actually have log rows
+        (or the explicit *partitions* subset of them) are resolved and
+        rewritten; base partitions the log never touched are neither
+        read nor written. At 100 TB with daily partitions and a
+        hot-tail ingest this is the difference between compacting a few
+        days and rewriting the table.
+
+        Plan per run: one distinct over the (small) log's partition
+        column, precombine resolution over base∪log restricted to those
+        partitions (the isin lands on both scans as partition pruning),
+        one dynamic partition overwrite, then the folded log partition
+        dirs are removed (all-deleted partitions drop their base dir
+        too, as in ``delete_keys``). Stored indexes are invalidated
+        (rebuild via ``index.refresh_indexes``), matching the
+        whole-table path's ``_index`` drop. Unpartitioned tables keep
+        the crash-safe whole-dir swap.
+        """
         if self.table_type is not TableType.MERGE_ON_READ:
             return
         if not os.path.isdir(self.log_path):
             return
-        resolved = self.read(spark)
-        from hudi_utility_spark.write import write_partitioned
+        from pyspark.sql import functions as F
 
+        from hudi_utility_spark.write import (
+            atomic_swap_dir,
+            latest_by_key,
+            write_partitioned,
+        )
+
+        if self.partition_fields:
+            import shutil
+
+            pcol = self.partition_fields[0]
+            log = spark.read.option("mergeSchema", "true").parquet(self.log_path)
+            log_parts = {r[0] for r in log.select(pcol).distinct().collect()}
+            touched = sorted(
+                log_parts if partitions is None else set(partitions) & log_parts
+            )
+            if not touched:
+                return
+            base = self.read_base(spark).filter(F.col(pcol).isin(touched))
+            merged = base.unionByName(
+                log.filter(F.col(pcol).isin(touched)), allowMissingColumns=True
+            )
+            resolved = latest_by_key(merged, self.record_key, self.precombine)
+            if DELETED_COL in resolved.columns:
+                resolved = resolved.filter(
+                    ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+                ).drop(DELETED_COL)
+            resolved = resolved.persist()  # the plan reads files the
+            # write replaces — materialize first (delete_keys contract)
+            survivors = {r[0] for r in resolved.select(pcol).distinct().collect()}
+            write_partitioned(
+                resolved, self.base_path, self.partition_fields, mode="overwrite"
+            )
+            resolved.unpersist()
+            for v in set(touched) - survivors:
+                d = os.path.join(self.base_path, f"{pcol}={v}")
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+            for v in touched:
+                d = os.path.join(self.log_path, f"{pcol}={v}")
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+            # no data partitions left -> remove the whole log dir (a
+            # remaining _SUCCESS marker alone would make the next
+            # snapshot read try to infer a schema from zero files)
+            if os.path.isdir(self.log_path) and not any(
+                os.path.isdir(os.path.join(self.log_path, e))
+                and not e.startswith((".", "_"))
+                for e in os.listdir(self.log_path)
+            ):
+                shutil.rmtree(self.log_path)
+            idx = os.path.join(self.path, "_index")
+            if os.path.isdir(idx):
+                shutil.rmtree(idx)
+            spark.catalog.refreshByPath(self.path)
+            return
+
+        resolved = self.read(spark)
         tmp = self.path.rstrip("/") + ".compact.tmp"
         write_partitioned(resolved, tmp, self.partition_fields, mode="overwrite")
-        from hudi_utility_spark.write import atomic_swap_dir
-
         # the folded _delta_log and any stale _index go; locks and
         # savepoints survive (the pre-r3 swap deleted the active writer
         # lease out from under TableServices' own critical section)

@@ -572,3 +572,111 @@ def test_export_restore_snapshot_round_trip(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="does not match"):
         timeline.restore_snapshot(spark, other, backup)
+
+
+def test_compact_is_partition_scoped(spark, tmp_path):
+    """MOR compaction folds ONLY log-touched partitions: untouched base
+    partitions are neither read nor rewritten (mtime-stable), log dirs
+    for folded partitions disappear, snapshot content is invariant."""
+    import os
+
+    from hudi_utility_spark.table import KeyedTable, TableType
+    from hudi_utility_spark.write import upsert
+
+    table = KeyedTable(
+        path=str(tmp_path / "pc"),
+        record_key=["id"],
+        precombine="v",
+        partition_fields=["part"],
+        table_type=TableType.MERGE_ON_READ,
+    )
+    upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, 0, "a", 1.0), (2, 0, "b", 2.0), (3, 0, "c", 3.0)],
+            "id long, v long, part string, value double",
+        ),
+        table,
+    )
+    # log churn in partition a only
+    upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, 5, "a", 11.0), (9, 5, "a", 9.0)],
+            "id long, v long, part string, value double",
+        ),
+        table,
+    )
+    before = {
+        r["id"]: (r["part"], r["value"]) for r in table.read(spark).collect()
+    }
+
+    def mtimes(p):
+        d = os.path.join(table.base_path, f"part={p}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    b_before, c_before = mtimes("b"), mtimes("c")
+    table.compact(spark)
+    assert not os.path.isdir(table.log_path)  # log fully folded
+    assert mtimes("b") == b_before  # untouched partitions not rewritten
+    assert mtimes("c") == c_before
+    after = {
+        r["id"]: (r["part"], r["value"]) for r in table.read(spark).collect()
+    }
+    assert after == before  # snapshot invariant
+    assert after[1] == ("a", 11.0) and after[9] == ("a", 9.0)
+
+
+def test_compact_explicit_partition_subset(spark, tmp_path):
+    import os
+
+    from hudi_utility_spark.table import KeyedTable, TableType
+    from hudi_utility_spark.write import delete_keys, upsert
+
+    table = KeyedTable(
+        path=str(tmp_path / "pcs"),
+        record_key=["id"],
+        precombine="v",
+        partition_fields=["part"],
+        table_type=TableType.MERGE_ON_READ,
+    )
+    upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, 0, "a", 1.0), (2, 0, "b", 2.0)],
+            "id long, v long, part string, value double",
+        ),
+        table,
+    )
+    upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, 5, "a", 11.0), (2, 5, "b", 22.0)],
+            "id long, v long, part string, value double",
+        ),
+        table,
+    )
+    table.compact(spark, partitions=["a"])
+    # a folded, b still pending in the log
+    assert not os.path.isdir(os.path.join(table.log_path, "part=a"))
+    assert os.path.isdir(os.path.join(table.log_path, "part=b"))
+    got = {r["id"]: r["value"] for r in table.read(spark).collect()}
+    assert got == {1: 11.0, 2: 22.0}  # snapshot unchanged either way
+
+    # all-deleted partition vanishes entirely on fold
+    delete_keys(
+        spark,
+        spark.createDataFrame(
+            [(1, 9, "a", 0.0)], "id long, v long, part string, value double"
+        ),
+        table,
+    )
+    table.compact(spark)
+    assert not os.path.isdir(os.path.join(table.base_path, "part=a"))
+    assert not os.path.isdir(table.log_path)
+    got = {r["id"]: r["value"] for r in table.read(spark).collect()}
+    assert got == {2: 22.0}
