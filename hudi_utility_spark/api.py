@@ -182,8 +182,13 @@ class TableServices:
             ),
         )
 
-    def compact(self) -> None:
-        return self._ledgered("compact", lambda: self.table.compact(self.engine.spark))
+    def compact(self, partitions: list | None = None) -> None:
+        """Ledgered MOR compaction; *partitions* restricts the fold to
+        an explicit subset of log-touched partitions (default: all)."""
+        return self._ledgered(
+            "compact",
+            lambda: self.table.compact(self.engine.spark, partitions=partitions),
+        )
 
     def merge(self, source: DataFrame, **merge_kwargs) -> DataFrame:
         """Ledgered multi-action MERGE INTO this table (see
