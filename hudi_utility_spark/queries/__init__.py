@@ -55,4 +55,5 @@ def load_all() -> None:
         timeline_q,
         tpch_more,
         tpch_rest,
+        variant_q,
     )
