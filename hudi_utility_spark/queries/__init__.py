@@ -55,5 +55,6 @@ def load_all() -> None:
         timeline_q,
         tpch_more,
         tpch_rest,
+        udtf_q,
         variant_q,
     )
