@@ -566,3 +566,67 @@ def test_merge_into_matches_reference_model(spark, tmp_path_factory, tgt, src, d
             if ins_c[0] is None or ins_c[1](s_val):
                 model[i] = s_val
     assert got == model, (got, model, tgt, src, del_c[0], upd_c[0], upd[0], ins_c[0])
+
+
+# -- as-of join vs the quadratic python model ---------------------------
+
+ASOF_LEFT = st.lists(
+    st.tuples(KEYS, st.integers(min_value=0, max_value=50)),
+    min_size=1,
+    max_size=10,
+)
+ASOF_RIGHT = st.lists(
+    st.tuples(KEYS, st.integers(min_value=0, max_value=50)),
+    min_size=0,
+    max_size=10,
+)
+ASOF_TOL = st.sampled_from([None, 5, 20])
+
+
+def _asof_python(lrows, rrows, direction, tol):
+    """Brute-force as-of: per left row, the nearest right row at-or-
+    before (backward) / at-or-after (forward) on the same key, within
+    tolerance when given."""
+    out = {}
+    for li, lk, ls in lrows:
+        best = None
+        for rk, rs, rv in rrows:
+            if rk != lk:
+                continue
+            delta = ls - rs if direction == "backward" else rs - ls
+            if delta < 0 or (tol is not None and delta > tol):
+                continue
+            if best is None or delta < best[0]:
+                best = (delta, rv)
+        out[li] = best[1] if best else None
+    return out
+
+
+@given(left=ASOF_LEFT, right=ASOF_RIGHT, tol=ASOF_TOL,
+       direction=st.sampled_from(["backward", "forward"]))
+@_SETTINGS
+def test_asof_join_matches_python_model(spark, left, right, tol, direction):
+    from hudi_utility_spark.ops.joins import asof_join
+
+    # unique right ts per key: at equal timestamps the window's pick
+    # among duplicate right rows is tie-ambiguous by design
+    rmap = {}
+    for k, s in right:
+        rmap[(k, s)] = f"r{k}-{s}"
+    rrows = [(k, s, v) for (k, s), v in rmap.items()]
+    lrows = [(i, k, s) for i, (k, s) in enumerate(left)]
+
+    ldf = spark.createDataFrame(lrows, "lid long, k long, sec long").withColumn(
+        "ts", F.timestamp_seconds(F.col("sec"))
+    ).drop("sec")
+    rdf = spark.createDataFrame(rrows, "k long, sec long, val string").withColumn(
+        "ts", F.timestamp_seconds(F.col("sec"))
+    ).drop("sec")
+
+    got = {
+        r.lid: r.val_right
+        for r in asof_join(
+            ldf, rdf, on=["k"], tolerance_seconds=tol, direction=direction
+        ).collect()
+    }
+    assert got == _asof_python(lrows, rrows, direction, tol)
