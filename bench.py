@@ -112,6 +112,8 @@ HEADLINE = [
     "rtr_inverted_index",
     "ml_tree_ensemble_score",
     "dq_pseudonymized_join",
+    "variant_extract_profile",
+    "variant_path_miss_audit",
 ]
 
 
