@@ -160,3 +160,51 @@ def ensemble_score(df: DataFrame, trees: list[dict], out_col: str = "score"):
 
     total = reduce(lambda a, t: a + compile_tree(t), trees, F.lit(0.0))
     return df.withColumn(out_col, total)
+
+
+def logistic_fit(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    iters: int = 3,
+    lr: float = 0.5,
+    round_to: int = 6,
+) -> list[float]:
+    """Batch-gradient-descent logistic regression as pure dataflow:
+    each iteration is ONE map-side-partial aggregate over the corpus
+    (d+2 running sums), followed by a (d+1)-scalar collect and a
+    driver-side weight update. No per-row Python, no cached matrices —
+    at 100 TB an iteration costs one scan with partial combine, and the
+    driver traffic is d+1 doubles per iteration (the same scalar-only
+    collect discipline as k-means init / PageRank rank totals).
+
+    Weights are quantized to ``round_to`` decimals after every update so
+    independent engines running the same recipe (see the
+    ``ml_logreg_quality`` oracle: the identical schedule as nested SQL
+    CTEs) stay bit-aligned — cross-engine float-sum order differences
+    land around 1e-15 and are absorbed by the quantization.
+
+    Returns ``[bias, w_1, ..., w_d]`` after ``iters`` updates from an
+    all-zeros start.
+    """
+    from pyspark.sql import functions as F
+
+    d = len(feature_cols)
+    w = [0.0] * (d + 1)
+    for _ in range(iters):
+        z = F.lit(w[0])
+        for j, c in enumerate(feature_cols):
+            z = z + F.lit(w[j + 1]) * F.col(c)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = p - F.col(label_col)
+        aggs = [F.sum(err).alias("g0")] + [
+            F.sum(err * F.col(c)).alias(f"g{j + 1}")
+            for j, c in enumerate(feature_cols)
+        ]
+        row = df.agg(*aggs, F.count(F.lit(1)).alias("n")).collect()[0]
+        n = row["n"]
+        w = [
+            round(w[j] - lr * row[f"g{j}"] / n, round_to)
+            for j in range(d + 1)
+        ]
+    return w

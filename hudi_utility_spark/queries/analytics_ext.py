@@ -949,3 +949,81 @@ def ml_tree_ensemble_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ensemble_score(ev, _TREES).select(
         "event_id", F.round("score", 6).alias("score")
     )
+
+
+# -- iterative model training as dataflow -------------------------------
+
+_LOGREG_LR, _LOGREG_ITERS, _LOGREG_Q = 0.5, 3, 6
+
+
+def _logreg_oracle() -> str:
+    """The exact GD schedule of ``ops/mlfit.py::logistic_fit`` unrolled
+    into nested CTEs: one CTE per iteration, each aggregating over the
+    feature relation crossed with the previous iteration's 1-row weight
+    relation. Expression shapes/orders mirror the Spark side so the
+    per-iteration ROUND quantization keeps both engines bit-aligned."""
+    feats = """
+feats AS (
+  SELECT n_chars/1000.0 AS x1,
+         len(string_split(text, ' '))/200.0 AS x2,
+         n_chars/CAST(len(string_split(text, ' ')) AS DOUBLE)/10.0 AS x3,
+         CAST(lang = 'en' AS INT) AS y
+  FROM documents
+)"""
+    lr, q = _LOGREG_LR, _LOGREG_Q
+    ctes = [feats]
+    for i in range(1, _LOGREG_ITERS + 1):
+        src = "w0" if i == 1 else f"it{i - 1}"
+        ctes.append(f"""
+it{i} AS (
+  SELECT ROUND(MAX(wb) - {lr}*SUM(p - y)/COUNT(*), {q}) AS b,
+         ROUND(MAX(ww1) - {lr}*SUM((p - y)*x1)/COUNT(*), {q}) AS w1,
+         ROUND(MAX(ww2) - {lr}*SUM((p - y)*x2)/COUNT(*), {q}) AS w2,
+         ROUND(MAX(ww3) - {lr}*SUM((p - y)*x3)/COUNT(*), {q}) AS w3
+  FROM (SELECT f.*, w.b AS wb, w.w1 AS ww1, w.w2 AS ww2, w.w3 AS ww3,
+               1.0/(1.0 + EXP(-(w.b + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3))) AS p
+        FROM feats f CROSS JOIN {src} w)
+)""")
+    last = f"it{_LOGREG_ITERS}"
+    return (
+        "WITH w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3), "
+        + ", ".join(ctes)
+        + f"""
+SELECT 'bias' AS feature, b AS weight FROM {last}
+UNION ALL SELECT 'x1', w1 FROM {last}
+UNION ALL SELECT 'x2', w2 FROM {last}
+UNION ALL SELECT 'x3', w3 FROM {last}"""
+    )
+
+
+@query("ml_logreg_quality", _logreg_oracle())
+def ml_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training (is-English from three
+    cheap text stats) via ``ops/mlfit.py::logistic_fit`` — iterative ML
+    as pure dataflow: 3 GD iterations, each ONE map-side-partial
+    aggregate over the corpus plus a 4-scalar collect. The oracle is
+    the identical schedule unrolled as SQL CTEs, agreeing bit-for-bit
+    (verified at sf0.001/0.01/0.1) thanks to per-iteration weight
+    quantization."""
+    from hudi_utility_spark.ops.mlfit import logistic_fit
+
+    d = _t(spark, sf_dir, "documents")
+    feats = d.select(
+        (F.col("n_chars") / F.lit(1000.0)).alias("x1"),
+        (F.size(F.split(F.col("text"), " ")) / F.lit(200.0)).alias("x2"),
+        (F.col("n_chars") / F.size(F.split(F.col("text"), " ")) / F.lit(10.0)).alias(
+            "x3"
+        ),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    w = logistic_fit(
+        feats,
+        ["x1", "x2", "x3"],
+        "y",
+        iters=_LOGREG_ITERS,
+        lr=_LOGREG_LR,
+        round_to=_LOGREG_Q,
+    )
+    return spark.createDataFrame(
+        list(zip(["bias", "x1", "x2", "x3"], w)), "feature string, weight double"
+    )
