@@ -123,3 +123,63 @@ def running_ewma_batch(
             F.col("_f.n").alias("n_events"),
         )
     )
+
+
+def running_ewma_tws(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Streaming per-key EWMA on ``transformWithStateInPandas`` — the
+    Spark 4 successor to ``applyInPandasWithState``. Same contract and
+    emissions as :func:`running_ewma_stream`; differences are all
+    engine-side: named typed state (`ValueState`), timer support, and
+    the RocksDB state-store requirement
+    (``spark.sql.streaming.stateStore.providerClass`` must be the
+    RocksDB provider — the caller sets it; this function cannot, since
+    the conf is read at query start). Also requires ``google.protobuf``
+    in the Python workers (transformWithState's state-server RPC is
+    protobuf-framed); the test suite skips when it is absent.
+
+    Scale: state per key is still two scalars; RocksDB keeps the state
+    store off-heap and incrementally checkpointed, which is what makes
+    100M+ live keys per executor viable where the HDFS-backed provider
+    (full-snapshot per commit) is not.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Proc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("ewma_state", EWMA_STATE)
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._state.exists():
+                ewma, n = self._state.get()
+            else:
+                ewma, n = None, 0
+            for pdf in rows:
+                pdf = pdf.sort_values([ts_col, order_col], kind="stable")
+                for v in pdf[value_col]:
+                    v = float(v)
+                    ewma = v if n == 0 else alpha * v + (1.0 - alpha) * ewma
+                    n += 1
+            self._state.update((ewma, n))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "ewma": [ewma], "n_events": [n]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=Proc(),
+        outputStructType=EWMA_OUTPUT,
+        outputMode="update",
+        timeMode="none",
+    )

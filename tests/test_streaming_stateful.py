@@ -128,3 +128,69 @@ def test_state_carries_across_micro_batches(spark, sf_dir, tmp_path):
         for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     assert {u: n for u, (_, n) in got.items()} == want_counts
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf in the "
+    "Python worker (state-server RPC); not installed in this sandbox",
+)
+def test_tws_matches_batch_single_batch(spark, events_us):
+    """transformWithStateInPandas twin ≡ the batch HOF fold. Needs the
+    RocksDB state store provider (a transformWithState requirement);
+    conf is restored afterwards so the applyInPandasWithState tests
+    keep their default provider."""
+    from hudi_utility_spark.streaming.stateful import running_ewma_tws
+
+    path, schema = events_us
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(schema).format("parquet").load(path)
+        q = (
+            running_ewma_tws(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("ewma_tws")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    got = {
+        r.user_id: (r.ewma, r.n_events)
+        for r in spark.sql(
+            """SELECT user_id, ewma, n_events FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY n_events DESC) rn FROM ewma_tws)
+               WHERE rn = 1"""
+        ).collect()
+    }
+    batch = {
+        r.user_id: (r.ewma, r.n_events)
+        for r in running_ewma_batch(
+            spark.read.schema(schema).parquet(path)
+        ).collect()
+    }
+    assert set(got) == set(batch)
+    for uid, (e, n) in batch.items():
+        assert got[uid][1] == n
+        assert got[uid][0] == pytest.approx(e, rel=1e-9)
