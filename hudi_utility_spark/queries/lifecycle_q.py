@@ -586,3 +586,87 @@ def replication_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round("value", 2).alias("value"),
     )
+
+
+@query(
+    "v_partition_fingerprint",
+    """
+    SELECT CAST(event_type AS VARCHAR) AS event_type,
+           CAST(SUM(CAST(concat('0x', substr(md5(concat_ws(chr(31),
+                    coalesce(CAST(event_id AS VARCHAR), chr(0)),
+                    coalesce(CAST(user_id AS VARCHAR), chr(0)))),
+                  1, 12)) AS BIGINT) % 1000000007)
+                % 1000000007 AS BIGINT) AS fp,
+           COUNT(*) AS row_cnt
+    FROM events GROUP BY 1
+    """,
+)
+def v_partition_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-partition content fingerprint
+    (repair.partition_fingerprints): md5-derived 48-bit row hash folded
+    mod 1e9+7, summed per partition. The oracle recomputes the SAME
+    hash in DuckDB — a value-hash match here proves the fingerprint is
+    engine-portable, which is the whole point (verify a warehouse copy
+    against the lake without moving data). One map-side-partial
+    aggregate per side at any scale; no join, no sort."""
+    from hudi_utility_spark.repair import partition_fingerprints
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    return partition_fingerprints(ev, "event_type", ["event_id", "user_id"])
+
+
+@query(
+    "v_anti_entropy_cycle",
+    """
+    WITH c AS (SELECT event_type, COUNT(*) AS c FROM events GROUP BY 1)
+    SELECT CAST(event_type AS VARCHAR) AS event_type,
+           CASE WHEN event_type = 'signup' THEN 'divergent'
+                WHEN event_type = 'purchase' THEN 'missing'
+                ELSE 'match' END AS status,
+           c AS src_cnt,
+           CASE WHEN event_type = 'purchase' THEN 0 ELSE c END AS dst_cnt
+    FROM c
+    UNION ALL
+    SELECT 'zombie', 'extra', 0,
+           (SELECT COUNT(*) FROM events WHERE event_type = 'click')
+    """,
+)
+def v_anti_entropy_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy content diff (repair.content_diff) over a replica
+    with all three drift modes injected: one partition corrupted IN
+    PLACE with the same row count (user_id+1 on 'signup' — invisible
+    to the J2 count audit, caught only by the fingerprint), one
+    partition dropped ('purchase' → missing), one partition the source
+    never had ('zombie' → extra). The oracle derives every status and
+    count from the source table alone. The diff itself is two
+    fingerprint aggregates + a broadcast full-outer join over
+    O(partitions) rows — scan-bound at 100 TB, shuffle-free."""
+    from hudi_utility_spark.repair import content_diff
+    from hudi_utility_spark.write import write_partitioned
+
+    root = _scratch(sf_dir, "anti_entropy")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    write_partitioned(ev, root, ["event_type"])
+    # in-place corruption: same cardinality, different content
+    write_partitioned(
+        ev.filter(F.col("event_type") == "signup").withColumn(
+            "user_id", F.col("user_id") + 1
+        ),
+        root,
+        ["event_type"],
+    )
+    shutil.rmtree(os.path.join(root, "event_type=purchase"))
+    write_partitioned(
+        ev.filter(F.col("event_type") == "click").withColumn(
+            "event_type", F.lit("zombie")
+        ),
+        root,
+        ["event_type"],
+    )
+    spark.catalog.refreshByPath(root)
+    dest = spark.read.parquet(root)
+    return content_diff(ev, dest, "event_type", ["event_id", "user_id"])

@@ -204,3 +204,86 @@ def test_file_layout_report_matches_filesystem(spark, events, tmp_path):
     assert {k: v[:2] for k, v in got.items()} == want
     # sf0.001 parquet partitions are tiny -> all flagged small
     assert all(v[2] for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# anti-entropy: content fingerprints + fingerprint-verified repair
+
+
+def test_content_diff_catches_same_count_corruption(spark, events, bootstrapped):
+    """In-place corruption with identical row counts is invisible to the
+    J2 count audit but must show as 'divergent' in the fingerprint diff."""
+    from hudi_utility_spark.repair import content_diff
+
+    t = bootstrapped
+    # rewrite 'click' with shifted user_ids — same cardinality
+    part = spark.read.parquet(f"{t.path}/event_type=click")
+    pdf = part.toPandas()
+    pdf["user_id"] = pdf["user_id"] + 1
+    shutil.rmtree(f"{t.path}/event_type=click")
+    spark.createDataFrame(pdf).write.parquet(f"{t.path}/event_type=click")
+    spark.catalog.refreshByPath(t.path)
+
+    dest = t.read_base(spark)
+    # count audit: blind to it
+    assert incomplete_partitions(events, dest, "event_type").count() == 0
+    st = {
+        r["event_type"]: r["status"]
+        for r in content_diff(
+            events, dest, "event_type", ["event_id", "user_id"]
+        ).collect()
+    }
+    assert st["click"] == "divergent"
+    assert all(v == "match" for k, v in st.items() if k != "click")
+
+
+def test_anti_entropy_repair_heals_all_drift_modes(spark, events, bootstrapped):
+    from hudi_utility_spark.repair import anti_entropy_repair, content_diff
+
+    t = bootstrapped
+    # divergent: same-count corruption of 'click'
+    part = spark.read.parquet(f"{t.path}/event_type=click")
+    pdf = part.toPandas()
+    pdf["value"] = pdf["value"] + 1.0
+    shutil.rmtree(f"{t.path}/event_type=click")
+    spark.createDataFrame(pdf).write.parquet(f"{t.path}/event_type=click")
+    # missing: drop 'signup'
+    _drop_partition(t, "signup")
+    # extra: fabricate a partition the source never had
+    spark.read.parquet(f"{t.path}/event_type=view").write.parquet(
+        f"{t.path}/event_type=zombie"
+    )
+    spark.catalog.refreshByPath(t.path)
+
+    hash_cols = ["event_id", "user_id", "value"]
+    rep = anti_entropy_repair(spark, events, t, hash_cols)
+    assert rep["rewritten"] == ["click", "signup"]
+    assert rep["dropped"] == ["zombie"]
+
+    st = content_diff(
+        events, t.read_base(spark), "event_type", hash_cols
+    ).collect()
+    assert {r["status"] for r in st} == {"match"}
+
+    # idempotent: second run is a no-op
+    rep2 = anti_entropy_repair(spark, events, t, hash_cols)
+    assert rep2["noop"] is True
+
+
+def test_anti_entropy_repair_dry_run_writes_nothing(spark, events, bootstrapped):
+    from hudi_utility_spark.repair import anti_entropy_repair, content_diff
+
+    t = bootstrapped
+    _drop_partition(t, "error")
+    spark.catalog.refreshByPath(t.path)
+    rep = anti_entropy_repair(
+        spark, events, t, ["event_id", "user_id"], dry_run=True
+    )
+    assert rep["rewritten"] == ["error"] and rep["dry_run"] is True
+    st = {
+        r["event_type"]: r["status"]
+        for r in content_diff(
+            events, t.read_base(spark), "event_type", ["event_id", "user_id"]
+        ).collect()
+    }
+    assert st["error"] == "missing"
