@@ -89,3 +89,46 @@ def fmt_csv_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_nationkey").alias("key_sum"),
         )
     )
+
+
+@query(
+    "src_synth_datasource",
+    """
+    WITH g AS (
+      SELECT i AS doc_id,
+             i // 250 AS shard,
+             CAST(concat('0x', substr(md5(CAST(i AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS h
+      FROM range(0, 2000) t(i)
+    )
+    SELECT doc_id, shard,
+           list_extract(['en','de','fr','es','zh'], CAST(h % 5 AS INT) + 1)
+             AS lang,
+           CAST(64 + (h % 1937) AS INT) AS n_chars,
+           (h % 1000) / 1000.0 AS quality
+    FROM g
+    WHERE shard IN (1, 3) AND doc_id < 900
+    """,
+)
+def src_synth_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python Data Source (sources.py `SynthDocsDataSource`):
+    a deterministic generator connector planned as one InputPartition
+    per shard, read as Arrow batches, with `pushFilters` pruning shards
+    at planning time (the `shard IN (1,3) AND doc_id < 900` predicate
+    plans 2 of 8 shards — verified at unit level in
+    tests/test_sources.py). The oracle REGENERATES the same rows in
+    DuckDB from `range()` + the portable md5 formula — proving the
+    connector's output is engine-independent, which is what makes a
+    formula source usable as shared 100 TB benchmark input."""
+    from hudi_utility_spark.sources import register_sources
+
+    register_sources(spark)
+    df = (
+        spark.read.format("synth_docs")
+        .option("rows", 2000)
+        .option("rowsPerShard", 250)
+        .load()
+    )
+    return df.filter(
+        F.col("shard").isin(1, 3) & (F.col("doc_id") < 900)
+    ).select("doc_id", "shard", "lang", "n_chars", "quality")

@@ -49,6 +49,9 @@ _DEFAULTS = {
     # One minute keeps long-lived sessions flat; on a cluster the same
     # setting protects multi-tenant executors.
     "spark.cleaner.periodicGC.interval": "60s",
+    # Python Data Source API (sources.py): let pushFilters() prune
+    # generator shards at planning time. Off by default in 4.1.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 
