@@ -257,44 +257,54 @@ def hll_distinct(df: DataFrame, cols: list[str], p: int = 9) -> DataFrame:
     arithmetic — identical in DuckDB — so cardinality sketching joins
     the value-hash-checked families. Returns (column, est_distinct).
 
-    Scale: per column, one exchange of ≤ 2^p (bucket, max-rank) rows
-    (map-side partial max), then a 2^p-row final aggregate — the
-    classic mergeable-sketch economics; accuracy ≈ 1.04/√2^p (~4.6% at
-    p=9)."""
-    import math
-
+    Scale: ONE scan of the input for every profiled column — the
+    columns unpivot via `stack` into (column, value) pairs in the same
+    map task, so profiling k columns costs one pass, not k (the naive
+    per-column loop re-reads the table k times; at 100 TB that is the
+    whole game). Then one exchange of ≤ k·2^p (column, bucket,
+    max-rank) rows (map-side partial max) and a k·2^p-row final
+    aggregate — the classic mergeable-sketch economics; accuracy ≈
+    1.04/√2^p (~4.6% at p=9)."""
     from pyspark.sql import functions as F
 
     from hudi_utility_spark.ops import phash
 
     m = 1 << p
     alpha = 0.7213 / (1 + 1.079 / m)
-    out = None
-    for c in cols:
-        hi, lo = phash.parts(F.col(c).cast("string"))
-        bucket = (hi % F.lit(m)).alias("bucket")
-        rank = _rank_ladder(lo).alias("rank")
-        per_bucket = (
-            df.filter(F.col(c).isNotNull())
-            .select(bucket, rank)
-            .groupBy("bucket")
-            .agg(F.max("rank").alias("r"))
+    stack_args = ", ".join(
+        f"'{c}', CAST(`{c}` AS STRING)" for c in cols
+    )
+    pairs = df.select(
+        F.expr(f"stack({len(cols)}, {stack_args}) AS (column, v)")
+    ).filter(F.col("v").isNotNull())
+    hi, lo = phash.parts(F.col("v"))
+    per_bucket = (
+        pairs.select(
+            "column",
+            (hi % F.lit(m)).alias("bucket"),
+            _rank_ladder(lo).alias("rank"),
         )
-        agg = per_bucket.agg(
-            F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s"),
-            F.count(F.lit(1)).alias("b_present"),
-        )
-        # empty buckets contribute 2^0 = 1 each; zeros drives the
-        # small-range linear-counting correction
-        est = agg.select(
-            F.lit(c).alias("column"),
+        .groupBy("column", "bucket")
+        .agg(F.max("rank").alias("r"))
+    )
+    agg = per_bucket.groupBy("column").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s"),
+        F.count(F.lit(1)).alias("b_present"),
+    )
+    # empty buckets contribute 2^0 = 1 each; zeros drives the
+    # small-range linear-counting correction
+    return (
+        agg.select(
+            "column",
             F.col("s"),
             (F.lit(m) - F.col("b_present")).alias("zeros"),
-        ).select(
+        )
+        .select(
             "column",
             (F.lit(alpha * m * m) / (F.col("s") + F.col("zeros"))).alias("e_raw"),
             "zeros",
-        ).select(
+        )
+        .select(
             "column",
             F.round(
                 F.when(
@@ -304,8 +314,7 @@ def hll_distinct(df: DataFrame, cols: list[str], p: int = 9) -> DataFrame:
                 4,
             ).alias("est_distinct"),
         )
-        out = est if out is None else out.unionByName(est)
-    return out
+    )
 
 
 def equi_width_histogram(
