@@ -132,3 +132,60 @@ def src_synth_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(
         F.col("shard").isin(1, 3) & (F.col("doc_id") < 900)
     ).select("doc_id", "shard", "lang", "n_chars", "quality")
+
+
+@query(
+    "src_synth_stream",
+    """
+    WITH g AS (
+      SELECT i,
+             CAST(concat('0x', substr(md5(CAST(i AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS h
+      FROM range(0, 500) t(i)
+    )
+    SELECT list_extract(['click','view','purchase','signup','error'],
+                        CAST(h % 5 AS INT) + 1) AS event_type,
+           COUNT(*) AS cnt,
+           SUM(h % 100000) AS value_cents
+    FROM g GROUP BY 1
+    """,
+)
+def src_synth_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python streaming data source end-to-end (sources.py
+    `SynthEventsDataSource`, SimpleDataSourceStreamReader): a REAL
+    readStream → memory-sink run over the bounded deterministic event
+    stream (5 micro-batches of 120 rows to the 500-row cap), then a
+    batch aggregate over what landed. Deterministic offsets + formula
+    rows make an actual streaming execution value-hash checkable — the
+    oracle regenerates the stream's content from range(). Exactly-once
+    is the tested property: 500 generated ids → exactly 500 sunk rows
+    (no dup on replay), aggregated to per-type counts/cents."""
+    import uuid
+
+    from hudi_utility_spark.sources import register_sources
+
+    register_sources(spark)
+    sink = f"synth_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = _scratch(sf_dir, f"stream_ckpt_{sink}")
+    q = (
+        spark.readStream.format("synth_events")
+        .option("rowsPerBatch", 120)
+        .option("maxRows", 500)
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+    )

@@ -196,3 +196,161 @@ def register_sources(spark) -> None:
     # (sessions built by session.get_spark already set it)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SynthDocsDataSource)
+    spark.dataSource.register(SynthEventsDataSource)
+    spark.dataSource.register(JsonlExportDataSource)
+
+
+# ---------------------------------------------------------------------------
+# streaming source: deterministic event stream with replayable offsets
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceWriter,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
+)
+
+SYNTH_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+SYNTH_EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), False),
+        StructField("user_id", LongType(), False),
+        StructField("event_type", StringType(), False),
+        StructField("value", DoubleType(), False),
+    ]
+)
+
+
+def synth_event(i: int) -> tuple:
+    """Generator formula for event ``i`` — same portable md5 family."""
+    h = _h48(i)
+    return (
+        i,
+        h % 1000,
+        SYNTH_EVENT_TYPES[h % 5],
+        (h % 100_000) / 100.0,
+    )
+
+
+class SynthEventsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch source over the event formula. The offset is simply
+    ``{"i": next_global_id}`` — total order, trivially checkpointable.
+
+    Exactly-once comes from determinism: ``readBetweenOffsets(start,
+    end)`` regenerates byte-identical rows for any committed range, so
+    failure replay (Spark re-reads the last batch from the checkpoint)
+    cannot produce drift. This is the property a REAL ingest source
+    gets from a replayable log (Kafka offsets); the generator makes it
+    testable hermetically.
+    """
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rowsPerBatch", "100"))
+        self.max_rows = int(options.get("maxRows", "1000"))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        lo = start["i"]
+        hi = min(lo + self.rows_per_batch, self.max_rows)
+        return iter([synth_event(i) for i in range(lo, hi)]), {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([synth_event(i) for i in range(start["i"], end["i"])])
+
+
+class SynthEventsDataSource(DataSource):
+    """``spark.readStream.format("synth_events")`` after
+    ``register_sources(spark)``. Options: ``rowsPerBatch``,
+    ``maxRows`` (the stream idles once exhausted — bounded for
+    tests; unbounded sources omit the cap)."""
+
+    @classmethod
+    def name(cls):
+        return "synth_events"
+
+    def schema(self):
+        return SYNTH_EVENTS_SCHEMA
+
+    def simpleStreamReader(self, schema):
+        return SynthEventsStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# batch writer: transactional JSONL export (stage -> commit-rename)
+
+
+class _ExportCommit(WriterCommitMessage):
+    def __init__(self, staged: str, rows: int):
+        self.staged = staged
+        self.rows = rows
+
+
+class JsonlExportWriter(DataSourceWriter):
+    """Per-task: write rows to a STAGING file (unique name, never the
+    final path); return its path in the commit message. Driver commit:
+    rename every staged file into the target dir, then write a
+    ``_SUCCESS`` manifest listing them — readers that require the
+    manifest never observe a partial export. Driver abort: staged
+    files are deleted; the target dir is untouched. This is the
+    standard two-phase object-store commit (Spark's own
+    FileOutputCommitter v1 discipline) expressed through the Python
+    writer API."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        stage_dir = _os.path.join(self.path, "_staging")
+        _os.makedirs(stage_dir, exist_ok=True)
+        staged = _os.path.join(
+            stage_dir, f"part-{tc.partitionId():05d}-{_uuid.uuid4().hex}.jsonl"
+        )
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _ExportCommit(staged, n)
+
+    def commit(self, messages):
+        import json as _json
+        import os as _os
+
+        final = []
+        for m in messages:
+            name = _os.path.basename(m.staged)
+            dst = _os.path.join(self.path, name)
+            _os.replace(m.staged, dst)
+            final.append({"file": name, "rows": m.rows})
+        with open(_os.path.join(self.path, "_SUCCESS"), "w") as f:
+            _json.dump({"files": final}, f)
+
+    def abort(self, messages):
+        import os as _os
+        import shutil as _shutil
+
+        for m in messages:
+            if m is not None and _os.path.exists(m.staged):
+                _os.remove(m.staged)
+        _shutil.rmtree(_os.path.join(self.path, "_staging"), ignore_errors=True)
+
+
+class JsonlExportDataSource(DataSource):
+    """``df.write.format("jsonl_export").mode("append").save(path)``
+    after ``register_sources(spark)`` — transactional JSONL export."""
+
+    @classmethod
+    def name(cls):
+        return "jsonl_export"
+
+    def writer(self, schema, overwrite: bool):
+        return JsonlExportWriter(self.options)

@@ -85,3 +85,93 @@ def test_pushdown_prunes_partitions_unit():
 
 def test_pushdown_empty_plan_returns_zero_rows(synth):
     assert synth.filter("shard = 2 AND doc_id < 150").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# streaming source
+
+
+def test_synth_events_stream_reaches_cap_exactly_once(spark, tmp_path):
+    from hudi_utility_spark.sources import synth_event
+
+    register_sources(spark)
+    stream = (
+        spark.readStream.format("synth_events")
+        .option("rowsPerBatch", 70)
+        .option("maxRows", 300)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_ev")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM synth_ev").collect()
+    assert len(rows) == 300  # cap respected, nothing duplicated
+    got = {r.event_id: (r.user_id, r.event_type, r.value) for r in rows}
+    for i in (0, 123, 299):
+        eid, uid, etype, val = synth_event(i)
+        assert got[i] == (uid, etype, val)
+
+
+def test_synth_events_replay_is_deterministic():
+    from hudi_utility_spark.sources import SynthEventsStreamReader
+
+    r = SynthEventsStreamReader({"rowsPerBatch": "50", "maxRows": "200"})
+    assert r.initialOffset() == {"i": 0}
+    batch, nxt = r.read({"i": 0})
+    first = list(batch)
+    assert nxt == {"i": 50} and len(first) == 50
+    # failure replay: re-reading the committed range is byte-identical
+    assert list(r.readBetweenOffsets({"i": 0}, {"i": 50})) == first
+
+
+# ---------------------------------------------------------------------------
+# transactional JSONL export writer
+
+
+def test_jsonl_export_commit_protocol(spark, tmp_path, synth):
+    import json
+    import os
+
+    out = str(tmp_path / "export")
+    os.makedirs(out)
+    synth.limit(0)  # no-op, keep fixture warm
+    df = synth.select("doc_id", "lang", "n_chars").filter("doc_id < 150")
+    df.write.format("jsonl_export").mode("append").save(out)
+
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    files = manifest["files"]
+    assert sum(f["rows"] for f in files) == 150
+    rows = []
+    for f in files:
+        with open(os.path.join(out, f["file"])) as fh:
+            rows += [json.loads(line) for line in fh]
+    assert len(rows) == 150
+    assert {r["doc_id"] for r in rows} == set(range(150))
+    # staging fully drained
+    assert os.listdir(os.path.join(out, "_staging")) == []
+
+
+def test_jsonl_export_abort_leaves_no_final_files(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    register_sources(spark)
+    out = str(tmp_path / "abort_export")
+    os.makedirs(out)
+    df = spark.range(10).select(
+        F.col("id"),
+        F.when(F.col("id") < 5, F.lit(1)).otherwise(
+            F.expr("CAST(raise_error('boom') AS INT)")
+        ).alias("x"),
+    )
+    with pytest.raises(Exception):
+        df.write.format("jsonl_export").mode("append").save(out)
+    # abort ran: no _SUCCESS, no committed jsonl files
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert [f for f in os.listdir(out) if f.endswith(".jsonl")] == []
