@@ -102,3 +102,108 @@ def pagerank(
             )
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_max_edges: int = 20_000_000,
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph, via the
+    degree-oriented wedge algorithm (Schank & Wagner / Cohen's
+    MapReduce formulation): orient every edge from the endpoint that is
+    SMALLER under the total order (degree, id) to the larger, form
+    wedges only at each edge's low vertex, and close each wedge with
+    one join — every triangle {a,b,c} with a ≺ b ≺ c is found exactly
+    once as wedge (a→b, a→c) + edge (b→c).
+
+    Why this scales where the naive 3-way self-join does not: wedge
+    count under degree orientation is Σ outdeg(v)² = O(|E|^1.5) on any
+    graph (out-degree is bounded by graph degeneracy — a hub of degree
+    10^6 contributes NO wedges because nearly all its edges point INTO
+    it), versus Σ deg(v)² unbounded for the unoriented join where that
+    same hub contributes 10^12 wedges.
+
+    Physical shape: the canonical pair relation is persisted (it feeds
+    the degree aggregate and the orientation join). Wedges are
+    generated MAP-SIDE from per-vertex neighbor arrays (one groupBy of
+    |E| rows, then an i<j array explode — the same basket pattern as
+    the co-purchase build) instead of a self-join, so the wedge
+    relation is never shuffled on its own: when the edge list fits the
+    broadcast gate (runtime count, default 20M edges ≈ a few hundred
+    MB) the closure probe is a BROADCAST hash join the wedges stream
+    through map-side; above the gate it falls back to a (b,c)-keyed
+    shuffle join — the O(|E|^1.5) exchange the algorithm genuinely
+    requires at that scale. The final per-node count is one partial
+    aggregate. No global rank anywhere: the orientation compares
+    (deg, id) tuples directly, so there is no single-partition window.
+
+    Input: one row per undirected edge (either orientation, duplicates
+    and self-loops tolerated — they are canonicalized and dropped).
+    Returns (node, triangles) for every node with ≥ 1 triangle.
+    """
+    # canonical undirected pair (u < v), self-loops out; persisted —
+    # feeds the degree agg (two scans via the union) and the join
+    u = F.least(F.col(src), F.col(dst)).alias("u")
+    v = F.greatest(F.col(src), F.col(dst)).alias("v")
+    pairs = (
+        edges.select(u, v)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_edges = pairs.count()  # materializes the cache; broadcast gate
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    e = pairs.join(du, "u").join(dv, "v")
+    # orient low → high under (deg, id); carry the head's order key so
+    # wedge heads can be ordered without another degree lookup
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # map-side wedge generation: per-vertex out-neighbors sorted by the
+    # orientation order (db, b), exploded as i<j pairs
+    # the neighbor-array relation is tiny in BYTES (one row per low
+    # vertex) but the wedge explode below fans each row out ~outdeg²/2
+    # ways — compute-bound, so pin cluster-wide parallelism (AQE sizes
+    # the exchange on bytes and would coalesce it to a few tasks)
+    from hudi_utility_spark.ops import widen_for_compute
+
+    nbrs = widen_for_compute(
+        oriented.groupBy("a").agg(
+            F.sort_array(F.collect_list(F.struct("db", "b"))).alias("ns")
+        )
+    )
+    wedge_structs = F.flatten(
+        F.transform(
+            F.col("ns"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ns"), i + F.lit(2), F.size(F.col("ns"))),
+                lambda y: F.struct(x["b"].alias("b"), y["b"].alias("c")),
+            ),
+        )
+    )
+    wedges = nbrs.select(
+        "a", F.explode(wedge_structs).alias("w")
+    ).select("a", "w.b", "w.c")
+    closure = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    if n_edges <= broadcast_max_edges:
+        closure = F.broadcast(closure)
+    tri = wedges.join(closure, ["b", "c"])
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )

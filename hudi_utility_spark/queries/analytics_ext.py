@@ -1027,3 +1027,55 @@ def ml_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         list(zip(["bias", "x1", "x2", "x3"], w)), "feature string, weight double"
     )
+
+
+@query(
+    "graph_triangles_parts",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT p1.u AS a, p1.v AS b, p2.v AS c
+      FROM pairs p1
+      JOIN pairs p2 ON p1.u = p2.u AND p1.v < p2.v
+      JOIN pairs p3 ON p3.u = p1.v AND p3.v = p2.v
+    )
+    SELECT node, COUNT(*) AS triangles
+    FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+    GROUP BY node
+    """,
+)
+def graph_triangles_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph
+    (ops/graph.py::triangle_counts, degree-oriented wedge closure —
+    Σ outdeg² = O(|E|^1.5) wedge work regardless of hub degrees,
+    where the oracle's textbook id-ordered 3-way self-join is the
+    correct-but-unscalable twin). Same basket-HOF edge build as
+    `graph_pagerank_parts`."""
+    from hudi_utility_spark.ops.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.src", "p.dst")
+        .distinct()
+    )
+    return triangle_counts(pairs).select(
+        F.col("node").alias("node"), "triangles"
+    )

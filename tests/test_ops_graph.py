@@ -60,3 +60,43 @@ def test_symmetrize_dedups_both_directions(spark):
         [(1, 2), (2, 1), (1, 2)], "src long, dst long"
     )
     assert symmetrize(edges).count() == 2
+
+
+def test_triangle_counts_known_graph(spark):
+    from hudi_utility_spark.ops.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (every node in C(3,2)=3 triangles) + pendant 5-1
+    # + an isolated edge 6-7; edges fed unordered/with dup/self-loop
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (3, 2), (2, 4), (4, 3),
+         (5, 1), (1, 5), (6, 7), (2, 2)],
+        "src long, dst long",
+    )
+    got = {r.node: r.triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    from itertools import combinations
+
+    from hudi_utility_spark.ops.graph import triangle_counts
+
+    # deterministic pseudo-random graph on 40 nodes
+    import hashlib
+
+    def h(i, j):
+        return int(hashlib.md5(f"{i}-{j}".encode()).hexdigest()[:8], 16)
+
+    edges = [(i, j) for i, j in combinations(range(40), 2) if h(i, j) % 5 == 0]
+    adj = {i: set() for i in range(40)}
+    for i, j in edges:
+        adj[i].add(j)
+        adj[j].add(i)
+    want: dict[int, int] = {}
+    for a, b, c in combinations(range(40), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.triangles for r in triangle_counts(df).collect()}
+    assert got == want
