@@ -276,13 +276,15 @@ def anti_entropy_repair(
                 src, table.base_path, table.partition_fields, mode="overwrite"
             )
         if drop_extra and extras:
-            import shutil as _shutil
+            from hudi_utility_spark.partition_paths import (
+                remove_partition_leaves,
+            )
 
-            for val in extras:
-                _shutil.rmtree(
-                    f"{table.base_path.rstrip('/')}/{pfield}={val}",
-                    ignore_errors=True,
-                )
+            # Spark-escaped dir names — an extra partition whose value
+            # contains '/', ':', '=' … must still resolve to its real dir
+            remove_partition_leaves(
+                table.base_path, [pfield], [(val,) for val in extras]
+            )
             spark.catalog.refreshByPath(table.base_path)
     return {
         "rewritten": to_rewrite,

@@ -185,10 +185,26 @@ class KeyedTable:
         partitions (the isin lands on both scans as partition pruning),
         one dynamic partition overwrite, then the folded log partition
         dirs are removed (all-deleted partitions drop their base dir
-        too, as in ``delete_keys``). Stored indexes are invalidated
-        (rebuild via ``index.refresh_indexes``), matching the
-        whole-table path's ``_index`` drop. Unpartitioned tables keep
-        the crash-safe whole-dir swap.
+        too, as in ``delete_keys``). Partition identity is the FULL
+        partition-field tuple (see ``partition_paths``) and removed
+        directory names are Spark-escaped — first-field-only
+        bookkeeping or unescaped names would let tombstoned rows
+        resurface once the log is folded. Stored indexes are
+        invalidated (rebuild via ``index.refresh_indexes``), matching
+        the whole-table path's ``_index`` drop.
+
+        Crash contract: unpartitioned tables keep the all-or-nothing
+        whole-dir swap. The partition-scoped path is WEAKER — the same
+        contract as ``delete_keys``/``merge_into``: a crash between the
+        dynamic overwrite and the log-dir removal leaves both base and
+        log for a touched partition (safe: re-running compact is
+        idempotent, the precombine resolution picks the same winners);
+        a crash MID dynamic-overwrite can leave a touched partition
+        half-written with the log still intact (recoverable the same
+        way), but the half-written files are visible to raw base reads
+        until then. Callers needing the strong contract on a
+        partitioned table can force it by compacting via ``cluster()``
+        (whole-table swap).
         """
         if self.table_type is not TableType.MERGE_ON_READ:
             return
@@ -205,17 +221,31 @@ class KeyedTable:
         if self.partition_fields:
             import shutil
 
-            pcol = self.partition_fields[0]
-            log = spark.read.option("mergeSchema", "true").parquet(self.log_path)
-            log_parts = {r[0] for r in log.select(pcol).distinct().collect()}
-            touched = sorted(
-                log_parts if partitions is None else set(partitions) & log_parts
+            from hudi_utility_spark.partition_paths import (
+                distinct_partition_tuples,
+                partition_tuple_predicate,
+                remove_partition_leaves,
             )
+
+            log = spark.read.option("mergeSchema", "true").parquet(self.log_path)
+            # FULL partition-field tuples, not partition_fields[0] alone:
+            # with [p1, p2], an all-tombstoned leaf (A, y) is invisible to
+            # first-field bookkeeping (A survives via (A, x)) — the stale
+            # base leaf would outlive the folded log and resurrect its
+            # deleted rows. `partitions` (a public first-field subset
+            # selector) scopes by tuple[0].
+            log_tuples = set(distinct_partition_tuples(log, self.partition_fields))
+            touched = {
+                t
+                for t in log_tuples
+                if partitions is None or t[0] in set(partitions)
+            }
             if not touched:
                 return
-            base = self.read_base(spark).filter(F.col(pcol).isin(touched))
+            pred = partition_tuple_predicate(self.partition_fields, touched)
+            base = self.read_base(spark).filter(pred)
             merged = base.unionByName(
-                log.filter(F.col(pcol).isin(touched)), allowMissingColumns=True
+                log.filter(pred), allowMissingColumns=True
             )
             resolved = latest_by_key(merged, self.record_key, self.precombine)
             if DELETED_COL in resolved.columns:
@@ -224,19 +254,17 @@ class KeyedTable:
                 ).drop(DELETED_COL)
             resolved = resolved.persist()  # the plan reads files the
             # write replaces — materialize first (delete_keys contract)
-            survivors = {r[0] for r in resolved.select(pcol).distinct().collect()}
+            survivors = set(
+                distinct_partition_tuples(resolved, self.partition_fields)
+            )
             write_partitioned(
                 resolved, self.base_path, self.partition_fields, mode="overwrite"
             )
             resolved.unpersist()
-            for v in set(touched) - survivors:
-                d = os.path.join(self.base_path, f"{pcol}={v}")
-                if os.path.isdir(d):
-                    shutil.rmtree(d)
-            for v in touched:
-                d = os.path.join(self.log_path, f"{pcol}={v}")
-                if os.path.isdir(d):
-                    shutil.rmtree(d)
+            remove_partition_leaves(
+                self.base_path, self.partition_fields, touched - survivors
+            )
+            remove_partition_leaves(self.log_path, self.partition_fields, touched)
             # no data partitions left -> remove the whole log dir (a
             # remaining _SUCCESS marker alone would make the next
             # snapshot read try to infer a schema from zero files)

@@ -601,9 +601,19 @@ def delete_keys(
     existing = table.read_base(spark)
     not_dead = ~F.coalesce(F.col(DELETED_COL), F.lit(False))
     if table.partition_fields:
-        pcol = table.partition_fields[0]
-        touched = [r[0] for r in tomb.select(pcol).distinct().collect()]
-        scoped = existing.filter(F.col(pcol).isin(touched))
+        from hudi_utility_spark.partition_paths import (
+            distinct_partition_tuples,
+            partition_tuple_predicate,
+            remove_partition_leaves,
+        )
+
+        # full-tuple identity: first-field-only touched/survivor sets
+        # miss an all-deleted leaf sub-partition (its first-level value
+        # survives via a sibling leaf), leaving stale base files behind
+        touched = set(distinct_partition_tuples(tomb, table.partition_fields))
+        scoped = existing.filter(
+            partition_tuple_predicate(table.partition_fields, touched)
+        )
         merged = scoped.unionByName(tomb, allowMissingColumns=True)
         kept = (
             latest_by_key(merged, table.record_key, table.precombine)
@@ -613,17 +623,14 @@ def delete_keys(
             # the very files the write replaces, so both the write and the
             # survivor listing must not re-scan the old base
         )
-        survivors = {r[0] for r in kept.select(pcol).distinct().collect()}
+        survivors = set(distinct_partition_tuples(kept, table.partition_fields))
         write_partitioned(kept, table.base_path, table.partition_fields, mode="overwrite")
         kept.unpersist()
         # dynamic overwrite can't erase a partition that ends up empty —
-        # drop those directories explicitly
-        import shutil
-
-        for v in set(touched) - survivors:
-            d = os.path.join(table.base_path, f"{pcol}={v}")
-            if os.path.isdir(d):
-                shutil.rmtree(d)
+        # drop those leaf directories explicitly (Spark-escaped names)
+        remove_partition_leaves(
+            table.base_path, table.partition_fields, touched - survivors
+        )
     else:
         merged = existing.unionByName(tomb, allowMissingColumns=True)
         kept = (
@@ -735,11 +742,19 @@ def merge_into(
                 "dedup the source or include the precombine field"
             )
 
-    touched: list | None = None
+    touched: set | None = None
     if table.partition_fields:
-        pcol = table.partition_fields[0]
-        touched = [r[0] for r in source.select(pcol).distinct().collect()]
-        existing = existing.filter(F.col(pcol).isin(touched))
+        from hudi_utility_spark.partition_paths import (
+            distinct_partition_tuples,
+            partition_tuple_predicate,
+        )
+
+        # full partition tuples (see delete_keys): a merge whose deletes
+        # empty a leaf sub-partition must remove that exact leaf dir
+        touched = set(distinct_partition_tuples(source, table.partition_fields))
+        existing = existing.filter(
+            partition_tuple_predicate(table.partition_fields, touched)
+        )
 
     t = existing.withColumn("_t_ex", F.lit(True)).alias("t")
     s = source.withColumn("_s_ex", F.lit(True)).alias("s")
@@ -804,19 +819,20 @@ def merge_into(
     result = j.select(*cols)
 
     if table.partition_fields:
-        pcol = table.partition_fields[0]
+        from hudi_utility_spark.partition_paths import (
+            distinct_partition_tuples,
+            remove_partition_leaves,
+        )
+
         kept = result.persist()  # the plan reads the files the write
         # replaces — materialize before the overwrite (same contract as
         # delete_keys)
-        survivors = {r[0] for r in kept.select(pcol).distinct().collect()}
+        survivors = set(distinct_partition_tuples(kept, table.partition_fields))
         write_partitioned(kept, table.base_path, table.partition_fields, mode="overwrite")
         kept.unpersist()
-        import shutil
-
-        for v in set(touched or []) - survivors:
-            d = os.path.join(table.base_path, f"{pcol}={v}")
-            if os.path.isdir(d):
-                shutil.rmtree(d)
+        remove_partition_leaves(
+            table.base_path, table.partition_fields, (touched or set()) - survivors
+        )
     else:
         tmp = table.base_path.rstrip("/") + ".merge.tmp"
         write_partitioned(result, tmp, [], mode="overwrite")
