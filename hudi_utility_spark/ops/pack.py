@@ -336,42 +336,68 @@ def temperature_sample(
     single cast back to double. Other α values use ``pow`` and carry a
     ≤1-ulp cross-engine caveat at threshold boundaries.
 
-    Plan: one tiny group-count aggregate (|groups| rows), two
-    single-row aggregate broadcasts, then a broadcast threshold join +
-    map-only filter over the corpus — no corpus-sized shuffle. Rows
-    with a NULL group are dropped (no temperature semantics without a
-    group).
+    Plan: ONE tiny group-count aggregate whose |groups| rows are
+    collected to the driver (the centroid/codebook idiom — languages or
+    domains, never data rows), the threshold arithmetic replayed
+    driver-side with the exact same IEEE operation order, and the
+    result emitted as a literal CASE expression — so the corpus itself
+    sees a single map-only filter: no persist, no threshold join, no
+    corpus-sized shuffle, and nothing left cached after the call
+    (round-6 advice: the previous persist had no unpersist path). For
+    pathological group cardinalities (millions of groups) the CASE
+    would bloat the plan; that regime wants the broadcast-join form —
+    at that point the "groups" are really keys and a different operator
+    applies. Rows with a NULL group are dropped (no temperature
+    semantics without a group), but NULL-group rows still count toward
+    N and the normalizer, exactly as before.
     """
-    # |groups| rows; persisted because three derivations (total,
-    # normalizer, thresholds) would otherwise each re-scan the corpus
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n")).persist()
-    tot = counts.agg(F.sum("n").alias("total"))
-    c = counts.crossJoin(F.broadcast(tot))
-    p = F.col("n").cast("double") / F.col("total")
-    pa = F.sqrt(p) if alpha == 0.5 else F.pow(p, F.lit(float(alpha)))
-    c = c.withColumn("pa", pa)
-    ssum = c.agg(
-        F.sum(F.col("pa").cast("decimal(38,20)")).cast("double").alias("s")
-    )
-    c = c.crossJoin(F.broadcast(ssum))
-    budget = F.floor(
-        F.col("total").cast("double") * F.lit(float(budget_fraction))
-    )
-    thr = c.select(
-        F.col(group_col),
-        F.floor(
-            budget.cast("double")
-            * F.col("pa")
-            / F.col("s")
-            / F.col("n").cast("double")
-            * F.lit(16777216.0)
+    import math as _math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    counts = [
+        (r[0], r[1])
+        for r in df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    if not counts:
+        return df.filter(F.lit(False))
+    tot = sum(n for _, n in counts)
+    # pa_g = p_g^alpha with the same correctly-rounded primitives the
+    # SQL oracle uses (sqrt for alpha=0.5; pow carries the documented
+    # <=1-ulp caveat); the normalizer is summed exactly in Decimal
+    # after HALF_UP quantization to 20 places, matching Spark/DuckDB's
+    # CAST(x AS DECIMAL(38,20)) before the single cast back to double.
+    pas = {}
+    for g, n in counts:
+        p = n / tot
+        pas[g] = _math.sqrt(p) if alpha == 0.5 else p ** float(alpha)
+    q20 = Decimal(1).scaleb(-20)
+    s = float(
+        sum(
+            Decimal(pa).quantize(q20, rounding=ROUND_HALF_UP)
+            for pa in pas.values()
         )
-        .cast("long")
-        .alias("_t"),
     )
+    budget = float(_math.floor(float(tot) * float(budget_fraction)))
+    thresholds = {
+        g: int(_math.floor(budget * pas[g] / s / float(n) * 16777216.0))
+        for g, n in counts
+        if g is not None
+    }
+    thr_case = None
+    for g, t in sorted(thresholds.items()):
+        cond = F.col(group_col) == F.lit(g)
+        thr_case = (
+            F.when(cond, F.lit(t))
+            if thr_case is None
+            else thr_case.when(cond, F.lit(t))
+        )
+    if thr_case is None:  # only NULL groups exist
+        return df.filter(F.lit(False))
     uniform = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 6),
         16,
         10,
     ).cast("long")
-    return df.join(F.broadcast(thr), group_col).filter(uniform < F.col("_t")).drop("_t")
+    return df.filter(uniform < thr_case)

@@ -809,8 +809,15 @@ def ev_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sid", F.md5(F.concat_ws("\x01", "sig")))
         .withColumn("n", F.size("sig"))
         .withColumn("members", F.slice("members", 1, 51))
-        .persist()
     )
+    # Reused 4× below (gram explode, both member joins, same-sig
+    # pairs). localize(), not persist(): signature count is bounded by
+    # distinct behavioral profiles (598 at sf0.1; saturates as users
+    # grow), so the whole table is profile-shaped — and a persisted
+    # block inside a returned plan can never be unpersisted by anyone.
+    from hudi_utility_spark.ops import localize
+
+    sig_groups = localize(sig_groups)
     sig_grams = sig_groups.select("sid", "n", F.explode("sig").alias("bg"))
     a, b = sig_grams.alias("a"), sig_grams.alias("b")
     cross = (

@@ -296,10 +296,20 @@ class JsonlExportWriter(DataSourceWriter):
     files are deleted; the target dir is untouched. This is the
     standard two-phase object-store commit (Spark's own
     FileOutputCommitter v1 discipline) expressed through the Python
-    writer API."""
+    writer API.
 
-    def __init__(self, options):
+    ``mode("overwrite")`` is honored at COMMIT time, driver-side: the
+    old ``_SUCCESS`` manifest is deleted first (manifest-requiring
+    readers atomically stop seeing the previous export), then stale
+    part files are removed, then the staged files are renamed in and a
+    fresh manifest written. Append mode leaves prior parts in place and
+    MERGES the prior manifest's file list into the new one, so a
+    manifest reader always sees the full committed set. The empty
+    ``_staging`` dir is removed after every successful commit."""
+
+    def __init__(self, options, overwrite: bool = False):
         self.path = options["path"]
+        self.overwrite = overwrite
 
     def write(self, iterator):
         import json as _json
@@ -324,15 +334,34 @@ class JsonlExportWriter(DataSourceWriter):
     def commit(self, messages):
         import json as _json
         import os as _os
+        import shutil as _shutil
 
-        final = []
+        manifest = _os.path.join(self.path, "_SUCCESS")
+        prior = []
+        if _os.path.exists(manifest):
+            with open(manifest) as f:
+                prior = _json.load(f).get("files", [])
+        if self.overwrite:
+            # Manifest first: readers that require it atomically stop
+            # seeing the previous export before any part disappears.
+            if _os.path.exists(manifest):
+                _os.remove(manifest)
+            for name in _os.listdir(self.path):
+                full = _os.path.join(self.path, name)
+                if name != "_staging" and _os.path.isfile(full):
+                    _os.remove(full)
+            prior = []
+        final = list(prior)
         for m in messages:
             name = _os.path.basename(m.staged)
             dst = _os.path.join(self.path, name)
             _os.replace(m.staged, dst)
             final.append({"file": name, "rows": m.rows})
-        with open(_os.path.join(self.path, "_SUCCESS"), "w") as f:
+        with open(manifest, "w") as f:
             _json.dump({"files": final}, f)
+        _shutil.rmtree(
+            _os.path.join(self.path, "_staging"), ignore_errors=True
+        )
 
     def abort(self, messages):
         import os as _os
@@ -353,4 +382,4 @@ class JsonlExportDataSource(DataSource):
         return "jsonl_export"
 
     def writer(self, schema, overwrite: bool):
-        return JsonlExportWriter(self.options)
+        return JsonlExportWriter(self.options, overwrite=overwrite)

@@ -1,0 +1,57 @@
+"""Cache-scope discipline: operators whose RETURNED plan used to depend
+on persisted blocks (round-6 advice #3) must now leave zero storage
+behind once the result is materialized — a library user running many
+queries in one session must not accumulate unpersistable blocks.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _cached_rdd_count(spark) -> int:
+    jsc = spark.sparkContext._jsc.sc()
+    return jsc.getPersistentRDDs().size()
+
+
+def test_temperature_sample_leaves_no_cache(spark, documents):
+    from hudi_utility_spark.ops.pack import temperature_sample
+
+    base = _cached_rdd_count(spark)
+    out = temperature_sample(
+        documents, alpha=0.5, budget_fraction=0.5, group_col="lang"
+    )
+    n = out.count()
+    assert n > 0
+    assert _cached_rdd_count(spark) == base
+
+
+def test_ev_user_similarity_leaves_no_cache(spark, sf_dir):
+    from hudi_utility_spark.queries.analytics_ext import ev_user_similarity
+
+    base = _cached_rdd_count(spark)
+    rows = ev_user_similarity(spark, sf_dir).collect()
+    assert len(rows) == 50
+    assert _cached_rdd_count(spark) == base
+
+
+def test_localize_guard_rejects_data_shaped_input(spark):
+    from hudi_utility_spark.ops import localize
+
+    df = spark.range(100)
+    out = localize(df, max_rows=1000)
+    assert out.count() == 100
+    with pytest.raises(ValueError, match="exceeds"):
+        localize(spark.range(5000), max_rows=1000)
+
+
+def test_localize_preserves_schema_and_values(spark):
+    from hudi_utility_spark.ops import localize
+
+    df = spark.range(10).select(
+        F.col("id"),
+        F.array(F.col("id"), F.col("id") * 2).alias("arr"),
+        F.col("id").cast("string").alias("s"),
+    )
+    out = localize(df)
+    assert out.schema == df.schema
+    assert sorted(map(str, out.collect())) == sorted(map(str, df.collect()))

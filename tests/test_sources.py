@@ -152,8 +152,67 @@ def test_jsonl_export_commit_protocol(spark, tmp_path, synth):
             rows += [json.loads(line) for line in fh]
     assert len(rows) == 150
     assert {r["doc_id"] for r in rows} == set(range(150))
-    # staging fully drained
-    assert os.listdir(os.path.join(out, "_staging")) == []
+    # staging dir removed entirely after commit
+    assert not os.path.exists(os.path.join(out, "_staging"))
+
+
+def test_jsonl_export_overwrite_replaces_prior_parts(spark, tmp_path, synth):
+    """mode('overwrite') must NOT behave as append: prior part files and
+    the prior manifest are cleared before the new files land, and the
+    fresh manifest lists only the new write."""
+    import json
+    import os
+
+    out = str(tmp_path / "ow_export")
+    os.makedirs(out)
+    synth.select("doc_id").filter("doc_id < 100").write.format(
+        "jsonl_export"
+    ).mode("append").save(out)
+    first_files = {
+        f for f in os.listdir(out) if f.endswith(".jsonl")
+    }
+    assert first_files
+
+    synth.select("doc_id").filter(
+        "doc_id >= 100 AND doc_id < 130"
+    ).write.format("jsonl_export").mode("overwrite").save(out)
+
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert sum(f["rows"] for f in manifest["files"]) == 30
+    on_disk = {f for f in os.listdir(out) if f.endswith(".jsonl")}
+    # no stale parts survive, manifest matches the directory exactly
+    assert on_disk == {f["file"] for f in manifest["files"]}
+    assert on_disk.isdisjoint(first_files)
+    rows = []
+    for f in manifest["files"]:
+        with open(os.path.join(out, f["file"])) as fh:
+            rows += [json.loads(line) for line in fh]
+    assert {r["doc_id"] for r in rows} == set(range(100, 130))
+    assert not os.path.exists(os.path.join(out, "_staging"))
+
+
+def test_jsonl_export_append_merges_manifest(spark, tmp_path, synth):
+    """Two appends: the second commit's manifest carries BOTH writes'
+    files, so manifest readers see the full committed set."""
+    import json
+    import os
+
+    out = str(tmp_path / "ap_export")
+    os.makedirs(out)
+    synth.select("doc_id").filter("doc_id < 40").write.format(
+        "jsonl_export"
+    ).mode("append").save(out)
+    synth.select("doc_id").filter(
+        "doc_id >= 40 AND doc_id < 70"
+    ).write.format("jsonl_export").mode("append").save(out)
+
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert sum(f["rows"] for f in manifest["files"]) == 70
+    rows = []
+    for f in manifest["files"]:
+        with open(os.path.join(out, f["file"])) as fh:
+            rows += [json.loads(line) for line in fh]
+    assert {r["doc_id"] for r in rows} == set(range(70))
 
 
 def test_jsonl_export_abort_leaves_no_final_files(spark, tmp_path):

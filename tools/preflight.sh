@@ -12,6 +12,8 @@ echo "== oracle check (sf0.01) =="
 python tools/check_oracles.py /root/testdata/sf0.01 2>/dev/null | tail -3 || rc=1
 
 if [[ "${1:-}" != "--quick" ]]; then
+  echo "== double-run hash stability (sf0.01) =="
+  python tools/hash_stability.py /root/testdata/sf0.01 2>/dev/null | tail -3 || rc=1
   echo "== pytest (third 1) =="
   python -m pytest $(ls tests/test_*.py | head -13) -q 2>&1 | tail -2 || rc=1
   echo "== pytest (third 2) =="
