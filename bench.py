@@ -114,6 +114,9 @@ HEADLINE = [
     "dq_pseudonymized_join",
     "variant_extract_profile",
     "variant_path_miss_audit",
+    "stream_interval_join",
+    "stream_sliding_counts",
+    "mm_wav_decode",
 ]
 
 

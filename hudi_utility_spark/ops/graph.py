@@ -43,6 +43,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     broadcast_max_nodes: int = 2_000_000,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list. Every node
     must have out-degree ≥ 1 (symmetrize undirected graphs first — that
@@ -65,6 +66,20 @@ def pagerank(
     a src-keyed shuffle join. The persisted relations back the returned
     lazy plan, so clear the cache only after materializing the result
     (same contract as `jaccard_pairs`' shingle relation).
+
+    Deep iteration: the unrolled plan grows linearly in ``iters``, and
+    Catalyst analysis/optimization cost grows faster than linearly in
+    plan depth — at iters ≳ 20 the DRIVER becomes the bottleneck before
+    any executor does (the standard iterative-DataFrame trap). So every
+    ``checkpoint_every`` rounds the rank vector is eagerly
+    ``localCheckpoint``-ed: O(|V|) rows materialized to executor-local
+    storage, lineage truncated, plan depth bounded by
+    ``checkpoint_every`` regardless of total rounds. The default (8)
+    never triggers for the oracle-replayable 3-5 round profile, so
+    those plans stay pure; convergence runs at iters=25+ pay one
+    bounded materialization per window. The last checkpoint's blocks
+    back the returned plan — same cache-lifetime contract as the edge
+    relations.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -83,7 +98,7 @@ def pagerank(
     nodes = deg.select(F.col("src").alias("node"))
     small = n_nodes <= broadcast_max_nodes
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
-    for _ in range(iters):
+    for i in range(iters):
         r = F.broadcast(ranks) if small else ranks
         contrib = (
             weighted.join(r, weighted.src == r.node)
@@ -101,6 +116,8 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

@@ -2,12 +2,20 @@
 ``binary`` columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` stages.
 
-The decode/resize/frame-sample kernels need codec libraries absent from
-this container, so the kernel is STUBBED — ``decode_stub`` raises
+Image/video decode kernels need codec libraries absent from this
+container, so those kernels are STUBBED — ``decode_stub`` raises
 ``NotImplementedError`` unless ``fake=True``, in which case it produces a
 deterministic fake feature vector. Everything around the kernel — schema,
 binary handling, Arrow batch shape, partition sizing — is real and
 tested; swapping in PIL/ffmpeg later changes only the function body.
+
+AUDIO is NOT stubbed: WAV/RIFF needs no codec. ``synth_wav`` encodes
+real PCM16 WAV bytes with the stdlib ``wave`` module, and
+``decode_wav`` / ``decode_wav_meta`` parse them back with an
+independent hand-written RIFF chunk walker (not ``wave``), so the
+encode→decode round trip crosses two implementations. ``decode_stub``
+dispatches to the real parser whenever the payload is RIFF, including
+with ``fake=False``.
 
 Scale notes: binary payloads dominate shuffle cost, so all transforms are
 map-only (mapInPandas preserves partitioning); metadata is carried as
@@ -67,12 +75,27 @@ def attach_binary(
 
 
 def decode_stub(payload: bytes, media_type: str, fake: bool, dim: int = 8) -> list[float]:
-    """The kernel boundary. Real impl: PIL/torchaudio/ffmpeg decode +
-    model feature extraction. Not available in this container."""
+    """The kernel boundary. WAV/RIFF payloads take the REAL decode path
+    (header parse + PCM stats via ``decode_wav``) regardless of *fake*;
+    codec-requiring formats (jpeg/mp4/...) raise unless ``fake=True``
+    because PIL/torchaudio/ffmpeg are absent from this container."""
+    if payload is not None and bytes(payload[:4]) == b"RIFF":
+        meta = decode_wav(bytes(payload))
+        feats = [
+            meta["sample_rate"] / 48000.0,
+            meta["channels"] / 2.0,
+            meta["bits_per_sample"] / 32.0,
+            min(meta["n_samples"] / 1e6, 1.0),
+            min(meta["duration_ms"] / 60000.0, 1.0),
+            (meta["pcm_sum"] % 65536) / 65536.0,
+        ]
+        feats = [round(v, 6) for v in feats]
+        return (feats + [0.0] * dim)[:dim]
     if not fake:
         raise NotImplementedError(
-            "media decode requires codec libraries not present in this "
-            "environment; pass fake=True for the deterministic test kernel"
+            "non-WAV media decode requires codec libraries not present in "
+            "this environment; pass fake=True for the deterministic test "
+            "kernel (WAV payloads decode for real)"
         )
     # deterministic fake: digest bytes → dim floats in [0, 1). Rounded to
     # 6 decimals BEFORE the float32 cast in FEATURE_SCHEMA: a ≤6-sig-digit
@@ -186,6 +209,144 @@ def resize_stub(df: DataFrame, target: tuple[int, int] = (224, 224)) -> DataFram
     image libs); geometry columns are real."""
     return df.withColumn("target_w", F.lit(target[0])).withColumn(
         "target_h", F.lit(target[1])
+    )
+
+
+WAV_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("channels", T.LongType(), True),
+        T.StructField("bits_per_sample", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("pcm_sum", T.LongType(), True),
+    ]
+)
+
+
+def _ramp_pcm(media_id: int, n: int) -> bytes:
+    """Deterministic int16-LE PCM: sample_j = ((id*31 + 7j) mod 65536)
+    - 32768. Portable enough that a SQL oracle can recompute any
+    aggregate of it from ``range()`` — the content-level check that the
+    bytes really were encoded and decoded, not just the header."""
+    import numpy as np
+
+    j = np.arange(n, dtype=np.int64)
+    samples = ((media_id * 31 + 7 * j) % 65536 - 32768).astype("<i2")
+    return samples.tobytes()
+
+
+def synth_wav(
+    df: DataFrame,
+    id_col: str = "media_id",
+    rate_col: str = "sample_rate",
+    channels_col: str = "channels",
+    n_samples_col: str = "n_samples",
+) -> DataFrame:
+    """Encode REAL WAV payloads (PCM16, stdlib ``wave`` module — an
+    actual RIFF encoder, not a byte-stub) from per-row parameters, as an
+    Arrow-batched map-only stage. Emits the standard MEDIA_SCHEMA row so
+    everything downstream (metadata pruning, feature extraction, export)
+    treats audio exactly like any other media payload."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            payloads = []
+            for mid, rate, ch, n in zip(
+                pdf[id_col], pdf[rate_col], pdf[channels_col], pdf[n_samples_col]
+            ):
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(int(ch))
+                    w.setsampwidth(2)
+                    w.setframerate(int(rate))
+                    w.writeframes(_ramp_pcm(int(mid), int(n) * int(ch)))
+                payloads.append(buf.getvalue())
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "media_type": "audio",
+                    "payload": payloads,
+                    "byte_len": [len(p) for p in payloads],
+                    "sha256": [
+                        hashlib.sha256(p).hexdigest() for p in payloads
+                    ],
+                }
+            )
+            yield out
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Hand-written RIFF/WAVE parser — deliberately independent of the
+    stdlib ``wave`` module that ``synth_wav`` encodes with, so the
+    round trip crosses two implementations. Generic chunk walk (skips
+    LIST/fact/any unknown chunk, tolerates the odd-size pad byte),
+    little-endian struct decode of fmt, PCM stats over the data chunk.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, 8 + struct.unpack_from("<I", payload, 4)[0]
+    fmt = None
+    data = None
+    while pos + 8 <= min(end, len(payload)):
+        cid, csize = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, rate, _byte_rate, block_align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only PCM16 supported (fmt={audio_format}, bits={bits})")
+    n_samples = len(data) // block_align
+    samples = np.frombuffer(data[: n_samples * block_align], dtype="<i2")
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits_per_sample": bits,
+        "n_samples": n_samples,
+        "duration_ms": n_samples * 1000 // rate,
+        "pcm_sum": int(samples.astype(np.int64).sum()),
+    }
+
+
+def decode_wav_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched WAV decode: payload bytes → typed audio metadata +
+    a PCM content checksum, via ``decode_wav``. Map-only (no shuffle);
+    the payload crosses the Arrow boundary once and is NOT re-emitted —
+    downstream sees only the slim decoded columns, the same
+    keep_payload=False discipline as ``extract_features``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_wav(bytes(p)) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "sample_rate": [m["sample_rate"] for m in metas],
+                    "channels": [m["channels"] for m in metas],
+                    "bits_per_sample": [m["bits_per_sample"] for m in metas],
+                    "n_samples": [m["n_samples"] for m in metas],
+                    "duration_ms": [m["duration_ms"] for m in metas],
+                    "pcm_sum": [m["pcm_sum"] for m in metas],
+                }
+            )
+
+    return df.select("media_id", payload_col).mapInPandas(
+        run, schema=WAV_META_SCHEMA
     )
 
 

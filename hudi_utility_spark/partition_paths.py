@@ -25,8 +25,11 @@ a general table engine must.
 
 from __future__ import annotations
 
+import datetime as _dt
 import os
 import shutil
+import string
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -44,12 +47,31 @@ _ESCAPED_CHARS = set(chr(c) for c in range(0x01, 0x20)) | {
 def partition_value_str(v) -> str | None:
     """Render a collected partition value the way Spark renders it into
     a path: booleans lower-case, None stays None (→ default partition),
-    everything else via ``str`` (matches Spark for int / str / date /
-    timestamp partition columns)."""
+    timestamps with the trailing fractional zeros TRIMMED the way
+    Spark's ``DateTimeUtils.timestampToString`` does (``00:00:00.123``,
+    not Python's ``00:00:00.123000`` — the untrimmed form misses the
+    real directory and silently resurrects tombstoned rows, the same
+    bug class this module exists to close), ints / strings / dates via
+    ``str``. Floats are REJECTED: Java renders them scientific
+    (``1.0E20``) where Python says ``1e+20``, and a float is a broken
+    partition key to begin with (NaN dirs, equality drift) — raise
+    rather than rmtree the wrong name."""
     if v is None:
         return None
     if isinstance(v, bool):
         return "true" if v else "false"
+    if isinstance(v, float):
+        raise TypeError(
+            "float partition values are unsupported: Java/Python render "
+            "them differently (1.0E20 vs 1e+20), so path reconstruction "
+            "would target the wrong directory. Use a string/decimal/int "
+            "partition column."
+        )
+    if isinstance(v, _dt.datetime):
+        s = v.isoformat(sep=" ")
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        return s
     return str(v)
 
 
@@ -64,16 +86,22 @@ def escape_partition_value(v) -> str:
 
 
 def unescape_partition_segment(s: str) -> str:
-    """Inverse of :func:`escape_partition_value` (``%XX`` → char)."""
+    """Inverse of :func:`escape_partition_value` (``%XX`` → char).
+    Both chars after ``%`` must be hex DIGITS, checked explicitly —
+    ``int(x, 16)`` alone also accepts Python-isms like ``'+5'`` or
+    ``' 5'``, which Hive/Spark ``unescapePathName`` passes through
+    literally."""
     out, i = [], 0
     while i < len(s):
-        if s[i] == "%" and i + 3 <= len(s):
-            try:
-                out.append(chr(int(s[i + 1 : i + 3], 16)))
-                i += 3
-                continue
-            except ValueError:
-                pass
+        if (
+            s[i] == "%"
+            and i + 3 <= len(s)
+            and s[i + 1] in string.hexdigits
+            and s[i + 2] in string.hexdigits
+        ):
+            out.append(chr(int(s[i + 1 : i + 3], 16)))
+            i += 3
+            continue
         out.append(s[i])
         i += 1
     return "".join(out)
@@ -99,17 +127,33 @@ def partition_tuple_predicate(fields: list[str], tuples) -> Column:
     """OR-of-null-safe-ANDs over partition columns: lands on the scan as
     partition pruning (Catalyst evaluates it against partition values at
     planning time), and unlike ``isin`` on the first field alone it
-    selects exact leaf tuples."""
+    selects exact leaf tuples.
+
+    Tree shape matters at scale: a left-deep OR chain over thousands of
+    touched partitions makes Catalyst analysis recurse thousands of
+    frames deep (slow, and a planner stack-overflow risk), so the
+    per-tuple conjunctions are combined as a BALANCED binary OR tree —
+    depth log₂(N) — with no ``lit(False)/lit(True)`` seed nodes."""
+    if not fields:
+        raise ValueError("partition_tuple_predicate requires >=1 field")
     tuples = list(tuples)
     if not tuples:
         return F.lit(False)
-    pred = F.lit(False)
-    for t in tuples:
-        conj = F.lit(True)
-        for f, v in zip(fields, t):
-            conj = conj & F.col(f).eqNullSafe(F.lit(v))
-        pred = pred | conj
-    return pred
+    disjuncts = [
+        reduce(
+            lambda a, b: a & b,
+            (F.col(f).eqNullSafe(F.lit(v)) for f, v in zip(fields, t)),
+        )
+        for t in tuples
+    ]
+    while len(disjuncts) > 1:
+        disjuncts = [
+            disjuncts[i] | disjuncts[i + 1]
+            if i + 1 < len(disjuncts)
+            else disjuncts[i]
+            for i in range(0, len(disjuncts), 2)
+        ]
+    return disjuncts[0]
 
 
 def remove_partition_leaves(

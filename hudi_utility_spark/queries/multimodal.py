@@ -104,6 +104,63 @@ def mm_binaryfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_wav_decode",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS h
+      FROM documents
+    ), q AS (
+      SELECT doc_id,
+             list_extract([8000, 16000, 22050, 44100, 48000],
+                          CAST(h % 5 AS INT) + 1) AS sample_rate,
+             1 + h % 2 AS channels,
+             50 + h % 200 AS n_samples
+      FROM p
+    )
+    SELECT q.doc_id AS media_id,
+           MIN(q.sample_rate) AS sample_rate,
+           MIN(q.channels) AS channels,
+           CAST(16 AS BIGINT) AS bits_per_sample,
+           MIN(q.n_samples) AS n_samples,
+           MIN(q.n_samples * 1000 // q.sample_rate) AS duration_ms,
+           SUM(((q.doc_id * 31 + 7 * t.i) % 65536) - 32768) AS pcm_sum
+    FROM q JOIN range(0, 500) t(i) ON t.i < q.n_samples * q.channels
+    GROUP BY q.doc_id
+    """,
+)
+def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio round trip, no codec stub (round-6 advice #5): per-doc
+    WAV parameters derived JVM-side from the portable md5 formula, PCM16
+    payloads encoded with the stdlib ``wave`` module (`ops/multimodal.py
+    synth_wav`), then decoded by an INDEPENDENT hand-written RIFF chunk
+    walker (`decode_wav`) — the oracle recomputes every decoded field,
+    including a PCM content checksum over the ramp formula, from SQL.
+    A header- or byte-level disagreement between the two codec
+    implementations (or a corrupted Arrow transfer) breaks the value
+    hash. Both kernels are map-only mapInPandas stages; the payload
+    never enters a shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    params = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(*[F.lit(r) for r in (8000, 16000, 22050, 44100, 48000)]),
+            (h % 5).cast("int") + 1,
+        ).alias("sample_rate"),
+        (F.lit(1) + h % 2).alias("channels"),
+        (F.lit(50) + h % 200).alias("n_samples"),
+    )
+    wav = M.synth_wav(params)
+    return M.decode_wav_meta(wav)
+
+
+@query(
     "mm_frame_sample_plan",
     """
     SELECT doc_id AS media_id,

@@ -973,12 +973,28 @@ def write_hudi(
     clear ``RuntimeError`` directing callers to the pure-parquet keyed
     table, which is the supported default sink.
     """
+    _require_hudi_bundle(spark)
+    opts = hudi_write_options(table, operation)
+    opts.update(extra_options or {})
+    df.write.format("hudi").options(**opts).mode(mode).save(table.path)
+
+
+def _require_hudi_bundle(spark: SparkSession) -> None:
     if not hudi_bundle_available(spark):
         raise RuntimeError(
             "hudi-spark bundle not on the classpath; use the pure-parquet "
             "keyed-table sink (full_bootstrap/upsert) or launch Spark with "
             "--packages org.apache.hudi:hudi-spark3-bundle_2.13:<version>"
         )
+
+
+def hudi_write_options(table: KeyedTable, operation: str = "upsert") -> dict:
+    """The public ``hoodie.*`` option mapping for a keyed table — the
+    same set the reference assembles (``pyspark_script.py:360-370``):
+    comma-joined composite record key, precombine field, COW/MOR table
+    type, hive-style partitioning, partition-path fields. Pure function
+    of the table spec, so the mapping is testable bundle or no bundle.
+    """
     opts = {
         "hoodie.table.name": os.path.basename(table.path.rstrip("/")) or "table",
         "hoodie.datasource.write.recordkey.field": ",".join(table.record_key),
@@ -995,5 +1011,77 @@ def write_hudi(
         opts["hoodie.datasource.write.partitionpath.field"] = ",".join(
             table.partition_fields
         )
+    return opts
+
+
+_BOOTSTRAP_SELECTORS = {
+    # public Hudi selector classes, as the reference wires them
+    # (pyspark_script.py:373-387)
+    "METADATA_ONLY": (
+        "org.apache.hudi.client.bootstrap.selector."
+        "MetadataOnlyBootstrapModeSelector"
+    ),
+    "FULL_RECORD": (
+        "org.apache.hudi.client.bootstrap.selector."
+        "FullRecordBootstrapModeSelector"
+    ),
+}
+
+_REGEX_SELECTOR = (
+    "org.apache.hudi.client.bootstrap.selector.BootstrapRegexModeSelector"
+)
+
+
+def hudi_bootstrap_options(
+    table: KeyedTable,
+    source_path: str,
+    bootstrap_type: str = "FULL_RECORD",
+    partition_regex: str | None = None,
+) -> dict:
+    """Option mapping for Hudi's native BOOTSTRAP operation over an
+    existing parquet/ORC dataset — the reference's core write mode
+    (``pyspark_script.py:373-391``): ``operation=bootstrap`` +
+    ``hoodie.bootstrap.base.path`` + a mode selector. Without a regex,
+    the selector is METADATA_ONLY (index existing files in place) or
+    FULL_RECORD (rewrite records into Hudi files); with a regex,
+    BootstrapRegexModeSelector applies *bootstrap_type* to matching
+    partitions and the other mode to the rest. Pure function — the
+    gated ``bootstrap_hudi`` applies it through ``format("hudi")``."""
+    bt = bootstrap_type.upper()
+    if bt not in _BOOTSTRAP_SELECTORS:
+        raise ValueError(
+            f"bootstrap_type must be one of {sorted(_BOOTSTRAP_SELECTORS)}, "
+            f"got {bootstrap_type!r}"
+        )
+    opts = hudi_write_options(table, operation="bootstrap")
+    opts["hoodie.bootstrap.base.path"] = source_path
+    if partition_regex:
+        opts["hoodie.bootstrap.mode.selector"] = _REGEX_SELECTOR
+        opts["hoodie.bootstrap.mode.selector.regex"] = partition_regex
+        opts["hoodie.bootstrap.mode.selector.regex.mode"] = bt
+    else:
+        opts["hoodie.bootstrap.mode.selector"] = _BOOTSTRAP_SELECTORS[bt]
+    return opts
+
+
+def bootstrap_hudi(
+    spark: SparkSession,
+    df: DataFrame,
+    table: KeyedTable,
+    source_path: str,
+    bootstrap_type: str = "FULL_RECORD",
+    partition_regex: str | None = None,
+    mode: str = "append",
+    extra_options: dict | None = None,
+) -> None:
+    """Gated passthrough for Hudi-native bootstrap (COW or MOR, FULL_RECORD /
+    METADATA_ONLY / regex-selected) — the real-format twin of the
+    engine's pure-parquet ``full_bootstrap``. Requires the hudi-spark
+    bundle; raises the same actionable error as ``write_hudi`` when
+    absent."""
+    _require_hudi_bundle(spark)
+    opts = hudi_bootstrap_options(
+        table, source_path, bootstrap_type, partition_regex
+    )
     opts.update(extra_options or {})
     df.write.format("hudi").options(**opts).mode(mode).save(table.path)

@@ -82,3 +82,90 @@ def test_resize_stub_and_frame_plan_shapes(spark, documents):
     for mid, ts in per.items():
         ts.sort()
         assert ts[0] == 0 and all(b - a == 7 for a, b in zip(ts, ts[1:]))
+
+
+# ---------------------------------------------------------------------------
+# real WAV codec path (no stub): stdlib-wave encode -> hand-written RIFF parse
+
+
+def _wav_bytes(mid: int, rate: int, channels: int, n_samples: int) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(M._ramp_pcm(mid, n_samples * channels))
+    return buf.getvalue()
+
+
+def test_decode_wav_roundtrip_matches_params():
+    payload = _wav_bytes(7, 22050, 2, 123)
+    meta = M.decode_wav(payload)
+    assert meta["sample_rate"] == 22050
+    assert meta["channels"] == 2
+    assert meta["bits_per_sample"] == 16
+    assert meta["n_samples"] == 123
+    assert meta["duration_ms"] == 123 * 1000 // 22050
+    expected = sum(((7 * 31 + 7 * j) % 65536) - 32768 for j in range(123 * 2))
+    assert meta["pcm_sum"] == expected
+
+
+def test_decode_wav_walks_unknown_chunks_and_pad_bytes():
+    """The parser must be a generic chunk walk: inject a LIST chunk with
+    an ODD size (forcing the word-align pad byte) between fmt and data."""
+    import struct
+
+    payload = _wav_bytes(3, 8000, 1, 10)
+    fmt_chunk = payload[12:36]          # 'fmt ' + size(16) + body
+    data_chunk = payload[36:]
+    junk_body = b"INFOjunk!"            # 9 bytes -> odd, needs pad
+    junk = b"LIST" + struct.pack("<I", len(junk_body)) + junk_body + b"\x00"
+    body = b"WAVE" + fmt_chunk + junk + data_chunk
+    rebuilt = b"RIFF" + struct.pack("<I", len(body)) + body
+    meta = M.decode_wav(rebuilt)
+    assert meta["n_samples"] == 10 and meta["sample_rate"] == 8000
+
+
+def test_decode_wav_rejects_non_riff_and_truncated():
+    with pytest.raises(ValueError, match="RIFF"):
+        M.decode_wav(b"\x89PNG\r\n")
+    with pytest.raises(ValueError, match="fmt or data"):
+        import struct
+
+        M.decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+
+
+def test_decode_stub_real_path_for_riff_payloads():
+    """fake=False must DECODE (not raise) when the payload is WAV."""
+    payload = _wav_bytes(1, 16000, 1, 64)
+    feats = M.decode_stub(payload, "audio", fake=False, dim=8)
+    assert len(feats) == 8
+    assert feats[0] == round(16000 / 48000.0, 6)
+    assert feats[1] == 0.5
+    assert feats[3] > 0
+
+
+def test_synth_wav_decode_wav_meta_dataframe_path(spark):
+    params = spark.range(20).selectExpr(
+        "id AS media_id",
+        "16000 + CAST(id % 2 AS INT) * 28100 AS sample_rate",
+        "1 + CAST(id % 2 AS INT) AS channels",
+        "60 + CAST(id AS INT) AS n_samples",
+    )
+    wav = M.synth_wav(params)
+    rows = {r["media_id"]: r for r in M.decode_wav_meta(wav).collect()}
+    assert len(rows) == 20
+    for mid, r in rows.items():
+        assert r["channels"] == 1 + mid % 2
+        assert r["n_samples"] == 60 + mid
+        assert r["bits_per_sample"] == 16
+    # payloads are genuine WAV files the stdlib decoder also accepts
+    import io
+    import wave
+
+    sample = wav.filter("media_id = 0").collect()[0]  # channels=1 row
+    with wave.open(io.BytesIO(bytes(sample["payload"]))) as w:
+        assert w.getnframes() == (sample["byte_len"] - 44) // 2  # header=44B

@@ -100,3 +100,34 @@ def test_triangle_counts_matches_bruteforce(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.node: r.triangles for r in triangle_counts(df).collect()}
     assert got == want
+
+
+def test_deep_iteration_bounded_plan_with_checkpoint(spark):
+    """iters=25 must not blow plan depth: with the localCheckpoint gate
+    (every 8 rounds) the optimized-plan text stays bounded near the
+    iters=8 size instead of growing ~linearly to 25 unrolled rounds —
+    and the ranks still match an ungated deep run value-for-value."""
+    from hudi_utility_spark.ops.graph import pagerank, symmetrize
+
+    edges = symmetrize(
+        spark.createDataFrame(
+            [(i, (i * 7 + 3) % 23) for i in range(23) if i != (i * 7 + 3) % 23],
+            ["src", "dst"],
+        )
+    )
+    deep = pagerank(edges, iters=25, checkpoint_every=8)
+    plan_len = len(deep._jdf.queryExecution().optimizedPlan().toString())
+    shallow = pagerank(edges, iters=8, checkpoint_every=0)
+    shallow_len = len(shallow._jdf.queryExecution().optimizedPlan().toString())
+    # 25 rounds with a gate ≈ the last (25 mod 8) unrolled rounds + a
+    # checkpoint scan; must stay well under 2× the 8-round plan rather
+    # than the ~3× a fully unrolled 25-round plan would be
+    assert plan_len < 2 * shallow_len
+    ungated = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iters=25, checkpoint_every=0).collect()
+    }
+    gated = {r["node"]: r["rank"] for r in deep.collect()}
+    assert gated.keys() == ungated.keys()
+    for n in gated:
+        assert abs(gated[n] - ungated[n]) < 1e-12

@@ -17,6 +17,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+import hudi_utility_spark.partition_paths as pp
 from hudi_utility_spark.partition_paths import (
     DEFAULT_PARTITION,
     escape_partition_value,
@@ -176,3 +177,56 @@ def test_special_char_partition_values_delete_cleanly(spark, tmp_path, tt):
         partition_leaf_dir(table.base_path, ["p1"], ("us:east/1",))
     ), "escaped dir must be removed, not a phantom unescaped path"
     assert table.read(spark).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# round-7 advice hardening: timestamp rendering, strict unescape, tree shape
+
+
+def test_timestamp_values_render_like_spark_trimmed():
+    """Spark trims trailing fractional zeros (DateTimeUtils
+    .timestampToString); verified against actual partitionBy dirs."""
+    import datetime
+
+    cases = {
+        datetime.datetime(2024, 1, 2, 3, 4, 5, 0): "2024-01-02 03:04:05",
+        datetime.datetime(2024, 1, 2, 3, 4, 5, 123000): "2024-01-02 03:04:05.123",
+        datetime.datetime(2024, 1, 2, 3, 4, 5, 120000): "2024-01-02 03:04:05.12",
+        datetime.datetime(2024, 1, 2, 3, 4, 5, 123456): "2024-01-02 03:04:05.123456",
+    }
+    for v, want in cases.items():
+        assert pp.partition_value_str(v) == want
+
+
+def test_float_partition_values_rejected():
+    with pytest.raises(TypeError, match="float partition values"):
+        pp.partition_value_str(1e20)
+    with pytest.raises(TypeError, match="float partition values"):
+        pp.escape_partition_value(0.25)
+
+
+def test_unescape_requires_strict_hex_pairs():
+    # '%+5' / '% 5' are NOT escapes (int('+5',16) would accept them)
+    assert pp.unescape_partition_segment("a%+5b") == "a%+5b"
+    assert pp.unescape_partition_segment("a% 5b") == "a% 5b"
+    assert pp.unescape_partition_segment("a%2Fb") == "a/b"
+    assert pp.unescape_partition_segment("a%2fb") == "a/b"
+    assert pp.unescape_partition_segment("trail%2") == "trail%2"
+
+
+def test_tuple_predicate_balanced_depth_and_exactness(spark):
+    """2000 tuples must plan (left-deep chains stack-overflow or crawl)
+    and still select exactly the requested leaf tuples."""
+    tuples = [(f"k{i % 50}", i) for i in range(2000)]
+    pred = pp.partition_tuple_predicate(["a", "b"], tuples)
+    df = spark.createDataFrame(
+        [(f"k{i % 50}", i) for i in range(2100)], ["a", "b"]
+    )
+    got = sorted((r["a"], r["b"]) for r in df.filter(pred).collect())
+    assert got == sorted(tuples)
+    # null-safe: a None component still matches its leaf exactly
+    pred2 = pp.partition_tuple_predicate(["a", "b"], [(None, 7)])
+    df2 = spark.createDataFrame([(None, 7), ("x", 7), (None, 8)], ["a", "b"])
+    assert [(r["a"], r["b"]) for r in df2.filter(pred2).collect()] == [(None, 7)]
+    with pytest.raises(ValueError):
+        pp.partition_tuple_predicate([], [(1,)])

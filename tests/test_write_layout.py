@@ -135,3 +135,106 @@ def test_hudi_passthrough_gate(spark, tmp_path):
     else:
         with pytest.raises(RuntimeError, match="hudi-spark bundle"):
             write_hudi(spark, df, table)
+
+
+def test_hudi_option_mapping_pure():
+    """The hoodie.* option mapping is a pure function of the table spec
+    — testable with or without the bundle (reference parity:
+    pyspark_script.py:360-391)."""
+    from hudi_utility_spark.table import KeyedTable, TableType
+    from hudi_utility_spark.write import (
+        hudi_bootstrap_options,
+        hudi_write_options,
+    )
+
+    cow = KeyedTable(
+        path="/data/t1",
+        record_key=["k1", "k2"],
+        precombine="ts",
+        partition_fields=["p1", "p2"],
+    )
+    opts = hudi_write_options(cow)
+    assert opts["hoodie.datasource.write.recordkey.field"] == "k1,k2"
+    assert opts["hoodie.datasource.write.partitionpath.field"] == "p1,p2"
+    assert opts["hoodie.datasource.write.table.type"] == "COPY_ON_WRITE"
+    assert opts["hoodie.datasource.write.hive_style_partitioning"] == "true"
+    assert opts["hoodie.table.name"] == "t1"
+
+    mor = KeyedTable(
+        path="/data/t2",
+        record_key=["k"],
+        precombine="ts",
+        table_type=TableType.MERGE_ON_READ,
+    )
+    assert (
+        hudi_write_options(mor)["hoodie.datasource.write.table.type"]
+        == "MERGE_ON_READ"
+    )
+    assert (
+        "hoodie.datasource.write.partitionpath.field"
+        not in hudi_write_options(mor)
+    )
+
+    b = hudi_bootstrap_options(cow, "/src/parquet", "METADATA_ONLY")
+    assert b["hoodie.datasource.write.operation"] == "bootstrap"
+    assert b["hoodie.bootstrap.base.path"] == "/src/parquet"
+    assert b["hoodie.bootstrap.mode.selector"].endswith(
+        "MetadataOnlyBootstrapModeSelector"
+    )
+    r = hudi_bootstrap_options(
+        cow, "/src/parquet", "FULL_RECORD", partition_regex="p1=202[45].*"
+    )
+    assert r["hoodie.bootstrap.mode.selector"].endswith(
+        "BootstrapRegexModeSelector"
+    )
+    assert r["hoodie.bootstrap.mode.selector.regex"] == "p1=202[45].*"
+    assert r["hoodie.bootstrap.mode.selector.regex.mode"] == "FULL_RECORD"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bootstrap_type"):
+        hudi_bootstrap_options(cow, "/src", "PARTIAL")
+
+
+def test_hudi_cow_mor_bootstrap_roundtrip(spark, tmp_path):
+    """Real-format legs: COW upsert, MOR upsert, and native bootstrap
+    from a parquet source — run only when the hudi bundle is on the
+    classpath (skip-clean in this sandbox)."""
+    import pytest
+
+    from hudi_utility_spark.table import KeyedTable, TableType
+    from hudi_utility_spark.write import (
+        bootstrap_hudi,
+        hudi_bundle_available,
+        write_hudi,
+    )
+
+    if not hudi_bundle_available(spark):
+        pytest.skip("hudi-spark bundle not on the classpath")
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01", "click", 1.0), (2, "2024-01-02", "view", 2.0)],
+        "event_id bigint, ts string, event_type string, value double",
+    )
+    for ttype, name in [
+        (TableType.COPY_ON_WRITE, "cow"),
+        (TableType.MERGE_ON_READ, "mor"),
+    ]:
+        t = KeyedTable(
+            path=str(tmp_path / f"hudi_{name}"),
+            record_key=["event_id"],
+            precombine="ts",
+            partition_fields=["event_type"],
+            table_type=ttype,
+        )
+        write_hudi(spark, df, t, mode="overwrite")
+        assert spark.read.format("hudi").load(t.path).count() == 2
+
+    src = str(tmp_path / "boot_src")
+    df.write.parquet(src)
+    bt = KeyedTable(
+        path=str(tmp_path / "hudi_boot"),
+        record_key=["event_id"],
+        precombine="ts",
+    )
+    bootstrap_hudi(spark, df, bt, src, bootstrap_type="METADATA_ONLY")
+    assert spark.read.format("hudi").load(bt.path).count() == 2
