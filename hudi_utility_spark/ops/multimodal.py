@@ -221,6 +221,9 @@ WAV_META_SCHEMA = T.StructType(
         T.StructField("n_samples", T.LongType(), True),
         T.StructField("duration_ms", T.LongType(), True),
         T.StructField("pcm_sum", T.LongType(), True),
+        T.StructField("pcm_peak", T.LongType(), True),
+        T.StructField("pcm_clipped", T.LongType(), True),
+        T.StructField("pcm_sumsq", T.LongType(), True),
     ]
 )
 
@@ -313,13 +316,19 @@ def decode_wav(payload: bytes) -> dict:
         raise ValueError(f"only PCM16 supported (fmt={audio_format}, bits={bits})")
     n_samples = len(data) // block_align
     samples = np.frombuffer(data[: n_samples * block_align], dtype="<i2")
+    wide = samples.astype(np.int64)
     return {
         "sample_rate": rate,
         "channels": channels,
         "bits_per_sample": bits,
         "n_samples": n_samples,
         "duration_ms": n_samples * 1000 // rate,
-        "pcm_sum": int(samples.astype(np.int64).sum()),
+        "pcm_sum": int(wide.sum()),
+        # QC stats: peak amplitude, clipped-sample count (|s| at the
+        # int16 rail), exact integer energy for RMS downstream
+        "pcm_peak": int(np.abs(wide).max()) if len(wide) else 0,
+        "pcm_clipped": int((np.abs(wide) >= 32767).sum()),
+        "pcm_sumsq": int((wide * wide).sum()),
     }
 
 
@@ -342,6 +351,9 @@ def decode_wav_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                     "n_samples": [m["n_samples"] for m in metas],
                     "duration_ms": [m["duration_ms"] for m in metas],
                     "pcm_sum": [m["pcm_sum"] for m in metas],
+                    "pcm_peak": [m["pcm_peak"] for m in metas],
+                    "pcm_clipped": [m["pcm_clipped"] for m in metas],
+                    "pcm_sumsq": [m["pcm_sumsq"] for m in metas],
                 }
             )
 

@@ -157,7 +157,145 @@ def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(50) + h % 200).alias("n_samples"),
     )
     wav = M.synth_wav(params)
-    return M.decode_wav_meta(wav)
+    return M.decode_wav_meta(wav).select(
+        "media_id",
+        "sample_rate",
+        "channels",
+        "bits_per_sample",
+        "n_samples",
+        "duration_ms",
+        "pcm_sum",
+    )
+
+
+@query(
+    "mm_audio_qc",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS h
+      FROM documents
+    ), q AS (
+      SELECT doc_id,
+             list_extract([8000, 16000, 22050, 44100, 48000],
+                          CAST(h % 5 AS INT) + 1) AS sample_rate,
+             1 + h % 2 AS channels,
+             50 + h % 200 AS n_samples
+      FROM p
+    ), pcm AS (
+      SELECT q.doc_id,
+             MIN(q.n_samples * q.channels) AS n,
+             MAX(ABS(((q.doc_id * 31 + 7 * t.i) % 65536) - 32768)) AS pcm_peak,
+             SUM(CASE WHEN ABS(((q.doc_id * 31 + 7 * t.i) % 65536) - 32768)
+                           >= 32767 THEN 1 ELSE 0 END) AS pcm_clipped,
+             SUM((((q.doc_id * 31 + 7 * t.i) % 65536) - 32768)
+                 * (((q.doc_id * 31 + 7 * t.i) % 65536) - 32768)) AS sumsq
+      FROM q JOIN range(0, 500) t(i) ON t.i < q.n_samples * q.channels
+      GROUP BY q.doc_id
+    )
+    SELECT doc_id AS media_id,
+           pcm_peak,
+           CAST(pcm_clipped AS BIGINT) AS pcm_clipped,
+           ROUND(SQRT(CAST(sumsq AS DOUBLE) / n), 4) AS rms
+    FROM pcm
+    """,
+)
+def mm_audio_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file audio quality control over DECODED PCM (real DSP, not
+    header-only): peak amplitude, clipped-sample count (|s| at the
+    int16 rail — the classic bad-gain detector), and RMS level. The
+    stats are integer-exact in the kernel (numpy int64 max/count/sum of
+    squares) with ONE double step (sqrt of mean square) at the end, so
+    the oracle reproduces them bit-for-bit from the generation formula.
+    The curation use: drop or re-gain clipped/near-silent files before
+    a speech training mix."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    params = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(*[F.lit(r) for r in (8000, 16000, 22050, 44100, 48000)]),
+            (h % 5).cast("int") + 1,
+        ).alias("sample_rate"),
+        (F.lit(1) + h % 2).alias("channels"),
+        (F.lit(50) + h % 200).alias("n_samples"),
+    )
+    decoded = M.decode_wav_meta(M.synth_wav(params))
+    return decoded.select(
+        "media_id",
+        "pcm_peak",
+        "pcm_clipped",
+        F.round(
+            F.sqrt(
+                F.col("pcm_sumsq").cast("double")
+                / (F.col("n_samples") * F.col("channels"))
+            ),
+            4,
+        ).alias("rms"),
+    )
+
+
+@query(
+    "mm_audio_stats",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS h
+      FROM documents
+    ), q AS (
+      SELECT doc_id,
+             list_extract([8000, 16000, 22050, 44100, 48000],
+                          CAST(h % 5 AS INT) + 1) AS sample_rate,
+             1 + h % 2 AS channels,
+             50 + h % 200 AS n_samples
+      FROM p
+    )
+    SELECT sample_rate,
+           COUNT(*) AS n_files,
+           SUM(n_samples * 1000 // sample_rate) AS total_ms,
+           SUM(n_samples * channels) AS total_samples,
+           SUM(CASE WHEN channels = 2 THEN 1 ELSE 0 END) AS stereo_files
+    FROM q GROUP BY sample_rate
+    """,
+)
+def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus audio inventory over DECODED metadata (not the generation
+    params): the per-sample-rate duration/volume profile a speech
+    training mix is balanced on. Every aggregated value flows from the
+    hand-written RIFF parser's output, so a decode bug anywhere in the
+    corpus breaks the hash; the oracle recomputes the same inventory
+    from the generation formula. Decode is map-only; the aggregate is
+    one partial-combine shuffle of |rates| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    params = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(*[F.lit(r) for r in (8000, 16000, 22050, 44100, 48000)]),
+            (h % 5).cast("int") + 1,
+        ).alias("sample_rate"),
+        (F.lit(1) + h % 2).alias("channels"),
+        (F.lit(50) + h % 200).alias("n_samples"),
+    )
+    decoded = M.decode_wav_meta(M.synth_wav(params))
+    return decoded.groupBy("sample_rate").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("duration_ms").alias("total_ms"),
+        F.sum(F.col("n_samples") * F.col("channels")).alias("total_samples"),
+        F.sum(F.when(F.col("channels") == 2, 1).otherwise(0)).alias(
+            "stereo_files"
+        ),
+    )
 
 
 @query(
