@@ -117,6 +117,8 @@ HEADLINE = [
     "stream_interval_join",
     "stream_sliding_counts",
     "mm_wav_decode",
+    "text_dsir_select",
+    "dq_k_suppression",
 ]
 
 

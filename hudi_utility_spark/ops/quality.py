@@ -412,3 +412,59 @@ def pseudonymize(
         )
         out = out.withColumn(c, token)
     return out
+
+
+def k_anonymity_audit(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002): every quasi-identifier
+    combination shared by FEWER than ``k`` rows is a re-identification
+    risk — the linkage-attack surface a training corpus inherits when
+    metadata columns (language, source, geo, time bucket) ride along
+    with user-derived text. Returns one row per equivalence class with
+    its size and violation flag, so the caller can quantify risk
+    (violating classes / rows at risk) or feed `k_suppress`.
+
+    Plan: ONE hash aggregate over the quasi columns — the output is
+    bounded by distinct quasi combinations, never rows; at 100 TB this
+    is a partial-combine count per class, the cheapest possible audit.
+    NULL quasi values form their own class (standard k-anonymity
+    treatment: NULL is an observable value to a linker)."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .withColumn("violates_k", (F.col("class_size") < k).cast("boolean"))
+    )
+
+
+def k_suppress(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Suppression to k-anonymity: rows whose quasi-identifier class
+    has fewer than ``k`` members get those columns NULLED (cell
+    suppression — the simplest generalization operator); all other
+    rows pass through untouched. After suppression every surviving
+    non-NULL class has ≥ k members, and the suppressed rows merge into
+    the all-NULL class.
+
+    Plan: the class-size relation is the audit's one aggregate,
+    broadcast back onto the fact keyed by the quasi tuple — map-side
+    annotate + conditional NULL-out, no fact-side shuffle beyond the
+    audit's own. The broadcast is bounded by distinct quasi
+    combinations; if that ever approaches fact scale the columns are
+    not quasi-identifiers but keys, and suppression is the wrong tool."""
+    sizes = k_anonymity_audit(df, quasi_cols, k).select(
+        *[F.col(c).alias(f"_q_{c}") for c in quasi_cols], "violates_k"
+    )
+    # null-safe join: a NULL quasi value is an equivalence class too,
+    # and a plain equi-join would silently skip it (its violates_k
+    # would read NULL -> row passes through unsuppressed)
+    cond = F.lit(True)
+    for c in quasi_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_q_{c}"))
+    out = df.join(F.broadcast(sizes), cond, "left")
+    for c in quasi_cols:
+        out = out.withColumn(
+            c, F.when(F.col("violates_k"), F.lit(None)).otherwise(F.col(c))
+        )
+    return out.drop("violates_k", *[f"_q_{c}" for c in quasi_cols])

@@ -629,3 +629,110 @@ def source_overlap_matrix(
             F.round(F.col("n_common") / F.col("grams_b"), 6).alias("containment_b"),
         )
     )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target_cond: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dims: int = 256,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): estimate hashed-n-gram
+    bag distributions for the TARGET subset (rows where *target_cond*)
+    and the RAW corpus, add-α smoothed over ``dims`` buckets, and score
+    every document by its importance log-weight
+    ``log w(x) = Σ_tokens [ln p_target(b(tok)) − ln p_raw(b(tok))]`` —
+    the principled replacement for hand-tuned quality filters when you
+    have an exemplar of what you want more of (wiki/books/eval-domain
+    text) and a huge raw crawl to select from.
+
+    Plan at scale: one token explode (codegen md5 bucket hash), ONE
+    bucket-keyed aggregate producing the `dims`-row model (two counters
+    per bucket via conditional sum — target pass and raw pass share the
+    scan), model broadcast back onto the token stream, one per-doc
+    aggregate. The model is `dims` scalars regardless of corpus size;
+    the corpus pays two keyed exchanges, same shape as
+    `unigram_logprob_score`. All arithmetic is fixed-order double math
+    on integer counts — oracle-replayable."""
+    df = widen_for_compute(df)  # compute-bound: scan width != CPU width
+    from hudi_utility_spark.ops import phash
+
+    toks = df.select(
+        F.col(id_col),
+        target_cond.cast("long").alias("_tgt"),
+        F.explode(F.split(normalized(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    hi, lo = phash.parts(F.col("tok"))
+    bt = toks.select(
+        id_col, "_tgt", (phash.family_hash(hi, lo, 0) % F.lit(dims)).alias("bucket")
+    )
+    # The model table is `dims` rows; localize() it so the fit pass runs
+    # the corpus ONCE — both downstream consumers (totals, log-ratios)
+    # read the local relation, not a re-executed token pipeline. (The
+    # score pass below is the inherent second corpus scan of any
+    # fit-then-score operator.)
+    from hudi_utility_spark.ops import localize
+
+    counts = localize(
+        bt.groupBy("bucket").agg(
+            F.sum("_tgt").alias("ct"), F.count(F.lit(1)).alias("cs")
+        )
+    )
+    tot = counts.agg(F.sum("ct").alias("nt"), F.sum("cs").alias("ns"))
+    ad = float(alpha * dims)
+    lr = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + F.lit(alpha)) / (F.col("nt") + F.lit(ad)))
+            - F.log((F.col("cs") + F.lit(alpha)) / (F.col("ns") + F.lit(ad)))
+        ).alias("lr"),
+    )
+    return (
+        bt.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("lr"), 6).alias("log_weight"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target_cond: Column,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dims: int = 256,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR's selection step: Gumbel-top-k over the importance
+    log-weights — sampling WITHOUT replacement with inclusion
+    probability ∝ w(x), executed as one deterministic TakeOrdered
+    (perturb each log-weight with a Gumbel variate, keep the k
+    largest; Vieira 2014). The Gumbel uniform comes from the portable
+    md5 formula over the document id, so selection is reproducible
+    across engines and runs — no RNG state, no seed plumbing — and
+    top-k is TakeOrderedAndProject: driver holds k rows, never a
+    global sort."""
+    w = dsir_importance_weights(
+        df, target_cond, id_col=id_col, text_col=text_col, dims=dims, alpha=alpha
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 12),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 48))
+    gumbel = -F.log(-F.log(u))
+    return (
+        w.withColumn("sel_key", F.round(F.col("log_weight") + gumbel, 6))
+        .orderBy(F.desc("sel_key"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "log_weight", "n_tokens", "sel_key")
+    )

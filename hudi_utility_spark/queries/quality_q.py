@@ -353,3 +353,47 @@ def dq_pseudonymized_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@query(
+    "dq_k_anonymity_audit",
+    """
+    SELECT lang, source, COUNT(*) AS class_size,
+           COUNT(*) < 5 AS violates_k
+    FROM documents GROUP BY lang, source
+    """,
+)
+def dq_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (lang, source) quasi-identifier pair
+    (ops/quality.py `k_anonymity_audit`): one hash aggregate bounded by
+    distinct quasi combinations — equivalence classes smaller than k=5
+    are the linkage-attack surface."""
+    d = load_table(spark, sf_dir, "documents")
+    return Q.k_anonymity_audit(d, ["lang", "source"], k=5)
+
+
+@query(
+    "dq_k_suppression",
+    """
+    WITH sizes AS (
+        SELECT lang, source, COUNT(*) AS n
+        FROM documents GROUP BY lang, source
+    )
+    SELECT d.doc_id,
+           CASE WHEN s.n < 5 THEN NULL ELSE d.lang END AS lang,
+           CASE WHEN s.n < 5 THEN NULL ELSE d.source END AS source
+    FROM documents d
+    JOIN sizes s ON d.lang IS NOT DISTINCT FROM s.lang
+                AND d.source IS NOT DISTINCT FROM s.source
+    """,
+)
+def dq_k_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell suppression to k-anonymity (ops/quality.py `k_suppress`):
+    rows in sub-k equivalence classes get their quasi columns NULLed
+    via a null-safe broadcast of the audit relation — map-side
+    annotate, no fact shuffle. The oracle re-derives exactly which rows
+    suppress."""
+    d = load_table(spark, sf_dir, "documents")
+    return Q.k_suppress(d, ["lang", "source"], k=5).select(
+        "doc_id", "lang", "source"
+    )

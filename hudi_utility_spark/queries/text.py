@@ -681,3 +681,82 @@ def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     source count (never corpus-quadratic); totals broadcast back."""
     docs = load_table(spark, sf_dir, "documents")
     return X.source_overlap_matrix(docs)
+
+
+def _dsir_weights_cte(dims: int = 256, alpha: float = 1.0) -> str:
+    """Shared DuckDB CTE chain computing DSIR log-weights with the
+    identical md5 bucket hash and fixed-order double arithmetic."""
+    from hudi_utility_spark.ops import phash
+
+    thi, tlo = phash.sql_parts("tok")
+    bucket = f"({phash.sql_family(thi, tlo, 0)} % {dims})"
+    ad = float(alpha * dims)
+    return rf"""
+    toks AS (
+        SELECT doc_id, lang, unnest(string_split(trim(regexp_replace(regexp_replace(
+                   lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+    ),
+    nz AS (
+        SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt, tok
+        FROM toks WHERE tok <> ''
+    ),
+    bt AS (SELECT doc_id, tgt, {bucket} AS bucket FROM nz),
+    counts AS (
+        SELECT bucket, SUM(tgt) AS ct, COUNT(*) AS cs FROM bt GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(ct) AS nt, SUM(cs) AS ns FROM counts),
+    lr AS (
+        SELECT bucket,
+               ln((ct + {float(alpha)}) / ((SELECT nt FROM tot) + {ad}))
+               - ln((cs + {float(alpha)}) / ((SELECT ns FROM tot) + {ad})) AS lr
+        FROM counts
+    ),
+    weights AS (
+        SELECT bt.doc_id,
+               ROUND(SUM(lr.lr), 6) AS log_weight,
+               COUNT(*) AS n_tokens
+        FROM bt JOIN lr USING (bucket) GROUP BY bt.doc_id
+    )"""
+
+
+@query(
+    "text_dsir_weights",
+    "WITH " + _dsir_weights_cte(dims=256, alpha=1.0) + """
+    SELECT doc_id, log_weight, n_tokens FROM weights
+    """,
+)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (hashed-n-gram target/raw log-likelihood
+    ratio, Xie et al. 2023) with the English subset as the exemplar
+    target — per-doc log-weight + token count, model = 256 scalars, two
+    keyed exchanges (ops/text.py `dsir_importance_weights`)."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.dsir_importance_weights(
+        d, F.col("lang") == "en", dims=256, alpha=1.0
+    )
+
+
+@query(
+    "text_dsir_select",
+    "WITH " + _dsir_weights_cte(dims=256, alpha=1.0) + """
+    SELECT doc_id, log_weight, n_tokens,
+           ROUND(log_weight
+                 - ln(-ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 12)) AS BIGINT) + 0.5)
+                          / 281474976710656.0)), 6) AS sel_key
+    FROM weights
+    ORDER BY log_weight
+             - ln(-ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                    1, 12)) AS BIGINT) + 0.5)
+                      / 281474976710656.0)) DESC, doc_id
+    LIMIT 100
+    """,
+)
+def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel-top-k selection: importance resampling without
+    replacement executed as one deterministic TakeOrdered — the md5
+    formula supplies the Gumbel uniforms, so the selected set is
+    engine-reproducible (ops/text.py `dsir_select`)."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.dsir_select(d, F.col("lang") == "en", k=100, dims=256, alpha=1.0)

@@ -197,3 +197,35 @@ def test_pseudonymize_links_across_tables_and_rotates(spark):
     # rotated salt severs linkage
     tb2 = Q.pseudonymize(b, ["uid"], salt="s2")
     assert ta.join(tb2, "uid").isEmpty()
+
+
+def test_k_anonymity_audit_and_suppression(spark):
+    from hudi_utility_spark.ops.quality import k_anonymity_audit, k_suppress
+
+    rows = (
+        [("en", "wiki", i) for i in range(6)]       # safe class (6 >= 5)
+        + [("de", "web", 10 + i) for i in range(2)]  # violating (2 < 5)
+        + [(None, "web", 99)]                        # NULL class, size 1
+    )
+    df = spark.createDataFrame(rows, ["lang", "source", "id"])
+    audit = {
+        (r["lang"], r["source"]): (r["class_size"], r["violates_k"])
+        for r in k_anonymity_audit(df, ["lang", "source"], k=5).collect()
+    }
+    assert audit[("en", "wiki")] == (6, False)
+    assert audit[("de", "web")] == (2, True)
+    assert audit[(None, "web")] == (1, True)
+
+    out = k_suppress(df, ["lang", "source"], k=5)
+    got = {r["id"]: (r["lang"], r["source"]) for r in out.collect()}
+    assert len(got) == 9  # no row dropped or duplicated
+    for i in range(6):
+        assert got[i] == ("en", "wiki")          # safe class untouched
+    # violating classes fully suppressed (including the NULL class row)
+    for i in (10, 11, 99):
+        assert got[i] == (None, None)
+    # post-suppression: every surviving non-NULL class has >= k members
+    resurvey = k_anonymity_audit(out, ["lang", "source"], k=5).collect()
+    for r in resurvey:
+        if r["lang"] is not None:
+            assert not r["violates_k"]

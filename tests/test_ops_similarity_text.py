@@ -409,3 +409,79 @@ def test_widen_for_compute_guards_narrow_scans(spark):
     sh = _shingles(narrow, "doc_id", "text", 1)
     plan = sh._jdf.queryExecution().executedPlan().toString()
     assert "RoundRobinPartitioning" in plan, plan
+
+
+def test_dsir_weights_match_python_reference(spark):
+    """DSIR log-weights recomputed in plain Python (phash py_family
+    reference, same add-alpha smoothing and operation order) must match
+    the distributed result to rounding."""
+    import math
+    import re
+    from collections import Counter
+
+    from hudi_utility_spark.ops.phash import py_family
+    from hudi_utility_spark.ops.text import dsir_importance_weights
+    from pyspark.sql import functions as F
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the the the quick quick fox", "en"),
+        (2, "der schnelle braune fuchs springt", "de"),
+        (3, "le renard brun rapide saute", "fr"),
+        (4, "fox dog quick brown again and again", "en"),
+        (5, "der hund und der fuchs", "de"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "lang"])
+    dims, alpha = 64, 1.0
+
+    def norm_tokens(t):
+        t = re.sub(r"[^a-z0-9\s]", " ", t.lower())
+        return [w for w in re.sub(r"\s+", " ", t).strip().split(" ") if w]
+
+    ct, cs = Counter(), Counter()
+    per_doc = {}
+    for did, text, lang in docs:
+        bs = [py_family(tok, 0) % dims for tok in norm_tokens(text)]
+        per_doc[did] = bs
+        for b in bs:
+            cs[b] += 1
+            if lang == "en":
+                ct[b] += 1
+    nt, ns = sum(ct.values()), sum(cs.values())
+    ad = alpha * dims
+
+    def lr(b):
+        return math.log((ct[b] + alpha) / (nt + ad)) - math.log(
+            (cs[b] + alpha) / (ns + ad)
+        )
+
+    expected = {
+        did: round(sum(lr(b) for b in bs), 6) for did, bs in per_doc.items()
+    }
+    got = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_importance_weights(
+            df, F.col("lang") == "en", dims=dims, alpha=alpha
+        ).collect()
+    }
+    assert got.keys() == expected.keys()
+    for did in expected:
+        assert abs(got[did] - expected[did]) < 2e-6, (did, got[did], expected[did])
+    # direction: English docs should score higher than non-English ones
+    en_mean = sum(got[d] for d in (0, 1, 4)) / 3
+    other_mean = sum(got[d] for d in (2, 3, 5)) / 3
+    assert en_mean > other_mean
+
+
+def test_dsir_select_is_deterministic_topk(spark):
+    from hudi_utility_spark.ops.text import dsir_select
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"token{i % 7} filler text number {i}", "en" if i % 3 else "de")
+         for i in range(40)],
+        ["doc_id", "text", "lang"],
+    )
+    a = [r["doc_id"] for r in dsir_select(df, F.col("lang") == "en", k=10).collect()]
+    b = [r["doc_id"] for r in dsir_select(df, F.col("lang") == "en", k=10).collect()]
+    assert a == b and len(a) == 10 and len(set(a)) == 10
