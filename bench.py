@@ -119,6 +119,7 @@ HEADLINE = [
     "mm_wav_decode",
     "text_dsir_select",
     "dq_k_suppression",
+    "stream_true_tumbling",
 ]
 
 

@@ -669,25 +669,30 @@ def dsir_importance_weights(
     bt = toks.select(
         id_col, "_tgt", (phash.family_hash(hi, lo, 0) % F.lit(dims)).alias("bucket")
     )
-    # The model table is `dims` rows; localize() it so the fit pass runs
-    # the corpus ONCE — both downstream consumers (totals, log-ratios)
-    # read the local relation, not a re-executed token pipeline. (The
-    # score pass below is the inherent second corpus scan of any
-    # fit-then-score operator.)
-    from hudi_utility_spark.ops import localize
-
-    counts = localize(
-        bt.groupBy("bucket").agg(
-            F.sum("_tgt").alias("ct"), F.count(F.lit(1)).alias("cs")
-        )
+    # The model is `dims` rows of integer counters — collect it once
+    # (the centroid/codebook idiom) so the fit pass runs the corpus
+    # exactly ONCE, and the totals become exact integer literals: no
+    # 1-row crossJoin (BNLJ) in the plan, and nothing persisted. The
+    # log-ratio itself stays a Spark expression (same ln as the SQL
+    # oracle). The score pass below is the inherent second corpus scan
+    # of any fit-then-score operator.
+    count_rows = (
+        bt.groupBy("bucket")
+        .agg(F.sum("_tgt").alias("ct"), F.count(F.lit(1)).alias("cs"))
+        .collect()
     )
-    tot = counts.agg(F.sum("ct").alias("nt"), F.sum("cs").alias("ns"))
+    nt = sum(r["ct"] for r in count_rows)
+    ns = sum(r["cs"] for r in count_rows)
     ad = float(alpha * dims)
-    lr = counts.crossJoin(F.broadcast(tot)).select(
+    counts = df.sparkSession.createDataFrame(
+        [(r["bucket"], r["ct"], r["cs"]) for r in count_rows],
+        "bucket long, ct long, cs long",
+    )
+    lr = counts.select(
         "bucket",
         (
-            F.log((F.col("ct") + F.lit(alpha)) / (F.col("nt") + F.lit(ad)))
-            - F.log((F.col("cs") + F.lit(alpha)) / (F.col("ns") + F.lit(ad)))
+            F.log((F.col("ct") + F.lit(alpha)) / F.lit(float(nt) + ad))
+            - F.log((F.col("cs") + F.lit(alpha)) / F.lit(float(ns) + ad))
         ).alias("lr"),
     )
     return (

@@ -209,3 +209,65 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return trending_topk(ev, width="15 minutes", k=3)
+
+
+@query(
+    "stream_true_tumbling",
+    """
+    SELECT CAST(floor(epoch(ts) / 300) * 300 * 1000000 AS BIGINT) AS window_start_us,
+           event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_true_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming execution of the tumbling-window aggregate — not
+    the batch twin: the events table is replayed through
+    ``readStream.parquet`` with ``maxFilesPerTrigger=1`` (multiple real
+    micro-batches), aggregated incrementally through the state store in
+    COMPLETE output mode into a memory sink, and the sink's final table
+    is the result. Because the bounded replay delivers every row
+    exactly once and complete mode emits the full aggregate, the
+    streaming result must equal the batch oracle value-for-value — the
+    equivalence Structured Streaming promises, here under the driver's
+    value-hash gate rather than a unit test. Bench-measurable true
+    streaming cost (SCALE.md round-6 advice #8)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from hudi_utility_spark.streaming.windows import tumbling_counts
+    from hudi_utility_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    # µs-timestamp replay dir (readStream cannot apply load_table's
+    # ns→µs conversion); deterministic per-SF path, rewritten per run
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_utility_spark_q",
+        f"true_stream_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    ev.coalesce(4).write.parquet(root)
+    sink = f"true_tumbling_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(root, "_ckpt")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root)
+    )
+    q = (
+        tumbling_counts(stream, width="5 minutes")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(sink).select(
+        "window_start_us", "event_type", "cnt", "total_value"
+    )

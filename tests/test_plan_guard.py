@@ -30,6 +30,7 @@ SCRATCH = {
     "index_secondary_lookup",
     "s7_partial_update",
     "merge_multi_action",
+    "stream_true_tumbling",  # runs a real readStream replay to a memory sink
 }
 
 
@@ -64,6 +65,7 @@ ARROW_OK = {
     "ml_group_linfit",
     "stat_trimmed_mean",
     "sim_bruteforce_topk_arrow",
+    "mm_wav_decode",  # declared codec kernel pair (wave encode / RIFF parse)
 }
 
 
