@@ -240,18 +240,38 @@ def _ramp_pcm(media_id: int, n: int) -> bytes:
     return samples.tobytes()
 
 
+def _sine_pcm(freq_bin: int, n: int) -> bytes:
+    """Pure tone at an INTEGER number of cycles over the buffer
+    (frequency = freq_bin · rate / n Hz): with integer cycles there is
+    no spectral leakage, so the FFT magnitude argmax over bins 1..n/2
+    is exactly ``freq_bin`` — an analytically known ground truth a SQL
+    oracle can state without computing a transform."""
+    import numpy as np
+
+    i = np.arange(n, dtype=np.float64)
+    x = np.sin(2.0 * np.pi * freq_bin * i / n) * 12000.0
+    return np.floor(x + 0.5).astype("<i2").tobytes()
+
+
 def synth_wav(
     df: DataFrame,
     id_col: str = "media_id",
     rate_col: str = "sample_rate",
     channels_col: str = "channels",
     n_samples_col: str = "n_samples",
+    waveform: str = "ramp",
+    freq_bin_col: str = "freq_bin",
 ) -> DataFrame:
     """Encode REAL WAV payloads (PCM16, stdlib ``wave`` module — an
     actual RIFF encoder, not a byte-stub) from per-row parameters, as an
     Arrow-batched map-only stage. Emits the standard MEDIA_SCHEMA row so
     everything downstream (metadata pruning, feature extraction, export)
-    treats audio exactly like any other media payload."""
+    treats audio exactly like any other media payload.
+
+    ``waveform="ramp"`` (default) fills PCM with the SQL-replayable
+    integer ramp; ``waveform="sine"`` synthesizes a pure tone whose
+    cycle count comes from *freq_bin_col* — the spectral ground truth
+    for the FFT operator."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -259,15 +279,25 @@ def synth_wav(
 
         for pdf in batches:
             payloads = []
-            for mid, rate, ch, n in zip(
-                pdf[id_col], pdf[rate_col], pdf[channels_col], pdf[n_samples_col]
+            fbs = (
+                pdf[freq_bin_col]
+                if waveform == "sine"
+                else [0] * len(pdf)
+            )
+            for mid, rate, ch, n, fb in zip(
+                pdf[id_col], pdf[rate_col], pdf[channels_col],
+                pdf[n_samples_col], fbs,
             ):
+                if waveform == "sine":
+                    pcm = _sine_pcm(int(fb), int(n) * int(ch))
+                else:
+                    pcm = _ramp_pcm(int(mid), int(n) * int(ch))
                 buf = io.BytesIO()
                 with wave.open(buf, "wb") as w:
                     w.setnchannels(int(ch))
                     w.setsampwidth(2)
                     w.setframerate(int(rate))
-                    w.writeframes(_ramp_pcm(int(mid), int(n) * int(ch)))
+                    w.writeframes(pcm)
                 payloads.append(buf.getvalue())
             out = pd.DataFrame(
                 {
@@ -285,16 +315,11 @@ def synth_wav(
     return df.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
-def decode_wav(payload: bytes) -> dict:
-    """Hand-written RIFF/WAVE parser — deliberately independent of the
-    stdlib ``wave`` module that ``synth_wav`` encodes with, so the
-    round trip crosses two implementations. Generic chunk walk (skips
-    LIST/fact/any unknown chunk, tolerates the odd-size pad byte),
-    little-endian struct decode of fmt, PCM stats over the data chunk.
-    """
+def _walk_wav(payload: bytes) -> tuple[tuple, bytes]:
+    """Generic RIFF chunk walk shared by the decode kernels: returns
+    (fmt tuple, data bytes). Skips LIST/fact/any unknown chunk,
+    tolerates the odd-size pad byte; PCM16 enforced."""
     import struct
-
-    import numpy as np
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
@@ -311,9 +336,22 @@ def decode_wav(payload: bytes) -> dict:
         pos += 8 + csize + (csize & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
-    audio_format, channels, rate, _byte_rate, block_align, bits = fmt
+    audio_format, _ch, _rate, _br, _ba, bits = fmt
     if audio_format != 1 or bits != 16:
         raise ValueError(f"only PCM16 supported (fmt={audio_format}, bits={bits})")
+    return fmt, data
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Hand-written RIFF/WAVE parser — deliberately independent of the
+    stdlib ``wave`` module that ``synth_wav`` encodes with, so the
+    round trip crosses two implementations. Little-endian struct decode
+    of fmt, PCM stats over the data chunk (chunk walk in `_walk_wav`).
+    """
+    import numpy as np
+
+    fmt, data = _walk_wav(payload)
+    _audio_format, channels, rate, _byte_rate, block_align, bits = fmt
     n_samples = len(data) // block_align
     samples = np.frombuffer(data[: n_samples * block_align], dtype="<i2")
     wide = samples.astype(np.int64)
@@ -359,6 +397,59 @@ def decode_wav_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
     return df.select("media_id", payload_col).mapInPandas(
         run, schema=WAV_META_SCHEMA
+    )
+
+
+SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("dominant_bin", T.LongType(), True),
+        T.StructField("dominant_hz", T.DoubleType(), True),
+    ]
+)
+
+
+def audio_dominant_freq(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL spectral analysis over decoded PCM: per file, a full
+    ``numpy.fft.rfft`` magnitude spectrum and its argmax bin (DC
+    excluded) → dominant frequency in Hz — the pitch/tone detector a
+    speech/music curation pass runs (hum removal, tone-classification,
+    silence-vs-signal). Vectorized FFT per Arrow batch row; map-only;
+    payload crosses the boundary once. Frequency resolution is
+    ``rate/n`` Hz, so ``dominant_hz = bin · rate / n`` — fixed-order
+    double math an oracle can restate."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "sample_rate", "n_samples", "dominant_bin", "dominant_hz"
+            )}
+            for mid, p in zip(pdf["media_id"], pdf[payload_col]):
+                fmt, data = _walk_wav(bytes(p))
+                _af, channels, rate, _br, block_align, _bits = fmt
+                n_frames = len(data) // block_align
+                n = n_frames * channels
+                samples = np.frombuffer(
+                    data[: n * 2], dtype="<i2"
+                ).astype(np.float64)
+                mag = np.abs(np.fft.rfft(samples))
+                dom = int(np.argmax(mag[1:]) + 1) if len(mag) > 1 else 0
+                out["media_id"].append(int(mid))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n_frames)
+                out["dominant_bin"].append(dom)
+                # UNROUNDED: callers round JVM-side (F.round is
+                # HALF_UP like SQL ROUND; Python round() is banker's
+                # and disagrees on exact ties, e.g. 1263.28125)
+                out["dominant_hz"].append(dom * rate / n)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", payload_col).mapInPandas(
+        run, schema=SPECTRAL_SCHEMA
     )
 
 

@@ -241,6 +241,62 @@ def mm_audio_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_audio_spectral",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS h
+      FROM documents
+    ), q AS (
+      SELECT doc_id,
+             list_extract([8000, 16000, 22050, 44100, 48000],
+                          CAST(h % 5 AS INT) + 1) AS sample_rate,
+             256 + h % 256 AS n_samples,
+             3 + h % 20 AS freq_bin
+      FROM p
+    )
+    SELECT doc_id AS media_id,
+           sample_rate,
+           n_samples,
+           freq_bin AS dominant_bin,
+           ROUND(freq_bin * sample_rate / n_samples, 4) AS dominant_hz
+    FROM q
+    """,
+)
+def mm_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL spectral analysis end to end: mono pure tones synthesized at
+    an integer cycle count (`synth_wav(waveform="sine")` — zero
+    spectral leakage, so the ground-truth dominant bin is the cycle
+    count itself), encoded to genuine WAV bytes, then recovered by a
+    full ``numpy.fft.rfft`` magnitude argmax over the decoded PCM
+    (`ops/multimodal.py audio_dominant_freq`). The oracle states the
+    analytically known spectrum; any error in the encoder, the chunk
+    walker, the int16 quantization, or the FFT pipeline shifts the
+    argmax and breaks the hash. Both kernels map-only."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    params = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(*[F.lit(r) for r in (8000, 16000, 22050, 44100, 48000)]),
+            (h % 5).cast("int") + 1,
+        ).alias("sample_rate"),
+        F.lit(1).alias("channels"),
+        (F.lit(256) + h % 256).alias("n_samples"),
+        (F.lit(3) + h % 20).alias("freq_bin"),
+    )
+    wav = M.synth_wav(params, waveform="sine")
+    return M.audio_dominant_freq(wav).withColumn(
+        "dominant_hz", F.round("dominant_hz", 4)
+    )
+
+
+@query(
     "mm_audio_stats",
     """
     WITH p AS (

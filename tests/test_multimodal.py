@@ -169,3 +169,27 @@ def test_synth_wav_decode_wav_meta_dataframe_path(spark):
     sample = wav.filter("media_id = 0").collect()[0]  # channels=1 row
     with wave.open(io.BytesIO(bytes(sample["payload"]))) as w:
         assert w.getnframes() == (sample["byte_len"] - 44) // 2  # header=44B
+
+
+def test_audio_dominant_freq_recovers_synthesized_tone(spark):
+    """Pure tone at integer cycle count k -> FFT magnitude argmax must
+    be exactly bin k; dominant_hz = k * rate / n."""
+    params = spark.createDataFrame(
+        [(i, 8000, 1, 512, 5 + i) for i in range(8)],
+        "media_id long, sample_rate long, channels long, n_samples long, freq_bin long",
+    )
+    wav = M.synth_wav(params, waveform="sine")
+    rows = {r["media_id"]: r for r in M.audio_dominant_freq(wav).collect()}
+    for i in range(8):
+        assert rows[i]["dominant_bin"] == 5 + i
+        assert abs(rows[i]["dominant_hz"] - (5 + i) * 8000 / 512) < 1e-9
+
+
+def test_sine_pcm_quantization_and_range():
+    import numpy as np
+
+    raw = np.frombuffer(M._sine_pcm(4, 256), dtype="<i2")
+    assert len(raw) == 256
+    assert raw.max() <= 12000 and raw.min() >= -12000
+    # four zero crossings per cycle pattern: first sample is sin(0)=0
+    assert raw[0] == 0
