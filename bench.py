@@ -120,6 +120,7 @@ HEADLINE = [
     "text_dsir_select",
     "dq_k_suppression",
     "stream_true_tumbling",
+    "dedup_containment_pairs",
 ]
 
 

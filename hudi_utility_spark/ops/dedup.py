@@ -813,3 +813,99 @@ def simhash_near_pairs(
         # stage shuffles only true near-pairs (tiny at any scale)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 1,
+    threshold: float = 0.8,
+    broadcast_sets: bool | None = None,
+    max_broadcast_entries: int = 5_000_000,
+) -> DataFrame:
+    """Directed near-dup pairs by shingle-set CONTAINMENT
+    ``C(A→B) = |A∩B| / |A| ≥ threshold`` — the ASYMMETRIC similarity
+    Jaccard cannot express: a short document wholly quoted inside a
+    long one has high containment but low Jaccard (the union is
+    dominated by B), so quote-embedding, boilerplate-wrapping, and
+    article-plus-comments near-dups slip through symmetric dedup and
+    are caught here. Returns (id_a, id_b, containment) with id_a the
+    CONTAINED side; both directions can appear.
+
+    Exactness with prefix filtering, asymmetric form: if
+    |A∩B| ≥ t·|A|, at most |A| − ⌈t·|A|⌉ of A's shingles fall outside
+    B, so A's prefix of its ⌊(1−t)·|A|⌋+1 globally-rarest shingles must
+    intersect B — candidates come from joining A-PREFIXES against the
+    FULL inverted index (the B side has no size bound: a subset's
+    superset can be arbitrarily large, which is also why there is no
+    length filter). Cost is Σ_w prefix_df(w)·df(w): hot shingles are
+    cheap on the prefix side (they rank last in the rarest-first order,
+    so they only enter prefixes of tiny sets) and pay df on the full
+    side once — the same economics as the symmetric PPJoin, minus one
+    length filter. Verification joins candidates to the two sorted
+    64-bit shingle-hash arrays (`array_intersect`, JVM-side), with the
+    set side broadcast only below a measured row bound (runtime-stats
+    dispatch, shuffle-join fallback above). The shingle relation is
+    persisted (three consumers); same cache-lifetime contract as
+    `jaccard_pairs` — clear after materializing."""
+    sh = _shingles(df, id_col, text_col, n).select("id", "shingle").persist()
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
+            ),
+        )
+        .withColumn("set_size", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    )
+    prefix_len = (
+        F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
+    )
+    prefix = ranked.filter(F.col("rn") <= F.greatest(prefix_len, F.lit(1))).select(
+        "id", "shingle"
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = sh.groupBy("id").agg(
+        F.sort_array(F.collect_set("shingle")).alias("s"),
+        F.count(F.lit(1)).alias("set_size"),
+    )
+    sa = sets.select(
+        F.col("id").alias("id_a"),
+        F.col("s").alias("sa"),
+        F.col("set_size").alias("size_a"),
+    )
+    sb = sets.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
+    do_bcast = (
+        broadcast_sets
+        if broadcast_sets is not None
+        else sh.count() <= max_broadcast_entries
+    )
+    if do_bcast:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect("sa", "sb")) / F.col("size_a"), 6
+            ),
+        )
+        .filter(
+            F.size(F.array_intersect("sa", "sb"))
+            >= F.ceil(F.lit(threshold) * F.col("size_a"))
+        )
+        .select("id_a", "id_b", "containment")
+    )

@@ -398,3 +398,39 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return D.dedup_incremental(batch, corpus=corpus).select("doc_id", "lang")
+
+
+@query(
+    "dedup_containment_pairs",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+    grams AS (
+        SELECT doc_id,
+               list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              for i in range(1, len(ws) - 1)]) AS gs
+        FROM toks WHERE len(ws) >= 3
+    ),
+    words AS (SELECT doc_id, unnest(gs) AS w FROM grams),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM words GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM words a JOIN words b ON a.w = b.w AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(common / sa.set_size, 6) AS containment
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    WHERE common >= ceil(0.6 * sa.set_size)
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment near-dup pairs over word trigrams
+    (|A∩B|/|A| ≥ 0.6): the asymmetric detector for quote-embedding and
+    boilerplate-wrapped duplicates that symmetric Jaccard misses — a
+    short doc quoted inside a long one has high containment, low
+    Jaccard (ops/dedup.py `containment_pairs` — asymmetric prefix
+    filter, integer-exact threshold compare, measured broadcast
+    dispatch)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(d, n=3, threshold=0.6)

@@ -223,3 +223,70 @@ def test_dedup_spans_preserves_span_order(spark):
     df = spark.createDataFrame([(7, text)], "doc_id long, text string")
     r = dedup_spans(df, span_tokens=3).collect()[0]
     assert (r["n_spans"], r["n_kept"], r["rebuilt"]) == (3, 3, text)
+
+
+def test_containment_catches_embedded_quote_jaccard_misses(spark):
+    """A short doc fully quoted inside a much longer one: containment
+    (A in B) = 1.0 while Jaccard is far below threshold — the asymmetric
+    case the symmetric detector cannot flag."""
+    from hudi_utility_spark.ops.dedup import containment_pairs, jaccard_pairs
+
+    quote = "the quarterly revenue grew twelve percent year over year"
+    filler = " ".join(f"unrelated commentary token{i} analysis" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, quote),
+            (2, filler + " " + quote + " further discussion follows here"),
+            (3, "completely different content about weather patterns today"),
+        ],
+        ["doc_id", "text"],
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(docs, n=3, threshold=0.9).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] == 1.0
+    assert (2, 1) not in cont                      # direction matters
+    assert not [p for p in cont if 3 in p]
+    jac = jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    assert not [r for r in jac if {r["id_a"], r["id_b"]} == {1, 2}]
+    spark.catalog.clearCache()
+
+
+def test_containment_matches_bruteforce(spark):
+    """Prefix-filtered result == brute-force all-pairs containment on a
+    seeded corpus (exactness of the asymmetric prefix bound)."""
+    import itertools
+    import re
+
+    from hudi_utility_spark.ops.dedup import containment_pairs
+
+    def h(i, j):
+        import hashlib
+        return int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16)
+
+    vocab = [f"w{k}" for k in range(30)]
+    docs = [
+        (i, " ".join(vocab[h(i, j) % 30] for j in range(10 + h(i, 0) % 15)))
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    t = 0.5
+
+    def grams(text):
+        ws = re.sub(r"\s+", " ", text.strip()).split(" ")
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {i: grams(tx) for i, tx in docs}
+    import math
+    expected = {}
+    for a, b in itertools.permutations(sets, 2):
+        common = len(sets[a] & sets[b])
+        if sets[a] and common >= math.ceil(t * len(sets[a])):
+            expected[(a, b)] = round(common / len(sets[a]), 6)
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, n=3, threshold=t).collect()
+    }
+    assert got == expected
+    spark.catalog.clearCache()
