@@ -405,3 +405,27 @@ def rtr_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "postings"
         ),
     )
+
+
+@query(
+    "pack_source_cap",
+    """
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= 15
+    """,
+)
+def pack_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency capping — the Common-Crawl domain-cap
+    recipe (no single domain/source may dominate the mix): keep at most
+    15 docs per source, chosen by the content-stable md5 order
+    (ops/pack.py `sample_n_per_group` — the same frozen-carve operator
+    as the eval holdout, applied to over-represented-source control).
+    One source-keyed shuffle; per-group window state O(group size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return PK.sample_n_per_group(docs, 15, "source").select("doc_id", "source")

@@ -434,3 +434,47 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dispatch)."""
     d = load_table(spark, sf_dir, "documents")
     return D.containment_pairs(d, n=3, threshold=0.6)
+
+
+@query(
+    "dedup_containment_survivors",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+    grams AS (
+        SELECT doc_id,
+               list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              for i in range(1, len(ws) - 1)]) AS gs
+        FROM toks WHERE len(ws) >= 3
+    ),
+    words AS (SELECT doc_id, unnest(gs) AS w FROM grams),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM words GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM words a JOIN words b ON a.w = b.w AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    ),
+    contained AS (
+        SELECT DISTINCT id_a FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        WHERE common >= ceil(0.6 * sa.set_size)
+          AND id_a > id_b
+    )
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id NOT IN (SELECT id_a FROM contained)
+    """,
+)
+def dedup_containment_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus after containment dedup: drop every document that is
+    ≥0.6-contained in a LOWER-id document (deterministic keep-first
+    policy; ties impossible since the relation is directed), keep
+    everything else — the quote/boilerplate-collapse pass run after
+    symmetric dedup. Same left-anti shape as the near-dup survivor
+    op: the drop list is bounded by the pair relation, never corpus²."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.containment_pairs(d, n=3, threshold=0.6)
+    drops = (
+        pairs.filter(F.col("id_a") > F.col("id_b"))
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+    )
+    return d.join(drops, "doc_id", "left_anti").select("doc_id", "lang")
