@@ -811,13 +811,13 @@ def ev_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("members", F.slice("members", 1, 51))
     )
     # Reused 4× below (gram explode, both member joins, same-sig
-    # pairs). localize(), not persist(): signature count is bounded by
-    # distinct behavioral profiles (598 at sf0.1; saturates as users
-    # grow), so the whole table is profile-shaped — and a persisted
-    # block inside a returned plan can never be unpersisted by anyone.
-    from hudi_utility_spark.ops import localize
-
-    sig_groups = localize(sig_groups)
+    # pairs): persist for the execution, but — cache-scope discipline —
+    # the RETURNED plan must not depend on the cached blocks, so the
+    # final top-50 is materialized before return and the cache
+    # explicitly unpersisted (a localize() of sig_groups instead
+    # measured ~2× slower: the 4 consumers then each re-explode a
+    # LocalRelation without cached-partition reuse or AQE stats).
+    sig_groups = sig_groups.persist()
     sig_grams = sig_groups.select("sid", "n", F.explode("sig").alias("bg"))
     a, b = sig_grams.alias("a"), sig_grams.alias("b")
     cross = (
@@ -881,7 +881,7 @@ def ev_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_j",
         )
     )
-    return (
+    result = (
         cross_pairs.unionByName(same_pairs)
         .select(
             "user_a",
@@ -894,6 +894,12 @@ def ev_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .drop("_j")
     )
+    # materialize the 50-row answer, release the cache, hand back a
+    # local relation — the caller's collect costs nothing and no
+    # storage blocks outlive the call
+    rows = result.collect()
+    sig_groups.unpersist()
+    return spark.createDataFrame(rows, result.schema)
 
 
 _TREES = [

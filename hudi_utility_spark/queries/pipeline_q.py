@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hudi_utility_spark.ops import pipeline as P
+from hudi_utility_spark.queries.dedup import _PAIRS_09_SQL
 from hudi_utility_spark.queries import query
 from hudi_utility_spark.tables import load_table
 
@@ -172,3 +173,54 @@ def pipeline_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     h = F.md5(F.col("doc_id").cast("string").cast("binary"))
     return docs.orderBy(h).limit(100).select("doc_id", "lang")
+
+
+@query(
+    "pipeline_group_safe_split",
+    # reuse the Jaccard>=0.9 component closure from the dedup oracles
+    _PAIRS_09_SQL
+    + """
+    , comp AS (SELECT id, MIN(lbl) AS group_id FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           COALESCE(c.group_id, d.doc_id) AS group_id,
+           CASE WHEN substr(md5(CAST(COALESCE(c.group_id, d.doc_id) AS VARCHAR)), 1, 1) < '2'
+                THEN 'val'
+                WHEN substr(md5(CAST(COALESCE(c.group_id, d.doc_id) AS VARCHAR)), 1, 1) < '4'
+                THEN 'test'
+                ELSE 'train' END AS split
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """,
+)
+def pipeline_group_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: the id-hash split is applied
+    to the near-dup COMPONENT id, not the document id, so a whole
+    cluster of near-duplicates lands in one split atomically — the
+    standard fix for eval contamination through paraphrased/templated
+    copies that a plain per-doc hash split cannot prevent (a doc and
+    its near-copy would hash apart, leaking train text into test).
+    Components come from the Jaccard≥0.9 pair graph (`near_dup_groups`
+    label propagation); unpaired docs are their own component, so for
+    them this degrades to exactly `pipeline_hash_split` semantics.
+    Split membership stays a pure function of content: re-runs and
+    incremental arrivals that join an existing cluster inherit its
+    split."""
+    from hudi_utility_spark.ops import dedup as D
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(d, n=1, threshold=0.9)
+    groups = D.near_dup_groups(pairs)
+    gid = F.coalesce(F.col("group_id"), F.col("doc_id"))
+    digit = F.substring(F.md5(gid.cast("string").cast("binary")), 1, 1)
+    split = (
+        F.when(digit < "2", F.lit("val"))
+        .when(digit < "4", F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        d.join(groups.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            gid.alias("group_id"),
+            split.alias("split"),
+        )
+    )

@@ -62,3 +62,25 @@ def test_pipeline_is_rerun_stable(spark):
     a = P.clean_corpus(docs).select("doc_id", "lang_pred", "quality")
     b = P.clean_corpus(docs).select("doc_id", "lang_pred", "quality")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_group_safe_split_keeps_near_dups_together(spark, sf_dir):
+    """Every near-dup pair must land in the SAME split — the leakage
+    property the per-doc hash split cannot provide."""
+    from hudi_utility_spark.ops import dedup as D
+    from hudi_utility_spark.queries.pipeline_q import pipeline_group_safe_split
+    from hudi_utility_spark.tables import load_table
+
+    split_of = {
+        r["doc_id"]: r["split"]
+        for r in pipeline_group_safe_split(spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(d, n=1, threshold=0.9).collect()
+    assert pairs, "fixture corpus must contain near-dup pairs"
+    for r in pairs:
+        assert split_of[r["id_a"]] == split_of[r["id_b"]], (r["id_a"], r["id_b"])
+    # all three splits exist and every doc is assigned
+    assert set(split_of.values()) == {"train", "val", "test"}
+    assert len(split_of) == d.count()
+    spark.catalog.clearCache()
