@@ -741,3 +741,39 @@ def dsir_select(
         .limit(k)
         .select(id_col, "log_weight", "n_tokens", "sel_key")
     )
+
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) — the
+    compression-ratio-style quality signal: near-zero for repeated-char
+    spam, low for boilerplate/templated text, ~4.1 for fluent English,
+    high for base64/binary junk — used alongside the perplexity proxy
+    as a cheap gibberish gate.
+
+    Single-pass identity: ``H = log2(n) − (Σ c·log2 c)/n`` over the
+    per-character counts, so one (doc, char) count aggregate feeds one
+    per-doc aggregate — two keyed exchanges, rows bounded by doc ×
+    alphabet (≤ a few hundred per doc), no per-char double pass.
+    Empty docs are dropped (entropy undefined)."""
+    df = widen_for_compute(df)  # compute-bound: scan width != CPU width
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_chars"),
+            F.sum(F.col("c") * F.log2("c")).alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_chars",
+            F.round(
+                F.log2("n_chars") - F.col("_s") / F.col("n_chars"), 6
+            ).alias("entropy_bits"),
+        )
+    )

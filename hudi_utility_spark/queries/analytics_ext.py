@@ -1092,3 +1092,77 @@ def graph_triangles_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(pairs).select(
         F.col("node").alias("node"), "triangles"
     )
+
+
+@query(
+    "ev_session_trajectories",
+    """
+    WITH marked AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS gap_break
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessioned AS (
+        SELECT *, CAST(SUM(gap_break) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        FROM marked
+    )
+    SELECT user_id, session_seq,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS trajectory,
+           COUNT(*) AS n_steps,
+           CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+    FROM sessioned
+    GROUP BY user_id, session_seq
+    HAVING COUNT(*) >= 3
+    """,
+)
+def ev_session_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral trajectories for sequence-model training: each ≥3-step
+    session becomes one ordered `a>b>c` action string with step count
+    and duration — the events→training-sequences extraction an
+    agent/recommender pipeline runs (the behavioral analogue of
+    document chunking). Ordering inside the aggregate is made
+    deterministic the portable way: events are pre-sorted into
+    per-(user, session) struct arrays keyed by (ts, event_id), then
+    joined into the string — no collect_list-order assumption crosses
+    the engine boundary. Two keyed window passes + one aggregate, all
+    partitioned by user; no single-partition stage."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        us(F.col("ts")) - us(F.lag("ts").over(w)) > 1_800_000_000
+    ).cast("int")
+    sess = ev.withColumn(
+        "session_seq",
+        F.sum(F.coalesce(gap, F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                us(F.col("ts")).alias("t"),
+                                F.col("event_id").alias("e"),
+                                F.col("event_type").alias("a"),
+                            )
+                        )
+                    ),
+                    lambda s: s["a"],
+                ),
+                ">",
+            ).alias("trajectory"),
+            F.count(F.lit(1)).alias("n_steps"),
+            (us(F.max("ts")) - us(F.min("ts"))).alias("duration_us"),
+        )
+        .filter(F.col("n_steps") >= 3)
+    )

@@ -760,3 +760,26 @@ def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-reproducible (ops/text.py `dsir_select`)."""
     d = load_table(spark, sf_dir, "documents")
     return X.dsir_select(d, F.col("lang") == "en", k=100, dims=256, alpha=1.0)
+
+
+@query(
+    "text_char_entropy",
+    """
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ),
+    nz AS (SELECT doc_id, ch FROM chars WHERE ch <> ''),
+    counts AS (SELECT doc_id, ch, COUNT(*) AS c FROM nz GROUP BY doc_id, ch)
+    SELECT doc_id,
+           SUM(c) AS n_chars,
+           ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6) AS entropy_bits
+    FROM counts GROUP BY doc_id
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality gate (ops/text.py `char_entropy`):
+    bits/char per document via the single-pass
+    ``log2(n) − Σ c·log2(c)/n`` identity — two keyed exchanges, rows
+    bounded by doc × alphabet."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.char_entropy(d)

@@ -485,3 +485,18 @@ def test_dsir_select_is_deterministic_topk(spark):
     a = [r["doc_id"] for r in dsir_select(df, F.col("lang") == "en", k=10).collect()]
     b = [r["doc_id"] for r in dsir_select(df, F.col("lang") == "en", k=10).collect()]
     assert a == b and len(a) == 10 and len(set(a)) == 10
+
+
+def test_char_entropy_known_values(spark):
+    from hudi_utility_spark.ops.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert got[1]["entropy_bits"] == 0.0          # single symbol
+    assert got[2]["entropy_bits"] == 1.0          # two equiprobable
+    assert got[3]["entropy_bits"] == 2.0          # four equiprobable
+    assert got[1]["n_chars"] == 4
+    assert 4 not in got                           # empty doc dropped
