@@ -1,0 +1,93 @@
+"""Entity resolution: blocking, fuzzy verification, golden-record merge.
+
+The reference has no record-linkage surface at all (its dedup is exact
+key-equality inside the upsert path, ``pyspark_script.py`` precombine);
+this module adds the standard three-stage ER pipeline a training-data /
+MDM workload needs, shaped for Spark:
+
+1. **Blocking** — a deterministic key (e.g. the last-n digits of an id,
+   a phonetic code, a sorted token prefix) partitions both sides so the
+   candidate join touches only same-block pairs. The join is a plain
+   shuffle hash join on the block key; candidate count per block is
+   bounded by design (|clean_b| x |dirty_b|), never all-pairs.
+2. **Verification** — cheap exact predicates first (normalized digit
+   string equality), then the expensive edit-distance only on the
+   survivors: Catalyst evaluates conjuncts left-to-right, so
+   ``levenshtein`` runs on the block-and-digits-matched subset only.
+3. **Survivorship** — matched duplicates collapse onto the clean
+   (master) record with a count/agg per entity: one keyed aggregate.
+
+100 TB posture: cost is sum over blocks of |A_b|x|B_b| — the block key
+is THE knob (more digits = smaller blocks). A hot block (skewed key)
+is visible as a single fat task; the fix is lengthening the key or
+salting that block, both metadata-only changes. No stage collects rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def digits_of(col: Column) -> Column:
+    """Normalized digit string of a name/id field — the exact-match
+    attribute verified before any edit distance runs."""
+    return F.regexp_replace(col, "[^0-9]", "")
+
+
+def block_key(col: Column, n: int = 3) -> Column:
+    """Blocking key: last *n* digits of the normalized digit string.
+
+    Suffix (not prefix) digits spread TPC-H-style zero-padded ids
+    uniformly; n controls block fan-in (10^n blocks).
+    """
+    return F.substring(digits_of(col), -n, n)
+
+
+def blocked_candidates(
+    clean: DataFrame,
+    dirty: DataFrame,
+    clean_name: str,
+    dirty_name: str,
+    n: int = 3,
+) -> DataFrame:
+    """Same-block candidate pairs (shuffle join on the block key only).
+
+    Returns every (clean, dirty) row pair sharing a block — the
+    verification stage prunes these; this stage exists separately so the
+    candidate volume itself is observable (the ER cost model).
+    """
+    c = clean.withColumn("block", block_key(F.col(clean_name), n))
+    d = dirty.withColumn("block", block_key(F.col(dirty_name), n))
+    return c.join(d, "block")
+
+
+def verify_matches(
+    cands: DataFrame,
+    clean_name: str,
+    dirty_name: str,
+    max_edit: int = 4,
+) -> DataFrame:
+    """Two-stage verification on candidate pairs: exact digit-string
+    equality (cheap, runs first) AND edit distance <= *max_edit* on the
+    full name (expensive, runs on digit-matched survivors only).
+    Adds ``edit_dist``.
+    """
+    digit_eq = digits_of(F.col(clean_name)) == digits_of(F.col(dirty_name))
+    dist = F.levenshtein(F.col(clean_name), F.col(dirty_name))
+    return (
+        cands.where(digit_eq)
+        .withColumn("edit_dist", dist)
+        .where(F.col("edit_dist") <= max_edit)
+    )
+
+
+def golden_records(
+    matches: DataFrame,
+    entity_key: str,
+    agg_cols: list[Column],
+) -> DataFrame:
+    """Survivorship: one row per resolved entity (the clean master),
+    aggregating its matched duplicates — a single keyed aggregate with
+    map-side partials."""
+    return matches.groupBy(entity_key).agg(*agg_cols)

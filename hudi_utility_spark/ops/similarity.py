@@ -583,3 +583,69 @@ def embedding_decontaminate(
         .withColumn("contaminated", F.col("_m") >= F.lit(float(threshold)))
         .drop("_m")
     )
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 4,
+    pool: int = 15,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance: retrieve-then-diversify re-ranking.
+
+    Stage 1 (distributed): exact cosine top-``pool`` candidates —
+    map-only scoring + TakeOrderedAndProject, identical shape to
+    :func:`brute_force_topk`; this is the only stage that sees the
+    corpus, so the 100 TB cost is one scan regardless of k.
+
+    Stage 2 (bounded): greedy MMR over the pool —
+    ``argmax lam*rel(p) - (1-lam)*max_{s in S} cos(p, s)`` k times.
+    The pool is a CONSTANT (the rerank window every retrieval stack
+    uses); O(pool^2 * d) on <= pool rows is driver arithmetic on par
+    with the IVF codebook idiom, not a collect of data rows. Ties on
+    the greedy argmax break toward the lower id (stable across
+    engines).
+
+    Returns (rnk, id, rel, mmr) — relevance and marginal score both
+    rounded to 6 for engine-portable hashing.
+    """
+    q = np.asarray(query_vec, dtype="float64")
+    cand = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            cosine(
+                F.col(vec_col), F.array(*[F.lit(float(x)) for x in query_vec])
+            ).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc(id_col))
+        .limit(pool)
+    )
+    rows = cand.collect()
+    ids = [r[0] for r in rows]
+    V = np.asarray([list(r[1]) for r in rows], dtype="float64")
+    rel = np.asarray([r[2] for r in rows], dtype="float64")
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = Vn @ Vn.T  # pool x pool cosine matrix
+
+    selected: list[int] = []
+    out: list[tuple[int, int, float, float]] = []
+    remaining = set(range(len(ids)))
+    for rank in range(1, min(k, len(ids)) + 1):
+        if selected:
+            penal = sims[:, selected].max(axis=1)
+        else:
+            penal = np.zeros(len(ids))
+        mmr = lam * rel - (1.0 - lam) * penal
+        best = max(remaining, key=lambda i: (mmr[i], -ids[i]))
+        remaining.discard(best)
+        selected.append(best)
+        out.append(
+            (rank, ids[best], round(float(rel[best]), 6), round(float(mmr[best]), 6))
+        )
+    return df.sparkSession.createDataFrame(
+        out, f"rnk int, {id_col} long, rel double, mmr double"
+    )

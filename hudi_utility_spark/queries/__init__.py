@@ -40,6 +40,7 @@ def load_all() -> None:
         corpus_q,
         dedup,
         engine_queries,
+        entity_q,
         formats,
         joins_advanced,
         lifecycle_q,
@@ -57,4 +58,5 @@ def load_all() -> None:
         tpch_rest,
         udtf_q,
         variant_q,
+        web_q,
     )

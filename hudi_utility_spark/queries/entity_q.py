@@ -1,0 +1,166 @@
+"""Oracle-checked entity-resolution queries (ops/er.py).
+
+A deterministic "dirty registry" is synthesized from the customer table
+inside the query itself — three realistic corruption variants per master
+record (dropped '#', lowercased, legal-suffix appended) — so both Spark
+and the DuckDB oracle see the identical linkage problem with no extra
+fixture. ER then has to rediscover the master for every dirty record via
+blocking + two-stage verification, never via a smuggled true-key join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hudi_utility_spark.ops import er
+from hudi_utility_spark.queries import query
+from hudi_utility_spark.tables import load_table
+
+# Shared oracle fragment: the synthesized dirty registry + blocked,
+# digit-verified candidate pairs (DuckDB side of ops/er.py).
+_ORACLE_PAIRS = """
+    dirty AS (
+        SELECT 'D1-' || c_custkey AS dirty_id, 'drop_hash' AS variant,
+               replace(c_name, '#', '') AS d_name
+        FROM customer
+        UNION ALL
+        SELECT 'D2-' || c_custkey, 'lower', lower(c_name) FROM customer
+        UNION ALL
+        SELECT 'D3-' || c_custkey, 'suffix', c_name || ' Inc' FROM customer
+    ),
+    cand AS (
+        SELECT c.c_custkey, c.c_mktsegment, c.c_name, d.dirty_id, d.variant,
+               d.d_name
+        FROM customer c
+        JOIN dirty d
+          ON right(regexp_replace(c.c_name, '[^0-9]', '', 'g'), 3)
+             = right(regexp_replace(d.d_name, '[^0-9]', '', 'g'), 3)
+    ),
+    matched AS (
+        SELECT c_custkey, c_mktsegment, dirty_id, variant,
+               levenshtein(c_name, d_name) AS edit_dist
+        FROM cand
+        WHERE regexp_replace(c_name, '[^0-9]', '', 'g')
+              = regexp_replace(d_name, '[^0-9]', '', 'g')
+          AND levenshtein(c_name, d_name) <= 4
+    )
+"""
+
+
+def _dirty_registry(cust: DataFrame) -> DataFrame:
+    """Three corruption variants per master record, Spark side."""
+    variants = [
+        ("D1-", "drop_hash", F.regexp_replace("c_name", "#", "")),
+        ("D2-", "lower", F.lower(F.col("c_name"))),
+        ("D3-", "suffix", F.concat(F.col("c_name"), F.lit(" Inc"))),
+    ]
+    parts = [
+        cust.select(
+            F.concat(F.lit(pfx), F.col("c_custkey")).alias("dirty_id"),
+            F.lit(tag).alias("variant"),
+            expr.alias("d_name"),
+        )
+        for pfx, tag, expr in variants
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    dirty = _dirty_registry(cust)
+    cands = er.blocked_candidates(cust, dirty, "c_name", "d_name", n=3)
+    return er.verify_matches(cands, "c_name", "d_name", max_edit=4)
+
+
+@query(
+    "er_blocked_candidates",
+    f"""
+    WITH {_ORACLE_PAIRS}
+    SELECT right(regexp_replace(c.c_name, '[^0-9]', '', 'g'), 3) AS block,
+           COUNT(DISTINCT c.c_custkey) AS clean_cnt,
+           COUNT(DISTINCT d.dirty_id) AS dirty_cnt,
+           COUNT(*) AS pair_cnt
+    FROM customer c
+    JOIN dirty d
+      ON right(regexp_replace(c.c_name, '[^0-9]', '', 'g'), 3)
+         = right(regexp_replace(d.d_name, '[^0-9]', '', 'g'), 3)
+    GROUP BY 1
+    ORDER BY pair_cnt DESC, block
+    LIMIT 20
+    """,
+)
+def er_blocked_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER stage 1 observability: per-block candidate volume (the cost
+    model of blocking — sum over blocks of clean_b x dirty_b). The hot
+    blocks this surfaces are exactly the ones a skew fix would salt.
+    Top-20 fattest blocks."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    dirty = _dirty_registry(cust)
+    cands = er.blocked_candidates(cust, dirty, "c_name", "d_name", n=3)
+    return (
+        cands.groupBy("block")
+        .agg(
+            F.countDistinct("c_custkey").alias("clean_cnt"),
+            F.countDistinct("dirty_id").alias("dirty_cnt"),
+            F.count(F.lit(1)).alias("pair_cnt"),
+        )
+        .orderBy(F.desc("pair_cnt"), F.asc("block"))
+        .limit(20)
+    )
+
+
+@query(
+    "er_match_pairs",
+    f"""
+    WITH {_ORACLE_PAIRS}
+    SELECT c_custkey, dirty_id, variant, edit_dist
+    FROM matched
+    ORDER BY c_custkey, variant
+    LIMIT 300
+    """,
+)
+def er_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER stage 2: verified links — block join, exact digit-string
+    equality first (cheap conjunct), levenshtein <= 4 on the survivors.
+    Every dirty record must link back to exactly its master (first 300
+    by key for a bounded deterministic sample)."""
+    return (
+        _matches(spark, sf_dir)
+        .select("c_custkey", "dirty_id", "variant", "edit_dist")
+        .orderBy("c_custkey", "variant")
+        .limit(300)
+    )
+
+
+@query(
+    "er_golden_records",
+    f"""
+    WITH {_ORACLE_PAIRS}
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_custkey) AS entities,
+           COUNT(*) AS matched_dups,
+           ROUND(AVG(edit_dist), 4) AS avg_edit
+    FROM matched
+    GROUP BY 1
+    """,
+)
+def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER stage 3 survivorship: duplicates collapse onto the clean
+    master; per-segment entity counts prove every master resolved all
+    three of its corrupted variants (matched_dups = 3 x entities)."""
+    m = _matches(spark, sf_dir)
+    return er.golden_records(
+        m,
+        "c_mktsegment",
+        [
+            F.countDistinct("c_custkey").alias("entities"),
+            F.count(F.lit(1)).alias("matched_dups"),
+            F.round(F.avg("edit_dist"), 4).alias("avg_edit"),
+        ],
+    )

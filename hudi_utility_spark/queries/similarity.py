@@ -478,3 +478,57 @@ def sim_eval_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_decontaminate(corpus, ev, 0.3).select(
         "vec_id", "max_eval_cos", "contaminated"
     )
+
+
+def _mmr_oracle(k: int = 4, pool: int = 15, lam: float = 0.7) -> str:
+    """Unrolled greedy-MMR oracle: one CTE pair per selection step.
+
+    The float constants are emitted via repr() so DuckDB parses the
+    bit-identical doubles the Spark/NumPy side multiplies with
+    (1.0 - 0.7 is 0.30000000000000004, not 0.3).
+    """
+    l, m = repr(lam), repr(1.0 - lam)
+    ctes = [
+        "q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)",
+        f"""pool AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+               list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS rel
+        FROM embeddings e, q ORDER BY rel DESC, e.vec_id LIMIT {pool})""",
+        f"""c1 AS (SELECT vec_id, v, rel, {l}*rel AS mmr
+               FROM pool ORDER BY rel DESC, vec_id LIMIT 1)""",
+    ]
+    for i in range(2, k + 1):
+        prev_v = " UNION ALL ".join(f"SELECT v FROM c{j}" for j in range(1, i))
+        prev_id = " UNION ALL ".join(
+            f"SELECT vec_id FROM c{j}" for j in range(1, i)
+        )
+        ctes.append(
+            f"""r{i} AS (
+            SELECT p.vec_id, p.v, p.rel,
+                   {l}*p.rel - {m}*(SELECT MAX(list_cosine_similarity(p.v, s.v))
+                                    FROM ({prev_v}) s) AS mmr
+            FROM pool p WHERE p.vec_id NOT IN ({prev_id}))""",
+        )
+        ctes.append(
+            f"c{i} AS (SELECT vec_id, v, rel, mmr FROM r{i} "
+            "ORDER BY mmr DESC, vec_id LIMIT 1)"
+        )
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {i} AS rnk, vec_id, ROUND(rel, 6) AS rel, "
+        f"ROUND(mmr, 6) AS mmr FROM c{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + sel
+
+
+@query("sim_mmr_rerank", _mmr_oracle())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-diversify: exact cosine top-15 pool (distributed,
+    one scan + TakeOrderedAndProject) then greedy Maximal Marginal
+    Relevance picks 4 results trading relevance against redundancy
+    (lambda=0.7). The oracle unrolls the greedy loop as one CTE pair
+    per selection — both engines must agree on every pick AND both
+    scores. The rerank pool is a constant-size window, so stage 2 cost
+    is independent of corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.mmr_rerank(e, _query_vec(spark, sf_dir), k=4, pool=15, lam=0.7)

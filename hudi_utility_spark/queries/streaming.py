@@ -271,3 +271,80 @@ def stream_true_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select(
         "window_start_us", "event_type", "cnt", "total_value"
     )
+
+
+@query(
+    "stream_dedup_watermark",
+    """
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming exactly-once dedup under a watermark: the events
+    table is written to the replay dir TWICE (every row a duplicate),
+    replayed file-per-micro-batch, and streamed through
+    ``withWatermark("ts", ...) .dropDuplicatesWithinWatermark(["event_id"])``
+    — the bounded-state streaming dedup (state for a key is dropped once
+    the watermark passes ts + delay, so state size tracks the late-data
+    horizon, not the stream's lifetime). The deduped APPEND stream lands
+    in a memory sink; aggregating the sink must reproduce the
+    single-copy batch aggregate exactly — each event_id survives exactly
+    once no matter which replayed copy arrived first (copies are
+    identical, so the survivor is value-identical).
+
+    100 TB posture: state is hash-partitioned by event_id across the
+    cluster's state stores; the watermark delay is THE knob — state held
+    = keys arriving within the delay window, not total keys. The
+    reference has no streaming dedup at all (`app.py` batch-only);
+    this is the Spark-first upgrade of its A5 key-dedup to a stream.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_utility_spark_q",
+        f"dedup_stream_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    # Two identical writes -> every event_id present twice on disk.
+    ev.coalesce(2).write.mode("append").parquet(root)
+    ev.coalesce(2).write.mode("append").parquet(root)
+    sink = f"dedup_wm_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(root, "_ckpt")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root)
+    )
+    # Watermarks require an instant (TIMESTAMP), not wall-clock NTZ;
+    # the cast only feeds watermark bookkeeping — the aggregate below
+    # never reads ts, so session-timezone choice cannot leak into values.
+    deduped = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+        .withWatermark("ts", "90 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

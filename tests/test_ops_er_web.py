@@ -1,0 +1,95 @@
+"""ops/er.py + ops/web.py + MMR rerank unit tests (sf0.001)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hudi_utility_spark.ops import er, web
+from hudi_utility_spark.ops.similarity import mmr_rerank
+from hudi_utility_spark.tables import load_table
+
+
+def _dirty(cust):
+    return cust.select(
+        F.concat(F.lit("D-"), F.col("c_custkey")).alias("dirty_id"),
+        F.regexp_replace("c_name", "#", "").alias("d_name"),
+    )
+
+
+def test_er_blocking_bounds_candidates(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    dirty = _dirty(cust)
+    n_clean = cust.count()
+    cands = er.blocked_candidates(cust, dirty, "c_name", "d_name", n=3)
+    n_cands = cands.count()
+    # blocking must not be all-pairs, and every record keeps its twin
+    assert n_cands < n_clean * n_clean
+    assert n_cands >= n_clean
+
+
+def test_er_verify_links_every_dirty_to_its_master(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    dirty = _dirty(cust)
+    cands = er.blocked_candidates(cust, dirty, "c_name", "d_name", n=3)
+    m = er.verify_matches(cands, "c_name", "d_name", max_edit=4)
+    rows = m.select("c_custkey", "dirty_id", "edit_dist").collect()
+    n_clean = cust.count()
+    assert len(rows) == n_clean  # exactly one match per dirty record
+    for r in rows:
+        assert r.dirty_id == f"D-{r.c_custkey}"  # the RIGHT master
+        assert r.edit_dist == 1  # dropped '#'
+
+
+def test_er_golden_records_aggregates_per_entity(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    dirty = _dirty(cust)
+    cands = er.blocked_candidates(cust, dirty, "c_name", "d_name", n=3)
+    m = er.verify_matches(cands, "c_name", "d_name", max_edit=4)
+    g = er.golden_records(
+        m, "c_custkey", [F.count(F.lit(1)).alias("dups")]
+    ).collect()
+    assert all(r.dups == 1 for r in g)
+    assert len(g) == cust.count()
+
+
+def test_url_canonicalization_rules(spark):
+    cases = [
+        # (raw, canonical)
+        (
+            "https://WWW.Site.OrG:443/en/a/1/?utm_source=x&ref=y&page=2#f",
+            "https://site.org/en/a/1?page=2",
+        ),
+        ("https://cdn.site.org/en/a/2", "https://cdn.site.org/en/a/2"),
+        ("https://site.org/x/?b=2&a=1", "https://site.org/x?a=1&b=2"),
+        ("https://site.org/x?utm_a=1", "https://site.org/x"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = [
+        r[0]
+        for r in df.select(web.canonical_url(F.col("url"))).collect()
+    ]
+    assert got == [c for _, c in cases]
+
+
+def test_registered_domain_strips_subdomains(spark):
+    df = spark.createDataFrame(
+        [("a.b.example.com",), ("example.com",), ("cdn.x.org",)],
+        "host string",
+    )
+    got = [r[0] for r in df.select(web.registered_domain(F.col("host"))).collect()]
+    assert got == ["example.com", "example.com", "x.org"]
+
+
+def test_mmr_rerank_diversifies_and_ranks(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = list(e.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    out = mmr_rerank(e, qv, k=4, pool=10).collect()
+    assert [r.rnk for r in out] == [1, 2, 3, 4]
+    ids = [r.vec_id for r in out]
+    assert len(set(ids)) == 4  # no repeats
+    assert out[0].vec_id == 0  # the query vector itself is most relevant
+    # first pick's mmr is lam*rel; later picks pay a redundancy penalty
+    assert abs(out[0].mmr - 0.7 * out[0].rel) < 1e-9
+    assert all(r.mmr <= 0.7 * r.rel + 1e-9 for r in out[1:])
