@@ -16,6 +16,8 @@ Embeddings are ``array<float>`` columns; all arithmetic stays JVM-side
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -649,3 +651,56 @@ def mmr_rerank(
     return df.sparkSession.createDataFrame(
         out, f"rnk int, {id_col} long, rel double, mmr double"
     )
+
+
+def jl_sign_matrix(d_in: int, d_out: int) -> list[list[int]]:
+    """Deterministic +/-1 Johnson-Lindenstrauss sign matrix (d_out rows
+    of d_in signs), derived from an LCG's high bit so both engines can
+    embed the identical literals. Dense Rademacher JL: E[<Rx,Ry>] =
+    <x,y> * d_out, distortion bounded by the JL lemma."""
+    rows = []
+    for j in range(d_out):
+        row = []
+        for i in range(d_in):
+            v = (1103515245 * (j * d_in + i) + 12345) % (2**31)
+            row.append(1 if (v >> 16) & 1 == 0 else -1)
+        rows.append(row)
+    return rows
+
+
+def jl_project(
+    df: DataFrame,
+    d_in: int,
+    d_out: int,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Project ``vec_col`` (length d_in) to d_out dims via the literal
+    Rademacher matrix — the preprocessing that makes 768-dim ANN
+    affordable at corpus scale (shrinks every downstream distance,
+    shuffle, and state by d_in/d_out).
+
+    One array HOF dot product per output dim against a LITERAL sign row
+    — d_out fused codegen expressions, map-only, no Python, no shuffle;
+    at 100 TB this fuses into the scan projection like any other
+    column expression. Scaling 1/sqrt(d_out) keeps expected norms.
+    """
+    R = jl_sign_matrix(d_in, d_out)
+    scale = 1.0 / math.sqrt(d_out)
+    v = F.col(vec_col).cast("array<double>")
+    comps = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(s)) for s in R[j]]),
+                    lambda x, r: x * r,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * scale
+        ).alias(f"_p{j}")
+        for j in range(d_out)
+    ]
+    return df.withColumn(out_col, F.array(*comps))

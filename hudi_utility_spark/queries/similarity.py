@@ -532,3 +532,61 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     is independent of corpus size."""
     e = load_table(spark, sf_dir, "embeddings")
     return S.mmr_rerank(e, _query_vec(spark, sf_dir), k=4, pool=15, lam=0.7)
+
+
+def _jl_oracle(d_in: int = 64, d_out: int = 16) -> str:
+    """Projection oracle with the identical literal sign matrix."""
+    R = S.jl_sign_matrix(d_in, d_out)
+    scale = repr(1.0 / (d_out**0.5))
+
+    def proj(expr: str) -> str:
+        comps = ", ".join(
+            "list_dot_product(%s, [%s]) * %s"
+            % (expr, ", ".join(f"{s}.0" for s in R[j]), scale)
+            for j in range(d_out)
+        )
+        return f"[{comps}]"
+
+    p = proj("e.embedding::DOUBLE[]")
+    qp = proj("q.embedding::DOUBLE[]")
+    return f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    pr AS (SELECT e.vec_id, {p} AS pp, {qp} AS qp FROM embeddings e, q)
+    SELECT vec_id, ROUND(list_cosine_similarity(pp, qp), 6) AS score
+    FROM pr
+    ORDER BY list_cosine_similarity(pp, qp) DESC, vec_id
+    LIMIT 10
+    """
+
+
+@query("sim_jl_projection_topk", _jl_oracle())
+def sim_jl_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss top-k: embeddings are projected 64 -> 16
+    dims through a literal Rademacher sign matrix (map-only, fused
+    codegen — the preprocessing that shrinks every downstream ANN
+    distance, shuffle, and index by 4x at corpus scale), then cosine
+    top-10 runs in the PROJECTED space. Both engines build the
+    projection from the same literal matrix, so ranking and scores
+    must agree exactly at 6 decimals."""
+    e = load_table(spark, sf_dir, "embeddings")
+    proj = S.jl_project(e, d_in=64, d_out=16)
+    # query vector projected with the same sequential fold order
+    R = S.jl_sign_matrix(64, 16)
+    qv = _query_vec(spark, sf_dir)
+    scale = 1.0 / (16**0.5)
+    qp = []
+    for j in range(16):
+        acc = 0.0
+        for i in range(64):
+            acc = acc + float(qv[i]) * R[j][i]
+        qp.append(acc * scale)
+    return (
+        proj.select(
+            "vec_id",
+            F.round(
+                S.cosine(F.col("proj"), F.array(*[F.lit(x) for x in qp])), 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )

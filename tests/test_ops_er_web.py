@@ -93,3 +93,19 @@ def test_mmr_rerank_diversifies_and_ranks(spark, sf_dir):
     # first pick's mmr is lam*rel; later picks pay a redundancy penalty
     assert abs(out[0].mmr - 0.7 * out[0].rel) < 1e-9
     assert all(r.mmr <= 0.7 * r.rel + 1e-9 for r in out[1:])
+
+
+def test_jl_projection_shape_and_determinism(spark, sf_dir):
+    from hudi_utility_spark.ops.similarity import jl_project, jl_sign_matrix
+
+    R = jl_sign_matrix(8, 4)
+    assert len(R) == 4 and all(len(r) == 8 for r in R)
+    assert all(s in (-1, 1) for r in R for s in r)
+    assert R == jl_sign_matrix(8, 4)  # deterministic
+    # signs are balanced enough to be a projection, not a constant row
+    assert any(-1 in r and 1 in r for r in R)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    p = jl_project(e, d_in=64, d_out=16)
+    row = p.select("proj").first()
+    assert len(row[0]) == 16
