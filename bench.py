@@ -121,6 +121,11 @@ HEADLINE = [
     "dq_k_suppression",
     "stream_true_tumbling",
     "dedup_containment_pairs",
+    "er_match_pairs",
+    "web_domain_stats",
+    "sim_mmr_rerank",
+    "sim_jl_projection_topk",
+    "stream_dedup_watermark",
 ]
 
 

@@ -777,3 +777,83 @@ def char_entropy(
             ).alias("entropy_bits"),
         )
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 4,
+    vocab_cap: int = 200,
+) -> DataFrame:
+    """Learn byte-pair-encoding merges from the corpus, distributed.
+
+    Classic BPE training (Sennrich et al. 2016), shaped for Spark: the
+    corpus collapses to a (word, count) vocabulary first — one shuffle,
+    and the Zipf ceiling means the vocab relation is tiny next to the
+    corpus — then every merge round is ONE keyed aggregate over
+    adjacent symbol pairs (weighted by word count) plus a single-row
+    collect of the winning pair (the centroid idiom: a scalar crosses
+    the driver, never data). The merge is applied as a literal string
+    replace on the space-joined symbol state, so each round is a
+    map-only expression over the bounded vocab relation.
+
+    Two deliberate bounds, both knobs:
+    - ``vocab_cap`` keeps training on the top-N words (count-desc,
+      word-asc ties) — at 100 TB the cap is raised or dropped; cost
+      scales with VOCAB size, not corpus size, after the first pass.
+    - The pair replace runs twice per round (left-to-right
+      non-overlapping string replace both engines share); runs of 5+
+      repeated identical symbols in one word could need more passes —
+      vanishingly rare in natural text and identical on both engines
+      either way.
+
+    Returns (merge_rank, pair, pcnt): the learned merge table.
+    """
+    words = (
+        df.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(vocab_cap)
+    )
+    cur = words.withColumn(
+        "state", F.trim(F.regexp_replace("word", "(.)", "$1 "))
+    ).persist()
+    cur.count()
+    merges: list[tuple[int, str, int]] = []
+    try:
+        for rank in range(1, n_merges + 1):
+            toks = F.split(F.col("state"), " ")
+            left = F.slice(toks, 1, F.size(toks) - 1).alias("a")
+            right = F.slice(toks, 2, F.size(toks) - 1).alias("b")
+            pairs = cur.select(
+                "cnt", F.explode(F.arrays_zip(left, right)).alias("pr")
+            )
+            best = (
+                pairs.groupBy(
+                    F.col("pr.a").alias("a"), F.col("pr.b").alias("b")
+                )
+                .agg(F.sum("cnt").alias("pcnt"))
+                .orderBy(F.desc("pcnt"), F.asc("a"), F.asc("b"))
+                .first()
+            )
+            if best is None:
+                break
+            merges.append((rank, f"{best['a']}+{best['b']}", int(best["pcnt"])))
+            pat = F.lit(f" {best['a']} {best['b']} ")
+            rep = F.lit(f" {best['a']}{best['b']} ")
+            padded = F.concat(F.lit(" "), F.col("state"), F.lit(" "))
+            merged = F.trim(F.replace(F.replace(padded, pat, rep), pat, rep))
+            nxt = cur.withColumn("state", merged).persist()
+            nxt.count()
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return df.sparkSession.createDataFrame(
+        merges, "merge_rank int, pair string, pcnt long"
+    )

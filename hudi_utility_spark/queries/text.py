@@ -783,3 +783,68 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by doc × alphabet."""
     d = load_table(spark, sf_dir, "documents")
     return X.char_entropy(d)
+
+
+def _bpe_oracle(n_merges: int = 4, vocab_cap: int = 200) -> str:
+    """Unrolled BPE-training oracle: one (pairs -> best -> apply) CTE
+    triple per merge round, same double-replace application."""
+    stages = []
+    for i in range(1, n_merges + 1):
+        prev = f"st{i - 1}"
+        stages.append(
+            f"""p{i} AS (
+      SELECT pr.a AS a, pr.b AS b, SUM(cnt) AS pcnt
+      FROM {prev},
+           LATERAL (
+             SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                           recursive := true)
+             FROM (SELECT string_split({prev}.state, ' ') AS toks)
+           ) pr(a, b)
+      GROUP BY 1, 2
+    ),
+    bp{i} AS (SELECT a, b, pcnt FROM p{i} ORDER BY pcnt DESC, a, b LIMIT 1),
+    st{i} AS (
+      SELECT word, cnt,
+             trim(replace(replace(' ' || {prev}.state || ' ',
+                                  ' ' || bp{i}.a || ' ' || bp{i}.b || ' ',
+                                  ' ' || bp{i}.a || bp{i}.b || ' '),
+                          ' ' || bp{i}.a || ' ' || bp{i}.b || ' ',
+                          ' ' || bp{i}.a || bp{i}.b || ' ')) AS state
+      FROM {prev}, bp{i}
+    )"""
+        )
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, a || '+' || b AS pair, "
+        f"pcnt::BIGINT AS pcnt FROM bp{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        f"""
+    WITH w AS (
+      SELECT word, COUNT(*)::BIGINT AS cnt
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+            FROM documents)
+      GROUP BY word ORDER BY cnt DESC, word LIMIT {vocab_cap}
+    ),
+    st0 AS (
+      SELECT word, cnt, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS state
+      FROM w
+    ),
+    """
+        + ",\n    ".join(stages)
+        + "\n    "
+        + sel
+    )
+
+
+@query("text_bpe_train_merges", _bpe_oracle())
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (not just application): learn
+    the top-4 merge rules from the documents corpus — corpus collapses
+    to a capped (word,count) vocab in one shuffle, then each round is
+    one weighted pair-count aggregate plus a 1-row collect, applied as
+    a literal string replace. The oracle unrolls the identical rounds,
+    so the learned merge table must match rule-for-rule, count-for-
+    count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.bpe_train_merges(docs, "text", n_merges=4, vocab_cap=200)

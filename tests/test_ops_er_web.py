@@ -109,3 +109,17 @@ def test_jl_projection_shape_and_determinism(spark, sf_dir):
     p = jl_project(e, d_in=64, d_out=16)
     row = p.select("proj").first()
     assert len(row[0]) == 16
+
+
+def test_bpe_train_merges_learns_composed_rules(spark):
+    from hudi_utility_spark.ops.text import bpe_train_merges
+
+    df = spark.createDataFrame(
+        [("hello hell help hello hull",)], "text string"
+    )
+    out = bpe_train_merges(df, "text", n_merges=3, vocab_cap=50).collect()
+    assert [(r.merge_rank, r.pair, r.pcnt) for r in out] == [
+        (1, "e+l", 4),
+        (2, "h+el", 4),
+        (3, "hel+l", 3),
+    ]
