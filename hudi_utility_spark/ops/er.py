@@ -25,7 +25,7 @@ salting that block, both metadata-only changes. No stage collects rows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -91,3 +91,57 @@ def golden_records(
     aggregating its matched duplicates — a single keyed aggregate with
     map-side partials."""
     return matches.groupBy(entity_key).agg(*agg_cols)
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    block_col: str,
+    key_col: str,
+    id_col: str,
+    window: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood candidate generation: within each block,
+    records sorted by *key_col* pair with their next ``window``
+    neighbors via ``lead`` — candidates come from ONE window pass
+    (sort inside the block's shuffle partition), no join at all.
+
+    The classic SNM complement to hash blocking: hash blocks miss
+    near-misses that straddle block boundaries of the HASHED attribute
+    but sit adjacent in SORT order of another. Cost is |block| x window
+    rows — linear, vs quadratic for block-join candidates. Window is
+    per-block (``Window.partitionBy(block)``), so no global sort and no
+    single-partition collapse at scale; the block key bounds partition
+    width exactly like :func:`blocked_candidates`.
+
+    Emits (block, left id/key, right id/key) candidate pairs.
+    """
+    w = Window.partitionBy(block_col).orderBy(key_col, id_col)
+    # window exprs materialize before the generator (Spark disallows a
+    # generator over window functions in one projection)
+    led = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("l_id"),
+        F.col(key_col).alias("l_key"),
+        F.array(
+            *[
+                F.struct(
+                    F.lead(id_col, i).over(w).alias("r_id"),
+                    F.lead(key_col, i).over(w).alias("r_key"),
+                )
+                for i in range(1, window + 1)
+            ]
+        ).alias("_nbs"),
+    )
+    return (
+        led.select(
+            "block", "l_id", "l_key", F.explode("_nbs").alias("nb")
+        )
+        .where(F.col("nb.r_id").isNotNull())
+        .select(
+            "block",
+            "l_id",
+            "l_key",
+            F.col("nb.r_id").alias("r_id"),
+            F.col("nb.r_key").alias("r_key"),
+        )
+    )

@@ -164,3 +164,88 @@ def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("edit_dist"), 4).alias("avg_edit"),
         ],
     )
+
+
+@query(
+    "er_sorted_neighborhood",
+    """
+    WITH reg AS (
+        SELECT 'C-' || c_custkey AS rid, c_name AS name FROM customer
+        UNION ALL
+        SELECT 'D1-' || c_custkey, replace(c_name, '#', '') FROM customer
+        UNION ALL
+        SELECT 'D2-' || c_custkey, lower(c_name) FROM customer
+        UNION ALL
+        SELECT 'D3-' || c_custkey, c_name || ' Inc' FROM customer
+    ),
+    r AS (
+        SELECT rid, lower(name) AS key,
+               right(regexp_replace(name, '[^0-9]', '', 'g'), 2) AS block
+        FROM reg
+    ),
+    rn AS (
+        SELECT *, row_number() OVER (PARTITION BY block ORDER BY key, rid) AS rn
+        FROM r
+    ),
+    pairs AS (
+        SELECT a.block, a.key AS l_key, b.key AS r_key
+        FROM rn a JOIN rn b
+          ON a.block = b.block AND b.rn BETWEEN a.rn + 1 AND a.rn + 2
+    )
+    SELECT block,
+           COUNT(*) AS cand_pairs,
+           SUM(CASE WHEN levenshtein(l_key, r_key) <= 2 THEN 1 ELSE 0 END)
+               AS matched
+    FROM pairs GROUP BY block ORDER BY block
+    """,
+)
+def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER on the merged clean+dirty registry:
+    records sort by normalized (lowercased) name inside each block and
+    pair only with their next-2 neighbors — candidates from one window
+    pass, no join. Per-block candidate volume vs near-match count is
+    the SNM efficiency profile (the oracle reproduces the window as a
+    rank-band self-join)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    reg = (
+        cust.select(
+            F.concat(F.lit("C-"), F.col("c_custkey")).alias("rid"),
+            F.col("c_name").alias("name"),
+        )
+        .unionByName(
+            cust.select(
+                F.concat(F.lit("D1-"), F.col("c_custkey")).alias("rid"),
+                F.regexp_replace("c_name", "#", "").alias("name"),
+            )
+        )
+        .unionByName(
+            cust.select(
+                F.concat(F.lit("D2-"), F.col("c_custkey")).alias("rid"),
+                F.lower(F.col("c_name")).alias("name"),
+            )
+        )
+        .unionByName(
+            cust.select(
+                F.concat(F.lit("D3-"), F.col("c_custkey")).alias("rid"),
+                F.concat(F.col("c_name"), F.lit(" Inc")).alias("name"),
+            )
+        )
+    )
+    r = reg.select(
+        "rid",
+        F.lower(F.col("name")).alias("key"),
+        F.substring(F.regexp_replace("name", "[^0-9]", ""), -2, 2).alias(
+            "block"
+        ),
+    )
+    pairs = er.sorted_neighborhood_pairs(r, "block", "key", "rid", window=2)
+    return (
+        pairs.groupBy("block")
+        .agg(
+            F.count(F.lit(1)).alias("cand_pairs"),
+            F.sum(
+                F.when(F.levenshtein("l_key", "r_key") <= 2, 1).otherwise(0)
+            ).alias("matched"),
+        )
+        .orderBy("block")
+    )

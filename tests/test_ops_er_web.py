@@ -123,3 +123,15 @@ def test_bpe_train_merges_learns_composed_rules(spark):
         (2, "h+el", 4),
         (3, "hel+l", 3),
     ]
+
+
+def test_sorted_neighborhood_pairs_window_semantics(spark):
+    rows = [("b1", "r1", "aa"), ("b1", "r2", "ab"), ("b1", "r3", "zz"),
+            ("b2", "r4", "mm")]
+    df = spark.createDataFrame(rows, "blk string, rid string, key string")
+    out = er.sorted_neighborhood_pairs(df, "blk", "key", "rid", window=2)
+    got = {(r.l_id, r.r_id) for r in out.collect()}
+    # within b1 sorted by key: aa,ab,zz -> pairs (1,2),(1,3),(2,3); b2 alone
+    assert got == {("r1", "r2"), ("r1", "r3"), ("r2", "r3")}
+    # candidate count is linear in block size x window, never quadratic
+    assert out.count() == 3
