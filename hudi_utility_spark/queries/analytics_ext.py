@@ -1166,3 +1166,76 @@ def ev_session_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_steps") >= 3)
     )
+
+
+@query(
+    "ev_cuped_adjusted",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               SUM(CASE WHEN ts <  TIMESTAMP '2024-01-16 00:00:00'
+                        THEN value ELSE 0 END) AS pre,
+               SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                        THEN value ELSE 0 END) AS post
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT covar_pop(pre, post) / var_pop(pre) AS theta, AVG(pre) AS mu
+        FROM per_user
+    ),
+    adj AS (
+        SELECT u.user_id, u.post,
+               u.post - g.theta * (u.pre - g.mu) AS adjusted
+        FROM per_user u, g
+    )
+    SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+           COUNT(*) AS users,
+           ROUND(AVG(post), 4) AS mean_post,
+           ROUND(AVG(adjusted), 4) AS mean_adjusted,
+           ROUND(stddev_pop(post), 4) AS sd_post,
+           ROUND(stddev_pop(adjusted), 4) AS sd_adjusted
+    FROM adj GROUP BY 1 ORDER BY variant
+    """,
+)
+def ev_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for experiment metrics: per-user pre-
+    and post-period totals (one conditional aggregate), the pooled
+    adjustment coefficient theta = cov(pre,post)/var(pre) collected as
+    ONE scalar row (centroid idiom), then the adjusted metric
+    post - theta*(pre - mean_pre) is a map-only expression. Per-variant
+    means and stddevs show the variance the covariate removed —
+    sd_adjusted < sd_post is the whole point of CUPED. Two shuffles
+    total (user rollup, variant rollup) at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = "2024-01-16 00:00:00"
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("ts") < cutoff, F.col("value")).otherwise(0.0)
+        ).alias("pre"),
+        F.sum(
+            F.when(F.col("ts") >= cutoff, F.col("value")).otherwise(0.0)
+        ).alias("post"),
+    )
+    g = per_user.agg(
+        (F.covar_pop("pre", "post") / F.var_pop("pre")).alias("theta"),
+        F.avg("pre").alias("mu"),
+    ).first()
+    adj = per_user.withColumn(
+        "adjusted",
+        F.col("post") - F.lit(float(g["theta"])) * (F.col("pre") - F.lit(float(g["mu"]))),
+    )
+    return (
+        adj.withColumn(
+            "variant",
+            F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")),
+        )
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("users"),
+            F.round(F.avg("post"), 4).alias("mean_post"),
+            F.round(F.avg("adjusted"), 4).alias("mean_adjusted"),
+            F.round(F.stddev_pop("post"), 4).alias("sd_post"),
+            F.round(F.stddev_pop("adjusted"), 4).alias("sd_adjusted"),
+        )
+        .orderBy("variant")
+    )

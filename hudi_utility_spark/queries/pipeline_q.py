@@ -224,3 +224,74 @@ def pipeline_group_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             split.alias("split"),
         )
     )
+
+
+_ABL_FILTERS = [
+    ("short", "n_chars < 300"),
+    ("nonen", "lang <> 'en'"),
+    (
+        "digity",
+        "length(regexp_replace(text, '[^0-9]', {g})) > 0.05 * length(text)",
+    ),
+    (
+        "uppery",
+        "length(regexp_replace(text, '[^A-Z]', {g})) > 0.10 * length(text)",
+    ),
+]
+
+
+def _abl_pairs() -> list[tuple[str, str]]:
+    names = [n for n, _ in _ABL_FILTERS]
+    return [(a, b) for i, a in enumerate(names) for b in names[i:]]
+
+
+def _abl_oracle() -> str:
+    duck_g = "'', 'g'"
+    flags = ", ".join(
+        f"({expr.format(g=duck_g)})::INT AS {name}"
+        for name, expr in _ABL_FILTERS
+    )
+    aggs = ", ".join(
+        f"SUM({a} * {b}) AS n_{a}_{b}" for a, b in _abl_pairs()
+    )
+    sels = "\n    UNION ALL ".join(
+        f"SELECT '{a}' AS filter_a, '{b}' AS filter_b, "
+        f"n_{a}_{b}::BIGINT AS failed_both FROM agg"
+        for a, b in _abl_pairs()
+    )
+    return f"""
+    WITH f AS (SELECT {flags} FROM documents),
+    agg AS (SELECT {aggs} FROM f)
+    {sels}
+    """
+
+
+@query("pipeline_filter_ablation", _abl_oracle())
+def pipeline_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-overlap ablation matrix: for every pair of quality
+    filters, how many documents fail BOTH — the diagnostic that tells
+    a curation pipeline which filters are redundant (high overlap) and
+    which carry unique signal (diagonal >> off-diagonal). All 10
+    pairwise sums come from ONE single-pass aggregate over row-local
+    boolean flags (pure codegen, no join, no second scan), unpivoted
+    with stack() into long form."""
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = docs.select(
+        *[
+            F.when(F.expr(expr.format(g="''")), 1).otherwise(0).alias(name)
+            for name, expr in _ABL_FILTERS
+        ]
+    )
+    agg = flagged.agg(
+        *[
+            F.sum(F.col(a) * F.col(b)).alias(f"n_{a}_{b}")
+            for a, b in _abl_pairs()
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', n_{a}_{b}" for a, b in _abl_pairs()
+    )
+    return agg.selectExpr(
+        f"stack({len(_abl_pairs())}, {stack_args}) "
+        "as (filter_a, filter_b, failed_both)"
+    )
