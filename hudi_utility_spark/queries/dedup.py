@@ -478,3 +478,41 @@ def dedup_containment_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return d.join(drops, "doc_id", "left_anti").select("doc_id", "lang")
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    _PAIRS_09_SQL
+    + """
+    , comp AS (SELECT id, MIN(lbl) AS group_id FROM reach GROUP BY id),
+    csizes AS (SELECT group_id, COUNT(*) AS cluster_size
+               FROM comp GROUP BY group_id)
+    SELECT cluster_size, COUNT(*) AS clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS docs
+    FROM csizes GROUP BY cluster_size ORDER BY cluster_size
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution — the corpus-health readout of
+    a dedup pass (a long tail of giant clusters means boilerplate or
+    templated spam; mostly-pairs means organic duplication). Three keyed
+    aggregates over the already-computed component labels; the
+    histogram is |distinct sizes| rows, collect-safe at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(d, n=1, threshold=0.9)
+    comp = D.near_dup_groups(pairs)
+    sizes = comp.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("clusters"))
+        .select(
+            "cluster_size",
+            "clusters",
+            (F.col("cluster_size") * F.col("clusters"))
+            .cast("long")
+            .alias("docs"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -848,3 +848,81 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     count."""
     docs = load_table(spark, sf_dir, "documents")
     return X.bpe_train_merges(docs, "text", n_merges=4, vocab_cap=200)
+
+
+@query(
+    "text_zipf_fit",
+    """
+    WITH wc AS (
+        SELECT word, COUNT(*)::BIGINT AS freq
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+              FROM documents)
+        GROUP BY word ORDER BY freq DESC, word LIMIT 1000
+    ),
+    ranked AS (
+        SELECT ln(row_number() OVER (ORDER BY freq DESC, word)) AS lr,
+               ln(freq) AS lf
+        FROM wc
+    ),
+    s AS (
+        SELECT COUNT(*)::DOUBLE AS n, SUM(lr) AS sx, SUM(lf) AS sy,
+               SUM(lr * lr) AS sxx, SUM(lr * lf) AS sxy, SUM(lf * lf) AS syy
+        FROM ranked
+    )
+    SELECT ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+           ROUND((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n,
+                 4) AS intercept,
+           ROUND(pow(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2,
+           CAST(n AS BIGINT) AS words
+    FROM s
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus rank-frequency curve: OLS slope of
+    ln(freq) on ln(rank) over the top-1000 words (natural text sits
+    near slope -1; synthetic or templated corpora drift far from it —
+    a one-row corpus-authenticity diagnostic). One word-count shuffle,
+    one window rank over the capped relation, one closed-form
+    aggregate; the slope/intercept/r2 come from the normal equations,
+    no iteration."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(1000)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    ranked = wc.select(
+        F.log(F.row_number().over(w).cast("double")).alias("lr"),
+        F.log(F.col("freq").cast("double")).alias("lf"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("lr").alias("sx"),
+        F.sum("lf").alias("sy"),
+        F.sum(F.col("lr") * F.col("lr")).alias("sxx"),
+        F.sum(F.col("lr") * F.col("lf")).alias("sxy"),
+        F.sum(F.col("lf") * F.col("lf")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        F.round(slope, 4).alias("slope"),
+        F.round((sy - sx * slope) / n, 4).alias("intercept"),
+        F.round(
+            F.pow(n * sxy - sx * sy, F.lit(2.0))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            4,
+        ).alias("r2"),
+        n.cast("long").alias("words"),
+    )
