@@ -467,3 +467,142 @@ def frame_sample_plan(df: DataFrame, every_n_seconds: int = 5) -> DataFrame:
             F.sequence(F.lit(0), dur - 1, F.lit(every_n_seconds))
         ).alias("frame_ts_s"),
     )
+
+
+def _ramp_rgb(media_id: int, width: int, height: int) -> bytes:
+    """Deterministic RGB raster: pixel(y, x, c) = (id*13 + y*7 + x*3 +
+    c*11) mod 256. Like :func:`_ramp_pcm`, portable enough that a SQL
+    oracle recomputes any aggregate of the pixel content from
+    ``range()`` — the check that bytes really were encoded AND decoded,
+    not just the header echoed back."""
+    import numpy as np
+
+    y, x, c = np.meshgrid(
+        np.arange(height, dtype=np.int64),
+        np.arange(width, dtype=np.int64),
+        np.arange(3, dtype=np.int64),
+        indexing="ij",
+    )
+    px = (media_id * 13 + y * 7 + x * 3 + c * 11) % 256
+    return px.astype(np.uint8).tobytes()
+
+
+def synth_ppm(
+    df: DataFrame,
+    id_col: str = "media_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Encode REAL binary PPM (P6) images from per-row dimensions — an
+    actual image container, dependency-free by design (the P6 format IS
+    its own codec: ASCII header + raw RGB raster). Every third image
+    gets a ``#`` comment line in the header so the decoder's
+    comment-skip path is exercised under the value-hash gate. Map-only
+    Arrow stage emitting the standard MEDIA_SCHEMA row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid, w, h in zip(pdf[id_col], pdf[width_col], pdf[height_col]):
+                mid, w, h = int(mid), int(w), int(h)
+                comment = f"# synth {mid}\n" if mid % 3 == 0 else ""
+                header = f"P6\n{comment}{w} {h}\n255\n".encode("ascii")
+                payloads.append(header + _ramp_rgb(mid, w, h))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "media_type": "image",
+                    "payload": payloads,
+                    "byte_len": [len(p) for p in payloads],
+                    "sha256": [
+                        hashlib.sha256(p).hexdigest() for p in payloads
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """REAL P6 parser (hand-written, no imaging deps): tokenizes the
+    header honoring ``#`` comments and arbitrary whitespace per the
+    netpbm spec, validates magic/maxval/length, then reads the raster
+    with numpy. Returns integer-exact channel sums so the oracle can
+    verify pixel CONTENT, not just dimensions."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header tokenizer: 3 integers (w, h, maxval) follow the magic;
+    # '#' starts a comment running to end-of-line; any whitespace splits
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        if i >= len(payload):
+            raise ValueError("truncated PPM header")
+        ch = payload[i : i + 1]
+        if ch == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+        elif ch.isspace():
+            i += 1
+        elif ch.isdigit():
+            j = i
+            while payload[j : j + 1].isdigit():
+                j += 1
+            tokens.append(int(payload[i:j]))
+            i = j
+        else:
+            raise ValueError(f"bad PPM header byte {ch!r}")
+    i += 1  # exactly one whitespace byte after maxval, then the raster
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    raster = np.frombuffer(payload, dtype=np.uint8, offset=i)
+    if raster.size != width * height * 3:
+        raise ValueError(
+            f"raster size {raster.size} != {width}x{height}x3"
+        )
+    px = raster.reshape(height, width, 3).astype(np.int64)
+    sums = px.sum(axis=(0, 1))
+    return {
+        "width": width,
+        "height": height,
+        "n_pixels": width * height,
+        "sum_r": int(sums[0]),
+        "sum_g": int(sums[1]),
+        "sum_b": int(sums[2]),
+    }
+
+
+PPM_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_pixels", T.LongType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+    ]
+)
+
+
+def decode_ppm_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched map-only decode: payload in, payload-free typed
+    metadata + channel sums out (100 TB posture identical to the WAV
+    kernel — decode cost ∝ bytes per file, parallelism = partitions,
+    downstream schema carries no bytes)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf[payload_col]):
+                d = decode_ppm(bytes(p))
+                d["media_id"] = int(mid)
+                rows.append(d)
+            yield pd.DataFrame(rows)[
+                [f.name for f in PPM_META_SCHEMA.fields]
+            ]
+
+    return df.mapInPandas(run, schema=PPM_META_SCHEMA)

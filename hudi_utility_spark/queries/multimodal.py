@@ -371,3 +371,55 @@ def mm_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.frame_sample_plan(media, every_n_seconds=5).select(
         "media_id", "duration_s", "frame_ts_s"
     )
+
+
+@query(
+    "mm_ppm_decode",
+    """
+    WITH imgs AS (
+        SELECT doc_id AS media_id,
+               16 + doc_id % 16 AS w,
+               12 + doc_id % 9 AS h
+        FROM documents ORDER BY doc_id LIMIT 40
+    )
+    SELECT i.media_id,
+           i.w AS width,
+           i.h AS height,
+           CAST(i.w * i.h AS BIGINT) AS n_pixels,
+           CAST(SUM((i.media_id * 13 + y.y * 7 + x.x * 3) % 256) AS BIGINT)
+               AS sum_r,
+           CAST(SUM((i.media_id * 13 + y.y * 7 + x.x * 3 + 11) % 256) AS BIGINT)
+               AS sum_g,
+           CAST(SUM((i.media_id * 13 + y.y * 7 + x.x * 3 + 22) % 256) AS BIGINT)
+               AS sum_b
+    FROM imgs i,
+         LATERAL (SELECT unnest(range(i.h)) AS y) y,
+         LATERAL (SELECT unnest(range(i.w)) AS x) x
+    GROUP BY 1, 2, 3
+    """,
+)
+def mm_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec round-trip under the value-hash gate: P6 PPM
+    payloads are ENCODED (ASCII header — every third with a comment
+    line — plus raw RGB raster) and then DECODED by an independent
+    hand-written netpbm parser, per image, in map-only Arrow stages.
+    The oracle recomputes the integer-exact per-channel pixel sums from
+    the generation formula over range() — so header parsing, comment
+    skipping, offset arithmetic, AND raster content are all verified,
+    not just echoed dimensions. De-stubs the image leg of the
+    multimodal family the way mm_wav_decode de-stubbed audio."""
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = (
+        docs.select("doc_id")
+        .orderBy("doc_id")
+        .limit(40)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (16 + F.col("doc_id") % 16).cast("int").alias("width"),
+            (12 + F.col("doc_id") % 9).cast("int").alias("height"),
+        )
+    )
+    encoded = M.synth_ppm(imgs)
+    return M.decode_ppm_meta(encoded).select(
+        "media_id", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b"
+    )

@@ -193,3 +193,50 @@ def test_sine_pcm_quantization_and_range():
     assert raw.max() <= 12000 and raw.min() >= -12000
     # four zero crossings per cycle pattern: first sample is sin(0)=0
     assert raw[0] == 0
+
+
+def test_decode_ppm_round_trip_and_header_paths():
+    import numpy as np
+
+    from hudi_utility_spark.ops.multimodal import _ramp_rgb, decode_ppm
+
+    raster = _ramp_rgb(5, 4, 3)
+    plain = b"P6\n4 3\n255\n" + raster
+    commented = b"P6\n# a comment\n4 3\n# another\n255\n" + raster
+    spaced = b"P6  4\t3\n255 " + raster
+    expect = {
+        "width": 4, "height": 3, "n_pixels": 12,
+    }
+    px = np.frombuffer(raster, dtype=np.uint8).reshape(3, 4, 3).astype(int)
+    for k, c in (("sum_r", 0), ("sum_g", 1), ("sum_b", 2)):
+        expect[k] = int(px[:, :, c].sum())
+    for payload in (plain, commented, spaced):
+        assert decode_ppm(payload) == expect
+
+
+def test_decode_ppm_reject_paths():
+    import pytest as _pytest
+
+    from hudi_utility_spark.ops.multimodal import decode_ppm
+
+    with _pytest.raises(ValueError, match="not a P6"):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n4 3")
+    with _pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)
+    with _pytest.raises(ValueError, match="raster size"):
+        decode_ppm(b"P6\n2 2\n255\n" + b"\x00" * 5)
+
+
+def test_synth_ppm_decode_meta_spark(spark):
+    df = spark.createDataFrame(
+        [(3, 4, 2), (4, 5, 3)], "media_id long, width int, height int"
+    )
+    from hudi_utility_spark.ops.multimodal import decode_ppm_meta, synth_ppm
+
+    out = decode_ppm_meta(synth_ppm(df)).orderBy("media_id").collect()
+    assert [(r.media_id, r.width, r.height, r.n_pixels) for r in out] == [
+        (3, 4, 2, 8),
+        (4, 5, 3, 15),
+    ]
