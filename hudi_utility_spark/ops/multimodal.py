@@ -606,3 +606,55 @@ def decode_ppm_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             ]
 
     return df.mapInPandas(run, schema=PPM_META_SCHEMA)
+
+
+def ppm_resize_stats(
+    df: DataFrame,
+    target: tuple[int, int] = (8, 8),
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL nearest-neighbor resize over decoded PPM rasters (the
+    de-stubbed successor of :func:`resize_stub` for the one
+    dependency-free image format): decode, index-map
+    src = (dst * src_dim) // dst_dim per axis, and emit integer-exact
+    channel sums of the RESIZED raster. The mapping is pure integer
+    arithmetic, so a SQL oracle replays the whole decode→resize
+    pipeline from the generation formula. Map-only Arrow stage;
+    downstream schema carries no bytes."""
+    tw, th = target
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf[payload_col]):
+                payload = bytes(p)
+                meta = decode_ppm(payload)
+                w, h = meta["width"], meta["height"]
+                raster = np.frombuffer(
+                    payload, dtype=np.uint8, offset=len(payload) - w * h * 3
+                ).reshape(h, w, 3)
+                ys = (np.arange(th, dtype=np.int64) * h) // th
+                xs = (np.arange(tw, dtype=np.int64) * w) // tw
+                resized = raster[np.ix_(ys, xs)].astype(np.int64)
+                sums = resized.sum(axis=(0, 1))
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "out_w": tw,
+                        "out_h": th,
+                        "sum_r": int(sums[0]),
+                        "sum_g": int(sums[1]),
+                        "sum_b": int(sums[2]),
+                    }
+                )
+            yield pd.DataFrame(rows)[
+                ["media_id", "out_w", "out_h", "sum_r", "sum_g", "sum_b"]
+            ]
+
+    schema = (
+        "media_id long, out_w int, out_h int, "
+        "sum_r long, sum_g long, sum_b long"
+    )
+    return df.mapInPandas(run, schema=schema)

@@ -423,3 +423,46 @@ def mm_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_ppm_meta(encoded).select(
         "media_id", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b"
     )
+
+
+@query(
+    "mm_ppm_resize",
+    """
+    WITH imgs AS (
+        SELECT doc_id AS media_id,
+               16 + doc_id % 16 AS w,
+               12 + doc_id % 9 AS h
+        FROM documents ORDER BY doc_id LIMIT 40
+    )
+    SELECT i.media_id,
+           8 AS out_w, 8 AS out_h,
+           CAST(SUM((i.media_id * 13 + ((y.y * i.h) // 8) * 7
+                     + ((x.x * i.w) // 8) * 3) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((i.media_id * 13 + ((y.y * i.h) // 8) * 7
+                     + ((x.x * i.w) // 8) * 3 + 11) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((i.media_id * 13 + ((y.y * i.h) // 8) * 7
+                     + ((x.x * i.w) // 8) * 3 + 22) % 256) AS BIGINT) AS sum_b
+    FROM imgs i,
+         LATERAL (SELECT unnest(range(8)) AS y) y,
+         LATERAL (SELECT unnest(range(8)) AS x) x
+    GROUP BY 1
+    """,
+)
+def mm_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → nearest-neighbor resize to 8x8 → integer channel sums,
+    all in one map-only Arrow kernel over real P6 payloads. The oracle
+    replays the full pipeline symbolically — source-pixel index mapping
+    src = (dst*src_dim)//dst_dim composed with the generation formula —
+    so the resize arithmetic itself is value-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = (
+        docs.select("doc_id")
+        .orderBy("doc_id")
+        .limit(40)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (16 + F.col("doc_id") % 16).cast("int").alias("width"),
+            (12 + F.col("doc_id") % 9).cast("int").alias("height"),
+        )
+    )
+    return M.ppm_resize_stats(M.synth_ppm(imgs), target=(8, 8))
