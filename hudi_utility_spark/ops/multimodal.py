@@ -658,3 +658,119 @@ def ppm_resize_stats(
         "sum_r long, sum_g long, sum_b long"
     )
     return df.mapInPandas(run, schema=schema)
+
+
+def ppm_dhash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Perceptual difference-hash (dHash) over decoded PPM rasters —
+    the image-modality twin of :func:`~hudi_utility_spark.ops.dedup.simhash`:
+    decode, integer ITU-R-601 grayscale ``(299r+587g+114b)//1000``,
+    nearest-neighbor sample to a 9x8 grid (``src=(dst*dim)//grid``),
+    then bit(y,x) = gray[y][x+1] > gray[y][x]. The 64 bits are emitted
+    as four 16-bit band integers (rows 2k,2k+1 -> band k) so downstream
+    near-dup blocking joins on band equality exactly like MinHash-LSH
+    banding. Every step is integer arithmetic, so a SQL oracle replays
+    the whole decode->hash pipeline from the generation formula.
+
+    Map-only Arrow stage; output carries no payload bytes. At 100 TB the
+    decode cost is ~bytes-per-file across partitions and the hash rows
+    are 4 ints per image."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf[payload_col]):
+                payload = bytes(p)
+                meta = decode_ppm(payload)
+                w, h = meta["width"], meta["height"]
+                raster = np.frombuffer(
+                    payload, dtype=np.uint8, offset=len(payload) - w * h * 3
+                ).reshape(h, w, 3).astype(np.int64)
+                gray = (
+                    299 * raster[:, :, 0]
+                    + 587 * raster[:, :, 1]
+                    + 114 * raster[:, :, 2]
+                ) // 1000
+                ys = (np.arange(8, dtype=np.int64) * h) // 8
+                xs = (np.arange(9, dtype=np.int64) * w) // 9
+                g = gray[np.ix_(ys, xs)]
+                bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)  # 8x8
+                weights = 1 << (
+                    (np.arange(8)[:, None] % 2) * 8 + np.arange(8)[None, :]
+                )
+                per_row = (bits * weights).sum(axis=1)  # 8 row words
+                bands = per_row.reshape(4, 2).sum(axis=1)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "band0": int(bands[0]),
+                        "band1": int(bands[1]),
+                        "band2": int(bands[2]),
+                        "band3": int(bands[3]),
+                    }
+                )
+            yield pd.DataFrame(rows)[
+                ["media_id", "band0", "band1", "band2", "band3"]
+            ]
+
+    return df.mapInPandas(
+        run, schema="media_id long, band0 long, band1 long, band2 long, band3 long"
+    )
+
+
+def dhash_near_pairs(hashes: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Near-duplicate image pairs by banded Hamming join over dHash
+    bands: candidates share at least one EQUAL 16-bit band, then the
+    exact Hamming distance over all four bands filters to
+    ``<= max_hamming``. With 4 bands the blocking is LOSSLESS for
+    ``max_hamming <= 3`` (pigeonhole: <=3 differing bits leave >=1 band
+    untouched), so the banded plan is value-identical to the oracle's
+    all-pairs scan while shuffling only (band_idx, band_value, id) rows
+    — the MinHash-LSH posture applied to images.
+
+    Input: output of :func:`ppm_dhash`. Output: (media_id_a,
+    media_id_b, hamming) with a < b."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4-band blocking is only lossless for max_hamming <= 3; "
+            f"got {max_hamming}"
+        )
+    bands = hashes.select(
+        "media_id",
+        F.posexplode(F.array("band0", "band1", "band2", "band3")).alias(
+            "band_idx", "band_value"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_value") == F.col("b.band_value"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_id_a"),
+            F.col("b.media_id").alias("media_id_b"),
+        )
+        .distinct()
+    )
+    ha = hashes.alias("ha")
+    hb = hashes.alias("hb")
+    ham = sum(
+        F.bit_count(
+            F.col(f"ha.band{k}").bitwiseXOR(F.col(f"hb.band{k}"))
+        )
+        for k in range(4)
+    )
+    return (
+        cand.join(ha, cand["media_id_a"] == F.col("ha.media_id"))
+        .join(hb, cand["media_id_b"] == F.col("hb.media_id"))
+        .select(
+            "media_id_a",
+            "media_id_b",
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

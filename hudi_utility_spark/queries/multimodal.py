@@ -466,3 +466,94 @@ def mm_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return M.ppm_resize_stats(M.synth_ppm(imgs), target=(8, 8))
+
+
+def _dhash_oracle_cte(n_imgs: int = 40) -> str:
+    """Shared oracle CTE replaying decode → grayscale → 9x8 NN sample →
+    dHash bands symbolically from the generation formula
+    pixel(y,x,c) = (id*13 + y*7 + x*3 + c*11) % 256."""
+
+    def lum(sx: str) -> str:
+        base = f"(i.media_id*13 + ((y.y * i.h) // 8)*7 + ({sx})*3)"
+        return (
+            f"(299*({base} % 256) + 587*(({base} + 11) % 256) "
+            f"+ 114*(({base} + 22) % 256)) // 1000"
+        )
+
+    bit = (
+        f"CASE WHEN {lum('((x.x + 1) * i.w) // 9')} "
+        f"> {lum('(x.x * i.w) // 9')} THEN 1 ELSE 0 END"
+    )
+    bands = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN y // 2 = {k} THEN bit * (1 << ((y % 2) * 8 + x)) "
+        f"ELSE 0 END) AS BIGINT) AS band{k}"
+        for k in range(4)
+    )
+    return f"""
+    imgs AS (
+        SELECT doc_id AS media_id,
+               16 + doc_id % 16 AS w,
+               12 + doc_id % 9 AS h
+        FROM documents ORDER BY doc_id LIMIT {n_imgs}
+    ),
+    bits AS (
+        SELECT i.media_id, y.y, x.x, {bit} AS bit
+        FROM imgs i,
+             LATERAL (SELECT unnest(range(8)) AS y) y,
+             LATERAL (SELECT unnest(range(8)) AS x) x
+    ),
+    bands AS (
+        SELECT media_id,
+           {bands}
+        FROM bits GROUP BY media_id
+    )"""
+
+
+def _dhash_imgs(spark: SparkSession, sf_dir: str, n_imgs: int = 40) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = (
+        docs.select("doc_id")
+        .orderBy("doc_id")
+        .limit(n_imgs)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (16 + F.col("doc_id") % 16).cast("int").alias("width"),
+            (12 + F.col("doc_id") % 9).cast("int").alias("height"),
+        )
+    )
+    return M.ppm_dhash(M.synth_ppm(imgs))
+
+
+@query(
+    "mm_image_dhash",
+    "WITH " + _dhash_oracle_cte() + "\n    SELECT media_id, band0, band1, band2, band3 FROM bands",
+)
+def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash over REAL encoded P6 payloads: the Arrow kernel
+    decodes actual image bytes while the oracle replays grayscale +
+    9x8 nearest-neighbor sampling + gradient bits symbolically — every
+    one of the 64 bits is value-checked per image."""
+    return _dhash_imgs(spark, sf_dir)
+
+
+@query(
+    "mm_image_neardup_pairs",
+    "WITH "
+    + _dhash_oracle_cte()
+    + """
+    SELECT a.media_id AS media_id_a,
+           b.media_id AS media_id_b,
+           CAST(bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+              + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3))
+             AS INT) AS hamming
+    FROM bands a JOIN bands b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+        + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) <= 2
+    """,
+)
+def mm_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by banded Hamming join over dHash bands —
+    the blocking is lossless at this threshold (pigeonhole over 4
+    bands), so the banded plan must value-match the oracle's all-pairs
+    scan. Shuffles only (band_idx, band_value, id); no CartesianProduct."""
+    return M.dhash_near_pairs(_dhash_imgs(spark, sf_dir), max_hamming=2)
