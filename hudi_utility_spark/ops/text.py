@@ -857,3 +857,116 @@ def bpe_train_merges(
     return df.sparkSession.createDataFrame(
         merges, "merge_rank int, pair string, pcnt long"
     )
+
+
+def boilerplate_vocab(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ratio_num: int = 8,
+    ratio_den: int = 10,
+    min_docs: int = 5,
+) -> DataFrame:
+    """Per-source boilerplate discovery — the C4/CCNet "most common
+    lines per domain" recipe at token granularity (the synthetic corpus
+    has no line structure): a token is boilerplate for a source when it
+    appears in at least ``ratio_num/ratio_den`` of that source's
+    documents (integer-exact comparison ``ratio_den·df >= ratio_num·n``
+    — no float threshold can disagree between engines) and the source
+    has at least ``min_docs`` documents.
+
+    Scale: one distinct over (group, token, id) + one (group, token)
+    aggregate — two shuffles on exploded tokens; the result is
+    vocabulary-sized (sources × flagged tokens), small enough to
+    broadcast into :func:`strip_boilerplate` at any corpus size."""
+    toks = df.select(
+        F.col(group_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(normalized(F.col(text_col)), " "),
+                    lambda t: t != "",
+                )
+            )
+        ).alias("token"),
+    )
+    # denominator = ALL docs of the source (an empty/no-token doc still
+    # counts — C4 semantics), not just docs that produced token rows
+    per_src = df.groupBy(F.col(group_col).alias("source")).agg(
+        F.count_distinct(id_col).alias("n_docs")
+    )
+    dfreq = toks.groupBy("source", "token").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    return (
+        dfreq.join(F.broadcast(per_src), "source")
+        .filter(
+            (F.lit(ratio_den) * F.col("df") >= F.lit(ratio_num) * F.col("n_docs"))
+            & (F.col("n_docs") >= min_docs)
+        )
+        .select("source", "token", "df", "n_docs")
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    vocab: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove a source's boilerplate tokens from its documents and
+    rebuild the cleaned text in original token order. ``vocab`` is the
+    (source, token) relation from :func:`boilerplate_vocab` —
+    vocabulary-sized, so it is broadcast and the removal join never
+    shuffles the exploded corpus; the only shuffle is the doc-keyed
+    rebuild aggregate. Token order is restored with an array_sort over
+    (pos, token) structs — never collect_list order, which is not
+    engine-portable."""
+    toks = df.select(
+        F.col(group_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(
+                F.split(normalized(F.col(text_col)), " "),
+                lambda t: t != "",
+            )
+        ).alias("pos", "token"),
+    )
+    kept = toks.join(
+        F.broadcast(vocab.select("source", "token")),
+        ["source", "token"],
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id", "source").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s.token,
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(
+            F.filter(
+                F.split(normalized(F.col(text_col)), " "), lambda t: t != ""
+            )
+        ).alias("n_tokens"),
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )

@@ -926,3 +926,89 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r2"),
         n.cast("long").alias("words"),
     )
+
+
+_BP_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+_BP_TOKS = f"list_filter(string_split({_BP_NORM}, ' '), x -> x != '')"
+_BP_BASE = f"""
+    toks AS (
+        SELECT source, doc_id,
+               unnest({_BP_TOKS}) AS token,
+               generate_subscripts({_BP_TOKS}, 1) AS pos
+        FROM documents
+    ),
+    per_src AS (
+        SELECT source, COUNT(DISTINCT doc_id) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    dfreq AS (
+        SELECT source, token, COUNT(DISTINCT doc_id) AS df
+        FROM toks GROUP BY source, token
+    ),
+    vocab AS (
+        SELECT source, token, df, n_docs
+        FROM dfreq JOIN per_src USING (source)
+        WHERE 10 * df >= 8 * n_docs AND n_docs >= 5
+    )"""
+
+
+@query(
+    "text_boilerplate_vocab",
+    "WITH " + _BP_BASE + "\n    SELECT source, token, df, n_docs FROM vocab",
+)
+def text_boilerplate_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate discovery (C4 'most common lines per
+    domain' at token granularity): tokens present in >= 80% of a
+    source's documents. Integer-exact threshold — no float boundary can
+    split the engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.boilerplate_vocab(d, ratio_num=8, ratio_den=10, min_docs=5)
+
+
+@query(
+    "text_boilerplate_strip",
+    "WITH "
+    + _BP_BASE
+    + f""",
+    kept AS (
+        SELECT t.doc_id, t.pos, t.token
+        FROM toks t LEFT JOIN vocab v
+          ON t.source = v.source AND t.token = v.token
+        WHERE v.token IS NULL
+    ),
+    rebuilt AS (
+        SELECT doc_id,
+               string_agg(token, ' ' ORDER BY pos) AS text_clean,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    totals AS (
+        SELECT doc_id, len({_BP_TOKS}) AS n_tokens FROM documents
+    )
+    SELECT t.doc_id,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(t.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.text_clean, '') AS text_clean
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal + in-order document rebuild: the discovered
+    per-source vocab (vocabulary-sized → broadcast) is anti-joined off
+    the exploded corpus, then docs reassemble via array_sort over
+    (pos, token) structs — engine-portable order, one doc-keyed
+    shuffle. Cleaned text is value-checked byte-for-byte."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = X.boilerplate_vocab(d, ratio_num=8, ratio_den=10, min_docs=5)
+    out = X.strip_boilerplate(d, vocab)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_kept",
+        "n_removed",
+        "text_clean",
+    )

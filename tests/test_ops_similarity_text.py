@@ -500,3 +500,39 @@ def test_char_entropy_known_values(spark):
     assert got[3]["entropy_bits"] == 2.0          # four equiprobable
     assert got[1]["n_chars"] == 4
     assert 4 not in got                           # empty doc dropped
+
+
+def test_boilerplate_vocab_and_strip(spark):
+    # source A: 5 docs all carrying the "subscribe now" footer; one rare word each
+    docs = [(i, f"unique{i} subscribe now body text", "A") for i in range(5)]
+    # source B: too few docs for the min_docs guard even with shared words
+    docs += [(10, "subscribe now alone", "B")]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+    vocab = T.boilerplate_vocab(df, ratio_num=8, ratio_den=10, min_docs=5)
+    flagged = {(r.source, r.token) for r in vocab.collect()}
+    # every-all-docs words in A flagged; rare uniqueN words not; B guarded out
+    assert ("A", "subscribe") in flagged and ("A", "now") in flagged
+    assert ("A", "body") in flagged and ("A", "text") in flagged
+    assert not any(t.startswith("unique") for _, t in flagged)
+    assert not any(s == "B" for s, _ in flagged)
+
+    out = {r.doc_id: r for r in T.strip_boilerplate(df, vocab).collect()}
+    # A docs keep only their rare word, order/count bookkeeping exact
+    assert out[0].text_clean == "unique0" and out[0].n_removed == 4
+    assert out[0].n_tokens == 5 and out[0].n_kept == 1
+    # B untouched (no vocab rows for B)
+    assert out[10].text_clean == "subscribe now alone" and out[10].n_removed == 0
+
+
+def test_strip_boilerplate_preserves_order_and_empty_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "x a y a z", "S"), (2, "a a a", "S"), (3, "", "S"),
+         (4, "a b", "S"), (5, "a c", "S")],
+        ["doc_id", "text", "source"],
+    )
+    vocab = T.boilerplate_vocab(df, ratio_num=8, ratio_den=10, min_docs=5)
+    assert {r.token for r in vocab.collect()} == {"a"}  # 4/5 docs -> 80%
+    out = {r.doc_id: r.text_clean for r in T.strip_boilerplate(df, vocab).collect()}
+    assert out[1] == "x y z"          # interleaved removals keep order
+    assert out[2] == ""               # fully-boilerplate doc -> empty
+    assert out[3] == ""               # empty doc stays empty
