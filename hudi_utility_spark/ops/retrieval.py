@@ -129,3 +129,69 @@ def tfidf_top_terms(
         .filter(F.col("rn") <= top_n)
         .select(id_col, F.col("rn").alias("rank"), "term", "tfidf")
     )
+
+
+def positional_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positions-bearing inverted index (Lucene posting shape): one row
+    per (term, doc) carrying the sorted 1-based position array. One
+    explode + one (term, doc)-keyed aggregate; at scale the index is
+    term-partitioned so a phrase probe reads only its terms' rows.
+    Positions are array_sort'ed — never collect_list order."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(F.split(normalized(F.col(text_col)), " "), lambda t: t != "")
+        ).alias("pos0", "term"),
+    )
+    return toks.groupBy("term", "doc_id").agg(
+        F.array_sort(F.collect_list(F.col("pos0") + 1)).alias("positions")
+    )
+
+
+def phrase_match(postings: DataFrame, phrase: str) -> DataFrame:
+    """Exact phrase query over the positional index: for terms
+    t0..t(n-1), a match at position p needs p+i in positions(ti) for
+    every i — computed as the intersection of each term's positions
+    shifted left by its offset. The probe filters the index to n
+    literal terms (a pushable isin — at scale only those terms' posting
+    rows are read), then chains n-1 doc-keyed joins between
+    term-posting relations; docs missing any term drop out at the join.
+    No corpus scan, no window, overlapping matches counted.
+
+    Returns (doc_id, n_matches, first_pos) for docs with >= 1 match."""
+    import re
+
+    # same normalization as the index side: lowercase, punct -> space
+    terms = [
+        t
+        for t in re.sub(r"[^a-z0-9\s]", " ", phrase.lower()).split()
+        if t
+    ]
+    if not terms:
+        raise ValueError("empty phrase")
+    acc = None
+    for i, t in enumerate(terms):
+        side = (
+            postings.filter(F.col("term") == t)
+            .select(
+                "doc_id",
+                F.transform(F.col("positions"), lambda p: p - i).alias(f"p{i}"),
+            )
+        )
+        acc = side if acc is None else acc.join(side, "doc_id")
+    from functools import reduce
+
+    starts = acc.select(
+        "doc_id",
+        reduce(
+            lambda a, b: F.array_intersect(a, b),
+            [F.col(f"p{i}") for i in range(len(terms))],
+        ).alias("starts"),
+    )
+    return starts.filter(F.size("starts") > 0).select(
+        "doc_id",
+        F.size("starts").cast("long").alias("n_matches"),
+        F.array_min("starts").cast("long").alias("first_pos"),
+    )

@@ -429,3 +429,33 @@ def pack_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     One source-keyed shuffle; per-group window state O(group size)."""
     docs = load_table(spark, sf_dir, "documents")
     return PK.sample_n_per_group(docs, 15, "source").select("doc_id", "source")
+
+
+@query(
+    "rtr_phrase_search",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest({_TOKS}) AS token,
+               generate_subscripts({_TOKS}, 1) AS pos
+        FROM documents
+    )
+    SELECT a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(a.pos) AS BIGINT) AS first_pos
+    FROM toks a JOIN toks b
+      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 AND b.token = 'value'
+    WHERE a.token = 'table'
+    GROUP BY a.doc_id
+    """,
+)
+def rtr_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query ("table value") over the positions-bearing
+    inverted index: per-term posting rows are probed by literal term
+    (pushable filter — at scale only those terms' index rows are
+    read), then position arrays intersect after per-term offset shift.
+    Overlapping matches count; the oracle replays the same semantics
+    with positional self-joins over exploded tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    postings = R.positional_postings(docs)
+    return R.phrase_match(postings, "table value")

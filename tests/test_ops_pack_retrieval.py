@@ -270,3 +270,30 @@ def test_temperature_sample_upweights_rare_group(spark):
     # i.e. MORE than a proportional 50
     assert got.get("rare", 0) > 70
     assert got["big"] < 450
+
+
+def test_phrase_match_overlaps_and_missing_terms(spark):
+    from hudi_utility_spark.ops.retrieval import phrase_match, positional_postings
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),      # "a a" overlaps at pos 1 and 2
+            (2, "x a b y a b"),  # "a b" twice, non-adjacent
+            (3, "a c b"),        # has both terms but never adjacent
+            (4, "b b b"),        # missing term "a" entirely
+            (5, "A, b!"),        # normalization: punctuation stripped
+        ],
+        ["doc_id", "text"],
+    )
+    idx = positional_postings(df)
+    out = {r.doc_id: r for r in phrase_match(idx, "a b").collect()}
+    assert set(out) == {1, 2, 5}
+    assert (out[1].n_matches, out[1].first_pos) == (1, 3)
+    assert (out[2].n_matches, out[2].first_pos) == (2, 2)
+    assert (out[5].n_matches, out[5].first_pos) == (1, 1)
+
+    rep = {r.doc_id: r for r in phrase_match(idx, "a a").collect()}
+    assert (rep[1].n_matches, rep[1].first_pos) == (2, 1)  # overlapping
+
+    tri = {r.doc_id: r for r in phrase_match(idx, "a a a").collect()}
+    assert (tri[1].n_matches, tri[1].first_pos) == (1, 1)
