@@ -468,3 +468,50 @@ def k_suppress(
             c, F.when(F.col("violates_k"), F.lit(None)).otherwise(F.col(c))
         )
     return out.drop("violates_k", *[f"_q_{c}" for c in quasi_cols])
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    seed: str = "dp",
+) -> DataFrame:
+    """Differentially-private count release (Laplace mechanism,
+    sensitivity 1): each group's count is published as
+    count + Lap(1/epsilon) -- the standard (epsilon, 0)-DP histogram
+    release for sharing corpus composition stats without exposing
+    exact membership counts.
+
+    The noise draw is DETERMINISTIC -- u comes from the md5 of
+    (seed || group key) and the Laplace sample is the inverse CDF
+    -(1/eps)*sign(u-0.5)*ln(1-2*abs(u-0.5)) -- so re-runs, backfills,
+    and the DuckDB oracle reproduce the release bit-for-bit. A
+    production deployment would swap the seed for a fresh secret per
+    release epoch (determinism ACROSS releases leaks; determinism
+    WITHIN a release is what makes the pipeline testable and
+    idempotent).
+
+    Scale: one partial-aggregable groupBy; the noise is a map-only
+    expression over the aggregated (tiny) relation. Only the noisy
+    value leaves the operator -- never the true count."""
+    key = F.concat_ws(
+        "", F.lit(seed), *[F.col(c).cast("string") for c in group_cols]
+    )
+    u48 = F.conv(F.substring(F.md5(key.cast("binary")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    u = (u48 + F.lit(0.5)) / F.lit(float(1 << 48))
+    s = u - F.lit(0.5)
+    noise = (
+        -F.lit(1.0 / epsilon)
+        * F.signum(s)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(s))
+    )
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("_true"))
+        .select(
+            *group_cols,
+            F.round(F.col("_true") + noise, 4).alias("noisy_count"),
+        )
+    )

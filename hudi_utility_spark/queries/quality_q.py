@@ -397,3 +397,31 @@ def dq_k_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.k_suppress(d, ["lang", "source"], k=5).select(
         "doc_id", "lang", "source"
     )
+
+
+@query(
+    "dq_dp_noisy_counts",
+    """
+    WITH agg AS (
+        SELECT event_type, COUNT(*) AS true_cnt
+        FROM events GROUP BY event_type
+    ),
+    draw AS (
+        SELECT event_type, true_cnt,
+               (CAST(concat('0x', substring(md5('dp' || event_type), 1, 12))
+                     AS UBIGINT) + 0.5) / 281474976710656.0 AS u
+        FROM agg
+    )
+    SELECT event_type,
+           ROUND(true_cnt + (-1.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5))),
+                 4) AS noisy_count
+    FROM draw
+    """,
+)
+def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private per-event-type count release (Laplace
+    mechanism, epsilon=1): deterministic md5-seeded noise makes the
+    release idempotent and lets the oracle replay the inverse-CDF draw
+    to the same float."""
+    ev = load_table(spark, sf_dir, "events")
+    return Q.dp_noisy_counts(ev, ["event_type"], epsilon=1.0, seed="dp")

@@ -229,3 +229,23 @@ def test_k_anonymity_audit_and_suppression(spark):
     for r in resurvey:
         if r["lang"] is not None:
             assert not r["violates_k"]
+
+
+def test_dp_noisy_counts_deterministic_and_epsilon_scaled(spark):
+    from hudi_utility_spark.ops.quality import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 4}") for i in range(400)], ["id", "grp"]
+    )
+    r1 = {r.grp: r.noisy_count for r in dp_noisy_counts(df, ["grp"], 1.0).collect()}
+    r2 = {r.grp: r.noisy_count for r in dp_noisy_counts(df, ["grp"], 1.0).collect()}
+    assert r1 == r2  # same seed -> identical release
+    other = {r.grp: r.noisy_count for r in dp_noisy_counts(df, ["grp"], 1.0, seed="s2").collect()}
+    assert r1 != other  # rotated seed -> fresh draws
+    # true count is 100 per group; eps=1 noise is Lap(1): |noise| < 40 w.p. ~1
+    assert all(abs(v - 100) < 40 for v in r1.values())
+    assert any(abs(v - 100) > 1e-9 for v in r1.values())  # noise actually applied
+    # smaller epsilon -> strictly larger noise magnitude (same u, scaled 10x)
+    loose = {r.grp: r.noisy_count for r in dp_noisy_counts(df, ["grp"], 0.1).collect()}
+    for g in r1:
+        assert abs(loose[g] - 100) > abs(r1[g] - 100)
