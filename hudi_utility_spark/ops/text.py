@@ -970,3 +970,47 @@ def strip_boilerplate(
             F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
         )
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge table to the corpus — the encode half
+    of :func:`bpe_train_merges`. ``merges`` is the (a, b) pair list in
+    rank order (n_merges rows, a driver literal like PQ codebooks):
+    each word explodes from its document, spells out as spaced
+    characters, and every merge applies as the same padded
+    double-replace literal expression the trainer used — a pure
+    map-only codegen chain, no Python, no shuffle until the final
+    doc-keyed count aggregate.
+
+    Returns (doc_id, n_words, n_bpe_tokens): corpus tokenization stats
+    under the learned vocabulary. At 100 TB the replace chain runs at
+    scan bandwidth; the only exchange is the per-doc aggregate (and a
+    dedup-to-vocabulary + broadcast-join variant drops even that work
+    to vocab size if words repeat heavily)."""
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("word"),
+    )
+    state = F.trim(F.regexp_replace("word", "(.)", "$1 "))
+    for a, b in merges:
+        pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+        padded = F.concat(F.lit(" "), state, F.lit(" "))
+        state = F.trim(F.replace(F.replace(padded, pat, rep), pat, rep))
+    enc = words.select("doc_id", F.size(F.split(state, " ")).alias("n_toks"))
+    per_doc = enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_toks").alias("n_bpe_tokens"),
+    )
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias("n_bpe_tokens"),
+    )

@@ -785,9 +785,9 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.char_entropy(d)
 
 
-def _bpe_oracle(n_merges: int = 4, vocab_cap: int = 200) -> str:
-    """Unrolled BPE-training oracle: one (pairs -> best -> apply) CTE
-    triple per merge round, same double-replace application."""
+def _bpe_stages(n_merges: int) -> list[str]:
+    """One (pairs -> best -> apply) CTE triple per merge round, same
+    double-replace application as the trainer."""
     stages = []
     for i in range(1, n_merges + 1):
         prev = f"st{i - 1}"
@@ -813,11 +813,21 @@ def _bpe_oracle(n_merges: int = 4, vocab_cap: int = 200) -> str:
       FROM {prev}, bp{i}
     )"""
         )
+    return stages
+
+
+def _bpe_oracle(n_merges: int = 4, vocab_cap: int = 200) -> str:
+    """Unrolled BPE-training oracle."""
+    stages = _bpe_stages(n_merges)
     sel = "\n    UNION ALL ".join(
         f"SELECT {i} AS merge_rank, a || '+' || b AS pair, "
         f"pcnt::BIGINT AS pcnt FROM bp{i}"
         for i in range(1, n_merges + 1)
     )
+    return _bpe_train_ctes(stages, vocab_cap) + "\n    " + sel
+
+
+def _bpe_train_ctes(stages: list[str], vocab_cap: int) -> str:
     return (
         f"""
     WITH w AS (
@@ -832,8 +842,6 @@ def _bpe_oracle(n_merges: int = 4, vocab_cap: int = 200) -> str:
     ),
     """
         + ",\n    ".join(stages)
-        + "\n    "
-        + sel
     )
 
 
@@ -1012,3 +1020,62 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_removed",
         "text_clean",
     )
+
+
+def _bpe_encode_oracle(n_merges: int = 4, vocab_cap: int = 200) -> str:
+    """Training CTEs (shared with text_bpe_train_merges) + an encode
+    chain applying bp1..bpN to every (doc, word) with the identical
+    padded double-replace, then per-doc token counts."""
+    enc = []
+    for i in range(1, n_merges + 1):
+        prev = f"e{i - 1}"
+        enc.append(
+            f"""e{i} AS (
+      SELECT doc_id,
+             trim(replace(replace(' ' || {prev}.state || ' ',
+                                  ' ' || bp{i}.a || ' ' || bp{i}.b || ' ',
+                                  ' ' || bp{i}.a || bp{i}.b || ' '),
+                          ' ' || bp{i}.a || ' ' || bp{i}.b || ' ',
+                          ' ' || bp{i}.a || bp{i}.b || ' ')) AS state
+      FROM {prev}, bp{i}
+    )"""
+        )
+    return (
+        _bpe_train_ctes(_bpe_stages(n_merges), vocab_cap)
+        + """,
+    docw AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    ),
+    e0 AS (
+      SELECT doc_id, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS state
+      FROM docw
+    ),
+    """
+        + ",\n    ".join(enc)
+        + f""",
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_words,
+             SUM(len(string_split(state, ' '))) AS n_bpe
+      FROM e{n_merges} GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(p.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+    )
+
+
+@query("text_bpe_encode", _bpe_encode_oracle())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-encode round trip: the learned merge table (collected
+    as a rank-ordered driver literal, the PQ-codebook idiom) applies to
+    every document as a map-only padded-replace chain; the oracle
+    retrains identically in SQL and encodes the same way. Per-doc BPE
+    token counts are the compression diagnostic a tokenizer-aware
+    packing stage consumes."""
+    d = load_table(spark, sf_dir, "documents")
+    merges = X.bpe_train_merges(d, n_merges=4, vocab_cap=200).collect()
+    pairs = [tuple(r.pair.split("+", 1)) for r in sorted(merges, key=lambda r: r.merge_rank)]
+    return X.bpe_encode(d, pairs)

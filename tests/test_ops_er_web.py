@@ -135,3 +135,17 @@ def test_sorted_neighborhood_pairs_window_semantics(spark):
     assert got == {("r1", "r2"), ("r1", "r3"), ("r2", "r3")}
     # candidate count is linear in block size x window, never quadratic
     assert out.count() == 3
+
+
+def test_bpe_encode_applies_merges_in_rank_order(spark):
+    from hudi_utility_spark.ops.text import bpe_encode
+
+    df = spark.createDataFrame(
+        [(1, "abab ab cd"), (2, ""), (3, "zzz")], ["doc_id", "text"]
+    )
+    # rank order matters: 'a b' first makes 'ab', then 'ab ab' -> 'abab'
+    out = {r.doc_id: r for r in bpe_encode(df, [("a", "b"), ("ab", "ab")]).collect()}
+    # 'abab' -> a b a b -> ab ab -> abab (1 token); 'ab' -> 1; 'cd' -> 2
+    assert (out[1].n_words, out[1].n_bpe_tokens) == (3, 4)
+    assert (out[2].n_words, out[2].n_bpe_tokens) == (0, 0)  # empty doc kept
+    assert (out[3].n_words, out[3].n_bpe_tokens) == (1, 3)  # untouched word
