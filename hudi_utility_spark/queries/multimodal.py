@@ -557,3 +557,115 @@ def mm_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands), so the banded plan must value-match the oracle's all-pairs
     scan. Shuffles only (band_idx, band_value, id); no CartesianProduct."""
     return M.dhash_near_pairs(_dhash_imgs(spark, sf_dir), max_hamming=2)
+
+
+@query(
+    "mm_caption_consistency",
+    "WITH "
+    + _dhash_oracle_cte()
+    + """,
+    pairs AS (
+        SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+               CAST(bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+                  + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3))
+                 AS INT) AS hamming
+        FROM bands a JOIN bands b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+            + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) <= 2
+    ),
+    caps AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split(
+                   trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '),
+                   x -> x != '')) AS ws
+        FROM documents
+    )
+    SELECT p.media_id_a, p.media_id_b, p.hamming,
+           ROUND(len(list_intersect(ca.ws, cb.ws))
+                 / greatest(len(list_distinct(ca.ws || cb.ws)), 1), 6)
+               AS caption_jaccard
+    FROM pairs p
+    JOIN caps ca ON ca.doc_id = p.media_id_a
+    JOIN caps cb ON cb.doc_id = p.media_id_b
+    """,
+)
+def mm_caption_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal pair audit (the LAION-style 'same image, conflicting
+    caption' check): near-duplicate image pairs from the banded dHash
+    join get their captions compared by word-set Jaccard — low-Jaccard
+    near-dup pairs are label noise for image-text training. Caption
+    lookup is two doc-keyed joins against the (tiny) pair relation; at
+    scale the pair side broadcasts."""
+    from hudi_utility_spark.ops.text import word_set
+
+    pairs = M.dhash_near_pairs(_dhash_imgs(spark, sf_dir), max_hamming=2)
+    docs = load_table(spark, sf_dir, "documents")
+    caps = docs.select(
+        F.col("doc_id"),
+        F.filter(word_set(F.col("text")), lambda t: t != "").alias("ws"),
+    )
+    ca, cb = caps.alias("ca"), caps.alias("cb")
+    inter = F.size(F.array_intersect(F.col("ca.ws"), F.col("cb.ws")))
+    union = F.size(F.array_distinct(F.concat(F.col("ca.ws"), F.col("cb.ws"))))
+    return (
+        pairs.join(ca, pairs["media_id_a"] == F.col("ca.doc_id"))
+        .join(cb, pairs["media_id_b"] == F.col("cb.doc_id"))
+        .select(
+            "media_id_a",
+            "media_id_b",
+            "hamming",
+            F.round(inter / F.greatest(union, F.lit(1)), 6).alias(
+                "caption_jaccard"
+            ),
+        )
+    )
+
+
+@query(
+    "mm_image_size_filter",
+    """
+    WITH imgs AS (
+        SELECT doc_id AS media_id,
+               16 + doc_id % 16 AS w,
+               12 + doc_id % 9 AS h
+        FROM documents ORDER BY doc_id LIMIT 40
+    )
+    SELECT media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           ROUND(w / CAST(h AS DOUBLE), 6) AS aspect
+    FROM imgs
+    WHERE least(w, h) >= 14 AND 2 * h >= w AND 2 * w >= h
+    """,
+)
+def mm_image_size_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolution/aspect-ratio gate over DECODED image metadata (the
+    LAION pre-filter: drop tiny and extreme-aspect images before any
+    expensive featurization). Dims flow through the real P6 decoder,
+    not the generation params; thresholds are integer-exact
+    (2h >= w, 2w >= h) so no float boundary can split the engines."""
+    meta = M.decode_ppm_meta(
+        M.synth_ppm(
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .orderBy("doc_id")
+            .limit(40)
+            .select(
+                F.col("doc_id").alias("media_id"),
+                (16 + F.col("doc_id") % 16).cast("int").alias("width"),
+                (12 + F.col("doc_id") % 9).cast("int").alias("height"),
+            )
+        )
+    )
+    w, h = F.col("width"), F.col("height")
+    return meta.filter(
+        (F.least(w, h) >= 14) & (2 * h >= w) & (2 * w >= h)
+    ).select(
+        "media_id",
+        "width",
+        "height",
+        (w.cast("long") * h).alias("n_pixels"),
+        F.round(w / h.cast("double"), 6).alias("aspect"),
+    )
