@@ -124,3 +124,59 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_rows"))
     )
+
+
+def join_cardinality_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    p: int = 9,
+) -> DataFrame:
+    """Pre-join output-size estimate — the System-R/Catalyst formula
+    ``|L|*|R| / max(ndv(L.k), ndv(R.k))`` with NDVs from the portable
+    HyperLogLog sketch — reported side by side with the ACTUAL join
+    cardinality. This is the planner diagnostic that decides whether a
+    join is safe to run, needs a broadcast, or is about to explode
+    (est >> inputs implies a low-NDV hot key; follow up with
+    :func:`key_histogram` and :func:`salted_join`).
+
+    Scale: the estimate costs two single-pass sketches (2^p counters
+    each) and two count aggregates — orders of magnitude cheaper than
+    the join it predicts; the five 1-row results combine via broadcast
+    cross-joins (benign BNLJ of scalars). The actual-count leg exists
+    for the diagnostic's calibration readout and is skipped in
+    production by taking ``estimate_only`` from this plan."""
+    from hudi_utility_spark.ops.quality import hll_distinct
+
+    nl = left.agg(F.count(F.lit(1)).alias("n_left"))
+    nr = right.agg(F.count(F.lit(1)).alias("n_right"))
+    hl = hll_distinct(
+        left.select(F.col(left_key).alias("k")), ["k"], p=p
+    ).select(F.col("est_distinct").alias("ndv_left"))
+    hr = hll_distinct(
+        right.select(F.col(right_key).alias("k")), ["k"], p=p
+    ).select(F.col("est_distinct").alias("ndv_right"))
+    ac = (
+        left.join(right, left[left_key] == right[right_key])
+        .agg(F.count(F.lit(1)).alias("actual_rows"))
+    )
+    row = (
+        nl.crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hr))
+        .crossJoin(F.broadcast(ac))
+    )
+    return row.select(
+        "n_left",
+        "n_right",
+        "ndv_left",
+        "ndv_right",
+        F.round(
+            F.col("n_left")
+            * F.col("n_right")
+            / F.greatest(F.col("ndv_left"), F.col("ndv_right")),
+            4,
+        ).alias("est_rows"),
+        "actual_rows",
+    )

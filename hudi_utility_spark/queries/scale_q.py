@@ -379,3 +379,61 @@ def skew_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         sketch, top.select("user_id"), "user_id", depth=4, width=1024
     )
     return top.join(est, "user_id").select("user_id", "rows", "est_rows")
+
+
+def _hll_scalar_sql(col: str, table: str, p: int = 9) -> str:
+    """Scalar portable-HLL estimate fragment (same integer arithmetic
+    as quality_q's _hll_oracle, shaped as a single value)."""
+    from hudi_utility_spark.ops import phash
+
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    hi, lo = phash.sql_parts(f"CAST({col} AS VARCHAR)")
+    ladder = " ".join(
+        f"WHEN {lo} >= {1 << (b - 1)} THEN {33 - b}"
+        for b in range(32, 0, -1)
+    )
+    return f"""(
+      SELECT ROUND(CASE WHEN e_raw <= {2.5 * m!r} AND zeros > 0
+                        THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                        ELSE e_raw END, 4)
+      FROM (
+        SELECT {alpha * m * m!r} / (s + zeros) AS e_raw, zeros FROM (
+          SELECT SUM(power(2.0, -r)) AS s, {m} - COUNT(*) AS zeros FROM (
+            SELECT bucket, MAX(rank) AS r FROM (
+              SELECT ({hi} % {m}) AS bucket,
+                     (CASE {ladder} ELSE 33 END) AS rank
+              FROM {table} WHERE {col} IS NOT NULL
+            ) GROUP BY bucket
+          )
+        )
+      )
+    )"""
+
+
+@query(
+    "plan_join_cardinality",
+    f"""
+    WITH nl AS (SELECT COUNT(*) AS n_left FROM orders),
+    nr AS (SELECT COUNT(*) AS n_right FROM customer),
+    hl AS (SELECT {_hll_scalar_sql("o_custkey", "orders")} AS ndv_left),
+    hr AS (SELECT {_hll_scalar_sql("c_custkey", "customer")} AS ndv_right),
+    ac AS (SELECT COUNT(*) AS actual_rows
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+    SELECT n_left, n_right, ndv_left, ndv_right,
+           ROUND(n_left * n_right / greatest(ndv_left, ndv_right), 4)
+               AS est_rows,
+           actual_rows
+    FROM nl, nr, hl, hr, ac
+    """,
+)
+def plan_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation as a first-class diagnostic: the
+    System-R/Catalyst |L|x|R|/max(ndv) formula over portable-HLL NDVs,
+    value-checked against DuckDB down to the sketch buckets, with the
+    exact join count alongside as the calibration readout."""
+    from hudi_utility_spark.ops.skew import join_cardinality_estimate
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return join_cardinality_estimate(orders, cust, "o_custkey", "c_custkey")

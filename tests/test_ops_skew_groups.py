@@ -79,3 +79,16 @@ def test_cms_estimates_are_one_sided_and_tight_for_heavy_keys(spark, events):
     ghost = spark.createDataFrame([(mx + 10_000,)], "user_id LONG")
     g = cms_estimate(sketch, ghost, "user_id", depth=4, width=1024).collect()[0]
     assert g.est_rows <= sum(exact.values()) // 100 + 4
+
+
+def test_join_cardinality_estimate_close_to_actual(spark):
+    from hudi_utility_spark.ops.skew import join_cardinality_estimate
+
+    left = spark.createDataFrame(
+        [(i % 50, i) for i in range(1000)], ["k", "v"]
+    )
+    right = spark.createDataFrame([(i, -i) for i in range(50)], ["k2", "w"])
+    r = join_cardinality_estimate(left, right, "k", "k2").collect()[0]
+    assert (r.n_left, r.n_right, r.actual_rows) == (1000, 50, 1000)
+    # est = 1000*50 / max(ndv_l, ndv_r); both ndv ~= 50 -> est ~ 1000
+    assert abs(r.est_rows - r.actual_rows) / r.actual_rows < 0.25
