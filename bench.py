@@ -126,6 +126,12 @@ HEADLINE = [
     "sim_mmr_rerank",
     "sim_jl_projection_topk",
     "stream_dedup_watermark",
+    "mm_image_neardup_pairs",
+    "text_boilerplate_strip",
+    "rtr_phrase_search",
+    "text_bpe_encode",
+    "dq_dp_noisy_counts",
+    "plan_join_cardinality",
 ]
 
 
