@@ -1014,3 +1014,80 @@ def bpe_encode(
         F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
         F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias("n_bpe_tokens"),
     )
+
+
+def bigram_backoff_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bigrams: int = 2000,
+    lam: float = 0.4,
+) -> DataFrame:
+    """Bigram language-model scoring with Stupid Backoff (Brants et al.
+    2007 — the scheme invented FOR distributed LMs: no normalization
+    pass, counts compose): S(w2|w1) = c(w1 w2)/c(w1) when the bigram is
+    in the pruned model, else lam * c(w2)/N. Per-doc mean negative
+    log-score is the fluency filter one notch above
+    :func:`unigram_logprob_score` — word-salad that passes a unigram
+    filter (common words, wrong order) scores high here.
+
+    Model economics at 100 TB: the bigram table is pruned to the top
+    ``max_bigrams`` (count desc, pair asc — deterministic), the unigram
+    table is Zipf-bounded vocabulary — both broadcast; the corpus pays
+    one map-only bigram extraction (array zip of adjacent tokens, no
+    self-join) plus two keyed count aggregates and the final doc-keyed
+    mean. N is the only scalar collected."""
+    df = widen_for_compute(df)
+    arr = F.filter(F.split(normalized(F.col(text_col)), " "), lambda t: t != "")
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))).alias("w1"),
+                F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))).alias("w2"),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    toks = df.select(
+        F.explode(arr).alias("tok")
+    )
+    unigrams = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_total = float(unigrams.agg(F.sum("c")).collect()[0][0])
+    top_bg = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .orderBy(F.desc("cb"), F.asc("w1"), F.asc("w2"))
+        .limit(max_bigrams)
+    )
+    u1 = unigrams.select(F.col("tok").alias("w1"), F.col("c").alias("c_prev"))
+    u2 = unigrams.select(F.col("tok").alias("w2"), F.col("c").alias("c_w"))
+    scored_pos = (
+        pairs.join(F.broadcast(top_bg), ["w1", "w2"], "left")
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select(
+            id_col,
+            F.col("cb").isNotNull().cast("long").alias("hit"),
+            F.when(
+                F.col("cb").isNotNull(),
+                -F.log(F.col("cb") / F.col("c_prev")),
+            )
+            .otherwise(
+                -(F.log(F.lit(lam)) + F.log(F.col("c_w") / F.lit(n_total)))
+            )
+            .alias("neg_logp"),
+        )
+    )
+    per_doc = scored_pos.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("hit").alias("n_model_hits"),
+        F.round(F.avg("neg_logp"), 6).alias("avg_neg_logprob"),
+    )
+    ids = df.select(id_col)
+    return ids.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("n_model_hits", F.lit(0)).cast("long").alias("n_model_hits"),
+        F.coalesce("avg_neg_logprob", F.lit(0.0)).alias("avg_neg_logprob"),
+    )

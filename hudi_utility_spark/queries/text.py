@@ -1079,3 +1079,55 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = X.bpe_train_merges(d, n_merges=4, vocab_cap=200).collect()
     pairs = [tuple(r.pair.split("+", 1)) for r in sorted(merges, key=lambda r: r.merge_rank)]
     return X.bpe_encode(d, pairs)
+
+
+@query(
+    "text_bigram_backoff",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest({_BP_TOKS}) AS tok,
+               generate_subscripts({_BP_TOKS}, 1) AS pos
+        FROM documents
+    ),
+    uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    n AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
+    pairs AS (
+        SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+        FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    topbg AS (
+        SELECT w1, w2, COUNT(*) AS cb FROM pairs GROUP BY w1, w2
+        ORDER BY cb DESC, w1, w2 LIMIT 2000
+    ),
+    scored AS (
+        SELECT p.doc_id,
+               CASE WHEN t.cb IS NOT NULL THEN 1 ELSE 0 END AS hit,
+               CASE WHEN t.cb IS NOT NULL
+                    THEN -ln(t.cb / CAST(u1.c AS DOUBLE))
+                    ELSE -(ln(0.4) + ln(u2.c / n.n)) END AS neg_logp
+        FROM pairs p
+        LEFT JOIN topbg t ON p.w1 = t.w1 AND p.w2 = t.w2
+        JOIN uni u1 ON p.w1 = u1.tok
+        JOIN uni u2 ON p.w2 = u2.tok, n
+    ),
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams, SUM(hit) AS hits,
+               ROUND(AVG(neg_logp), 6) AS s
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(p.hits, 0) AS BIGINT) AS n_model_hits,
+           COALESCE(p.s, 0.0) AS avg_neg_logprob
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def text_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-Backoff bigram fluency scoring (Brants et al. 2007): the
+    pruned top-2000 bigram table and the unigram vocabulary broadcast
+    onto a map-only adjacent-token zip; unseen bigrams back off to
+    lam*c(w)/N. The oracle refits and rescores the identical model in
+    SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.bigram_backoff_score(d, max_bigrams=2000, lam=0.4)

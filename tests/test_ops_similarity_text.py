@@ -536,3 +536,18 @@ def test_strip_boilerplate_preserves_order_and_empty_doc(spark):
     assert out[1] == "x y z"          # interleaved removals keep order
     assert out[2] == ""               # fully-boilerplate doc -> empty
     assert out[3] == ""               # empty doc stays empty
+
+
+def test_bigram_backoff_orders_fluency(spark):
+    # corpus dominated by "the cat sat" word order
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows.append((100, "mat the on sat cat the"))  # same words, wrong order
+    rows.append((101, ""))                        # empty doc
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in T.bigram_backoff_score(df, max_bigrams=5).collect()}
+    # fluent doc: every bigram in the model -> all hits, low score
+    assert out[0].n_model_hits == out[0].n_bigrams == 5
+    # scrambled doc backs off on most positions and scores strictly worse
+    assert out[100].n_model_hits < out[100].n_bigrams
+    assert out[100].avg_neg_logprob > out[0].avg_neg_logprob
+    assert (out[101].n_bigrams, out[101].avg_neg_logprob) == (0, 0.0)
