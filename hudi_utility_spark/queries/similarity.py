@@ -590,3 +590,40 @@ def sim_jl_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@query(
+    "sim_sq8_topk",
+    """
+    WITH mm AS (
+        SELECT d, MIN(v) AS mn, MAX(v) AS mx FROM (
+            SELECT generate_subscripts(embedding, 1) AS d,
+                   unnest(embedding::DOUBLE[]) AS v
+            FROM embeddings
+        ) GROUP BY d
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    terms AS (
+        SELECT e.vec_id,
+               q.qv[m.d] * (CASE WHEN m.mx > m.mn
+                   THEN m.mn + (least(floor((e.embedding[m.d]::DOUBLE - m.mn)
+                                            * 256.0 / (m.mx - m.mn)), 255)
+                                + 0.5) * ((m.mx - m.mn) / 256.0)
+                   ELSE m.mn END) AS t
+        FROM embeddings e, q, mm m
+    ),
+    scores AS (SELECT vec_id, SUM(t) AS score FROM terms GROUP BY vec_id)
+    SELECT vec_id, ROUND(score, 6) AS score
+    FROM scores ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization ANN (FAISS SQ8 shape): per-dim 256-bin
+    uniform quantizer fit on the corpus, asymmetric scoring of the
+    full-precision query against bin-center reconstructions. The model
+    is 2*dim scalars (plan literals); scoring is one fused dim-unrolled
+    map expression + TakeOrdered — the memory-bound complement to
+    PQ-ADC, value-checked down to the floor/least bin arithmetic."""
+    e = load_table(spark, sf_dir, "embeddings")
+    stats = S.sq8_stats(e)
+    return S.sq8_topk(e, _query_vec(spark, sf_dir), stats, k=10)

@@ -551,3 +551,32 @@ def test_bigram_backoff_orders_fluency(spark):
     assert out[100].n_model_hits < out[100].n_bigrams
     assert out[100].avg_neg_logprob > out[0].avg_neg_logprob
     assert (out[101].n_bigrams, out[101].avg_neg_logprob) == (0, 0.0)
+
+
+def test_sq8_topk_recovers_exact_ranking(spark):
+    from hudi_utility_spark.ops.similarity import sq8_stats, sq8_topk
+
+    df = _vecs(spark)
+    stats = sq8_stats(df)
+    assert len(stats) == 3 and all(mx >= mn for mn, mx in stats)
+    out = sq8_topk(df, [1.0, 0.0, 0.0], stats, k=3).collect()
+    # quantization noise must not reorder this well-separated set:
+    # dot-product ranking puts vec 1 (identical) first, then 2, and the
+    # orthogonal/negative vectors last
+    assert [r.vec_id for r in out] == [1, 2, 3]
+    # reconstruction stays within one bin width of the true dot product
+    assert abs(out[0].score - 1.0) < 2.0 / 256 * 3
+
+
+def test_sq8_constant_dimension_reconstructs_exactly(spark):
+    from hudi_utility_spark.ops.similarity import sq8_stats, sq8_topk
+
+    df = spark.createDataFrame(
+        [(1, [0.5, 1.0]), (2, [0.5, -1.0])], ["vec_id", "embedding"]
+    )
+    stats = sq8_stats(df)
+    assert stats[0] == (0.5, 0.5)  # constant dim
+    out = {r.vec_id: r.score for r in sq8_topk(df, [2.0, 1.0], stats, k=2).collect()}
+    # constant dim contributes exactly 2.0*0.5; varying dim within a bin
+    assert abs(out[1] - (1.0 + 1.0)) < 2.0 / 256 * 2
+    assert abs(out[2] - (1.0 - 1.0)) < 2.0 / 256 * 2
