@@ -20,6 +20,7 @@ BNLJ_OK = {
     "rtr_tfidf_keywords",       # same
     "text_vocab_topk",          # total-token scalar broadcast
     "pack_temperature_sample",  # corpus-total + normalizer 1-row broadcasts
+    "plan_join_cardinality",    # five 1-row diagnostic scalars cross-joined
 }
 
 # queries that materialize scratch tables as a side effect of plan
@@ -66,6 +67,7 @@ ARROW_OK = {
     "stat_trimmed_mean",
     "sim_bruteforce_topk_arrow",
     "mm_wav_decode",  # declared codec kernel pair (wave encode / RIFF parse)
+    "mm_image_neardup_pairs",  # declared P6 codec kernel (encode + dHash)
 }
 
 
