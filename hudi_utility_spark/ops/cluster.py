@@ -141,3 +141,103 @@ def kmeans_cluster_profile(
         )
         .orderBy("cluster")
     )
+
+
+def kmeans_parallel_init(
+    df: DataFrame,
+    k: int = 8,
+    rounds: int = 3,
+    l: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "kmpar",
+) -> tuple[list[list[float]], list[tuple[int, int, int, float]]]:
+    """k-means|| initialization (Bahmani et al. 2012) — the seeding
+    that makes distributed Lloyd practical: instead of k sequential
+    kmeans++ passes over the corpus (k full scans), oversample an
+    expected ``l`` candidates per round for a constant number of
+    rounds, then reduce the small weighted candidate set to k centers
+    on the driver.
+
+    Deterministic end to end: the per-point coin is an md5 uniform of
+    (seed, round, id); a point joins the candidate set when
+    ``u * phi < l * d2(x)`` with ``phi`` the current potential ROUNDED
+    to 2 decimals on both engines (so an ulp of sum-order divergence
+    cannot flip a membership), and the final reduction is weighted
+    farthest-first traversal (heaviest candidate first, ties toward
+    the lower candidate index).
+
+    Scale: each round is one map-only d2 pass against a literal
+    candidate set + one scalar collect (phi) + one candidate collect
+    (expected l vectors — model-sized); the weight pass is one
+    map-only argmin + a k'-row count. Nothing data-sized ever reaches
+    the driver. Returns (k centroids, per-round diagnostics
+    [(round, n_new, n_total, phi)])."""
+    if l is None:
+        l = 2 * k
+    emb = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    seed_row = emb.orderBy("_id").first()
+    cands: list[list[float]] = [[float(x) for x in seed_row.v]]
+    cand_ids = {seed_row._id}
+    diag: list[tuple[int, int, int, float]] = [(0, 1, 1, 0.0)]
+    for r in range(1, rounds + 1):
+        clit = _centroid_literal(cands)
+        d2 = F.array_min(
+            F.transform(clit, lambda s: _sq_dist(F.col("v"), s["c"]))
+        )
+        phi = float(
+            emb.agg(F.round(F.sum(d2), 2)).collect()[0][0]
+        )
+        u48 = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(seed), F.lit(str(r)), F.col("_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        u = (u48 + F.lit(0.5)) / F.lit(float(1 << 48))
+        picked = (
+            emb.filter((u * F.lit(phi)) < (F.lit(float(l)) * d2))
+            .orderBy("_id")
+            .collect()
+        )
+        new = [
+            [float(x) for x in row.v]
+            for row in picked
+            if row._id not in cand_ids
+        ]
+        cand_ids.update(row._id for row in picked)
+        cands.extend(new)
+        diag.append((r, len(new), len(cands), phi))
+
+    # weight pass: points per nearest candidate (argmin, lower-cid ties)
+    assigned = assign_clusters(
+        emb.select(F.col("v").alias(vec_col)), cands, vec_col
+    )
+    wrows = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("w")).collect()
+    weights = {r.cluster: int(r.w) for r in wrows}
+
+    # driver reduce: weighted farthest-first traversal over the
+    # candidate set (k' ~ rounds*l rows — numpy territory)
+    import numpy as np
+
+    C = np.asarray(cands)
+    w = np.asarray([weights.get(i, 0) for i in range(len(cands))], dtype=float)
+    first = int(np.lexsort((np.arange(len(w)), -w))[0])
+    chosen = [first]
+    mind2 = ((C - C[first]) ** 2).sum(axis=1)
+    while len(chosen) < min(k, len(cands)):
+        score = w * mind2
+        nxt = int(np.lexsort((np.arange(len(score)), -score))[0])
+        chosen.append(nxt)
+        mind2 = np.minimum(mind2, ((C - C[nxt]) ** 2).sum(axis=1))
+    return [cands[i] for i in chosen], diag

@@ -627,3 +627,63 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     stats = S.sq8_stats(e)
     return S.sq8_topk(e, _query_vec(spark, sf_dir), stats, k=10)
+
+
+def _kmpar_oracle(rounds: int = 3, l: int = 16, seed: str = "kmpar") -> str:
+    """Unrolled k-means|| rounds: per round one min-d2 pass against the
+    candidate relation, the ROUNDED potential, and the md5-coin
+    selection — identical arithmetic to ops/cluster.py
+    kmeans_parallel_init (candidate points have d2=0 and can never be
+    re-selected, so no explicit dedup is needed)."""
+    parts = [
+        """
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 1)"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"c{r - 1}"
+        parts.append(
+            f""",
+    d{r} AS (
+        SELECT e.vec_id, e.v,
+               (SELECT MIN(list_sum(list_transform(list_zip(e.v, c.v),
+                                                   x -> (x[1] - x[2])^2)))
+                FROM {prev} c) AS d2
+        FROM emb e
+    ),
+    p{r} AS (SELECT ROUND(SUM(d2), 2) AS phi FROM d{r}),
+    s{r} AS (
+        SELECT d.vec_id, d.v
+        FROM d{r} d, p{r}
+        WHERE ((CAST(concat('0x', substring(md5('{seed}:{r}:' ||
+                     CAST(d.vec_id AS VARCHAR)), 1, 12)) AS UBIGINT) + 0.5)
+               / 281474976710656.0) * p{r}.phi < {float(l)!r} * d.d2
+    ),
+    c{r} AS (SELECT vec_id, v FROM {prev} UNION ALL SELECT vec_id, v FROM s{r})"""
+        )
+    sels = [
+        "SELECT 0 AS rnd, CAST(1 AS BIGINT) AS n_new, CAST(1 AS BIGINT) AS n_total, 0.0 AS phi"
+    ]
+    for r in range(1, rounds + 1):
+        sels.append(
+            f"SELECT {r}, (SELECT COUNT(*) FROM s{r}), "
+            f"(SELECT COUNT(*) FROM c{r}), (SELECT phi FROM p{r})"
+        )
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(sels)
+
+
+@query("cluster_kmeans_parallel_init", _kmpar_oracle(rounds=3, l=16))
+def cluster_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means|| oversampling rounds (Bahmani et al. 2012): the
+    distributed half of scalable seeding — per-round candidate pulls
+    under the deterministic md5 coin and the rounded potential — is
+    value-hash-checked; the driver-side weighted farthest-first
+    reduction to k centers is pinned by pytest against NumPy."""
+    from hudi_utility_spark.ops.cluster import kmeans_parallel_init
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centers, diag = kmeans_parallel_init(e, k=8, rounds=3, l=16)
+    assert len(centers) == 8
+    return spark.createDataFrame(
+        diag, "rnd int, n_new bigint, n_total bigint, phi double"
+    )

@@ -172,3 +172,27 @@ def test_tree_ensemble_null_falls_right_and_sums(spark):
         for r in ensemble_score(df, [tree, tree]).collect()
     }
     assert got == {1: 2.0, 2: 4.0, 3: 4.0}  # NULL routes right, trees sum
+
+
+def test_kmeans_parallel_init_separates_clusters(spark):
+    from hudi_utility_spark.ops.cluster import kmeans_parallel_init
+
+    # three tight, well-separated clusters of 20 points each
+    pts = []
+    for g, base in enumerate([0.0, 10.0, 20.0]):
+        for i in range(20):
+            pts.append((g * 20 + i, [base + 0.01 * i, base - 0.01 * i]))
+    df = spark.createDataFrame(pts, ["vec_id", "embedding"])
+    centers, diag = kmeans_parallel_init(df, k=3, rounds=3, l=6)
+    assert len(centers) == 3
+    # one chosen center per true cluster: bucket by nearest base
+    buckets = {min((0.0, 10.0, 20.0), key=lambda b: abs(c[0] - b)) for c in centers}
+    assert buckets == {0.0, 10.0, 20.0}
+    # diagnostics: round 0 is the seed; potential never increases as
+    # candidates accumulate
+    assert diag[0] == (0, 1, 1, 0.0)
+    phis = [d[3] for d in diag[1:]]
+    assert all(a >= b for a, b in zip(phis, phis[1:]))
+    # determinism
+    centers2, diag2 = kmeans_parallel_init(df, k=3, rounds=3, l=6)
+    assert centers2 == centers and diag2 == diag
