@@ -1239,3 +1239,60 @@ def ev_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+@query(
+    "ts_seasonal_decompose",
+    """
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch_us(date_trunc('hour', ts)) / 3600000000 AS BIGINT) AS hidx,
+               AVG(value) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT event_type, hidx, y,
+               AVG(y) OVER (PARTITION BY event_type ORDER BY hidx
+                            RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend
+        FROM hourly
+    )
+    SELECT event_type,
+           CAST(hidx % 24 AS INT) AS hod,
+           ROUND(AVG(y - trend), 6) AS seasonal,
+           CAST(COUNT(*) AS BIGINT) AS n_hours
+    FROM t GROUP BY 1, 2
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical-decomposition seasonal profile (STL-lite): hourly
+    series -> centered 25h moving-average trend (RANGE frame keyed by
+    hour index, gap-correct on both engines) -> hour-of-day means of
+    the detrended residual, per event type. The series is
+    pre-aggregated (types x hours << facts) before any window and the
+    trend frame partitions by type — no global window anywhere; at
+    100 TB the only fact-sized work is the first hash aggregate."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn(
+            "hidx",
+            (
+                F.unix_micros(F.date_trunc("hour", F.col("ts")))
+                / F.lit(3_600_000_000)
+            ).cast("long"),
+        )
+        .groupBy("event_type", "hidx")
+        .agg(F.avg("value").alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hidx").rangeBetween(-12, 12)
+    t = hourly.withColumn("trend", F.avg("y").over(w))
+    return (
+        t.groupBy(
+            "event_type", (F.col("hidx") % 24).cast("int").alias("hod")
+        )
+        .agg(
+            F.round(F.avg(F.col("y") - F.col("trend")), 6).alias("seasonal"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+    )
