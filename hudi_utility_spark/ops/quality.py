@@ -515,3 +515,36 @@ def dp_noisy_counts(
             F.round(F.col("_true") + noise, 4).alias("noisy_count"),
         )
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the
+    homogeneity-attack complement to :func:`k_anonymity_audit`: a
+    quasi-identifier class can satisfy k-anonymity yet still leak if
+    every row in it shares the same sensitive value. A class is
+    l-diverse when it contains at least ``l`` DISTINCT sensitive
+    values; classes below ``l`` are flagged.
+
+    Plan: one hash aggregate grouped by the quasi columns with a
+    count-distinct on the sensitive column (Expand-planned, still one
+    pass); output is bounded by distinct quasi combinations. NULL
+    sensitive values count as a value (observable to an attacker),
+    via the NULL-bucket flag folded into the distinct count."""
+    distinct_vals = F.count_distinct(F.col(sensitive_col)) + F.max(
+        F.col(sensitive_col).isNull().cast("int")
+    )
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            distinct_vals.cast("long").alias("n_sensitive_values"),
+        )
+        .withColumn(
+            "violates_l", (F.col("n_sensitive_values") < l).cast("boolean")
+        )
+    )

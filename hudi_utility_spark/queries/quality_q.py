@@ -425,3 +425,37 @@ def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the same float."""
     ev = load_table(spark, sf_dir, "events")
     return Q.dp_noisy_counts(ev, ["event_type"], epsilon=1.0, seed="dp")
+
+
+@query(
+    "dq_l_diversity",
+    """
+    SELECT lang, source,
+           COUNT(*) AS class_size,
+           CAST(COUNT(DISTINCT event_bucket)
+                + MAX(CASE WHEN event_bucket IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_sensitive_values,
+           (COUNT(DISTINCT event_bucket)
+            + MAX(CASE WHEN event_bucket IS NULL THEN 1 ELSE 0 END)) < 3
+               AS violates_l
+    FROM (
+        SELECT lang, source,
+               CASE WHEN n_chars % 7 = 0 THEN NULL
+                    ELSE CAST(n_chars % 4 AS VARCHAR) END AS event_bucket
+        FROM documents
+    ) GROUP BY lang, source
+    """,
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over (lang, source) with a derived sensitive
+    attribute (length bucket, with a seeded NULL stripe so the
+    NULL-is-observable rule is exercised): classes where every member
+    shares few sensitive values are homogeneity-attack leaks even when
+    k-anonymous."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "event_bucket",
+        F.when(F.col("n_chars") % 7 == 0, F.lit(None).cast("string")).otherwise(
+            (F.col("n_chars") % 4).cast("string")
+        ),
+    )
+    return Q.l_diversity_audit(d, ["lang", "source"], "event_bucket", l=3)

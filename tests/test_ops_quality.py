@@ -249,3 +249,19 @@ def test_dp_noisy_counts_deterministic_and_epsilon_scaled(spark):
     loose = {r.grp: r.noisy_count for r in dp_noisy_counts(df, ["grp"], 0.1).collect()}
     for g in r1:
         assert abs(loose[g] - 100) > abs(r1[g] - 100)
+
+
+def test_l_diversity_flags_homogeneous_classes(spark):
+    from hudi_utility_spark.ops.quality import l_diversity_audit
+
+    rows = (
+        [(i, "A", "flu") for i in range(5)]            # k-anonymous but homogeneous
+        + [(10 + i, "B", ["flu", "cold", "ok"][i]) for i in range(3)]  # diverse
+        + [(20, "C", None), (21, "C", "flu")]          # NULL counts as a value
+    )
+    df = spark.createDataFrame(rows, ["id", "zip", "diagnosis"])
+    out = {r.zip: r for r in l_diversity_audit(df, ["zip"], "diagnosis", l=3).collect()}
+    assert out["A"].violates_l and out["A"].n_sensitive_values == 1
+    assert not out["B"].violates_l and out["B"].n_sensitive_values == 3
+    # C: {NULL, flu} -> 2 values, violates l=3
+    assert out["C"].n_sensitive_values == 2 and out["C"].violates_l
