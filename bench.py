@@ -132,6 +132,12 @@ HEADLINE = [
     "text_bpe_encode",
     "dq_dp_noisy_counts",
     "plan_join_cardinality",
+    "text_bigram_backoff",
+    "sim_sq8_topk",
+    "dedup_pq_code_groups",
+    "cluster_kmeans_parallel_init",
+    "ts_seasonal_decompose",
+    "dq_l_diversity",
 ]
 
 

@@ -220,7 +220,12 @@ def cluster_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_oracle(
-    m: int = 4, k: int = 8, iters: int = 2, dim: int = 64, nprobe: int | None = None
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    nprobe: int | None = None,
+    final: str | None = None,
 ) -> str:
     """Unrolled PQ-ADC DuckDB oracle: per subspace, the same fixed-
     iteration Lloyd CTE chain as `_kmeans_oracle` (init = k lowest-id
@@ -294,6 +299,10 @@ def _pq_oracle(
         f"JOIN s{s}_c{iters} c{s} ON k{s}.cid = c{s}.cid"
         for s in range(m)
     )
+    if final is not None:
+        # caller supplies the final SELECT over emb + s{s}_code joins
+        parts.append(final.replace("{JOINS}", joins))
+        return "".join(parts)
     probe_ctes, probe_join = "", ""
     if nprobe is not None:
         probe_ctes = f""",
@@ -686,4 +695,43 @@ def cluster_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert len(centers) == 8
     return spark.createDataFrame(
         diag, "rnd int, n_new bigint, n_total bigint, phi double"
+    )
+
+
+_PQ_GROUP_FINAL = """,
+    codes AS (
+        SELECT e.vec_id,
+               concat(k0.cid, '-', k1.cid, '-', k2.cid, '-', k3.cid) AS code
+        FROM emb e {JOINS}
+    )
+    SELECT code,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           MIN(vec_id) AS min_vec_id
+    FROM codes GROUP BY code HAVING COUNT(*) > 1
+"""
+
+
+@query(
+    "dedup_pq_code_groups",
+    _pq_oracle(m=4, k=8, iters=2, dim=64, final=_PQ_GROUP_FINAL),
+)
+def dedup_pq_code_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse semantic-duplicate buckets via identical PQ codes: two
+    vectors sharing all m codes are quantizer-indistinguishable — the
+    zero-join, zero-pair-explosion first pass of embedding dedup (the
+    SemDeDup bucket step with PQ cells instead of k-means cells).
+    Codes are a map-only encode against literal codebooks; the group
+    is one hash aggregate on the m-code key."""
+    e = load_table(spark, sf_dir, "embeddings")
+    books = S.pq_fit(e, m=4, k=8, iters=2)
+    codes = S.pq_codes(e, books)
+    code = F.concat_ws("-", *[F.col(f"code_{s}") for s in range(4)])
+    return (
+        codes.select("vec_id", code.alias("code"))
+        .groupBy("code")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .filter(F.col("n_vectors") > 1)
     )

@@ -32,6 +32,10 @@ SCRATCH = {
     "s7_partial_update",
     "merge_multi_action",
     "stream_true_tumbling",  # runs a real readStream replay to a memory sink
+    "cluster_kmeans_parallel_init",  # driver-iterative: rounds run at plan build
+    "dedup_pq_code_groups",          # pq_fit collects codebooks at plan build
+    "sim_sq8_topk",                  # sq8_stats collects min/max at plan build
+    "text_bpe_encode",               # merge table trains at plan build
 }
 
 
