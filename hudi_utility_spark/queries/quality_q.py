@@ -459,3 +459,43 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return Q.l_diversity_audit(d, ["lang", "source"], "event_bucket", l=3)
+
+
+@query(
+    "stat_chi2_independence",
+    """
+    WITH o AS (SELECT lang, source, COUNT(*) AS obs FROM documents GROUP BY 1, 2),
+    rm AS (SELECT lang, SUM(obs) AS rt FROM o GROUP BY lang),
+    cm AS (SELECT source, SUM(obs) AS ct FROM o GROUP BY source),
+    n AS (SELECT CAST(SUM(obs) AS DOUBLE) AS n FROM o)
+    SELECT ROUND(SUM(pow(o.obs - rm.rt * cm.ct / n.n, 2)
+                     / (rm.rt * cm.ct / n.n)), 4) AS chi2,
+           CAST((COUNT(DISTINCT o.lang) - 1)
+                * (COUNT(DISTINCT o.source) - 1) AS BIGINT) AS dof
+    FROM o JOIN rm USING (lang) JOIN cm USING (source), n
+    """,
+)
+def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence audit between corpus dimensions (is
+    language distribution independent of source? — the stratification
+    sanity check before per-source quality conclusions). One
+    contingency aggregate bounded by lang x source cells; margins are
+    cell-sized broadcasts; the fact table is scanned once."""
+    d = load_table(spark, sf_dir, "documents")
+    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    rm = o.groupBy("lang").agg(F.sum("obs").alias("rt"))
+    cm = o.groupBy("source").agg(F.sum("obs").alias("ct"))
+    n = o.agg(F.sum("obs").cast("double").alias("n"))
+    e = F.col("rt") * F.col("ct") / F.col("n")
+    return (
+        o.join(F.broadcast(rm), "lang")
+        .join(F.broadcast(cm), "source")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.round(F.sum(F.pow(F.col("obs") - e, 2) / e), 4).alias("chi2"),
+            (
+                (F.count_distinct("lang") - 1)
+                * (F.count_distinct("source") - 1)
+            ).cast("long").alias("dof"),
+        )
+    )
