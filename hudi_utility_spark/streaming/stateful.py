@@ -183,3 +183,156 @@ def running_ewma_tws(
         outputMode="update",
         timeMode="none",
     )
+
+
+SESSION_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_start_us", T.LongType(), False),
+        T.StructField("session_end_us", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+    ]
+)
+
+SESSION_STATE = T.StructType(
+    [
+        T.StructField("start_us", T.LongType(), False),
+        T.StructField("last_us", T.LongType(), False),
+        T.StructField("n", T.LongType(), False),
+    ]
+)
+
+
+def fold_session_events(
+    cur: tuple[int, int, int] | None, ts_us_sorted: list[int], gap_us: int
+) -> tuple[list[tuple[int, int, int]], tuple[int, int, int] | None]:
+    """Pure session fold shared by the stateful processor and its unit
+    tests (this sandbox lacks protobuf, so the TWS path itself only
+    runs where transformWithState can): events extend the open session
+    within ``gap_us``, larger gaps close it. Returns (closed_sessions,
+    open_session); sessions are (start_us, last_us, n)."""
+    closed: list[tuple[int, int, int]] = []
+    for t in ts_us_sorted:
+        if cur is None:
+            cur = (t, t, 1)
+        elif t - cur[1] <= gap_us:
+            cur = (cur[0], max(cur[1], t), cur[2] + 1)
+        else:
+            closed.append(cur)
+            cur = (t, t, 1)
+    return closed, cur
+
+
+def sessionize_tws(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Session windows as a custom stateful operator with EVENT-TIME
+    TIMERS (`transformWithStateInPandas`, timeMode="eventTime") — the
+    capability `applyInPandasWithState` lacks: a session that simply
+    stops receiving events still CLOSES, because the watermark-driven
+    timer fires; no poison-pill event is needed.
+
+    Per key: events extend the open session while gaps stay within
+    ``gap_seconds``; a larger gap closes the open session inline and
+    opens a new one; after every batch the key re-arms one timer at
+    ``last_event + gap``, and :meth:`handleExpiredTimer` emits the
+    final session when the watermark passes it. Emitted rows match the
+    built-in ``session_window`` aggregate with ``end = window.end -
+    gap`` (pytest pins parity). Caller must ``withWatermark`` the
+    stream — event-time timers advance with it.
+
+    Scale: state per key is 3 longs + 1 timer; the stream shuffles once
+    on the key. RocksDB provider requirement and protobuf note as in
+    :func:`running_ewma_tws`."""
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    gap_us = gap_seconds * 1_000_000
+
+    def _row(key, s):
+        return pd.DataFrame(
+            {
+                "user_id": [key],
+                "session_start_us": [s[0]],
+                "session_end_us": [s[1]],
+                "n_events": [s[2]],
+            }
+        )
+
+    class Sessionizer(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._h = handle
+            self._s = handle.getValueState("session", SESSION_STATE)
+
+        def handleInputRows(self, key, rows, timer_values: TimerValues):
+            cur = tuple(self._s.get()) if self._s.exists() else None
+            ts_us: list[int] = []
+            for pdf in rows:
+                ts_us.extend(
+                    int(t.value // 1000) for t in pd.to_datetime(pdf[ts_col])
+                )
+            ts_us.sort()
+            closed, cur = fold_session_events(cur, ts_us, gap_us)
+            for s in closed:
+                yield _row(key[0], s)
+            self._s.update(cur)
+            # one armed timer per key: re-arm at the new horizon
+            for old in self._h.listTimers():
+                self._h.deleteTimer(old)
+            self._h.registerTimer((cur[1] + gap_us) // 1000)
+
+        def handleExpiredTimer(
+            self, key, timer_values: TimerValues, expired: ExpiredTimerInfo
+        ):
+            if self._s.exists():
+                cur = tuple(self._s.get())
+                wm_us = timer_values.getCurrentWatermarkInMs() * 1000
+                if wm_us >= cur[1] + gap_us:
+                    self._s.clear()
+                    yield _row(key[0], cur)
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=Sessionizer(),
+        outputStructType=SESSION_OUTPUT,
+        outputMode="append",
+        timeMode="eventTime",
+    )
+
+
+def sessionize_batch(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Batch twin of :func:`sessionize_tws`: the built-in
+    ``session_window`` aggregate (whose window end extends past the
+    last event by the gap — subtracted here so both forms emit the
+    last-event timestamp). NTZ inputs cast to instant semantics (the
+    session runs UTC, so the wall time IS the instant)."""
+    # the session pins spark.sql.timestampType=TIMESTAMP_NTZ, so the
+    # instant type must be named explicitly (unix_micros needs LTZ)
+    df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
+    w = F.session_window(F.col(ts_col), f"{gap_seconds} seconds")
+    return (
+        df.groupBy(F.col(key_col), w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            (F.unix_micros(F.col("w.end")) - gap_seconds * 1_000_000).alias(
+                "session_end_us"
+            ),
+            "n_events",
+        )
+    )

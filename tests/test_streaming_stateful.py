@@ -194,3 +194,124 @@ def test_tws_matches_batch_single_batch(spark, events_us):
     for uid, (e, n) in batch.items():
         assert got[uid][1] == n
         assert got[uid][0] == pytest.approx(e, rel=1e-9)
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf",
+)
+def test_tws_sessionizer_timers_close_idle_sessions(spark, tmp_path):
+    """Event-time timers: sessions that stop receiving events close when
+    the watermark passes last_event+gap — emitted sessions must equal
+    the batch session_window twin over the same events."""
+    import datetime as dt
+
+    from hudi_utility_spark.streaming.stateful import (
+        sessionize_batch,
+        sessionize_tws,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    data = [
+        (1, t0),                 # user 1, session A
+        (1, t0 + 10 * sec),      # extends A
+        (1, t0 + 2000 * sec),    # gap > 1800s -> closes A inline, opens B
+        (2, t0 + 5 * sec),       # user 2, one session
+    ]
+    sentinel = [(999, t0 + dt.timedelta(days=2))]
+    schema = "user_id long, ts timestamp"
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(data, schema).coalesce(1).write.parquet(src)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(src)
+            .withWatermark("ts", "0 seconds")
+        )
+        q = (
+            sessionize_tws(stream, gap_seconds=1800)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sess_tws")
+            .start()
+        )
+        q.processAllAvailable()
+        # second file: far-future sentinel advances the watermark past
+        # every open session's horizon -> timers fire, sessions close
+        spark.createDataFrame(sentinel, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_tws").collect()
+    }
+    want = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in sessionize_batch(
+            spark.createDataFrame(data, schema), gap_seconds=1800
+        ).collect()
+    }
+    assert got == want  # includes user 1's idle session B and user 2's —
+    # closed by TIMERS, no further events for those keys ever arrived
+
+
+def test_fold_session_events_pure():
+    from hudi_utility_spark.streaming.stateful import fold_session_events
+
+    gap = 1800_000_000
+    # fresh key: one open session
+    closed, cur = fold_session_events(None, [0, 10_000_000], gap)
+    assert closed == [] and cur == (0, 10_000_000, 2)
+    # big gap closes inline, opens new
+    closed, cur = fold_session_events(cur, [2_000_000_000], gap)
+    assert closed == [(0, 10_000_000, 2)] and cur == (2_000_000_000,) * 2 + (1,)
+    # boundary: exactly the gap still extends
+    closed, cur = fold_session_events(cur, [2_000_000_000 + gap], gap)
+    assert closed == [] and cur[2] == 2
+    # no events: state unchanged
+    closed, cur2 = fold_session_events(cur, [], gap)
+    assert closed == [] and cur2 == cur
+
+
+def test_sessionize_batch_twin_matches_hand_model(spark):
+    import datetime as dt
+
+    from hudi_utility_spark.streaming.stateful import sessionize_batch
+
+    t0 = dt.datetime(2024, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    df = spark.createDataFrame(
+        [(1, t0), (1, t0 + 10 * sec), (1, t0 + 2000 * sec), (2, t0 + 5 * sec)],
+        "user_id long, ts timestamp",
+    )
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in sessionize_batch(df, gap_seconds=1800).collect()
+    }
+    # session tz is UTC, so the NTZ wall time is the instant
+    us = lambda d: int(
+        d.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+    )
+    assert got == {
+        (1, us(t0), us(t0 + 10 * sec), 2),
+        (1, us(t0 + 2000 * sec), us(t0 + 2000 * sec), 1),
+        (2, us(t0 + 5 * sec), us(t0 + 5 * sec), 1),
+    }
