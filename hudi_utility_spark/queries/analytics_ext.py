@@ -1296,3 +1296,64 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_hours"),
         )
     )
+
+
+@query(
+    "ev_markov_transitions",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               COUNT(*) AS c
+        FROM ordered WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    states AS (SELECT COUNT(DISTINCT event_type) AS k FROM events),
+    rows_t AS (SELECT from_type, SUM(c) AS row_total FROM counts GROUP BY 1)
+    SELECT c.from_type, c.to_type, c.c AS n_transitions,
+           ROUND((c.c + 1.0) / (r.row_total + s.k), 6) AS p_smoothed
+    FROM counts c JOIN rows_t r USING (from_type), states s
+    """,
+)
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event paths with
+    add-one (Laplace) smoothing — the behavioral model behind
+    next-action prediction and anomalous-flow scoring. One user-keyed
+    lead window + one matrix-sized aggregate; smoothing constants are
+    scalar broadcasts."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.withColumn("next_type", F.lead("event_type").over(w))
+    counts = (
+        ordered.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    k = e.agg(F.count_distinct("event_type").alias("k"))
+    row_t = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("row_total")
+    )
+    return (
+        counts.join(F.broadcast(row_t), "from_type")
+        .crossJoin(F.broadcast(k))
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.round(
+                (F.col("n_transitions") + 1.0)
+                / (F.col("row_total") + F.col("k")),
+                6,
+            ).alias("p_smoothed"),
+        )
+    )

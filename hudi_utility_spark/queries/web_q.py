@@ -186,3 +186,71 @@ def web_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("docs"),
         F.countDistinct("domain").alias("domains"),
     )
+
+
+_URL2_SQL = """
+        'https://'
+        || CASE doc_id % 3 WHEN 0 THEN 'WWW.' WHEN 1 THEN '' ELSE '' END
+        || 'src' || CAST((doc_id % 250) % 20 AS VARCHAR) || '.OrG'
+        || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+        || '/article/' || CAST(doc_id % 250 AS VARCHAR)
+        || CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END
+        || CASE doc_id % 5
+             WHEN 0 THEN '?utm_source=feed&page=2'
+             WHEN 1 THEN '?page=2&utm_campaign=x'
+             WHEN 2 THEN '?page=2'
+             ELSE '' END
+"""
+
+
+def _url2_col() -> Column:
+    """Spark twin of _URL2_SQL: article identity is doc_id % 250, so
+    re-crawl pairs (i, i+250) share a canonical URL through DIFFERENT
+    raw variants (www/port/tracking-param mess keyed by doc_id)."""
+    did = F.col("doc_id")
+    art = did % 250
+    return F.concat(
+        F.lit("https://"),
+        F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("src"),
+        (art % 20).cast("string"),
+        F.lit(".OrG"),
+        F.when(did % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/article/"),
+        art.cast("string"),
+        F.when(did % 6 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("?utm_source=feed&page=2"))
+        .when(did % 5 == 1, F.lit("?page=2&utm_campaign=x"))
+        .when(did % 5 == 2, F.lit("?page=2"))
+        .otherwise(F.lit("")),
+    )
+
+
+@query(
+    "web_canonical_dup_groups",
+    f"""
+    WITH d AS (SELECT doc_id, ({_URL2_SQL}) AS url FROM documents),
+    c AS (SELECT doc_id, ({_CANON_SQL}) AS canonical_url FROM d)
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS first_doc_id
+    FROM c GROUP BY canonical_url HAVING COUNT(*) > 1
+    """,
+)
+def web_canonical_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-crawl detection by canonical-URL identity: raw URLs that
+    differ in case, www, default port, trailing slash, or tracking
+    params collapse to one canonical key — one hash aggregate, the
+    cheapest dedup pass a crawl pipeline runs (before any content
+    hashing). Query params that survive canonicalization (page=2)
+    correctly keep pages distinct."""
+    d = load_table(spark, sf_dir, "documents").withColumn("url", _url2_col())
+    c = d.select("doc_id", web.canonical_url(F.col("url")).alias("canonical_url"))
+    return (
+        c.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
