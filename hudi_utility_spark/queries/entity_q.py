@@ -249,3 +249,64 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("block")
     )
+
+
+@query(
+    "er_blocking_metrics",
+    f"""
+    WITH {_ORACLE_PAIRS},
+    nm AS (SELECT COUNT(*) AS n_masters FROM customer),
+    nd AS (SELECT COUNT(*) AS n_dirty FROM dirty),
+    nc AS (SELECT COUNT(*) AS n_candidates FROM cand),
+    truth AS (
+        SELECT COUNT(*) AS n_true_in_cand FROM cand
+        WHERE CAST(split_part(dirty_id, '-', 2) AS BIGINT) = c_custkey
+    )
+    SELECT nm.n_masters, nd.n_dirty, nc.n_candidates,
+           ROUND(1.0 - nc.n_candidates
+                 / (CAST(nm.n_masters AS DOUBLE) * nd.n_dirty), 6)
+               AS reduction_ratio,
+           ROUND(truth.n_true_in_cand / CAST(nd.n_dirty AS DOUBLE), 6)
+               AS pair_completeness
+    FROM nm, nd, nc, truth
+    """,
+)
+def er_blocking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality evaluation (the standard ER tradeoff report):
+    reduction ratio = fraction of the all-pairs comparison space the
+    blocking key eliminated; pair completeness = fraction of TRUE
+    (master, variant) pairs that survive into the candidate set — the
+    ground truth is known by construction of the dirty registry, so
+    the metric is exact. Both are scalar aggregates over the candidate
+    relation; the all-pairs denominator is arithmetic, never
+    materialized."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    dirty = _dirty_registry(cust)
+    cands = er.blocked_candidates(cust, dirty, "c_name", "d_name", n=3)
+    nm = cust.agg(F.count(F.lit(1)).alias("n_masters"))
+    nd = dirty.agg(F.count(F.lit(1)).alias("n_dirty"))
+    nc = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+    truth = cands.filter(
+        F.split(F.col("dirty_id"), "-")[1].cast("long") == F.col("c_custkey")
+    ).agg(F.count(F.lit(1)).alias("n_true_in_cand"))
+    return (
+        nm.crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(truth))
+        .select(
+            "n_masters",
+            "n_dirty",
+            "n_candidates",
+            F.round(
+                1.0
+                - F.col("n_candidates")
+                / (F.col("n_masters").cast("double") * F.col("n_dirty")),
+                6,
+            ).alias("reduction_ratio"),
+            F.round(
+                F.col("n_true_in_cand") / F.col("n_dirty").cast("double"), 6
+            ).alias("pair_completeness"),
+        )
+    )

@@ -735,3 +735,87 @@ def dedup_pq_code_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_vectors") > 1)
     )
+
+
+@query(
+    "sim_recall_report",
+    """
+    WITH qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+    brute AS (
+        SELECT e.vec_id FROM embeddings e, qv
+        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], qv.v) DESC, e.vec_id
+        LIMIT 10
+    ),
+    dims AS (
+        SELECT label AS cell, d.i AS dim, AVG(d.v) AS mean_v
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+                             generate_subscripts(embedding, 1) AS i) d
+        GROUP BY label, d.i
+    ),
+    cents AS (
+        SELECT cell, list(mean_v ORDER BY dim) AS centroid FROM dims GROUP BY cell
+    ),
+    probed AS (
+        SELECT cell FROM cents, qv
+        ORDER BY list_cosine_similarity(centroid, qv.v) DESC, cell LIMIT 3
+    ),
+    ivf AS (
+        SELECT e.vec_id FROM embeddings e JOIN probed p ON e.label = p.cell, qv
+        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], qv.v) DESC, e.vec_id
+        LIMIT 10
+    ),
+    mm AS (
+        SELECT d, MIN(v) AS mn, MAX(v) AS mx FROM (
+            SELECT generate_subscripts(embedding, 1) AS d,
+                   unnest(embedding::DOUBLE[]) AS v
+            FROM embeddings
+        ) GROUP BY d
+    ),
+    terms AS (
+        SELECT e.vec_id,
+               qv.v[m.d] * (CASE WHEN m.mx > m.mn
+                   THEN m.mn + (least(floor((e.embedding[m.d]::DOUBLE - m.mn)
+                                            * 256.0 / (m.mx - m.mn)), 255)
+                                + 0.5) * ((m.mx - m.mn) / 256.0)
+                   ELSE m.mn END) AS t
+        FROM embeddings e, qv, mm m
+    ),
+    sq8 AS (
+        SELECT vec_id FROM (
+            SELECT vec_id, SUM(t) AS score FROM terms GROUP BY vec_id
+        ) ORDER BY score DESC, vec_id LIMIT 10
+    )
+    SELECT 'ivf' AS method,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           ROUND(COUNT(*) / 10.0, 2) AS recall_at_10
+    FROM ivf WHERE vec_id IN (SELECT vec_id FROM brute)
+    UNION ALL
+    SELECT 'sq8', CAST(COUNT(*) AS BIGINT), ROUND(COUNT(*) / 10.0, 2)
+    FROM sq8 WHERE vec_id IN (SELECT vec_id FROM brute)
+    """,
+)
+def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN evaluation as an operator: recall@10 of the IVF (nprobe=3)
+    and SQ8 search paths against the exact brute-force neighbors of the
+    same query — the accuracy half of the speed/accuracy tradeoff each
+    index family buys. Every branch is deterministic, so even the
+    EVALUATION is value-hash-checked. Top-k sets are k-row relations;
+    the intersections are broadcast semi-joins."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    brute = S.brute_force_topk(e, qv, k=10).select("vec_id")
+    ivf = S.ivf_topk(e, qv, k=10, nprobe=3).select("vec_id")
+    sq8 = S.sq8_topk(e, qv, S.sq8_stats(e), k=10).select("vec_id")
+
+    def leg(name: str, got: DataFrame) -> DataFrame:
+        hits = got.join(F.broadcast(brute), "vec_id", "left_semi").agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        return hits.select(
+            F.lit(name).alias("method"),
+            "n_hits",
+            F.round(F.col("n_hits") / 10.0, 2).alias("recall_at_10"),
+        )
+
+    return leg("ivf", ivf).unionByName(leg("sq8", sq8))
