@@ -774,3 +774,96 @@ def dhash_near_pairs(hashes: DataFrame, max_hamming: int = 2) -> DataFrame:
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def incremental_dhash_gate(
+    batch_hashes: DataFrame,
+    store_hashes: DataFrame,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Continuous-ingest near-dup gate for IMAGES — the dHash twin of
+    ``ops/dedup.incremental_minhash``: a new batch of perceptual hashes
+    is probed against the persisted band store (band-equality join,
+    lossless for ``max_hamming <= 3``), and batch-internal near-dups
+    resolve by the lower-id rule (same policy as the text gate, so
+    re-runs and engines agree without recursion). Returns every batch
+    row with its verdict: (media_id, admitted, n_store_matches,
+    n_batch_matches).
+
+    Scale: the store never rescans — only its (band_idx, band_value,
+    id) index rows join the batch's bands; both joins shuffle
+    band-key rows (~32 bytes/image), and admitted hashes append to the
+    store O(batch)."""
+
+    def explode_bands(df: DataFrame, idc: str) -> DataFrame:
+        return df.select(
+            F.col("media_id").alias(idc),
+            F.posexplode(F.array("band0", "band1", "band2", "band3")).alias(
+                "band_idx", "band_value"
+            ),
+        )
+
+    def hamming(a: str, b: str):
+        return sum(
+            F.bit_count(
+                F.col(f"{a}.band{k}").bitwiseXOR(F.col(f"{b}.band{k}"))
+            )
+            for k in range(4)
+        )
+
+    bb = explode_bands(batch_hashes, "b_id")
+    sb = explode_bands(store_hashes, "s_id")
+    store_cand = (
+        bb.join(sb, ["band_idx", "band_value"])
+        .select("b_id", "s_id")
+        .distinct()
+    )
+    ha, hs = batch_hashes.alias("ha"), store_hashes.alias("hs")
+    store_matches = (
+        store_cand.join(ha, store_cand["b_id"] == F.col("ha.media_id"))
+        .join(hs, store_cand["s_id"] == F.col("hs.media_id"))
+        .filter(hamming("ha", "hs") <= max_hamming)
+        .groupBy("b_id")
+        .agg(F.count(F.lit(1)).alias("n_store_matches"))
+    )
+    b2 = explode_bands(batch_hashes, "b2_id")
+    batch_cand = (
+        bb.join(b2, ["band_idx", "band_value"])
+        .filter(F.col("b2_id") < F.col("b_id"))
+        .select("b_id", "b2_id")
+        .distinct()
+    )
+    hb = batch_hashes.alias("hb")
+    batch_matches = (
+        batch_cand.join(ha, batch_cand["b_id"] == F.col("ha.media_id"))
+        .join(hb, batch_cand["b2_id"] == F.col("hb.media_id"))
+        .filter(hamming("ha", "hb") <= max_hamming)
+        .groupBy("b_id")
+        .agg(F.count(F.lit(1)).alias("n_batch_matches"))
+    )
+    return (
+        batch_hashes.select("media_id")
+        .join(
+            store_matches.withColumnRenamed("b_id", "media_id"),
+            "media_id",
+            "left",
+        )
+        .join(
+            batch_matches.withColumnRenamed("b_id", "media_id"),
+            "media_id",
+            "left",
+        )
+        .select(
+            "media_id",
+            F.coalesce("n_store_matches", F.lit(0)).cast("long").alias(
+                "n_store_matches"
+            ),
+            F.coalesce("n_batch_matches", F.lit(0)).cast("long").alias(
+                "n_batch_matches"
+            ),
+        )
+        .withColumn(
+            "admitted",
+            (F.col("n_store_matches") == 0) & (F.col("n_batch_matches") == 0),
+        )
+    )

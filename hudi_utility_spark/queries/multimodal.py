@@ -669,3 +669,47 @@ def mm_image_size_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (w.cast("long") * h).alias("n_pixels"),
         F.round(w / h.cast("double"), 6).alias("aspect"),
     )
+
+
+@query(
+    "mm_incremental_dhash_gate",
+    "WITH "
+    + _dhash_oracle_cte()
+    + """,
+    store AS (SELECT * FROM bands WHERE media_id < 30),
+    batch AS (SELECT * FROM bands WHERE media_id >= 30),
+    sm AS (
+        SELECT b.media_id, COUNT(*) AS n_store_matches
+        FROM batch b JOIN store s
+          ON bit_count(xor(b.band0, s.band0)) + bit_count(xor(b.band1, s.band1))
+           + bit_count(xor(b.band2, s.band2)) + bit_count(xor(b.band3, s.band3)) <= 2
+        GROUP BY b.media_id
+    ),
+    bm AS (
+        SELECT b.media_id, COUNT(*) AS n_batch_matches
+        FROM batch b JOIN batch b2
+          ON b2.media_id < b.media_id
+         AND bit_count(xor(b.band0, b2.band0)) + bit_count(xor(b.band1, b2.band1))
+           + bit_count(xor(b.band2, b2.band2)) + bit_count(xor(b.band3, b2.band3)) <= 2
+        GROUP BY b.media_id
+    )
+    SELECT b.media_id,
+           CAST(COALESCE(sm.n_store_matches, 0) AS BIGINT) AS n_store_matches,
+           CAST(COALESCE(bm.n_batch_matches, 0) AS BIGINT) AS n_batch_matches,
+           COALESCE(sm.n_store_matches, 0) = 0
+               AND COALESCE(bm.n_batch_matches, 0) = 0 AS admitted
+    FROM batch b
+    LEFT JOIN sm USING (media_id)
+    LEFT JOIN bm USING (media_id)
+    """,
+)
+def mm_incremental_dhash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest image near-dup gate: a 10-image batch probes
+    the 30-image persisted dHash band store; within-batch dups resolve
+    by the lower-id rule — the modality-general twin of the text
+    pipeline's incremental MinHash gate, value-checked against the
+    oracle's all-pairs replay (banding is lossless at this threshold)."""
+    hashes = _dhash_imgs(spark, sf_dir)
+    store = hashes.filter(F.col("media_id") < 30)
+    batch = hashes.filter(F.col("media_id") >= 30)
+    return M.incremental_dhash_gate(batch, store, max_hamming=2)

@@ -240,3 +240,26 @@ def test_synth_ppm_decode_meta_spark(spark):
         (3, 4, 2, 8),
         (4, 5, 3, 15),
     ]
+
+
+def test_incremental_dhash_gate_rejects_near_copies(spark):
+    from hudi_utility_spark.ops.multimodal import incremental_dhash_gate
+
+    # hand-built band rows: store has hash A; batch has an exact copy of
+    # A (10), a 2-bit variant (11), a far image (12), and a within-batch
+    # copy of the far image (13)
+    A = (0x1234, 0x00FF, 0xABCD, 0x0F0F)
+    far = (0x4321, 0xFF00, 0x5555, 0xF0F0)
+    two_bit = (A[0] ^ 0b11, A[1], A[2], A[3])
+    store = spark.createDataFrame(
+        [(1, *A)], ["media_id", "band0", "band1", "band2", "band3"]
+    )
+    batch = spark.createDataFrame(
+        [(10, *A), (11, *two_bit), (12, *far), (13, *far)],
+        ["media_id", "band0", "band1", "band2", "band3"],
+    )
+    out = {r.media_id: r for r in incremental_dhash_gate(batch, store).collect()}
+    assert not out[10].admitted and out[10].n_store_matches == 1
+    assert not out[11].admitted and out[11].n_store_matches == 1
+    assert out[12].admitted  # novel image: no store or lower-id match
+    assert not out[13].admitted and out[13].n_batch_matches == 1
