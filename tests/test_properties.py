@@ -630,3 +630,67 @@ def test_asof_join_matches_python_model(spark, left, right, tol, direction):
         ).collect()
     }
     assert got == _asof_python(lrows, rrows, direction, tol)
+
+
+WORDS = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "e"]), min_size=0, max_size=12
+)
+
+
+@given(
+    docs=st.lists(WORDS, min_size=1, max_size=6),
+    phrase=st.lists(
+        st.sampled_from(["a", "b", "c"]), min_size=1, max_size=3
+    ),
+)
+@_SETTINGS
+def test_phrase_match_matches_python_scan(spark, docs, phrase):
+    """phrase_match over the positional index ≡ a naive Python sliding
+    scan, including overlapping and repeated-term phrases."""
+    from hudi_utility_spark.ops.retrieval import (
+        phrase_match,
+        positional_postings,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_match(positional_postings(df), " ".join(phrase)).collect()
+    }
+    want = {}
+    n = len(phrase)
+    for i, ws in enumerate(docs):
+        starts = [
+            p + 1
+            for p in range(len(ws) - n + 1)
+            if ws[p : p + n] == phrase
+        ]
+        if starts:
+            want[i] = (len(starts), starts[0])
+    assert got == want
+
+
+@given(
+    ts=st.lists(
+        st.integers(min_value=0, max_value=50), min_size=0, max_size=15
+    ),
+    gap=st.integers(min_value=1, max_value=10),
+    cut=st.integers(min_value=0, max_value=15),
+)
+@_SETTINGS
+def test_fold_session_events_split_equals_whole(ts, gap, cut):
+    """Folding a timestamp stream in two chunks (state carried) yields
+    the same closed+open sessions as folding it at once — the property
+    that makes the stateful processor correct across micro-batches."""
+    from hudi_utility_spark.streaming.stateful import fold_session_events
+
+    s = sorted(ts)
+    cut = min(cut, len(s))
+    whole_closed, whole_open = fold_session_events(None, s, gap)
+    c1, open1 = fold_session_events(None, s[:cut], gap)
+    c2, open2 = fold_session_events(open1, s[cut:], gap)
+    assert c1 + c2 == whole_closed
+    assert open2 == whole_open
