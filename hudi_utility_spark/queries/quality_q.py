@@ -499,3 +499,47 @@ def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("dof"),
         )
     )
+
+
+@query(
+    "dq_freshness_audit",
+    """
+    WITH per_type AS (
+        SELECT event_type,
+               MAX(ts) AS latest_ts,
+               COUNT(*) AS n_events
+        FROM events GROUP BY event_type
+    ),
+    g AS (SELECT MAX(latest_ts) AS global_latest FROM per_type)
+    SELECT event_type,
+           epoch_us(latest_ts) AS latest_us,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(epoch_us(global_latest) - epoch_us(latest_ts) AS BIGINT)
+               AS lag_us,
+           epoch_us(global_latest) - epoch_us(latest_ts) > 3600000000
+               AS stale
+    FROM per_type, g
+    """,
+)
+def dq_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-freshness audit: per-stream-partition latest event vs
+    the global high-water mark — the staleness page of a pipeline
+    health dashboard (a partition lagging the rest by over an hour
+    usually means a dead producer, not a quiet one). One partial-agg
+    pass + a 1-row broadcast; timestamps cross the oracle as unix
+    microseconds."""
+    from hudi_utility_spark.tsutil import us
+
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.max("ts").alias("latest_ts"), F.count(F.lit(1)).alias("n_events")
+    )
+    g = per_type.agg(F.max("latest_ts").alias("global_latest"))
+    lag = us("global_latest") - us("latest_ts")
+    return per_type.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        us("latest_ts").alias("latest_us"),
+        "n_events",
+        lag.alias("lag_us"),
+        (lag > 3_600_000_000).alias("stale"),
+    )
