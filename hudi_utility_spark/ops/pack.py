@@ -159,6 +159,7 @@ def select_until_budget(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_ranges: int = 32,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Select the best-scoring documents until a *global* token budget is
     exhausted — the "give me the top N-billion tokens by quality" cut
@@ -194,7 +195,13 @@ def select_until_budget(
     as `jaccard_pairs`' shingle relation. Returns (id, score, n_tokens,
     start_offset).
     """
-    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    # token accounting: a precomputed column (e.g. a learned tokenizer's
+    # counts) when given, else whitespace tokens from the text
+    toks = (
+        F.col(tokens_col).cast("long")
+        if tokens_col is not None
+        else F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    )
     base = df.select(
         F.col(id_col), F.col(score_col), toks.alias("n_tokens")
     )

@@ -1131,3 +1131,69 @@ def text_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL."""
     d = load_table(spark, sf_dir, "documents")
     return X.bigram_backoff_score(d, max_bigrams=2000, lam=0.4)
+
+
+@query(
+    "pack_bpe_budget",
+    _bpe_encode_oracle().replace(
+        """
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(p.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+        """,
+    scored AS (
+        SELECT d.doc_id, d.n_chars AS score,
+               CAST(COALESCE(p.n_bpe, 0) AS BIGINT) AS n_tokens
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ),
+    c AS (
+        SELECT doc_id, score, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS start_offset
+        FROM scored
+    )
+    SELECT doc_id, CAST(score AS BIGINT) AS score, n_tokens,
+           CAST(start_offset AS BIGINT) AS start_offset
+    FROM c WHERE start_offset < 15000
+    """,
+    ),
+)
+def pack_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware corpus cut: the global token-budget selection
+    accounted in LEARNED-BPE tokens, not whitespace words — train the
+    merge table, encode every document (map-only replace chain), feed
+    the counts into the distributed prefix-sum cut. The oracle replays
+    training, encoding, and the cumsum cut in one statement. This is
+    the composition a real pretraining pipeline runs: the budget is a
+    model-token budget, so the accounting must be the model's
+    tokenizer."""
+    from hudi_utility_spark.ops import pack as PK
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = X.bpe_train_merges(d, n_merges=4, vocab_cap=200).collect()
+    pairs = [
+        tuple(r.pair.split("+", 1))
+        for r in sorted(merges, key=lambda r: r.merge_rank)
+    ]
+    enc = X.bpe_encode(d, pairs)
+    scored = d.select("doc_id", "n_chars").join(enc, "doc_id").select(
+        "doc_id",
+        F.col("n_chars").alias("score"),
+        F.col("n_bpe_tokens"),
+    )
+    out = PK.select_until_budget(
+        scored,
+        token_budget=15_000,
+        score_col="score",
+        n_ranges=8,
+        tokens_col="n_bpe_tokens",
+    )
+    return out.select(
+        "doc_id",
+        F.col("score").cast("long").alias("score"),
+        "n_tokens",
+        F.col("start_offset").cast("long").alias("start_offset"),
+    )
