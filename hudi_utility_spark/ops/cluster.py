@@ -175,10 +175,12 @@ def kmeans_parallel_init(
     [(round, n_new, n_total, phi)])."""
     if l is None:
         l = 2 * k
+    # persisted for the op's lifetime: rounds+1 actions read it; the op
+    # returns plain lists, so the cache is released before returning
     emb = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    )
+    ).persist()
     seed_row = emb.orderBy("_id").first()
     cands: list[list[float]] = [[float(x) for x in seed_row.v]]
     cand_ids = {seed_row._id}
@@ -225,6 +227,7 @@ def kmeans_parallel_init(
     )
     wrows = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("w")).collect()
     weights = {r.cluster: int(r.w) for r in wrows}
+    emb.unpersist()
 
     # driver reduce: weighted farthest-first traversal over the
     # candidate set (k' ~ rounds*l rows — numpy territory)
