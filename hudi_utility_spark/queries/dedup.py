@@ -516,3 +516,49 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@query(
+    "dedup_threshold_curve",
+    f"""
+    WITH words AS (
+        SELECT doc_id, unnest(list_distinct(string_split({_NORM_SQL}, ' '))) AS w
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM words GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sims AS (
+        SELECT common / (sa.set_size + sb.set_size - common) AS sim
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE common / (sa.set_size + sb.set_size - common) >= 0.6
+    )
+    SELECT CAST(floor(ROUND(sim, 6) * 10) AS INT) AS sim_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM sims GROUP BY 1
+    """,
+)
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold operating curve: pair volume per Jaccard
+    decile above 0.6 — the calibration readout for choosing a dedup
+    threshold (the knee where volume explodes marks where 'duplicate'
+    stops meaning anything). One candidate-pair relation, one
+    curve-sized aggregate; decile binning is a single float floor,
+    identical in both engines."""
+    from hudi_utility_spark.ops import dedup as D2
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D2.jaccard_pairs(d, n=1, threshold=0.6)
+    # bin on the ROUNDED similarity on BOTH engines (the op's jaccard
+    # column is round(raw, 6)) so a raw value a hair under a decile
+    # boundary cannot bin differently across engines
+    return (
+        pairs.select(F.floor(F.col("jaccard") * 10).cast("int").alias("sim_decile"))
+        .groupBy("sim_decile")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

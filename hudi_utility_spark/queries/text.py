@@ -1197,3 +1197,47 @@ def pack_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.col("start_offset").cast("long").alias("start_offset"),
     )
+
+
+@query(
+    "text_langid_confusion",
+    r"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             list_transform(string_split_regex(trim(text), '\s+'),
+                            x -> lower(x)) AS words
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             len(list_intersect(words, ['the','and','of','to','a','in','is'])) AS s_en,
+             len(list_intersect(words, ['el','la','de','que','y','los'])) AS s_es,
+             len(list_intersect(words, ['le','la','et','les','des','une'])) AS s_fr,
+             len(list_intersect(words, ['der','die','und','das','ist','ein'])) AS s_de,
+             len(list_intersect(words, ['de5','shi4','le5'])) AS s_zh
+      FROM w
+    ), pred AS (
+      SELECT lang, CASE
+               WHEN greatest(s_en,s_es,s_fr,s_de,s_zh) = 0 THEN 'und'
+               WHEN s_zh = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'zh'
+               WHEN s_fr = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'fr'
+               WHEN s_es = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'es'
+               WHEN s_en = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'en'
+               ELSE 'de'
+             END AS lang_pred
+      FROM scored
+    )
+    SELECT lang, lang_pred, COUNT(*) AS n_docs
+    FROM pred GROUP BY lang, lang_pred
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: labeled lang vs the heuristic's
+    prediction — the classifier-evaluation readout (per-class recall
+    falls out of the row margins). One map-only scoring pass + a
+    matrix-sized aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        X.language_id(d)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
