@@ -208,3 +208,82 @@ def logistic_fit(
             for j in range(d + 1)
         ]
     return w
+
+
+def ols2_normal_equations(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+) -> DataFrame:
+    """Two-feature OLS (y = b0 + b1*x1 + b2*x2) via normal equations
+    solved in CLOSED FORM — multiple regression as pure dataflow: ONE
+    partial-aggregable pass collects the sufficient statistics (nine
+    sums), and Cramer's rule over the 3x3 system runs as plain column
+    arithmetic on the single stats row. No Python, no matrix library,
+    no iteration; at 100 TB the cost is one scan + a 9-scalar exchange
+    (the textbook "aggregate sufficient statistics" pattern —
+    group_linear_fit's grouped-map Arrow kernel is the per-group
+    many-models complement; this is the one-global-model dataflow).
+
+    Returns one row: (n, b0, b1, b2, r2) rounded to 6. The identical
+    determinant expressions replay in the DuckDB oracle, so the solve
+    is value-hash-checked rather than trusted to a solver."""
+    from pyspark.sql import functions as F
+
+    y, x1, x2 = (F.col(c).cast("double") for c in (y_col, x1_col, x2_col))
+    s = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x1).alias("s1"),
+        F.sum(x2).alias("s2"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * x1).alias("s11"),
+        F.sum(x1 * x2).alias("s12"),
+        F.sum(x2 * x2).alias("s22"),
+        F.sum(x1 * y).alias("s1y"),
+        F.sum(x2 * y).alias("s2y"),
+        F.sum(y * y).alias("syy"),
+    )
+    n, s1, s2, sy = F.col("n"), F.col("s1"), F.col("s2"), F.col("sy")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    s1y, s2y, syy = F.col("s1y"), F.col("s2y"), F.col("syy")
+    # Cramer over [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]] b = [sy,s1y,s2y]
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    d0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    d1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    d2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    b0, b1, b2 = d0 / det, d1 / det, d2 / det
+    sse = (
+        syy
+        - 2 * (b0 * sy + b1 * s1y + b2 * s2y)
+        + (
+            b0 * b0 * n
+            + b1 * b1 * s11
+            + b2 * b2 * s22
+            + 2 * (b0 * b1 * s1 + b0 * b2 * s2 + b1 * b2 * s12)
+        )
+    )
+    sst = syy - sy * sy / n
+    return s.select(
+        n.cast("long").alias("n"),
+        F.round(b0, 6).alias("b0"),
+        F.round(b1, 6).alias("b1"),
+        F.round(b2, 6).alias("b2"),
+        F.round(1 - sse / sst, 6).alias("r2"),
+    )

@@ -1357,3 +1357,61 @@ def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_smoothed"),
         )
     )
+
+
+@query(
+    "ml_ols_normal_eq",
+    """
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(l_quantity) AS s1, SUM(l_discount) AS s2,
+               SUM(l_extendedprice) AS sy,
+               SUM(l_quantity * l_quantity) AS s11,
+               SUM(l_quantity * l_discount) AS s12,
+               SUM(l_discount * l_discount) AS s22,
+               SUM(l_quantity * l_extendedprice) AS s1y,
+               SUM(l_discount * l_extendedprice) AS s2y,
+               SUM(l_extendedprice * l_extendedprice) AS syy
+        FROM lineitem
+    ),
+    d AS (
+        SELECT *,
+               n * (s11 * s22 - s12 * s12)
+               - s1 * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s12 - s11 * s2) AS det
+        FROM s
+    ),
+    b AS (
+        SELECT *,
+               (sy * (s11 * s22 - s12 * s12)
+                - s1 * (s1y * s22 - s12 * s2y)
+                + s2 * (s1y * s12 - s11 * s2y)) / det AS b0,
+               (n * (s1y * s22 - s12 * s2y)
+                - sy * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s2y - s1y * s2)) / det AS b1,
+               (n * (s11 * s2y - s1y * s12)
+                - s1 * (s1 * s2y - s1y * s2)
+                + sy * (s1 * s12 - s11 * s2)) / det AS b2
+        FROM d
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1, ROUND(b2, 6) AS b2,
+           ROUND(1 - (syy - 2 * (b0 * sy + b1 * s1y + b2 * s2y)
+                      + (b0 * b0 * n + b1 * b1 * s11 + b2 * b2 * s22
+                         + 2 * (b0 * b1 * s1 + b0 * b2 * s2 + b1 * b2 * s12)))
+                     / (syy - sy * sy / n), 6) AS r2
+    FROM b
+    """,
+)
+def ml_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global two-feature OLS (extendedprice ~ quantity + discount) as
+    pure dataflow: one sufficient-statistics aggregate + Cramer's rule
+    as column arithmetic — no solver, no Python, the solve itself
+    value-hash-checked (the grouped-map Arrow kernel `ml_group_linfit`
+    is the many-models complement)."""
+    from hudi_utility_spark.ops.mlfit import ols2_normal_equations
+
+    li = _t(spark, sf_dir, "lineitem")
+    return ols2_normal_equations(
+        li, "l_extendedprice", "l_quantity", "l_discount"
+    )

@@ -196,3 +196,26 @@ def test_kmeans_parallel_init_separates_clusters(spark):
     # determinism
     centers2, diag2 = kmeans_parallel_init(df, k=3, rounds=3, l=6)
     assert centers2 == centers and diag2 == diag
+
+
+def test_ols2_normal_equations_numpy_parity(spark):
+    import numpy as np
+
+    from hudi_utility_spark.ops.mlfit import ols2_normal_equations
+
+    rng = [(i, float(i % 13), float((i * 7) % 5)) for i in range(200)]
+    # y = 3 + 2*x1 - 4*x2 + deterministic "noise"
+    rows = [
+        (x1, x2, 3.0 + 2.0 * x1 - 4.0 * x2 + ((i * 31) % 7 - 3) * 0.01)
+        for i, x1, x2 in rng
+    ]
+    df = spark.createDataFrame(rows, ["x1", "x2", "y"])
+    got = ols2_normal_equations(df, "y", "x1", "x2").collect()[0]
+    X = np.array([[1.0, x1, x2] for x1, x2, _ in rows])
+    yv = np.array([y for _, _, y in rows])
+    beta = np.linalg.lstsq(X, yv, rcond=None)[0]
+    assert got.n == 200
+    assert abs(got.b0 - beta[0]) < 1e-4
+    assert abs(got.b1 - beta[1]) < 1e-4
+    assert abs(got.b2 - beta[2]) < 1e-4
+    assert got.r2 > 0.999  # near-exact linear signal
