@@ -548,3 +548,95 @@ def l_diversity_audit(
             "violates_l", (F.col("n_sensitive_values") < l).cast("boolean")
         )
     )
+
+
+def _poisson1_thresholds(max_k: int = 8) -> list[float]:
+    """Cumulative Poisson(1) CDF thresholds c_0..c_{max_k-1}; a uniform
+    u maps to the smallest k with u < c_k (u beyond the last threshold
+    maps to max_k). Shared literal table for Spark and the oracle."""
+    import math
+
+    acc, out = 0.0, []
+    for k in range(max_k):
+        acc += math.exp(-1.0) / math.factorial(k)
+        out.append(acc)
+    return out
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    replicates: int = 32,
+    seed: str = "boot",
+) -> DataFrame:
+    """Poisson-bootstrap confidence intervals for per-group means — the
+    distributed bootstrap (each row independently receives a
+    Poisson(1) weight per replicate, approximating multinomial
+    resampling without any global coordination; the trick that makes
+    bootstrap CIs computable in one pass over 100 TB). Weights come
+    from the md5-uniform inverse-CDF ladder, so every replicate is
+    deterministic and the whole procedure replays in SQL.
+
+    Plan: rows explode x``replicates`` (map-only), one (group,
+    replicate) weighted-mean aggregate, then one group aggregate that
+    sorts the replicate means (an array of ``replicates`` scalars per
+    group) and reads the 2.5/97.5 percentile ranks. Returns
+    (group, mean, ci_lo, ci_hi, n)."""
+    th = _poisson1_thresholds()
+    rep = F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("rep")
+    rows = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("x"),
+        F.col(id_col).cast("string").alias("_rid"),
+        rep,
+    )
+    u48 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(seed),
+                    F.col("rep").cast("string"),
+                    F.col("_rid"),
+                ).cast("binary")
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (u48 + F.lit(0.5)) / F.lit(float(1 << 48))
+    w = F.lit(len(th))
+    for k in range(len(th) - 1, -1, -1):
+        w = F.when(u < F.lit(th[k]), F.lit(k)).otherwise(w)
+    per_rep = (
+        rows.withColumn("w", w.cast("double"))
+        .groupBy("grp", "rep")
+        .agg(
+            (F.sum(F.col("w") * F.col("x")) / F.sum("w")).alias("rep_mean")
+        )
+    )
+    point = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.avg(F.col(value_col).cast("double")).alias("mean"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    lo_idx = max(1, int(replicates * 0.025))
+    hi_idx = min(replicates, int(replicates * 0.975) + 1)
+    cis = per_rep.groupBy("grp").agg(
+        F.element_at(
+            F.array_sort(F.collect_list("rep_mean")), lo_idx
+        ).alias("ci_lo"),
+        F.element_at(
+            F.array_sort(F.collect_list("rep_mean")), hi_idx
+        ).alias("ci_hi"),
+    )
+    return point.join(cis, "grp").select(
+        F.col("grp").alias(group_col),
+        F.round("mean", 6).alias("mean"),
+        F.round("ci_lo", 6).alias("ci_lo"),
+        F.round("ci_hi", 6).alias("ci_hi"),
+        "n",
+    )

@@ -543,3 +543,68 @@ def dq_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag.alias("lag_us"),
         (lag > 3_600_000_000).alias("stale"),
     )
+
+
+def _bootstrap_oracle(replicates: int = 32, seed: str = "boot") -> str:
+    """Poisson-bootstrap oracle: identical uniform, identical CDF-ladder
+    literals, identical percentile-rank reads."""
+    from hudi_utility_spark.ops.quality import _poisson1_thresholds
+
+    th = _poisson1_thresholds()
+    ladder = " ".join(
+        f"WHEN u < {t!r} THEN {k}" for k, t in enumerate(th)
+    )
+    lo = max(1, int(replicates * 0.025))
+    hi = min(replicates, int(replicates * 0.975) + 1)
+    return f"""
+    WITH reps AS (SELECT unnest(range({replicates})) AS rep),
+    rws AS (
+        SELECT e.event_type AS grp, CAST(e.value AS DOUBLE) AS x,
+               CAST(e.event_id AS VARCHAR) AS rid, r.rep
+        FROM events e, reps r
+    ),
+    wts AS (
+        SELECT grp, rep, x,
+               CAST(CASE {ladder} ELSE {len(th)} END AS DOUBLE) AS w
+        FROM (
+            SELECT *,
+                   (CAST(concat('0x', substring(md5('{seed}:' ||
+                        CAST(rep AS VARCHAR) || ':' || rid), 1, 12))
+                        AS UBIGINT) + 0.5) / 281474976710656.0 AS u
+            FROM rws
+        )
+    ),
+    per_rep AS (
+        SELECT grp, rep, SUM(w * x) / SUM(w) AS rep_mean
+        FROM wts GROUP BY 1, 2
+    ),
+    point AS (
+        SELECT event_type AS grp, AVG(CAST(value AS DOUBLE)) AS mean,
+               COUNT(*) AS n
+        FROM events GROUP BY 1
+    ),
+    cis AS (
+        SELECT grp,
+               (list_sort(list(rep_mean)))[{lo}] AS ci_lo,
+               (list_sort(list(rep_mean)))[{hi}] AS ci_hi
+        FROM per_rep GROUP BY grp
+    )
+    SELECT p.grp AS event_type,
+           ROUND(p.mean, 6) AS mean,
+           ROUND(c.ci_lo, 6) AS ci_lo,
+           ROUND(c.ci_hi, 6) AS ci_hi,
+           CAST(p.n AS BIGINT) AS n
+    FROM point p JOIN cis c USING (grp)
+    """
+
+
+@query("stat_bootstrap_ci", _bootstrap_oracle())
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence intervals for per-type mean
+    event value — the one-pass distributed bootstrap (per-row
+    Poisson(1) replicate weights; no multinomial coordination, no
+    resampled copies of the data). Deterministic md5 coins make all 32
+    replicates replayable in SQL, so even the CI endpoints are
+    value-hash-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    return Q.bootstrap_ci(ev, "event_type", "value", "event_id", replicates=32)

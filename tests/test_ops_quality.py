@@ -265,3 +265,23 @@ def test_l_diversity_flags_homogeneous_classes(spark):
     assert not out["B"].violates_l and out["B"].n_sensitive_values == 3
     # C: {NULL, flu} -> 2 values, violates l=3
     assert out["C"].n_sensitive_values == 2 and out["C"].violates_l
+
+
+def test_bootstrap_ci_brackets_mean_and_shrinks_with_n(spark):
+    from hudi_utility_spark.ops.quality import bootstrap_ci
+
+    rows = [(i, "big", float(10 + (i * 17) % 21 - 10)) for i in range(400)]
+    rows += [(1000 + i, "small", float(10 + (i * 17) % 21 - 10)) for i in range(20)]
+    df = spark.createDataFrame(rows, ["id", "grp", "x"])
+    out = {r.grp: r for r in bootstrap_ci(df, "grp", "x", "id").collect()}
+    for g in ("big", "small"):
+        assert out[g].ci_lo <= out[g].mean <= out[g].ci_hi
+    # same distribution, 20x the sample -> visibly tighter interval
+    assert (out["big"].ci_hi - out["big"].ci_lo) < (
+        out["small"].ci_hi - out["small"].ci_lo
+    )
+    # deterministic across runs
+    again = {r.grp: r for r in bootstrap_ci(df, "grp", "x", "id").collect()}
+    assert {g: (r.ci_lo, r.ci_hi) for g, r in out.items()} == {
+        g: (r.ci_lo, r.ci_hi) for g, r in again.items()
+    }
