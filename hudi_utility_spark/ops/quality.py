@@ -640,3 +640,59 @@ def bootstrap_ci(
         F.round("ci_hi", 6).alias("ci_hi"),
         "n",
     )
+
+
+def hll_sketch(df: DataFrame, col: str, p: int = 9) -> DataFrame:
+    """Materialize the portable-HLL sketch of a column as a (bucket,
+    max-rank) relation — the MERGEABLE form (2^p rows at most). Sketch
+    once per partition/day/source, store it, and answer any later
+    union-cardinality question without rescanning the data: merging is
+    a per-bucket MAX, the property that makes sketches the unit of
+    exchange in a 100 TB profiling pipeline."""
+    from hudi_utility_spark.ops import phash
+
+    m = 1 << p
+    vals = df.select(F.col(col).cast("string").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    hi, lo = phash.parts(F.col("v"))
+    return (
+        vals.select((hi % F.lit(m)).alias("bucket"), _rank_ladder(lo).alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("r"))
+    )
+
+
+def hll_union_estimate(sketches: list[DataFrame], p: int = 9) -> DataFrame:
+    """Cardinality of the UNION from already-built sketches: per-bucket
+    max across sketch relations (a lossless merge — identical to
+    sketching the concatenated data), then the standard harmonic
+    estimate with linear-counting correction. Never touches the
+    original rows."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    per_bucket = merged.groupBy("bucket").agg(F.max("r").alias("r"))
+    agg = per_bucket.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s"),
+        F.count(F.lit(1)).alias("b_present"),
+    )
+    return (
+        agg.select(
+            (F.lit(m) - F.col("b_present")).alias("zeros"),
+            (F.lit(alpha * m * m) / (F.col("s") + F.lit(m) - F.col("b_present"))).alias(
+                "e_raw"
+            ),
+        )
+        .select(
+            F.round(
+                F.when(
+                    (F.col("e_raw") <= F.lit(2.5 * m)) & (F.col("zeros") > 0),
+                    F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros")),
+                ).otherwise(F.col("e_raw")),
+                4,
+            ).alias("est_union_distinct")
+        )
+    )

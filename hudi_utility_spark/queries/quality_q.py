@@ -608,3 +608,73 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash-checked."""
     ev = load_table(spark, sf_dir, "events")
     return Q.bootstrap_ci(ev, "event_type", "value", "event_id", replicates=32)
+
+
+def _hll_union_oracle(p: int = 9) -> str:
+    """Two sketches built independently (click users / purchase users),
+    merged per-bucket, estimated — plus the exact union distinct."""
+    from hudi_utility_spark.ops import phash
+
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    hi, lo = phash.sql_parts("CAST(user_id AS VARCHAR)")
+    ladder = " ".join(
+        f"WHEN {lo} >= {1 << (b - 1)} THEN {33 - b}"
+        for b in range(32, 0, -1)
+    )
+
+    def sk(ev_type: str) -> str:
+        return f"""(
+            SELECT bucket, MAX(rank) AS r FROM (
+                SELECT ({hi} % {m}) AS bucket,
+                       (CASE {ladder} ELSE 33 END) AS rank
+                FROM events WHERE event_type = '{ev_type}'
+                  AND user_id IS NOT NULL
+            ) GROUP BY bucket
+        )"""
+
+    return f"""
+    WITH merged AS (
+        SELECT bucket, MAX(r) AS r FROM (
+            SELECT * FROM {sk("click")}
+            UNION ALL SELECT * FROM {sk("purchase")}
+        ) GROUP BY bucket
+    ),
+    est AS (
+        SELECT ROUND(CASE WHEN e_raw <= {2.5 * m!r} AND zeros > 0
+                          THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                          ELSE e_raw END, 4) AS est_union_distinct
+        FROM (
+            SELECT {alpha * m * m!r} / (s + zeros) AS e_raw, zeros FROM (
+                SELECT SUM(power(2.0, -r)) AS s, {m} - COUNT(*) AS zeros
+                FROM merged
+            )
+        )
+    ),
+    exact AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_union
+        FROM events WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT est_union_distinct, exact_union FROM est, exact
+    """
+
+
+@query("approx_union_sketch_merge", _hll_union_oracle())
+def approx_union_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY under the value-hash gate: click-user and
+    purchase-user HLL sketches built independently, merged per-bucket
+    (lossless for union), estimated — next to the exact union
+    cardinality. The pattern that lets 100 TB profiling store
+    2^p-counter sketches per source/day and answer any later union
+    question without a rescan."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    est = Q.hll_union_estimate(
+        [Q.hll_sketch(clicks, "user_id"), Q.hll_sketch(buys, "user_id")]
+    )
+    exact = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .agg(F.count_distinct("user_id").alias("exact_union"))
+    )
+    return est.crossJoin(F.broadcast(exact))

@@ -285,3 +285,18 @@ def test_bootstrap_ci_brackets_mean_and_shrinks_with_n(spark):
     assert {g: (r.ci_lo, r.ci_hi) for g, r in out.items()} == {
         g: (r.ci_lo, r.ci_hi) for g, r in again.items()
     }
+
+
+def test_hll_sketch_merge_equals_sketch_of_union(spark):
+    from hudi_utility_spark.ops.quality import hll_sketch, hll_union_estimate
+
+    a = spark.createDataFrame([(f"u{i}",) for i in range(300)], ["k"])
+    b = spark.createDataFrame([(f"u{i}",) for i in range(150, 450)], ["k"])
+    merged_est = hll_union_estimate(
+        [hll_sketch(a, "k"), hll_sketch(b, "k")]
+    ).collect()[0].est_union_distinct
+    direct_est = hll_union_estimate(
+        [hll_sketch(a.unionByName(b), "k")]
+    ).collect()[0].est_union_distinct
+    assert merged_est == direct_est  # merge is LOSSLESS, not approximate
+    assert abs(merged_est - 450) / 450 < 0.15  # ~4.6% expected at p=9
