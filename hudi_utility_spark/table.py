@@ -108,6 +108,15 @@ class KeyedTable:
 
     # -- read ----------------------------------------------------------
     def read_base(self, spark: SparkSession) -> DataFrame:
+        if not self.exists():
+            # a table whose every row was deleted still reads (as zero
+            # rows with its schema) via the _empty_schema marker the
+            # emptying rewrite left behind (write.py
+            # preserve_schema_if_emptied); "_"-prefixed, so partition
+            # discovery and exists() both ignore it
+            marker = os.path.join(self.path, "_empty_schema")
+            if os.path.isdir(marker):
+                return spark.read.parquet(marker)
         df = spark.read.option("mergeSchema", "true").parquet(self.base_path)
         if _MOR_LOG_DIR in df.columns:  # pragma: no cover - defensive
             df = df.drop(_MOR_LOG_DIR)

@@ -193,6 +193,28 @@ def align_timestamp_types(df: DataFrame, target_schema) -> DataFrame:
     return df
 
 
+def preserve_schema_if_emptied(table, schema_source: DataFrame) -> None:
+    """A delete/merge that removes the LAST row of a table leaves no
+    data files, and a later snapshot read would die with
+    UNABLE_TO_INFER_SCHEMA (found by the merge property test's shrunk
+    delete-the-only-row example). When a rewrite has emptied the table,
+    persist its schema as an empty parquet under the "_"-prefixed
+    ``_empty_schema`` metadata dir (ignored by partition discovery and
+    by ``exists()``, like ``_delta_log``); ``KeyedTable.read_base``
+    falls back to it so an emptied table reads as zero rows with the
+    correct columns — partition columns included, since the rewrite
+    relation carries them as data columns."""
+    if table.exists():
+        return
+    marker = os.path.join(table.path, "_empty_schema")
+    # build the empty frame from the SCHEMA, not from schema_source's
+    # plan — that plan reads the very files the rewrite just replaced
+    empty = schema_source.sparkSession.createDataFrame(
+        [], schema_source.schema
+    )
+    empty.coalesce(1).write.mode("overwrite").parquet(marker)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -631,6 +653,7 @@ def delete_keys(
         remove_partition_leaves(
             table.base_path, table.partition_fields, touched - survivors
         )
+        preserve_schema_if_emptied(table, kept)
     else:
         merged = existing.unionByName(tomb, allowMissingColumns=True)
         kept = (
@@ -641,6 +664,7 @@ def delete_keys(
         tmp = table.base_path.rstrip("/") + ".delete.tmp"
         write_partitioned(kept, tmp, [], mode="overwrite")
         atomic_swap_dir(tmp, table.base_path)
+        preserve_schema_if_emptied(table, kept)
     return table.read(spark)
 
 
@@ -833,10 +857,12 @@ def merge_into(
         remove_partition_leaves(
             table.base_path, table.partition_fields, (touched or set()) - survivors
         )
+        preserve_schema_if_emptied(table, kept)
     else:
         tmp = table.base_path.rstrip("/") + ".merge.tmp"
         write_partitioned(result, tmp, [], mode="overwrite")
         atomic_swap_dir(tmp, table.base_path)
+        preserve_schema_if_emptied(table, result)
     return table.read(spark)
 
 

@@ -493,3 +493,45 @@ def test_create_or_replace_view_resolves_snapshot(spark, tmp_path):
         for r in spark.sql(f"SELECT id, x FROM {name}").collect()
     }
     assert got == {1: 99.0, 2: 20.0}
+
+
+def test_delete_last_row_leaves_readable_empty_table(spark, tmp_path):
+    """Emptying a table must not kill snapshot reads: the _empty_schema
+    marker preserves the schema (the UNABLE_TO_INFER_SCHEMA edge the
+    merge property test shrank to delete-the-only-row)."""
+    from hudi_utility_spark.table import KeyedTable, TableType
+    from hudi_utility_spark.write import delete_keys, merge_into, upsert
+
+    table = KeyedTable(
+        path=str(tmp_path / "t"),
+        record_key=["id"],
+        precombine="v",
+        partition_fields=["part"],
+        table_type=TableType.COPY_ON_WRITE,
+    )
+    df = spark.createDataFrame([(1, 0, "a", 5.0)], "id long, v long, part string, value double")
+    upsert(spark, df, table)
+    out = delete_keys(
+        spark, df.select("id", "part", (df.v + 1).alias("v")), table
+    )
+    assert out.count() == 0
+    back = table.read(spark)
+    assert back.count() == 0
+    assert set(back.columns) >= {"id", "v", "part", "value"}
+
+    # unpartitioned table through the merge path
+    t2 = KeyedTable(
+        path=str(tmp_path / "t2"),
+        record_key=["id"],
+        precombine="v",
+        partition_fields=[],
+        table_type=TableType.COPY_ON_WRITE,
+    )
+    upsert(spark, df.drop("part"), t2)
+    merge_into(
+        spark,
+        df.drop("part").withColumn("v", df.v + 1),
+        t2,
+        delete_condition="true",
+    )
+    assert t2.read(spark).count() == 0
