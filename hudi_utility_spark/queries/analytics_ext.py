@@ -1415,3 +1415,84 @@ def ml_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ols2_normal_equations(
         li, "l_extendedprice", "l_quantity", "l_discount"
     )
+
+
+@query(
+    "ts_seasonal_anomalies",
+    """
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch_us(date_trunc('hour', ts)) / 3600000000 AS BIGINT) AS hidx,
+               AVG(value) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT event_type, hidx, y,
+               AVG(y) OVER (PARTITION BY event_type ORDER BY hidx
+                            RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend
+        FROM hourly
+    ),
+    seas AS (
+        SELECT event_type, CAST(hidx % 24 AS INT) AS hod,
+               AVG(y - trend) AS seasonal
+        FROM t GROUP BY 1, 2
+    ),
+    resid AS (
+        SELECT t.event_type, t.hidx,
+               t.y - t.trend - s.seasonal AS r
+        FROM t JOIN seas s
+          ON s.event_type = t.event_type AND s.hod = CAST(t.hidx % 24 AS INT)
+    ),
+    stats AS (
+        SELECT event_type, AVG(r) AS mu, STDDEV_SAMP(r) AS sd
+        FROM resid GROUP BY event_type
+    )
+    SELECT r.event_type, r.hidx,
+           ROUND((r.r - s.mu) / s.sd, 4) AS z
+    FROM resid r JOIN stats s USING (event_type)
+    WHERE abs((r.r - s.mu) / s.sd) > 3
+    """,
+)
+def ts_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: hours whose residual after
+    trend AND hour-of-day seasonal removal exceeds 3 sigma — the alarm
+    that doesn't fire every rush hour (a plain z-score on the raw
+    series would). Composes the decomposition with one stats broadcast;
+    everything downstream of the hourly aggregate is series-sized."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn(
+            "hidx",
+            (
+                F.unix_micros(F.date_trunc("hour", F.col("ts")))
+                / F.lit(3_600_000_000)
+            ).cast("long"),
+        )
+        .groupBy("event_type", "hidx")
+        .agg(F.avg("value").alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hidx").rangeBetween(-12, 12)
+    t = hourly.withColumn("trend", F.avg("y").over(w))
+    seas = t.groupBy(
+        "event_type", (F.col("hidx") % 24).cast("int").alias("hod")
+    ).agg(F.avg(F.col("y") - F.col("trend")).alias("seasonal"))
+    resid = (
+        t.withColumn("hod", (F.col("hidx") % 24).cast("int"))
+        .join(F.broadcast(seas), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "hidx",
+            (F.col("y") - F.col("trend") - F.col("seasonal")).alias("r"),
+        )
+    )
+    stats = resid.groupBy("event_type").agg(
+        F.avg("r").alias("mu"), F.stddev_samp("r").alias("sd")
+    )
+    z = (F.col("r") - F.col("mu")) / F.col("sd")
+    return (
+        resid.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3)
+        .select("event_type", "hidx", F.round(z, 4).alias("z"))
+    )

@@ -459,3 +459,89 @@ def rtr_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     postings = R.positional_postings(docs)
     return R.phrase_match(postings, "table value")
+
+
+@query(
+    "rtr_pmi_expansion",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest({_TOKS}) AS token,
+               generate_subscripts({_TOKS}, 1) AS pos
+        FROM documents
+    ),
+    n_tok AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks),
+    uni AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+    co AS (
+        SELECT b.token AS other, COUNT(*) AS cc
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id
+         AND b.pos BETWEEN a.pos - 3 AND a.pos + 3
+         AND b.pos <> a.pos
+        WHERE a.token = 'table'
+        GROUP BY b.token
+    )
+    SELECT co.other AS term,
+           CAST(co.cc AS BIGINT) AS cooc,
+           ROUND(ln((co.cc * n.n) / (u1.c * CAST(u2.c AS DOUBLE) * 6.0)), 6)
+               AS pmi
+    FROM co
+    JOIN uni u1 ON u1.token = 'table'
+    JOIN uni u2 ON u2.token = co.other, n_tok n
+    WHERE co.cc >= 5
+    ORDER BY pmi DESC, term LIMIT 15
+    """,
+)
+def rtr_pmi_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query expansion by pointwise mutual information: terms
+    co-occurring with the seed ('table') inside a +-3 token window,
+    scored ln(P(co) / (P(a)P(b)·window)) — the classic thesaurus-free
+    expansion signal. The co-occurrence join is position-banded per
+    document (fan-out bounded by the window width, never doc-length
+    squared); counts aggregate before any scoring."""
+    from hudi_utility_spark.ops.text import normalized
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(normalized(F.col("text")), " "), lambda t: t != "")
+        ).alias("pos0", "token"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    n_tok = toks.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    a = toks.filter(F.col("token") == "table").alias("a")
+    b = toks.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & F.col("b.pos").between(F.col("a.pos") - 3, F.col("a.pos") + 3)
+            & (F.col("b.pos") != F.col("a.pos")),
+        )
+        .groupBy(F.col("b.token").alias("term"))
+        .agg(F.count(F.lit(1)).alias("cooc"))
+        .filter(F.col("cooc") >= 5)
+    )
+    u1 = uni.filter(F.col("token") == "table").select(
+        F.col("c").alias("c_seed")
+    )
+    u2 = uni.select(F.col("token").alias("term"), F.col("c").alias("c_term"))
+    return (
+        co.join(F.broadcast(u2), "term")
+        .crossJoin(F.broadcast(u1))
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "term",
+            "cooc",
+            F.round(
+                F.log(
+                    (F.col("cooc") * F.col("n"))
+                    / (F.col("c_seed") * F.col("c_term").cast("double") * 6.0)
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("term"))
+        .limit(15)
+    )
