@@ -678,3 +678,138 @@ def approx_union_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("exact_union"))
     )
     return est.crossJoin(F.broadcast(exact))
+
+
+@query(
+    "stat_ks_two_sample",
+    """
+    WITH vals AS (
+        SELECT value,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY value
+    ),
+    tot AS (
+        SELECT CAST(SUM(ca) AS DOUBLE) AS na, CAST(SUM(cb) AS DOUBLE) AS nb
+        FROM vals
+    ),
+    cum AS (
+        SELECT SUM(ca) OVER (ORDER BY value) AS cca,
+               SUM(cb) OVER (ORDER BY value) AS ccb
+        FROM vals
+    )
+    SELECT CAST(t.na AS BIGINT) AS n_a,
+           CAST(t.nb AS BIGINT) AS n_b,
+           ROUND(MAX(abs(c.cca / t.na - c.ccb / t.nb)), 6) AS d_stat
+    FROM cum c, tot t GROUP BY t.na, t.nb
+    """,
+)
+def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic (click vs purchase value
+    distributions) — the distribution-drift test behind model-input
+    monitoring. The fact table collapses to per-distinct-value counts
+    FIRST (one hash aggregate), so the ordered cumulative window runs
+    over the value-cardinality relation, never the facts; at 100 TB
+    pre-bucket values (equi-width) to bound that cardinality and the
+    same plan holds."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    vals = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("ca"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("cb"),
+    )
+    tot = vals.agg(
+        F.sum("ca").cast("double").alias("na"),
+        F.sum("cb").cast("double").alias("nb"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vals.select(
+        F.sum("ca").over(w).alias("cca"), F.sum("cb").over(w).alias("ccb")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.round(
+                F.max(F.abs(F.col("cca") / F.col("na") - F.col("ccb") / F.col("nb"))),
+                6,
+            ).alias("d_stat")
+        )
+        .select(
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            "d_stat",
+        )
+    )
+
+
+@query(
+    "stat_psi_drift",
+    """
+    WITH bounds AS (
+        SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+    ),
+    binned AS (
+        SELECT least(CAST(floor((value - b.lo) / ((b.hi - b.lo) / 10)) AS INT), 9)
+                   AS bin,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+        FROM events, bounds b
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(ca) AS DOUBLE) AS na, CAST(SUM(cb) AS DOUBLE) AS nb
+            FROM binned)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           ROUND(SUM((ca / t.na - cb / t.nb)
+                     * ln((ca / t.na + 1e-6) / (cb / t.nb + 1e-6))), 6) AS psi
+    FROM binned, tot t
+    """,
+)
+def stat_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between the click and purchase value
+    distributions over 10 equi-width bins — the industry drift gauge
+    (PSI > 0.2 = retrain). Two scalar bounds + one binned aggregate;
+    the epsilon guard makes empty bins finite identically on both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    both = ev.filter(F.col("event_type").isin("click", "purchase"))
+    binned = (
+        both.crossJoin(F.broadcast(b))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / 10)
+                ).cast("int"),
+                F.lit(9),
+            ).alias("bin"),
+            (F.col("event_type") == "click").cast("long").alias("is_a"),
+            (F.col("event_type") == "purchase").cast("long").alias("is_b"),
+        )
+        .groupBy("bin")
+        .agg(F.sum("is_a").alias("ca"), F.sum("is_b").alias("cb"))
+    )
+    tot = binned.agg(
+        F.sum("ca").cast("double").alias("na"),
+        F.sum("cb").cast("double").alias("nb"),
+    )
+    pa = F.col("ca") / F.col("na")
+    pb = F.col("cb") / F.col("nb")
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.round(
+                F.sum(
+                    (pa - pb) * F.log((pa + 1e-6) / (pb + 1e-6))
+                ),
+                6,
+            ).alias("psi"),
+        )
+    )
