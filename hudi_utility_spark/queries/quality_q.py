@@ -813,3 +813,81 @@ def stat_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("psi"),
         )
     )
+
+
+@query(
+    "ml_auc_score",
+    """
+    WITH scored AS (
+        SELECT n_chars,
+               CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS label,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                   AS score
+        FROM documents
+    ),
+    per_score AS (
+        SELECT score,
+               SUM(label) AS pos,
+               COUNT(*) - SUM(label) AS neg,
+               COUNT(*) AS cnt
+        FROM scored GROUP BY score
+    ),
+    ranked AS (
+        SELECT pos, neg, cnt,
+               SUM(cnt) OVER (ORDER BY score) - cnt AS cum_before
+        FROM per_score
+    ),
+    agg AS (
+        SELECT SUM(pos * (cum_before + (cnt + 1) / 2.0)) AS rank_sum,
+               SUM(pos) AS n_pos, SUM(neg) AS n_neg
+        FROM ranked
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           ROUND((rank_sum - n_pos * (n_pos + 1) / 2.0)
+                 / (n_pos * CAST(n_neg AS DOUBLE)), 6) AS auc
+    FROM agg
+    """,
+)
+def ml_auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed tie-aware AUC (Mann-Whitney U via average ranks):
+    rows collapse to per-distinct-score (pos, neg) counts FIRST, so the
+    ranking window runs over score cardinality, never rows — the same
+    collapse that makes the KS test scale. Here: how well word count
+    ranks long documents (a sanity label with a known-high AUC); any
+    (score, label) pair drops in. Exact half-integer rank arithmetic —
+    no approximation to disagree over."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("label"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double").alias(
+            "score"
+        ),
+    )
+    per_score = scored.groupBy("score").agg(
+        F.sum("label").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("label")).alias("neg"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_score.withColumn(
+        "cum_before", F.sum("cnt").over(w) - F.col("cnt")
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.col("pos") * (F.col("cum_before") + (F.col("cnt") + 1) / 2.0)
+        ).alias("rank_sum"),
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+    )
+    return agg.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.round(
+            (F.col("rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos") * F.col("n_neg").cast("double")),
+            6,
+        ).alias("auc"),
+    )
