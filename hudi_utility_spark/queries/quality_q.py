@@ -891,3 +891,42 @@ def ml_auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+@query(
+    "ml_calibration_bins",
+    """
+    WITH scored AS (
+        SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS label,
+               least(CAST(floor(
+                   len(string_split_regex(trim(text), '\\s+')) / 10.0) AS INT),
+                   9) AS bin
+        FROM documents
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(CAST(label AS DOUBLE)), 6) AS empirical_rate
+    FROM scored GROUP BY bin
+    """,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for a ranking signal: documents bucketed by
+    word-count decile bins, empirical long-doc rate per bin — read next
+    to `ml_auc_score`, this shows WHERE the signal separates (AUC says
+    only THAT it does). One map + one bin-sized aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("label"),
+        F.least(
+            F.floor(
+                F.size(F.split(F.trim(F.col("text")), r"\s+")) / 10.0
+            ).cast("int"),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    return scored.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.col("label").cast("double")), 6).alias(
+            "empirical_rate"
+        ),
+    )

@@ -437,3 +437,43 @@ def plan_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     return join_cardinality_estimate(orders, cust, "o_custkey", "c_custkey")
+
+
+@query(
+    "plan_join_hotkeys",
+    """
+    WITH la AS (SELECT o_custkey AS k, COUNT(*) AS ca FROM orders GROUP BY 1),
+    lb AS (SELECT c_custkey AS k, COUNT(*) AS cb FROM customer GROUP BY 1)
+    SELECT la.k AS join_key,
+           CAST(la.ca AS BIGINT) AS left_rows,
+           CAST(lb.cb AS BIGINT) AS right_rows,
+           CAST(la.ca * lb.cb AS BIGINT) AS output_rows
+    FROM la JOIN lb USING (k)
+    ORDER BY output_rows DESC, join_key LIMIT 10
+    """,
+)
+def plan_join_hotkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join hot-key diagnosis: the 10 keys contributing the most output
+    rows (product of per-side counts) — the follow-up when
+    `plan_join_cardinality` predicts an explosion: these keys are what
+    `salted_join` scatters. Two keyed count aggregates + a count-sized
+    join; the fact tables are scanned once each."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    la = orders.groupBy(F.col("o_custkey").alias("join_key")).agg(
+        F.count(F.lit(1)).alias("left_rows")
+    )
+    lb = cust.groupBy(F.col("c_custkey").alias("join_key")).agg(
+        F.count(F.lit(1)).alias("right_rows")
+    )
+    return (
+        la.join(lb, "join_key")
+        .select(
+            "join_key",
+            "left_rows",
+            "right_rows",
+            (F.col("left_rows") * F.col("right_rows")).alias("output_rows"),
+        )
+        .orderBy(F.desc("output_rows"), F.asc("join_key"))
+        .limit(10)
+    )

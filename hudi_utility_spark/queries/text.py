@@ -1241,3 +1241,68 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "text_vocab_coverage",
+    f"""
+    WITH toks AS (
+        SELECT unnest({_BP_TOKS}) AS token FROM documents
+    ),
+    vocab AS (
+        SELECT token, COUNT(*) AS c,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rnk
+        FROM toks GROUP BY token
+    ),
+    n AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM vocab),
+    cum AS (
+        SELECT rnk, SUM(c) OVER (ORDER BY rnk) AS cum_c FROM vocab
+    )
+    SELECT k AS vocab_size,
+           ROUND(MAX(CASE WHEN rnk <= k THEN cum_c ELSE 0 END) / n.total, 6)
+               AS coverage
+    FROM cum, n, (SELECT unnest([10, 20, 30, 40]) AS k) ks
+    GROUP BY k, n.total
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: fraction of all corpus tokens covered
+    by the top-k vocabulary, k in {{10,20,30,40}} — the readout that
+    sizes a tokenizer's vocab (where the curve flattens, bigger vocab
+    buys nothing). Ranking and cumsum run over VOCAB rows (Zipf-
+    bounded), never the corpus."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(X.normalized(F.col("text")), " "), lambda t: t != "")
+        ).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    w_rnk = Window.orderBy(F.desc("c"), F.asc("token"))
+    ranked = vocab.withColumn("rnk", F.row_number().over(w_rnk))
+    n = ranked.agg(F.sum("c").cast("double").alias("total"))
+    cum = ranked.withColumn(
+        "cum_c",
+        F.sum("c").over(
+            Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    ks = spark.range(1, 5).select((F.col("id") * 10).cast("int").alias("vocab_size"))
+    return (
+        cum.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(n))
+        .groupBy("vocab_size", "total")
+        .agg(
+            F.round(
+                F.max(
+                    F.when(F.col("rnk") <= F.col("vocab_size"), F.col("cum_c"))
+                    .otherwise(0)
+                )
+                / F.col("total"),
+                6,
+            ).alias("coverage")
+        )
+        .select("vocab_size", "coverage")
+    )
