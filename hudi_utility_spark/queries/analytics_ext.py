@@ -1496,3 +1496,78 @@ def ts_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 3)
         .select("event_type", "hidx", F.round(z, 4).alias("z"))
     )
+
+
+@query(
+    "ev_engagement_gini",
+    """
+    WITH per_user AS (
+        SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+    ),
+    lvl AS (
+        SELECT c, COUNT(*) AS n_users FROM per_user GROUP BY c
+    ),
+    cum AS (
+        SELECT c, n_users,
+               SUM(n_users) OVER (ORDER BY c) AS cum_users,
+               SUM(c * n_users) OVER (ORDER BY c) AS cum_events
+        FROM lvl
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_users) AS DOUBLE) AS nu,
+               CAST(SUM(c * n_users) AS DOUBLE) AS ne
+        FROM lvl
+    )
+    SELECT CAST(t.nu AS BIGINT) AS n_users,
+           CAST(t.ne AS BIGINT) AS n_events,
+           ROUND(1 - SUM((cum_events + (cum_events - c * n_users))
+                         * n_users) / (t.nu * t.ne), 6) AS gini
+    FROM cum, tot t GROUP BY t.nu, t.ne
+    """,
+)
+def ev_engagement_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-inequality Gini over per-user event counts (trapezoid
+    rule on the Lorenz curve) — the 'do 1% of users produce 90% of
+    events' readout that decides whether per-user caps are needed
+    before training on behavioral data. Users collapse to
+    distinct-activity-LEVEL rows first (the KS/AUC trick), so the
+    ordered cumulative window runs over activity levels, never users."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    lvl = per_user.groupBy("c").agg(F.count(F.lit(1)).alias("n_users"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = lvl.select(
+        "c",
+        "n_users",
+        F.sum("n_users").over(w).alias("cum_users"),
+        F.sum(F.col("c") * F.col("n_users")).over(w).alias("cum_events"),
+    )
+    tot = lvl.agg(
+        F.sum("n_users").cast("double").alias("nu"),
+        F.sum(F.col("c") * F.col("n_users")).cast("double").alias("ne"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("nu", "ne")
+        .agg(
+            F.round(
+                1
+                - F.sum(
+                    (
+                        F.col("cum_events")
+                        + (F.col("cum_events") - F.col("c") * F.col("n_users"))
+                    )
+                    * F.col("n_users")
+                )
+                / (F.col("nu") * F.col("ne")),
+                6,
+            ).alias("gini")
+        )
+        .select(
+            F.col("nu").cast("long").alias("n_users"),
+            F.col("ne").cast("long").alias("n_events"),
+            "gini",
+        )
+    )
