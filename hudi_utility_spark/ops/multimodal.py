@@ -867,3 +867,39 @@ def incremental_dhash_gate(
             (F.col("n_store_matches") == 0) & (F.col("n_batch_matches") == 0),
         )
     )
+
+
+def audio_silence_stats(
+    df: DataFrame, threshold: int = 1000, payload_col: str = "payload"
+) -> DataFrame:
+    """Silence profiling over decoded PCM: count of samples with
+    |s| < threshold and the silent fraction — the voice-activity
+    pre-filter that drops dead-air recordings before a speech training
+    mix. Integer-exact numpy kernel over the REAL decoded samples
+    (same decode path as the QC stats); map-only Arrow stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf[payload_col]):
+                meta, pcm = _walk_wav(bytes(p))
+                samples = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+                silent = int((np.abs(samples) < threshold).sum())
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_samples_total": int(samples.size),
+                        "n_silent": silent,
+                    }
+                )
+            yield pd.DataFrame(rows)[
+                ["media_id", "n_samples_total", "n_silent"]
+            ]
+
+    # counts only — ratios belong downstream in engine SQL, where both
+    # engines share one rounding rule (Python round() is banker's)
+    return df.mapInPandas(
+        run, schema="media_id long, n_samples_total long, n_silent long"
+    )

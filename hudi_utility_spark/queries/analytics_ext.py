@@ -1571,3 +1571,39 @@ def ev_engagement_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gini",
         )
     )
+
+
+@query(
+    "ev_user_growth",
+    """
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT d, COUNT(*) AS new_users FROM first_seen GROUP BY d
+    )
+    SELECT CAST(strftime(d, '%Y-%m-%d') AS VARCHAR) AS day,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (ORDER BY d) AS BIGINT) AS cum_users
+    FROM daily
+    """,
+)
+def ev_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User growth curve: first-touch date per user (one keyed MIN),
+    new users per day, cumulative total — the acquisition chart. The
+    cumulative window runs over DAYS (calendar-bounded), never users
+    or events; dates cross the oracle as strings to dodge engine date
+    rendering differences."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d")
+    )
+    daily = first_seen.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )

@@ -713,3 +713,62 @@ def mm_incremental_dhash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = hashes.filter(F.col("media_id") < 30)
     batch = hashes.filter(F.col("media_id") >= 30)
     return M.incremental_dhash_gate(batch, store, max_hamming=2)
+
+
+@query(
+    "mm_audio_silence",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS h
+      FROM documents
+    ), q AS (
+      SELECT doc_id,
+             1 + h % 2 AS channels,
+             50 + h % 200 AS n_samples
+      FROM p
+    ), pcm AS (
+      SELECT q.doc_id,
+             MIN(q.n_samples * q.channels) AS n,
+             SUM(CASE WHEN ABS(((q.doc_id * 31 + 7 * t.i) % 65536) - 32768)
+                           < 1000 THEN 1 ELSE 0 END) AS silent
+      FROM q JOIN range(0, 500) t(i) ON t.i < q.n_samples * q.channels
+      GROUP BY q.doc_id
+    )
+    SELECT doc_id AS media_id,
+           CAST(n AS BIGINT) AS n_samples_total,
+           CAST(silent AS BIGINT) AS n_silent,
+           ROUND(silent / CAST(n AS DOUBLE), 6) AS silence_ratio
+    FROM pcm
+    """,
+)
+def mm_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity pre-filter over DECODED PCM: silent-sample count
+    (|s| < 1000) and silence fraction per file — dead-air detection
+    before a speech mix. The kernel emits integer counts; the ratio is
+    engine SQL on both sides (one shared rounding rule)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    params = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(*[F.lit(r) for r in (8000, 16000, 22050, 44100, 48000)]),
+            (h % 5).cast("int") + 1,
+        ).alias("sample_rate"),
+        (F.lit(1) + h % 2).alias("channels"),
+        (F.lit(50) + h % 200).alias("n_samples"),
+    )
+    stats = M.audio_silence_stats(M.synth_wav(params), threshold=1000)
+    return stats.select(
+        "media_id",
+        "n_samples_total",
+        "n_silent",
+        F.round(
+            F.col("n_silent") / F.col("n_samples_total").cast("double"), 6
+        ).alias("silence_ratio"),
+    )
