@@ -1021,21 +1021,29 @@ def bigram_backoff_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bigrams: int = 2000,
+    max_vocab: int = 5000,
     lam: float = 0.4,
 ) -> DataFrame:
     """Bigram language-model scoring with Stupid Backoff (Brants et al.
     2007 — the scheme invented FOR distributed LMs: no normalization
     pass, counts compose): S(w2|w1) = c(w1 w2)/c(w1) when the bigram is
-    in the pruned model, else lam * c(w2)/N. Per-doc mean negative
-    log-score is the fluency filter one notch above
-    :func:`unigram_logprob_score` — word-salad that passes a unigram
-    filter (common words, wrong order) scores high here.
+    in the pruned model, else lam * c(w2)/N for in-vocabulary w2, else
+    lam * 1/N (OOV floor — Stupid Backoff's own open-vocabulary
+    semantics: an unseen word gets the count-1 floor, never a zero).
+    Per-doc mean negative log-score is the fluency filter one notch
+    above :func:`unigram_logprob_score` — word-salad that passes a
+    unigram filter (common words, wrong order) scores high here.
 
-    Model economics at 100 TB: the bigram table is pruned to the top
-    ``max_bigrams`` (count desc, pair asc — deterministic), the unigram
-    table is Zipf-bounded vocabulary — both broadcast; the corpus pays
-    one map-only bigram extraction (array zip of adjacent tokens, no
-    self-join) plus two keyed count aggregates and the final doc-keyed
+    Model economics at 100 TB: BOTH model relations are pruned before
+    broadcast — the bigram table to the top ``max_bigrams`` and the
+    unigram vocabulary to the top ``max_vocab`` (count desc, key asc —
+    deterministic); a web-scale corpus's unigram table is itself
+    O(vocabulary) = hundreds of millions of rows, so broadcasting it
+    unpruned is a driver OOM. c(w1) for the hit branch is folded INTO
+    the pruned bigram table (exact counts, joined model-side where the
+    relation is ≤ ``max_bigrams`` rows), so the corpus-side pass is one
+    map-only bigram extraction (array zip of adjacent tokens, no
+    self-join) against two bounded broadcasts plus the final doc-keyed
     mean. N is the only scalar collected."""
     df = widen_for_compute(df)
     arr = F.filter(F.split(normalized(F.col(text_col)), " "), lambda t: t != "")
@@ -1053,7 +1061,17 @@ def bigram_backoff_score(
         F.explode(arr).alias("tok")
     )
     unigrams = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    n_total = float(unigrams.agg(F.sum("c")).collect()[0][0])
+    n_total = float(unigrams.agg(F.sum("c")).collect()[0][0] or 0)
+    ids = df.select(id_col)
+    if n_total == 0:
+        # token-free corpus: SUM over the empty unigram table is NULL —
+        # short-circuit rather than divide by the zero normalizer
+        return ids.select(
+            id_col,
+            F.lit(0).cast("long").alias("n_bigrams"),
+            F.lit(0).cast("long").alias("n_model_hits"),
+            F.lit(0.0).alias("avg_neg_logprob"),
+        )
     top_bg = (
         pairs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("cb"))
@@ -1061,11 +1079,17 @@ def bigram_backoff_score(
         .limit(max_bigrams)
     )
     u1 = unigrams.select(F.col("tok").alias("w1"), F.col("c").alias("c_prev"))
-    u2 = unigrams.select(F.col("tok").alias("w2"), F.col("c").alias("c_w"))
+    # fold exact c(w1) into the pruned bigram model: broadcast the
+    # ≤max_bigrams-row table against the full unigram relation (streams,
+    # never broadcast) — result stays ≤max_bigrams rows
+    bg_model = u1.join(F.broadcast(top_bg), "w1").select(
+        "w1", "w2", "cb", "c_prev"
+    )
+    top_uni = unigrams.orderBy(F.desc("c"), F.asc("tok")).limit(max_vocab)
+    u2 = top_uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_w"))
     scored_pos = (
-        pairs.join(F.broadcast(top_bg), ["w1", "w2"], "left")
-        .join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        pairs.join(F.broadcast(bg_model), ["w1", "w2"], "left")
+        .join(F.broadcast(u2), "w2", "left")
         .select(
             id_col,
             F.col("cb").isNotNull().cast("long").alias("hit"),
@@ -1074,7 +1098,12 @@ def bigram_backoff_score(
                 -F.log(F.col("cb") / F.col("c_prev")),
             )
             .otherwise(
-                -(F.log(F.lit(lam)) + F.log(F.col("c_w") / F.lit(n_total)))
+                -(
+                    F.log(F.lit(lam))
+                    + F.log(
+                        F.coalesce(F.col("c_w"), F.lit(1)) / F.lit(n_total)
+                    )
+                )
             )
             .alias("neg_logp"),
         )
@@ -1084,7 +1113,6 @@ def bigram_backoff_score(
         F.sum("hit").alias("n_model_hits"),
         F.round(F.avg("neg_logp"), 6).alias("avg_neg_logprob"),
     )
-    ids = df.select(id_col)
     return ids.join(per_doc, id_col, "left").select(
         id_col,
         F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),

@@ -1100,16 +1100,23 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT w1, w2, COUNT(*) AS cb FROM pairs GROUP BY w1, w2
         ORDER BY cb DESC, w1, w2 LIMIT 2000
     ),
+    bgmodel AS (
+        SELECT t.w1, t.w2, t.cb, u.c AS c_prev
+        FROM topbg t JOIN uni u ON t.w1 = u.tok
+    ),
+    topuni AS (
+        SELECT tok, c FROM uni ORDER BY c DESC, tok LIMIT 5000
+    ),
     scored AS (
         SELECT p.doc_id,
                CASE WHEN t.cb IS NOT NULL THEN 1 ELSE 0 END AS hit,
                CASE WHEN t.cb IS NOT NULL
-                    THEN -ln(t.cb / CAST(u1.c AS DOUBLE))
-                    ELSE -(ln(0.4) + ln(u2.c / n.n)) END AS neg_logp
+                    THEN -ln(t.cb / CAST(t.c_prev AS DOUBLE))
+                    ELSE -(ln(0.4) + ln(COALESCE(u2.c, 1) / n.n))
+               END AS neg_logp
         FROM pairs p
-        LEFT JOIN topbg t ON p.w1 = t.w1 AND p.w2 = t.w2
-        JOIN uni u1 ON p.w1 = u1.tok
-        JOIN uni u2 ON p.w2 = u2.tok, n
+        LEFT JOIN bgmodel t ON p.w1 = t.w1 AND p.w2 = t.w2
+        LEFT JOIN topuni u2 ON p.w2 = u2.tok, n
     ),
     per_doc AS (
         SELECT doc_id, COUNT(*) AS n_bigrams, SUM(hit) AS hits,
@@ -1125,12 +1132,15 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid-Backoff bigram fluency scoring (Brants et al. 2007): the
-    pruned top-2000 bigram table and the unigram vocabulary broadcast
-    onto a map-only adjacent-token zip; unseen bigrams back off to
-    lam*c(w)/N. The oracle refits and rescores the identical model in
-    SQL."""
+    pruned top-2000 bigram table (with exact c(w1) folded in model-side)
+    and the pruned top-5000 unigram vocabulary broadcast onto a map-only
+    adjacent-token zip; unseen bigrams back off to lam*c(w)/N with a
+    count-1 OOV floor for out-of-vocabulary w. Both broadcasts are
+    bounded by construction — at 100 TB the unpruned unigram table is
+    O(vocabulary) and would OOM the driver. The oracle refits and
+    rescores the identical pruned model in SQL."""
     d = load_table(spark, sf_dir, "documents")
-    return X.bigram_backoff_score(d, max_bigrams=2000, lam=0.4)
+    return X.bigram_backoff_score(d, max_bigrams=2000, max_vocab=5000, lam=0.4)
 
 
 @query(
