@@ -31,7 +31,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -161,18 +161,25 @@ def kmeans_parallel_init(
 
     Deterministic end to end: the per-point coin is an md5 uniform of
     (seed, round, id); a point joins the candidate set when
-    ``u * phi < l * d2(x)`` with ``phi`` the current potential ROUNDED
-    to 2 decimals on both engines (so an ulp of sum-order divergence
-    cannot flip a membership), and the final reduction is weighted
-    farthest-first traversal (heaviest candidate first, ties toward
-    the lower candidate index).
+    ``u * phi < l * d2(x)`` with ``phi`` ROUNDED to 2 decimals on both
+    engines (so an ulp of sum-order divergence cannot flip a
+    membership), and the final reduction is weighted farthest-first
+    traversal (heaviest candidate first, ties toward the lower
+    candidate index).
 
-    Scale: each round is one map-only d2 pass against a literal
-    candidate set + one scalar collect (phi) + one candidate collect
-    (expected l vectors — model-sized); the weight pass is one
-    map-only argmin + a k'-row count. Nothing data-sized ever reaches
-    the driver. Returns (k centroids, per-round diagnostics
-    [(round, n_new, n_total, phi)])."""
+    Scale: each round is ONE map-only d2 pass against a literal
+    candidate set — the candidate collect (expected l vectors,
+    model-sized) carries a ``df.observe`` named metric that measures
+    this round's potential on the same pass, and the NEXT round's coin
+    uses it (one-round-stale phi, which Bahmani's oversampling analysis
+    tolerates: a phi overestimate only tightens the coin slightly).
+    Only round 1 pays a separate scalar phi job (there is no earlier
+    pass to observe, and its d2 is against a single seed candidate —
+    the cheapest pass of the run). The weight pass is one map-only
+    argmin + a k'-row count. Nothing data-sized ever reaches the
+    driver. Returns (k centroids, per-round diagnostics
+    [(round, n_new, n_total, phi)] where phi is the potential MEASURED
+    that round — the value the next round's coin consumes)."""
     if l is None:
         l = 2 * k
     # persisted for the op's lifetime: rounds+1 actions read it; the op
@@ -185,14 +192,18 @@ def kmeans_parallel_init(
     cands: list[list[float]] = [[float(x) for x in seed_row.v]]
     cand_ids = {seed_row._id}
     diag: list[tuple[int, int, int, float]] = [(0, 1, 1, 0.0)]
+    prev_phi: float | None = None
     for r in range(1, rounds + 1):
         clit = _centroid_literal(cands)
         d2 = F.array_min(
             F.transform(clit, lambda s: _sq_dist(F.col("v"), s["c"]))
         )
-        phi = float(
-            emb.agg(F.round(F.sum(d2), 2)).collect()[0][0]
-        )
+        if prev_phi is None:
+            # round 1 only: no earlier pass to observe; d2 is against
+            # the single seed candidate, so this is the cheapest pass
+            phi = float(emb.agg(F.round(F.sum(d2), 2)).collect()[0][0])
+        else:
+            phi = prev_phi
         u48 = F.conv(
             F.substring(
                 F.md5(
@@ -207,11 +218,21 @@ def kmeans_parallel_init(
             10,
         ).cast("long")
         u = (u48 + F.lit(0.5)) / F.lit(float(1 << 48))
-        picked = (
-            emb.filter((u * F.lit(phi)) < (F.lit(float(l)) * d2))
-            .orderBy("_id")
-            .collect()
+        obs = Observation()
+        # no orderBy here: a distributed sort's range-partitioner runs a
+        # SAMPLING pass through the child, which would fire the observe
+        # metric twice (phi doubled); the picked set is expected-l rows,
+        # so the deterministic _id order is restored driver-side
+        picked = sorted(
+            emb.observe(obs, F.round(F.sum(d2), 2).alias("phi"))
+            .filter((u * F.lit(phi)) < (F.lit(float(l)) * d2))
+            .collect(),
+            key=lambda row: row._id,
         )
+        # potential w.r.t. THIS round's candidate set, measured on the
+        # collect pass itself — next round's coin consumes it
+        phi_here = float(obs.get["phi"])
+        prev_phi = phi_here
         new = [
             [float(x) for x in row.v]
             for row in picked
@@ -219,7 +240,7 @@ def kmeans_parallel_init(
         ]
         cand_ids.update(row._id for row in picked)
         cands.extend(new)
-        diag.append((r, len(new), len(cands), phi))
+        diag.append((r, len(new), len(cands), phi_here))
 
     # weight pass: points per nearest candidate (argmin, lower-cid ties)
     assigned = assign_clusters(

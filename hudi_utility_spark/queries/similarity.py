@@ -643,7 +643,11 @@ def _kmpar_oracle(rounds: int = 3, l: int = 16, seed: str = "kmpar") -> str:
     candidate relation, the ROUNDED potential, and the md5-coin
     selection — identical arithmetic to ops/cluster.py
     kmeans_parallel_init (candidate points have d2=0 and can never be
-    re-selected, so no explicit dedup is needed)."""
+    re-selected, so no explicit dedup is needed). Round r >= 2 uses the
+    PREVIOUS round's measured potential in the coin (the one-job-per-
+    round df.observe scheme: phi is measured on the collect pass and
+    consumed a round late — Bahmani-tolerated overestimate); the diag
+    row still reports the potential MEASURED that round (p{r})."""
     parts = [
         """
     WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -651,6 +655,7 @@ def _kmpar_oracle(rounds: int = 3, l: int = 16, seed: str = "kmpar") -> str:
     ]
     for r in range(1, rounds + 1):
         prev = f"c{r - 1}"
+        coin_phi = f"p{max(r - 1, 1)}"
         parts.append(
             f""",
     d{r} AS (
@@ -663,10 +668,10 @@ def _kmpar_oracle(rounds: int = 3, l: int = 16, seed: str = "kmpar") -> str:
     p{r} AS (SELECT ROUND(SUM(d2), 2) AS phi FROM d{r}),
     s{r} AS (
         SELECT d.vec_id, d.v
-        FROM d{r} d, p{r}
+        FROM d{r} d, {coin_phi}
         WHERE ((CAST(concat('0x', substring(md5('{seed}:{r}:' ||
                      CAST(d.vec_id AS VARCHAR)), 1, 12)) AS UBIGINT) + 0.5)
-               / 281474976710656.0) * p{r}.phi < {float(l)!r} * d.d2
+               / 281474976710656.0) * {coin_phi}.phi < {float(l)!r} * d.d2
     ),
     c{r} AS (SELECT vec_id, v FROM {prev} UNION ALL SELECT vec_id, v FROM s{r})"""
         )
