@@ -196,3 +196,70 @@ def src_synth_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "src_synth_stream_offsets",
+    """
+    WITH g AS (
+      SELECT i, CAST(i // 120 AS BIGINT) AS batch_id,
+             CAST(concat('0x', substr(md5(CAST(i AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS h
+      FROM range(0, 500) t(i)
+    )
+    SELECT batch_id,
+           COUNT(*) AS n_rows,
+           MIN(i) AS min_event_id,
+           MAX(i) AS max_event_id,
+           CAST(SUM(h % 1000) AS BIGINT) AS user_checksum
+    FROM g GROUP BY batch_id
+    """,
+)
+def src_synth_stream_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-micro-batch offset audit of the Python streaming source
+    (`SynthEventsDataSource`, sources.py): a REAL readStream run where
+    `foreachBatch` records each committed batch's (count, min/max
+    event_id, user-id checksum). The offset contract under test is the
+    one a Kafka-like replayable log gives a 100 TB ingest: batch b must
+    cover EXACTLY ids [b*rowsPerBatch, min((b+1)*rowsPerBatch, maxRows))
+    — no gaps, no overlaps, no drift — which the oracle regenerates
+    from range() + the same integer math. Complements
+    `src_synth_stream` (which checks the exactly-once aggregate over
+    the sunk rows) by pinning the batch BOUNDARIES themselves."""
+    import uuid
+
+    from hudi_utility_spark.sources import register_sources
+
+    register_sources(spark)
+    ckpt = _scratch(sf_dir, f"stream_off_ckpt_{uuid.uuid4().hex[:8]}")
+    acc: dict[int, tuple[int, int, int, int]] = {}
+
+    def audit(bdf, bid: int) -> None:
+        r = bdf.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("mn"),
+            F.max("event_id").alias("mx"),
+            F.sum("user_id").alias("uc"),
+        ).collect()[0]
+        if r.n:
+            # dict-keyed by batch id: a checkpoint replay of a batch
+            # overwrites with identical values instead of duplicating
+            acc[int(bid)] = (int(r.n), int(r.mn), int(r.mx), int(r.uc))
+
+    q = (
+        spark.readStream.format("synth_events")
+        .option("rowsPerBatch", 120)
+        .option("maxRows", 500)
+        .load()
+        .writeStream.foreachBatch(audit)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = [(bid, *v) for bid, v in sorted(acc.items())]
+    return spark.createDataFrame(
+        rows,
+        "batch_id bigint, n_rows bigint, min_event_id bigint, "
+        "max_event_id bigint, user_checksum bigint",
+    )
