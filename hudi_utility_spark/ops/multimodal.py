@@ -79,7 +79,14 @@ def decode_stub(payload: bytes, media_type: str, fake: bool, dim: int = 8) -> li
     (header parse + PCM stats via ``decode_wav``) regardless of *fake*;
     codec-requiring formats (jpeg/mp4/...) raise unless ``fake=True``
     because PIL/torchaudio/ffmpeg are absent from this container."""
-    if payload is not None and bytes(payload[:4]) == b"RIFF":
+    if (
+        payload is not None
+        and bytes(payload[:4]) == b"RIFF"
+        and bytes(payload[8:12]) == b"WAVE"
+    ):
+        # full magic: RIFF alone also matches WebP/AVI containers
+        # ('RIFF....WEBP'), which must fall through to the fake/raise
+        # path instead of the WAV chunk walker
         meta = decode_wav(bytes(payload))
         feats = [
             meta["sample_rate"] / 48000.0,
@@ -436,6 +443,14 @@ def audio_dominant_freq(df: DataFrame, payload_col: str = "payload") -> DataFram
                 samples = np.frombuffer(
                     data[: n * 2], dtype="<i2"
                 ).astype(np.float64)
+                # deinterleave: the FFT must see one sample per FRAME
+                # (channel mean), not the channel-interleaved byte
+                # stream — an interleaved stereo spectrum is not the
+                # signal's spectrum
+                if channels > 1:
+                    samples = samples[: n_frames * channels].reshape(
+                        -1, channels
+                    ).mean(axis=1)
                 mag = np.abs(np.fft.rfft(samples))
                 dom = int(np.argmax(mag[1:]) + 1) if len(mag) > 1 else 0
                 out["media_id"].append(int(mid))
@@ -445,7 +460,7 @@ def audio_dominant_freq(df: DataFrame, payload_col: str = "payload") -> DataFram
                 # UNROUNDED: callers round JVM-side (F.round is
                 # HALF_UP like SQL ROUND; Python round() is banker's
                 # and disagrees on exact ties, e.g. 1263.28125)
-                out["dominant_hz"].append(dom * rate / n)
+                out["dominant_hz"].append(dom * rate / n_frames)
             yield pd.DataFrame(out)
 
     return df.select("media_id", payload_col).mapInPandas(

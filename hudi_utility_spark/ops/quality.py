@@ -474,22 +474,25 @@ def dp_noisy_counts(
     df: DataFrame,
     group_cols: list[str],
     epsilon: float = 1.0,
-    seed: str = "dp",
+    *,
+    seed: str,
 ) -> DataFrame:
-    """Differentially-private count release (Laplace mechanism,
+    """Deterministically-seeded noisy count release (Laplace mechanism,
     sensitivity 1): each group's count is published as
-    count + Lap(1/epsilon) -- the standard (epsilon, 0)-DP histogram
-    release for sharing corpus composition stats without exposing
-    exact membership counts.
+    count + Lap(1/epsilon) -- the (epsilon, 0)-DP histogram shape for
+    sharing corpus composition stats without exposing exact membership
+    counts.
 
-    The noise draw is DETERMINISTIC -- u comes from the md5 of
-    (seed || group key) and the Laplace sample is the inverse CDF
-    -(1/eps)*sign(u-0.5)*ln(1-2*abs(u-0.5)) -- so re-runs, backfills,
-    and the DuckDB oracle reproduce the release bit-for-bit. A
-    production deployment would swap the seed for a fresh secret per
-    release epoch (determinism ACROSS releases leaks; determinism
-    WITHIN a release is what makes the pipeline testable and
-    idempotent).
+    ``seed`` is REQUIRED and must be a FRESH SECRET per real release:
+    the noise draw is a deterministic function of (seed, group key) --
+    u from the md5 of (seed || key), Laplace via the inverse CDF
+    -(1/eps)*sign(u-0.5)*ln(1-2*abs(u-0.5)) -- so anyone who knows or
+    can guess the seed can subtract the noise exactly and the DP
+    guarantee is VOID. Determinism WITHIN a release (same seed) is what
+    makes re-runs, backfills, and the DuckDB oracle reproduce the
+    release bit-for-bit; determinism ACROSS releases (reused seed)
+    leaks. There is deliberately no default seed so a caller cannot
+    ship a release without choosing one.
 
     Scale: one partial-aggregable groupBy; the noise is a map-only
     expression over the aggregated (tiny) relation. Only the noisy

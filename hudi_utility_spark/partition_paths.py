@@ -68,9 +68,23 @@ def partition_value_str(v) -> str | None:
             "partition column."
         )
     if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            # a tz-aware datetime would render an offset suffix
+            # ('+00:00') that rstrip('0') corrupts into a path matching
+            # no directory — the silent-skip flavor of the resurrect-
+            # tombstones bug. collect() hands this module naive values;
+            # reject direct callers rather than build a wrong path.
+            raise TypeError(
+                "tz-aware datetime partition values are unsupported: "
+                "render to a session-local naive timestamp first "
+                "(Spark's collected TimestampType rows are naive)."
+            )
         s = v.isoformat(sep=" ")
         if "." in s:
-            s = s.rstrip("0").rstrip(".")
+            # trim only the fractional segment, never the time digits
+            head, frac = s.rsplit(".", 1)
+            frac = frac.rstrip("0")
+            s = f"{head}.{frac}" if frac else head
         return s
     return str(v)
 

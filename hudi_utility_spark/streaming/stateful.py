@@ -158,7 +158,7 @@ def running_ewma_tws(
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._state = handle.getValueState("ewma_state", EWMA_STATE)
 
-        def handleInputRows(self, key, rows, timer_values):
+        def handleInputRows(self, key, rows, timerValues):
             if self._state.exists():
                 ewma, n = self._state.get()
             else:
@@ -271,7 +271,7 @@ def sessionize_tws(
             self._h = handle
             self._s = handle.getValueState("session", SESSION_STATE)
 
-        def handleInputRows(self, key, rows, timer_values: TimerValues):
+        def handleInputRows(self, key, rows, timerValues: TimerValues):
             cur = tuple(self._s.get()) if self._s.exists() else None
             ts_us: list[int] = []
             for pdf in rows:
@@ -289,11 +289,17 @@ def sessionize_tws(
             self._h.registerTimer((cur[1] + gap_us) // 1000)
 
         def handleExpiredTimer(
-            self, key, timer_values: TimerValues, expired: ExpiredTimerInfo
+            self,
+            key,
+            timerValues: TimerValues,
+            expiredTimerInfo: ExpiredTimerInfo,
         ):
+            # parameter names must match the runtime exactly: pyspark's
+            # stateful_processor_util invokes this hook with KEYWORD
+            # arguments (timerValues=, expiredTimerInfo=)
             if self._s.exists():
                 cur = tuple(self._s.get())
-                wm_us = timer_values.getCurrentWatermarkInMs() * 1000
+                wm_us = timerValues.getCurrentWatermarkInMs() * 1000
                 if wm_us >= cur[1] + gap_us:
                     self._s.clear()
                     yield _row(key[0], cur)

@@ -9,6 +9,33 @@ from hudi_utility_spark.tables import load_table
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# Make google.protobuf resolvable in the driver and the pyspark daemon
+# workers (transformWithStateInPandas state-server RPC) via the
+# tools/pyshim sitecustomize — must land in the environment BEFORE the
+# JVM/SparkSession is created so workers inherit it. No-op when a real
+# protobuf install exists (the shim appends, never shadows).
+_PYSHIM = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tools",
+    "pyshim",
+)
+if os.path.isdir(_PYSHIM):
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _PYSHIM not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{_pp}{os.pathsep}{_PYSHIM}" if _pp else _PYSHIM
+        )
+    # apply the shim to THIS process too (a sitecustomize from another
+    # sys.path entry may already occupy the module name, so exec the
+    # file directly instead of importing by name)
+    import importlib.util as _ilu
+
+    _spec = _ilu.spec_from_file_location(
+        "_hus_pyshim", os.path.join(_PYSHIM, "sitecustomize.py")
+    )
+    _mod = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_mod)
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -68,6 +68,16 @@ def test_decode_stub_gates_without_fake():
         M.decode_stub(b"\x00\x01", "image", fake=False)
 
 
+def test_decode_stub_non_wave_riff_takes_fake_path():
+    """A RIFF container that is not WAVE (WebP: 'RIFF....WEBP') must
+    route to the fake/raise path, not the WAV chunk walker."""
+    webp = b"RIFF" + (20).to_bytes(4, "little") + b"WEBPVP8 " + b"\x00" * 12
+    feats = M.decode_stub(webp, "image", fake=True, dim=8)
+    assert len(feats) == 8 and all(0.0 <= v < 1.0 for v in feats)
+    with pytest.raises(NotImplementedError):
+        M.decode_stub(webp, "image", fake=False)
+
+
 def test_resize_stub_and_frame_plan_shapes(spark, documents):
     media = M.attach_binary(documents.limit(10), "text", "doc_id", media_type="video")
     sized = M.resize_stub(media, target=(320, 240))
@@ -183,6 +193,21 @@ def test_audio_dominant_freq_recovers_synthesized_tone(spark):
     for i in range(8):
         assert rows[i]["dominant_bin"] == 5 + i
         assert abs(rows[i]["dominant_hz"] - (5 + i) * 8000 / 512) < 1e-9
+
+
+def test_audio_dominant_freq_deinterleaves_stereo(spark):
+    """For channels=2 the FFT must run over the per-FRAME channel mean,
+    not the interleaved byte stream — the interleaved spectrum of a
+    k-cycle tone is not at bin k of the frame-rate axis."""
+    params = spark.createDataFrame(
+        [(0, 8000, 2, 256, 7)],
+        "media_id long, sample_rate long, channels long, n_samples long, freq_bin long",
+    )
+    wav = M.synth_wav(params, waveform="sine")
+    r = M.audio_dominant_freq(wav).collect()[0]
+    assert r["n_samples"] == 256  # frames, not interleaved samples
+    assert r["dominant_bin"] == 7
+    assert abs(r["dominant_hz"] - 7 * 8000 / 256) < 1e-9
 
 
 def test_sine_pcm_quantization_and_range():

@@ -237,8 +237,8 @@ def test_dp_noisy_counts_deterministic_and_epsilon_scaled(spark):
     df = spark.createDataFrame(
         [(i, f"g{i % 4}") for i in range(400)], ["id", "grp"]
     )
-    r1 = {r.grp: r.noisy_count for r in dp_noisy_counts(df, ["grp"], 1.0).collect()}
-    r2 = {r.grp: r.noisy_count for r in dp_noisy_counts(df, ["grp"], 1.0).collect()}
+    r1 = {r.grp: r.noisy_count for r in dp_noisy_counts(df, ["grp"], 1.0, seed="dp").collect()}
+    r2 = {r.grp: r.noisy_count for r in dp_noisy_counts(df, ["grp"], 1.0, seed="dp").collect()}
     assert r1 == r2  # same seed -> identical release
     other = {r.grp: r.noisy_count for r in dp_noisy_counts(df, ["grp"], 1.0, seed="s2").collect()}
     assert r1 != other  # rotated seed -> fresh draws
@@ -246,7 +246,7 @@ def test_dp_noisy_counts_deterministic_and_epsilon_scaled(spark):
     assert all(abs(v - 100) < 40 for v in r1.values())
     assert any(abs(v - 100) > 1e-9 for v in r1.values())  # noise actually applied
     # smaller epsilon -> strictly larger noise magnitude (same u, scaled 10x)
-    loose = {r.grp: r.noisy_count for r in dp_noisy_counts(df, ["grp"], 0.1).collect()}
+    loose = {r.grp: r.noisy_count for r in dp_noisy_counts(df, ["grp"], 0.1, seed="dp").collect()}
     for g in r1:
         assert abs(loose[g] - 100) > abs(r1[g] - 100)
 

@@ -198,6 +198,23 @@ def test_timestamp_values_render_like_spark_trimmed():
         assert pp.partition_value_str(v) == want
 
 
+def test_tz_aware_datetimes_rejected_and_offsets_never_corrupted():
+    """rstrip('0') on an isoformat with a '+00:00' offset would eat the
+    offset's zeros and build a path matching no directory (silent leaf
+    skip). tz-aware values are rejected outright — collect() hands this
+    module naive timestamps."""
+    import datetime
+
+    aware = datetime.datetime(
+        2021, 1, 1, 0, 0, 0, 123000, tzinfo=datetime.timezone.utc
+    )
+    with pytest.raises(TypeError, match="tz-aware"):
+        pp.partition_value_str(aware)
+    # and the fractional trim never touches non-fraction digits
+    v = datetime.datetime(2024, 1, 2, 3, 4, 10, 500000)
+    assert pp.partition_value_str(v) == "2024-01-02 03:04:10.5"
+
+
 def test_float_partition_values_rejected():
     with pytest.raises(TypeError, match="float partition values"):
         pp.partition_value_str(1e20)

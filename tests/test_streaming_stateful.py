@@ -220,7 +220,9 @@ def test_tws_sessionizer_timers_close_idle_sessions(spark, tmp_path):
         (2, t0 + 5 * sec),       # user 2, one session
     ]
     sentinel = [(999, t0 + dt.timedelta(days=2))]
-    schema = "user_id long, ts timestamp"
+    # LTZ explicitly: the session default is TIMESTAMP_NTZ (session.py),
+    # but withWatermark requires the zoned TIMESTAMP type
+    schema = "user_id long, ts timestamp_ltz"
     src = str(tmp_path / "sess_src")
     spark.createDataFrame(data, schema).coalesce(1).write.parquet(src)
 
