@@ -287,3 +287,106 @@ def ols2_normal_equations(
         F.round(b2, 6).alias("b2"),
         F.round(1 - sse / sst, 6).alias("r2"),
     )
+
+
+def require_bounded_distinct(
+    df: DataFrame, max_distinct: int, context: str, hint: str
+) -> DataFrame:
+    """Cardinality guard for the collapse-then-window pattern: several
+    exact order statistics here (tie-aware AUC, the KS D-statistic)
+    collapse facts to per-distinct-value counts and then run ONE global
+    ordered window over that collapsed relation. That is only a scale
+    win while the collapsed relation is small — a continuous
+    double-precision score collapses to ~n rows and would silently
+    serialize a single-partition window sort. This guard pays one
+    aggregate-sized count() and fails LOUDLY with the quantization
+    escape hatch instead. ``df`` must already be the collapsed
+    (per-distinct-value) relation."""
+    n = df.count()
+    if n > max_distinct:
+        raise ValueError(
+            f"{context}: {n} distinct values exceeds the "
+            f"single-partition-window budget of {max_distinct}; {hint}"
+        )
+    return df
+
+
+def tie_aware_auc(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    *,
+    max_distinct: int = 1_000_000,
+    quantize_bins: int | None = None,
+) -> DataFrame:
+    """Distributed tie-aware AUC (Mann-Whitney U via average ranks)
+    over any (score, label) relation: rows collapse to per-distinct-
+    score (pos, neg, cnt) FIRST — one hash aggregate — so the ranking
+    window runs over score cardinality, never rows. Exact half-integer
+    rank arithmetic; returns one row (n_pos, n_neg, auc).
+
+    The bounded-cardinality guard and the quantization escape hatch
+    exist because a continuous score makes "collapse first" a no-op.
+
+    Continuous scores are the failure mode: their distinct count is
+    ~row count and the global ordered window would quietly become a
+    single-partition sort of the fact table. Two defenses, both
+    explicit: ``quantize_bins`` min-max-buckets the score into that
+    many equi-width bins before ranking (rank-order preserving within
+    the bin resolution — the standard monotone quantization, costs one
+    2-scalar agg), and ``max_distinct`` hard-fails when the collapsed
+    relation is still too large. No silent fallback."""
+    from pyspark.sql import functions as F
+
+    scored = scored.select(
+        F.col(score_col).cast("double").alias("score"),
+        F.col(label_col).cast("int").alias("label"),
+    )
+    if quantize_bins is not None:
+        if quantize_bins < 2:
+            raise ValueError("quantize_bins must be >= 2")
+        lo, hi = scored.agg(F.min("score"), F.max("score")).collect()[0]
+        if lo is None or hi is None or hi <= lo:
+            scored = scored.select(F.lit(0.0).alias("score"), "label")
+        else:
+            width = (hi - lo) / quantize_bins
+            scored = scored.select(
+                F.least(
+                    F.floor((F.col("score") - F.lit(lo)) / F.lit(width)),
+                    F.lit(quantize_bins - 1),
+                ).cast("double").alias("score"),
+                "label",
+            )
+    per_score = scored.groupBy("score").agg(
+        F.sum("label").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("label")).alias("neg"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    per_score = require_bounded_distinct(
+        per_score,
+        max_distinct,
+        "tie_aware_auc",
+        "pass quantize_bins=<k> to bucket the score before ranking",
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_score.withColumn(
+        "cum_before", F.sum("cnt").over(w) - F.col("cnt")
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.col("pos") * (F.col("cum_before") + (F.col("cnt") + 1) / 2.0)
+        ).alias("rank_sum"),
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+    )
+    return agg.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.round(
+            (F.col("rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos") * F.col("n_neg").cast("double")),
+            6,
+        ).alias("auc"),
+    )

@@ -712,8 +712,12 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FIRST (one hash aggregate), so the ordered cumulative window runs
     over the value-cardinality relation, never the facts; at 100 TB
     pre-bucket values (equi-width) to bound that cardinality and the
-    same plan holds."""
+    same plan holds. `require_bounded_distinct` enforces that bound —
+    a continuous value column fails loudly instead of silently
+    single-partition-sorting the fact table."""
     from pyspark.sql import Window
+
+    from hudi_utility_spark.ops.mlfit import require_bounded_distinct
 
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
@@ -721,6 +725,12 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = ev.groupBy("value").agg(
         F.sum((F.col("event_type") == "click").cast("long")).alias("ca"),
         F.sum((F.col("event_type") == "purchase").cast("long")).alias("cb"),
+    )
+    vals = require_bounded_distinct(
+        vals,
+        1_000_000,
+        "stat_ks_two_sample",
+        "pre-bucket the value column (equi-width) before the KS window",
     )
     tot = vals.agg(
         F.sum("ca").cast("double").alias("na"),
@@ -856,8 +866,10 @@ def ml_auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse that makes the KS test scale. Here: how well word count
     ranks long documents (a sanity label with a known-high AUC); any
     (score, label) pair drops in. Exact half-integer rank arithmetic —
-    no approximation to disagree over."""
-    from pyspark.sql import Window
+    no approximation to disagree over. The op carries the bounded-
+    cardinality guard + quantize_bins escape hatch that keep a
+    continuous score from silently serializing the ranking window."""
+    from hudi_utility_spark.ops.mlfit import tie_aware_auc
 
     d = load_table(spark, sf_dir, "documents")
     scored = d.select(
@@ -866,31 +878,7 @@ def ml_auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score"
         ),
     )
-    per_score = scored.groupBy("score").agg(
-        F.sum("label").alias("pos"),
-        (F.count(F.lit(1)) - F.sum("label")).alias("neg"),
-        F.count(F.lit(1)).alias("cnt"),
-    )
-    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
-    ranked = per_score.withColumn(
-        "cum_before", F.sum("cnt").over(w) - F.col("cnt")
-    )
-    agg = ranked.agg(
-        F.sum(
-            F.col("pos") * (F.col("cum_before") + (F.col("cnt") + 1) / 2.0)
-        ).alias("rank_sum"),
-        F.sum("pos").alias("n_pos"),
-        F.sum("neg").alias("n_neg"),
-    )
-    return agg.select(
-        F.col("n_pos").cast("long").alias("n_pos"),
-        F.col("n_neg").cast("long").alias("n_neg"),
-        F.round(
-            (F.col("rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
-            / (F.col("n_pos") * F.col("n_neg").cast("double")),
-            6,
-        ).alias("auc"),
-    )
+    return tie_aware_auc(scored)
 
 
 @query(
