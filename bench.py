@@ -1,8 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints the
-full JSON record {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...} (also written to BENCH_LOCAL.json),
-then a compact always-parseable summary as the LAST line.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], then one
+cold pass over every other registered query (disable with
+--headline-only). Prints the full JSON record {"metric": ...,
+"value": headline_total_sec, "unit": "sec", "queries": {name: sec},
+"tail_queries": {name: sec}, "sf": ...} (also written to
+BENCH_LOCAL.json), then a compact always-parseable summary as the LAST
+line.
 
 Materialization goes through the noop datasource sink — full JVM-side
 execution of every operator (a bare count() would let Catalyst prune the
@@ -171,7 +174,14 @@ def _clear_cache(spark) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # default: headline (warmed, the round-over-round metric) PLUS a
+    # single cold pass over every other registered query, so a
+    # regression in the long tail is visible in the recorded per-query
+    # times. --headline-only restores the old behavior; --all is
+    # accepted as an explicit alias of the default.
+    run_tail = "--headline-only" not in sys.argv
     timings: dict[str, float] = {}
+    tail_timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     try:
         spark = get_spark("bench")
@@ -198,6 +208,21 @@ def main() -> None:
                 timings[name] = round(elapsed, 3)
             else:
                 errors[name] = err
+
+        if run_tail:
+            # cold single-pass over the non-headline registry: times are
+            # NOT comparable to the warmed headline numbers (JVM codegen
+            # + Arrow worker spin-up included) but catch a tail query
+            # regressing from 1s to 60s, which was invisible before
+            for name in sorted(set(qs) - set(HEADLINE)):
+                start = time.perf_counter()
+                err = _run_once(qs, name, spark, sf_dir)
+                elapsed = time.perf_counter() - start
+                _clear_cache(spark)
+                if err is None:
+                    tail_timings[name] = round(elapsed, 3)
+                else:
+                    errors[name] = err
     except Exception:
         errors["__harness__"] = traceback.format_exc(limit=3).strip().splitlines()[-1][:300]
 
@@ -209,6 +234,9 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
+    if tail_timings:
+        out["tail_queries"] = tail_timings
+        out["tail_value"] = round(sum(tail_timings.values()), 3)
     if errors:
         out["errors"] = errors
     # The full per-query line is ~3.5 KB — longer than the driver's
@@ -234,6 +262,8 @@ def main() -> None:
         "unit": "sec",
         "sf": out["sf"],
         "n_queries": len(timings),
+        "n_tail_queries": len(tail_timings),
+        "tail_value": round(sum(tail_timings.values()), 3),
         "n_errors": len(errors),
         "queries": slowest,
         "queries_truncated": len(timings) > len(slowest),

@@ -55,6 +55,37 @@ _DEFAULTS = {
 }
 
 
+def _apply_pyshim() -> None:
+    """Make `google.protobuf` resolvable in this process AND the pyspark
+    daemon/runner workers (transformWithStateInPandas speaks protobuf to
+    the state server) by injecting tools/pyshim onto PYTHONPATH before
+    the JVM launches — workers inherit the env. No-op when the shim dir
+    is absent (e.g. installed as a bare package) or protobuf is already
+    importable; the shim itself appends, never shadows."""
+    import sys
+
+    shim = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "pyshim",
+    )
+    if not os.path.isfile(os.path.join(shim, "sitecustomize.py")):
+        return
+    pp = os.environ.get("PYTHONPATH", "")
+    if shim not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pp}{os.pathsep}{shim}" if pp else shim
+    try:
+        import importlib.util as ilu
+
+        spec = ilu.spec_from_file_location(
+            "_hus_pyshim", os.path.join(shim, "sitecustomize.py")
+        )
+        mod = ilu.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    except Exception:
+        pass
+
+
 def get_spark(app_name: str = "hudi_utility_spark", **conf: str) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's defaults.
 
@@ -62,6 +93,7 @@ def get_spark(app_name: str = "hudi_utility_spark", **conf: str) -> SparkSession
     environment (``local[$SPARK_GRAFT_CPUS]``) unless a master is already
     configured by the caller's environment (e.g. spark-submit on a cluster).
     """
+    _apply_pyshim()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name).master(
         os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")

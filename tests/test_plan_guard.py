@@ -94,3 +94,33 @@ def test_headline_plans_stay_jvm_side(spark, sf_dir):
         if re.search(r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas", plan):
             offenders.append(name)
     assert not offenders, offenders
+
+
+# max SHUFFLE-exchange budgets for the round-7 headline additions,
+# measured at the test SF (VERDICT r7 #8): a refactor that silently
+# adds an exchange to one of these fails here before it ships. Budgets
+# are the measured counts — not aspirational — so any increase is a
+# deliberate, reviewed change to this table. (Broadcast exchanges are
+# excluded: the dedup family's measured broadcast dispatch legitimately
+# varies with data size.)
+EXCHANGE_BUDGETS = {
+    "cluster_kmeans_parallel_init": 0,  # returns driver-built diag rows;
+    # rounds collect scalars + expected-l candidates only
+    "dedup_containment_pairs": 26,
+    "text_bigram_backoff": 20,
+    "text_bpe_encode": 2,
+    "stream_dedup_watermark": 2,
+}
+
+
+def test_r7_headline_exchange_budgets(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    over = []
+    for name, budget in EXCHANGE_BUDGETS.items():
+        plan = _plan(qs[name](spark, sf_dir))
+        shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+        if shuffles > budget:
+            over.append((name, shuffles, budget))
+    assert not over, f"shuffle-exchange budget exceeded: {over}"
