@@ -348,3 +348,107 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@query(
+    "stream_ewma_tws",
+    """
+    WITH ordered AS (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    )
+    SELECT user_id,
+           ROUND(SUM(CASE WHEN rn = 1 THEN POW(0.7, n - 1) * value
+                          ELSE 0.3 * POW(0.7, n - rn) * value END), 4) AS ewma,
+           MAX(n) AS n_events
+    FROM ordered GROUP BY user_id
+    """,
+)
+def stream_ewma_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ``transformWithStateInPandas`` execution, oracle-checked:
+    the per-key EWMA stateful processor (`streaming/stateful.py
+    running_ewma_tws` — named ValueState on the RocksDB store, protobuf
+    state-server RPC) runs over a genuine two-micro-batch readStream.
+    The corpus is split into two CONTIGUOUS (ts, event_id) halves
+    written as separate files ~1s apart (the file source triggers
+    oldest-modification-first, so batch order is the time order), which
+    forces the second batch to RE-READ batch 1's state — the actual
+    cross-batch state contract, not a single-batch simulation. Update-
+    mode emissions land in a memory sink; the final row per key (max
+    n_events — n strictly increases) must equal the closed-form batch
+    recursion the oracle states. Complements `stream_running_ewma`
+    (same math via the batch twin): this one exercises the stateful
+    runtime itself.
+
+    100 TB posture: state per key is two scalars hash-partitioned
+    across RocksDB stores (off-heap, incremental checkpoints); the
+    per-batch sort is within-key within-batch only."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid
+
+    from pyspark.sql import Window
+
+    from hudi_utility_spark.streaming.stateful import running_ewma_tws
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_utility_spark_q",
+        f"ewma_tws_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    half = ev.withColumn(
+        "_half", F.ntile(2).over(Window.orderBy("ts", "event_id"))
+    )
+    half.filter("_half = 1").drop("_half").coalesce(1).write.mode(
+        "append"
+    ).parquet(root)
+    _time.sleep(1.1)  # distinct mtimes -> deterministic trigger order
+    half.filter("_half = 2").drop("_half").coalesce(1).write.mode(
+        "append"
+    ).parquet(root)
+
+    sink = f"ewma_tws_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(root, "_ckpt")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(root)
+        )
+        q = (
+            running_ewma_tws(stream, alpha=0.3)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(sink)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select("user_id", F.round("ewma", 4).alias("ewma"), "n_events")
+    )
