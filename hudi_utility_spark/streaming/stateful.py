@@ -142,7 +142,9 @@ def running_ewma_tws(
     RocksDB provider — the caller sets it; this function cannot, since
     the conf is read at query start). Also requires ``google.protobuf``
     in the Python workers (transformWithState's state-server RPC is
-    protobuf-framed); the test suite skips when it is absent.
+    protobuf-framed — tools/pyshim supplies a vendored runtime when no
+    wheel is installed, so this path executes for real in CI and in the
+    registered `stream_ewma_tws` query).
 
     Scale: state per key is still two scalars; RocksDB keeps the state
     store off-heap and incrementally checkpointed, which is what makes
@@ -207,8 +209,10 @@ def fold_session_events(
     cur: tuple[int, int, int] | None, ts_us_sorted: list[int], gap_us: int
 ) -> tuple[list[tuple[int, int, int]], tuple[int, int, int] | None]:
     """Pure session fold shared by the stateful processor and its unit
-    tests (this sandbox lacks protobuf, so the TWS path itself only
-    runs where transformWithState can): events extend the open session
+    tests (the TWS path itself also runs for real here — the
+    tools/pyshim protobuf shim makes the state-server RPC importable,
+    and `stream_ewma_tws` is the oracle-checked streaming run): events
+    extend the open session
     within ``gap_us``, larger gaps close it. Returns (closed_sessions,
     open_session); sessions are (start_us, last_us, n)."""
     closed: list[tuple[int, int, int]] = []
