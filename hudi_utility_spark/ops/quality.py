@@ -699,3 +699,51 @@ def hll_union_estimate(sketches: list[DataFrame], p: int = 9) -> DataFrame:
             ).alias("est_union_distinct")
         )
     )
+
+
+def luhn_valid(col: Column) -> Column:
+    """Luhn mod-10 checksum validity of a digit-string column — the
+    check that separates a REAL payment-card number from a random digit
+    run, which is what turns regex PII detection (ops/text.py
+    redact_pii finds digit shapes) into low-false-positive PII
+    *classification*. Pure fused array expression: reverse the chars,
+    double every second digit from the right (subtracting 9 on
+    overflow), sum, mod 10 — zero Python, rides whole-stage codegen at
+    scan bandwidth. NULL/short inputs (< 13 digits, below any real
+    PAN) are invalid."""
+    digits = F.transform(F.reverse(F.split(col, "")), lambda c: c.cast("int"))
+    idx = F.sequence(F.lit(0), F.size(digits) - 1)
+    terms = F.zip_with(
+        digits,
+        idx,
+        lambda d, i: F.when(
+            i % 2 == 1, F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+        ).otherwise(d),
+    )
+    total = F.aggregate(terms, F.lit(0), lambda a, x: a + x)
+    return (
+        col.isNotNull()
+        & (F.length(col) >= 13)
+        & col.rlike("^[0-9]+$")
+        & (total % 10 == 0)
+    )
+
+
+def luhn_check_digit(base: Column) -> Column:
+    """The digit d making ``base || d`` Luhn-valid (ISO/IEC 7812 issue
+    side): the appended digit takes rightmost position, shifting every
+    base digit one position left — so doubling applies at EVEN reversed
+    indices of the base. Used by tests/oracles to PLANT known-valid and
+    known-invalid numbers; same fused-expression economics as
+    :func:`luhn_valid`."""
+    digits = F.transform(F.reverse(F.split(base, "")), lambda c: c.cast("int"))
+    idx = F.sequence(F.lit(0), F.size(digits) - 1)
+    terms = F.zip_with(
+        digits,
+        idx,
+        lambda d, i: F.when(
+            i % 2 == 0, F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+        ).otherwise(d),
+    )
+    total = F.aggregate(terms, F.lit(0), lambda a, x: a + x)
+    return (10 - total % 10) % 10

@@ -918,3 +918,75 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "empirical_rate"
         ),
     )
+
+
+@query(
+    "dq_luhn_payment_audit",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             concat('4', lpad(CAST(
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                      AS BIGINT) % 100000000000000 AS VARCHAR), 14, '0'))
+                 AS base
+      FROM documents
+    ), c AS (
+      SELECT doc_id, base,
+             (10 - list_sum(list_transform(range(0, 15), i ->
+                 CASE WHEN i % 2 = 0 THEN
+                   CASE WHEN CAST(base[15 - i] AS INT) * 2 > 9
+                        THEN CAST(base[15 - i] AS INT) * 2 - 9
+                        ELSE CAST(base[15 - i] AS INT) * 2 END
+                 ELSE CAST(base[15 - i] AS INT) END)) % 10) % 10 AS cd
+      FROM p
+    ), pans AS (
+      SELECT doc_id,
+             base || CAST(CASE WHEN doc_id % 2 = 0 THEN cd
+                          ELSE (cd + 1) % 10 END AS VARCHAR) AS pan
+      FROM c
+    )
+    SELECT doc_id,
+           right(pan, 4) AS pan_last4,
+           (list_sum(list_transform(range(0, 16), i ->
+               CASE WHEN i % 2 = 1 THEN
+                 CASE WHEN CAST(pan[16 - i] AS INT) * 2 > 9
+                      THEN CAST(pan[16 - i] AS INT) * 2 - 9
+                      ELSE CAST(pan[16 - i] AS INT) * 2 END
+               ELSE CAST(pan[16 - i] AS INT) END)) % 10 = 0) AS luhn_ok
+    FROM pans
+    """,
+)
+def dq_luhn_payment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated PII classification: Luhn mod-10 over planted
+    16-digit PANs — half issued with the CORRECT ISO 7812 check digit,
+    half off-by-one — detected with zero false positives/negatives by
+    construction (`luhn_ok` must equal `doc_id % 2 = 0` row for row,
+    and the value hash pins it). This is the step that upgrades regex
+    PII detection (digit-shape matching, `text_pii_redaction`) to
+    classification: a random 16-digit run passes a regex 100% of the
+    time but Luhn only 10%. Generation uses the check-DIGIT formula,
+    validation the full-sum formula — two independent derivations that
+    must agree in both engines. Everything is one fused map-only array
+    expression (reverse/zip_with/aggregate) — no Python, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    base = F.concat(
+        F.lit("4"),
+        F.lpad((h % F.lit(100000000000000)).cast("string"), 14, "0"),
+    )
+    cd = Q.luhn_check_digit(base)
+    pan = F.concat(
+        base,
+        F.when(F.col("doc_id") % 2 == 0, cd)
+        .otherwise((cd + 1) % 10)
+        .cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.substring(pan, 13, 4).alias("pan_last4"),
+        Q.luhn_valid(pan).alias("luhn_ok"),
+    )

@@ -300,3 +300,36 @@ def test_hll_sketch_merge_equals_sketch_of_union(spark):
     ).collect()[0].est_union_distinct
     assert merged_est == direct_est  # merge is LOSSLESS, not approximate
     assert abs(merged_est - 450) / 450 < 0.15  # ~4.6% expected at p=9
+
+
+def test_luhn_valid_and_check_digit(spark):
+    from pyspark.sql import functions as F
+
+    from hudi_utility_spark.ops.quality import luhn_check_digit, luhn_valid
+
+    cases = spark.createDataFrame(
+        [
+            ("4539578763621486", True),   # known-valid Visa test PAN
+            ("4539578763621487", False),  # off-by-one check digit
+            ("79927398713", False),       # Luhn-valid but < 13 digits
+            ("4539-5787-6362-1486", False),  # separators -> not digits
+            (None, False),
+        ],
+        "pan string, want boolean",
+    )
+    rows = cases.select("want", luhn_valid(F.col("pan")).alias("got")).collect()
+    assert all(r.want == r.got for r in rows)
+
+    # check-digit issue <-> full-sum validation agree over 200 bases
+    base = F.concat(
+        F.lit("5"),
+        F.lpad((F.col("id") * 48271 % 10**14).cast("string"), 14, "0"),
+    )
+    pan = F.concat(base, luhn_check_digit(base).cast("string"))
+    n_ok = (
+        spark.range(200)
+        .select(luhn_valid(pan).cast("int").alias("ok"))
+        .agg(F.sum("ok"))
+        .collect()[0][0]
+    )
+    assert n_ok == 200
