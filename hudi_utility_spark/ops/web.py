@@ -72,3 +72,26 @@ def registered_domain(host: Column) -> Column:
     table; the two-label rule is the dependency-free default.)
     """
     return F.regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+
+
+def host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a host down to the 2-label root, host first:
+    ``static.cdn.src5.org`` → ``[static.cdn.src5.org, cdn.src5.org,
+    src5.org]`` — the expansion that makes blocklist matching cover
+    SUBDOMAINS (a list entry blocks itself and everything under it,
+    public-suffix-list semantics) while staying a plain equi-join.
+
+    The array is bounded by the host's label count (realistically ≤ ~6),
+    so exploding it multiplies the relation by a small constant — the
+    standard trade that turns "endswith any of N patterns" (an N-way
+    scan per row, unjoinable) into hash-join work at 100 TB. Pure
+    array HOFs, no Python."""
+    labels = F.split(host, "\\.")
+    n = F.size(labels)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.array_join(F.slice(labels, i + 1, n - i), "."),
+        ),
+    ).otherwise(F.array(host))

@@ -254,3 +254,83 @@ def web_canonical_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+_SUB_HOST_SQL = """
+        (CASE doc_id % 3 WHEN 0 THEN 'm.' WHEN 1 THEN 'static.cdn.' ELSE '' END)
+        || 'src' || CAST(doc_id % 20 AS VARCHAR) || '.org'
+"""
+
+
+@query(
+    "web_blocklist_subdomains",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, ({_SUB_HOST_SQL}) AS host FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+             len(list_filter(
+                 list_transform(
+                     range(0, len(string_split(host, '.')) - 1),
+                     i -> array_to_string(
+                         list_slice(string_split(host, '.'), i + 1,
+                                    len(string_split(host, '.'))), '.')),
+                 x -> list_contains(
+                     ['src3.org', 'src11.org', 'cdn.src5.org'], x))) > 0
+                 AS blocked
+      FROM d
+    )
+    SELECT lang,
+           COUNT(*) AS docs,
+           CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+               AS blocked_docs
+    FROM s GROUP BY lang
+    """,
+)
+def web_blocklist_subdomains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subdomain-aware blocklist (public-suffix semantics): a list
+    entry blocks itself AND everything under it — `cdn.src5.org` must
+    catch `static.cdn.src5.org` while leaving bare `src5.org` alone.
+    The host explodes into its dot-suffixes (`ops/web.py
+    host_suffixes`, bounded by label count), suffixes equi-join the
+    BROADCAST blocklist, and matched doc ids distinct back onto the
+    corpus — the shape that stays hash-join work when the blocklist is
+    millions of rows, where a per-row endswith-any scan would not.
+    Per-language totals + blocked counts are the value-hashed readout
+    (the deterministic subdomain synthesis guarantees all three match
+    modes occur: exact root, exact subdomain entry, deeper subdomain
+    of an entry)."""
+    d = load_table(spark, sf_dir, "documents")
+    host = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("m."))
+        .when(F.col("doc_id") % 3 == 1, F.lit("static.cdn."))
+        .otherwise(F.lit("")),
+        F.lit("src"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".org"),
+    )
+    base = d.select("doc_id", "lang", host.alias("host"))
+    block = F.broadcast(
+        spark.createDataFrame(
+            [("src3.org",), ("src11.org",), ("cdn.src5.org",)],
+            "suf string",
+        )
+    )
+    exploded = base.select(
+        "doc_id", F.explode(web.host_suffixes(F.col("host"))).alias("suf")
+    )
+    blocked_ids = (
+        exploded.join(block, "suf").select("doc_id").distinct()
+        .withColumn("blocked", F.lit(1))
+    )
+    return (
+        base.join(blocked_ids, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.when(F.col("blocked").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("blocked_docs"),
+        )
+    )

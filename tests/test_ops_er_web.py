@@ -149,3 +149,23 @@ def test_bpe_encode_applies_merges_in_rank_order(spark):
     assert (out[1].n_words, out[1].n_bpe_tokens) == (3, 4)
     assert (out[2].n_words, out[2].n_bpe_tokens) == (0, 0)  # empty doc kept
     assert (out[3].n_words, out[3].n_bpe_tokens) == (1, 3)  # untouched word
+
+
+def test_host_suffixes_bounds_and_subdomain_matching(spark):
+    from pyspark.sql import functions as F
+
+    from hudi_utility_spark.ops.web import host_suffixes
+
+    df = spark.createDataFrame(
+        [("static.cdn.src5.org",), ("src5.org",), ("localhost",)], ["h"]
+    )
+    got = {r.h: r.s for r in df.select("h", host_suffixes(F.col("h")).alias("s")).collect()}
+    assert got["static.cdn.src5.org"] == [
+        "static.cdn.src5.org", "cdn.src5.org", "src5.org",
+    ]
+    assert got["src5.org"] == ["src5.org"]
+    assert got["localhost"] == ["localhost"]  # single label: no descend
+    # blocklist semantics: an entry blocks itself and subdomains only
+    blocked = {"cdn.src5.org"}
+    assert any(s in blocked for s in got["static.cdn.src5.org"])
+    assert not any(s in blocked for s in got["src5.org"])
