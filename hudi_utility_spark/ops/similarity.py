@@ -765,3 +765,79 @@ def sq8_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def margin_pair_mining(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ratio-margin cross-set pair mining (the CSLS / margin criterion
+    of Artetxe & Schwenk 2019, "Margin-based Parallel Corpus Mining"):
+    the best B-side match per A-vector scored by
+
+        margin(x, y) = cos(x, y) / ((r_B(x) + r_A(y)) / 2)
+
+    with ``r_S(v)`` the mean of v's top-``k`` cosines into set S. The
+    normalization is the point: raw cosine mines HUB vectors (points
+    close to everything — density artifacts) as universal matches;
+    dividing by both sides' local neighborhood density cancels hubness,
+    which is why margin, not cosine, is the standard criterion for
+    bitext mining and cross-lingual alignment.
+
+    Shape: A is the (bounded) probe set, broadcast against a streamed
+    B — the same eval-set contract as `hard_negatives`/`mmr_rerank`.
+    Both density terms come from ONE scored relation: r_B is a
+    per-anchor top-k mean (anchor-keyed window), r_A a per-candidate
+    top-k mean over the |A| probes. All cosines and means are rounded
+    to 6 before ranking so both engines rank identical doubles. At
+    full-corpus scale, block B by IVF cell (`assign_cells`) first so
+    the per-anchor candidate count is bounded — margin math is
+    unchanged within blocks."""
+    from pyspark.sql import Window
+
+    a = a_df.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).cast("array<double>").alias("av"),
+    )
+    b = b_df.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).cast("array<double>").alias("bv"),
+    )
+    p = b.crossJoin(F.broadcast(a)).select(
+        "a_id", "b_id", F.round(cosine(F.col("av"), F.col("bv")), 6).alias("c")
+    )
+    wa = Window.partitionBy("a_id").orderBy(F.desc("c"), F.asc("b_id"))
+    ra = (
+        p.withColumn("_rn", F.row_number().over(wa))
+        .filter(F.col("_rn") <= k)
+        .groupBy("a_id")
+        .agg(F.round(F.avg("c"), 6).alias("ra"))
+    )
+    wb = Window.partitionBy("b_id").orderBy(F.desc("c"), F.asc("a_id"))
+    rb = (
+        p.withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") <= k)
+        .groupBy("b_id")
+        .agg(F.round(F.avg("c"), 6).alias("rb"))
+    )
+    m = (
+        p.join(F.broadcast(ra), "a_id")
+        .join(rb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.col("c").alias("cos_sim"),
+            F.round(
+                F.col("c") / ((F.col("ra") + F.col("rb")) / 2.0), 6
+            ).alias("margin"),
+        )
+    )
+    wbest = Window.partitionBy("a_id").orderBy(F.desc("margin"), F.asc("b_id"))
+    return (
+        m.withColumn("_rn", F.row_number().over(wbest))
+        .filter("_rn = 1")
+        .drop("_rn")
+    )

@@ -824,3 +824,54 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return leg("ivf", ivf).unionByName(leg("sq8", sq8))
+
+
+@query(
+    "sim_margin_pairs",
+    """
+    WITH a AS (
+      SELECT vec_id AS a_id, embedding::DOUBLE[] AS av
+      FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 64
+    ),
+    b AS (
+      SELECT vec_id AS b_id, embedding::DOUBLE[] AS bv
+      FROM embeddings WHERE vec_id % 2 = 1
+    ),
+    p AS (
+      SELECT a_id, b_id, ROUND(list_cosine_similarity(av, bv), 6) AS c
+      FROM a, b
+    ),
+    ra AS (
+      SELECT a_id, ROUND(AVG(c), 6) AS r FROM (
+        SELECT a_id, c,
+               ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY c DESC, b_id) AS rn
+        FROM p) WHERE rn <= 4 GROUP BY a_id
+    ),
+    rb AS (
+      SELECT b_id, ROUND(AVG(c), 6) AS r FROM (
+        SELECT b_id, c,
+               ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY c DESC, a_id) AS rn
+        FROM p) WHERE rn <= 4 GROUP BY b_id
+    ),
+    m AS (
+      SELECT p.a_id, p.b_id, p.c AS cos_sim,
+             ROUND(p.c / ((ra.r + rb.r) / 2), 6) AS margin
+      FROM p JOIN ra USING (a_id) JOIN rb USING (b_id)
+    )
+    SELECT a_id, b_id, cos_sim, margin FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
+                                   ORDER BY margin DESC, b_id) AS rn
+      FROM m) WHERE rn = 1
+    """,
+)
+def sim_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based cross-set pair mining (`ops/similarity.py
+    margin_pair_mining` — the CSLS/ratio-margin criterion of bitext
+    mining): even vec_ids < 64 probe the odd-id side; each probe's best
+    match is scored by cosine over the mean of both endpoints' top-4
+    neighborhood cosines, cancelling hubness. The oracle replays the
+    full normalization (both density terms, both rankings) in SQL."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 64))
+    b = e.filter(F.col("vec_id") % 2 == 1)
+    return S.margin_pair_mining(a, b, k=4)

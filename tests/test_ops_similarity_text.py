@@ -650,3 +650,26 @@ def test_sq8_constant_dimension_reconstructs_exactly(spark):
     # constant dim contributes exactly 2.0*0.5; varying dim within a bin
     assert abs(out[1] - (1.0 + 1.0)) < 2.0 / 256 * 2
     assert abs(out[2] - (1.0 - 1.0)) < 2.0 / 256 * 2
+
+
+def test_margin_pair_mining_cancels_hubness(spark):
+    """The defining property of the margin criterion (Artetxe & Schwenk):
+    a HUB vector (moderately close to every probe) wins under raw
+    cosine, but its own high neighborhood density divides it away — the
+    true per-probe match wins under margin."""
+    from hudi_utility_spark.ops.similarity import margin_pair_mining
+
+    probes = [(i, [1.0 if d == i else 0.0 for d in range(4)]) for d in [0] for i in range(3)]
+    s = 0.8352245  # sqrt(1 - 0.55^2): unit-norm true matches
+    bs = [(10 + i, [0.55 if d == i else (s if d == 3 else 0.0) for d in range(4)]) for i in range(3)]
+    h = 0.5773503
+    bs.append((99, [h, h, h, 0.0]))  # the hub: cos 0.577 to EVERY probe
+    a = spark.createDataFrame(probes, "vec_id long, embedding array<double>")
+    b = spark.createDataFrame(bs, "vec_id long, embedding array<double>")
+
+    got = {r.a_id: r for r in margin_pair_mining(a, b, k=2).collect()}
+    for i in range(3):
+        assert got[i].b_id == 10 + i, f"probe {i}: margin must pick the true match"
+        assert got[i].margin > 1.2
+    # sanity: raw cosine WOULD have picked the hub (0.577 > 0.55)
+    assert all(abs(got[i].cos_sim - 0.55) < 1e-3 for i in range(3))
