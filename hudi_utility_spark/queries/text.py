@@ -1316,3 +1316,95 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vocab_size", "coverage")
     )
+
+
+@query(
+    "text_tokenizer_fertility",
+    _bpe_encode_oracle().replace(
+        """
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(p.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+        """,
+    chars AS (
+      SELECT doc_id, SUM(len(word)) AS n_chars_w FROM docw GROUP BY doc_id
+    ),
+    per_lang AS (
+      SELECT d.lang,
+             SUM(COALESCE(p.n_words, 0)) AS n_words,
+             SUM(COALESCE(p.n_bpe, 0)) AS n_bpe,
+             SUM(COALESCE(c.n_chars_w, 0)) AS n_chars_w
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+                       LEFT JOIN chars c USING (doc_id)
+      GROUP BY d.lang
+    )
+    SELECT lang,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
+           ROUND(CASE WHEN n_words > 0
+                      THEN CAST(n_bpe AS DOUBLE) / n_words ELSE 0 END, 6)
+               AS tokens_per_word,
+           ROUND(CASE WHEN n_bpe > 0
+                      THEN CAST(n_chars_w AS DOUBLE) / n_bpe ELSE 0 END, 6)
+               AS chars_per_token
+    FROM per_lang
+    """,
+    ),
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: tokens-per-word and chars-per-
+    token of the LEARNED BPE tokenizer, per language — THE readout for
+    tokenizer-vocabulary equity (a language whose fertility is 2x pays
+    2x the context budget and trains 2x slower per character; the
+    motivation behind byte-fallback and per-language vocab budgeting).
+    Composition of the distributed merge training, the map-only encode
+    chain, and a language-keyed rollup; the oracle replays train +
+    encode + rollup in one statement."""
+    d = load_table(spark, sf_dir, "documents")
+    merges = X.bpe_train_merges(d, n_merges=4, vocab_cap=200).collect()
+    pairs = [
+        tuple(r.pair.split("+", 1))
+        for r in sorted(merges, key=lambda r: r.merge_rank)
+    ]
+    enc = X.bpe_encode(d, pairs)
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z]+)"), 1)
+        ).alias("word"),
+    )
+    chars = words.groupBy("doc_id").agg(
+        F.sum(F.length("word")).alias("n_chars_w")
+    )
+    per_lang = (
+        d.select("doc_id", "lang")
+        .join(enc, "doc_id", "left")
+        .join(chars, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.coalesce("n_words", F.lit(0))).alias("n_words"),
+            F.sum(F.coalesce("n_bpe_tokens", F.lit(0))).alias("n_bpe"),
+            F.sum(F.coalesce("n_chars_w", F.lit(0))).alias("n_chars_w"),
+        )
+    )
+    return per_lang.select(
+        "lang",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_bpe").cast("long").alias("n_bpe_tokens"),
+        F.round(
+            F.when(
+                F.col("n_words") > 0,
+                F.col("n_bpe").cast("double") / F.col("n_words"),
+            ).otherwise(0.0),
+            6,
+        ).alias("tokens_per_word"),
+        F.round(
+            F.when(
+                F.col("n_bpe") > 0,
+                F.col("n_chars_w").cast("double") / F.col("n_bpe"),
+            ).otherwise(0.0),
+            6,
+        ).alias("chars_per_token"),
+    )
