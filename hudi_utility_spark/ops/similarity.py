@@ -841,3 +841,54 @@ def margin_pair_mining(
         .filter("_rn = 1")
         .drop("_rn")
     )
+
+
+def multiprobe_lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al. 2007): instead of more hash
+    tables, probe the query's own bucket PLUS every bucket at Hamming
+    distance 1 — the (planes+1)-probe schedule that recovers most of
+    the recall lost to sign-bit boundary flips at zero extra index
+    cost. The probe test is branch-free integer algebra: a candidate
+    is probed iff ``x = sketch XOR qsketch`` is 0 or a power of two
+    (``x & (x-1) == 0``) — one fused predicate over the sketch column,
+    pushable to a scan when sketches are materialized.
+
+    The query sketch is computed driver-side with the SAME sequential
+    fold order as the engine expression (`plane_component` is the
+    shared derivation), so both engines probe identical buckets.
+    Candidates rescore with exact cosine and TakeOrdered top-k — the
+    standard coarse-probe / exact-rescore contract every ANN operator
+    here follows. At 100 TB: sketches are a materialized 8-byte
+    column; probing is a scan-filter, never a join."""
+    qs = 0
+    for p in range(planes):
+        proj = 0.0
+        for d in range(len(query_vec)):
+            proj = proj + float(query_vec[d]) * plane_component(p, d)
+        if proj >= 0:
+            qs |= 1 << p
+    sk = random_hyperplane_sketch(df, planes, id_col, vec_col)
+    x = F.col("sketch").bitwiseXOR(F.lit(qs))
+    cand = sk.filter(
+        (x.bitwiseAND(x - 1) == 0) & (x < F.lit(1 << planes))
+    ).select(id_col)
+    qlit = F.array(*[F.lit(float(v)) for v in query_vec])
+    raw = cosine(F.col(vec_col).cast("array<double>"), qlit)
+    return (
+        df.join(cand, id_col)
+        .select(
+            F.col(id_col),
+            F.round(raw, 6).alias("score"),
+            raw.alias("_raw"),
+        )
+        .orderBy(F.desc("_raw"), F.asc(id_col))
+        .limit(k)
+        .drop("_raw")
+    )

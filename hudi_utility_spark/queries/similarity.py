@@ -875,3 +875,56 @@ def sim_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 64))
     b = e.filter(F.col("vec_id") % 2 == 1)
     return S.margin_pair_mining(a, b, k=4)
+
+
+def _multiprobe_oracle(planes: int = 10, dim: int = 64, k: int = 10) -> str:
+    """Sketch expression identical to `_sketch_oracle`'s (same literal
+    plane components, same left-associated fold), then the Hamming<=1
+    probe as integer algebra and an exact-cosine rescore."""
+    projs = []
+    for p in range(planes):
+        terms = " + ".join(
+            f"v[{d + 1}] * {S.plane_component(p, d)}" for d in range(dim)
+        )
+        projs.append(
+            f"CASE WHEN (0.0 + {terms}) >= 0 THEN CAST({1 << p} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END"
+        )
+    sketch = "\n             + ".join(projs)
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    sk AS (
+        SELECT vec_id, ({sketch}) AS sketch FROM vecs
+    ),
+    q AS (
+        SELECT s.sketch AS qs, v.v AS qv
+        FROM sk s JOIN vecs v USING (vec_id) WHERE vec_id = 0
+    ),
+    cand AS (
+        SELECT s.vec_id FROM sk s, q
+        WHERE (xor(s.sketch, q.qs) & (xor(s.sketch, q.qs) - 1)) = 0
+          AND xor(s.sketch, q.qs) < {1 << planes}
+    )
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+               AS score
+    FROM embeddings e JOIN cand USING (vec_id), q
+    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+             e.vec_id
+    LIMIT {k}
+    """
+
+
+@query("sim_multiprobe_lsh_topk", _multiprobe_oracle())
+def sim_multiprobe_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-10 (`ops/similarity.py multiprobe_lsh_topk`):
+    the query's sign-bit bucket plus all 10 Hamming-distance-1 buckets
+    probed via one branch-free integer predicate (x & (x-1) == 0 over
+    sketch XOR qsketch), exact cosine rescue of the candidates. The
+    oracle recomputes the identical sketches, probe set, and rescoring;
+    the pytest pins recall vs brute force above the single-bucket
+    variant."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.multiprobe_lsh_topk(e, _query_vec(spark, sf_dir), k=10, planes=10)
