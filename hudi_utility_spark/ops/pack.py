@@ -22,7 +22,7 @@ oracle-checkable:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -408,3 +408,102 @@ def temperature_sample(
         10,
     ).cast("long")
     return df.filter(uniform < thr_case)
+
+
+def hedge_mix_weights(
+    df: DataFrame,
+    loss: Column,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    rounds: int = 3,
+    eta: float = 0.5,
+    base_rate: float = 0.5,
+    seed: str = "mix",
+) -> DataFrame:
+    """Multiplicative-weights (Hedge) domain reweighting — the
+    optimization step of DoReMi-shaped training-mix tuning: domains
+    whose EVALUATED loss exceeds the cross-domain mean get upweighted,
+    eta-exponentially, round over round. Each round (1) draws a
+    deterministic md5-coin sample whose per-domain inclusion rate is
+    proportional to the CURRENT weight (so the evaluation feedback
+    genuinely changes as the mixture moves — the engine-side analogue
+    of re-evaluating the proxy model on the new mixture), (2) computes
+    per-domain mean loss over the sample in ONE filtered aggregate,
+    (3) collects k scalars and applies w <- w * exp(eta * excess),
+    rounded to 6dp so independent engines stay bit-aligned.
+
+    In a production DoReMi loop, step (2)'s loss column is the proxy
+    model's per-example excess loss; here it is any deterministic
+    per-row expression, which is what makes the full schedule
+    value-hash-checkable. Scale: per round one map-only filter + one
+    k-row aggregate; driver state is k weights. Nothing data-sized is
+    ever collected. Returns (domain, weight, p_mix, last_loss,
+    n_sampled_last) where last_* reflect the FINAL round's sample
+    (NULL/0 for a domain the final sample missed)."""
+    import math
+
+    domains = sorted(r[0] for r in df.select(domain_col).distinct().collect())
+    if not domains:
+        raise ValueError("hedge_mix_weights: no domains")
+    scored = df.select(
+        F.col(id_col), F.col(domain_col).alias("_dom"), loss.alias("_loss")
+    )
+    w = {d: 1.0 for d in domains}
+    final_obs: dict[str, tuple[float, int]] = {}
+    for t in range(1, rounds + 1):
+        mean_w = round(sum(w.values()) / len(w), 6)
+        wmap = F.create_map(
+            *[x for d in domains for x in (F.lit(d), F.lit(w[d]))]
+        )
+        wd = F.element_at(wmap, F.col("_dom"))
+        u48 = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(seed),
+                        F.lit(str(t)),
+                        F.col(id_col).cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        u = (u48 + F.lit(0.5)) / F.lit(float(1 << 48))
+        inc = u < F.least(
+            F.lit(1.0), F.lit(base_rate) * wd / F.lit(mean_w)
+        )
+        rows = (
+            scored.filter(inc)
+            .groupBy("_dom")
+            .agg(
+                F.round(F.avg("_loss"), 6).alias("l"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        obs = {r._dom: (float(r.l), int(r.n)) for r in rows}
+        final_obs = obs
+        if obs:
+            mean_l = round(sum(v[0] for v in obs.values()) / len(obs), 6)
+            for d, (lv, _n) in obs.items():
+                w[d] = round(w[d] * math.exp(eta * (lv - mean_l)), 6)
+    total = sum(w.values())
+    out = [
+        (
+            d,
+            w[d],
+            round(w[d] / total, 6),
+            final_obs.get(d, (None, 0))[0],
+            final_obs.get(d, (None, 0))[1],
+        )
+        for d in domains
+    ]
+    return df.sparkSession.createDataFrame(
+        out,
+        "domain string, weight double, p_mix double, "
+        "last_loss double, n_sampled_last long",
+    )

@@ -545,3 +545,68 @@ def rtr_pmi_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("term"))
         .limit(15)
     )
+
+
+def _hedge_oracle(rounds: int = 3, eta: float = 0.5, base_rate: float = 0.5) -> str:
+    """Unrolled Hedge rounds: per round, the weight-proportional md5
+    sample, the per-domain mean-loss aggregate, and the rounded
+    multiplicative update — arithmetic identical to ops/pack.py
+    hedge_mix_weights (weights and losses rounded to 6dp every round
+    so both engines carry identical doubles)."""
+    parts = [
+        """
+    WITH doms AS (SELECT DISTINCT source FROM documents),
+    d0 AS (
+      SELECT doc_id, source,
+             ROUND(1.0 / (1.0 + n_chars / 500.0), 6) AS loss
+      FROM documents
+    ),
+    w0 AS (SELECT source, 1.0 AS w FROM doms)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+    mw{t} AS (SELECT ROUND(AVG(w), 6) AS mw FROM w{t - 1}),
+    s{t} AS (
+      SELECT d.source, ROUND(AVG(d.loss), 6) AS l, COUNT(*) AS n
+      FROM d0 d JOIN w{t - 1} wt ON d.source = wt.source, mw{t}
+      WHERE ((CAST(concat('0x', substr(md5('mix:{t}:' ||
+                   CAST(d.doc_id AS VARCHAR)), 1, 12)) AS UBIGINT) + 0.5)
+             / 281474976710656.0)
+            < LEAST(1.0, {base_rate!r} * wt.w / mw{t}.mw)
+      GROUP BY d.source
+    ),
+    ml{t} AS (SELECT ROUND(AVG(l), 6) AS ml FROM s{t}),
+    w{t} AS (
+      SELECT w.source,
+             CASE WHEN s.l IS NOT NULL
+                  THEN ROUND(w.w * exp({eta!r} * (s.l - ml.ml)), 6)
+                  ELSE w.w END AS w
+      FROM w{t - 1} w LEFT JOIN s{t} s ON w.source = s.source, ml{t} ml
+    )"""
+        )
+    parts.append(
+        f""",
+    tot AS (SELECT SUM(w) AS tw FROM w{rounds})
+    SELECT w.source AS domain, w.w AS weight,
+           ROUND(w.w / tot.tw, 6) AS p_mix,
+           s.l AS last_loss,
+           CAST(COALESCE(s.n, 0) AS BIGINT) AS n_sampled_last
+    FROM w{rounds} w LEFT JOIN s{rounds} s ON w.source = s.source, tot"""
+    )
+    return "".join(parts)
+
+
+@query("pack_hedge_mix_weights", _hedge_oracle())
+def pack_hedge_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative-weights (Hedge) domain-mixture optimization
+    (`ops/pack.py hedge_mix_weights` — the DoReMi-shaped reweighting
+    step): three rounds of weight-proportional deterministic sampling,
+    per-domain mean loss in one filtered aggregate each, and the
+    rounded exponential update; short-document-heavy sources end up
+    upweighted. Completes the training-mix family: `pack_training_mix`/
+    `pack_temperature_sample` APPLY given weights, this op LEARNS them
+    from evaluated loss. The oracle unrolls the identical schedule."""
+    d = load_table(spark, sf_dir, "documents")
+    loss = F.round(1.0 / (1.0 + F.col("n_chars") / 500.0), 6)
+    return PK.hedge_mix_weights(d, loss, rounds=3, eta=0.5, base_rate=0.5)

@@ -297,3 +297,25 @@ def test_phrase_match_overlaps_and_missing_terms(spark):
 
     tri = {r.doc_id: r for r in phrase_match(idx, "a a a").collect()}
     assert (tri[1].n_matches, tri[1].first_pos) == (1, 1)
+
+
+def test_hedge_mix_weights_upweights_high_loss_domains(spark):
+    from pyspark.sql import functions as F
+
+    from hudi_utility_spark.ops.pack import hedge_mix_weights
+
+    # domain 'hard' has strictly higher per-doc loss than 'easy'
+    rows = [(i, "hard" if i < 40 else "easy", 0.9 if i < 40 else 0.1)
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, l double")
+    out = {r.domain: r for r in hedge_mix_weights(
+        df, F.col("l"), rounds=3, eta=0.5, base_rate=0.9
+    ).collect()}
+    assert out["hard"].weight > 1.0 > out["easy"].weight
+    assert out["hard"].p_mix > 0.5 > out["easy"].p_mix
+    assert abs(out["hard"].p_mix + out["easy"].p_mix - 1.0) < 1e-5
+    # determinism: the full schedule replays identically
+    again = {r.domain: r.weight for r in hedge_mix_weights(
+        df, F.col("l"), rounds=3, eta=0.5, base_rate=0.9
+    ).collect()}
+    assert again == {d: r.weight for d, r in out.items()}
