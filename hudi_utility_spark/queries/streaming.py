@@ -452,3 +452,37 @@ def stream_ewma_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("_rn = 1")
         .select("user_id", F.round("ewma", 4).alias("ewma"), "n_events")
     )
+
+
+@query(
+    "stream_interval_join_outer",
+    """
+    SELECT c.user_id AS user_id,
+           c.event_id AS lead_id,
+           p.event_id AS follow_id,
+           CASE WHEN p.event_id IS NOT NULL
+                THEN epoch_us(p.ts) - epoch_us(c.ts) END AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase ABANDONMENT readout: the left-outer interval join
+    — clicks with no purchase inside the gap survive with NULL follow
+    columns (the rows a remarketing pipeline actually wants). Batch
+    twin of the streaming outer join, whose real append-mode run
+    (watermarks both sides, NULL rows emitted when the watermark passes
+    lead+gap, state evicted) is exercised in
+    tests/test_streaming_joins.py."""
+    from hudi_utility_spark.streaming.joins import followed_within
+
+    ev = load_table(spark, sf_dir, "events")
+    return followed_within(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        gap_seconds=1800,
+        how="left_outer",
+    )

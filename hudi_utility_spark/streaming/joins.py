@@ -59,9 +59,18 @@ def followed_within(
     ts_col: str = "ts",
     gap_seconds: int = 1800,
     watermark: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner join: (lead, follow) pairs with the same *key* where the
-    follow event lands in ``(lead_ts, lead_ts + gap_seconds]``.
+    """(lead, follow) pairs with the same *key* where the follow event
+    lands in ``(lead_ts, lead_ts + gap_seconds]``.
+
+    ``how="inner"`` is the conversion funnel; ``how="left_outer"`` is
+    the ABANDONMENT readout — leads with no follow inside the gap
+    survive with NULL follow columns. In streaming, outer rows emit
+    once the watermark passes ``lead_ts + gap`` (the state store then
+    KNOWS no match can still arrive — this is why outer stream-stream
+    joins require both the watermark and the two-sided time bound; the
+    runtime schedules no-data batches to flush evicted state).
 
     Pass ``watermark`` when both inputs are streaming — it is applied to
     both sides, and with the two-sided time bound below makes the join
@@ -91,11 +100,14 @@ def followed_within(
         )
     )
     return (
-        lead.join(follow, cond, "inner")
+        lead.join(follow, cond, how)
         .select(
             key,
             "lead_id",
             "follow_id",
-            (us("follow_ts") - us("lead_ts")).alias("gap_us"),
+            F.when(
+                F.col("follow_id").isNotNull(),
+                us("follow_ts") - us("lead_ts"),
+            ).alias("gap_us"),
         )
     )
