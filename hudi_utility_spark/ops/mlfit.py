@@ -390,3 +390,175 @@ def tie_aware_auc(
             6,
         ).alias("auc"),
     )
+
+
+def pr_curve(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    *,
+    max_distinct: int = 1_000_000,
+    quantize_bins: int | None = None,
+) -> DataFrame:
+    """Precision/recall/F1 at EVERY distinct decision threshold — the
+    threshold-sweep companion to :func:`tie_aware_auc` (AUC answers
+    "does the score separate"; the PR curve answers "where do I put the
+    cutoff"). Same scale shape: facts collapse to per-distinct-score
+    (pos, neg) counts in one hash aggregate, then a single descending
+    cumulative window over the COLLAPSED relation yields tp/fp for the
+    rule "predict positive when score >= threshold" — the window runs
+    over score cardinality, never rows, and the same bounded-
+    cardinality guard + ``quantize_bins`` escape hatch apply.
+
+    Returns one row per threshold: (threshold, tp, fp, precision,
+    recall, f1), zero-filled (not NULL/NaN) when a cutoff admits no
+    predictions so both engines agree on the degenerate top bin.
+    """
+    from pyspark.sql import Window, functions as F
+
+    per_score = _collapse_scored(
+        scored,
+        score_col,
+        label_col,
+        max_distinct=max_distinct,
+        quantize_bins=quantize_bins,
+        context="pr_curve",
+    )
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = per_score.agg(F.sum("pos").cast("double").alias("n_pos"))
+    cum = per_score.select(
+        F.col("score").alias("threshold"),
+        F.sum("pos").over(w).alias("tp"),
+        F.sum("neg").over(w).alias("fp"),
+    )
+    prec = F.when(F.col("tp") + F.col("fp") == 0, F.lit(0.0)).otherwise(
+        F.col("tp") / (F.col("tp") + F.col("fp")).cast("double")
+    )
+    rec = F.when(F.col("n_pos") == 0, F.lit(0.0)).otherwise(
+        F.col("tp") / F.col("n_pos")
+    )
+    f1 = F.when(prec + rec == 0, F.lit(0.0)).otherwise(
+        2 * prec * rec / (prec + rec)
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "threshold",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def mann_whitney_u(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    *,
+    max_distinct: int = 1_000_000,
+    quantize_bins: int | None = None,
+) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) with the normal
+    approximation and the EXACT tie correction — the rank-based "are
+    these two distributions shifted" test that pairs with the KS
+    D-statistic (KS sees shape, U sees location). Identical distributed
+    shape to :func:`tie_aware_auc` (U and AUC are the same statistic up
+    to normalization): collapse facts to per-distinct-score counts,
+    one ordered window over the collapsed relation, half-integer
+    average ranks, and the tie term SUM(cnt^3 - cnt) falls out of the
+    same aggregate for free. No continuity correction (both engines
+    must agree bit-for-bit; document the convention instead).
+
+    Returns one row: (n_pos, n_neg, u_stat, z_score) where u_stat is
+    U for the label=1 sample.
+    """
+    from pyspark.sql import Window, functions as F
+
+    per_score = _collapse_scored(
+        scored,
+        score_col,
+        label_col,
+        max_distinct=max_distinct,
+        quantize_bins=quantize_bins,
+        context="mann_whitney_u",
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_score.withColumn(
+        "cum_before", F.sum("cnt").over(w) - F.col("cnt")
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.col("pos") * (F.col("cum_before") + (F.col("cnt") + 1) / 2.0)
+        ).alias("rank_sum"),
+        F.sum("pos").alias("n1"),
+        F.sum("neg").alias("n2"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie_term"),
+    )
+    n = F.col("n1") + F.col("n2")
+    u = F.col("rank_sum") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    mu = F.col("n1") * F.col("n2") / 2.0
+    sigma = F.sqrt(
+        F.col("n1")
+        * F.col("n2")
+        / 12.0
+        * ((n + 1) - F.col("tie_term") / (n * (n - 1)).cast("double"))
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n_pos"),
+        F.col("n2").cast("long").alias("n_neg"),
+        F.round(u, 6).alias("u_stat"),
+        F.round((u - mu) / sigma, 6).alias("z_score"),
+    )
+
+
+def _collapse_scored(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    max_distinct: int,
+    quantize_bins: int | None,
+    context: str,
+) -> DataFrame:
+    """Shared first stage of the exact rank statistics (AUC, PR curve,
+    Mann-Whitney): cast, optionally quantize (monotone equi-width bins
+    — one 2-scalar agg), collapse to per-distinct-score
+    (score, pos, neg, cnt) via one hash aggregate, and enforce the
+    bounded-cardinality guard so a continuous score fails loudly
+    instead of silently single-partition-sorting the fact table."""
+    from pyspark.sql import functions as F
+
+    scored = scored.select(
+        F.col(score_col).cast("double").alias("score"),
+        F.col(label_col).cast("int").alias("label"),
+    )
+    if quantize_bins is not None:
+        if quantize_bins < 2:
+            raise ValueError("quantize_bins must be >= 2")
+        lo, hi = scored.agg(F.min("score"), F.max("score")).collect()[0]
+        if lo is None or hi is None or hi <= lo:
+            scored = scored.select(F.lit(0.0).alias("score"), "label")
+        else:
+            width = (hi - lo) / quantize_bins
+            scored = scored.select(
+                F.least(
+                    F.floor((F.col("score") - F.lit(lo)) / F.lit(width)),
+                    F.lit(quantize_bins - 1),
+                ).cast("double").alias("score"),
+                "label",
+            )
+    per_score = scored.groupBy("score").agg(
+        F.sum("label").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("label")).alias("neg"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return require_bounded_distinct(
+        per_score,
+        max_distinct,
+        context,
+        "pass quantize_bins=<k> to bucket the score before ranking",
+    )

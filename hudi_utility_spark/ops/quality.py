@@ -747,3 +747,62 @@ def luhn_check_digit(base: Column) -> Column:
     )
     total = F.aggregate(terms, F.lit(0), lambda a, x: a + x)
     return (10 - total % 10) % 10
+
+
+def cohen_kappa(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    *,
+    max_categories: int = 10_000,
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two raters
+    (label pipelines, annotator pools, a heuristic vs a model) over the
+    same items: kappa = (p_o - p_e) / (1 - p_e) where p_o is observed
+    agreement and p_e the agreement two INDEPENDENT raters with these
+    marginals would reach by luck. The labeled-data QC gate: raw
+    agreement flatters any skewed label distribution; kappa doesn't.
+
+    Distributed shape: the item table collapses to the k x k confusion
+    relation in one hash aggregate; p_o is a conditional sum over it,
+    p_e an inner join of the two k-row marginals on category — every
+    post-collapse relation is category-sized, nothing row-sized moves
+    after the first pass. A guard bounds k (a continuous "category"
+    is a caller bug and fails loudly).
+
+    Returns one row: (n, po, pe, kappa), rounded to 6 places.
+    """
+    from hudi_utility_spark.ops.mlfit import require_bounded_distinct
+
+    pairs = df.groupBy(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = require_bounded_distinct(
+        pairs,
+        max_categories,
+        "cohen_kappa",
+        "rater columns must be categorical; bucket continuous labels first",
+    )
+    tot = pairs.agg(
+        F.sum("cnt").cast("double").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("cnt")).otherwise(0))
+        .cast("double")
+        .alias("agree"),
+    )
+    ma = pairs.groupBy(F.col("a").alias("cat")).agg(
+        F.sum("cnt").alias("na")
+    )
+    mb = pairs.groupBy(F.col("b").alias("cat")).agg(
+        F.sum("cnt").alias("nb")
+    )
+    cross = ma.join(mb, "cat").agg(
+        F.sum(F.col("na") * F.col("nb")).cast("double").alias("cross_sum")
+    )
+    po = F.col("agree") / F.col("n")
+    pe = F.col("cross_sum") / (F.col("n") * F.col("n"))
+    return tot.crossJoin(F.broadcast(cross)).select(
+        F.col("n").cast("long").alias("n"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )

@@ -990,3 +990,164 @@ def dq_luhn_payment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(pan, 13, 4).alias("pan_last4"),
         Q.luhn_valid(pan).alias("luhn_ok"),
     )
+
+
+@query(
+    "ml_pr_curve",
+    """
+    WITH scored AS (
+        SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS label,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                   AS score
+        FROM documents
+    ),
+    per_score AS (
+        SELECT score,
+               SUM(label) AS pos,
+               COUNT(*) - SUM(label) AS neg
+        FROM scored GROUP BY score
+    ),
+    tot AS (SELECT CAST(SUM(pos) AS DOUBLE) AS n_pos FROM per_score),
+    cum AS (
+        SELECT score AS threshold,
+               SUM(pos) OVER (ORDER BY score DESC) AS tp,
+               SUM(neg) OVER (ORDER BY score DESC) AS fp
+        FROM per_score
+    ),
+    pr AS (
+        SELECT threshold, tp, fp,
+               CASE WHEN tp + fp = 0 THEN 0.0
+                    ELSE tp / CAST(tp + fp AS DOUBLE) END AS p,
+               CASE WHEN t.n_pos = 0 THEN 0.0 ELSE tp / t.n_pos END AS r
+        FROM cum, tot t
+    )
+    SELECT threshold,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp,
+           ROUND(p, 6) AS "precision",
+           ROUND(r, 6) AS recall,
+           ROUND(CASE WHEN p + r = 0 THEN 0.0
+                      ELSE 2 * p * r / (p + r) END, 6) AS f1
+    FROM pr
+    """,
+)
+def ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 at every distinct cutoff of the word-count
+    signal against the long-document label — the threshold sweep read
+    NEXT TO `ml_auc_score` when picking a filter's operating point.
+    Facts collapse to per-distinct-score counts first; the descending
+    cumulative window runs over score cardinality (guarded, quantizable)
+    — never rows."""
+    from hudi_utility_spark.ops.mlfit import pr_curve
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("label"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("double")
+        .alias("score"),
+    )
+    return pr_curve(scored)
+
+
+@query(
+    "stat_mann_whitney",
+    """
+    WITH scored AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                   AS score
+        FROM documents
+    ),
+    per_score AS (
+        SELECT score,
+               SUM(label) AS pos,
+               COUNT(*) - SUM(label) AS neg,
+               COUNT(*) AS cnt
+        FROM scored GROUP BY score
+    ),
+    ranked AS (
+        SELECT pos, neg, cnt,
+               SUM(cnt) OVER (ORDER BY score) - cnt AS cum_before
+        FROM per_score
+    ),
+    agg AS (
+        SELECT SUM(pos * (cum_before + (cnt + 1) / 2.0)) AS rank_sum,
+               SUM(pos) AS n1, SUM(neg) AS n2,
+               SUM(cnt * cnt * cnt - cnt) AS tie_term
+        FROM ranked
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_pos,
+           CAST(n2 AS BIGINT) AS n_neg,
+           ROUND(rank_sum - n1 * (n1 + 1) / 2.0, 6) AS u_stat,
+           ROUND((rank_sum - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                 / sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1)
+                        - tie_term / CAST((n1 + n2) * (n1 + n2 - 1)
+                                          AS DOUBLE))), 6) AS z_score
+    FROM agg
+    """,
+)
+def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U with exact tie correction: are English documents'
+    word counts shifted against the rest of the corpus? The location
+    test that pairs with `stat_ks_two_sample` (KS sees shape, U sees
+    shift) — same collapse-to-distinct-scores scale shape, same guard,
+    and the tie term falls out of the same aggregate for free."""
+    from hudi_utility_spark.ops.mlfit import mann_whitney_u
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        (F.col("lang") == "en").cast("int").alias("label"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("double")
+        .alias("score"),
+    )
+    return mann_whitney_u(scored)
+
+
+@query(
+    "dq_cohen_kappa",
+    """
+    WITH r AS (
+        SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+               CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 50
+                    THEN 1 ELSE 0 END AS b
+        FROM documents
+    ),
+    c AS (SELECT a, b, COUNT(*) AS cnt FROM r GROUP BY a, b),
+    tot AS (
+        SELECT CAST(SUM(cnt) AS DOUBLE) AS n,
+               CAST(SUM(CASE WHEN a = b THEN cnt ELSE 0 END) AS DOUBLE)
+                   AS agree
+        FROM c
+    ),
+    ma AS (SELECT a AS cat, SUM(cnt) AS na FROM c GROUP BY a),
+    mb AS (SELECT b AS cat, SUM(cnt) AS nb FROM c GROUP BY b),
+    pe AS (
+        SELECT CAST(SUM(ma.na * mb.nb) AS DOUBLE) AS cross_sum
+        FROM ma JOIN mb USING (cat)
+    )
+    SELECT CAST(t.n AS BIGINT) AS n,
+           ROUND(t.agree / t.n, 6) AS po,
+           ROUND(p.cross_sum / (t.n * t.n), 6) AS pe,
+           ROUND((t.agree / t.n - p.cross_sum / (t.n * t.n))
+                 / (1 - p.cross_sum / (t.n * t.n)), 6) AS kappa
+    FROM tot t, pe p
+    """,
+)
+def dq_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement between two label heuristics (the
+    char-length rater vs the word-count rater) — the labeled-data QC
+    gate: raw agreement flatters skewed label distributions, kappa
+    doesn't. Collapse to the k x k confusion relation first; every
+    later relation is category-sized."""
+    from hudi_utility_spark.ops.quality import cohen_kappa
+
+    d = load_table(spark, sf_dir, "documents")
+    rated = d.select(
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("a"),
+        F.when(
+            F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 50, 1
+        ).otherwise(0).alias("b"),
+    )
+    return cohen_kappa(rated, "a", "b")

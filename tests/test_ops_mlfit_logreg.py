@@ -104,3 +104,77 @@ def test_require_bounded_distinct_passthrough(spark):
 
     df = spark.range(10)
     assert require_bounded_distinct(df, 10, "ctx", "hint") is df
+
+
+def test_pr_curve_hand_computed(spark):
+    """scores 3,2,2,1 with labels 1,1,0,0: thresholds desc 3,2,1 give
+    tp/fp (1,0),(2,1),(2,2) -> known precision/recall/F1."""
+    from hudi_utility_spark.ops.mlfit import pr_curve
+
+    df = spark.createDataFrame(
+        [(3.0, 1), (2.0, 1), (2.0, 0), (1.0, 0)], ["score", "label"]
+    )
+    rows = {r.threshold: r for r in pr_curve(df).collect()}
+    assert rows[3.0].tp == 1 and rows[3.0].fp == 0
+    assert rows[3.0].precision == 1.0 and rows[3.0].recall == 0.5
+    assert abs(rows[3.0].f1 - 2 * 1.0 * 0.5 / 1.5) < 1e-6
+    assert rows[2.0].tp == 2 and rows[2.0].fp == 1
+    assert abs(rows[2.0].precision - 2 / 3) < 1e-6 and rows[2.0].recall == 1.0
+    assert rows[1.0].tp == 2 and rows[1.0].fp == 2
+    assert rows[1.0].precision == 0.5 and rows[1.0].recall == 1.0
+
+
+def test_pr_curve_all_negative_top_bin_zero_filled(spark):
+    """Top threshold admitting only negatives must yield 0.0 (not
+    NULL/NaN) precision and f1 — the cross-engine degenerate-bin
+    convention."""
+    from hudi_utility_spark.ops.mlfit import pr_curve
+
+    df = spark.createDataFrame(
+        [(9.0, 0), (1.0, 1), (0.0, 0)], ["score", "label"]
+    )
+    top = {r.threshold: r for r in pr_curve(df).collect()}[9.0]
+    assert top.tp == 0 and top.fp == 1
+    assert top.precision == 0.0 and top.recall == 0.0 and top.f1 == 0.0
+
+
+def test_mann_whitney_matches_closed_form(spark):
+    """Textbook no-ties case: group1={5,6,7}, group0={1,2,3} -> U1=9
+    (max), mu=4.5, sigma=sqrt(9*7/12); plus a tied case cross-checked
+    against the tie-corrected formula computed by hand."""
+    import math
+
+    from hudi_utility_spark.ops.mlfit import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [(5.0, 1), (6.0, 1), (7.0, 1), (1.0, 0), (2.0, 0), (3.0, 0)],
+        ["score", "label"],
+    )
+    r = mann_whitney_u(df).collect()[0]
+    assert (r.n_pos, r.n_neg, r.u_stat) == (3, 3, 9.0)
+    assert abs(r.z_score - (9.0 - 4.5) / math.sqrt(9 * 7 / 12.0)) < 1e-6
+
+    # tied case: scores [1,1,2] labels [1,0,0]
+    # ranks: two 1s share avg rank 1.5; rank_sum(pos)=1.5, U=1.5-1=0.5
+    # n=3, tie_term=(2^3-2)=6, sigma^2=(2*1/12)*((4)-6/(3*2))=(1/6)*3=0.5
+    df2 = spark.createDataFrame(
+        [(1.0, 1), (1.0, 0), (2.0, 0)], ["score", "label"]
+    )
+    r2 = mann_whitney_u(df2).collect()[0]
+    assert r2.u_stat == 0.5
+    assert abs(r2.z_score - (0.5 - 1.0) / math.sqrt(0.5)) < 1e-6
+
+
+def test_mann_whitney_cardinality_guard(spark):
+    import pytest
+
+    from hudi_utility_spark.ops.mlfit import mann_whitney_u
+
+    df = spark.range(0, 500).selectExpr(
+        "CAST(id AS DOUBLE) + 0.5/(id+1) AS score",
+        "CAST(id % 2 AS INT) AS label",
+    )
+    with pytest.raises(ValueError, match="quantize_bins"):
+        mann_whitney_u(df, max_distinct=100).collect()
+    out = mann_whitney_u(df, max_distinct=100, quantize_bins=50).collect()
+    assert len(out) == 1

@@ -333,3 +333,46 @@ def test_luhn_valid_and_check_digit(spark):
         .collect()[0][0]
     )
     assert n_ok == 200
+
+
+def test_cohen_kappa_known_value(spark):
+    """Classic worked example: confusion [[20,5],[10,15]] over n=50
+    -> po=0.70, pe=(30*25 + 20*25)/2500 = 0.50, kappa = 0.40."""
+    from hudi_utility_spark.ops.quality import cohen_kappa
+
+    rows = (
+        [("y", "y")] * 20
+        + [("y", "n")] * 5
+        + [("n", "y")] * 10
+        + [("n", "n")] * 15
+    )
+    df = spark.createDataFrame(rows, ["a", "b"])
+    r = cohen_kappa(df, "a", "b").collect()[0]
+    assert r.n == 50
+    assert abs(r.po - 0.70) < 1e-9
+    assert abs(r.pe - 0.50) < 1e-9
+    assert abs(r.kappa - 0.40) < 1e-9
+
+
+def test_cohen_kappa_perfect_and_chance(spark):
+    from hudi_utility_spark.ops.quality import cohen_kappa
+
+    same = spark.createDataFrame(
+        [("a", "a")] * 3 + [("b", "b")] * 7, ["a", "b"]
+    )
+    assert cohen_kappa(same, "a", "b").collect()[0].kappa == 1.0
+    # independent raters with 50/50 marginals -> po == pe -> kappa 0
+    indep = spark.createDataFrame(
+        [("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")], ["a", "b"]
+    )
+    assert cohen_kappa(indep, "a", "b").collect()[0].kappa == 0.0
+
+
+def test_cohen_kappa_category_guard(spark):
+    import pytest
+
+    from hudi_utility_spark.ops.quality import cohen_kappa
+
+    df = spark.range(0, 200).selectExpr("id AS a", "id AS b")
+    with pytest.raises(ValueError, match="categorical"):
+        cohen_kappa(df, "a", "b", max_categories=50).collect()
