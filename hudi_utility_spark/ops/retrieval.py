@@ -195,3 +195,166 @@ def phrase_match(postings: DataFrame, phrase: str) -> DataFrame:
         F.size("starts").cast("long").alias("n_matches"),
         F.array_min("starts").cast("long").alias("first_pos"),
     )
+
+
+def query_likelihood_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    mu: float = 300.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents under the Dirichlet-smoothed query-likelihood
+    model (Zhai & Lafferty 2001) — the OTHER classic probabilistic
+    ranker next to BM25, and the second voice RRF fusion needs:
+    score = sum_t ln((tf_t + mu * cf_t / |C|) / (dl + mu)).
+
+    Same economics as :func:`bm25_topk`: per-term tf is a map-side
+    array count; corpus stats (collection frequency cf_t and total
+    token count |C|) are ONE aggregate producing O(terms) scalars
+    broadcast back into the scoring expression — no corpus shuffle.
+    Docs containing none of the query terms are excluded (they rank on
+    smoothing mass alone — pure length noise). Ties break ascending id.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = _terms(F.col(text_col)).alias("toks")
+    base = df.select(F.col(id_col), toks).select(
+        id_col,
+        F.size("toks").alias("dl"),
+        *[_term_count(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.sum("dl").cast("double").alias("c_len"),
+        *[
+            F.sum(F.col(f"tf_{i}")).cast("double").alias(f"cf_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.join(F.broadcast(stats))
+    score = None
+    any_tf = None
+    for i in range(len(terms)):
+        part = F.log(
+            (F.col(f"tf_{i}") + F.lit(mu) * F.col(f"cf_{i}") / F.col("c_len"))
+            / (F.col("dl") + F.lit(mu))
+        )
+        score = part if score is None else score + part
+        hit = F.col(f"tf_{i}")
+        any_tf = hit if any_tf is None else any_tf + hit
+    return (
+        scored.filter(any_tf > 0)
+        .select(F.col(id_col), F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k_const: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009) — the standard
+    hybrid-search merge: fused(d) = sum over systems of
+    1 / (k_const + rank_s(d)), a document absent from a system's list
+    contributing nothing. Rank-based, so it needs NO score calibration
+    between systems — exactly why it is the default fusion for
+    BM25 + dense retrieval.
+
+    Each input must carry (id, rank). The inputs are top-k relations —
+    k rows each — so the full-outer merge joins tiny relations; nothing
+    corpus-sized moves here. Output: top_k by fused score, ties asc id.
+    """
+    fused = None
+    for i, r in enumerate(rankings):
+        s = r.select(
+            F.col(id_col),
+            (1.0 / (F.lit(k_const) + F.col("rank"))).alias(f"_c{i}"),
+        )
+        fused = s if fused is None else fused.join(s, id_col, "full_outer")
+    contrib = [
+        F.coalesce(F.col(f"_c{i}"), F.lit(0.0)) for i in range(len(rankings))
+    ]
+    total = contrib[0]
+    for c in contrib[1:]:
+        total = total + c
+    return (
+        fused.select(
+            F.col(id_col),
+            F.round(total, 6).alias("rrf_score"),
+            *[
+                (F.col(f"_c{i}").isNotNull().cast("int")).alias(f"in_sys{i}")
+                for i in range(len(rankings))
+            ],
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(top_k)
+    )
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """Graded ranking evaluation: nDCG@k (exponential gain
+    (2^rel - 1) / log2(rank + 1)) and MRR (1 / first rank with
+    rel > 0) of a ranked list against a relevance relation — the eval
+    every retrieval stack reports before it ships.
+
+    ``ranked`` carries (id, rank) for the k candidates; ``labels`` is
+    the full (id, rel) relation. The DCG side joins k rows against the
+    labels (broadcast the k-row side); the IDEAL ranking needs only the
+    top-k relevance VALUES sorted descending — TakeOrderedAndProject on
+    the labels, never a global sort. Returns one row:
+    (k, dcg, idcg, ndcg, mrr).
+    """
+    from pyspark.sql import Window
+
+    lab = labels.select(F.col(id_col), F.col(rel_col).cast("double").alias("rel"))
+    # inner join with the k-row ranked side broadcast RIGHT (the only
+    # side BroadcastHashJoin builds for an inner probe of the big
+    # relation): a ranked id missing from labels has rel 0 and would
+    # contribute 0 to every sum below, so dropping it changes nothing.
+    got = lab.join(
+        F.broadcast(ranked.filter(F.col("rank") <= k)), id_col, "inner"
+    ).select(
+        F.col("rel"),
+        F.col("rank").cast("double").alias("rank"),
+    )
+    dcg_agg = got.agg(
+        F.sum(
+            (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+            / (F.log(F.col("rank") + 1.0) / F.log(F.lit(2.0)))
+        ).alias("dcg"),
+        F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias("first_hit"),
+    )
+    ideal = (
+        lab.orderBy(F.desc("rel"), F.asc(id_col))
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rel"), F.asc(id_col)))
+            .cast("double"),
+        )
+    )
+    idcg_agg = ideal.agg(
+        F.sum(
+            (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+            / (F.log(F.col("rank") + 1.0) / F.log(F.lit(2.0)))
+        ).alias("idcg")
+    )
+    return dcg_agg.crossJoin(F.broadcast(idcg_agg)).select(
+        F.lit(k).cast("long").alias("k"),
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        F.round(
+            F.coalesce(1.0 / F.col("first_hit"), F.lit(0.0)), 6
+        ).alias("mrr"),
+    )

@@ -610,3 +610,207 @@ def pack_hedge_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     loss = F.round(1.0 / (1.0 + F.col("n_chars") / 500.0), 6)
     return PK.hedge_mix_weights(d, loss, rounds=3, eta=0.5, base_rate=0.5)
+
+
+# Shared oracle fragments for the probabilistic rankers: base tf CTE +
+# the per-scorer scored CTE, parameterized by the fixed 3-term query
+# {hash, vector, spark} the retrieval family standardizes on.
+_RANK_BASE = f"""base AS (
+        SELECT doc_id,
+               len({_TOKS}) AS dl,
+               len(list_filter({_TOKS}, x -> x = 'hash')) AS tf_0,
+               len(list_filter({_TOKS}, x -> x = 'vector')) AS tf_1,
+               len(list_filter({_TOKS}, x -> x = 'spark')) AS tf_2
+        FROM documents
+    )"""
+
+_BM25_SCORED = """bm25 AS (
+        SELECT doc_id,
+               ROUND(
+                 ln(1 + (n - df_0 + 0.5) / (df_0 + 0.5)) * tf_0 * 2.2
+                   / (tf_0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               + ln(1 + (n - df_1 + 0.5) / (df_1 + 0.5)) * tf_1 * 2.2
+                   / (tf_1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               + ln(1 + (n - df_2 + 0.5) / (df_2 + 0.5)) * tf_2 * 2.2
+                   / (tf_2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6)
+                   AS score
+        FROM base, (
+            SELECT COUNT(*) AS n, AVG(dl) AS avgdl,
+                   SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+                   SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+                   SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+            FROM base)
+        WHERE tf_0 + tf_1 + tf_2 > 0
+    )"""
+
+_QL_SCORED = """ql AS (
+        SELECT doc_id,
+               ROUND(ln((tf_0 + 300.0 * cf_0 / c_len) / (dl + 300.0))
+                   + ln((tf_1 + 300.0 * cf_1 / c_len) / (dl + 300.0))
+                   + ln((tf_2 + 300.0 * cf_2 / c_len) / (dl + 300.0)), 6)
+                   AS score
+        FROM base, (
+            SELECT CAST(SUM(dl) AS DOUBLE) AS c_len,
+                   CAST(SUM(tf_0) AS DOUBLE) AS cf_0,
+                   CAST(SUM(tf_1) AS DOUBLE) AS cf_1,
+                   CAST(SUM(tf_2) AS DOUBLE) AS cf_2
+            FROM base)
+        WHERE tf_0 + tf_1 + tf_2 > 0
+    )"""
+
+
+@query(
+    "rtr_query_likelihood_topk",
+    f"""
+    WITH {_RANK_BASE},
+    {_QL_SCORED}
+    SELECT doc_id, score FROM ql
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def rtr_query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query likelihood top-10 for {hash, vector,
+    spark} (mu=300) — the OTHER classic probabilistic ranker next to
+    BM25 (Zhai & Lafferty 2001), and the second voice the RRF fusion
+    merges. Map-side tf counts + ONE O(terms) corpus-stats aggregate
+    broadcast back; no corpus shuffle (ops/retrieval.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return R.query_likelihood_topk(
+        docs, ["hash", "vector", "spark"], k=10, mu=300.0
+    )
+
+
+@query(
+    "rtr_rrf_fusion",
+    f"""
+    WITH {_RANK_BASE},
+    {_BM25_SCORED},
+    {_QL_SCORED},
+    r0 AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                   AS rank
+        FROM bm25 ORDER BY score DESC, doc_id LIMIT 20
+    ),
+    r1 AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                   AS rank
+        FROM ql ORDER BY score DESC, doc_id LIMIT 20
+    ),
+    fused AS (
+        SELECT COALESCE(r0.doc_id, r1.doc_id) AS doc_id,
+               ROUND(COALESCE(1.0 / (60 + r0.rank), 0.0)
+                   + COALESCE(1.0 / (60 + r1.rank), 0.0), 6) AS rrf_score,
+               CASE WHEN r0.rank IS NULL THEN 0 ELSE 1 END AS in_sys0,
+               CASE WHEN r1.rank IS NULL THEN 0 ELSE 1 END AS in_sys1
+        FROM r0 FULL JOIN r1 USING (doc_id)
+    )
+    SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def rtr_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion of the BM25 and query-likelihood top-20
+    lists (k_const=60, Cormack et al. 2009) — the calibration-free
+    hybrid-search merge; with a dense retriever attached the SAME op
+    fuses lexical + embedding lists unchanged. Only k-row relations
+    move after the two scorer aggregates (ops/retrieval.py rrf_fuse)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["hash", "vector", "spark"]
+
+    def with_rank(r: DataFrame) -> DataFrame:
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return r.select("doc_id", F.row_number().over(w).alias("rank"))
+
+    bm25 = with_rank(R.bm25_topk(docs, terms, k=20))
+    ql = with_rank(R.query_likelihood_topk(docs, terms, k=20, mu=300.0))
+    return R.rrf_fuse([bm25, ql], k_const=60, top_k=10)
+
+
+@query(
+    "rtr_ndcg_mrr",
+    f"""
+    WITH {_RANK_BASE},
+    {_BM25_SCORED},
+    ranked AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                    AS DOUBLE) AS rank
+        FROM bm25 ORDER BY score DESC, doc_id LIMIT 10
+    ),
+    labels AS (
+        SELECT doc_id,
+               CAST((CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS rel
+        FROM base
+    ),
+    got AS (
+        SELECT l.rel, r.rank FROM labels l JOIN ranked r USING (doc_id)
+    ),
+    dcg_agg AS (
+        SELECT SUM((power(2.0, rel) - 1)
+                   / (ln(rank + 1.0) / ln(2.0))) AS dcg,
+               MIN(CASE WHEN rel > 0 THEN rank END) AS first_hit
+        FROM got
+    ),
+    ideal AS (
+        SELECT rel,
+               CAST(ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id)
+                    AS DOUBLE) AS rank
+        FROM labels ORDER BY rel DESC, doc_id LIMIT 10
+    ),
+    idcg_agg AS (
+        SELECT SUM((power(2.0, rel) - 1)
+                   / (ln(rank + 1.0) / ln(2.0))) AS idcg
+        FROM ideal
+    )
+    SELECT CAST(10 AS BIGINT) AS k,
+           ROUND(d.dcg, 6) AS dcg,
+           ROUND(i.idcg, 6) AS idcg,
+           ROUND(d.dcg / i.idcg, 6) AS ndcg,
+           ROUND(COALESCE(1.0 / d.first_hit, 0.0), 6) AS mrr
+    FROM dcg_agg d, idcg_agg i
+    """,
+)
+def rtr_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 + MRR of the BM25 ranking against graded relevance
+    (rel = how many of the query's terms the document contains, 0-3) —
+    the retrieval-eval readout every search stack reports. DCG joins
+    the broadcast 10-row list against the labels; the ideal ranking is
+    TakeOrderedAndProject over labels — never a global sort
+    (ops/retrieval.py ranking_metrics)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["hash", "vector", "spark"]
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = R.bm25_topk(docs, terms, k=10).select(
+        "doc_id", F.row_number().over(w).alias("rank")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower("text"), r"[^a-z0-9\s]", " "),
+                    r"\s+",
+                    " ",
+                ),
+                " ",
+            ),
+            lambda t: t != "",
+        ).alias("toks"),
+    )
+    def _has(term: str):
+        # bind via closure, NOT a defaulted second lambda param — HOF
+        # lambdas dispatch on arity and a 2-ary lambda receives the
+        # array index (see ops/retrieval.py::_term_count)
+        return F.exists("toks", lambda x: x == F.lit(term)).cast("int")
+
+    labels = toks.select(
+        "doc_id",
+        sum(_has(t) for t in terms).alias("rel"),
+    )
+    return R.ranking_metrics(ranked, labels, k=10)

@@ -319,3 +319,69 @@ def test_hedge_mix_weights_upweights_high_loss_domains(spark):
         df, F.col("l"), rounds=3, eta=0.5, base_rate=0.9
     ).collect()}
     assert again == {d: r.weight for d, r in out.items()}
+
+
+def test_query_likelihood_closed_form_and_ordering(spark):
+    """Tiny corpus checked against the hand-evaluated Dirichlet
+    formula; a doc with more query-term mass must outrank one with
+    less at equal length."""
+    import math
+
+    from hudi_utility_spark.ops.retrieval import query_likelihood_topk
+
+    df = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "cat bird bird"), (3, "fish fish fish")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.score for r in
+           query_likelihood_topk(df, ["cat"], k=10, mu=2.0).collect()}
+    # corpus: 9 tokens, cf(cat)=3; doc1: tf=2 dl=3; doc2: tf=1 dl=3
+    s1 = math.log((2 + 2.0 * 3 / 9.0) / (3 + 2.0))
+    s2 = math.log((1 + 2.0 * 3 / 9.0) / (3 + 2.0))
+    assert abs(out[1] - round(s1, 6)) < 1e-9
+    assert abs(out[2] - round(s2, 6)) < 1e-9
+    assert 3 not in out  # no query term -> excluded
+    assert out[1] > out[2]
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Doc in both lists at ranks (2,1) must beat single-list rank-1
+    docs: 1/62+1/61 > 1/61; absent contributes exactly nothing."""
+    from hudi_utility_spark.ops.retrieval import rrf_fuse
+
+    r0 = spark.createDataFrame([(10, 1), (20, 2)], ["doc_id", "rank"])
+    r1 = spark.createDataFrame([(20, 1), (30, 2)], ["doc_id", "rank"])
+    out = {r.doc_id: r for r in rrf_fuse([r0, r1], top_k=10).collect()}
+    assert abs(out[20].rrf_score - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    assert abs(out[10].rrf_score - round(1 / 61, 6)) < 1e-9
+    assert abs(out[30].rrf_score - round(1 / 62, 6)) < 1e-9
+    assert out[20].rrf_score > out[10].rrf_score > out[30].rrf_score
+    assert (out[10].in_sys0, out[10].in_sys1) == (1, 0)
+    assert (out[20].in_sys0, out[20].in_sys1) == (1, 1)
+
+
+def test_ranking_metrics_perfect_and_degraded(spark):
+    """Ranking the relevant docs first -> ndcg 1.0, mrr 1.0; burying
+    the only relevant doc at rank 3 -> ndcg < 1, mrr 1/3; no relevant
+    in list -> mrr 0."""
+    from hudi_utility_spark.ops.retrieval import ranking_metrics
+
+    labels = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 0), (4, 0)], ["doc_id", "rel"]
+    )
+    perfect = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], ["doc_id", "rank"]
+    )
+    r = ranking_metrics(perfect, labels, k=3).collect()[0]
+    assert r.ndcg == 1.0 and r.mrr == 1.0
+
+    buried = spark.createDataFrame(
+        [(3, 1), (4, 2), (2, 3)], ["doc_id", "rank"]
+    )
+    r2 = ranking_metrics(buried, labels, k=3).collect()[0]
+    assert r2.ndcg < 1.0
+    assert abs(r2.mrr - round(1 / 3, 6)) < 1e-9
+
+    misses = spark.createDataFrame([(3, 1), (4, 2)], ["doc_id", "rank"])
+    r3 = ranking_metrics(misses, labels, k=3).collect()[0]
+    assert r3.mrr == 0.0 and r3.dcg == 0.0
