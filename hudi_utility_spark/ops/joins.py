@@ -270,3 +270,80 @@ def bloom_reduce_join(
         )
     reduced = probed.filter(test).drop(*pos_cols)
     return reduced.join(dim, reduced[fact_key] == dim[dim_key], how)
+
+
+def multi_touch_attribution(
+    touches: DataFrame,
+    conversions: DataFrame,
+    key: str = "user_id",
+    channel_col: str = "channel",
+    touch_id: str = "event_id",
+    conv_id: str = "event_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_seconds: int = 1800,
+    half_life_seconds: float = 600.0,
+) -> DataFrame:
+    """Multi-touch attribution: credit each conversion's value to the
+    same key's touches inside the preceding ``gap_seconds``, under the
+    three standard models AT ONCE — last-touch (full credit to the
+    latest touch), linear (1/n each), and time-decay
+    (exp(-age/half_life), normalized per conversion) — then roll
+    credit up by channel. The marketing-attribution readout every
+    event pipeline grows; here it doubles as a credit-assignment
+    primitive for reward attribution over interaction logs.
+
+    Scale shape: ONE equi-join shuffle on the high-cardinality key
+    (the time bound is a residual predicate, not a join explosion —
+    per-key fan-in is bounded by event rate x gap); the per-conversion
+    n / decay-mass / latest-touch all come from windows PARTITIONED BY
+    conversion id (high cardinality, never global); the final rollup
+    is one channel-sized aggregate. Nothing collects.
+    """
+    t = touches.select(
+        F.col(key).alias("__k"),
+        F.col(channel_col).alias("channel"),
+        F.col(touch_id).alias("__tid"),
+        F.col(ts_col).alias("__tts"),
+    )
+    c = conversions.select(
+        F.col(key).alias("__k"),
+        F.col(conv_id).alias("__cid"),
+        F.col(ts_col).alias("__cts"),
+        F.col(value_col).alias("__val"),
+    )
+    j = c.join(t, ["__k"]).filter(
+        (F.col("__tts") < F.col("__cts"))
+        & (
+            F.col("__tts")
+            >= F.col("__cts") - F.expr(f"INTERVAL {int(gap_seconds)} SECONDS")
+        )
+    )
+    age_s = (us("__cts") - us("__tts")) / F.lit(1_000_000.0)
+    w = Window.partitionBy("__cid")
+    w_rank = Window.partitionBy("__cid").orderBy(
+        F.desc("__tts"), F.desc("__tid")
+    )
+    decay = F.exp(-age_s / F.lit(float(half_life_seconds)))
+    scored = j.select(
+        "channel",
+        "__val",
+        decay.alias("__w"),
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.sum(decay).over(w).alias("__sum_w"),
+        F.row_number().over(w_rank).alias("__rn"),
+    )
+    return (
+        scored.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(
+                F.sum(F.when(F.col("__rn") == 1, F.col("__val")).otherwise(0.0)),
+                6,
+            ).alias("last_touch"),
+            F.round(F.sum(F.col("__val") / F.col("__n")), 6).alias("linear"),
+            F.round(
+                F.sum(F.col("__val") * F.col("__w") / F.col("__sum_w")), 6
+            ).alias("time_decay"),
+        )
+    )

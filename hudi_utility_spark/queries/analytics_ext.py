@@ -1607,3 +1607,72 @@ def ev_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cum_users"),
     )
+
+
+@query(
+    "ev_attribution_channels",
+    """
+    WITH t AS (
+        SELECT user_id,
+               'ch' || CAST(CAST(regexp_extract(props, '[0-9]+') AS INT) % 4
+                            AS VARCHAR) AS channel,
+               event_id AS tid, ts AS tts
+        FROM events WHERE event_type = 'click'
+    ),
+    c AS (
+        SELECT user_id, event_id AS cid, ts AS cts, value AS val
+        FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT t.channel, c.cid, c.val,
+               exp(-((epoch_us(c.cts) - epoch_us(t.tts)) / 1000000.0)
+                   / 600.0) AS w,
+               ROW_NUMBER() OVER (PARTITION BY c.cid
+                                  ORDER BY t.tts DESC, t.tid DESC) AS rn
+        FROM c JOIN t ON c.user_id = t.user_id
+         AND t.tts < c.cts
+         AND t.tts >= c.cts - INTERVAL 30 MINUTE
+    ),
+    s AS (
+        SELECT channel, val, w, rn,
+               COUNT(*) OVER (PARTITION BY cid) AS n,
+               SUM(w) OVER (PARTITION BY cid) AS sum_w
+        FROM j
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(SUM(CASE WHEN rn = 1 THEN val ELSE 0.0 END), 6)
+               AS last_touch,
+           ROUND(SUM(val / n), 6) AS linear,
+           ROUND(SUM(val * w / sum_w), 6) AS time_decay
+    FROM s GROUP BY channel
+    """,
+)
+def ev_attribution_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution of purchase value to the user's clicks
+    in the preceding 30 minutes, by synthetic channel (props.k mod 4),
+    under all three standard models at once — last-touch, linear, and
+    exp time-decay (half-life 600 s, normalized per conversion). One
+    key-equi shuffle + conversion-partitioned windows + a channel-sized
+    rollup (ops/joins.py multi_touch_attribution)."""
+    from hudi_utility_spark.ops.joins import multi_touch_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.concat(
+            F.lit("ch"),
+            (F.regexp_extract("props", r"[0-9]+", 0).cast("int") % 4).cast(
+                "string"
+            ),
+        ).alias("channel"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return multi_touch_attribution(
+        clicks,
+        purchases,
+        gap_seconds=1800,
+        half_life_seconds=600.0,
+    )

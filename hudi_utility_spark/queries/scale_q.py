@@ -477,3 +477,51 @@ def plan_join_hotkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("output_rows"), F.asc("join_key"))
         .limit(10)
     )
+
+
+@query(
+    "plan_clustering_bins",
+    """
+    WITH files AS (
+        SELECT event_type || '/' || strftime(CAST(ts AS DATE), '%Y-%m-%d')
+                   AS file_id,
+               COUNT(*) * 100 AS size_bytes
+        FROM events GROUP BY 1
+    ),
+    planned AS (
+        SELECT file_id, size_bytes,
+               CAST(FLOOR((SUM(size_bytes) OVER (
+                        ORDER BY size_bytes DESC, file_id) - size_bytes)
+                    / 50000.0) AS BIGINT) AS bin_id
+        FROM files
+    )
+    SELECT bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(size_bytes) AS BIGINT) AS bin_bytes,
+           MIN(file_id) AS first_file
+    FROM planned GROUP BY bin_id
+    """,
+)
+def plan_clustering_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-service PLAN over a per-(type, day) file inventory
+    (row count x 100 as the size proxy): `write.clustering_plan`'s
+    largest-first cumulative sweep packs small files into ~50 KB output
+    groups — each group overshoots by at most one straddling file. The
+    sweep windows over file-inventory METADATA (guarded), never data
+    rows; the execute half is `table.compact_small_files`."""
+    from hudi_utility_spark.write import clustering_plan
+
+    ev = load_table(spark, sf_dir, "events")
+    files = ev.groupBy(
+        F.concat(
+            F.col("event_type"),
+            F.lit("/"),
+            F.date_format("ts", "yyyy-MM-dd"),
+        ).alias("file_id")
+    ).agg((F.count(F.lit(1)) * 100).alias("size_bytes"))
+    plan = clustering_plan(files, target_bytes=50_000)
+    return plan.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("size_bytes").alias("bin_bytes"),
+        F.min("file_id").alias("first_file"),
+    )

@@ -1111,3 +1111,56 @@ def bootstrap_hudi(
     )
     opts.update(extra_options or {})
     df.write.format("hudi").options(**opts).mode(mode).save(table.path)
+
+
+def clustering_plan(
+    files: DataFrame,
+    target_bytes: int,
+    file_col: str = "file_id",
+    size_col: str = "size_bytes",
+    *,
+    max_files: int = 4_000_000,
+) -> DataFrame:
+    """SORT_AND_SIZE clustering plan — the PLAN half of the small-file
+    story (`table.py compact_small_files` is the execute half, and the
+    reference rewrites whole partitions blind at `pyspark_script.py`'s
+    repair path): given a (file_id, size_bytes) inventory, order files
+    largest-first (the sort half of first-fit-decreasing) and sweep the
+    cumulative size, starting a new output group each time the running
+    total crosses a multiple of ``target_bytes``. Deterministic (size
+    desc, file_id asc), no driver loop, and each group's total exceeds
+    the target by at most one straddling file — the same guarantee the
+    greedy sweep gives Hudi's clustering service.
+
+    The sweep is one global cumulative window over the FILE INVENTORY
+    (metadata, not data): bounded by ``max_files`` with a loud failure,
+    because a 100 TB table's inventory is ~10^5-10^6 rows — window-safe
+    — while a caller accidentally passing row-level data is not.
+
+    Returns one row per file: (file_id, size_bytes, bin_id).
+    """
+    from hudi_utility_spark.ops.mlfit import require_bounded_distinct
+
+    inv = files.select(
+        F.col(file_col).alias("file_id"),
+        F.col(size_col).cast("long").alias("size_bytes"),
+    )
+    inv = require_bounded_distinct(
+        inv,
+        max_files,
+        "clustering_plan",
+        "pass a per-file inventory (aggregate first), not row-level data",
+    )
+    w = Window.orderBy(F.desc("size_bytes"), F.asc("file_id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return inv.select(
+        "file_id",
+        "size_bytes",
+        F.floor(
+            (F.sum("size_bytes").over(w) - F.col("size_bytes"))
+            / F.lit(float(target_bytes))
+        )
+        .cast("long")
+        .alias("bin_id"),
+    )

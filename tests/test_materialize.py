@@ -124,3 +124,37 @@ def test_streaming_rollup_maintenance_tracks_commits(spark, events, tmp_path):
         materialize.compute_rollup(table.read(spark), ["user_id"], "value")
     )
     assert got == want
+
+
+def test_clustering_plan_overshoot_bound_and_determinism(spark):
+    """Every bin's total may exceed the target by at most its last
+    (smallest straddling) file; assignment is a pure function of the
+    inventory (re-run yields identical rows); the guard rejects
+    row-level-sized inventories."""
+    import pytest
+
+    from hudi_utility_spark.write import clustering_plan
+
+    files = spark.createDataFrame(
+        [(f"f{i:03d}", (i * 37) % 900 + 100) for i in range(60)],
+        ["file_id", "size_bytes"],
+    )
+    plan = clustering_plan(files, target_bytes=2000)
+    rows = sorted(map(tuple, plan.collect()))
+    assert rows == sorted(map(tuple, clustering_plan(files, 2000).collect()))
+    by_bin: dict[int, list[int]] = {}
+    for _f, size, b in rows:
+        by_bin.setdefault(b, []).append(size)
+    bins = sorted(by_bin)
+    assert bins == list(range(len(bins)))  # contiguous ids
+    for b in bins:
+        total = sum(by_bin[b])
+        smallest = min(by_bin[b])
+        assert total - smallest < 2000  # overshoot only by the straddler
+    assert sum(len(v) for v in by_bin.values()) == 60
+
+    with pytest.raises(ValueError, match="inventory"):
+        big = spark.range(0, 100).selectExpr(
+            "CAST(id AS STRING) AS file_id", "id + 1 AS size_bytes"
+        )
+        clustering_plan(big, 1000, max_files=50).collect()

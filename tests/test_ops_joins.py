@@ -179,3 +179,68 @@ def test_asof_join_forward_next_event(spark):
         ).collect()
     }
     assert tol["p1"] is None  # c1 is 20 min after p1: outside tolerance
+
+
+def test_multi_touch_attribution_hand_computed(spark):
+    """One purchase (value 10) with two prior clicks at 100s and 700s
+    before it: last-touch credits the nearer click's channel fully,
+    linear splits 5/5, time-decay weights exp(-100/600) vs
+    exp(-700/600) normalized."""
+    import datetime as dt
+    import math
+
+    from hudi_utility_spark.ops.joins import multi_touch_attribution
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    clicks = spark.createDataFrame(
+        [(1, 101, ts(0), "A"), (1, 102, ts(600), "B")],
+        ["user_id", "event_id", "ts", "channel"],
+    )
+    purchases = spark.createDataFrame(
+        [(1, 201, ts(700), 10.0)],
+        ["user_id", "event_id", "ts", "value"],
+    )
+    out = {
+        r.channel: r
+        for r in multi_touch_attribution(
+            clicks, purchases, gap_seconds=1800, half_life_seconds=600.0
+        ).collect()
+    }
+    wa, wb = math.exp(-700 / 600), math.exp(-100 / 600)
+    assert out["A"].last_touch == 0.0 and out["B"].last_touch == 10.0
+    assert out["A"].linear == 5.0 and out["B"].linear == 5.0
+    assert abs(out["A"].time_decay - round(10 * wa / (wa + wb), 6)) < 1e-9
+    assert abs(out["B"].time_decay - round(10 * wb / (wa + wb), 6)) < 1e-9
+    # every model conserves the conversion's value
+    for model in ("last_touch", "linear", "time_decay"):
+        assert abs(sum(getattr(r, model) for r in out.values()) - 10.0) < 1e-5
+
+
+def test_multi_touch_attribution_gap_and_direction(spark):
+    """Touches outside the gap or AFTER the conversion earn nothing;
+    a conversion with no in-gap touch simply yields no credit rows."""
+    import datetime as dt
+
+    from hudi_utility_spark.ops.joins import multi_touch_attribution
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    clicks = spark.createDataFrame(
+        [(1, 1, ts(-5000), "old"), (1, 2, ts(100), "late"),
+         (2, 3, ts(10), "other_user")],
+        ["user_id", "event_id", "ts", "channel"],
+    )
+    purchases = spark.createDataFrame(
+        [(1, 9, ts(0), 7.0)], ["user_id", "event_id", "ts", "value"]
+    )
+    assert (
+        multi_touch_attribution(clicks, purchases, gap_seconds=1800).count()
+        == 0
+    )
