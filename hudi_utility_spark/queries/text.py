@@ -1408,3 +1408,70 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chars_per_token"),
     )
+
+
+@query(
+    "text_kneser_ney",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest({_BP_TOKS}) AS tok,
+               generate_subscripts({_BP_TOKS}, 1) AS pos
+        FROM documents
+    ),
+    uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    pairs AS (
+        SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+        FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    topbg AS (
+        SELECT w1, w2, COUNT(*) AS cb FROM pairs GROUP BY w1, w2
+        ORDER BY cb DESC, w1, w2 LIMIT 2000
+    ),
+    np AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_pairs FROM topbg),
+    w1s AS (
+        SELECT f.w1, u.c AS c_prev, f.n1f
+        FROM (SELECT w1, COUNT(*) AS n1f FROM topbg GROUP BY w1) f
+        JOIN uni u ON f.w1 = u.tok
+    ),
+    n1b AS (SELECT w2, COUNT(*) AS nb FROM topbg GROUP BY w2),
+    scored AS (
+        SELECT p.doc_id,
+               CASE WHEN t.cb IS NOT NULL THEN 1 ELSE 0 END AS hit,
+               -ln(CASE
+                   WHEN t.cb IS NOT NULL THEN
+                       (t.cb - 0.75) / w.c_prev
+                       + 0.75 * w.n1f / w.c_prev
+                         * COALESCE(b.nb / np.n_pairs, 0.5 / np.n_pairs)
+                   WHEN w.n1f IS NOT NULL THEN
+                       0.75 * w.n1f / w.c_prev
+                         * COALESCE(b.nb / np.n_pairs, 0.5 / np.n_pairs)
+                   ELSE COALESCE(b.nb / np.n_pairs, 0.5 / np.n_pairs)
+               END) AS neg_logp
+        FROM pairs p
+        LEFT JOIN topbg t ON p.w1 = t.w1 AND p.w2 = t.w2
+        LEFT JOIN w1s w ON p.w1 = w.w1
+        LEFT JOIN n1b b ON p.w2 = b.w2, np
+    ),
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams, SUM(hit) AS hits,
+               ROUND(AVG(neg_logp), 6) AS s
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(p.hits, 0) AS BIGINT) AS n_model_hits,
+           COALESCE(p.s, 0.0) AS avg_neg_logprob
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram fluency scoring (D=0.75) — the
+    third rung of the LM ladder (unigram -> Stupid Backoff -> KN):
+    discounted bigram mass interpolated with CONTINUATION probability
+    (how many contexts a word follows), the fix for collocation-bound
+    words. Every model relation derives from the pruned top-2000
+    bigram table, so every broadcast is bounded by construction; the
+    oracle refits and rescores the identical pruned model in SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.kneser_ney_score(d, max_bigrams=2000, discount=0.75)

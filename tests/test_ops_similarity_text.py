@@ -718,3 +718,59 @@ def test_multiprobe_lsh_recall_beats_single_bucket(spark, embeddings):
     # barely separated, so sign-bit recall is weak by nature — the hard
     # guarantee is exact self-recovery plus the superset property above
     assert len(truth & set(multi)) >= 1
+
+
+def test_kneser_ney_hand_computed_hit_branch(spark):
+    """Corpus 'a b a b a c': bigrams ab,ba,ab,ba,ac -> counts ab=2,
+    ba=2, ac=1; c(a)=3, c(b)=2. Model keeps all 3 pairs (n_pairs=3).
+    P(b|a) = (2-.75)/3 + .75*2/3 * (1/3)  [pcont(b)=1/3]."""
+    import math
+
+    from hudi_utility_spark.ops.text import kneser_ney_score
+
+    df = spark.createDataFrame([(1, "a b a b a c")], ["doc_id", "text"])
+    r = kneser_ney_score(df).collect()[0]
+    assert r.n_bigrams == 5 and r.n_model_hits == 5
+    p_ab = (2 - 0.75) / 3 + 0.75 * 2 / 3 * (1 / 3)
+    p_ba = (2 - 0.75) / 2 + 0.75 * 1 / 2 * (1 / 3)
+    p_ac = (1 - 0.75) / 3 + 0.75 * 2 / 3 * (1 / 3)
+    expected = -(2 * math.log(p_ab) + 2 * math.log(p_ba) + math.log(p_ac)) / 5
+    assert abs(r.avg_neg_logprob - round(expected, 6)) < 1e-6
+
+
+def test_kneser_ney_continuation_penalizes_collocation_bound_words(spark):
+    """The 'Francisco' property: a word frequent ONLY after one context
+    gets a LOW continuation probability, so an unseen bigram ending in
+    it scores worse than one ending in a word that follows many
+    contexts — the exact separation Stupid Backoff (which backs off to
+    raw frequency) cannot make."""
+    from hudi_utility_spark.ops.text import kneser_ney_score
+
+    corpus = [(i, "san francisco") for i in range(20)]
+    corpus += [(100 + j, f"w{j} the end") for j in range(10)]
+    # probes: "end francisco" vs "end the" — each occurs exactly once
+    # with the SAME left word, so discounted mass and lambda(end) are
+    # identical; the ONLY difference is Pcont(w2). francisco has 20 raw
+    # occurrences vs the's 10, but follows 1 context vs the's many —
+    # raw frequency (what Stupid Backoff falls back to) would rank the
+    # probes the OTHER way.
+    probes = [(900, "end francisco"), (901, "end the")]
+    df = spark.createDataFrame(corpus + probes, ["doc_id", "text"])
+    out = {r.doc_id: r for r in kneser_ney_score(df).collect()}
+    assert out[900].avg_neg_logprob > out[901].avg_neg_logprob
+
+
+def test_kneser_ney_empty_and_bigram_free_docs(spark):
+    from hudi_utility_spark.ops.text import kneser_ney_score
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "two words")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in kneser_ney_score(df).collect()}
+    assert out[1].n_bigrams == 0 and out[1].avg_neg_logprob == 0.0
+    assert out[2].n_bigrams == 0
+    assert out[3].n_bigrams == 1
+
+    empty = spark.createDataFrame([(1, " ")], ["doc_id", "text"])
+    z = kneser_ney_score(empty).collect()[0]
+    assert (z.n_bigrams, z.n_model_hits, z.avg_neg_logprob) == (0, 0, 0.0)
