@@ -562,3 +562,97 @@ def _collapse_scored(
         context,
         "pass quantize_bins=<k> to bucket the score before ranking",
     )
+
+
+def woe_iv(
+    binned: DataFrame,
+    bin_col: str = "bin",
+    label_col: str = "label",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Weight-of-Evidence / Information-Value profile of a BINNED
+    feature against a binary label — the credit-scoring-era feature
+    screen that survived into LLM data curation as "how much does this
+    bucketed signal know about the label": WOE_b = ln((pos_b/POS) /
+    (neg_b/NEG)), IV = sum_b (pos_b/POS - neg_b/NEG) * WOE_b, with
+    additive ``smoothing`` on both counts so empty cells stay finite
+    (the standard fix, applied identically in the oracle).
+
+    One hash aggregate collapses facts to bins; totals come from an
+    unpartitioned window over the BIN-sized relation; IV is a second
+    window sum over the same rows. Caller chooses the binning (and
+    thereby the cardinality) — fixed-width or quantile, same contract
+    as the calibration-bins query.
+
+    Returns per bin: (bin, n, pos, neg, woe, iv) — iv repeated on every
+    row (it is the feature-level scalar).
+    """
+    from pyspark.sql import Window, functions as F
+
+    per_bin = binned.groupBy(F.col(bin_col).alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(label_col).cast("long")).alias("pos_raw"),
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    s = F.lit(float(smoothing))
+    pos = F.col("pos_raw") + s
+    neg = (F.col("n") - F.col("pos_raw")) + s
+    tot = per_bin.select(
+        "bin",
+        "n",
+        pos.alias("pos"),
+        neg.alias("neg"),
+        F.sum(pos).over(w).alias("post"),
+        F.sum(neg).over(w).alias("negt"),
+    )
+    woe = F.log(
+        (F.col("pos") / F.col("post")) / (F.col("neg") / F.col("negt"))
+    )
+    contrib = (
+        F.col("pos") / F.col("post") - F.col("neg") / F.col("negt")
+    ) * woe
+    return tot.select(
+        "bin",
+        F.col("n").cast("long").alias("n"),
+        F.round("pos", 6).alias("pos"),
+        F.round("neg", 6).alias("neg"),
+        F.round(woe, 6).alias("woe"),
+        F.round(F.sum(contrib).over(w), 6).alias("iv"),
+    )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    category_col: str,
+    label_col: str = "label",
+    out_col: str = "te",
+) -> DataFrame:
+    """Leave-one-out target encoding: each row's category is replaced
+    by the mean label of the OTHER rows in its category,
+    (sum_cat - y) / (n_cat - 1) — the encoding that feeds categorical
+    signals to models without the self-leakage a naive category mean
+    carries (a singleton category falls back to the global prior, the
+    standard convention). The leakage-free-by-construction property is
+    what the pytest pins: a row's own label never influences its code.
+
+    One category-keyed window pair (sum, count) + one global-prior
+    aggregate broadcast back — no second pass over facts, no collect.
+    """
+    from pyspark.sql import Window, functions as F
+
+    y = F.col(label_col).cast("double")
+    w = Window.partitionBy(category_col)
+    prior = df.agg(F.avg(y).alias("__prior"))
+    enc = (
+        df.withColumn("__sum", F.sum(y).over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(w))
+        .crossJoin(F.broadcast(prior))
+    )
+    loo = F.when(
+        F.col("__n") > 1, (F.col("__sum") - y) / (F.col("__n") - 1)
+    ).otherwise(F.col("__prior"))
+    return enc.select(
+        *df.columns, F.round(loo, 6).alias(out_col)
+    )

@@ -806,3 +806,62 @@ def cohen_kappa(
         F.round(pe, 6).alias("pe"),
         F.round((po - pe) / (1 - pe), 6).alias("kappa"),
     )
+
+
+def benford_profile(
+    df: DataFrame,
+    value_col: str,
+    *,
+    min_value: float = 1e-12,
+) -> DataFrame:
+    """Benford first-significant-digit audit — the classic fabricated-
+    numbers screen for financial/measurement columns: observed digit
+    shares vs Benford's log10(1 + 1/d) expectation, plus the feature-
+    level chi-squared statistic sum((obs - exp)^2 / exp) repeated per
+    row. Values at or below ``min_value`` are excluded (the law applies
+    to positive magnitudes spanning scale).
+
+    The first significant digit is floor(v / 10^floor(log10 v)) — pure
+    codegen arithmetic, no string round-trip; facts collapse to the
+    9-row digit relation in one aggregate, everything after is
+    window math over 9 rows.
+
+    Returns per digit: (digit, n, share, expected, chi2).
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    digits = df.filter(v > min_value).select(
+        F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v))))
+        .cast("int")
+        .alias("digit")
+    )
+    per_digit = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    # full 1..9 spine: an absent digit is EVIDENCE (its chi2 term is
+    # N*expected), so it must appear as n=0, not vanish from the test
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    per_digit = spine.join(per_digit, "digit", "left").select(
+        "digit", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # "nt", not "N": Spark resolves case-insensitively by default, so
+    # withColumn("N", ...) would silently REPLACE the per-digit "n"
+    tot = per_digit.withColumn("nt", F.sum("n").over(w))
+    expected = F.log10(1.0 + 1.0 / F.col("digit"))
+    share = F.col("n") / F.col("nt")
+    contrib = (
+        (F.col("n") - F.col("nt") * expected)
+        * (F.col("n") - F.col("nt") * expected)
+        / (F.col("nt") * expected)
+    )
+    return tot.select(
+        F.col("digit").cast("long").alias("digit"),
+        F.col("n").cast("long").alias("n"),
+        F.round(share, 6).alias("share"),
+        F.round(expected, 6).alias("expected"),
+        F.round(F.sum(contrib).over(w), 6).alias("chi2"),
+    )

@@ -1676,3 +1676,48 @@ def ev_attribution_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap_seconds=1800,
         half_life_seconds=600.0,
     )
+
+
+@query(
+    "ts_changepoint_cusum",
+    """
+    WITH hc AS (
+        SELECT date_trunc('hour', ts) AS hr,
+               CAST(COUNT(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1
+    ),
+    m AS (SELECT hr, x, AVG(x) OVER () AS mu FROM hc),
+    s AS (
+        SELECT hr, SUM(x - mu) OVER (ORDER BY hr) AS cusum FROM m
+    )
+    SELECT epoch_us(hr) AS hr_us, ROUND(cusum, 6) AS cusum
+    FROM s ORDER BY abs(cusum) DESC, hr LIMIT 5
+    """,
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint localization over the hourly event-rate
+    series: the running sum of deviations from the global mean peaks
+    (in absolute value) AT the level shift — the classic Page-style
+    detector behind pipeline-throughput regression alarms. Facts
+    collapse to the hour relation first (one hash aggregate); the mean
+    and ordered cumulative windows run over hour cardinality, never
+    events; top-5 via TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    from pyspark.sql import Window
+
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, 0)
+    m = hc.select("hr", "x", F.avg("x").over(w_all).alias("mu"))
+    s = m.select(
+        "hr", F.sum(F.col("x") - F.col("mu")).over(w_cum).alias("cusum")
+    )
+    return (
+        s.select(us("hr").alias("hr_us"), F.round("cusum", 6).alias("cusum"))
+        .orderBy(F.abs(F.col("cusum")).desc(), F.asc("hr_us"))
+        .limit(5)
+    )

@@ -1151,3 +1151,141 @@ def dq_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(0).alias("b"),
     )
     return cohen_kappa(rated, "a", "b")
+
+
+@query(
+    "ml_woe_iv",
+    """
+    WITH scored AS (
+        SELECT least(CAST(floor(
+                   len(string_split_regex(trim(text), '\\s+')) / 10.0)
+                   AS INT), 9) AS bin,
+               CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS label
+        FROM documents
+    ),
+    per_bin AS (
+        SELECT bin, COUNT(*) AS n, SUM(label) AS pos_raw
+        FROM scored GROUP BY bin
+    ),
+    t AS (
+        SELECT bin, n, pos_raw + 0.5 AS pos, (n - pos_raw) + 0.5 AS neg,
+               SUM(pos_raw + 0.5) OVER () AS post,
+               SUM((n - pos_raw) + 0.5) OVER () AS negt
+        FROM per_bin
+    ),
+    w AS (
+        SELECT bin, n, pos, neg,
+               ln((pos / post) / (neg / negt)) AS woe,
+               (pos / post - neg / negt)
+                   * ln((pos / post) / (neg / negt)) AS contrib
+        FROM t
+    )
+    SELECT bin, CAST(n AS BIGINT) AS n,
+           ROUND(pos, 6) AS pos, ROUND(neg, 6) AS neg,
+           ROUND(woe, 6) AS woe,
+           ROUND(SUM(contrib) OVER (), 6) AS iv
+    FROM w
+    """,
+)
+def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value of the word-count decile
+    bins against the long-document label (0.5 additive smoothing) —
+    the feature screen read next to `ml_calibration_bins`: WOE says
+    which way each bin votes, IV says whether the feature is worth a
+    model's attention. Facts collapse to the bin relation first;
+    everything after is window math over <=10 rows."""
+    from hudi_utility_spark.ops.mlfit import woe_iv
+
+    d = load_table(spark, sf_dir, "documents")
+    binned = d.select(
+        F.least(
+            F.floor(
+                F.size(F.split(F.trim(F.col("text")), r"\s+")) / 10.0
+            ).cast("int"),
+            F.lit(9),
+        ).alias("bin"),
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("label"),
+    )
+    return woe_iv(binned)
+
+
+@query(
+    "ml_target_encoding",
+    """
+    WITH d AS (
+        SELECT doc_id, lang,
+               CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS label
+        FROM documents
+    ),
+    p AS (SELECT AVG(label) AS prior FROM d),
+    e AS (
+        SELECT doc_id, lang, label,
+               SUM(label) OVER (PARTITION BY lang) AS s,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM d
+    )
+    SELECT doc_id, lang,
+           ROUND(CASE WHEN n > 1 THEN (s - label) / (n - 1)
+                      ELSE p.prior END, 6) AS te
+    FROM e, p
+    """,
+)
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of `lang` against the long-doc
+    label: each row gets the mean label of the OTHER rows in its
+    category — leakage-free by construction (a singleton category
+    falls back to the global prior). One category-keyed window pair +
+    one broadcast prior; no second pass (ops/mlfit.py
+    target_encode_loo)."""
+    from hudi_utility_spark.ops.mlfit import target_encode_loo
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.when(F.col("n_chars") >= 300, 1.0).otherwise(0.0).alias("label"),
+    )
+    return target_encode_loo(d, "lang").select("doc_id", "lang", "te")
+
+
+@query(
+    "dq_benford_test",
+    """
+    WITH v AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        WHERE o_totalprice > 1e-12
+    ),
+    d AS (
+        SELECT CAST(floor(v / power(10.0, floor(log10(v)))) AS INT)
+                   AS digit
+        FROM v
+    ),
+    pd AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    sp AS (SELECT CAST(range AS INT) AS digit FROM range(1, 10)),
+    j AS (
+        SELECT sp.digit, COALESCE(pd.n, 0) AS n
+        FROM sp LEFT JOIN pd USING (digit)
+    ),
+    t AS (SELECT digit, n, SUM(n) OVER () AS nt FROM j)
+    SELECT CAST(digit AS BIGINT) AS digit,
+           CAST(n AS BIGINT) AS n,
+           ROUND(n / CAST(nt AS DOUBLE), 6) AS share,
+           ROUND(log10(1.0 + 1.0 / digit), 6) AS expected,
+           ROUND(SUM((n - nt * log10(1.0 + 1.0 / digit))
+                     * (n - nt * log10(1.0 + 1.0 / digit))
+                     / (nt * log10(1.0 + 1.0 / digit))) OVER (), 6)
+               AS chi2
+    FROM t
+    """,
+)
+def dq_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of order totals: observed
+    digit shares vs log10(1 + 1/d), with the 9-degree chi-squared
+    statistic repeated per row (TPC-H prices are uniform-ish, so the
+    statistic SHOULD be huge — the audit's job is to say so). First
+    digit via pure codegen arithmetic, no string round-trip; facts
+    collapse to 9 rows before any window (ops/quality.py
+    benford_profile)."""
+    from hudi_utility_spark.ops.quality import benford_profile
+
+    o = load_table(spark, sf_dir, "orders")
+    return benford_profile(o, "o_totalprice")

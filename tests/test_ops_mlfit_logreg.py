@@ -178,3 +178,55 @@ def test_mann_whitney_cardinality_guard(spark):
         mann_whitney_u(df, max_distinct=100).collect()
     out = mann_whitney_u(df, max_distinct=100, quantize_bins=50).collect()
     assert len(out) == 1
+
+
+def test_woe_iv_hand_computed(spark):
+    """Two bins, known counts: bin A (pos=4,neg=1), bin B (pos=1,neg=4)
+    with 0.5 smoothing -> symmetric WOE, IV matches the closed form."""
+    import math
+
+    from hudi_utility_spark.ops.mlfit import woe_iv
+
+    rows = (
+        [("A", 1)] * 4 + [("A", 0)] + [("B", 1)] + [("B", 0)] * 4
+    )
+    df = spark.createDataFrame(rows, ["bin", "label"])
+    out = {r.bin: r for r in woe_iv(df).collect()}
+    POS = NEG = 4.5 + 1.5
+    woe_a = math.log((4.5 / POS) / (1.5 / NEG))
+    iv = 2 * ((4.5 / POS - 1.5 / NEG) * woe_a)  # symmetric bins
+    assert abs(out["A"].woe - round(woe_a, 6)) < 1e-9
+    assert abs(out["B"].woe + round(woe_a, 6)) < 1e-9
+    assert abs(out["A"].iv - round(iv, 6)) < 1e-6
+    assert out["A"].iv == out["B"].iv  # feature-level scalar on every row
+
+
+def test_woe_iv_empty_bin_stays_finite(spark):
+    from hudi_utility_spark.ops.mlfit import woe_iv
+
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 1), ("B", 0)], ["bin", "label"]
+    )
+    out = {r.bin: r for r in woe_iv(df).collect()}
+    import math
+
+    for r in out.values():
+        assert math.isfinite(r.woe) and math.isfinite(r.iv)
+
+
+def test_target_encode_loo_is_leakage_free(spark):
+    """A row's own label must not influence its encoding: flipping one
+    row's label changes every OTHER same-category row's code but not
+    the flipped row's own code is too strong (prior shifts); instead
+    pin the closed form (sum-y)/(n-1) and the singleton->prior rule."""
+    from hudi_utility_spark.ops.mlfit import target_encode_loo
+
+    df = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "x", 0.0), (3, "x", 1.0), (4, "solo", 1.0)],
+        ["id", "cat", "label"],
+    )
+    out = {r.id: r.te for r in target_encode_loo(df, "cat").collect()}
+    assert out[1] == 0.5     # (2-1)/2
+    assert out[2] == 1.0     # (2-0)/2
+    assert out[3] == 0.5
+    assert out[4] == 0.75    # singleton -> global prior 3/4

@@ -376,3 +376,24 @@ def test_cohen_kappa_category_guard(spark):
     df = spark.range(0, 200).selectExpr("id AS a", "id AS b")
     with pytest.raises(ValueError, match="categorical"):
         cohen_kappa(df, "a", "b", max_categories=50).collect()
+
+
+def test_benford_profile_known_digits_and_spine(spark):
+    """Hand-planted magnitudes spanning scales; digits absent from the
+    data must still appear with n=0 (their chi2 evidence counts)."""
+    from hudi_utility_spark.ops.quality import benford_profile
+
+    vals = [1.0, 12.0, 150.0, 0.19, 2.5, 29.0, 3.7, 9000.0]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    out = {r.digit: r for r in benford_profile(df, "v").collect()}
+    assert set(out) == set(range(1, 10))
+    assert out[1].n == 4 and out[2].n == 2 and out[3].n == 1 and out[9].n == 1
+    assert out[4].n == 0 and out[4].share == 0.0
+    chi2 = {r.chi2 for r in out.values()}
+    assert len(chi2) == 1  # feature-level scalar repeated per row
+    # non-positive values are excluded, not crashed on
+    with_zero = spark.createDataFrame(
+        [(0.0,), (-5.0,), (7.0,)], ["v"]
+    )
+    out2 = {r.digit: r.n for r in benford_profile(with_zero, "v").collect()}
+    assert out2[7] == 1 and sum(out2.values()) == 1
