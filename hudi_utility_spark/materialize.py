@@ -213,3 +213,35 @@ def replicate_incremental(
         "since": since,
         "until": until,
     }
+
+
+def join_view_delta(
+    left_old: DataFrame,
+    left_delta: DataFrame,
+    right_old: DataFrame,
+    right_delta: DataFrame,
+    on: list[str] | str,
+) -> DataFrame:
+    """Insert-only delta of a JOIN view — the classic incremental-view-
+    maintenance identity (Blakeley et al. 1986; every streaming SQL
+    engine's inner-join operator is this identity run continuously):
+
+        Δ(A ⋈ B) = (ΔA ⋈ B_old) ∪ (A_old ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+
+    Appending the returned delta to the old view yields exactly
+    A_new ⋈ B_new — the rollup twin is `maintain_rollup`; this is the
+    join twin, and together they maintain an aggregate-over-join view
+    without ever re-running the big join.
+
+    Scale: each term joins a DELTA against a base (or the other delta)
+    — work ∝ |Δ| per maintenance cycle, never |A ⋈ B|. Broadcast the
+    delta side when it fits (Catalyst does this from statistics when
+    the deltas are file-backed); the two base relations are only ever
+    probed, never joined to each other. Non-key output columns must be
+    disjoint across sides (same contract as the join itself).
+    """
+    return (
+        left_delta.join(right_old, on)
+        .unionByName(left_old.join(right_delta, on))
+        .unionByName(left_delta.join(right_delta, on))
+    )

@@ -670,3 +670,52 @@ def v_anti_entropy_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.refreshByPath(root)
     dest = spark.read.parquet(root)
     return content_diff(ev, dest, "event_type", ["event_id", "user_id"])
+
+
+@query(
+    "rollup_join_view_maintenance",
+    """
+    WITH l AS (
+        SELECT l_orderkey,
+               l_extendedprice * (1 - l_discount) AS revenue
+        FROM lineitem
+    )
+    SELECT o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.revenue), 2) AS revenue
+    FROM orders o JOIN l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def rollup_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance: the orders x lineitem revenue
+    view is seeded from the 90% 'old' batch of each side, then advanced
+    to full freshness by applying only the delta identity
+    ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB (materialize.join_view_delta) for the 10%
+    'new' batch — the big join is never re-run. The oracle recomputes
+    the final aggregate from scratch over the full tables; the
+    incrementally maintained view must hash-match it."""
+    from hudi_utility_spark.materialize import join_view_delta
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    is_new_o = F.col("o_orderkey") % 10 == 0
+    o_old, o_new = o.filter(~is_new_o), o.filter(is_new_o)
+    l_old, l_new = li.filter(~is_new_o), li.filter(is_new_o)
+
+    v_old = o_old.join(l_old, "o_orderkey")
+    delta = join_view_delta(o_old, o_new, l_old, l_new, "o_orderkey")
+    maintained = v_old.unionByName(delta)
+    return maintained.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("revenue"), 2).alias("revenue"),
+    )

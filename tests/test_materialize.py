@@ -158,3 +158,27 @@ def test_clustering_plan_overshoot_bound_and_determinism(spark):
             "CAST(id AS STRING) AS file_id", "id + 1 AS size_bytes"
         )
         clustering_plan(big, 1000, max_files=50).collect()
+
+
+def test_join_view_delta_identity_with_disjoint_and_overlapping_keys(spark):
+    """Old view + delta must equal the full join exactly, including
+    the cross-delta term (a new left row joining a new right row) and
+    keys appearing on only one side's delta."""
+    from hudi_utility_spark.materialize import join_view_delta
+
+    a_old = spark.createDataFrame([(1, "a1"), (2, "a2")], ["k", "av"])
+    b_old = spark.createDataFrame([(1, "b1"), (3, "b3")], ["k", "bv"])
+    a_new = spark.createDataFrame([(3, "a3"), (4, "a4")], ["k", "av"])
+    b_new = spark.createDataFrame([(2, "b2"), (4, "b4")], ["k", "bv"])
+
+    full = (
+        a_old.unionByName(a_new).join(b_old.unionByName(b_new), "k")
+    )
+    maintained = a_old.join(b_old, "k").unionByName(
+        join_view_delta(a_old, a_new, b_old, b_new, "k")
+    )
+    assert sorted(map(tuple, maintained.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    # the delta terms are disjoint (insert-only: no double counting)
+    assert maintained.count() == full.count()
