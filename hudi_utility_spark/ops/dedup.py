@@ -909,3 +909,68 @@ def containment_pairs(
         )
         .select("id_a", "id_b", "containment")
     )
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end-to-end: (1) coarse-cluster the
+    embedding space (here: per-``cell_col`` mean centroids — the
+    k-means step, reusing the IVF coarse quantizer), (2) REASSIGN every
+    vector to its nearest centroid by cosine, (3) within each cluster,
+    drop every vector that has a more-senior (smaller-id) neighbor at
+    cosine >= ``threshold`` — keep-first semantics, the paper's
+    keep-one-per-epsilon-ball with a deterministic representative.
+
+    Scale shape: the centroid relation is k rows (broadcast); the
+    assignment is a map-side cross-score + per-vector top-1 window
+    keyed by the high-cardinality id; the near-dup self-join keys on
+    the CLUSTER, so candidate volume is per-cluster quadratic, never
+    global — the entire point of clustering before deduplicating at
+    100 TB. Returns survivors: (id, cluster).
+    """
+    from pyspark.sql import Window
+
+    from hudi_utility_spark.ops.similarity import cosine, ivf_centroids
+
+    cents = ivf_centroids(df, vec_col, cell_col)
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cell"))
+    assigned = (
+        df.select(id_col, vec_col)
+        .join(F.broadcast(cents))
+        .select(
+            id_col,
+            vec_col,
+            "cell",
+            cosine(F.col(vec_col), F.col("centroid")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, F.col("cell").alias("cluster"))
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        F.col("cluster").alias("cl_a"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        F.col("cluster").alias("cl_b"),
+    )
+    drops = (
+        a.join(
+            b, (F.col("cl_a") == F.col("cl_b")) & (F.col("id_a") < F.col("id_b"))
+        )
+        .filter(
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(drops, id_col, "left_anti").select(id_col, "cluster")

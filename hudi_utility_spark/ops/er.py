@@ -145,3 +145,45 @@ def sorted_neighborhood_pairs(
             F.col("nb.r_key").alias("r_key"),
         )
     )
+
+
+def fellegi_sunter_score(
+    cands: DataFrame,
+    comparisons: list[tuple[str, Column, float, float]],
+    upper: float,
+    lower: float,
+) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (1969 — still the
+    backbone of every serious linkage system, Splink included): each
+    field comparison contributes its log-likelihood weight —
+    ln(m/u) on agreement, ln((1-m)/(1-u)) on disagreement, where m/u
+    are the field's agreement probabilities among true matches /
+    true non-matches (estimated offline via EM; passed here as model
+    constants) — and the summed score classifies the pair against the
+    (upper, lower) thresholds: match / possible / non_match.
+
+    The weights are computed driver-side and enter the plan as DOUBLE
+    LITERALS, so scoring is a pure map over the candidate relation —
+    no joins, no floats derived differently per engine; blocking
+    upstream keeps the candidate volume per-block quadratic. Adds
+    ``fs_score`` and ``decision``.
+    """
+    import math
+
+    score = None
+    for _name, agree, m, u in comparisons:
+        if not (0.0 < u < m < 1.0):
+            raise ValueError(
+                f"need 0 < u < m < 1 per field, got m={m}, u={u}"
+            )
+        term = F.when(agree, F.lit(math.log(m / u))).otherwise(
+            F.lit(math.log((1.0 - m) / (1.0 - u)))
+        )
+        score = term if score is None else score + term
+    decided = cands.withColumn("fs_score", F.round(score, 6))
+    return decided.withColumn(
+        "decision",
+        F.when(F.col("fs_score") >= upper, F.lit("match"))
+        .when(F.col("fs_score") > lower, F.lit("possible"))
+        .otherwise(F.lit("non_match")),
+    )

@@ -562,3 +562,54 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sim_decile")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "dedup_semdedup",
+    """
+    WITH dims AS (
+        SELECT label AS cell, d.i AS dim, AVG(d.v) AS mean_v
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+                             generate_subscripts(embedding, 1) AS i) d
+        GROUP BY label, d.i
+    ),
+    cents AS (
+        SELECT cell, list(mean_v ORDER BY dim) AS centroid
+        FROM dims GROUP BY cell
+    ),
+    assigned AS (
+        SELECT vec_id, v, cell AS cluster FROM (
+            SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(
+                           e.embedding::DOUBLE[], c.centroid) DESC, c.cell
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    drops AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    )
+    SELECT s.vec_id, s.cluster
+    FROM assigned s LEFT JOIN drops d ON s.vec_id = d.vec_id
+    WHERE d.vec_id IS NULL
+    """,
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end (Abbas et al. 2023): per-label mean
+    centroids (the k-means step), cosine REASSIGNMENT of every vector
+    to its nearest centroid, then keep-first removal of epsilon-ball
+    neighbors WITHIN each cluster — the canonical semantic-dedup recipe
+    at the canonical scale shape (cluster first so the near-dup join is
+    per-cluster quadratic, never global). Threshold 0.4 per the
+    `dedup_embedding_cosine` margin analysis on these synthetic
+    embeddings (ops/dedup.py semdedup)."""
+    from hudi_utility_spark.ops.dedup import semdedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semdedup(e, threshold=0.4)

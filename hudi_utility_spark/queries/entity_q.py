@@ -310,3 +310,89 @@ def er_blocking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pair_completeness"),
         )
     )
+
+
+def _fs_weights() -> dict[str, tuple[float, float]]:
+    """Field m/u model (offline-EM stand-ins, fixed constants): the
+    agreement / disagreement log-likelihood weights, full precision —
+    embedded as literals on BOTH engines."""
+    import math
+
+    model = {"digits": (0.95, 0.001), "fuzzy": (0.9, 0.05), "exact": (0.6, 0.0005)}
+    return {
+        k: (math.log(m / u), math.log((1 - m) / (1 - u)))
+        for k, (m, u) in model.items()
+    }
+
+
+_FS_W = _fs_weights()
+
+
+@query(
+    "er_fellegi_sunter",
+    f"""
+    WITH {_ORACLE_PAIRS},
+    scored AS (
+        SELECT variant,
+               ROUND(
+                 (CASE WHEN regexp_replace(c_name, '[^0-9]', '', 'g')
+                          = regexp_replace(d_name, '[^0-9]', '', 'g')
+                       THEN {_FS_W['digits'][0]!r} ELSE {_FS_W['digits'][1]!r} END)
+               + (CASE WHEN levenshtein(c_name, d_name) <= 4
+                       THEN {_FS_W['fuzzy'][0]!r} ELSE {_FS_W['fuzzy'][1]!r} END)
+               + (CASE WHEN lower(c_name) = lower(d_name)
+                       THEN {_FS_W['exact'][0]!r} ELSE {_FS_W['exact'][1]!r} END),
+               6) AS fs_score
+        FROM cand
+    ),
+    decided AS (
+        SELECT variant, fs_score,
+               CASE WHEN fs_score >= 8.0 THEN 'match'
+                    WHEN fs_score > 0.0 THEN 'possible'
+                    ELSE 'non_match' END AS decision
+        FROM scored
+    )
+    SELECT variant, decision,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(fs_score), 6) AS avg_score
+    FROM decided GROUP BY variant, decision
+    """,
+)
+def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic linkage over the blocked candidate
+    pairs: three field comparisons (digit-string equality, edit
+    distance <= 4, case-normalized exact equality) with offline-EM m/u
+    constants entering the plan as double literals — scoring is a pure
+    map over candidates, blocking bounds the volume. Decisions
+    summarized per corruption variant (ops/er.py
+    fellegi_sunter_score)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    dirty = _dirty_registry(cust)
+    cands = er.blocked_candidates(cust, dirty, "c_name", "d_name", n=3)
+    comparisons = [
+        (
+            "digits",
+            er.digits_of(F.col("c_name")) == er.digits_of(F.col("d_name")),
+            0.95,
+            0.001,
+        ),
+        (
+            "fuzzy",
+            F.levenshtein(F.col("c_name"), F.col("d_name")) <= 4,
+            0.9,
+            0.05,
+        ),
+        (
+            "exact",
+            F.lower(F.col("c_name")) == F.lower(F.col("d_name")),
+            0.6,
+            0.0005,
+        ),
+    ]
+    scored = er.fellegi_sunter_score(cands, comparisons, upper=8.0, lower=0.0)
+    return scored.groupBy("variant", "decision").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("fs_score"), 6).alias("avg_score"),
+    )

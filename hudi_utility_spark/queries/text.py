@@ -1410,10 +1410,9 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_kneser_ney",
-    f"""
-    WITH toks AS (
+# Shared Kneser-Ney model+scoring CTE chain (up to per_doc), reused by
+# the KN scoring query and the CCNet-style perplexity bucketing query.
+_KN_CTES = f"""toks AS (
         SELECT doc_id,
                unnest({_BP_TOKS}) AS tok,
                generate_subscripts({_BP_TOKS}, 1) AS pos
@@ -1457,7 +1456,13 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, COUNT(*) AS n_bigrams, SUM(hit) AS hits,
                ROUND(AVG(neg_logp), 6) AS s
         FROM scored GROUP BY doc_id
-    )
+    )"""
+
+
+@query(
+    "text_kneser_ney",
+    f"""
+    WITH {_KN_CTES}
     SELECT d.doc_id,
            CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
            CAST(COALESCE(p.hits, 0) AS BIGINT) AS n_model_hits,
@@ -1475,3 +1480,51 @@ def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle refits and rescores the identical pruned model in SQL."""
     d = load_table(spark, sf_dir, "documents")
     return X.kneser_ney_score(d, max_bigrams=2000, discount=0.75)
+
+
+@query(
+    "text_ccnet_buckets",
+    f"""
+    WITH {_KN_CTES},
+    scored_docs AS (
+        SELECT d.doc_id, d.lang, COALESCE(p.s, 0.0) AS nlp
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ),
+    b AS (
+        SELECT lang, nlp,
+               NTILE(3) OVER (PARTITION BY lang
+                              ORDER BY nlp, doc_id) AS bucket
+        FROM scored_docs
+    )
+    SELECT lang, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(nlp), 6) AS avg_nlp
+    FROM b GROUP BY lang, bucket
+    """,
+)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): within
+    each language, documents split into head/middle/tail terciles of
+    LM score (here the Kneser-Ney negative log-prob) — the standard
+    quality gate that keeps the head, samples the middle, drops the
+    tail, PER LANGUAGE so high-resource fluency doesn't starve
+    low-resource languages. NTILE runs per-lang over doc-rounded
+    scores with a total order, so the split is deterministic on both
+    engines."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = X.kneser_ney_score(d, max_bigrams=2000, discount=0.75)
+    docs = d.select("doc_id", "lang").join(
+        scored.select("doc_id", "avg_neg_logprob"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy("avg_neg_logprob", "doc_id")
+    b = docs.select(
+        "lang",
+        F.col("avg_neg_logprob").alias("nlp"),
+        F.ntile(3).over(w).alias("bucket"),
+    )
+    return b.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("nlp"), 6).alias("avg_nlp"),
+    )

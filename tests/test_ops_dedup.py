@@ -290,3 +290,45 @@ def test_containment_matches_bruteforce(spark):
     }
     assert got == expected
     spark.catalog.clearCache()
+
+
+def test_semdedup_drops_near_dup_keeps_representative(spark):
+    """Two near-identical vectors in one cell plus an orthogonal one:
+    the junior near-dup is dropped, the senior survives, the orthogonal
+    vector is untouched; with a threshold above their cosine, everyone
+    survives."""
+    from hudi_utility_spark.ops.dedup import semdedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0], 0),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0], 1),
+        (4, [0.0, 0.98, 0.1], 1),     # near-dup of 3
+        (5, [0.0, 0.0, 1.0], 2),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    survivors = {r.vec_id for r in semdedup(df, threshold=0.95).collect()}
+    assert survivors == {1, 3, 5}
+    all_survive = {r.vec_id for r in semdedup(df, threshold=0.99999).collect()}
+    assert all_survive == {1, 2, 3, 4, 5}
+
+
+def test_semdedup_reassignment_beats_given_labels(spark):
+    """A vector mislabeled into the wrong cell must be REASSIGNED to
+    the nearest centroid before the within-cluster pass — so it IS
+    deduped against its true neighbors (blocking on the raw label
+    would miss it)."""
+    from hudi_utility_spark.ops.dedup import semdedup
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.02], 0),
+        (3, [0.0, 1.0], 1),
+        (4, [0.02, 1.0], 1),
+        # same direction as cell 0's centroid but labeled 1:
+        (5, [0.99, 0.01], 1),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r.vec_id: r.cluster for r in semdedup(df, threshold=0.99).collect()}
+    assert 5 not in out  # reassigned to cluster 0, deduped against 1/2
+    assert set(out) == {1, 3}

@@ -169,3 +169,38 @@ def test_host_suffixes_bounds_and_subdomain_matching(spark):
     blocked = {"cdn.src5.org"}
     assert any(s in blocked for s in got["static.cdn.src5.org"])
     assert not any(s in blocked for s in got["src5.org"])
+
+
+def test_fellegi_sunter_weights_and_decisions(spark):
+    """All-agree pair scores sum(ln(m/u)) -> match; all-disagree pair
+    scores sum(ln((1-m)/(1-u))) -> non_match; the m<u guard rejects a
+    useless field."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hudi_utility_spark.ops.er import fellegi_sunter_score
+
+    df = spark.createDataFrame(
+        [("a", "a", 1), ("a", "zzz", 2)], ["x", "y", "pid"]
+    )
+    comps = [
+        ("eq", F.col("x") == F.col("y"), 0.9, 0.01),
+        ("len", F.length("x") == F.length("y"), 0.8, 0.1),
+    ]
+    out = {
+        r.pid: r
+        for r in fellegi_sunter_score(df, comps, upper=4.0, lower=0.0).collect()
+    }
+    agree = math.log(0.9 / 0.01) + math.log(0.8 / 0.1)
+    disagree = math.log(0.1 / 0.99) + math.log(0.2 / 0.9)
+    assert abs(out[1].fs_score - round(agree, 6)) < 1e-9
+    assert out[1].decision == "match"
+    assert abs(out[2].fs_score - round(disagree, 6)) < 1e-9
+    assert out[2].decision == "non_match"
+
+    with pytest.raises(ValueError, match="0 < u < m < 1"):
+        fellegi_sunter_score(
+            df, [("bad", F.col("x") == F.col("y"), 0.1, 0.5)], 1, 0
+        ).collect()
