@@ -656,3 +656,55 @@ def target_encode_loo(
     return enc.select(
         *df.columns, F.round(loo, 6).alias(out_col)
     )
+
+
+def welch_ttest(
+    scored: DataFrame,
+    value_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Welch's unequal-variance t-test — the parametric companion to
+    :func:`mann_whitney_u` (U asks "is one sample shifted", Welch asks
+    "do the means differ given each side's own variance"; run both,
+    disagree = look at the tails). Everything derives from the six
+    sufficient statistics (n, sum, sum-of-squares per group) collected
+    in ONE map-side-combinable aggregate — the same sufficient-
+    statistics discipline as the closed-form OLS: no second pass, no
+    collect, exact sample variances via (sumsq - sum^2/n)/(n-1).
+
+    Returns one row: (n_pos, n_neg, mean_diff, t_stat, df) with the
+    Welch-Satterthwaite degrees of freedom.
+    """
+    from pyspark.sql import functions as F
+
+    v = F.col(value_col).cast("double")
+    is1 = F.col(label_col).cast("int") == 1
+    agg = scored.agg(
+        F.sum(F.when(is1, 1).otherwise(0)).cast("double").alias("n1"),
+        F.sum(F.when(is1, v).otherwise(0.0)).alias("s1"),
+        F.sum(F.when(is1, v * v).otherwise(0.0)).alias("q1"),
+        F.sum(F.when(~is1, 1).otherwise(0)).cast("double").alias("n2"),
+        F.sum(F.when(~is1, v).otherwise(0.0)).alias("s2"),
+        F.sum(F.when(~is1, v * v).otherwise(0.0)).alias("q2"),
+    )
+    m1 = F.col("s1") / F.col("n1")
+    m2 = F.col("s2") / F.col("n2")
+    var1 = (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1")) / (
+        F.col("n1") - 1
+    )
+    var2 = (F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2")) / (
+        F.col("n2") - 1
+    )
+    se1 = var1 / F.col("n1")
+    se2 = var2 / F.col("n2")
+    t = (m1 - m2) / F.sqrt(se1 + se2)
+    dof = (se1 + se2) * (se1 + se2) / (
+        se1 * se1 / (F.col("n1") - 1) + se2 * se2 / (F.col("n2") - 1)
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n_pos"),
+        F.col("n2").cast("long").alias("n_neg"),
+        F.round(m1 - m2, 6).alias("mean_diff"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("df"),
+    )

@@ -1721,3 +1721,140 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("cusum")).desc(), F.asc("hr_us"))
         .limit(5)
     )
+
+
+# Two-sided alpha=0.05, power=0.80 normal quantiles — plan literals on
+# both engines (the experiment-sizing constants every A/B platform pins).
+_Z_ALPHA = 1.959963984540054
+_Z_BETA = 0.8416212335729143
+
+
+@query(
+    "ev_power_analysis",
+    f"""
+    WITH s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(value) AS sv,
+               SUM(value * value) AS qv
+        FROM events GROUP BY event_type
+    ),
+    d AS (
+        SELECT event_type, n, sv / n AS mean_v,
+               (qv - sv * sv / n) / (n - 1) AS var_v
+        FROM s
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_obs,
+           ROUND(mean_v, 6) AS mean_v,
+           ROUND(var_v, 6) AS var_v,
+           CAST(ceil(2.0 * {(_Z_ALPHA + _Z_BETA) ** 2!r} * var_v
+                     / ((0.05 * mean_v) * (0.05 * mean_v))) AS BIGINT)
+               AS required_n_per_arm
+    FROM d
+    """,
+)
+def ev_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment sizing per event type: the sample size each arm
+    needs to detect a 5% relative lift in mean value at alpha=0.05,
+    power=0.80 — n = 2(z_a + z_b)^2 sigma^2 / delta^2, the readout an
+    experimentation platform prints before any test launches (CUPED,
+    `ev_cuped_adjusted`, is how you SHRINK this number). Mean/variance
+    from sufficient statistics in one aggregate; the z-constants are
+    plan literals."""
+    s = load_table(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("value").alias("sv"),
+        F.sum(F.col("value") * F.col("value")).alias("qv"),
+    )
+    mean_v = F.col("sv") / F.col("n")
+    var_v = (F.col("qv") - F.col("sv") * F.col("sv") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    k = (_Z_ALPHA + _Z_BETA) ** 2
+    delta = 0.05 * mean_v
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_obs"),
+        F.round(mean_v, 6).alias("mean_v"),
+        F.round(var_v, 6).alias("var_v"),
+        F.ceil(2.0 * F.lit(k) * var_v / (delta * delta))
+        .cast("long")
+        .alias("required_n_per_arm"),
+    )
+
+
+@query(
+    "graph_link_prediction",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    deg AS (
+        SELECT l_partkey, COUNT(*) AS d FROM items GROUP BY l_partkey
+    ),
+    co AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS co_n
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT co.part_a, co.part_b,
+           CAST(co.co_n AS BIGINT) AS co_n,
+           ROUND(co.co_n / CAST(da.d + db.d - co.co_n AS DOUBLE), 6)
+               AS jaccard
+    FROM co
+    JOIN deg da ON co.part_a = da.l_partkey
+    JOIN deg db ON co.part_b = db.l_partkey
+    ORDER BY jaccard DESC, co.co_n DESC, co.part_a, co.part_b
+    LIMIT 20
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard link prediction over the part-order bipartite graph:
+    candidate part pairs (those sharing >=1 order) scored by
+    |orders(a) AND orders(b)| / |orders(a) OR orders(b)| — the
+    neighborhood-overlap baseline every recommender starts from.
+    Candidates come from the per-basket pair explosion (basket-
+    quadratic, never global); degrees join back on the part key; at
+    100 TB prune candidates by minimum co-count first."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    deg = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("d"))
+    a = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    co = (
+        a.join(b, ["k"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("co_n"))
+    )
+    da = deg.select(
+        F.col("l_partkey").alias("part_a"), F.col("d").alias("da")
+    )
+    db = deg.select(
+        F.col("l_partkey").alias("part_b"), F.col("d").alias("db")
+    )
+    return (
+        co.join(da, "part_a")
+        .join(db, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("co_n").cast("long").alias("co_n"),
+            F.round(
+                F.col("co_n")
+                / (F.col("da") + F.col("db") - F.col("co_n")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(
+            F.desc("jaccard"), F.desc("co_n"), F.asc("part_a"), F.asc("part_b")
+        )
+        .limit(20)
+    )

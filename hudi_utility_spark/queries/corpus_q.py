@@ -814,3 +814,86 @@ def rtr_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum(_has(t) for t in terms).alias("rel"),
     )
     return R.ranking_metrics(ranked, labels, k=10)
+
+
+@query(
+    "pack_length_buckets",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, n_tokens,
+               NTILE(4) OVER (ORDER BY n_tokens, doc_id) AS bucket
+        FROM d
+    ),
+    g AS (
+        SELECT bucket, n_tokens,
+               MAX(n_tokens) OVER (PARTITION BY bucket) AS bmax
+        FROM b
+    ),
+    stats AS (
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+               CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+               ROUND(SUM(bmax - n_tokens)
+                     / CAST(SUM(bmax) AS DOUBLE), 6) AS pad_frac
+        FROM g GROUP BY bucket
+    ),
+    global_pad AS (
+        SELECT ROUND(SUM((SELECT MAX(n_tokens) FROM d) - n_tokens)
+                     / CAST(SUM((SELECT MAX(n_tokens) FROM d)) AS DOUBLE),
+                     6) AS unbucketed_pad_frac
+        FROM d
+    )
+    SELECT s.bucket, s.n_docs, s.min_tokens, s.max_tokens, s.pad_frac,
+           g.unbucketed_pad_frac
+    FROM stats s, global_pad g
+    """,
+)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching plan: documents quartiled by token
+    count (NTILE over a total order), per-bucket padding waste when
+    every sequence pads to its BUCKET max, vs the unbucketed column
+    where everything pads to the GLOBAL max — the standard seq2seq /
+    packing efficiency lever, quantified. Windows run over the doc
+    relation once; at 100 TB replace NTILE with fixed token-length
+    boundaries (metadata-only) and the plan is map-only."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    b = d.select(
+        "doc_id",
+        "n_tokens",
+        F.ntile(4).over(Window.orderBy("n_tokens", "doc_id")).alias("bucket"),
+    )
+    g = b.select(
+        "bucket",
+        "n_tokens",
+        F.max("n_tokens").over(Window.partitionBy("bucket")).alias("bmax"),
+    )
+    stats = g.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.round(
+            F.sum(F.col("bmax") - F.col("n_tokens"))
+            / F.sum("bmax").cast("double"),
+            6,
+        ).alias("pad_frac"),
+    )
+    gmax = d.agg(F.max("n_tokens").alias("gmax"))
+    global_pad = d.crossJoin(F.broadcast(gmax)).agg(
+        F.round(
+            F.sum(F.col("gmax") - F.col("n_tokens"))
+            / F.sum("gmax").cast("double"),
+            6,
+        ).alias("unbucketed_pad_frac")
+    )
+    return stats.crossJoin(F.broadcast(global_pad))

@@ -1289,3 +1289,57 @@ def dq_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     return benford_profile(o, "o_totalprice")
+
+
+@query(
+    "stat_welch_ttest",
+    """
+    WITH s AS (
+        SELECT CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                   AS v,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+        FROM documents
+    ),
+    agg AS (
+        SELECT CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS n1,
+               SUM(CASE WHEN label = 1 THEN v ELSE 0.0 END) AS s1,
+               SUM(CASE WHEN label = 1 THEN v * v ELSE 0.0 END) AS q1,
+               CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS n2,
+               SUM(CASE WHEN label = 0 THEN v ELSE 0.0 END) AS s2,
+               SUM(CASE WHEN label = 0 THEN v * v ELSE 0.0 END) AS q2
+        FROM s
+    ),
+    d AS (
+        SELECT n1, n2, s1 / n1 - s2 / n2 AS mean_diff,
+               (q1 - s1 * s1 / n1) / (n1 - 1) / n1 AS se1,
+               (q2 - s2 * s2 / n2) / (n2 - 1) / n2 AS se2
+        FROM agg
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_pos,
+           CAST(n2 AS BIGINT) AS n_neg,
+           ROUND(mean_diff, 6) AS mean_diff,
+           ROUND(mean_diff / sqrt(se1 + se2), 6) AS t_stat,
+           ROUND((se1 + se2) * (se1 + se2)
+                 / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 6) AS df
+    FROM d
+    """,
+)
+def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on English vs non-English word
+    counts — the parametric companion to `stat_mann_whitney` over the
+    same two samples (means vs ranks; disagreement = look at the
+    tails). Six sufficient statistics from ONE map-side-combinable
+    aggregate, Welch-Satterthwaite df in closed form (ops/mlfit.py
+    welch_ttest)."""
+    from hudi_utility_spark.ops.mlfit import welch_ttest
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("double")
+        .alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return welch_ttest(scored)

@@ -230,3 +230,23 @@ def test_target_encode_loo_is_leakage_free(spark):
     assert out[2] == 1.0     # (2-0)/2
     assert out[3] == 0.5
     assert out[4] == 0.75    # singleton -> global prior 3/4
+
+
+def test_welch_ttest_closed_form(spark):
+    """Textbook case: group1={1,2,3,4}, group0={2,4,6,8,10} — means
+    2.5 vs 6, var 5/3 vs 10; t and Welch-Satterthwaite df checked
+    against the hand-evaluated formulas."""
+    from hudi_utility_spark.ops.mlfit import welch_ttest
+
+    rows = [(float(v), 1) for v in (1, 2, 3, 4)] + [
+        (float(v), 0) for v in (2, 4, 6, 8, 10)
+    ]
+    df = spark.createDataFrame(rows, ["score", "label"])
+    r = welch_ttest(df).collect()[0]
+    se1, se2 = (5 / 3) / 4, 10.0 / 5
+    t = (2.5 - 6.0) / (se1 + se2) ** 0.5
+    dof = (se1 + se2) ** 2 / (se1**2 / 3 + se2**2 / 4)
+    assert (r.n_pos, r.n_neg) == (4, 5)
+    assert abs(r.mean_diff - (-3.5)) < 1e-9
+    assert abs(r.t_stat - round(t, 6)) < 1e-9
+    assert abs(r.df - round(dof, 6)) < 1e-9
