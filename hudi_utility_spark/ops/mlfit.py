@@ -708,3 +708,87 @@ def welch_ttest(
         F.round(t, 6).alias("t_stat"),
         F.round(dof, 6).alias("df"),
     )
+
+
+def isotonic_calibrate(
+    binned: DataFrame,
+    bin_col: str = "bin",
+    label_col: str = "label",
+    *,
+    max_bins: int = 10_000,
+) -> DataFrame:
+    """Isotonic calibration of a binned score against a binary label —
+    the non-parametric monotone fit every probability calibrator
+    (Platt's rival) ships: find the non-decreasing rate curve closest
+    to the empirical bin rates. Instead of the SEQUENTIAL
+    pool-adjacent-violators scan (hostile to data-parallel execution),
+    this uses the minimax closed form
+
+        iso(i) = max_{j<=i} min_{k>=i} mean(label[bin j..bin k])
+
+    which is pure relational algebra over the COLLAPSED bin relation:
+    one prefix-sum pass, the (j,k) pair grid (B^2 rows — bins are
+    bounded and guarded, facts never appear), a reverse running MIN per
+    j, and a grouped MAX per i. Every mean is a ratio of exact integer
+    prefix sums, so both engines agree bit-for-bit before rounding.
+
+    Returns per bin: (bin, n, raw_rate, iso_rate), iso_rate monotone
+    non-decreasing in bin order by construction.
+    """
+    from pyspark.sql import Window, functions as F
+
+    per_bin = binned.groupBy(F.col(bin_col).alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(label_col).cast("long")).alias("pos"),
+    )
+    per_bin = require_bounded_distinct(
+        per_bin, max_bins, "isotonic_calibrate", "coarsen the binning"
+    )
+    wp = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pref = per_bin.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(wp).alias("cn"),
+        F.sum("pos").over(wp).alias("cpos"),
+    )
+    j = pref.select(
+        F.col("bin").alias("jb"),
+        (F.col("cpos") - F.col("pos")).alias("jpos_excl"),
+        (F.col("cn") - F.col("n")).alias("jn_excl"),
+    )
+    k = pref.select(
+        F.col("bin").alias("kb"),
+        F.col("cpos").alias("kpos"),
+        F.col("cn").alias("kn"),
+    )
+    pairs = j.join(k, F.col("jb") <= F.col("kb")).select(
+        "jb",
+        "kb",
+        (
+            (F.col("kpos") - F.col("jpos_excl"))
+            / (F.col("kn") - F.col("jn_excl")).cast("double")
+        ).alias("mean_jk"),
+    )
+    w_min = Window.partitionBy("jb").orderBy(F.desc("kb")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    m = pairs.select(
+        "jb", "kb", F.min("mean_jk").over(w_min).alias("mjk")
+    )
+    iso = (
+        m.filter(F.col("jb") <= F.col("kb"))
+        .groupBy(F.col("kb").alias("bin"))
+        .agg(F.max("mjk").alias("iso_raw"))
+    )
+    return (
+        per_bin.join(iso, "bin")
+        .select(
+            "bin",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("pos") / F.col("n").cast("double"), 6).alias(
+                "raw_rate"
+            ),
+            F.round("iso_raw", 6).alias("iso_rate"),
+        )
+    )

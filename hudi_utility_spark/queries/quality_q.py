@@ -1343,3 +1343,138 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").cast("int").alias("label"),
     )
     return welch_ttest(scored)
+
+
+@query(
+    "ml_isotonic_calibration",
+    """
+    WITH scored AS (
+        SELECT least(CAST(floor(
+                   len(string_split_regex(trim(text), '\\s+')) / 10.0)
+                   AS INT), 9) AS bin,
+               CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS label
+        FROM documents
+    ),
+    per_bin AS (
+        SELECT bin, COUNT(*) AS n, SUM(label) AS pos
+        FROM scored GROUP BY bin
+    ),
+    pref AS (
+        SELECT bin, n, pos,
+               SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
+               SUM(pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cpos
+        FROM per_bin
+    ),
+    pairs AS (
+        SELECT j.bin AS jb, k.bin AS kb,
+               (k.cpos - (j.cpos - j.pos))
+                   / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS mean_jk
+        FROM pref j JOIN pref k ON j.bin <= k.bin
+    ),
+    m AS (
+        SELECT jb, kb,
+               MIN(mean_jk) OVER (PARTITION BY jb ORDER BY kb DESC
+                                  ROWS UNBOUNDED PRECEDING) AS mjk
+        FROM pairs
+    ),
+    iso AS (
+        SELECT kb AS bin, MAX(mjk) AS iso_raw
+        FROM m WHERE jb <= kb GROUP BY kb
+    )
+    SELECT p.bin, CAST(p.n AS BIGINT) AS n,
+           ROUND(p.pos / CAST(p.n AS DOUBLE), 6) AS raw_rate,
+           ROUND(i.iso_raw, 6) AS iso_rate
+    FROM per_bin p JOIN iso i ON p.bin = i.bin
+    """,
+)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration of the word-count decile bins against the
+    long-document label via the MINIMAX closed form (max-min of
+    interval means) instead of the sequential PAV scan — pure
+    relational algebra over the collapsed bin relation, so the
+    monotone fit is data-parallel AND oracle-checkable. Read after
+    `ml_calibration_bins`: that query shows the raw reliability curve,
+    this one is the monotone regression a downstream thresholder would
+    actually consume (ops/mlfit.py isotonic_calibrate)."""
+    from hudi_utility_spark.ops.mlfit import isotonic_calibrate
+
+    d = load_table(spark, sf_dir, "documents")
+    binned = d.select(
+        F.least(
+            F.floor(
+                F.size(F.split(F.trim(F.col("text")), r"\s+")) / 10.0
+            ).cast("int"),
+            F.lit(9),
+        ).alias("bin"),
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("label"),
+    )
+    return isotonic_calibrate(binned)
+
+
+@query(
+    "dq_column_entropy",
+    """
+    WITH vt AS (
+        SELECT 'event_type' AS col, event_type AS val FROM events
+        UNION ALL
+        SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+        UNION ALL
+        SELECT 'value_int', CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)
+        FROM events
+    ),
+    counts AS (
+        SELECT col, val, COUNT(*) AS c FROM vt GROUP BY col, val
+    ),
+    agg AS (
+        SELECT col,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(c) AS DOUBLE) AS n,
+               SUM(c * ln(CAST(c AS DOUBLE))) AS slc
+        FROM counts GROUP BY col
+    )
+    SELECT col, n_distinct,
+           ROUND(ln(n) - slc / n, 6) AS entropy_nats,
+           ROUND((ln(n) - slc / n) / ln(CAST(n_distinct AS DOUBLE)), 6)
+               AS normalized
+    FROM agg
+    """,
+)
+def dq_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy profile of candidate key/partition columns —
+    the information-content readout behind partition-key and bucketing
+    choices (a near-zero normalized entropy means a skewed, useless
+    key; near-one means uniform). Computed as ln(N) - sum(c ln c)/N so
+    only ONE collapsed aggregate per column feeds it; the unpivot is a
+    map-side stack, not three scans at the storage level (column
+    pruning keeps each branch to its own column)."""
+    ev = load_table(spark, sf_dir, "events")
+    vt = (
+        ev.select(F.lit("event_type").alias("col"), F.col("event_type").alias("val"))
+        .unionByName(
+            ev.select(
+                F.lit("user_id").alias("col"),
+                F.col("user_id").cast("string").alias("val"),
+            )
+        )
+        .unionByName(
+            ev.select(
+                F.lit("value_int").alias("col"),
+                F.floor("value").cast("long").cast("string").alias("val"),
+            )
+        )
+    )
+    counts = vt.groupBy("col", "val").agg(F.count(F.lit(1)).alias("c"))
+    agg = counts.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("c").cast("double").alias("n"),
+        F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("slc"),
+    )
+    h = F.log("n") - F.col("slc") / F.col("n")
+    return agg.select(
+        "col",
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.round(h, 6).alias("entropy_nats"),
+        F.round(h / F.log(F.col("n_distinct").cast("double")), 6).alias(
+            "normalized"
+        ),
+    )

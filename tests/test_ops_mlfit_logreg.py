@@ -250,3 +250,30 @@ def test_welch_ttest_closed_form(spark):
     assert abs(r.mean_diff - (-3.5)) < 1e-9
     assert abs(r.t_stat - round(t, 6)) < 1e-9
     assert abs(r.df - round(dof, 6)) < 1e-9
+
+
+def test_isotonic_calibrate_matches_pav_and_is_monotone(spark):
+    """Violating bin rates [0.2, 0.8, 0.4] with equal weights: PAV
+    pools bins 2,3 -> [0.2, 0.6, 0.6]; the minimax closed form must
+    reproduce the pooled solution and the output must be monotone."""
+    from hudi_utility_spark.ops.mlfit import isotonic_calibrate
+
+    rows = []
+    for b, pos in ((0, 2), (1, 8), (2, 4)):
+        rows += [(b, 1)] * pos + [(b, 0)] * (10 - pos)
+    df = spark.createDataFrame(rows, ["bin", "label"])
+    out = sorted(isotonic_calibrate(df).collect(), key=lambda r: r.bin)
+    assert [r.raw_rate for r in out] == [0.2, 0.8, 0.4]
+    assert [r.iso_rate for r in out] == [0.2, 0.6, 0.6]
+    assert all(a.iso_rate <= b.iso_rate for a, b in zip(out, out[1:]))
+
+
+def test_isotonic_calibrate_already_monotone_is_identity(spark):
+    from hudi_utility_spark.ops.mlfit import isotonic_calibrate
+
+    rows = []
+    for b, pos in ((0, 1), (1, 5), (2, 9)):
+        rows += [(b, 1)] * pos + [(b, 0)] * (10 - pos)
+    df = spark.createDataFrame(rows, ["bin", "label"])
+    out = sorted(isotonic_calibrate(df).collect(), key=lambda r: r.bin)
+    assert [r.iso_rate for r in out] == [r.raw_rate for r in out]
