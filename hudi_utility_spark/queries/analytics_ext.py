@@ -1820,17 +1820,26 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic, never global); degrees join back on the part key; at
     100 TB prune candidates by minimum co-count first."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    deg = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("d"))
-    a = items.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    # candidates via the basket pair explosion (the co_purchase_pairs
+    # shape: per-basket quadratic HOF, never a corpus self-join)
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
-    b = items.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    deg = baskets.select(F.explode("ps").alias("l_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.count(F.lit(1)).alias("d"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
     )
     co = (
-        a.join(b, ["k"])
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("co_n"))
     )

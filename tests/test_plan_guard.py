@@ -124,3 +124,36 @@ def test_r7_headline_exchange_budgets(spark, sf_dir):
         if shuffles > budget:
             over.append((name, shuffles, budget))
     assert not over, f"shuffle-exchange budget exceeded: {over}"
+
+
+# round-8 additions: measured max shuffle-exchange budgets (same
+# contract as the r7 table above) plus the deliberate bounded-BNLJ
+# set — k-centroid cross-scores and the isotonic bin grid are
+# broadcast nested loops over RELATIONS BOUNDED BY CONSTRUCTION
+# (centroid count, bin count), not data-sized.
+EXCHANGE_BUDGETS_R8 = {
+    "text_kneser_ney": 16,
+    "dedup_semdedup": 24,
+    "rtr_rrf_fusion": 4,
+    "ev_attribution_channels": 4,
+    "ml_isotonic_calibration": 10,
+    "rollup_join_view_maintenance": 2,
+    "ml_pr_curve": 8,
+    "stat_mann_whitney": 4,
+    "text_ccnet_buckets": 18,
+    "graph_link_prediction": 12,
+}
+
+
+def test_r8_exchange_budgets_and_no_cartesian(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    over = []
+    for name, budget in EXCHANGE_BUDGETS_R8.items():
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+        if shuffles > budget:
+            over.append((name, shuffles, budget))
+    assert not over, f"shuffle-exchange budget exceeded: {over}"
