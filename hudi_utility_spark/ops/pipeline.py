@@ -98,3 +98,45 @@ def corpus_funnel(
         .groupBy("stage")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def walkforward_folds(
+    df: DataFrame,
+    ts_col: str,
+    n_folds: int,
+    embargo_seconds: int,
+    t_min_us: int,
+    t_max_us: int,
+) -> DataFrame:
+    """Purged walk-forward cross-validation assignment (the
+    Lopez de Prado embargo discipline, and the only split that doesn't
+    leak for time-ordered training data): time is cut into ``n_folds``
+    equal spans; each row gets its chronological ``fold``, plus a
+    per-fold role — rows inside the fold span are ``test``, rows
+    EARLIER than the span minus the embargo gap are ``train``, and rows
+    inside the embargo buffer just before the span are ``purged``
+    (dropped so serially-correlated labels can't bleed across the
+    boundary). Emitted per (row, fold) via a bounded explode of the
+    fold spine — n_folds literals, map-only, no shuffle until the
+    caller aggregates.
+
+    ``t_min_us``/``t_max_us`` bound the spine (pass them from one
+    2-scalar aggregate, or from pipeline metadata at 100 TB).
+    """
+    from hudi_utility_spark.tsutil import us
+
+    span = (t_max_us - t_min_us + 1) // n_folds + 1
+    emb = embargo_seconds * 1_000_000
+    folds = F.sequence(F.lit(0), F.lit(n_folds - 1))
+    e = us(F.col(ts_col))
+    lo = F.lit(t_min_us) + F.col("fold") * F.lit(span)
+    return (
+        df.withColumn("fold", F.explode(folds))
+        .withColumn(
+            "role",
+            F.when((e >= lo) & (e < lo + F.lit(span)), F.lit("test"))
+            .when(e < lo - F.lit(emb), F.lit("train"))
+            .when((e >= lo - F.lit(emb)) & (e < lo), F.lit("purged"))
+            .otherwise(F.lit("future")),
+        )
+    )

@@ -295,3 +295,54 @@ def pipeline_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_abl_pairs())}, {stack_args}) "
         "as (filter_a, filter_b, failed_both)"
     )
+
+
+@query(
+    "pipeline_walkforward_folds",
+    """
+    WITH b AS (
+        SELECT epoch_us(MIN(ts)) AS t0, epoch_us(MAX(ts)) AS t1
+        FROM events
+    ),
+    spans AS (
+        SELECT t0, (t1 - t0 + 1) // 4 + 1 AS span FROM b
+    ),
+    assigned AS (
+        SELECT f.fold,
+               CASE
+                 WHEN epoch_us(e.ts) >= s.t0 + f.fold * s.span
+                  AND epoch_us(e.ts) < s.t0 + (f.fold + 1) * s.span
+                   THEN 'test'
+                 WHEN epoch_us(e.ts) < s.t0 + f.fold * s.span - 600000000
+                   THEN 'train'
+                 WHEN epoch_us(e.ts) >= s.t0 + f.fold * s.span - 600000000
+                  AND epoch_us(e.ts) < s.t0 + f.fold * s.span
+                   THEN 'purged'
+                 ELSE 'future'
+               END AS role
+        FROM events e, spans s,
+             LATERAL (SELECT unnest(range(0, 4)) AS fold) f
+    )
+    SELECT fold, role, CAST(COUNT(*) AS BIGINT) AS n
+    FROM assigned GROUP BY fold, role
+    """,
+)
+def pipeline_walkforward_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged walk-forward CV split audit: 4 chronological folds over
+    the event stream with a 10-minute embargo buffer purged before each
+    test span — the only non-leaking split for serially-correlated
+    training data (group_safe_split handles entity leakage; this
+    handles TIME leakage). Fold spine is a bounded explode of 4
+    literals; assignment is map-only (ops/pipeline.py
+    walkforward_folds)."""
+    from hudi_utility_spark.ops.pipeline import walkforward_folds
+    from hudi_utility_spark.tsutil import us
+
+    ev = load_table(spark, sf_dir, "events")
+    t0, t1 = ev.agg(
+        F.min(us(F.col("ts"))), F.max(us(F.col("ts")))
+    ).collect()[0]
+    out = walkforward_folds(
+        ev, "ts", n_folds=4, embargo_seconds=600, t_min_us=t0, t_max_us=t1
+    )
+    return out.groupBy("fold", "role").agg(F.count(F.lit(1)).alias("n"))

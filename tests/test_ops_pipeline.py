@@ -84,3 +84,37 @@ def test_group_safe_split_keeps_near_dups_together(spark, sf_dir):
     assert set(split_of.values()) == {"train", "val", "test"}
     assert len(split_of) == d.count()
     spark.catalog.clearCache()
+
+
+def test_walkforward_folds_purges_embargo_and_never_leaks(spark):
+    """For every fold: max train ts < embargo start < test span start;
+    purged rows fill exactly the embargo buffer; no train row is ever
+    at-or-after its fold's test span."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from hudi_utility_spark.ops.pipeline import walkforward_folds
+    from hudi_utility_spark.tsutil import us
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(minutes=i)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["id", "ts"])
+    lo, hi = df.agg(F.min(us(F.col("ts"))), F.max(us(F.col("ts")))).collect()[0]
+    out = walkforward_folds(
+        df, "ts", n_folds=4, embargo_seconds=1200, t_min_us=lo, t_max_us=hi
+    )
+    span = (hi - lo + 1) // 4 + 1
+    got = out.select("id", "fold", "role", us(F.col("ts")).alias("e")).collect()
+    for r in got:
+        start = lo + r.fold * span
+        if r.role == "train":
+            assert r.e < start - 1200 * 1_000_000
+        elif r.role == "purged":
+            assert start - 1200 * 1_000_000 <= r.e < start
+        elif r.role == "test":
+            assert start <= r.e < start + span
+        else:
+            assert r.e >= start + span
+    # every row appears exactly once per fold
+    assert len(got) == 400 * 4
