@@ -1478,3 +1478,61 @@ def dq_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "normalized"
         ),
     )
+
+
+@query(
+    "ml_calibration_ece",
+    """
+    WITH scored AS (
+        SELECT least(CAST(floor(
+                   len(string_split_regex(trim(text), '\\s+')) / 10.0)
+                   AS INT), 9) AS bin,
+               CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS label
+        FROM documents
+    ),
+    per_bin AS (
+        SELECT bin, COUNT(*) AS n,
+               AVG(CAST(label AS DOUBLE)) AS rate,
+               (bin + 0.5) / 10.0 AS conf
+        FROM scored GROUP BY bin
+    ),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nt FROM per_bin)
+    SELECT CAST(t.nt AS BIGINT) AS n,
+           ROUND(SUM(p.n / t.nt * abs(p.rate - p.conf)), 6) AS ece,
+           ROUND(MAX(abs(p.rate - p.conf)), 6) AS mce
+    FROM per_bin p, tot t GROUP BY t.nt
+    """,
+)
+def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected / Maximum Calibration Error over the word-count decile
+    bins, reading each bin's center as the model's claimed probability
+    — the two scalars a reliability diagram (`ml_calibration_bins`)
+    compresses to, and what `ml_isotonic_calibration` exists to drive
+    toward zero. One bin-sized aggregate after the collapse."""
+    d = load_table(spark, sf_dir, "documents")
+    per_bin = (
+        d.select(
+            F.least(
+                F.floor(
+                    F.size(F.split(F.trim(F.col("text")), r"\s+")) / 10.0
+                ).cast("int"),
+                F.lit(9),
+            ).alias("bin"),
+            F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("label"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.col("label").cast("double")).alias("rate"),
+        )
+        .withColumn("conf", (F.col("bin") + 0.5) / 10.0)
+    )
+    tot = per_bin.agg(F.sum("n").cast("double").alias("nt"))
+    return per_bin.crossJoin(F.broadcast(tot)).agg(
+        F.max("nt").cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("n") / F.col("nt") * F.abs(F.col("rate") - F.col("conf"))),
+            6,
+        ).alias("ece"),
+        F.round(F.max(F.abs(F.col("rate") - F.col("conf"))), 6).alias("mce"),
+    )
