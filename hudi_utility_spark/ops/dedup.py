@@ -951,6 +951,10 @@ def semdedup(
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(id_col, vec_col, F.col("cell").alias("cluster"))
+        # both sides of the near-dup self-join read this relation; the
+        # checkpoint stops the centroid agg + assignment window from
+        # executing twice (and truncates lineage for the anti-join pass)
+        .localCheckpoint(eager=False)
     )
     a = assigned.select(
         F.col(id_col).alias("id_a"),

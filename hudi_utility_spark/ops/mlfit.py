@@ -715,7 +715,7 @@ def isotonic_calibrate(
     bin_col: str = "bin",
     label_col: str = "label",
     *,
-    max_bins: int = 10_000,
+    max_bins: int = 1_000,
 ) -> DataFrame:
     """Isotonic calibration of a binned score against a binary label —
     the non-parametric monotone fit every probability calibrator
@@ -727,9 +727,9 @@ def isotonic_calibrate(
         iso(i) = max_{j<=i} min_{k>=i} mean(label[bin j..bin k])
 
     which is pure relational algebra over the COLLAPSED bin relation:
-    one prefix-sum pass, the (j,k) pair grid (B^2 rows — bins are
-    bounded and guarded, facts never appear), a reverse running MIN per
-    j, and a grouped MAX per i. Every mean is a ratio of exact integer
+    one prefix-sum pass, the (j,k) pair grid (B^2 rows — so the guard
+    bounds B at 1000 by default, a 10^6-row grid; facts never appear),
+    a reverse running MIN per j, and a grouped MAX per i. Every mean is a ratio of exact integer
     prefix sums, so both engines agree bit-for-bit before rounding.
 
     Returns per bin: (bin, n, raw_rate, iso_rate), iso_rate monotone
