@@ -1228,3 +1228,73 @@ def kneser_ney_score(
         F.coalesce("n_model_hits", F.lit(0)).cast("long").alias("n_model_hits"),
         F.coalesce("avg_neg_logprob", F.lit(0.0)).alias("avg_neg_logprob"),
     )
+
+
+def gopher_rules(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The Gopher document-quality rules (Rae et al. 2021, Appendix A
+    — the published thresholds everybody's web-corpus filter is a
+    variant of), as PER-RULE pass flags rather than a composite score:
+    word count in [50, 100k], mean word length in [3, 10], symbol
+    ('#'/'...') -to-word ratio <= 0.1, >= 80% of words containing an
+    alphabetic character, <= 90% bullet-started lines, <= 30%
+    ellipsis-ended lines, and >= 2 distinct Gopher must-have stopwords.
+    The per-rule flags are what an ablation pipeline actually needs
+    (`pipeline_filter_ablation` measures exactly this kind of rule).
+
+    One map stage of codegen'd array/string expressions — no shuffle,
+    no Python. Returns (id, 7 flag columns, passes).
+    """
+    t = F.trim(F.col(text_col))
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    wc = F.size(words)
+    chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = chars / wc
+    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))) / 1
+    n_ell = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / 3
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))) / wc
+    )
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda l: F.trim(l) != "")
+    nl = F.size(lines)
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.trim(l).rlike(r"^[-*•]"),
+            )
+        )
+        / nl
+    )
+    ell_line_frac = (
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$"))) / nl
+    )
+    must_have = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    lower_words = F.transform(words, F.lower)
+    n_stop = None
+    for w in must_have:
+        hit = F.array_contains(lower_words, w).cast("int")
+        n_stop = hit if n_stop is None else n_stop + hit
+    flags = {
+        "f_word_count": (wc >= 50) & (wc <= 100_000),
+        "f_mean_word_len": (wc > 0) & (mean_wl >= 3) & (mean_wl <= 10),
+        "f_symbol_ratio": (wc > 0) & ((n_hash + n_ell) / wc <= 0.1),
+        "f_alpha_words": (wc > 0) & (alpha_frac >= 0.8),
+        "f_bullets": (nl == 0) | (bullet_frac <= 0.9),
+        "f_ellipsis_lines": (nl == 0) | (ell_line_frac <= 0.3),
+        "f_stopwords": n_stop >= 2,
+    }
+    out = df.select(
+        F.col(id_col),
+        *[v.cast("int").alias(k) for k, v in flags.items()],
+    )
+    passes = None
+    for k in flags:
+        c = F.col(k) == 1
+        passes = c if passes is None else passes & c
+    return out.withColumn("passes", passes.cast("int"))

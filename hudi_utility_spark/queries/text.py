@@ -1528,3 +1528,74 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("nlp"), 6).alias("avg_nlp"),
     )
+
+
+@query(
+    "text_gopher_rules",
+    """
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x != '') AS words,
+               list_filter(string_split(text, chr(10)),
+                           l -> trim(l) != '') AS lines,
+               trim(text) AS t
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(words) AS wc,
+               list_sum(list_transform(words, x -> length(x))) AS chars,
+               (length(t) - length(replace(t, '#', ''))) / 1 AS n_hash,
+               (length(t) - length(replace(t, '...', ''))) / 3 AS n_ell,
+               len(list_filter(words,
+                   x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+               len(lines) AS nl,
+               len(list_filter(lines,
+                   l -> regexp_matches(trim(l), '^[-*•]'))) AS n_bul,
+               len(list_filter(lines,
+                   l -> regexp_matches(trim(l), '\\.\\.\\.$'))) AS n_elline,
+               (CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'the') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'be') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'to') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'of') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'and') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'that') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'have') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'with') THEN 1 ELSE 0 END)
+                   AS n_stop
+        FROM w
+    ),
+    f AS (
+        SELECT doc_id,
+               CASE WHEN wc >= 50 AND wc <= 100000 THEN 1 ELSE 0 END
+                   AS f_word_count,
+               CASE WHEN wc > 0 AND chars / wc >= 3 AND chars / wc <= 10
+                    THEN 1 ELSE 0 END AS f_mean_word_len,
+               CASE WHEN wc > 0 AND (n_hash + n_ell) / wc <= 0.1
+                    THEN 1 ELSE 0 END AS f_symbol_ratio,
+               CASE WHEN wc > 0 AND n_alpha / CAST(wc AS DOUBLE) >= 0.8
+                    THEN 1 ELSE 0 END AS f_alpha_words,
+               CASE WHEN nl = 0 OR n_bul / CAST(nl AS DOUBLE) <= 0.9
+                    THEN 1 ELSE 0 END AS f_bullets,
+               CASE WHEN nl = 0 OR n_elline / CAST(nl AS DOUBLE) <= 0.3
+                    THEN 1 ELSE 0 END AS f_ellipsis_lines,
+               CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS f_stopwords
+        FROM m
+    )
+    SELECT *,
+           CASE WHEN f_word_count + f_mean_word_len + f_symbol_ratio
+                   + f_alpha_words + f_bullets + f_ellipsis_lines
+                   + f_stopwords = 7 THEN 1 ELSE 0 END AS passes
+    FROM f
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PUBLISHED Gopher quality thresholds (Rae et al. 2021 App. A)
+    as per-document, per-rule pass flags — the named rule set every
+    web-corpus filter descends from, in the per-rule form an ablation
+    pipeline consumes (vs `text_quality_score`'s composite). One
+    map-only stage of codegen'd array expressions (ops/text.py
+    gopher_rules)."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.gopher_rules(d)

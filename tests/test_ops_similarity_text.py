@@ -774,3 +774,27 @@ def test_kneser_ney_empty_and_bigram_free_docs(spark):
     empty = spark.createDataFrame([(1, " ")], ["doc_id", "text"])
     z = kneser_ney_score(empty).collect()[0]
     assert (z.n_bigrams, z.n_model_hits, z.avg_neg_logprob) == (0, 0, 0.0)
+
+
+def test_gopher_rules_flags_each_failure_mode(spark):
+    from hudi_utility_spark.ops.text import gopher_rules
+
+    good = "the quick brown fox jumps with energy and " + " ".join(
+        f"word{i}" for i in range(50)
+    )
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "the of and"),                           # too few words
+        (3, "# " * 10 + good),                       # 10/67 hashes > 0.1
+        (4, "12 34 56 78 " * 20),                    # no alpha words
+        (5, "\n".join("- bullet point here" for _ in range(10))),
+        (6, "zz qq xx " * 30),                       # no must-have stopwords
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert out[1].passes == 1
+    assert out[2].f_word_count == 0 and out[2].passes == 0
+    assert out[3].f_symbol_ratio == 0
+    assert out[4].f_alpha_words == 0
+    assert out[5].f_bullets == 0
+    assert out[6].f_stopwords == 0
