@@ -1867,3 +1867,123 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+@query(
+    "ev_sprt_monitor",
+    """
+    WITH b AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) AS n,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events WHERE user_id % 2 = 1
+        GROUP BY 1
+    ),
+    c AS (
+        SELECT day, n, conv,
+               SUM(conv * ln(0.22 / 0.2)
+                   + (n - conv) * ln(0.78 / 0.8))
+                   OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS llr
+        FROM b
+    )
+    SELECT day, CAST(n AS BIGINT) AS n, CAST(conv AS BIGINT) AS conv,
+           ROUND(llr, 6) AS cum_llr,
+           CASE WHEN llr >= ln(0.8 / 0.05) THEN 'accept_h1'
+                WHEN llr <= ln(0.2 / 0.95) THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM c
+    """,
+)
+def ev_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test monitor over the
+    treatment arm's daily conversion stream (H0: p=0.20 vs H1: p=0.22,
+    alpha=0.05, power=0.80): per day the cumulative log-likelihood
+    ratio and the stop/continue decision against the Wald boundaries —
+    the always-valid peeking discipline fixed-horizon tests
+    (`ev_power_analysis`) lack. Facts collapse to daily counts first;
+    the LLR is one ordered window over day cardinality."""
+    import math
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 2 == 1
+    )
+    b = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "conv"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    lw, ll = math.log(0.22 / 0.2), math.log(0.78 / 0.8)
+    up, lo = math.log(0.8 / 0.05), math.log(0.2 / 0.95)
+    c = b.select(
+        "day",
+        "n",
+        "conv",
+        F.sum(
+            F.col("conv") * F.lit(lw) + (F.col("n") - F.col("conv")) * F.lit(ll)
+        ).over(w).alias("llr"),
+    )
+    return c.select(
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.col("conv").cast("long").alias("conv"),
+        F.round("llr", 6).alias("cum_llr"),
+        F.when(F.col("llr") >= up, F.lit("accept_h1"))
+        .when(F.col("llr") <= lo, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
+
+
+@query(
+    "ev_srm_check",
+    """
+    WITH arms AS (
+        SELECT user_id % 2 AS arm, COUNT(*) AS n
+        FROM events GROUP BY 1
+    ),
+    w AS (
+        SELECT SUM(CASE WHEN arm = 0 THEN n END) AS na,
+               SUM(CASE WHEN arm = 1 THEN n END) AS nb
+        FROM arms
+    )
+    SELECT CAST(na AS BIGINT) AS n_control,
+           CAST(nb AS BIGINT) AS n_treatment,
+           ROUND((na - nb) * (na - nb) / CAST(na + nb AS DOUBLE), 6)
+               AS chi2,
+           (na - nb) * (na - nb) / CAST(na + nb AS DOUBLE) > 3.841459
+               AS srm_flag
+    FROM w
+    """,
+)
+def ev_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-Ratio Mismatch guardrail: chi-squared test that the
+    50/50 hash split actually delivered 50/50 (the single most-fired
+    experimentation alarm — an SRM means bias upstream of the metric,
+    and EVERY downstream readout is suspect). One aggregate; the
+    3.84 boundary is chi2(1df) at alpha=0.05 as a plan literal."""
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n"))).alias("na"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n"))).alias("nb"),
+    )
+    chi2 = (
+        (F.col("na") - F.col("nb"))
+        * (F.col("na") - F.col("nb"))
+        / (F.col("na") + F.col("nb")).cast("double")
+    )
+    return w.select(
+        F.col("na").cast("long").alias("n_control"),
+        F.col("nb").cast("long").alias("n_treatment"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841459).alias("srm_flag"),
+    )
