@@ -263,3 +263,46 @@ def src_synth_stream_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch_id bigint, n_rows bigint, min_event_id bigint, "
         "max_event_id bigint, user_checksum bigint",
     )
+
+
+@query(
+    "src_jsonl_export_roundtrip",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents WHERE doc_id % 5 = 0
+    GROUP BY lang
+    """,
+)
+def src_jsonl_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exercise of the Python DataSourceWriter (the WRITE
+    side of the custom-source family, `sources.py JsonlExportWriter`):
+    a documents slice goes out through the two-phase staged-rename
+    commit protocol (mode=overwrite: manifest dropped first, stale
+    parts removed, staged parts renamed in, fresh _SUCCESS written),
+    comes back via spark.read.json, and must aggregate identically to
+    the oracle's direct scan — exactly-once commit made value-hash-
+    checkable. The reader requires the manifest, so a partial export
+    can never silently pass."""
+    import json as _json
+    import os
+
+    from hudi_utility_spark.sources import register_sources
+
+    register_sources(spark)
+    root = _scratch(sf_dir, "jsonl_export")
+    out = os.path.join(root, "docs")
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    ).select("doc_id", "lang", "n_chars")
+    d.write.format("jsonl_export").mode("overwrite").save(out)
+    manifest = os.path.join(out, "_SUCCESS")
+    with open(manifest) as f:
+        files = [e["file"] for e in _json.load(f)["files"]]
+    paths = [os.path.join(out, name) for name in files]
+    back = spark.read.json(paths)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
