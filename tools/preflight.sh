@@ -14,14 +14,20 @@ python tools/check_oracles.py /root/testdata/sf0.01 2>/dev/null | tail -3 || rc=
 if [[ "${1:-}" != "--quick" ]]; then
   echo "== double-run hash stability (sf0.01) =="
   python tools/hash_stability.py /root/testdata/sf0.01 2>/dev/null | tail -3 || rc=1
-  echo "== pytest (quarter 1) =="
-  python -m pytest $(ls tests/test_*.py | head -11) -q 2>&1 | tail -2 || rc=1
-  echo "== pytest (quarter 2) =="
-  python -m pytest $(ls tests/test_*.py | sed -n '12,23p') -q 2>&1 | tail -2 || rc=1
-  echo "== pytest (quarter 3) =="
-  python -m pytest $(ls tests/test_*.py | sed -n '24,34p') -q 2>&1 | tail -2 || rc=1
-  echo "== pytest (quarter 4) =="
-  python -m pytest $(ls tests/test_*.py | tail -n +35) -q 2>&1 | tail -2 || rc=1
+  # six legs, test_api isolated: its lifecycle tests alone run ~5min,
+  # and the old 11-file quarter 1 outgrew a 10-minute harness window
+  echo "== pytest (leg 1: api) =="
+  python -m pytest tests/test_api.py -q 2>&1 | tail -2 || rc=1
+  echo "== pytest (leg 2) =="
+  python -m pytest $(ls tests/test_*.py | grep -v test_api.py | sed -n '1,8p') -q 2>&1 | tail -2 || rc=1
+  echo "== pytest (leg 3) =="
+  python -m pytest $(ls tests/test_*.py | grep -v test_api.py | sed -n '9,16p') -q 2>&1 | tail -2 || rc=1
+  echo "== pytest (leg 4) =="
+  python -m pytest $(ls tests/test_*.py | grep -v test_api.py | sed -n '17,24p') -q 2>&1 | tail -2 || rc=1
+  echo "== pytest (leg 5) =="
+  python -m pytest $(ls tests/test_*.py | grep -v test_api.py | sed -n '25,32p') -q 2>&1 | tail -2 || rc=1
+  echo "== pytest (leg 6) =="
+  python -m pytest $(ls tests/test_*.py | grep -v test_api.py | tail -n +33) -q 2>&1 | tail -2 || rc=1
   echo "== bench (sf0.01) =="
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py 2>/dev/null | tail -1 || rc=1
 fi
