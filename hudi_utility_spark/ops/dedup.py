@@ -917,6 +917,8 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "label",
+    *,
+    max_cluster_rows: int = 100_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) end-to-end: (1) coarse-cluster the
     embedding space (here: per-``cell_col`` mean centroids — the
@@ -931,7 +933,12 @@ def semdedup(
     keyed by the high-cardinality id; the near-dup self-join keys on
     the CLUSTER, so candidate volume is per-cluster quadratic, never
     global — the entire point of clustering before deduplicating at
-    100 TB. Returns survivors: (id, cluster).
+    100 TB. That only holds while clusters stay bounded: the
+    ``max_cluster_rows`` guard pays one cluster-sized aggregate and
+    fails LOUDLY when the fattest cluster would make the quadratic
+    term explode — the fix is more clusters (SemDeDup scales k with
+    corpus size), and a silent 10^12-pair self-join is not a
+    fallback. Returns survivors: (id, cluster).
     """
     from pyspark.sql import Window
 
@@ -956,6 +963,19 @@ def semdedup(
         # executing twice (and truncates lineage for the anti-join pass)
         .localCheckpoint(eager=False)
     )
+    fattest = (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    ) or 0
+    if fattest > max_cluster_rows:
+        raise ValueError(
+            f"semdedup: fattest cluster has {fattest} rows "
+            f"(> {max_cluster_rows}); increase the cluster count "
+            "(SemDeDup scales k with corpus size) instead of running "
+            "a quadratic self-join over a mega-cluster"
+        )
     a = assigned.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),

@@ -332,3 +332,14 @@ def test_semdedup_reassignment_beats_given_labels(spark):
     out = {r.vec_id: r.cluster for r in semdedup(df, threshold=0.99).collect()}
     assert 5 not in out  # reassigned to cluster 0, deduped against 1/2
     assert set(out) == {1, 3}
+
+
+def test_semdedup_mega_cluster_guard(spark):
+    import pytest
+
+    from hudi_utility_spark.ops.dedup import semdedup
+
+    rows = [(i, [1.0, float(i % 3) / 100], 0) for i in range(30)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    with pytest.raises(ValueError, match="cluster count"):
+        semdedup(df, threshold=0.99, max_cluster_rows=10)
