@@ -1536,3 +1536,62 @@ def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ece"),
         F.round(F.max(F.abs(F.col("rate") - F.col("conf"))), 6).alias("mce"),
     )
+
+
+def _perm_oracle(n_perm: int = 64) -> str:
+    """DuckDB rendition of the one-pass permutation test: identical
+    md5-parity arm assignment and identical expression set, generated
+    by the same loop shape as the Spark side."""
+    cols = []
+    for b in range(n_perm):
+        h = (
+            "CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR) "
+            f"|| '-perm-{b}'), 1, 2)) AS BIGINT) % 2 = 1"
+        )
+        cols.append(f"SUM(CASE WHEN {h} THEN value END) AS s{b}")
+        cols.append(
+            f"CAST(SUM(CASE WHEN {h} THEN 1 ELSE 0 END) AS DOUBLE) AS c{b}"
+        )
+    hits = " + ".join(
+        f"(CASE WHEN abs(s{b} / c{b} - (sv - s{b}) / (n - c{b}))"
+        " >= abs(sv1 / n1 - (sv - sv1) / (n - n1))"
+        " THEN 1 ELSE 0 END)"
+        for b in range(n_perm)
+    )
+    return f"""
+    WITH a AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(value) AS sv,
+               SUM(CASE WHEN user_id % 2 = 1 THEN value END) AS sv1,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS n1,
+               {", ".join(cols)}
+        FROM events
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(sv1 / n1 - (sv - sv1) / (n - n1), 6) AS obs_diff,
+           CAST({hits} AS BIGINT) AS n_extreme,
+           ROUND((1 + ({hits})) / {float(n_perm + 1)!r}, 6) AS p_value
+    FROM a
+    """
+
+
+@query("stat_permutation_test", _perm_oracle())
+def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the arm difference in mean event value,
+    with all 64 permutations evaluated in ONE map-side-combinable
+    aggregate pass: each permutation re-assigns rows via md5 parity —
+    exchangeable under H0 exactly like a label shuffle, but with no
+    global sort, no driver RNG, and engine-portable replay. The
+    distributed answer to "you can't permute 100 TB" (ops/mlfit.py
+    permutation_test)."""
+    from hudi_utility_spark.ops.mlfit import permutation_test
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        (F.col("user_id") % 2).cast("int").alias("label"),
+    )
+    return permutation_test(
+        ev, "event_id", "value", "label", n_perm=64, seed_tag="perm"
+    )

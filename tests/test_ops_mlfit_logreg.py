@@ -277,3 +277,23 @@ def test_isotonic_calibrate_already_monotone_is_identity(spark):
     df = spark.createDataFrame(rows, ["bin", "label"])
     out = sorted(isotonic_calibrate(df).collect(), key=lambda r: r.bin)
     assert [r.iso_rate for r in out] == [r.raw_rate for r in out]
+
+
+def test_permutation_test_detects_and_ignores_effects(spark):
+    """A huge planted arm effect must be more extreme than every
+    hash permutation (p = 1/(B+1)); a label carrying no effect must
+    not reject (p well above 0.05). Also pins the one-aggregate
+    shape: n equals the row count."""
+    from hudi_utility_spark.ops.mlfit import permutation_test
+
+    rows = [(i, 100.0 + (i % 7), 1) for i in range(200)]
+    rows += [(1000 + i, float(i % 7), 0) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "v", "label"])
+    r = permutation_test(df, "id", "v", "label", n_perm=49).collect()[0]
+    assert r.n == 400
+    assert abs(r.obs_diff - 100.0) < 1e-6
+    assert r.n_extreme == 0 and r.p_value == round(1 / 50, 6)
+
+    null = df.selectExpr("id", "v", "CAST(id % 2 AS INT) AS label")
+    r2 = permutation_test(null, "id", "v", "label", n_perm=49).collect()[0]
+    assert r2.p_value > 0.05
