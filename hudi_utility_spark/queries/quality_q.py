@@ -1595,3 +1595,134 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return permutation_test(
         ev, "event_id", "value", "label", n_perm=64, seed_tag="perm"
     )
+
+
+@query(
+    "ml_conformal_interval",
+    """
+    WITH base AS (
+        SELECT event_type, value,
+               CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 6))
+                    AS BIGINT) % 2 AS split
+        FROM events
+    ),
+    model AS (
+        SELECT event_type, AVG(value) AS pred
+        FROM base WHERE split = 0 GROUP BY event_type
+    ),
+    resid AS (
+        SELECT b.event_type,
+               ROUND(abs(b.value - m.pred), 4) AS r
+        FROM base b JOIN model m USING (event_type)
+        WHERE b.split = 0
+    ),
+    collapsed AS (
+        SELECT event_type, r, COUNT(*) AS c FROM resid GROUP BY event_type, r
+    ),
+    sized AS (
+        SELECT event_type, r, c,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY r
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER (PARTITION BY event_type) AS n_cal
+        FROM collapsed
+    ),
+    q AS (
+        SELECT event_type, MIN(r) AS qhat, MIN(n_cal) AS n_cal
+        FROM sized
+        WHERE cum >= ceil((n_cal + 1) * 0.9)
+        GROUP BY event_type
+    ),
+    test AS (
+        SELECT b.event_type,
+               CASE WHEN abs(b.value - m.pred) <= q.qhat THEN 1 ELSE 0 END
+                   AS covered
+        FROM base b
+        JOIN model m USING (event_type)
+        JOIN q USING (event_type)
+        WHERE b.split = 1
+    )
+    SELECT t.event_type,
+           CAST(q.n_cal AS BIGINT) AS n_cal,
+           ROUND(q.qhat, 4) AS qhat,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(AVG(CAST(t.covered AS DOUBLE)), 6) AS coverage
+    FROM test t JOIN q ON t.event_type = q.event_type
+    GROUP BY t.event_type, q.n_cal, q.qhat
+    """,
+)
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk; the
+    distribution-free coverage guarantee modern ML ships with): an
+    md5 half of the events calibrates |value - per-type-mean|
+    residuals, qhat is the EXACT ceil((n+1)·0.9)-th order statistic —
+    taken over the COLLAPSED (residual, count) relation so the ordered
+    window runs over quantized-residual cardinality, never rows (the
+    4dp quantization is the documented price of exactness at scale) —
+    and the held-out half must then be covered at >= ~90%. The
+    conformal guarantee itself becomes a value-hash-checked result."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "value",
+        (
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 6), 16, 10)
+            .cast("long")
+            % 2
+        ).alias("split"),
+    )
+    model = base.filter(F.col("split") == 0).groupBy("event_type").agg(
+        F.avg("value").alias("pred")
+    )
+    resid = (
+        base.filter(F.col("split") == 0)
+        .join(F.broadcast(model), "event_type")
+        .select(
+            "event_type",
+            F.round(F.abs(F.col("value") - F.col("pred")), 4).alias("r"),
+        )
+    )
+    collapsed = resid.groupBy("event_type", "r").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("r").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy("event_type")
+    sized = collapsed.select(
+        "event_type",
+        "r",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n_cal"),
+    )
+    q = (
+        sized.filter(
+            F.col("cum") >= F.ceil((F.col("n_cal") + 1) * 0.9)
+        )
+        .groupBy("event_type")
+        .agg(F.min("r").alias("qhat"), F.min("n_cal").alias("n_cal"))
+    )
+    test = (
+        base.filter(F.col("split") == 1)
+        .join(F.broadcast(model), "event_type")
+        .join(F.broadcast(q), "event_type")
+        .select(
+            "event_type",
+            "n_cal",
+            "qhat",
+            (F.abs(F.col("value") - F.col("pred")) <= F.col("qhat"))
+            .cast("int")
+            .alias("covered"),
+        )
+    )
+    return test.groupBy("event_type", "n_cal", "qhat").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.round(F.avg(F.col("covered").cast("double")), 6).alias("coverage"),
+    ).select(
+        "event_type",
+        F.col("n_cal").cast("long").alias("n_cal"),
+        F.round("qhat", 4).alias("qhat"),
+        "n_test",
+        "coverage",
+    )
