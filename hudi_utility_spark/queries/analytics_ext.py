@@ -1987,3 +1987,69 @@ def ev_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         (chi2 > 3.841459).alias("srm_flag"),
     )
+
+
+@query(
+    "ev_did_estimator",
+    """
+    WITH mid AS (
+        SELECT epoch_us(MIN(ts))
+               + (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 2 AS m
+        FROM events
+    ),
+    cells AS (
+        SELECT user_id % 2 AS arm,
+               CASE WHEN epoch_us(ts) >= mid.m THEN 1 ELSE 0 END AS post,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               AVG(value) AS mean_v
+        FROM events, mid
+        GROUP BY user_id % 2, CASE WHEN epoch_us(ts) >= mid.m
+                                   THEN 1 ELSE 0 END
+    ),
+    w AS (
+        SELECT SUM(CASE WHEN arm = 1 AND post = 1 THEN mean_v END) AS t1,
+               SUM(CASE WHEN arm = 1 AND post = 0 THEN mean_v END) AS t0,
+               SUM(CASE WHEN arm = 0 AND post = 1 THEN mean_v END) AS c1,
+               SUM(CASE WHEN arm = 0 AND post = 0 THEN mean_v END) AS c0,
+               CAST(SUM(n) AS BIGINT) AS n_total
+        FROM cells
+    )
+    SELECT n_total,
+           ROUND(t1 - t0, 6) AS treat_delta,
+           ROUND(c1 - c0, 6) AS control_delta,
+           ROUND((t1 - t0) - (c1 - c0), 6) AS did
+    FROM w
+    """,
+)
+def ev_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the treatment arm's pre/post mean
+    shift minus the control arm's — the econometric workhorse that
+    nets out the time trend both arms share (read next to
+    `ev_cuped_adjusted`: CUPED shrinks variance with pre-period
+    covariates, DiD removes the common trend entirely). The 2x2 cell
+    means come from one hash aggregate after a 2-scalar time-bound
+    collect; everything after is arithmetic over 4 rows."""
+    from hudi_utility_spark.tsutil import us
+
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min(us(F.col("ts"))), F.max(us(F.col("ts")))).collect()[0]
+    mid = lo + (hi - lo) // 2
+    cells = ev.groupBy(
+        (F.col("user_id") % 2).alias("arm"),
+        (us(F.col("ts")) >= mid).cast("int").alias("post"),
+    ).agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("mean_v"))
+    w = cells.agg(
+        F.sum(F.when((F.col("arm") == 1) & (F.col("post") == 1), F.col("mean_v"))).alias("t1"),
+        F.sum(F.when((F.col("arm") == 1) & (F.col("post") == 0), F.col("mean_v"))).alias("t0"),
+        F.sum(F.when((F.col("arm") == 0) & (F.col("post") == 1), F.col("mean_v"))).alias("c1"),
+        F.sum(F.when((F.col("arm") == 0) & (F.col("post") == 0), F.col("mean_v"))).alias("c0"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    return w.select(
+        "n_total",
+        F.round(F.col("t1") - F.col("t0"), 6).alias("treat_delta"),
+        F.round(F.col("c1") - F.col("c0"), 6).alias("control_delta"),
+        F.round(
+            (F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0")), 6
+        ).alias("did"),
+    )
