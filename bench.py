@@ -213,14 +213,14 @@ def main() -> None:
         # queries warm sequentially (session-global state).
         from concurrent.futures import ThreadPoolExecutor as _TPE
 
-        _seq_pfx = (
-            "mor_", "lifecycle_", "s7_", "rollup_", "merge_",
-            "sql_api", "replication_", "v_", "fmt_", "src_",
-            "stream_", "bucketed_", "index_", "zorder_", "timeline_",
-        )
+        # session-state-mutating queries are declared AT REGISTRATION
+        # (@query(..., sequential=True)) — no name-prefix inference, so
+        # a future stateful query cannot silently race the 4-wide phases
+        from hudi_utility_spark.queries import SEQUENTIAL as _seq
+
         if not tail_only:
-            warm_par = [n for n in HEADLINE if not n.startswith(_seq_pfx)]
-            warm_seq = [n for n in HEADLINE if n.startswith(_seq_pfx)]
+            warm_par = [n for n in HEADLINE if n not in _seq]
+            warm_seq = [n for n in HEADLINE if n in _seq]
             with _TPE(max_workers=4) as _pool:
                 for i in range(0, len(warm_par), 12):
                     list(
@@ -262,8 +262,8 @@ def main() -> None:
             # keep the sequential path: they mutate session-global
             # state (scratch dirs, memory sinks, catalog tables).
             tail_names = sorted(set(qs) - set(HEADLINE))
-            seq_names = [n for n in tail_names if n.startswith(_seq_pfx)]
-            par_names = [n for n in tail_names if not n.startswith(_seq_pfx)]
+            seq_names = [n for n in tail_names if n in _seq]
+            par_names = [n for n in tail_names if n not in _seq]
             # The tail's job is REGRESSION DETECTION (1s -> 60s), not
             # steady-state measurement — its numbers are cold and
             # contended and were never comparable to the headline. It

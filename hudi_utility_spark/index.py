@@ -331,15 +331,32 @@ def bloom_candidate_files(
     probes = (
         keys_df.select(*table.record_key)
         .distinct()
-        .select(bloom_bit_positions(_bloom_key(table.record_key), m_bits, k).alias("pbits"))
+        .select(
+            F.array_distinct(
+                bloom_bit_positions(_bloom_key(table.record_key), m_bits, k)
+            ).alias("pbits")
+        )
         .distinct()
+        .select(F.col("pbits"), F.size("pbits").alias("need"))
+    )
+    # equijoin on BIT POSITION, not a nested loop: the old
+    # forall(pbits, array_contains(bits, ·)) BNLJ cost
+    # files × keys × k × O(m_bits) linear scans (the r8 +12% headline
+    # regression lived here). Exploding both sides turns the membership
+    # test into a broadcast hash join on `bit` plus one (file, probe)
+    # count — a file is a candidate for a probe iff ALL `need` of its
+    # distinct bits matched. Map-only explode on the index side, 6k-row
+    # probe broadcast, partial agg: every stage distributed.
+    pe = probes.select(
+        F.col("pbits"), F.col("need"), F.explode("pbits").alias("bit")
     )
     idx = spark.read.parquet(os.path.join(table.path, BLOOM_INDEX_DIR))
+    ie = idx.select("file", F.explode("bits").alias("bit"))
     cand = (
-        idx.join(
-            F.broadcast(probes),
-            F.forall("pbits", lambda b: F.array_contains("bits", b)),
-        )
+        ie.join(F.broadcast(pe), "bit")
+        .groupBy("file", "pbits", "need")
+        .agg(F.count(F.lit(1)).alias("hit"))
+        .filter(F.col("hit") == F.col("need"))
         .select("file")
         .distinct()
         .collect()

@@ -945,6 +945,10 @@ def semdedup(
     from hudi_utility_spark.ops.similarity import cosine, ivf_centroids
 
     cents = ivf_centroids(df, vec_col, cell_col)
+    # rank on ROUND(sim, 6): centroids come from a distributed AVG whose
+    # partial-sum order varies with partitioning, so unrounded near-ties
+    # could flip assignment run-to-run / engine-to-engine (the same
+    # round-before-rank discipline as margin_pair_mining / assign_cells)
     w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cell"))
     assigned = (
         df.select(id_col, vec_col)
@@ -953,7 +957,7 @@ def semdedup(
             id_col,
             vec_col,
             "cell",
-            cosine(F.col(vec_col), F.col("centroid")).alias("sim"),
+            F.round(cosine(F.col(vec_col), F.col("centroid")), 6).alias("sim"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

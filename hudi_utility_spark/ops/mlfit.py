@@ -338,35 +338,13 @@ def tie_aware_auc(
     relation is still too large. No silent fallback."""
     from pyspark.sql import functions as F
 
-    scored = scored.select(
-        F.col(score_col).cast("double").alias("score"),
-        F.col(label_col).cast("int").alias("label"),
-    )
-    if quantize_bins is not None:
-        if quantize_bins < 2:
-            raise ValueError("quantize_bins must be >= 2")
-        lo, hi = scored.agg(F.min("score"), F.max("score")).collect()[0]
-        if lo is None or hi is None or hi <= lo:
-            scored = scored.select(F.lit(0.0).alias("score"), "label")
-        else:
-            width = (hi - lo) / quantize_bins
-            scored = scored.select(
-                F.least(
-                    F.floor((F.col("score") - F.lit(lo)) / F.lit(width)),
-                    F.lit(quantize_bins - 1),
-                ).cast("double").alias("score"),
-                "label",
-            )
-    per_score = scored.groupBy("score").agg(
-        F.sum("label").alias("pos"),
-        (F.count(F.lit(1)) - F.sum("label")).alias("neg"),
-        F.count(F.lit(1)).alias("cnt"),
-    )
-    per_score = require_bounded_distinct(
-        per_score,
-        max_distinct,
-        "tie_aware_auc",
-        "pass quantize_bins=<k> to bucket the score before ranking",
+    per_score = _collapse_scored(
+        scored,
+        score_col,
+        label_col,
+        max_distinct=max_distinct,
+        quantize_bins=quantize_bins,
+        context="tie_aware_auc",
     )
     from pyspark.sql import Window
 
@@ -556,6 +534,13 @@ def _collapse_scored(
         (F.count(F.lit(1)) - F.sum("label")).alias("neg"),
         F.count(F.lit(1)).alias("cnt"),
     )
+    # checkpoint BEFORE the guard: its eager count() materializes the
+    # collapsed relation once, and every downstream pass (cumulative
+    # window, totals) replays the checkpoint instead of re-running the
+    # fact-table aggregate — pr_curve used to scan it three times
+    # (ADVICE r8). The relation is bounded by the guard, so the
+    # checkpoint is at most max_distinct rows.
+    per_score = per_score.localCheckpoint(eager=False)
     return require_bounded_distinct(
         per_score,
         max_distinct,
@@ -679,11 +664,18 @@ def welch_ttest(
 
     v = F.col(value_col).cast("double")
     is1 = F.col(label_col).cast("int") == 1
+    # n counts only NON-NULL values (ADVICE r8): the sums skip NULLs,
+    # so counting raw rows would deflate means/variances on null-bearing
+    # inputs — n, Σv and Σv² must cover the same observations
     agg = scored.agg(
-        F.sum(F.when(is1, 1).otherwise(0)).cast("double").alias("n1"),
+        F.sum(F.when(is1 & v.isNotNull(), 1).otherwise(0))
+        .cast("double")
+        .alias("n1"),
         F.sum(F.when(is1, v).otherwise(0.0)).alias("s1"),
         F.sum(F.when(is1, v * v).otherwise(0.0)).alias("q1"),
-        F.sum(F.when(~is1, 1).otherwise(0)).cast("double").alias("n2"),
+        F.sum(F.when(~is1 & v.isNotNull(), 1).otherwise(0))
+        .cast("double")
+        .alias("n2"),
         F.sum(F.when(~is1, v).otherwise(0.0)).alias("s2"),
         F.sum(F.when(~is1, v * v).otherwise(0.0)).alias("q2"),
     )

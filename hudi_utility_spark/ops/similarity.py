@@ -162,6 +162,61 @@ def ivf_topk(
     )
 
 
+def assign_cells(
+    df: DataFrame,
+    centroids: DataFrame | None = None,
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Nearest-centroid cell assignment — the IVF coarse-quantization
+    step that turns a raw corpus into blockable units for every
+    within-cell operator (`hard_negatives(block_col=...)`, SemDeDup,
+    IVF probing).
+
+    ``centroids`` defaults to :func:`ivf_centroids` over ``cell_col``
+    (per-label means). The centroid table is tiny by construction
+    (n_cells × dim floats — driver state, same budget as a PQ
+    codebook), so it is collected once and re-enters the plan as ONE
+    array-of-structs literal; assignment is then a codegen'd HOF
+    argmax per row — map-only, zero shuffle, zero Python. Ranking is
+    on ROUND(cos, 6) DESC, cell ASC: rounding before ranking makes the
+    argmax insensitive to ulp-level centroid drift from distributed
+    AVG partial-sum order, so Spark (any partitioning) and a SQL
+    oracle assign identically (the same discipline as
+    `margin_pair_mining`)."""
+    if centroids is None:
+        centroids = ivf_centroids(df, vec_col, cell_col)
+    cents = [
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in centroids.collect()
+    ]
+    lit = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(x) for x in c]).alias("c"),
+            )
+            for cid, c in sorted(cents)
+        ]
+    )
+    # fold to (best_score, best_cid); round-6 before comparing, cell asc ties
+    best = F.aggregate(
+        lit,
+        F.struct(
+            F.lit(-2.0).alias("s"), F.lit(-1).alias("cid")
+        ),
+        lambda acc, ct: F.when(
+            F.round(cosine(F.col(vec_col), ct["c"]), 6) > acc["s"],
+            F.struct(
+                F.round(cosine(F.col(vec_col), ct["c"]), 6).alias("s"),
+                ct["cid"].alias("cid"),
+            ),
+        ).otherwise(acc),
+    )
+    return df.withColumn(out_col, best["cid"])
+
+
 def pq_fit(
     df: DataFrame,
     m: int = 4,

@@ -19,15 +19,29 @@ from pyspark.sql import DataFrame, SparkSession
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+# queries that mutate session-global state (scratch tables / dirs,
+# memory-sink streams, session conf, catalog objects) and must never
+# run inside bench.py's 4-wide parallel phases. Declared AT
+# REGISTRATION via ``@query(..., sequential=True)`` — bench.py used to
+# infer this from a hardcoded name-prefix list, which silently raced
+# any future query that mutated state under an unlisted prefix
+# (ADVICE r8).
+SEQUENTIAL: set[str] = set()
 
 
-def query(name: str, oracle: str | None = None):
-    """Register a query under *name*, with an optional DuckDB oracle."""
+def query(name: str, oracle: str | None = None, sequential: bool = False):
+    """Register a query under *name*, with an optional DuckDB oracle.
+
+    ``sequential=True`` declares the query session-state-mutating
+    (scratch writes, real streaming sinks, session conf): bench.py runs
+    it outside the parallel warmup/tail phases."""
 
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        if sequential:
+            SEQUENTIAL.add(name)
         return fn
 
     return deco

@@ -856,44 +856,75 @@ def rtr_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batching plan: documents quartiled by token
-    count (NTILE over a total order), per-bucket padding waste when
-    every sequence pads to its BUCKET max, vs the unbucketed column
-    where everything pads to the GLOBAL max — the standard seq2seq /
-    packing efficiency lever, quantified. Windows run over the doc
-    relation once; at 100 TB replace NTILE with fixed token-length
-    boundaries (metadata-only) and the plan is map-only."""
-    from pyspark.sql import Window
+    count, per-bucket padding waste when every sequence pads to its
+    BUCKET max, vs the unbucketed column where everything pads to the
+    GLOBAL max — the standard seq2seq / packing efficiency lever,
+    quantified.
 
+    NO global window (r8 verdict #1 fixed): NTILE semantics come from
+    the distributed prefix-sum rank of `dq_equidepth_histogram` /
+    `select_until_budget` — `repartitionByRange` on (n_tokens, doc_id),
+    per-range local row numbers, per-range counts prefix-summed on the
+    driver (O(ranges) scalars) and broadcast back, NTILE's ±1 split as
+    a closed-form expression of (rank, N). Per-bucket padding needs no
+    window either: with bmax constant per bucket,
+    Σ(bmax − n_tokens)/Σbmax = (n·max − Σtok)/(n·max), so bucket stats
+    are ONE hash aggregate and the global row derives from those 4
+    rows. Every stage parallel; plan-guarded single-partition-free."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
     )
-    b = d.select(
-        "doc_id",
-        "n_tokens",
-        F.ntile(4).over(Window.orderBy("n_tokens", "doc_id")).alias("bucket"),
+    n_ranges = 32
+    tagged = (
+        d.repartitionByRange(n_ranges, F.asc("n_tokens"), F.asc("doc_id"))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
-    g = b.select(
-        "bucket",
-        "n_tokens",
-        F.max("n_tokens").over(Window.partitionBy("bucket")).alias("bmax"),
+    counts = {r[0]: r[1] for r in tagged.groupBy("_pid").count().collect()}
+    total = sum(counts.values())
+    offsets, acc = {}, 0
+    for p_ in sorted(counts):
+        offsets[p_] = acc
+        acc += counts[p_]
+    off_map = F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
+
+    from pyspark.sql import Window
+
+    local = Window.partitionBy("_pid").orderBy(
+        F.asc("n_tokens"), F.asc("doc_id")
     )
-    stats = g.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.min("n_tokens").alias("min_tokens"),
-        F.max("n_tokens").alias("max_tokens"),
+    rank = off_map[F.col("_pid")] + F.row_number().over(local)
+    k = 4
+    base, rem = total // k, total % k
+    big = rem * (base + 1)
+    bucket = F.when(
+        rank <= F.lit(big), F.ceil(rank / F.lit(base + 1))
+    ).otherwise(F.lit(rem) + F.ceil((rank - F.lit(big)) / F.lit(max(base, 1))))
+    stats = (
+        tagged.withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("_sum_tokens"),
+        )
+        .withColumn(
+            "pad_frac",
+            F.round(
+                (F.col("n_docs") * F.col("max_tokens") - F.col("_sum_tokens"))
+                / (F.col("n_docs") * F.col("max_tokens")).cast("double"),
+                6,
+            ),
+        )
+    )
+    # global row from the 4 bucket rows: pad-to-global-max waste
+    global_pad = stats.agg(
         F.round(
-            F.sum(F.col("bmax") - F.col("n_tokens"))
-            / F.sum("bmax").cast("double"),
-            6,
-        ).alias("pad_frac"),
-    )
-    gmax = d.agg(F.max("n_tokens").alias("gmax"))
-    global_pad = d.crossJoin(F.broadcast(gmax)).agg(
-        F.round(
-            F.sum(F.col("gmax") - F.col("n_tokens"))
-            / F.sum("gmax").cast("double"),
+            (F.sum("n_docs") * F.max("max_tokens") - F.sum("_sum_tokens"))
+            / (F.sum("n_docs") * F.max("max_tokens")).cast("double"),
             6,
         ).alias("unbucketed_pad_frac")
     )
-    return stats.crossJoin(F.broadcast(global_pad))
+    return stats.drop("_sum_tokens").crossJoin(F.broadcast(global_pad))

@@ -583,8 +583,8 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cell,
                    ROW_NUMBER() OVER (
                        PARTITION BY e.vec_id
-                       ORDER BY list_cosine_similarity(
-                           e.embedding::DOUBLE[], c.centroid) DESC, c.cell
+                       ORDER BY ROUND(list_cosine_similarity(
+                           e.embedding::DOUBLE[], c.centroid), 6) DESC, c.cell
                    ) AS rn
             FROM embeddings e CROSS JOIN cents c
         ) WHERE rn = 1

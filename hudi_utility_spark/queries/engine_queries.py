@@ -134,6 +134,7 @@ def percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
        OR l.event_type IS DISTINCT FROM r.event_type
        OR l.value IS DISTINCT FROM r.value
     """,
+    sequential=True,
 )
 def v_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level reconciliation (`validate.table_diff`): diff the events

@@ -38,6 +38,7 @@ def _scratch(sf_dir: str, name: str) -> str:
            ROUND(SUM(l_quantity), 2) AS sum_qty
     FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
+    sequential=True,
 )
 def fmt_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2: ORC scan with mergeSchema. Lineitem round-trips through ORC
@@ -63,6 +64,7 @@ def fmt_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY r.r_name
     """,
+    sequential=True,
 )
 def fmt_csv_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 extension formats: nation round-trips through CSV (header +
@@ -109,6 +111,7 @@ def fmt_csv_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM g
     WHERE shard IN (1, 3) AND doc_id < 900
     """,
+    sequential=True,
 )
 def src_synth_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 Python Data Source (sources.py `SynthDocsDataSource`):
@@ -149,6 +152,7 @@ def src_synth_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUM(h % 100000) AS value_cents
     FROM g GROUP BY 1
     """,
+    sequential=True,
 )
 def src_synth_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python streaming data source end-to-end (sources.py
@@ -214,6 +218,7 @@ def src_synth_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(h % 1000) AS BIGINT) AS user_checksum
     FROM g GROUP BY batch_id
     """,
+    sequential=True,
 )
 def src_synth_stream_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-micro-batch offset audit of the Python streaming source
@@ -274,6 +279,7 @@ def src_synth_stream_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents WHERE doc_id % 5 = 0
     GROUP BY lang
     """,
+    sequential=True,
 )
 def src_jsonl_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end exercise of the Python DataSourceWriter (the WRITE

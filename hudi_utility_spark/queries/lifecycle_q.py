@@ -47,6 +47,7 @@ def _scratch(sf_dir: str, name: str) -> str:
     SELECT event_id, user_id, event_type, ROUND(value, 2) AS value
     FROM resolved WHERE rn = 1
     """,
+    sequential=True,
 )
 def mor_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4/MOR read resolution as a query: bootstrap events into a MOR
@@ -90,6 +91,7 @@ def mor_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
            'complete' AS status
     FROM src
     """,
+    sequential=True,
 )
 def lifecycle_bootstrap_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's whole job as one query: FULL_RECORD bootstrap of
@@ -153,6 +155,7 @@ def lifecycle_bootstrap_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT event_id, event_type, ROUND(score, 2) AS score
     FROM resolved WHERE rn = 1
     """,
+    sequential=True,
 )
 def lifecycle_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution under upsert: a later batch carries a new
@@ -209,6 +212,7 @@ def lifecycle_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, event_type, ROUND(value, 2) AS value
     FROM resolved WHERE rn = 1 AND NOT dead
     """,
+    sequential=True,
 )
 def lifecycle_delete_reinsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delete-by-key under precombine arbitration: clicks get a fresh
@@ -274,6 +278,7 @@ def lifecycle_delete_reinsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, event_type, ROUND(value, 2) AS value, props
     FROM resolved WHERE rn = 1
     """,
+    sequential=True,
 )
 def s7_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-update payload semantics (Hudi's
@@ -342,6 +347,7 @@ def s7_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM resolved WHERE rn = 1 AND NOT dead
     GROUP BY user_id
     """,
+    sequential=True,
 )
 def rollup_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance: seed a per-user rollup
@@ -414,6 +420,7 @@ def rollup_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
            epoch_us(ts) AS ts_us
     FROM final
     """,
+    sequential=True,
 )
 def merge_multi_action(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-action MERGE lifecycle (`write.merge_into`): bootstrap
@@ -480,6 +487,7 @@ def merge_multi_action(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM resolved WHERE rn = 1
     GROUP BY event_type
     """,
+    sequential=True,
 )
 def sql_api_mor_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL front door over a MOR keyed table: `create_or_replace_view`
@@ -536,6 +544,7 @@ def sql_api_mor_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, event_type, ROUND(value, 2) AS value
     FROM resolved WHERE rn = 1 AND NOT dead
     """,
+    sequential=True,
 )
 def replication_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental replication lifecycle (`materialize.
@@ -600,6 +609,7 @@ def replication_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS row_cnt
     FROM events GROUP BY 1
     """,
+    sequential=True,
 )
 def v_partition_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent per-partition content fingerprint
@@ -632,6 +642,7 @@ def v_partition_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'zombie', 'extra', 0,
            (SELECT COUNT(*) FROM events WHERE event_type = 'click')
     """,
+    sequential=True,
 )
 def v_anti_entropy_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-entropy content diff (repair.content_diff) over a replica
@@ -686,6 +697,7 @@ def v_anti_entropy_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders o JOIN l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderpriority
     """,
+    sequential=True,
 )
 def rollup_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental JOIN-view maintenance: the orders x lineitem revenue

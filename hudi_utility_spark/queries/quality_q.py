@@ -1301,12 +1301,12 @@ def dq_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     agg AS (
-        SELECT CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                   AS n1,
+        SELECT CAST(SUM(CASE WHEN label = 1 AND v IS NOT NULL
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
                SUM(CASE WHEN label = 1 THEN v ELSE 0.0 END) AS s1,
                SUM(CASE WHEN label = 1 THEN v * v ELSE 0.0 END) AS q1,
-               CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS DOUBLE)
-                   AS n2,
+               CAST(SUM(CASE WHEN label = 0 AND v IS NOT NULL
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
                SUM(CASE WHEN label = 0 THEN v ELSE 0.0 END) AS s2,
                SUM(CASE WHEN label = 0 THEN v * v ELSE 0.0 END) AS q2
         FROM s
@@ -1634,8 +1634,8 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     test AS (
         SELECT b.event_type,
-               CASE WHEN abs(b.value - m.pred) <= q.qhat THEN 1 ELSE 0 END
-                   AS covered
+               CASE WHEN ROUND(abs(b.value - m.pred), 4) <= q.qhat
+                    THEN 1 ELSE 0 END AS covered
         FROM base b
         JOIN model m USING (event_type)
         JOIN q USING (event_type)
@@ -1711,7 +1711,11 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_cal",
             "qhat",
-            (F.abs(F.col("value") - F.col("pred")) <= F.col("qhat"))
+            # round the TEST residual to the same 4dp as the calibration
+            # side: qhat is a 4dp order statistic and pred a distributed
+            # mean, so unrounded comparison can flip exact-tie coverage
+            # across engines/partitionings (ADVICE r8)
+            (F.round(F.abs(F.col("value") - F.col("pred")), 4) <= F.col("qhat"))
             .cast("int")
             .alias("covered"),
         )

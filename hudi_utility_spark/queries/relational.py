@@ -410,6 +410,7 @@ def j_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ) WHERE rn = 1
     """,
+    sequential=True,
 )
 def s7_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7: the precombine semantic (latest row per key) as a query —
@@ -859,6 +860,7 @@ _SQL_REVENUE_RANK = """
         nation="nation",
         region="region",
     ),
+    sequential=True,
 )
 def sql_api_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``spark.sql`` entry point end-to-end: temp views over the

@@ -77,6 +77,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events e JOIN dim d ON e.user_id = d.user_id
     GROUP BY e.event_type
     """,
+    sequential=True,
 )
 def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located fact⋈dim join over two catalog tables bucketed on the
@@ -119,6 +120,7 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l_orderkey BETWEEN 1000 AND 2000
     GROUP BY l_returnflag
     """,
+    sequential=True,
 )
 def index_file_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-stats file skipping (Hudi's column_stats metadata
@@ -162,6 +164,7 @@ def index_file_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, event_type, ROUND(value, 2) AS value
     FROM events WHERE event_id % 97 = 0
     """,
+    sequential=True,
 )
 def index_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record-level index (Hudi record_index): bootstrap events into a
@@ -206,6 +209,7 @@ def index_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, event_type, ROUND(value, 2) AS value
     FROM events WHERE event_id % 89 = 0
     """,
+    sequential=True,
 )
 def index_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter index (Hudi's default BLOOM index): per-file bloom
@@ -255,6 +259,7 @@ def index_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     WHERE l_partkey BETWEEN 50 AND 400
     """,
+    sequential=True,
 )
 def zorder_two_dim_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering: lineitem rewritten along a Morton curve over
@@ -292,6 +297,7 @@ def zorder_two_dim_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
     FROM orders WHERE o_custkey % 101 = 0
     """,
+    sequential=True,
 )
 def index_secondary_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Secondary index (Hudi 1.0): point lookup on a NON-key column —

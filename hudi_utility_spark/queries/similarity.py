@@ -429,27 +429,51 @@ def sim_bruteforce_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_hard_negatives",
     """
+    WITH dims AS (
+        SELECT label AS cell, d.i AS dim, AVG(d.v) AS mean_v
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+                             generate_subscripts(embedding, 1) AS i) d
+        GROUP BY label, d.i
+    ),
+    cents AS (
+        SELECT cell, list(mean_v ORDER BY dim) AS centroid FROM dims GROUP BY cell
+    ),
+    assigned AS (
+        SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS v,
+               (SELECT c.cell FROM cents c
+                ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                       c.centroid), 6) DESC,
+                         c.cell
+                LIMIT 1) AS cell
+        FROM embeddings e
+    )
     SELECT anchor_id, neg_id, anchor_label, neg_label, score FROM (
       SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
              a.label AS anchor_label, b.label AS neg_label,
-             ROUND(list_cosine_similarity(
-               a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score,
+             ROUND(list_cosine_similarity(a.v, b.v), 6) AS score,
              ROW_NUMBER() OVER (
                PARTITION BY a.vec_id
-               ORDER BY list_cosine_similarity(
-                 a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
-                 b.vec_id) AS rn
-      FROM embeddings a JOIN embeddings b ON a.label <> b.label
+               ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id
+             ) AS rn
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.label <> b.label
     ) WHERE rn = 1
     """,
 )
 def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (ops/similarity.py `hard_negatives`): each
-    vector's most-similar DIFFERENT-label neighbor — the contrastive-
-    loss pair miner. Exact all-pairs arm here (the oracle-checkable
-    baseline); production blocks by IVF cell via `block_col`."""
+    vector's most-similar DIFFERENT-label neighbor within its IVF cell
+    — the contrastive-loss pair miner, SCALE ARM. Candidates come from
+    a cell-equality equijoin (`assign_cells` nearest-centroid blocking,
+    map-only literal argmax), so pair count is Σ|cell|² not n² — the
+    bucketed-join discipline every similarity operator uses. The exact
+    all-pairs arm stays a pytest baseline
+    (test_hard_negatives_exact_and_blocked), like cosine_near_pairs'
+    small-table arm. The oracle replays the identical round-6 ranked
+    assignment, so the plan is fully hash-checked."""
     e = load_table(spark, sf_dir, "embeddings")
-    return S.hard_negatives(e, k=1)
+    return S.hard_negatives(S.assign_cells(e), k=1, block_col="cell")
 
 
 @query(

@@ -27,6 +27,7 @@ from hudi_utility_spark.tables import load_table
            ROUND(SUM(value), 2) AS total_value
     FROM events GROUP BY 1, 2
     """,
+    sequential=True,
 )
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-minute tumbling windows per event type (epoch-aligned, matching
@@ -50,6 +51,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE epoch(ts) >= s.slide_start AND epoch(ts) < s.slide_start + 600
     GROUP BY 1, 2, 3
     """,
+    sequential=True,
 )
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-minute windows sliding every 5 — each event lands in 2 windows
@@ -81,6 +83,7 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(value), 2) AS session_value
     FROM sessioned GROUP BY user_id, session_seq
     """,
+    sequential=True,
 )
 def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-minute-gap sessionization (lag + cumsum batch form; the
@@ -96,6 +99,7 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
            c.c_mktsegment AS segment, c.c_nationkey AS nationkey
     FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
     """,
+    sequential=True,
 )
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static dimension enrichment, batch twin: every event joined
@@ -135,6 +139,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND p.ts > c.ts
      AND p.ts <= c.ts + INTERVAL 30 MINUTE
     """,
+    sequential=True,
 )
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Click→purchase funnel: stream-stream interval join, batch twin.
@@ -167,6 +172,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(n) AS n_events
     FROM ordered GROUP BY user_id
     """,
+    sequential=True,
 )
 def stream_running_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key running EWMA (batch twin of the applyInPandasWithState
@@ -199,6 +205,7 @@ def stream_running_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM wc
     ) WHERE rnk <= 3
     """,
+    sequential=True,
 )
 def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trending top-3 event types per 15-minute tumbling window —
@@ -220,6 +227,7 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(value), 2) AS total_value
     FROM events GROUP BY 1, 2
     """,
+    sequential=True,
 )
 def stream_true_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE streaming execution of the tumbling-window aggregate — not
@@ -281,6 +289,7 @@ def stream_true_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(value), 2) AS total_value
     FROM events GROUP BY 1
     """,
+    sequential=True,
 )
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE streaming exactly-once dedup under a watermark: the events
@@ -365,26 +374,33 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(n) AS n_events
     FROM ordered GROUP BY user_id
     """,
+    sequential=True,
 )
 def stream_ewma_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL ``transformWithStateInPandas`` execution, oracle-checked:
     the per-key EWMA stateful processor (`streaming/stateful.py
     running_ewma_tws` — named ValueState on the RocksDB store, protobuf
     state-server RPC) runs over a genuine two-micro-batch readStream.
-    The corpus is split into two CONTIGUOUS (ts, event_id) halves
-    written as separate files ~1s apart (the file source triggers
-    oldest-modification-first, so batch order is the time order), which
-    forces the second batch to RE-READ batch 1's state — the actual
-    cross-batch state contract, not a single-batch simulation. Update-
-    mode emissions land in a memory sink; the final row per key (max
-    n_events — n strictly increases) must equal the closed-form batch
-    recursion the oracle states. Complements `stream_running_ewma`
-    (same math via the batch twin): this one exercises the stateful
-    runtime itself.
+    The corpus is split at the median event timestamp into two
+    time-CONTIGUOUS halves (a map-only threshold filter — the oracle's
+    closed-form recursion is split-point-agnostic, it only needs batch
+    2's rows to be later in (ts, event_id) order than batch 1's for
+    every key). The file source triggers oldest-modification-first, so
+    batch order is pinned by stamping each half's files with explicit
+    `os.utime` values — content-deterministic under any scheduler load
+    (r8 verdict #3; the old `sleep(1.1)` mtime race flaked at 299/300
+    under a saturated box). The second batch must RE-READ batch 1's
+    state — the actual cross-batch state contract, not a single-batch
+    simulation. Update-mode emissions land in a memory sink; the final
+    row per key (max n_events — n strictly increases) must equal the
+    closed-form batch recursion the oracle states. Complements
+    `stream_running_ewma` (same math via the batch twin): this one
+    exercises the stateful runtime itself.
 
     100 TB posture: state per key is two scalars hash-partitioned
     across RocksDB stores (off-heap, incremental checkpoints); the
     per-batch sort is within-key within-batch only."""
+    import glob
     import os
     import shutil
     import tempfile
@@ -404,16 +420,21 @@ def stream_ewma_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ewma_tws_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     shutil.rmtree(root, ignore_errors=True)
-    half = ev.withColumn(
-        "_half", F.ntile(2).over(Window.orderBy("ts", "event_id"))
-    )
-    half.filter("_half = 1").drop("_half").coalesce(1).write.mode(
+    # time-contiguous split at the median ts — map-only, no global window
+    thr = ev.agg(
+        F.expr("percentile_approx(ts, 0.5)").alias("thr")
+    ).collect()[0]["thr"]
+    ev.filter(F.col("ts") <= F.lit(thr)).coalesce(1).write.mode(
         "append"
     ).parquet(root)
-    _time.sleep(1.1)  # distinct mtimes -> deterministic trigger order
-    half.filter("_half = 2").drop("_half").coalesce(1).write.mode(
+    first_files = set(glob.glob(os.path.join(root, "*.parquet")))
+    ev.filter(F.col("ts") > F.lit(thr)).coalesce(1).write.mode(
         "append"
     ).parquet(root)
+    # explicit mtimes pin trigger order (oldest-first) under any load
+    now = _time.time()
+    for f in glob.glob(os.path.join(root, "*.parquet")):
+        os.utime(f, (now, now) if f in first_files else (now + 60, now + 60))
 
     sink = f"ewma_tws_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(root, "_ckpt")
@@ -468,6 +489,7 @@ def stream_ewma_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND p.ts > c.ts
      AND p.ts <= c.ts + INTERVAL 30 MINUTE
     """,
+    sequential=True,
 )
 def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Click→purchase ABANDONMENT readout: the left-outer interval join

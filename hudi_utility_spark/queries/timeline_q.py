@@ -29,6 +29,7 @@ T1, T2 = "20260101000000001", "20260102000000001"
     SELECT event_id, event_type, ROUND(value + 1000, 2) AS value
     FROM events WHERE event_type = 'click'
     """,
+    sequential=True,
 )
 def timeline_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental read: bootstrap-upsert all events at T1, upsert a
@@ -77,6 +78,7 @@ def timeline_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, event_type, ROUND(value, 2) AS value
     FROM resolved WHERE rn = 1
     """,
+    sequential=True,
 )
 def timeline_rollback_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollback table service: three commits (bootstrap, +1000 clicks,
@@ -132,6 +134,7 @@ def timeline_rollback_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'delete' AS op, event_id, CAST(NULL AS DOUBLE) AS value
     FROM events WHERE event_type = 'view'
     """,
+    sequential=True,
 )
 def timeline_cdc_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC incremental read: one commit window containing updates (click
@@ -197,6 +200,7 @@ def timeline_cdc_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, event_type, ROUND(value, 2) AS value
     FROM resolved WHERE rn = 1
     """,
+    sequential=True,
 )
 def timeline_read_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel: three commits, then ``read_as_of`` the SECOND
@@ -257,6 +261,7 @@ def timeline_read_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, event_type, ROUND(value, 2) AS value
     FROM resolved WHERE rn = 1
     """,
+    sequential=True,
 )
 def timeline_clean_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cleaner table service: after two rounds of click churn, reclaim

@@ -157,3 +157,71 @@ def test_r8_exchange_budgets_and_no_cartesian(spark, sf_dir):
         if shuffles > budget:
             over.append((name, shuffles, budget))
     assert not over, f"shuffle-exchange budget exceeded: {over}"
+
+
+def test_pack_length_buckets_no_single_partition_window(spark, sf_dir):
+    """r8 verdict #1: the length-quartile assignment must NOT funnel the
+    corpus through one task. The distributed prefix-sum rank keeps every
+    window partitioned by range id; a refactor that reintroduces
+    ntile().over(Window.orderBy(...)) surfaces as a Sort/Window node
+    sitting on a SinglePartition exchange. The final global SCALAR
+    aggregate (4 bucket rows → 1) legitimately collapses to one
+    partition, so the ban targets the Sort/Window-over-SinglePartition
+    shape, not SinglePartition per se."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["pack_length_buckets"](spark, sf_dir)
+    # simple tree string: parent nodes precede their SinglePartition
+    # exchange child; a global window shows as Window/Sort directly above
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    lines = tree.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            above = "\n".join(lines[max(0, i - 3) : i])
+            assert "Window" not in above and "Sort" not in above, tree
+
+
+def test_sim_hard_negatives_blocked_plan(spark, sf_dir):
+    """r8 verdict #2: the registered hard-negative miner must candidate
+    via a cell-EQUALITY equijoin (Σ|cell|² pairs), never the label-
+    inequality all-pairs join (n² pairs). An all-pairs arm has no
+    equijoin keys, so it plans as BroadcastNestedLoopJoin/Cartesian —
+    both banned here — and the blocked arm's shuffle count is pinned."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    plan = _plan(qs["sim_hard_negatives"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 8, f"shuffle-exchange budget exceeded: {shuffles}"
+
+
+# round-9 additions: measured budgets for the r8 experiment-stack
+# queries (r8 verdict #7 — cheap insurance that a refactor can't
+# re-introduce a row-level window into the collapsed-relation stats)
+# plus the two de-quadratified queries' final shapes.
+EXCHANGE_BUDGETS_R9 = {
+    "stat_permutation_test": 2,
+    "ml_conformal_interval": 10,
+    "ev_sprt_monitor": 4,
+    "ev_did_estimator": 4,
+    "sim_hard_negatives": 2,
+    "pack_length_buckets": 16,
+    "ml_pr_curve": 4,
+    "ml_auc_score": 2,
+}
+
+
+def test_r9_exchange_budgets_and_no_cartesian(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    over = []
+    for name, budget in EXCHANGE_BUDGETS_R9.items():
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+        if shuffles > budget:
+            over.append((name, shuffles, budget))
+    assert not over, f"shuffle-exchange budget exceeded: {over}"

@@ -9,7 +9,11 @@ cd "$(dirname "$0")/.."
 rc=0
 
 echo "== oracle check (sf0.01) =="
-python tools/check_oracles.py /root/testdata/sf0.01 2>/dev/null | tail -3 || rc=1
+# print every FAIL line verbatim BEFORE the summary (r8 verdict #5: the
+# old tail -3 scrolled a lone failing name out of view), then the tail
+oracle_out=$(python tools/check_oracles.py /root/testdata/sf0.01 2>/dev/null) || rc=1
+grep '^FAIL' <<<"$oracle_out" || true
+tail -3 <<<"$oracle_out"
 
 if [[ "${1:-}" != "--quick" ]]; then
   echo "== double-run hash stability (sf0.01) =="
