@@ -187,3 +187,59 @@ def fellegi_sunter_score(
         .when(F.col("fs_score") > lower, F.lit("possible"))
         .otherwise(F.lit("non_match")),
     )
+
+
+def phonetic_key(col: Column) -> Column:
+    """Simplified Soundex phonetic key, ENGINE-PORTABLE by construction:
+    first letter + up to 3 consonant-class digits (b/f/p/v→1,
+    c/g/j/k/q/s/x/z→2, d/t→3, l→4, m/n→5, r→6; vowels + h/w/y
+    dropped), adjacent repeats collapsed, zero-padded to 4. Differs
+    from library Soundex in two DOCUMENTED ways (no H/W duplicate
+    bridging; the first letter's own class is not merged with a
+    following duplicate) because the collapse step must avoid regex
+    BACKREFERENCES — DuckDB's RE2 has none — so repeats collapse via a
+    fixed chain of plain ``replace`` passes (4 per digit, handling
+    runs to length 16) that evaluates identically in any engine.
+    Blocking quality is equivalent: the key buckets words by consonant
+    skeleton."""
+    w = F.lower(col)
+    first = F.upper(F.substring(w, 1, 1))
+    rest = F.substring(w, 2, 100)
+    code = rest
+    for cls, d in [
+        ("[bfpv]", "1"),
+        ("[cgjkqsxz]", "2"),
+        ("[dt]", "3"),
+        ("[l]", "4"),
+        ("[mn]", "5"),
+        ("[r]", "6"),
+    ]:
+        code = F.regexp_replace(code, cls, d)
+    code = F.regexp_replace(code, "[aeiouyhw]", "")
+    for d in "123456":
+        for _ in range(4):
+            code = F.replace(code, F.lit(d + d), F.lit(d))
+    return F.concat(first, F.rpad(F.substring(code, 1, 3), 3, "0"))
+
+
+def phonetic_key_sql(expr: str) -> str:
+    """DuckDB rendition of :func:`phonetic_key` — the identical
+    operation chain, for oracles."""
+    code = f"substr(lower({expr}), 2, 100)"
+    for cls, d in [
+        ("[bfpv]", "1"),
+        ("[cgjkqsxz]", "2"),
+        ("[dt]", "3"),
+        ("[l]", "4"),
+        ("[mn]", "5"),
+        ("[r]", "6"),
+    ]:
+        code = f"regexp_replace({code}, '{cls}', '{d}', 'g')"
+    code = f"regexp_replace({code}, '[aeiouyhw]', '', 'g')"
+    for d in "123456":
+        for _ in range(4):
+            code = f"replace({code}, '{d}{d}', '{d}')"
+    return (
+        f"concat(upper(substr(lower({expr}), 1, 1)), "
+        f"rpad(substr({code}, 1, 3), 3, '0'))"
+    )

@@ -224,3 +224,92 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by iterative peeling, FIXED round count:
+    each round drops nodes with degree < k and the edges touching them;
+    the k-core is the fixpoint. A fixed ``rounds`` (like the fixed-
+    iteration k-means / PageRank here) keeps the whole computation a
+    finite dataflow an unrolled SQL oracle can replay — pytest asserts
+    the last two rounds agree, so the cap is validated, not assumed
+    (peeling converges in at most the graph's degeneracy-ordering
+    depth; co-purchase graphs are shallow).
+
+    Scale shape per round: one degree aggregate (map-side combinable)
+    + two broadcast-measured semi-joins against the surviving-node
+    relation; edges are ``localCheckpoint``-ed each round so lineage
+    stays flat. Input must be symmetric (use :func:`symmetrize`).
+    Returns the core's (node, degree) — degree WITHIN the core."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    for _ in range(rounds):
+        keep = (
+            e.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("s")
+        )
+        e = (
+            e.join(keep, "s", "left_semi")
+            .join(keep.withColumnRenamed("s", "d"), "d", "left_semi")
+            .select("s", "d")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("s").alias("node"), "degree")
+    )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
+    relation, fixed iteration count, mean-1 normalization: authority =
+    normalized in-sum of hub scores, hub = normalized out-sum of
+    authority scores, from an all-ones hub start. Mean-1 (score · n /
+    Σscore) instead of sum-1 keeps values O(1), so round-6 ranking has
+    ~9 orders of magnitude of headroom over distributed-sum ulp noise
+    (the round-before-rank discipline).
+
+    Scale: each half-iteration is one edge-keyed shuffle aggregate plus
+    a broadcast of the (bounded) score vector back onto edges — the
+    same power-iteration shape as :func:`pagerank`. Returns
+    (node, authority) for every dst node."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    # h0 = 1 for every source: a1 = in-degree
+    a = e.groupBy("d").agg(F.count(F.lit(1)).cast("double").alias("score"))
+
+    def _norm(df_, key):
+        tot = df_.agg(
+            F.sum("score").alias("t"), F.count(F.lit(1)).cast("double").alias("n")
+        )
+        return df_.crossJoin(F.broadcast(tot)).select(
+            key, (F.col("score") * F.col("n") / F.col("t")).alias("score")
+        )
+
+    a = _norm(a, "d")
+    for _ in range(iters - 1):
+        h = _norm(
+            e.join(F.broadcast(a), "d").groupBy("s").agg(
+                F.sum("score").alias("score")
+            ),
+            "s",
+        )
+        a = _norm(
+            e.join(F.broadcast(h), "s").groupBy("d").agg(
+                F.sum("score").alias("score")
+            ),
+            "d",
+        )
+    return a.select(F.col("d").alias("node"), F.col("score").alias("authority"))

@@ -863,3 +863,185 @@ def permutation_test(
             "p_value"
         ),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "group",
+    *,
+    max_distinct: int = 1_000_000,
+) -> DataFrame:
+    """Kruskal-Wallis H (one-way ANOVA on ranks) — the k-sample
+    extension of :func:`mann_whitney_u`: "do any of the k groups'
+    distributions differ in location", rank-based so it needs no
+    normality. Same distributed shape as every exact rank statistic
+    here: facts collapse to per-(distinct value, group) counts in ONE
+    hash aggregate, the cumulative rank window runs over VALUE
+    CARDINALITY (guarded by `require_bounded_distinct` — quantize the
+    value upstream when it is continuous), per-group rank sums fold the
+    k-row relation, and the exact tie correction Σ(t³−t)/(N³−N) falls
+    out of the per-value totals. Returns one row:
+    (n, k_groups, h_stat, h_tie_corrected)."""
+    from pyspark.sql import Window, functions as F
+
+    per = df.select(
+        F.col(value_col).cast("double").alias("v"),
+        F.col(group_col).alias("g"),
+    ).groupBy("v", "g").agg(F.count(F.lit(1)).alias("c"))
+    # per-distinct-value totals (the rank/tie relation)
+    vals = per.groupBy("v").agg(F.sum("c").alias("cnt"))
+    vals = require_bounded_distinct(
+        vals,
+        max_distinct,
+        "kruskal_wallis",
+        "quantize the value column before ranking",
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = vals.select(
+        "v",
+        "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt") + (F.col("cnt") + 1) / 2.0).alias(
+            "avg_rank"
+        ),
+    )
+    # per-group n_j and rank sum R_j: join the (v, g, c) relation to the
+    # per-value average ranks (both collapsed; broadcast the rank side)
+    grp = (
+        per.join(F.broadcast(ranked.select("v", "avg_rank")), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").alias("n_j"),
+            F.sum(F.col("c") * F.col("avg_rank")).alias("r_j"),
+        )
+    )
+    ties = vals.agg(
+        F.sum("cnt").cast("double").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")).alias(
+            "tie_term"
+        ),
+    )
+    agg = grp.agg(
+        F.count(F.lit(1)).alias("k_groups"),
+        F.sum(F.col("r_j") * F.col("r_j") / F.col("n_j")).alias("rr"),
+    ).crossJoin(F.broadcast(ties))
+    h = 12.0 / (F.col("n") * (F.col("n") + 1)) * F.col("rr") - 3 * (
+        F.col("n") + 1
+    )
+    corr = 1 - F.col("tie_term") / (
+        F.col("n") * F.col("n") * F.col("n") - F.col("n")
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k_groups").cast("int").alias("k_groups"),
+        F.round(h, 6).alias("h_stat"),
+        F.round(h / corr, 6).alias("h_tie_corrected"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "group",
+) -> DataFrame:
+    """Brown-Forsythe test (Levene's test with the MEDIAN center) for
+    equality of group variances — the robust pre-check before pooled-
+    variance methods. Per-group medians come from ONE exact
+    interpolating `percentile` aggregate (k rows, broadcast back), the
+    absolute deviations z = |x − median_g| never materialize as a
+    column store — they live inside the second aggregate's expressions
+    — and the F statistic is closed-form from the two aggregates'
+    sufficient statistics. Two fact-table passes total, both
+    map-side-combinable. Returns one row:
+    (n, k_groups, f_stat, df1, df2)."""
+    from pyspark.sql import functions as F
+
+    facts = df.select(
+        F.col(value_col).cast("double").alias("v"),
+        F.col(group_col).alias("g"),
+    ).filter(F.col("v").isNotNull())
+    med = facts.groupBy("g").agg(
+        F.percentile("v", F.lit(0.5)).alias("med")
+    )
+    z = facts.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("v") - F.col("med")).alias("z")
+    )
+    per_g = z.groupBy("g").agg(
+        F.count(F.lit(1)).cast("double").alias("n_j"),
+        F.sum("z").alias("s_j"),
+        F.sum(F.col("z") * F.col("z")).alias("q_j"),
+    )
+    agg = per_g.agg(
+        F.sum("n_j").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("s_j").alias("s"),
+        # within-group sum of squares: Σ(q_j − s_j²/n_j)
+        F.sum(F.col("q_j") - F.col("s_j") * F.col("s_j") / F.col("n_j")).alias(
+            "ssw"
+        ),
+        # between-group: Σ n_j·(zbar_j − zbar)² = Σ s_j²/n_j − s²/n
+        F.sum(F.col("s_j") * F.col("s_j") / F.col("n_j")).alias("ssb_part"),
+    )
+    ssb = F.col("ssb_part") - F.col("s") * F.col("s") / F.col("n")
+    f_stat = (ssb / (F.col("k") - 1)) / (
+        F.col("ssw") / (F.col("n") - F.col("k"))
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("int").alias("k_groups"),
+        F.round(f_stat, 6).alias("f_stat"),
+        (F.col("k") - 1).cast("long").alias("df1"),
+        (F.col("n") - F.col("k")).cast("long").alias("df2"),
+    )
+
+
+def g_test(
+    df: DataFrame,
+    row_col: str = "r",
+    col_col: str = "c",
+) -> DataFrame:
+    """G-test of independence (likelihood-ratio chi-square,
+    G = 2·ΣO·ln(O/E)) over a two-factor contingency table — the
+    log-likelihood twin of the Pearson chi-square already registered
+    (`stat_chi2_independence`); G is additive across partitions of the
+    table, which is why corpus-quality pipelines prefer it for n-gram
+    association (Dunning 1993). Observed counts come from one hash
+    aggregate; expected counts are the broadcast outer product of the
+    two marginal relations (r + c rows). Zero-observed cells contribute
+    0 (lim x→0 of x·ln x). Returns one row: (n, g_stat, dof)."""
+    from pyspark.sql import functions as F
+
+    obs = df.groupBy(row_col, col_col).agg(F.count(F.lit(1)).alias("o"))
+    rm = obs.groupBy(row_col).agg(F.sum("o").alias("rt"))
+    cm = obs.groupBy(col_col).agg(F.sum("o").alias("ct"))
+    tot = obs.agg(F.sum("o").cast("double").alias("n"))
+    full = (
+        rm.crossJoin(F.broadcast(cm))
+        .join(obs, [row_col, col_col], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            row_col,
+            col_col,
+            "n",
+            F.coalesce(F.col("o"), F.lit(0)).cast("double").alias("o"),
+            (F.col("rt") * F.col("ct") / F.col("n")).alias("e"),
+        )
+    )
+    agg = full.agg(
+        F.max("n").alias("n"),
+        (
+            2.0
+            * F.sum(
+                F.when(
+                    F.col("o") > 0, F.col("o") * F.log(F.col("o") / F.col("e"))
+                ).otherwise(0.0)
+            )
+        ).alias("g"),
+        F.count_distinct(F.col(row_col)).alias("nr"),
+        F.count_distinct(F.col(col_col)).alias("nc"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("g", 6).alias("g_stat"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+    )

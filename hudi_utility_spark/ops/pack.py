@@ -507,3 +507,63 @@ def hedge_mix_weights(
         "domain string, weight double, p_mix double, "
         "last_loss double, n_sampled_last long",
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    size_col: str,
+    group_col: str = "lang",
+    budget_fraction: float = 0.4,
+    max_epochs: float = 2.0,
+) -> DataFrame:
+    """UniMax sampling allocation (Chung et al. 2023): split a token
+    budget across groups (languages/domains) as UNIFORMLY as possible,
+    capping each group at ``max_epochs`` passes over its data — the
+    principled alternative to temperature sampling (no group is
+    over-epoched into memorization to satisfy a power law).
+
+    Closed-form water-filling, no driver loop: groups collapse to a
+    k-row (group, n_tokens) relation (ONE fact aggregate — the only
+    data-sized work), caps c_g = n_g·E sort ascending, and the capped
+    prefix is the set of ranks j where c_j·(k−j+1) + P_{j−1} ≤ B
+    (P = running cap sum); everything else gets the water level
+    λ = (B − Σ capped c)/(k − j*). All windows run over the k-row
+    relation (groups are languages — vocabulary-bounded, the
+    centroid/codebook idiom), so the same SQL replays in any engine.
+    Returns per group: (group, n_tokens, cap, alloc, epochs)."""
+    from pyspark.sql import Window
+
+    per = df.groupBy(group_col).agg(F.sum(size_col).alias("n"))
+    tot = per.agg(F.floor(F.sum("n") * F.lit(budget_fraction)).alias("b"))
+    w = Window.orderBy("c", group_col)
+    wall = Window.partitionBy(F.lit(1))
+    ranked = (
+        per.withColumn("c", F.col("n") * F.lit(float(max_epochs)))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("idx", F.row_number().over(w))
+        .withColumn("p", F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("k", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "capped",
+            F.col("c") * (F.col("k") - F.col("idx") + 1)
+            + (F.col("p") - F.col("c"))
+            <= F.col("b"),
+        )
+        .withColumn(
+            "jstar",
+            F.sum(F.col("capped").cast("int")).over(wall),
+        )
+        .withColumn(
+            "p_capped",
+            F.sum(F.when(F.col("capped"), F.col("c")).otherwise(0.0)).over(wall),
+        )
+    )
+    lam = (F.col("b") - F.col("p_capped")) / (F.col("k") - F.col("jstar"))
+    alloc = F.when(F.col("capped"), F.col("c")).otherwise(lam)
+    return ranked.select(
+        F.col(group_col),
+        F.col("n").cast("long").alias("n_tokens"),
+        F.round("c", 4).alias("cap"),
+        F.round(alloc, 4).alias("alloc"),
+        F.round(alloc / F.col("n"), 6).alias("epochs"),
+    )

@@ -358,3 +358,57 @@ def ranking_metrics(
             F.coalesce(1.0 / F.col("first_hit"), F.lit(0.0)), 6
         ).alias("mrr"),
     )
+
+
+def jm_query_likelihood_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    lam: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k under JELINEK-MERCER-smoothed query likelihood —
+    score = Σ_t ln((1−λ)·tf/dl + λ·cf/|C|) — the linear-interpolation
+    smoothing Zhai & Lafferty 2001 compare against the Dirichlet prior
+    (:func:`query_likelihood_topk`): JM mixes a FIXED collection share
+    per term (better for verbose queries), Dirichlet scales smoothing
+    with document length (better for short keyword queries). Shipping
+    both makes the smoothing an ablation knob, not an architecture
+    change.
+
+    Identical plan economics: map-side per-term tf, ONE O(terms)
+    corpus-stats aggregate broadcast back, no corpus shuffle; docs
+    matching no query term are excluded (they score a rank-constant
+    collection mass). Ties break ascending id."""
+    terms = [t.lower() for t in query_terms]
+    toks = _terms(F.col(text_col)).alias("toks")
+    base = df.select(F.col(id_col), toks).select(
+        id_col,
+        F.size("toks").alias("dl"),
+        *[_term_count(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.sum("dl").cast("double").alias("c_len"),
+        *[
+            F.sum(F.col(f"tf_{i}")).cast("double").alias(f"cf_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.filter(F.col("dl") > 0).join(F.broadcast(stats))
+    score = None
+    any_tf = None
+    for i in range(len(terms)):
+        part = F.log(
+            F.lit(1.0 - lam) * F.col(f"tf_{i}") / F.col("dl")
+            + F.lit(lam) * F.col(f"cf_{i}") / F.col("c_len")
+        )
+        score = part if score is None else score + part
+        hit = F.col(f"tf_{i}")
+        any_tf = hit if any_tf is None else any_tf + hit
+    return (
+        scored.filter(any_tf > 0)
+        .select(F.col(id_col), F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

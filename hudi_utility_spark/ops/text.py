@@ -1298,3 +1298,77 @@ def gopher_rules(
         c = F.col(k) == 1
         passes = c if passes is None else passes & c
     return out.withColumn("passes", passes.cast("int"))
+
+
+def rake_keywords(
+    df: DataFrame,
+    k: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    Extraction from Individual Documents"): candidate phrases are the
+    maximal runs of non-stopword tokens (stopwords/punctuation
+    delimit), each word scores degree/frequency (degree = Σ lengths of
+    phrases containing it — co-occurrence reach; frequency penalizes
+    ubiquity), and a phrase scores the sum of its member words. The
+    unsupervised keyword baseline corpus-curation pipelines use before
+    anything learned.
+
+    Distributed shape: tokenize via posexplode (map-only), phrase ids
+    from a per-DOC cumulative-stopword window (partitioned by the
+    high-cardinality doc key — never global), word stats in one hash
+    aggregate, phrase scores by joining the (bounded, vocabulary-sized)
+    word-stat relation back. Ranking is on ROUND(score, 6) with the
+    phrase as tiebreak (scores are small-integer ratios; rounding
+    absorbs sum-order ulp). Returns top-``k``
+    (phrase, n_occurrences, score)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(normalized(F.col(text_col)), " ")).alias(
+            "pos", "w"
+        ),
+    ).filter(F.col("w") != "")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    flagged = toks.withColumn(
+        "stop", F.array_contains(stop_arr, F.col("w")).cast("int")
+    )
+    wdoc = Window.partitionBy("doc").orderBy("pos")
+    pid = flagged.withColumn(
+        "phrase_id", F.sum("stop").over(wdoc)
+    ).filter(F.col("stop") == 0)
+    words = pid.withColumn(
+        "plen",
+        F.count(F.lit(1)).over(Window.partitionBy("doc", "phrase_id")),
+    )
+    wstats = words.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("degree"),
+    )
+    inst = (
+        words.join(F.broadcast(wstats), "w")
+        .groupBy("doc", "phrase_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            ).alias("phrase"),
+            F.sum(
+                F.col("degree").cast("double") / F.col("freq")
+            ).alias("score"),
+        )
+    )
+    return (
+        inst.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.round(F.max("score"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("phrase"))
+        .limit(k)
+    )

@@ -2053,3 +2053,358 @@ def ev_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0")), 6
         ).alias("did"),
     )
+
+
+@query(
+    "ts_acf_profile",
+    """
+    WITH hourly AS (
+        SELECT CAST(epoch_us(date_trunc('hour', ts)) / 3600000000 AS BIGINT)
+                   AS hidx,
+               AVG(value) AS y
+        FROM events GROUP BY 1
+    ),
+    mu AS (SELECT AVG(y) AS mu FROM hourly),
+    dev AS (SELECT hidx, y - m.mu AS dv FROM hourly, mu m),
+    den AS (SELECT SUM(dv * dv) AS den FROM dev),
+    lags AS (SELECT CAST(range AS INTEGER) AS lag FROM range(1, 13)),
+    pairs AS (
+        SELECT l.lag, a.dv AS d1, b.dv AS d2
+        FROM dev a JOIN lags l ON TRUE
+        JOIN dev b ON b.hidx = a.hidx + l.lag
+    )
+    SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(SUM(d1 * d2) / MAX(dn.den), 6) AS acf
+    FROM pairs, den dn GROUP BY lag
+    """,
+)
+def ts_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly mean-value series at lags
+    1..12 — the seasonality/persistence fingerprint behind every
+    forecasting model choice. Facts collapse to the hourly series
+    FIRST (one hash aggregate; hours ≪ rows), the mean-centered series
+    is localCheckpoint'd (three downstream passes), and lagged pairs
+    come from an EQUIJOIN on hidx+lag (lag exploded from a 12-element
+    sequence — never a non-equi range join). Gap hours simply produce
+    no pair (documented: ACF over the observed grid)."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn(
+            "hidx",
+            (
+                F.unix_micros(F.date_trunc("hour", F.col("ts")))
+                / F.lit(3_600_000_000)
+            ).cast("long"),
+        )
+        .groupBy("hidx")
+        .agg(F.avg("value").alias("y"))
+    )
+    mu = hourly.agg(F.avg("y").alias("mu"))
+    dev = (
+        hourly.crossJoin(F.broadcast(mu))
+        .select("hidx", (F.col("y") - F.col("mu")).alias("dv"))
+        .localCheckpoint(eager=False)
+    )
+    den = dev.agg(F.sum(F.col("dv") * F.col("dv")).alias("den"))
+    a = dev.select(
+        "hidx",
+        "dv",
+        F.explode(F.sequence(F.lit(1), F.lit(12))).alias("lag"),
+    ).withColumn("tgt", F.col("hidx") + F.col("lag"))
+    pairs = a.join(
+        dev.select(F.col("hidx").alias("tgt"), F.col("dv").alias("dv2")),
+        "tgt",
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.sum(F.col("dv") * F.col("dv2")).alias("num"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+        .crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(F.col("num") / F.col("den"), 6).alias("acf"),
+        )
+    )
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled peeling oracle (same fixed-round discipline as
+    `_pagerank_oracle`): round i keeps nodes whose degree in e{i-1} is
+    >= k and restricts edges to surviving endpoints."""
+    parts = [
+        """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    co AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    e0 AS (SELECT pa AS s, pb AS d FROM co
+           UNION ALL SELECT pb AS s, pa AS d FROM co)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""
+    k{i} AS (SELECT s FROM e{i - 1} GROUP BY s HAVING COUNT(*) >= {k}),
+    e{i} AS (SELECT e.s, e.d FROM e{i - 1} e
+             JOIN k{i} x ON e.s = x.s JOIN k{i} y ON e.d = y.s)"""
+        )
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM e{rounds} GROUP BY s
+    """
+    )
+
+
+@query("graph_kcore_parts", _kcore_oracle(3, 6))
+def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph (parts co-ordered ≥2 times):
+    iterative peeling with a FIXED 6-round unroll (`ops/graph.py
+    kcore`) so the whole decomposition is a finite dataflow the
+    unrolled SQL oracle replays; tests assert rounds 5 and 6 agree
+    (convergence validated, not assumed). The dense-core extraction
+    step community detection and spam-graph filtering start from.
+    Edges reuse the co_purchase basket-HOF shape — per-basket
+    quadratic, never a corpus self-join."""
+    from hudi_utility_spark.ops.graph import kcore
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    co = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.pa", "p.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    edges = co.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        co.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    return kcore(edges, k=3, rounds=6)
+
+
+@query(
+    "graph_hits_authorities",
+    """
+    WITH e AS (
+        SELECT DISTINCT o.o_custkey AS s, l.l_partkey AS d
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    a1 AS (SELECT d, CAST(COUNT(*) AS DOUBLE) AS score FROM e GROUP BY d),
+    a1n AS (
+        SELECT d, score * (SELECT COUNT(*) FROM a1)
+                   / (SELECT SUM(score) FROM a1) AS score
+        FROM a1
+    ),
+    h1 AS (
+        SELECT e.s, SUM(a.score) AS score
+        FROM e JOIN a1n a ON e.d = a.d GROUP BY e.s
+    ),
+    h1n AS (
+        SELECT s, score * (SELECT COUNT(*) FROM h1)
+                   / (SELECT SUM(score) FROM h1) AS score
+        FROM h1
+    ),
+    a2 AS (
+        SELECT e.d, SUM(h.score) AS score
+        FROM e JOIN h1n h ON e.s = h.s GROUP BY e.d
+    ),
+    a2n AS (
+        SELECT d, score * (SELECT COUNT(*) FROM a2)
+                   / (SELECT SUM(score) FROM a2) AS score
+        FROM a2
+    )
+    SELECT d AS node, ROUND(score, 6) AS authority
+    FROM a2n
+    ORDER BY ROUND(score, 6) DESC, d
+    LIMIT 20
+    """,
+)
+def graph_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS authorities over the customer→part bipartite purchase graph
+    (Kleinberg 1999), 2 fixed iterations, mean-1 normalization
+    (`ops/graph.py hits`): hubs are customers whose baskets point at
+    authoritative parts, authorities are parts bought by strong hubs —
+    the mutually-reinforcing centrality behind early web ranking and
+    modern bipartite recommendation. Power-iteration shape: one
+    edge-keyed aggregate + one bounded score-vector broadcast per
+    half-step; top-20 ranked on ROUND(score, 6) with id tiebreak (the
+    round-before-rank discipline — mean-1 keeps scores O(1), giving
+    ~9 orders of headroom over distributed-sum ulp noise)."""
+    from hudi_utility_spark.ops.graph import hits
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst"))
+        .distinct()
+    )
+    out = hits(e, iters=2)
+    return (
+        out.select("node", F.round("authority", 6).alias("authority"))
+        .orderBy(F.desc(F.round(F.col("authority"), 6)), F.asc("node"))
+        .limit(20)
+    )
+
+
+@query(
+    "ts_theil_sen_trend",
+    """
+    WITH hourly AS (
+        SELECT CAST(epoch_us(date_trunc('hour', ts)) / 3600000000 AS BIGINT)
+                   AS hidx,
+               AVG(value) AS y
+        FROM events GROUP BY 1
+    ),
+    lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, 169)),
+    slopes AS (
+        SELECT (b.y - a.y) / l.lag AS slope
+        FROM hourly a JOIN lags l ON TRUE
+        JOIN hourly b ON b.hidx = a.hidx + l.lag
+    ),
+    sl AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               quantile_cont(slope, 0.5) AS slope
+        FROM slopes
+    )
+    SELECT sl.n_pairs, ROUND(sl.slope, 6) AS slope,
+           ROUND((SELECT quantile_cont(y - sl.slope * hidx, 0.5)
+                  FROM hourly), 6) AS intercept
+    FROM sl
+    """,
+)
+def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the hourly mean-value series,
+    LAG-BOUNDED variant: slope = median of pairwise slopes over pairs
+    at most 168 hours apart, intercept = median(y − slope·t) — the
+    29%-breakdown-point alternative to OLS that one outlier hour
+    cannot move. Bounding the lag does two jobs: pairs come from an
+    EQUIJOIN on hidx+lag (lag exploded from a 168-element sequence,
+    never an O(hours²) inequality self-join), and pair count grows
+    linearly in series length — the full-window estimator's quadratic
+    blowup is exactly what breaks at 100 TB of telemetry. Facts
+    collapse to the hourly series first; medians are exact
+    interpolating percentiles over the bounded pair relation."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn(
+            "hidx",
+            (
+                F.unix_micros(F.date_trunc("hour", F.col("ts")))
+                / F.lit(3_600_000_000)
+            ).cast("long"),
+        )
+        .groupBy("hidx")
+        .agg(F.avg("value").alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    a = hourly.select(
+        "hidx",
+        F.col("y").alias("y1"),
+        F.explode(F.sequence(F.lit(1), F.lit(168))).alias("lag"),
+    ).withColumn("tgt", F.col("hidx") + F.col("lag"))
+    pairs = a.join(
+        hourly.select(F.col("hidx").alias("tgt"), F.col("y").alias("y2")),
+        "tgt",
+    )
+    sl = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.percentile((F.col("y2") - F.col("y1")) / F.col("lag"), F.lit(0.5)).alias(
+            "slope"
+        ),
+    )
+    icept = (
+        hourly.crossJoin(F.broadcast(sl))
+        .agg(
+            F.percentile(
+                F.col("y") - F.col("slope") * F.col("hidx"), F.lit(0.5)
+            ).alias("intercept")
+        )
+    )
+    return (
+        sl.crossJoin(F.broadcast(icept))
+        .select(
+            "n_pairs",
+            F.round("slope", 6).alias("slope"),
+            F.round("intercept", 6).alias("intercept"),
+        )
+    )
+
+
+@query(
+    "ev_bayes_beta_binomial",
+    """
+    WITH base AS (
+        SELECT CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 6))
+                    AS BIGINT) % 2 AS variant,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        FROM events
+    ),
+    agg AS (
+        SELECT variant, CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(conv) AS DOUBLE) AS s
+        FROM base GROUP BY variant
+    )
+    SELECT CAST(variant AS INTEGER) AS variant,
+           CAST(n AS BIGINT) AS n,
+           CAST(s AS BIGINT) AS conversions,
+           ROUND((1 + s) / (2 + n), 6) AS post_mean,
+           ROUND(sqrt((1 + s) * (1 + n - s)
+                      / ((2 + n) * (2 + n) * (3 + n))), 6) AS post_sd
+    FROM agg
+    """,
+)
+def ev_bayes_beta_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta-Binomial posterior of per-variant conversion (uniform
+    Beta(1,1) prior): posterior mean (1+s)/(2+n) and exact posterior
+    sd — the Bayesian summary an A/B dashboard shows next to the
+    frequentist SRM/SPRT checks already registered. Variants come from
+    the same md5 split as the conformal/permutation family; one
+    map-side-combinable aggregate, closed form, no sampling."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        (
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 6), 16, 10)
+            .cast("long")
+            % 2
+        ).alias("variant"),
+        (F.col("event_type") == "purchase").cast("int").alias("conv"),
+    )
+    agg = base.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("conv").cast("double").alias("s"),
+    )
+    a = 1 + F.col("s")
+    b = 1 + F.col("n") - F.col("s")
+    tot = F.col("n") + 2
+    return agg.select(
+        F.col("variant").cast("int").alias("variant"),
+        F.col("n").cast("long").alias("n"),
+        F.col("s").cast("long").alias("conversions"),
+        F.round(a / tot, 6).alias("post_mean"),
+        F.round(F.sqrt(a * b / (tot * tot * (tot + 1))), 6).alias("post_sd"),
+    )

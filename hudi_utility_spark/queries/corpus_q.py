@@ -681,6 +681,40 @@ def rtr_query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rtr_jm_smoothing_topk",
+    f"""
+    WITH {_RANK_BASE},
+    jm AS (
+        SELECT doc_id,
+               ROUND(ln(0.7 * tf_0 / dl + 0.3 * cf_0 / c_len)
+                   + ln(0.7 * tf_1 / dl + 0.3 * cf_1 / c_len)
+                   + ln(0.7 * tf_2 / dl + 0.3 * cf_2 / c_len), 6) AS score
+        FROM base, (
+            SELECT CAST(SUM(dl) AS DOUBLE) AS c_len,
+                   CAST(SUM(tf_0) AS DOUBLE) AS cf_0,
+                   CAST(SUM(tf_1) AS DOUBLE) AS cf_1,
+                   CAST(SUM(tf_2) AS DOUBLE) AS cf_2
+            FROM base)
+        WHERE dl > 0 AND tf_0 + tf_1 + tf_2 > 0
+    )
+    SELECT doc_id, score FROM jm
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def rtr_jm_smoothing_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer-smoothed query likelihood top-10 (lambda=0.3) for
+    {hash, vector, spark} — the linear-interpolation smoothing next to
+    the registered Dirichlet ranker; together they make smoothing an
+    ablation knob (ops/retrieval.py jm_query_likelihood_topk). Same
+    no-corpus-shuffle plan: map-side tf + one O(terms) stats broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return R.jm_query_likelihood_topk(
+        docs, ["hash", "vector", "spark"], k=10, lam=0.3
+    )
+
+
+@query(
     "rtr_rrf_fusion",
     f"""
     WITH {_RANK_BASE},
@@ -928,3 +962,61 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("unbucketed_pad_frac")
     )
     return stats.drop("_sum_tokens").crossJoin(F.broadcast(global_pad))
+
+
+@query(
+    "pack_unimax_allocation",
+    """
+    WITH per AS (
+        SELECT lang,
+               SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS n
+        FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT floor(CAST(SUM(n) AS DOUBLE) * 0.4) AS b FROM per
+    ),
+    ranked AS (
+        SELECT lang, n, CAST(n AS DOUBLE) * 2.0 AS c, t.b,
+               ROW_NUMBER() OVER (ORDER BY CAST(n AS DOUBLE) * 2.0, lang)
+                   AS idx,
+               SUM(CAST(n AS DOUBLE) * 2.0)
+                   OVER (ORDER BY CAST(n AS DOUBLE) * 2.0, lang
+                         ROWS UNBOUNDED PRECEDING) AS p,
+               COUNT(*) OVER () AS k
+        FROM per, tot t
+    ),
+    flagged AS (
+        SELECT *, (c * (k - idx + 1) + (p - c) <= b) AS capped FROM ranked
+    ),
+    solved AS (
+        SELECT *,
+               SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS jstar,
+               SUM(CASE WHEN capped THEN c ELSE 0.0 END) OVER () AS p_capped
+        FROM flagged
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_tokens, ROUND(c, 4) AS cap,
+           ROUND(CASE WHEN capped THEN c
+                      ELSE (b - p_capped) / (k - jstar) END, 4) AS alloc,
+           ROUND(CASE WHEN capped THEN c
+                      ELSE (b - p_capped) / (k - jstar) END
+                 / CAST(n AS DOUBLE), 6) AS epochs
+    FROM solved
+    """,
+)
+def pack_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax token-budget allocation across languages (ops/pack.py
+    unimax_allocation): uniform split of a 0.4·total budget, each
+    language capped at 2 epochs of its own tokens — the fair-sampling
+    alternative to temperature mixing for multilingual pretraining.
+    One fact-sized aggregate; the water-filling solve is closed-form
+    windows over the k-language relation."""
+    from hudi_utility_spark.ops.pack import unimax_allocation
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+    )
+    return unimax_allocation(
+        d, size_col="n_tok", group_col="lang",
+        budget_fraction=0.4, max_epochs=2.0,
+    )

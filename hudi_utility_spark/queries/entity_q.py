@@ -396,3 +396,48 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.avg("fs_score"), 6).alias("avg_score"),
     )
+
+
+from hudi_utility_spark.ops.er import phonetic_key, phonetic_key_sql
+
+
+@query(
+    "er_phonetic_blocking",
+    f"""
+    WITH keyed AS (
+        SELECT p_partkey,
+               {phonetic_key_sql("regexp_extract(p_name, '[a-z]+$')")} AS pkey
+        FROM part
+    )
+    SELECT pkey, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS n_pairs
+    FROM keyed GROUP BY pkey HAVING COUNT(*) >= 2
+    """,
+)
+def er_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking over part product nouns (ops/er.py
+    phonetic_key — engine-portable simplified Soundex): records bucket
+    by consonant skeleton so typo'd/variant spellings land in the same
+    candidate block — the classic cheap ER blocker next to the
+    exact-prefix `er_blocked_candidates`. Map-only key + one hash
+    aggregate; per-block candidate pair counts quantify the quadratic
+    each block would pay downstream."""
+    p = load_table(spark, sf_dir, "part")
+    keyed = p.select(
+        "p_partkey",
+        phonetic_key(F.regexp_extract(F.col("p_name"), "[a-z]+$", 0)).alias(
+            "pkey"
+        ),
+    )
+    return (
+        keyed.groupBy("pkey")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .filter(F.col("n_parts") >= 2)
+        .select(
+            "pkey",
+            "n_parts",
+            (F.col("n_parts") * (F.col("n_parts") - 1) / 2)
+            .cast("long")
+            .alias("n_pairs"),
+        )
+    )

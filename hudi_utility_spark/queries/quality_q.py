@@ -1730,3 +1730,226 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_test",
         "coverage",
     )
+
+
+@query(
+    "stat_kruskal_wallis",
+    """
+    WITH per AS (
+        SELECT value AS v, event_type AS g, COUNT(*) AS c
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    vals AS (SELECT v, SUM(c) AS cnt FROM per GROUP BY v),
+    ranked AS (
+        SELECT v, cnt,
+               SUM(cnt) OVER (ORDER BY v) - cnt + (cnt + 1) / 2.0 AS avg_rank
+        FROM vals
+    ),
+    grp AS (
+        SELECT g, SUM(c) AS n_j, SUM(c * r.avg_rank) AS r_j
+        FROM per JOIN ranked r USING (v) GROUP BY g
+    ),
+    ties AS (
+        SELECT CAST(SUM(cnt) AS DOUBLE) AS n,
+               SUM(cnt * cnt * cnt - cnt) AS tie_term
+        FROM vals
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS INTEGER) AS k_groups,
+               SUM(r_j * r_j / n_j) AS rr
+        FROM grp
+    )
+    SELECT CAST(t.n AS BIGINT) AS n, a.k_groups,
+           ROUND(12.0 / (t.n * (t.n + 1)) * a.rr - 3 * (t.n + 1), 6) AS h_stat,
+           ROUND((12.0 / (t.n * (t.n + 1)) * a.rr - 3 * (t.n + 1))
+                 / (1 - t.tie_term / (t.n * t.n * t.n - t.n)), 6)
+               AS h_tie_corrected
+    FROM agg a, ties t
+    """,
+)
+def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the five event types' value
+    distributions — the k-sample extension of `stat_mann_whitney`
+    (ops/mlfit.py kruskal_wallis). Collapse-then-rank shape: the
+    cumulative rank window runs over value cardinality (bounded-
+    distinct-guarded), never facts; exact tie correction."""
+    from hudi_utility_spark.ops.mlfit import kruskal_wallis
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return kruskal_wallis(ev, value_col="value", group_col="event_type")
+
+
+@query(
+    "stat_brown_forsythe",
+    """
+    WITH med AS (
+        SELECT event_type AS g, quantile_cont(value, 0.5) AS med
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    z AS (
+        SELECT e.event_type AS g, abs(e.value - m.med) AS z
+        FROM events e JOIN med m ON e.event_type = m.g
+        WHERE e.value IS NOT NULL
+    ),
+    per_g AS (
+        SELECT g, CAST(COUNT(*) AS DOUBLE) AS n_j,
+               SUM(z) AS s_j, SUM(z * z) AS q_j
+        FROM z GROUP BY g
+    ),
+    agg AS (
+        SELECT SUM(n_j) AS n, CAST(COUNT(*) AS DOUBLE) AS k, SUM(s_j) AS s,
+               SUM(q_j - s_j * s_j / n_j) AS ssw,
+               SUM(s_j * s_j / n_j) AS ssb_part
+        FROM per_g
+    )
+    SELECT CAST(a.n AS BIGINT) AS n, CAST(a.k AS INTEGER) AS k_groups,
+           ROUND(((a.ssb_part - a.s * a.s / a.n) / (a.k - 1))
+                 / (a.ssw / (a.n - a.k)), 6) AS f_stat,
+           CAST(a.k - 1 AS BIGINT) AS df1,
+           CAST(a.n - a.k AS BIGINT) AS df2
+    FROM agg a
+    """,
+)
+def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) equality-of-variance test
+    across event types — the robust pre-check before pooled-variance
+    methods (ops/mlfit.py brown_forsythe). Per-group medians from ONE
+    exact interpolating percentile aggregate (k rows, broadcast back);
+    the F statistic is closed-form from two map-side-combinable
+    aggregates — no |x−median| column ever materializes."""
+    from hudi_utility_spark.ops.mlfit import brown_forsythe
+
+    ev = load_table(spark, sf_dir, "events")
+    return brown_forsythe(ev, value_col="value", group_col="event_type")
+
+
+@query(
+    "stat_g_test",
+    """
+    WITH obs AS (
+        SELECT event_type AS r, CAST(floor(value / 100) AS INTEGER) AS c,
+               COUNT(*) AS o
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    rm AS (SELECT r, SUM(o) AS rt FROM obs GROUP BY r),
+    cm AS (SELECT c, SUM(o) AS ct FROM obs GROUP BY c),
+    tot AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM obs),
+    grid AS (
+        SELECT t.n, CAST(COALESCE(o.o, 0) AS DOUBLE) AS o,
+               rm.rt * cm.ct / t.n AS e
+        FROM rm CROSS JOIN cm
+        LEFT JOIN obs o ON o.r = rm.r AND o.c = cm.c, tot t
+    ),
+    dims AS (
+        SELECT (SELECT COUNT(*) FROM rm) AS nr, (SELECT COUNT(*) FROM cm) AS nc
+    )
+    SELECT CAST(MAX(g.n) AS BIGINT) AS n,
+           ROUND(2 * SUM(CASE WHEN g.o > 0 THEN g.o * ln(g.o / g.e)
+                              ELSE 0 END), 6) AS g_stat,
+           CAST(MAX((d.nr - 1) * (d.nc - 1)) AS BIGINT) AS dof
+    FROM grid g, dims d
+    """,
+)
+def stat_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test of independence (likelihood-ratio chi-square, Dunning
+    1993) between event type and value band — the log-likelihood twin
+    of `stat_chi2_independence`, preferred for n-gram association
+    because G is additive across table partitions (ops/mlfit.py
+    g_test). Expected counts are the broadcast outer product of the two
+    marginal relations; zero cells contribute 0."""
+    from hudi_utility_spark.ops.mlfit import g_test
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("r"),
+            F.floor(F.col("value") / 100).cast("int").alias("c"),
+        )
+    )
+    return g_test(ev, row_col="r", col_col="c")
+
+
+@query(
+    "stat_cramer_von_mises",
+    """
+    WITH vals AS (
+        SELECT value,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY value
+    ),
+    tot AS (
+        SELECT CAST(SUM(ca) AS DOUBLE) AS na, CAST(SUM(cb) AS DOUBLE) AS nb
+        FROM vals
+    ),
+    cum AS (
+        SELECT ca + cb AS cx,
+               SUM(ca) OVER (ORDER BY value) AS cca,
+               SUM(cb) OVER (ORDER BY value) AS ccb
+        FROM vals
+    )
+    SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+           ROUND(t.na * t.nb / ((t.na + t.nb) * (t.na + t.nb))
+                 * SUM(cx * (c.cca / t.na - c.ccb / t.nb)
+                          * (c.cca / t.na - c.ccb / t.nb)), 6) AS cvm_stat
+    FROM cum c, tot t GROUP BY t.na, t.nb
+    """,
+)
+def stat_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises criterion (ECDF form: the
+    count-weighted integrated squared ECDF gap,
+    n₁n₂/N² · Σ_x c_x (F₁−F₂)²) between click and purchase value
+    distributions — the WHOLE-distribution drift statistic next to
+    KS's max-gap (KS sees the worst point; CvM accumulates every
+    point, so it catches diffuse drift KS underweights). Identical
+    collapse-then-cumulate shape as `stat_ks_two_sample`: one hash
+    aggregate to per-distinct-value counts, one ordered window over
+    value cardinality (bounded-distinct-guarded), one scalar."""
+    from pyspark.sql import Window
+
+    from hudi_utility_spark.ops.mlfit import require_bounded_distinct
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    vals = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("ca"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("cb"),
+    )
+    vals = require_bounded_distinct(
+        vals,
+        1_000_000,
+        "stat_cramer_von_mises",
+        "pre-bucket the value column (equi-width) before the ECDF window",
+    )
+    tot = vals.agg(
+        F.sum("ca").cast("double").alias("na"),
+        F.sum("cb").cast("double").alias("nb"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vals.select(
+        (F.col("ca") + F.col("cb")).alias("cx"),
+        F.sum("ca").over(w).alias("cca"),
+        F.sum("cb").over(w).alias("ccb"),
+    )
+    gap = F.col("cca") / F.col("na") - F.col("ccb") / F.col("nb")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.round(
+                F.col("na")
+                * F.col("nb")
+                / ((F.col("na") + F.col("nb")) * (F.col("na") + F.col("nb")))
+                * F.sum(F.col("cx") * gap * gap),
+                6,
+            ).alias("cvm_stat")
+        )
+        .select(
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            "cvm_stat",
+        )
+    )

@@ -952,3 +952,72 @@ def sim_multiprobe_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant."""
     e = load_table(spark, sf_dir, "embeddings")
     return S.multiprobe_lsh_topk(e, _query_vec(spark, sf_dir), k=10, planes=10)
+
+
+@query(
+    "sim_knn_graph",
+    """
+    WITH dims AS (
+        SELECT label AS cell, d.i AS dim, AVG(d.v) AS mean_v
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+                             generate_subscripts(embedding, 1) AS i) d
+        GROUP BY label, d.i
+    ),
+    cents AS (
+        SELECT cell, list(mean_v ORDER BY dim) AS centroid FROM dims GROUP BY cell
+    ),
+    assigned AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+               (SELECT c.cell FROM cents c
+                ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                       c.centroid), 6) DESC,
+                         c.cell
+                LIMIT 1) AS cell
+        FROM embeddings e
+    )
+    SELECT src, dst, score FROM (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             ROUND(list_cosine_similarity(a.v, b.v), 6) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id
+             ) AS rn
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    ) WHERE rn <= 2
+    """,
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked k-NN graph construction (k=2): each vector's nearest
+    neighbors WITHIN its IVF cell — the candidate-edge primitive under
+    SemDeDup clustering, kNN classification, and graph-based ANN
+    (HNSW's base layer is exactly a bounded-degree kNN graph). Same
+    cell-equijoin discipline as `sim_hard_negatives`: `assign_cells`
+    nearest-centroid blocking (map-only literal argmax) bounds
+    candidates at Σ|cell|², and the per-anchor top-k window keys on the
+    uniformly-distributed vector id. Fully hash-checked — the oracle
+    replays the round-6 ranked assignment."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = S.assign_cells(e)
+    a, b = cells.alias("a"), cells.alias("b")
+    from pyspark.sql import Window
+
+    score = S.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    w = Window.partitionBy("src").orderBy(F.desc("_raw"), F.asc("dst"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            F.round(score, 6).alias("score"),
+            score.alias("_raw"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 2)
+        .drop("_rn", "_raw")
+    )

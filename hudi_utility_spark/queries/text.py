@@ -1599,3 +1599,67 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     gopher_rules)."""
     d = load_table(spark, sf_dir, "documents")
     return X.gopher_rules(d)
+
+
+_RAKE_STOPS = (
+    "'the','a','an','and','or','of','to','in','is','are','was','were',"
+    "'be','been','it','this','that','for','on','with','as','by','at',"
+    "'from'"
+)
+
+
+@query(
+    "text_rake_keywords",
+    f"""
+    WITH toks AS (
+        SELECT doc_id AS doc, t.i AS pos, t.w AS w
+        FROM (
+            SELECT doc_id,
+                   string_split(
+                       trim(regexp_replace(regexp_replace(lower(text),
+                           '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')),
+                       ' ') AS ws
+            FROM documents
+        ),
+        LATERAL (SELECT unnest(ws) AS w, generate_subscripts(ws, 1) AS i) t
+        WHERE t.w != ''
+    ),
+    pid AS (
+        SELECT doc, pos, w,
+               SUM(CASE WHEN w IN ({_RAKE_STOPS}) THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc ORDER BY pos) AS phrase_id,
+               CASE WHEN w IN ({_RAKE_STOPS}) THEN 1 ELSE 0 END AS stop
+        FROM toks
+    ),
+    nonstop AS (SELECT doc, pos, w, phrase_id FROM pid WHERE stop = 0),
+    words AS (
+        SELECT doc, pos, w, phrase_id,
+               COUNT(*) OVER (PARTITION BY doc, phrase_id) AS plen
+        FROM nonstop
+    ),
+    wstats AS (
+        SELECT w, COUNT(*) AS freq, SUM(plen) AS degree
+        FROM words GROUP BY w
+    ),
+    inst AS (
+        SELECT words.doc, words.phrase_id,
+               string_agg(words.w, ' ' ORDER BY words.pos) AS phrase,
+               SUM(CAST(ws.degree AS DOUBLE) / ws.freq) AS score
+        FROM words JOIN wstats ws ON words.w = ws.w
+        GROUP BY words.doc, words.phrase_id
+    )
+    SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           ROUND(MAX(score), 6) AS score
+    FROM inst GROUP BY phrase
+    ORDER BY ROUND(MAX(score), 6) DESC, phrase LIMIT 15
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (ops/text.py rake_keywords): stopword-
+    delimited candidate phrases scored by Σ word degree/frequency —
+    the unsupervised keyword baseline for corpus curation. Phrase ids
+    come from a per-DOC cumulative-stopword window (never global);
+    word stats are one vocabulary-sized aggregate joined back
+    broadcast. Top-15 on ROUND(score, 6), phrase tiebreak."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.rake_keywords(d, k=15)

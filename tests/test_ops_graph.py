@@ -131,3 +131,74 @@ def test_deep_iteration_bounded_plan_with_checkpoint(spark):
     assert gated.keys() == ungated.keys()
     for n in gated:
         assert abs(gated[n] - ungated[n]) < 1e-12
+
+
+def test_kcore_converges_and_is_a_core(spark):
+    """Peeling must reach its fixpoint inside the fixed round budget
+    (rounds N and N-1 agree) and every surviving node must have degree
+    >= k WITHIN the core — the definition, checked directly."""
+    from hudi_utility_spark.ops.graph import kcore, symmetrize
+
+    # two triangles sharing a node + a pendant chain: 3-core is empty,
+    # 2-core is exactly the two triangles
+    tri = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3), (5, 6), (6, 7)]
+    edges = symmetrize(spark.createDataFrame(tri, ["src", "dst"]))
+    core2 = {r["node"]: r["degree"] for r in kcore(edges, k=2, rounds=4).collect()}
+    assert set(core2) == {1, 2, 3, 4, 5}
+    assert all(d >= 2 for d in core2.values())
+    assert kcore(edges, k=3, rounds=4).count() == 0
+    # convergence: one extra round changes nothing
+    a = sorted(map(tuple, kcore(edges, k=2, rounds=3).collect()))
+    b = sorted(map(tuple, kcore(edges, k=2, rounds=4).collect()))
+    assert a == b
+
+
+def test_kcore_registered_rounds_converged(spark, sf_dir):
+    """The registered 6-round unroll must be a fixpoint on the real
+    co-purchase graph — guards the fixed cap against data growth."""
+    import __spark_entry__ as entrymod
+    from hudi_utility_spark.ops.graph import kcore
+    from hudi_utility_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    co = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.pa", "p.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    edges = co.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(co.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    r5 = sorted(map(tuple, kcore(edges, k=3, rounds=5).collect()))
+    r6 = sorted(map(tuple, kcore(edges, k=3, rounds=6).collect()))
+    assert r5 == r6
+
+
+def test_hits_bipartite_sanity(spark):
+    """On a star bipartite graph the hub-pointed authority must rank
+    first; mean-1 normalization keeps the score average at 1."""
+    from hudi_utility_spark.ops.graph import hits
+
+    # customers 1..4 all buy part 10; customer 1 also buys 11, 12
+    e = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 10), (1, 11), (1, 12)],
+        ["src", "dst"],
+    )
+    out = {r["node"]: r["authority"] for r in hits(e, iters=2).collect()}
+    assert max(out, key=out.get) == 10
+    assert abs(sum(out.values()) / len(out) - 1.0) < 1e-9

@@ -1,0 +1,151 @@
+"""Unit tests for the round-9 statistics / allocation / text ops:
+closed-form hand-checked cases, not oracle replays."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_kruskal_wallis_hand_case(spark):
+    # two groups, no ties: ranks 1..6; H = 12/(6*7) * (6^2/3 + 15^2/3) - 3*7
+    from hudi_utility_spark.ops.mlfit import kruskal_wallis
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0), ("b", 5.0), ("b", 6.0)],
+        ["group", "value"],
+    )
+    r = kruskal_wallis(df, value_col="value", group_col="group").collect()[0]
+    assert r["n"] == 6 and r["k_groups"] == 2
+    expect = 12.0 / (6 * 7) * (36 / 3 + 225 / 3) - 21
+    assert abs(r["h_stat"] - round(expect, 6)) < 1e-9
+    # no ties -> tie correction is a no-op
+    assert r["h_stat"] == r["h_tie_corrected"]
+
+
+def test_kruskal_wallis_identical_groups_is_zero(spark):
+    from hudi_utility_spark.ops.mlfit import kruskal_wallis
+
+    rows = [("a", float(v)) for v in (1, 2, 3)] + [("b", float(v)) for v in (1, 2, 3)]
+    r = kruskal_wallis(
+        spark.createDataFrame(rows, ["group", "value"]),
+        value_col="value",
+        group_col="group",
+    ).collect()[0]
+    assert abs(r["h_tie_corrected"]) < 1e-9
+
+
+def test_brown_forsythe_null_and_spread(spark):
+    from hudi_utility_spark.ops.mlfit import brown_forsythe
+
+    # group b is 10x more spread than a; F must be large, nulls dropped
+    rows = (
+        [("a", float(v)) for v in (9, 10, 11, 10, 9, 11)]
+        + [("b", float(v)) for v in (0, 20, -10, 30, 0, 20)]
+        + [("a", None), ("b", None)]
+    )
+    df = spark.createDataFrame(rows, ["group", "value"])
+    r = brown_forsythe(df, value_col="value", group_col="group").collect()[0]
+    assert r["n"] == 12  # nulls excluded from counts too
+    assert r["df1"] == 1 and r["df2"] == 10
+    assert r["f_stat"] > 10
+
+
+def test_g_test_independent_table_is_zero(spark):
+    from hudi_utility_spark.ops.mlfit import g_test
+
+    # perfectly independent 2x2: counts proportional to margins
+    rows = (
+        [("x", "u")] * 20 + [("x", "v")] * 10 + [("y", "u")] * 40 + [("y", "v")] * 20
+    )
+    r = g_test(spark.createDataFrame(rows, ["r", "c"])).collect()[0]
+    assert r["n"] == 90 and r["dof"] == 1
+    assert abs(r["g_stat"]) < 1e-9
+
+
+def test_unimax_allocation_regimes(spark):
+    from hudi_utility_spark.ops.pack import unimax_allocation
+
+    df = spark.createDataFrame(
+        [("en", 1000), ("de", 100), ("fr", 100)], ["lang", "n_tok"]
+    )
+    # huge budget: every language capped at max_epochs of its own data
+    full = {
+        r["lang"]: r
+        for r in unimax_allocation(
+            df, "n_tok", "lang", budget_fraction=10.0, max_epochs=2.0
+        ).collect()
+    }
+    for lang, n in (("en", 1000), ("de", 100), ("fr", 100)):
+        assert full[lang]["alloc"] == 2.0 * n
+        assert abs(full[lang]["epochs"] - 2.0) < 1e-9
+    # tight budget below every cap: pure uniform water level B/k
+    tight = {
+        r["lang"]: r
+        for r in unimax_allocation(
+            df, "n_tok", "lang", budget_fraction=0.1, max_epochs=2.0
+        ).collect()
+    }
+    assert all(abs(r["alloc"] - 40.0) < 1e-6 for r in tight.values())
+    # allocation never exceeds the budget and never exceeds a cap
+    mid = unimax_allocation(
+        df, "n_tok", "lang", budget_fraction=0.5, max_epochs=2.0
+    ).collect()
+    assert sum(r["alloc"] for r in mid) <= 600.0 + 1e-6
+    assert all(r["alloc"] <= r["cap"] + 1e-6 for r in mid)
+
+
+def test_rake_keywords_hand_case(spark):
+    from hudi_utility_spark.ops.text import rake_keywords
+
+    # "deep learning" appears twice as a stopword-delimited phrase;
+    # its score (sum of member degree/freq) must beat the singletons
+    df = spark.createDataFrame(
+        [
+            (1, "deep learning is the study of deep learning"),
+            (2, "a model and a dataset"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = rake_keywords(df, k=10).collect()
+    by_phrase = {r["phrase"]: r for r in rows}
+    assert by_phrase["deep learning"]["n_occurrences"] == 2
+    assert rows[0]["phrase"] == "deep learning"
+    # deep: freq 2, degree 4; learning: freq 2, degree 4 -> score 4.0
+    assert abs(by_phrase["deep learning"]["score"] - 4.0) < 1e-9
+
+
+def test_phonetic_key_classic_pairs(spark):
+    from hudi_utility_spark.ops.er import phonetic_key
+
+    df = spark.createDataFrame(
+        [("robert",), ("rupert",), ("smith",), ("smyth",), ("ashcraft",)],
+        ["w"],
+    )
+    keys = {
+        r["w"]: r["k"]
+        for r in df.select("w", phonetic_key(F.col("w")).alias("k")).collect()
+    }
+    assert keys["robert"] == keys["rupert"] == "R163"
+    assert keys["smith"] == keys["smyth"] == "S530"
+    # documented divergence from library soundex is fine; key is 4 chars
+    assert all(len(k) == 4 for k in keys.values())
+
+
+def test_phonetic_key_sql_twin_matches(spark):
+    import duckdb
+
+    from hudi_utility_spark.ops.er import phonetic_key, phonetic_key_sql
+
+    words = ["robert", "widget", "bolt", "ring", "anchor", "casing"]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    skeys = {
+        r["w"]: r["k"]
+        for r in df.select("w", phonetic_key(F.col("w")).alias("k")).collect()
+    }
+    con = duckdb.connect()
+    for w in words:
+        lit = "'" + w + "'"
+        dk = con.execute(f"SELECT {phonetic_key_sql(lit)}").fetchone()[0]
+        assert dk == skeys[w], w
