@@ -215,6 +215,7 @@ def ols2_normal_equations(
     y_col: str,
     x1_col: str,
     x2_col: str,
+    lam: float = 0.0,
 ) -> DataFrame:
     """Two-feature OLS (y = b0 + b1*x1 + b2*x2) via normal equations
     solved in CLOSED FORM — multiple regression as pure dataflow: ONE
@@ -247,6 +248,13 @@ def ols2_normal_equations(
     n, s1, s2, sy = F.col("n"), F.col("s1"), F.col("s2"), F.col("sy")
     s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
     s1y, s2y, syy = F.col("s1y"), F.col("s2y"), F.col("syy")
+    # ridge: lam > 0 adds L2 shrinkage on the WEIGHTS only (intercept
+    # unpenalized) — the normal-equation diagonal gains lam and the same
+    # Cramer expressions solve (X'X + lam*diag(0,1,1)) b = X'y. lam=0 is
+    # exact OLS; reported r2 is the training fit of the shrunk weights.
+    if lam:
+        s11 = s11 + F.lit(float(lam))
+        s22 = s22 + F.lit(float(lam))
     # Cramer over [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]] b = [sy,s1y,s2y]
     det = (
         n * (s11 * s22 - s12 * s12)

@@ -9,6 +9,7 @@ with zero shuffles.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1371,4 +1372,134 @@ def rake_keywords(
         )
         .orderBy(F.desc("score"), F.asc("phrase"))
         .limit(k)
+    )
+
+
+def naive_bayes_langid(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Multinomial Naive Bayes language identifier, trained and
+    evaluated in ONE dataflow: an md5 half of the corpus trains
+    per-(label, word) counts with Laplace smoothing, the held-out half
+    scores log P(label) + Σ count(w)·ln((c_{l,w}+1)/(N_l+V)), and the
+    output is the confusion matrix — the trainable-classifier upgrade
+    of the stopword-marker `language_id` heuristic, and the template
+    for every bag-of-words quality/domain classifier a curation
+    pipeline runs (swap the label column, nothing else changes).
+
+    Distributed shape: token counts are hash aggregates; the per-label
+    model relation is vocabulary-sized and joins the test tokens on
+    the word key (broadcast of the 5-row label stats, LEFT join for
+    unseen words — they get pure smoothing mass); argmax ranks on
+    ROUND(score, 4) with label tiebreak (round-before-rank: token
+    log-sums differ in the last ulp across engines). Zero-token test
+    docs get no prediction (no evidence, both engines agree)."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(label_col).alias("label"),
+        F.split(normalized(F.col(text_col)), " ").alias("ws"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10
+            ).cast("long")
+            % 2
+        ).alias("split"),
+    )
+    train = base.filter(F.col("split") == 0)
+    test = base.filter(F.col("split") == 1)
+    train_toks = train.select(
+        "label", F.explode("ws").alias("w")
+    ).filter(F.col("w") != "")
+    counts = train_toks.groupBy("label", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    nl = train_toks.groupBy("label").agg(F.count(F.lit(1)).alias("n_l"))
+    vocab = train_toks.agg(
+        F.count_distinct("w").cast("double").alias("v")
+    )
+    tot_docs = train.count()
+    priors = train.groupBy("label").agg(
+        F.log(F.count(F.lit(1)) / F.lit(float(tot_docs))).alias("prior")
+    )
+    lang_stats = (
+        priors.join(nl, "label")
+        .crossJoin(F.broadcast(vocab))
+        .select("label", "prior", (F.col("n_l") + F.col("v")).alias("den"))
+    )
+    test_toks = test.select(
+        "doc",
+        F.col("label").alias("true_lang"),
+        F.explode("ws").alias("w"),
+    ).filter(F.col("w") != "")
+    scored = (
+        test_toks.crossJoin(
+            F.broadcast(lang_stats.select(F.col("label").alias("cand"), "prior", "den"))
+        )
+        .join(
+            counts.select(
+                F.col("label").alias("cand"), "w", "c"
+            ),
+            ["cand", "w"],
+            "left",
+        )
+        .groupBy("doc", "true_lang", "cand")
+        .agg(
+            (
+                F.max("prior")
+                + F.sum(
+                    F.log((F.coalesce(F.col("c"), F.lit(0)) + 1) / F.col("den"))
+                )
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.desc(F.round(F.col("score"), 4)), F.asc("cand")
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("true_lang", F.col("cand").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document DEFLATE compression ratio (compressed/raw bytes) —
+    the classic cheap quality/repetition signal (CCNet, Gopher-era
+    pipelines drop documents that compress too well: boilerplate, spam,
+    and template farms all have low ratios; natural prose sits near
+    ~0.4-0.6). zlib level 6 with a fixed strategy is byte-deterministic
+    for a given input, so results are stable run-to-run — but no SQL
+    engine exposes DEFLATE, so this is a DECLARED Arrow kernel (scalar
+    pandas_udf, one zlib call per document per batch) under the
+    rows-only driver check; tests/test_ops_stats_r9.py pins exact
+    ratios against direct zlib. Map-only, scan-bandwidth at 100 TB.
+    Empty documents get ratio NULL (0/0 is meaningless, not 'clean')."""
+    import zlib
+
+    @F.pandas_udf("double")
+    def _ratio(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(one)
+
+    return df.select(
+        F.col(id_col), F.round(_ratio(F.col(text_col)), 6).alias("ratio")
     )

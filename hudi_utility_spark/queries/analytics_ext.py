@@ -2408,3 +2408,156 @@ def ev_bayes_beta_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(a / tot, 6).alias("post_mean"),
         F.round(F.sqrt(a * b / (tot * tot * (tot + 1))), 6).alias("post_sd"),
     )
+
+
+@query(
+    "ml_ridge_normal_eq",
+    """
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(l_quantity) AS s1, SUM(l_discount) AS s2,
+               SUM(l_extendedprice) AS sy,
+               SUM(l_quantity * l_quantity) + 100000.0 AS s11,
+               SUM(l_quantity * l_discount) AS s12,
+               SUM(l_discount * l_discount) + 100000.0 AS s22,
+               SUM(l_quantity * l_extendedprice) AS s1y,
+               SUM(l_discount * l_extendedprice) AS s2y,
+               SUM(l_extendedprice * l_extendedprice) AS syy
+        FROM lineitem
+    ),
+    d AS (
+        SELECT *,
+               n * (s11 * s22 - s12 * s12)
+               - s1 * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s12 - s11 * s2) AS det
+        FROM s
+    ),
+    b AS (
+        SELECT *,
+               (sy * (s11 * s22 - s12 * s12)
+                - s1 * (s1y * s22 - s12 * s2y)
+                + s2 * (s1y * s12 - s11 * s2y)) / det AS b0,
+               (n * (s1y * s22 - s12 * s2y)
+                - sy * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s2y - s1y * s2)) / det AS b1,
+               (n * (s11 * s2y - s1y * s12)
+                - s1 * (s1 * s2y - s1y * s2)
+                + sy * (s1 * s12 - s11 * s2)) / det AS b2
+        FROM d
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1, ROUND(b2, 6) AS b2,
+           ROUND(1 - (syy - 2 * (b0 * sy + b1 * s1y + b2 * s2y)
+                      + (b0 * b0 * n
+                         + b1 * b1 * (s11 - 100000.0)
+                         + b2 * b2 * (s22 - 100000.0)
+                         + 2 * (b0 * b1 * s1 + b0 * b2 * s2 + b1 * b2 * s12)))
+                     / (syy - sy * sy / n), 6) AS r2
+    FROM b
+    """,
+)
+def ml_ridge_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression (lambda=1e5, weights-only shrinkage) over the
+    same two-feature system as `ml_ols_normal_eq` — the numerically
+    robust companion when features are collinear: the normal-equation
+    diagonal gains lambda and the identical Cramer arithmetic solves
+    it, so regularization costs NOTHING extra at 100 TB (same one
+    sufficient-statistics scan, same 9-scalar exchange). Training r2
+    is computed with the UNpenalized moments (the oracle subtracts
+    lambda back out)."""
+    from hudi_utility_spark.ops.mlfit import ols2_normal_equations
+
+    li = _t(spark, sf_dir, "lineitem")
+    return ols2_normal_equations(
+        li, "l_extendedprice", "l_quantity", "l_discount", lam=100000.0
+    )
+
+
+@query(
+    "stat_spearman_trend",
+    """
+    WITH hourly AS (
+        SELECT CAST(epoch_us(date_trunc('hour', ts)) / 3600000000 AS BIGINT)
+                   AS hidx,
+               AVG(value) AS y
+        FROM events GROUP BY 1
+    ),
+    rx AS (
+        SELECT hidx, y,
+               CAST(ROW_NUMBER() OVER (ORDER BY hidx) AS DOUBLE) AS rx
+        FROM hourly
+    ),
+    yvals AS (SELECT y, COUNT(*) AS cnt FROM hourly GROUP BY y),
+    yrank AS (
+        SELECT y,
+               SUM(cnt) OVER (ORDER BY y) - cnt + (cnt + 1) / 2.0 AS ry
+        FROM yvals
+    ),
+    ranked AS (SELECT rx.rx, yr.ry FROM rx JOIN yrank yr ON rx.y = yr.y),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(rx) AS sx, SUM(ry) AS sy,
+               SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy,
+               SUM(rx * ry) AS sxy
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_hours,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS spearman_rho
+    FROM s
+    """,
+)
+def stat_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between hour index and hourly mean
+    value — the nonparametric monotone-trend test that pairs with
+    `ts_theil_sen_trend` (rho asks "is there a trend", Theil-Sen asks
+    "how steep"). Facts collapse to the hourly series first; hour ranks
+    are tie-free row numbers, value ranks use the collapsed
+    average-rank machinery (ties averaged), and rho is Pearson over the
+    rank pairs from ONE sufficient-statistics aggregate. All windows
+    run over the bounded series, never facts."""
+    from pyspark.sql import Window, functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn(
+            "hidx",
+            (
+                F.unix_micros(F.date_trunc("hour", F.col("ts")))
+                / F.lit(3_600_000_000)
+            ).cast("long"),
+        )
+        .groupBy("hidx")
+        .agg(F.avg("value").alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    rx = hourly.select(
+        "y",
+        F.row_number().over(Window.orderBy("hidx")).cast("double").alias("rx"),
+    )
+    yvals = hourly.groupBy("y").agg(F.count(F.lit(1)).alias("cnt"))
+    wy = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    yrank = yvals.select(
+        "y",
+        (F.sum("cnt").over(wy) - F.col("cnt") + (F.col("cnt") + 1) / 2.0).alias(
+            "ry"
+        ),
+    )
+    ranked = rx.join(F.broadcast(yrank), "y")
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    rho = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_hours"),
+        F.round(rho, 6).alias("spearman_rho"),
+    )

@@ -531,3 +531,134 @@ def plan_clustering_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("size_bytes").alias("bin_bytes"),
         F.min("file_id").alias("first_file"),
     )
+
+
+def _ams_oracle(sketches: int = 16) -> str:
+    """AMS F2 oracle: the identical ±1 md5-family signs, unrolled."""
+    from hudi_utility_spark.ops import phash
+
+    hi, lo = phash.sql_parts("CAST(user_id AS VARCHAR)")
+    xs = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN ({phash.sql_family(hi, lo, j)} % 2) = 1 "
+        f"THEN 1 ELSE -1 END) AS DOUBLE) AS x{j}"
+        for j in range(sketches)
+    )
+    est = " + ".join(f"x{j} * x{j}" for j in range(sketches))
+    return f"""
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {xs}
+        FROM events
+    ),
+    exact AS (
+        SELECT CAST(SUM(c * c) AS BIGINT) AS f2 FROM (
+            SELECT COUNT(*) AS c FROM events GROUP BY user_id
+        )
+    )
+    SELECT s.n_rows, exact.f2 AS f2_exact,
+           ROUND(({est}) / {sketches}.0, 2) AS f2_estimate,
+           ROUND(ABS(({est}) / {sketches}.0 - exact.f2)
+                 / CAST(exact.f2 AS DOUBLE), 6) AS rel_error
+    FROM s, exact
+    """
+
+
+@query("skew_ams_f2", _ams_oracle(16))
+def skew_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon-Matias-Szegedy 1996):
+    F2 = Σ count(key)² — the self-join-size / skew statistic — estimated
+    by 16 independent ±1-hash sums, each a single running counter. The
+    md5-derived sign family (ops/phash.py) is engine-reproducible, so
+    the sketch itself is value-hash-checked, not just its error bound.
+    The sketch pass is ONE map-side-combinable aggregate over 16
+    integers — at 100 TB it needs no per-key state at all, which is the
+    entire point vs the exact groupBy it is compared against here."""
+    from hudi_utility_spark.ops import phash
+
+    ev = load_table(spark, sf_dir, "events")
+    hi, lo = phash.parts(F.col("user_id").cast("string"))
+    xs = [
+        F.sum(
+            F.when(phash.family_hash(hi, lo, j) % 2 == 1, 1).otherwise(-1)
+        )
+        .cast("double")
+        .alias(f"x{j}")
+        for j in range(16)
+    ]
+    s = ev.agg(F.count(F.lit(1)).alias("n_rows"), *xs)
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("f2"))
+    )
+    est = None
+    for j in range(16):
+        t = F.col(f"x{j}") * F.col(f"x{j}")
+        est = t if est is None else est + t
+    est = est / F.lit(16.0)
+    return (
+        s.crossJoin(F.broadcast(exact))
+        .select(
+            "n_rows",
+            F.col("f2").alias("f2_exact"),
+            F.round(est, 2).alias("f2_estimate"),
+            F.round(
+                F.abs(est - F.col("f2")) / F.col("f2").cast("double"), 6
+            ).alias("rel_error"),
+        )
+    )
+
+
+@query(
+    "approx_kmv_distinct",
+    """
+    WITH h AS (
+        SELECT DISTINCT
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) * 65536
+               + CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 9, 8))
+                      AS BIGINT) % 65536 AS hv
+        FROM events
+    ),
+    kth AS (
+        SELECT MAX(hv) AS hk, CAST(COUNT(*) AS BIGINT) AS k FROM (
+            SELECT hv FROM h ORDER BY hv LIMIT 256
+        )
+    ),
+    exact AS (SELECT COUNT(DISTINCT user_id) AS nd FROM events)
+    SELECT exact.nd AS exact_distinct, kth.k,
+           ROUND((kth.k - 1) * 281474976710656.0 / kth.hk, 2) AS kmv_estimate
+    FROM kth, exact
+    """,
+)
+def approx_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values distinct sketch (Bar-Yossef et al. 2002; the
+    theta-sketch core): hash every key into [0, 2^48), keep the 256
+    smallest DISTINCT hashes, estimate distinct = (k−1)/θ with
+    θ = h_k/2^48 — bounded state (256 longs) where exact COUNT DISTINCT
+    shuffles every key, and unlike HLL the sketch supports set
+    intersection. The md5 hash is engine-identical, so sketch AND
+    estimate are value-hash-checked next to the exact count. If fewer
+    than 256 distinct hashes exist the estimate degrades to k−1 — the
+    sketch's documented small-set regime (use the exact count there)."""
+    from hudi_utility_spark.ops import phash
+
+    ev = load_table(spark, sf_dir, "events")
+    hi, lo = phash.parts(F.col("user_id").cast("string"))
+    h = ev.select((hi * F.lit(65536) + lo % F.lit(65536)).alias("hv")).distinct()
+    kth = (
+        h.orderBy("hv")
+        .limit(256)
+        .agg(F.max("hv").alias("hk"), F.count(F.lit(1)).alias("k"))
+    )
+    exact = ev.agg(F.count_distinct("user_id").alias("nd"))
+    return (
+        kth.crossJoin(F.broadcast(exact))
+        .select(
+            F.col("nd").alias("exact_distinct"),
+            "k",
+            F.round(
+                (F.col("k") - 1) * F.lit(281474976710656.0) / F.col("hk"), 2
+            ).alias("kmv_estimate"),
+        )
+    )

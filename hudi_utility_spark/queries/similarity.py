@@ -1021,3 +1021,102 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= 2)
         .drop("_rn", "_raw")
     )
+
+
+def _binquant_oracle(k_short: int = 32, k: int = 10, dim: int = 64) -> str:
+    """Binary-quantization oracle: identical sign-bit packing, Hamming
+    shortlist, exact rerank — all unrolled literals."""
+
+    def sig(expr: str, lo: int, hi_: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {expr}[{i + 1}] >= 0 THEN CAST({1 << (i - lo)} AS BIGINT) "
+            "ELSE 0 END)"
+            for i in range(lo, hi_)
+        )
+
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    sigs AS (
+        SELECT vec_id, v,
+               ({sig("v", 0, 32)}) AS slo,
+               ({sig("v", 32, dim)}) AS shi
+        FROM vecs
+    ),
+    q AS (SELECT v AS qv, slo AS qlo, shi AS qhi FROM sigs WHERE vec_id = 0),
+    short AS (
+        SELECT s.vec_id, s.v, q.qv,
+               bit_count(xor(s.slo, q.qlo)) + bit_count(xor(s.shi, q.qhi))
+                   AS hamming
+        FROM sigs s, q
+        ORDER BY hamming, s.vec_id LIMIT {k_short}
+    )
+    SELECT vec_id, hamming,
+           ROUND(list_cosine_similarity(v, qv), 6) AS score
+    FROM short
+    ORDER BY ROUND(list_cosine_similarity(v, qv), 6) DESC, vec_id
+    LIMIT {k}
+    """
+
+
+@query("sim_binary_quant_topk", _binquant_oracle())
+def sim_binary_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN (sign-bit codes + Hamming shortlist + exact
+    rerank): each vector compresses 512 bytes → 8 (two packed longs),
+    the shortlist is the 32 lowest XOR-popcount codes (pure integer
+    ops, rides whole-stage codegen), and exact cosine reranks only the
+    shortlist — the 64× memory-bandwidth trade behind every modern
+    binary-quantization index. Hamming is INTEGER so the shortlist is
+    exactly deterministic (vec_id ties); rerank ranks on ROUND(cos, 6).
+    At 100 TB the code table (8 B/vector) is the only relation the
+    scan phase touches."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def sig(lo: int, hi_: int):
+        t = None
+        for i in range(lo, hi_):
+            b = F.when(
+                F.element_at(F.col("embedding"), i + 1) >= 0,
+                F.lit(1 << (i - lo)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            t = b if t is None else t + b
+        return t
+
+    sigs = e.select(
+        "vec_id",
+        "embedding",
+        sig(0, 32).alias("slo"),
+        sig(32, 64).alias("shi"),
+    )
+    q = (
+        sigs.filter(F.col("vec_id") == 0)
+        .select(
+            F.col("embedding").alias("qv"),
+            F.col("slo").alias("qlo"),
+            F.col("shi").alias("qhi"),
+        )
+    )
+    short = (
+        sigs.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            "qv",
+            (
+                F.bit_count(F.col("slo").bitwiseXOR(F.col("qlo")))
+                + F.bit_count(F.col("shi").bitwiseXOR(F.col("qhi")))
+            ).alias("hamming"),
+        )
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(32)
+    )
+    return (
+        short.select(
+            "vec_id",
+            "hamming",
+            F.round(S.cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )

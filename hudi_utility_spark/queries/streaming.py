@@ -508,3 +508,108 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap_seconds=1800,
         how="left_outer",
     )
+
+
+@query(
+    "stream_session_tws",
+    """
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS gap_break
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessioned AS (
+        SELECT user_id, ts, SUM(gap_break) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        FROM marked
+    )
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts)) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessioned GROUP BY user_id, seq
+    """,
+    sequential=True,
+)
+def stream_session_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL event-time-timer sessionizer (`streaming/stateful.py
+    sessionize_tws` — `transformWithStateInPandas`, timeMode=eventTime,
+    RocksDB ValueState + one armed timer per key): the events table
+    replays as micro-batch 1, then a far-future sentinel batch advances
+    the watermark past every open session's horizon so
+    `handleExpiredTimer` — not a poison-pill event — closes the idle
+    sessions. Trigger order is pinned with explicit `os.utime` (the
+    content-deterministic replay contract from `stream_ewma_tws`).
+    Emitted sessions must equal the batch gap-split closed form the
+    oracle states; the sentinel user is excluded from the result.
+
+    100 TB posture: state per key is 3 longs + 1 timer; one key
+    shuffle; watermark horizon bounds state lifetime exactly."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid
+
+    from hudi_utility_spark.streaming.stateful import sessionize_tws
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp_ltz").alias("ts")
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_utility_spark_q",
+        f"sess_tws_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    ev.coalesce(1).write.parquet(root)
+    first_files = set(glob.glob(os.path.join(root, "*.parquet")))
+    sentinel_uid = 10**9
+    far = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime as _dt
+
+    spark.createDataFrame(
+        [(sentinel_uid, far + _dt.timedelta(days=30))], ev.schema
+    ).coalesce(1).write.mode("append").parquet(root)
+    now = _time.time()
+    for f in glob.glob(os.path.join(root, "*.parquet")):
+        os.utime(f, (now, now) if f in first_files else (now + 60, now + 60))
+
+    sink = f"sess_tws_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(root, "_ckpt")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(root)
+            .withWatermark("ts", "0 seconds")
+        )
+        q = (
+            sessionize_tws(stream, gap_seconds=1800)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return spark.table(sink).filter(F.col("user_id") != sentinel_uid).select(
+        "user_id", "session_start_us", "session_end_us", "n_events"
+    )

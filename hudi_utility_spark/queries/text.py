@@ -1663,3 +1663,102 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. Top-15 on ROUND(score, 6), phrase tiebreak."""
     d = load_table(spark, sf_dir, "documents")
     return X.rake_keywords(d, k=15)
+
+
+_NB_NORM = (
+    "string_split(trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')"
+)
+
+
+@query(
+    "ml_naive_bayes_langid",
+    f"""
+    WITH base AS (
+        SELECT doc_id AS doc, lang AS label, {_NB_NORM} AS ws,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                    AS BIGINT) % 2 AS split
+        FROM documents
+    ),
+    train_toks AS (
+        SELECT label, t.w FROM base,
+               LATERAL (SELECT unnest(ws) AS w) t
+        WHERE split = 0 AND t.w != ''
+    ),
+    counts AS (SELECT label, w, COUNT(*) AS c FROM train_toks GROUP BY 1, 2),
+    nl AS (SELECT label, COUNT(*) AS n_l FROM train_toks GROUP BY label),
+    vocab AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v FROM train_toks),
+    priors AS (
+        SELECT label,
+               ln(COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE)
+                              FROM base WHERE split = 0)) AS prior
+        FROM base WHERE split = 0 GROUP BY label
+    ),
+    stats AS (
+        SELECT p.label AS cand, p.prior, nl.n_l + v.v AS den
+        FROM priors p JOIN nl ON nl.label = p.label, vocab v
+    ),
+    test_toks AS (
+        SELECT doc, label AS true_lang, t.w FROM base,
+               LATERAL (SELECT unnest(ws) AS w) t
+        WHERE split = 1 AND t.w != ''
+    ),
+    scored AS (
+        SELECT tt.doc, tt.true_lang, s.cand,
+               MAX(s.prior)
+               + SUM(ln((COALESCE(c.c, 0) + 1) / s.den)) AS score
+        FROM test_toks tt
+        CROSS JOIN stats s
+        LEFT JOIN counts c ON c.label = s.cand AND c.w = tt.w
+        GROUP BY tt.doc, tt.true_lang, s.cand, s.den
+    ),
+    pred AS (
+        SELECT true_lang, cand AS pred_lang FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc ORDER BY ROUND(score, 4) DESC, cand) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language-ID confusion matrix (ops/text.py
+    naive_bayes_langid): an md5 half trains Laplace-smoothed word
+    likelihoods, the held-out half is argmax-classified, and the result
+    is the (true, predicted, n) confusion table — the trainable
+    bag-of-words classifier template every quality/domain filter in a
+    curation pipeline reuses. One vocabulary-keyed join; argmax ranks
+    on ROUND(score, 4), label tiebreak."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.naive_bayes_langid(d)
+
+
+@query("text_compression_ratio")
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFLATE compression-ratio histogram of the corpus (ops/text.py
+    compression_ratio — the declared zlib Arrow kernel; no SQL engine
+    exposes DEFLATE, so this takes the rows-only driver check while
+    tests pin exact ratios against direct zlib): documents bucketed by
+    ratio decile with per-bucket counts and mean length — the classic
+    repetition/boilerplate screen (too-compressible = template farms,
+    spam; CCNet/Gopher-era pipelines cut on exactly this)."""
+    d = load_table(spark, sf_dir, "documents")
+    from hudi_utility_spark.ops.text import compression_ratio
+
+    r = compression_ratio(d).join(
+        d.select("doc_id", F.length("text").alias("n_chars_c")), "doc_id"
+    )
+    return (
+        r.filter(F.col("ratio").isNotNull())
+        .groupBy(
+            (F.floor(F.col("ratio") * 10) / 10).alias("ratio_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("ratio"), 6).alias("mean_ratio"),
+            F.round(F.avg("n_chars_c"), 2).alias("mean_chars"),
+        )
+        .orderBy("ratio_bucket")
+    )

@@ -149,3 +149,22 @@ def test_phonetic_key_sql_twin_matches(spark):
         lit = "'" + w + "'"
         dk = con.execute(f"SELECT {phonetic_key_sql(lit)}").fetchone()[0]
         assert dk == skeys[w], w
+
+
+def test_compression_ratio_matches_zlib_and_flags_repetition(spark):
+    import zlib
+
+    from hudi_utility_spark.ops.text import compression_ratio
+
+    natural = "the quick brown fox jumps over the lazy dog near the river bank"
+    spammy = "buy now " * 50
+    df = spark.createDataFrame(
+        [(1, natural), (2, spammy), (3, ""), (4, None)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["ratio"] for r in compression_ratio(df).collect()}
+    for doc_id, t in ((1, natural), (2, spammy)):
+        raw = t.encode()
+        expect = round(len(zlib.compress(raw, 6)) / len(raw), 6)
+        assert got[doc_id] == expect
+    assert got[2] < got[1]  # repetition compresses far better
+    assert got[3] is None and got[4] is None
