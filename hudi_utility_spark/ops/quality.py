@@ -865,3 +865,78 @@ def benford_profile(
         F.round(expected, 6).alias("expected"),
         F.round(F.sum(contrib).over(w), 6).alias("chi2"),
     )
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    m: int,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness audit (Li et al. 2007) — the distributional member of
+    the anonymity triad (k-anonymity bounds class size, l-diversity
+    bounds distinct sensitive values, t-closeness bounds how far a
+    class's sensitive DISTRIBUTION may drift from the global one): per
+    QI class, the ordinal Earth-Mover's Distance
+    EMD = Σ_j |CumP_class(j) − CumP_global(j)| / (m−1) over the ``m``
+    ordered sensitive buckets (values 0..m−1), flagged when > ``t``.
+
+    Shape: one (QI, bucket) hash aggregate; the global CDF is m scalars
+    collected once and re-entering as a literal map (codebook idiom);
+    the per-class cumulative window partitions by the QI key — m rows
+    per partition, never global. Missing buckets materialize as zero
+    counts via a per-class sequence explode, so the CDF is total."""
+    from pyspark.sql import Window, functions as F
+
+    per = df.groupBy(*qi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    classes = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("class_size"))
+    grid = classes.select(
+        *qi_cols,
+        "class_size",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("b"),
+    ).join(
+        per.withColumnRenamed(sensitive_col, "b"),
+        [*qi_cols, "b"],
+        "left",
+    ).fillna({"c": 0})
+    # global CDF: m scalars -> literal map
+    gtot = df.count()
+    gcounts = {
+        int(r[0]): r[1]
+        for r in df.groupBy(sensitive_col).agg(F.count(F.lit(1))).collect()
+    }
+    gcum, acc = {}, 0
+    for b in range(m):
+        acc += gcounts.get(b, 0)
+        gcum[b] = acc / gtot
+    gmap = F.create_map(
+        *[F.lit(v) for b in range(m) for v in (b, float(gcum[b]))]
+    )
+    w = Window.partitionBy(*qi_cols).orderBy("b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cdf = grid.select(
+        *qi_cols,
+        "class_size",
+        "b",
+        (F.sum("c").over(w) / F.col("class_size")).alias("cp"),
+        gmap[F.col("b")].alias("gp"),
+    )
+    return (
+        cdf.groupBy(*qi_cols, "class_size")
+        .agg(
+            F.round(
+                F.sum(F.abs(F.col("cp") - F.col("gp"))) / F.lit(float(m - 1)),
+                6,
+            ).alias("emd")
+        )
+        .select(
+            *qi_cols,
+            F.col("class_size").cast("long").alias("class_size"),
+            "emd",
+            (F.col("emd") > F.lit(float(t))).alias("violates_t"),
+        )
+    )

@@ -1953,3 +1953,56 @@ def stat_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cvm_stat",
         )
     )
+
+
+@query(
+    "dq_t_closeness",
+    """
+    WITH d AS (
+        SELECT lang, source, CAST(n_chars % 4 AS INTEGER) AS sb
+        FROM documents
+    ),
+    per AS (SELECT lang, source, sb, COUNT(*) AS c FROM d GROUP BY 1, 2, 3),
+    classes AS (
+        SELECT lang, source, COUNT(*) AS class_size FROM d GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT cl.lang, cl.source, cl.class_size, b.b,
+               COALESCE(per.c, 0) AS c
+        FROM classes cl
+        CROSS JOIN (SELECT CAST(range AS INTEGER) AS b FROM range(0, 4)) b
+        LEFT JOIN per ON per.lang = cl.lang AND per.source = cl.source
+                     AND per.sb = b.b
+    ),
+    gcdf AS (
+        SELECT sb AS b,
+               SUM(COUNT(*)) OVER (ORDER BY sb)
+                   / (SELECT CAST(COUNT(*) AS DOUBLE) FROM d) AS gp
+        FROM d GROUP BY sb
+    ),
+    cdf AS (
+        SELECT g.lang, g.source, g.class_size,
+               SUM(g.c) OVER (PARTITION BY g.lang, g.source ORDER BY g.b
+                              ROWS UNBOUNDED PRECEDING)
+                   / CAST(g.class_size AS DOUBLE) AS cp,
+               gc.gp
+        FROM grid g JOIN gcdf gc ON g.b = gc.b
+    )
+    SELECT lang, source, CAST(class_size AS BIGINT) AS class_size,
+           ROUND(SUM(ABS(cp - gp)) / 3.0, 6) AS emd,
+           ROUND(SUM(ABS(cp - gp)) / 3.0, 6) > 0.2 AS violates_t
+    FROM cdf GROUP BY lang, source, class_size
+    """,
+)
+def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit over (lang, source) with the same derived
+    sensitive length-bucket as `dq_l_diversity` (ops/quality.py
+    t_closeness_audit): classes whose sensitive DISTRIBUTION drifts
+    more than t=0.2 ordinal-EMD from the global one leak through both
+    k-anonymity and l-diversity (skewness attack) — this completes the
+    anonymity triad as first-class audits. Per-class CDF windows run
+    over m=4 rows per QI key; the global CDF is 4 literal scalars."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "sb", (F.col("n_chars") % 4).cast("int")
+    )
+    return Q.t_closeness_audit(d, ["lang", "source"], "sb", m=4, t=0.2)

@@ -1120,3 +1120,100 @@ def sim_binary_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@query(
+    "cluster_silhouette_simplified",
+    """
+    WITH dims AS (
+        SELECT label AS cell, d.i AS dim, AVG(d.v) AS mean_v
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+                             generate_subscripts(embedding, 1) AS i) d
+        GROUP BY label, d.i
+    ),
+    cents AS (
+        SELECT cell, list(mean_v ORDER BY dim) AS centroid FROM dims GROUP BY cell
+    ),
+    scored AS (
+        SELECT e.vec_id, c.cell,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid),
+                     6) AS s
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    own AS (
+        SELECT vec_id, cell, s FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    nearest_other AS (
+        SELECT sc.vec_id, MAX(sc.s) AS s2
+        FROM scored sc JOIN own o
+          ON sc.vec_id = o.vec_id AND sc.cell <> o.cell
+        GROUP BY sc.vec_id
+    ),
+    sil AS (
+        SELECT o.cell,
+               CASE WHEN GREATEST(1 - o.s, 1 - n.s2) = 0 THEN 0.0
+                    ELSE ((1 - n.s2) - (1 - o.s))
+                         / GREATEST(1 - o.s, 1 - n.s2) END AS sv
+        FROM own o JOIN nearest_other n ON o.vec_id = n.vec_id
+    )
+    SELECT cell AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(AVG(sv), 6) AS mean_silhouette
+    FROM sil GROUP BY cell
+    """,
+)
+def cluster_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette (Hruschka et al.) of the nearest-centroid
+    clustering: a = cosine distance to the OWN centroid, b = distance
+    to the nearest OTHER centroid, s = (b−a)/max(a,b), averaged per
+    cluster — the O(n·k) cluster-quality score (the exact silhouette's
+    O(n²) pairwise pass is precisely what cannot run at 100 TB; against
+    centroids it is one map-side cross-score, the semdedup shape).
+    Assignment ranks on ROUND(cos, 6) with cell tiebreak — the same
+    round-before-rank assignment as `assign_cells`, so both engines
+    cluster identically."""
+    from pyspark.sql import Window
+
+    from hudi_utility_spark.ops.similarity import cosine, ivf_centroids
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(e)
+    scored = (
+        e.select("vec_id", "embedding")
+        .join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cell",
+            F.round(cosine(F.col("embedding"), F.col("centroid")), 6).alias("s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell"))
+    own = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cell").alias("own_cell"), F.col("s").alias("s1"))
+    )
+    other = (
+        scored.join(own, "vec_id")
+        .filter(F.col("cell") != F.col("own_cell"))
+        .groupBy("vec_id", "own_cell", "s1")
+        .agg(F.max("s").alias("s2"))
+    )
+    a = 1 - F.col("s1")
+    b = 1 - F.col("s2")
+    sv = F.when(F.greatest(a, b) == 0, F.lit(0.0)).otherwise(
+        (b - a) / F.greatest(a, b)
+    )
+    return (
+        other.select(F.col("own_cell").alias("cluster"), sv.alias("sv"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("sv"), 6).alias("mean_silhouette"),
+        )
+    )

@@ -168,3 +168,21 @@ def test_compression_ratio_matches_zlib_and_flags_repetition(spark):
         assert got[doc_id] == expect
     assert got[2] < got[1]  # repetition compresses far better
     assert got[3] is None and got[4] is None
+
+
+def test_t_closeness_flags_skewed_class(spark):
+    from hudi_utility_spark.ops.quality import t_closeness_audit
+
+    # class A mirrors the global mix; class B is all-bucket-3
+    rows = [("A", b) for b in (0, 1, 2, 3) * 10] + [("B", 3)] * 8
+    df = spark.createDataFrame(rows, ["qi", "sb"])
+    out = {
+        r["qi"]: r
+        for r in t_closeness_audit(df, ["qi"], "sb", m=4, t=0.2).collect()
+    }
+    assert not out["A"]["violates_t"] and out["A"]["emd"] < 0.1
+    assert out["B"]["violates_t"]
+    # all-mass-at-top EMD vs this global: each cum step gap known
+    assert out["B"]["emd"] > 0.3
+    # missing buckets in B materialized as zeros (CDF total)
+    assert out["B"]["class_size"] == 8

@@ -225,3 +225,54 @@ def test_r9_exchange_budgets_and_no_cartesian(spark, sf_dir):
         if shuffles > budget:
             over.append((name, shuffles, budget))
     assert not over, f"shuffle-exchange budget exceeded: {over}"
+
+
+# every round-9 registry addition: no cartesian anywhere; BNLJ only for
+# the queries whose plans deliberately broadcast a BOUNDED relation
+# (1-row query vectors / scalar stats, the 10-row centroid table, the
+# 5-row language-stats table, 4-row sensitive-bucket grids).
+R9_NEW_QUERIES = [
+    "stat_kruskal_wallis", "stat_brown_forsythe", "stat_g_test",
+    "stat_cramer_von_mises", "stat_spearman_trend", "ts_acf_profile",
+    "ts_theil_sen_trend", "graph_kcore_parts", "graph_hits_authorities",
+    "pack_unimax_allocation", "rtr_jm_smoothing_topk", "text_rake_keywords",
+    "er_phonetic_blocking", "sim_knn_graph", "ev_bayes_beta_binomial",
+    "skew_ams_f2", "approx_kmv_distinct", "sim_binary_quant_topk",
+    "ml_naive_bayes_langid", "ml_ridge_normal_eq", "dq_t_closeness",
+    "cluster_silhouette_simplified", "text_compression_ratio",
+]
+R9_BNLJ_OK = {
+    "stat_g_test",                  # r-marginal x c-marginal grid (bounded)
+    "rtr_jm_smoothing_topk",        # 1-row corpus-stats scalar (bm25 idiom)
+    "graph_hits_authorities",       # 1-row L1-normalizer scalar per step
+    "pack_unimax_allocation",       # 1-row budget scalar
+    "ev_bayes_beta_binomial",       # scalar posterior terms
+    "sim_binary_quant_topk",        # 1-row query signature broadcast
+    "ml_naive_bayes_langid",        # 5-row language-stats broadcast
+    "dq_t_closeness",               # 4-bucket grid explode
+    "cluster_silhouette_simplified",  # 10-row centroid cross-score
+    "skew_ams_f2",                  # 1-row exact-F2 scalar
+    "approx_kmv_distinct",          # 1-row exact-distinct scalar
+    "stat_kruskal_wallis",          # 1-row tie-term scalar
+    "stat_cramer_von_mises",        # 1-row totals scalar
+    "stat_spearman_trend",          # 1-row sufficient-stats scalar
+    "ts_acf_profile",               # 1-row mean/denominator scalars
+    "ts_theil_sen_trend",           # 1-row slope/intercept scalars
+    "dq_benford_profile",
+}
+
+
+def test_r9_new_queries_no_cartesian_bounded_bnlj(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    offenders = []
+    for name in R9_NEW_QUERIES:
+        if name in ("stream_session_tws",):  # real streaming run, own tests
+            continue
+        plan = _plan(qs[name](spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "cartesian"))
+        if "BroadcastNestedLoopJoin" in plan and name not in R9_BNLJ_OK:
+            offenders.append((name, "bnlj"))
+    assert not offenders, offenders
