@@ -412,3 +412,116 @@ def jm_query_likelihood_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def rocchio_feedback_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    fb_docs: int = 5,
+    fb_terms: int = 3,
+    beta: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rocchio pseudo-relevance feedback (two-round retrieval): BM25
+    retrieves ``fb_docs`` seeds, the ``fb_terms`` highest summed-TF-IDF
+    terms in those seeds (stopwords and original query terms excluded)
+    expand the query at weight ``beta``, and the expanded query
+    rescores the corpus — the classic recall lever every lexical system
+    ships before anything neural.
+
+    Because the expansion terms are DATA-DEPENDENT, scoring runs over
+    the (doc, term, tf) inverted-index relation rather than per-term
+    tf columns: any term set is then just a join against a k-row terms
+    relation, which is also what makes the whole two-round dataflow
+    SQL-expressible for the oracle. Shape: one tokenize aggregate, a
+    term-keyed df aggregate, two bounded top-k windows (seeds, expansion
+    terms — both ≤ tens of rows), one rescoring join. Ranking rounds
+    to 6dp before every ordering (id / term tiebreaks)."""
+    from pyspark.sql import Window
+
+    from hudi_utility_spark.ops.text import _STOPWORDS
+
+    terms0 = [t.lower() for t in query_terms]
+    toks = (
+        df.select(F.col(id_col), F.explode(_terms(F.col(text_col))).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = toks.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs_total"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    # per-(doc, term) BM25 component relation
+    comp = (
+        toks.join(dl, id_col)
+        .join(F.broadcast(stats))
+        .join(dfreq, "w")
+        .select(
+            id_col,
+            "w",
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs_total") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * F.col("tf").cast("double")
+                * (k1 + 1)
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("part"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    q0 = F.array(*[F.lit(t) for t in terms0])
+    seeds = (
+        comp.filter(F.array_contains(q0, F.col("w")))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("part"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(fb_docs)
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    expansion = (
+        toks.join(F.broadcast(seeds.select(id_col)), id_col, "left_semi")
+        .join(dfreq, "w")
+        .join(F.broadcast(stats))
+        .filter(
+            ~F.array_contains(q0, F.col("w"))
+            & ~F.array_contains(stop_arr, F.col("w"))
+        )
+        .groupBy("w")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * F.log(F.col("n_docs_total") / F.col("df").cast("double"))
+                ),
+                6,
+            ).alias("tfidf")
+        )
+        .orderBy(F.desc("tfidf"), F.asc("w"))
+        .limit(fb_terms)
+    )
+    weights = expansion.select(
+        "w", F.lit(float(beta)).alias("wt")
+    ).unionByName(
+        df.sparkSession.createDataFrame(
+            [(t, 1.0) for t in terms0], ["w", "wt"]
+        )
+    )
+    return (
+        comp.join(F.broadcast(weights), "w")
+        .groupBy(id_col)
+        .agg(F.round(F.sum(F.col("wt") * F.col("part")), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1020,3 +1020,68 @@ def pack_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, size_col="n_tok", group_col="lang",
         budget_fraction=0.4, max_epochs=2.0,
     )
+
+
+def _rocchio_oracle() -> str:
+    from hudi_utility_spark.ops.text import _STOPWORDS
+
+    stops = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, t.w, COUNT(*) AS tf
+        FROM (SELECT doc_id, {_TOKS} AS ws FROM documents),
+             LATERAL (SELECT unnest(ws) AS w) t
+        GROUP BY doc_id, t.w
+    ),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl
+    ),
+    dfreq AS (SELECT w, COUNT(*) AS df FROM toks GROUP BY w),
+    comp AS (
+        SELECT toks.doc_id, toks.w,
+               ln(1 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * toks.tf * 2.2
+               / (toks.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                   AS part
+        FROM toks JOIN dl USING (doc_id) JOIN dfreq USING (w), stats s
+    ),
+    seeds AS (
+        SELECT doc_id, ROUND(SUM(part), 6) AS score FROM comp
+        WHERE w IN ('hash', 'vector', 'spark')
+        GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 5
+    ),
+    expansion AS (
+        SELECT toks.w,
+               ROUND(SUM(toks.tf * ln(s.n / CAST(dfreq.df AS DOUBLE))), 6)
+                   AS tfidf
+        FROM toks JOIN seeds USING (doc_id) JOIN dfreq USING (w), stats s
+        WHERE toks.w NOT IN ('hash', 'vector', 'spark')
+          AND toks.w NOT IN ({stops})
+        GROUP BY toks.w ORDER BY tfidf DESC, toks.w LIMIT 3
+    ),
+    weights AS (
+        SELECT w, 0.5 AS wt FROM expansion
+        UNION ALL
+        SELECT unnest(['hash', 'vector', 'spark']) AS w, 1.0 AS wt
+    )
+    SELECT comp.doc_id, ROUND(SUM(wt * part), 6) AS score
+    FROM comp JOIN weights USING (w)
+    GROUP BY comp.doc_id ORDER BY score DESC, comp.doc_id LIMIT 10
+    """
+
+
+@query("rtr_rocchio_feedback", _rocchio_oracle())
+def rtr_rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback top-10 (ops/retrieval.py
+    rocchio_feedback_topk): BM25 seeds → top-TF-IDF expansion terms at
+    weight 0.5 → rescore — the classic lexical recall lever. The
+    expansion is DATA-DEPENDENT, so scoring runs over the (doc, term,
+    tf) inverted-index relation (any term set = a join against a k-row
+    weights relation), which is exactly what lets the oracle replay
+    both retrieval rounds in one SQL statement."""
+    docs = load_table(spark, sf_dir, "documents")
+    return R.rocchio_feedback_topk(
+        docs, ["hash", "vector", "spark"], k=10, fb_docs=5, fb_terms=3,
+        beta=0.5,
+    )
