@@ -9,11 +9,23 @@ cd "$(dirname "$0")/.."
 rc=0
 
 echo "== oracle check (sf0.01) =="
-# print every FAIL line verbatim BEFORE the summary (r8 verdict #5: the
-# old tail -3 scrolled a lone failing name out of view), then the tail
-oracle_out=$(python tools/check_oracles.py /root/testdata/sf0.01 2>/dev/null) || rc=1
-grep '^FAIL' <<<"$oracle_out" || true
-tail -3 <<<"$oracle_out"
+# two halves in parallel: at 325 registered queries one sequential pass
+# outgrew a 10-minute harness window (each half is its own Spark
+# session; queries are session-independent by construction — the
+# stateful ones use per-run scratch dirs/sink names). Every FAIL line
+# prints verbatim BEFORE the summaries (r8 verdict #5: the old tail -3
+# scrolled a lone failing name out of view).
+python tools/check_oracles.py /root/testdata/sf0.01 "^[a-l]" \
+  >/tmp/preflight_oracle_al.txt 2>/dev/null &
+pid_al=$!
+python tools/check_oracles.py /root/testdata/sf0.01 "^[m-z]" \
+  >/tmp/preflight_oracle_mz.txt 2>/dev/null &
+pid_mz=$!
+wait $pid_al || rc=1
+wait $pid_mz || rc=1
+grep -h '^FAIL' /tmp/preflight_oracle_al.txt /tmp/preflight_oracle_mz.txt || true
+tail -2 /tmp/preflight_oracle_al.txt
+tail -2 /tmp/preflight_oracle_mz.txt
 
 if [[ "${1:-}" != "--quick" ]]; then
   echo "== double-run hash stability (sf0.01) =="
