@@ -2561,3 +2561,68 @@ def stat_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_hours"),
         F.round(rho, 6).alias("spearman_rho"),
     )
+
+
+@query(
+    "ev_quantile_treatment_effect",
+    """
+    WITH base AS (
+        SELECT CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 6))
+                    AS BIGINT) % 2 AS variant,
+               value
+        FROM events WHERE value IS NOT NULL
+    ),
+    per AS (
+        SELECT variant,
+               quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                     0.6, 0.7, 0.8, 0.9]) AS qs
+        FROM base GROUP BY variant
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN variant = 0 THEN qs END) AS qc,
+               MAX(CASE WHEN variant = 1 THEN qs END) AS qt
+        FROM per
+    )
+    SELECT ROUND(t.i / 10.0, 1) AS q,
+           ROUND(wide.qc[t.i], 4) AS p_control,
+           ROUND(wide.qt[t.i], 4) AS p_treatment,
+           ROUND(wide.qt[t.i] - wide.qc[t.i], 4) AS qte
+    FROM wide, LATERAL (SELECT unnest(generate_series(1, 9)) AS i) t
+    """,
+)
+def ev_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects at the deciles: the per-quantile
+    difference between treatment and control value distributions —
+    what the mean-difference tests (Welch/CUPED/DiD) cannot show: an
+    intervention that helps the median while hurting the tail.
+    Variants come from the family's md5 split; each arm's nine deciles
+    are ONE exact interpolating percentile aggregate (two rows total),
+    and the decile table explodes from those two array rows — nothing
+    row-sized moves after the aggregate."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        (
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 6), 16, 10)
+            .cast("long")
+            % 2
+        ).alias("variant"),
+        "value",
+    )
+    probs = F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+    per = base.groupBy("variant").agg(
+        F.percentile("value", probs).alias("qs")
+    )
+    wide = per.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("qs"))).alias("qc"),
+        F.max(F.when(F.col("variant") == 1, F.col("qs"))).alias("qt"),
+    )
+    return wide.select(
+        F.posexplode(F.arrays_zip(F.col("qc"), F.col("qt"))).alias("i", "z")
+    ).select(
+        F.round((F.col("i") + 1) / 10.0, 1).alias("q"),
+        F.round(F.col("z.qc"), 4).alias("p_control"),
+        F.round(F.col("z.qt"), 4).alias("p_treatment"),
+        F.round(F.col("z.qt") - F.col("z.qc"), 4).alias("qte"),
+    )

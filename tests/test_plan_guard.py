@@ -240,13 +240,14 @@ R9_NEW_QUERIES = [
     "skew_ams_f2", "approx_kmv_distinct", "sim_binary_quant_topk",
     "ml_naive_bayes_langid", "ml_ridge_normal_eq", "dq_t_closeness",
     "cluster_silhouette_simplified", "text_compression_ratio",
-    "rtr_rocchio_feedback",
+    "rtr_rocchio_feedback", "ev_quantile_treatment_effect",
 ]
 R9_BNLJ_OK = {
     "stat_g_test",                  # r-marginal x c-marginal grid (bounded)
     "rtr_jm_smoothing_topk",        # 1-row corpus-stats scalar (bm25 idiom)
     "graph_hits_authorities",       # 1-row L1-normalizer scalar per step
     "rtr_rocchio_feedback",         # 1-row corpus-stats scalar broadcast
+    "ev_quantile_treatment_effect", # 1-row decile-array pair explode
     "pack_unimax_allocation",       # 1-row budget scalar
     "ev_bayes_beta_binomial",       # scalar posterior terms
     "sim_binary_quant_topk",        # 1-row query signature broadcast
