@@ -440,6 +440,14 @@ def stream_ewma_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(root, "_ckpt")
     key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(key, None)
+    # right-size the state stores to the micro-batch volume: each
+    # shuffle partition opens (and checkpoints) its own RocksDB store
+    # per batch, so 32 stores for a 10k-row replay is pure fixed cost
+    # (measured 2x on the sessionizer twin). On a real cluster this is
+    # the same knob sized to keys/executor.
+    pkey = "spark.sql.shuffle.partitions"
+    pprev = spark.conf.get(pkey, None)
+    spark.conf.set(pkey, "8")
     spark.conf.set(
         key,
         "org.apache.spark.sql.execution.streaming.state."
@@ -466,6 +474,10 @@ def stream_ewma_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+        if pprev is None:
+            spark.conf.unset(pkey)
+        else:
+            spark.conf.set(pkey, pprev)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
         spark.table(sink)
@@ -583,6 +595,13 @@ def stream_session_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(root, "_ckpt")
     key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(key, None)
+    # 8 shuffle partitions: each partition opens + checkpoints its own
+    # RocksDB store per micro-batch; 32 stores for a 10k-row replay was
+    # measured 2x slower (44.9s vs 16.3s warm). Cluster-size this to
+    # keys/executor in production.
+    pkey = "spark.sql.shuffle.partitions"
+    pprev = spark.conf.get(pkey, None)
+    spark.conf.set(pkey, "8")
     spark.conf.set(
         key,
         "org.apache.spark.sql.execution.streaming.state."
@@ -610,6 +629,10 @@ def stream_session_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+        if pprev is None:
+            spark.conf.unset(pkey)
+        else:
+            spark.conf.set(pkey, pprev)
     return spark.table(sink).filter(F.col("user_id") != sentinel_uid).select(
         "user_id", "session_start_us", "session_end_us", "n_events"
     )
