@@ -2006,3 +2006,90 @@ def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sb", (F.col("n_chars") % 4).cast("int")
     )
     return Q.t_closeness_audit(d, ["lang", "source"], "sb", m=4, t=0.2)
+
+
+def _holm_oracle(n_perm: int = 64) -> str:
+    """Grouped permutation p-values (GROUP BY event_type over the same
+    md5-parity expression set as `_perm_oracle`) + the Holm step-down
+    as window CTEs."""
+    cols = []
+    for b in range(n_perm):
+        h = (
+            "CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR) "
+            f"|| '-perm-{b}'), 1, 2)) AS BIGINT) % 2 = 1"
+        )
+        cols.append(f"SUM(CASE WHEN {h} THEN value END) AS s{b}")
+        cols.append(
+            f"CAST(SUM(CASE WHEN {h} THEN 1 ELSE 0 END) AS DOUBLE) AS c{b}"
+        )
+    hits = " + ".join(
+        f"(CASE WHEN abs(s{b} / c{b} - (sv - s{b}) / (n - c{b}))"
+        " >= abs(sv1 / n1 - (sv - sv1) / (n - n1))"
+        " THEN 1 ELSE 0 END)"
+        for b in range(n_perm)
+    )
+    return f"""
+    WITH a AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(value) AS sv,
+               SUM(CASE WHEN user_id % 2 = 1 THEN value END) AS sv1,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS n1,
+               {", ".join(cols)}
+        FROM events GROUP BY event_type
+    ),
+    p AS (
+        SELECT event_type,
+               ROUND((1 + ({hits})) / {float(n_perm + 1)!r}, 6) AS p_value
+        FROM a
+    ),
+    ranked AS (
+        SELECT event_type, p_value,
+               CAST(ROW_NUMBER() OVER (ORDER BY p_value, event_type)
+                    AS INTEGER) AS rank,
+               COUNT(*) OVER () AS m
+        FROM p
+    )
+    SELECT event_type, p_value, rank,
+           ROUND(LEAST(MAX((m - rank + 1) * p_value)
+                           OVER (ORDER BY p_value, event_type
+                                 ROWS UNBOUNDED PRECEDING), 1.0), 6)
+               AS p_adjusted,
+           ROUND(LEAST(MAX((m - rank + 1) * p_value)
+                           OVER (ORDER BY p_value, event_type
+                                 ROWS UNBOUNDED PRECEDING), 1.0), 6) < 0.05
+               AS reject
+    FROM ranked
+    """
+
+
+@query("stat_holm_bonferroni", _holm_oracle())
+def stat_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm step-down multiple-testing correction over five
+    simultaneous per-event-type permutation tests (ops/mlfit.py
+    grouped_permutation_pvalues + holm_bonferroni): the user-parity
+    split is an A/A null within every type, so the corrected family
+    must reject nothing — the "k metrics, one intervention" guardrail
+    every experiment dashboard needs, as one scan (all 64 permutations
+    for all 5 groups in ONE grouped aggregate) plus windows over the
+    5-row p-value relation."""
+    from hudi_utility_spark.ops.mlfit import (
+        grouped_permutation_pvalues,
+        holm_bonferroni,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+    )
+    ps = grouped_permutation_pvalues(
+        ev, "event_type", "event_id", "value", "arm", n_perm=64
+    )
+    return holm_bonferroni(
+        ps.select("event_type", "p_value"),
+        p_col="p_value",
+        key_col="event_type",
+    )

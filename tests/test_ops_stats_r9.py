@@ -186,3 +186,24 @@ def test_t_closeness_flags_skewed_class(spark):
     assert out["B"]["emd"] > 0.3
     # missing buckets in B materialized as zeros (CDF total)
     assert out["B"]["class_size"] == 8
+
+
+def test_holm_bonferroni_stepdown(spark):
+    from hudi_utility_spark.ops.mlfit import holm_bonferroni
+
+    # classic Holm example: m=4; smallest must be scaled by 4, the
+    # running max enforces monotone adjusted p's
+    df = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.04), ("c", 0.03), ("d", 0.005)],
+        ["group", "p_value"],
+    )
+    out = {r["group"]: r for r in holm_bonferroni(df).collect()}
+    assert out["d"]["p_adjusted"] == 0.02     # 4 * 0.005
+    assert out["a"]["p_adjusted"] == 0.03     # max(0.02, 3*0.01)
+    assert out["c"]["p_adjusted"] == 0.06     # max(0.03, 2*0.03)
+    assert out["b"]["p_adjusted"] == 0.06     # max(0.06, 1*0.04) = 0.06
+    assert out["d"]["reject"] and out["a"]["reject"]
+    assert not out["c"]["reject"] and not out["b"]["reject"]
+    # adjusted p's capped at 1
+    big = spark.createDataFrame([("x", 0.9), ("y", 0.95)], ["group", "p_value"])
+    assert all(r["p_adjusted"] <= 1.0 for r in holm_bonferroni(big).collect())
