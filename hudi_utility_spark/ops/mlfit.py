@@ -1157,3 +1157,37 @@ def holm_bonferroni(
             "p_adjusted"
         ),
     ).withColumn("reject", F.col("p_adjusted") < F.lit(float(alpha)))
+
+
+def benjamini_hochberg(
+    pvals: DataFrame,
+    p_col: str = "p_value",
+    key_col: str = "group",
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg step-UP false-discovery-rate control over a
+    k-row p-value relation: adj_i = min over j>=i of min(1, m·p_j/j) —
+    the FDR companion to :func:`holm_bonferroni`'s family-wise control
+    (Holm guards "any false positive", BH guards the false-discovery
+    PROPORTION — the right contract when a pipeline screens hundreds of
+    segments and expects some real effects). The reverse running min is
+    a window from the current row to the END of the p-ordered relation;
+    like Holm, every window runs over tests, not rows."""
+    from pyspark.sql import Window, functions as F
+
+    m = F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
+    w = Window.orderBy(F.col(p_col), F.col(key_col))
+    ranked = pvals.select(
+        key_col,
+        p_col,
+        F.row_number().over(w).alias("rank"),
+        m.alias("m"),
+    )
+    step = F.least(F.col("m") * F.col(p_col) / F.col("rank"), F.lit(1.0))
+    wfwd = w.rowsBetween(0, Window.unboundedFollowing)
+    return ranked.select(
+        key_col,
+        F.col(p_col),
+        F.col("rank").cast("int").alias("rank"),
+        F.round(F.min(step).over(wfwd), 6).alias("q_value"),
+    ).withColumn("discovery", F.col("q_value") < F.lit(float(alpha)))

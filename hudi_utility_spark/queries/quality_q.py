@@ -2093,3 +2093,88 @@ def stat_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_col="p_value",
         key_col="event_type",
     )
+
+
+def _bh_oracle(n_perm: int = 64) -> str:
+    """Grouped permutation p-values + the BH step-up as a reverse
+    running-min window (shares the `_holm_oracle` p CTE shape)."""
+    cols = []
+    for b in range(n_perm):
+        h = (
+            "CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR) "
+            f"|| '-perm-{b}'), 1, 2)) AS BIGINT) % 2 = 1"
+        )
+        cols.append(f"SUM(CASE WHEN {h} THEN value END) AS s{b}")
+        cols.append(
+            f"CAST(SUM(CASE WHEN {h} THEN 1 ELSE 0 END) AS DOUBLE) AS c{b}"
+        )
+    hits = " + ".join(
+        f"(CASE WHEN abs(s{b} / c{b} - (sv - s{b}) / (n - c{b}))"
+        " >= abs(sv1 / n1 - (sv - sv1) / (n - n1))"
+        " THEN 1 ELSE 0 END)"
+        for b in range(n_perm)
+    )
+    return f"""
+    WITH a AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(value) AS sv,
+               SUM(CASE WHEN user_id % 2 = 1 THEN value END) AS sv1,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS n1,
+               {", ".join(cols)}
+        FROM events GROUP BY event_type
+    ),
+    p AS (
+        SELECT event_type,
+               ROUND((1 + ({hits})) / {float(n_perm + 1)!r}, 6) AS p_value
+        FROM a
+    ),
+    ranked AS (
+        SELECT event_type, p_value,
+               CAST(ROW_NUMBER() OVER (ORDER BY p_value, event_type)
+                    AS INTEGER) AS rank,
+               COUNT(*) OVER () AS m
+        FROM p
+    )
+    SELECT event_type, p_value, rank,
+           ROUND(MIN(LEAST(m * p_value / rank, 1.0))
+                     OVER (ORDER BY p_value, event_type
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+                 6) AS q_value,
+           ROUND(MIN(LEAST(m * p_value / rank, 1.0))
+                     OVER (ORDER BY p_value, event_type
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+                 6) < 0.05 AS discovery
+    FROM ranked
+    """
+
+
+@query("stat_bh_fdr", _bh_oracle())
+def stat_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR q-values over the same five per-type A/A
+    permutation tests as `stat_holm_bonferroni` (ops/mlfit.py
+    benjamini_hochberg): step-UP false-discovery control for the
+    "screen hundreds of segments, expect some real effects" regime
+    where Holm's family-wise guarantee is too conservative. One grouped
+    aggregate for all tests; the reverse running-min window runs over
+    the 5-row p-value relation."""
+    from hudi_utility_spark.ops.mlfit import (
+        benjamini_hochberg,
+        grouped_permutation_pvalues,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+    )
+    ps = grouped_permutation_pvalues(
+        ev, "event_type", "event_id", "value", "arm", n_perm=64
+    )
+    return benjamini_hochberg(
+        ps.select("event_type", "p_value"),
+        p_col="p_value",
+        key_col="event_type",
+    )

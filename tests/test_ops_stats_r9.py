@@ -207,3 +207,25 @@ def test_holm_bonferroni_stepdown(spark):
     # adjusted p's capped at 1
     big = spark.createDataFrame([("x", 0.9), ("y", 0.95)], ["group", "p_value"])
     assert all(r["p_adjusted"] <= 1.0 for r in holm_bonferroni(big).collect())
+
+
+def test_benjamini_hochberg_stepup(spark):
+    from hudi_utility_spark.ops.mlfit import benjamini_hochberg
+
+    # textbook BH: m=4, q_i = min over j>=i of m*p_j/j
+    df = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.04), ("c", 0.03), ("d", 0.005)],
+        ["group", "p_value"],
+    )
+    out = {r["group"]: r for r in benjamini_hochberg(df).collect()}
+    # sorted: d(.005) a(.01) c(.03) b(.04); raw steps: .02 .02 .04 .04
+    assert out["d"]["q_value"] == 0.02
+    assert out["a"]["q_value"] == 0.02
+    assert out["c"]["q_value"] == 0.04
+    assert out["b"]["q_value"] == 0.04
+    assert all(r["discovery"] for r in out.values())
+    # BH is uniformly less conservative than Holm on the same inputs
+    from hudi_utility_spark.ops.mlfit import holm_bonferroni
+
+    holm = {r["group"]: r["p_adjusted"] for r in holm_bonferroni(df).collect()}
+    assert all(out[g]["q_value"] <= holm[g] for g in out)
