@@ -197,3 +197,93 @@ def asof_forward_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("click_event_right").alias("click_id"),
         us("ts_right").alias("click_us"),
     )
+
+
+@query(
+    "asof_nearest_join",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    b AS (
+        SELECT p.event_id, p.user_id, p.ts,
+               MAX(c.ts) AS bts
+        FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+        GROUP BY p.event_id, p.user_id, p.ts
+    ),
+    f AS (
+        SELECT p.event_id, MIN(c.ts) AS fts
+        FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts >= p.ts
+        GROUP BY p.event_id
+    ),
+    chosen AS (
+        SELECT b.event_id AS purchase_id, b.user_id,
+               CASE
+                 WHEN b.bts IS NULL AND f.fts IS NULL THEN NULL
+                 WHEN f.fts IS NULL THEN 'backward'
+                 WHEN b.bts IS NULL THEN 'forward'
+                 WHEN epoch_us(b.ts) - epoch_us(b.bts)
+                      <= epoch_us(f.fts) - epoch_us(b.ts) THEN 'backward'
+                 ELSE 'forward'
+               END AS direction,
+               CASE
+                 WHEN b.bts IS NULL AND f.fts IS NULL THEN NULL
+                 WHEN f.fts IS NULL THEN epoch_us(b.ts) - epoch_us(b.bts)
+                 WHEN b.bts IS NULL THEN epoch_us(f.fts) - epoch_us(b.ts)
+                 ELSE LEAST(epoch_us(b.ts) - epoch_us(b.bts),
+                            epoch_us(f.fts) - epoch_us(b.ts))
+               END AS gap_us
+        FROM b JOIN f ON b.event_id = f.event_id
+    )
+    SELECT purchase_id, user_id, direction, CAST(gap_us AS BIGINT) AS gap_us
+    FROM chosen
+    """,
+)
+def asof_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (either direction, ties -> backward): each
+    purchase matched to the user's temporally closest click — the
+    sensor-fusion / feature-join semantics pandas `merge_asof
+    (direction='nearest')` ships and plain backward/forward as-of
+    cannot express. Composition of the two existing single-shuffle
+    as-of passes (backward then forward over the backward output — the
+    second pass reuses the same user-key partitioning), with the winner
+    chosen by exact integer-µs gap comparison — engine-identical, no
+    float arithmetic anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    b = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        right_cols=["event_id"],
+        suffix="_b",
+    )
+    bf = asof_join(
+        b,
+        clicks,
+        on=["user_id"],
+        right_cols=["event_id"],
+        direction="forward",
+        suffix="_f",
+    )
+    gap_b = us(F.col("ts")) - us(F.col("ts_b"))
+    gap_f = us(F.col("ts_f")) - us(F.col("ts"))
+    direction = (
+        F.when(F.col("ts_b").isNull() & F.col("ts_f").isNull(), F.lit(None))
+        .when(F.col("ts_f").isNull(), F.lit("backward"))
+        .when(F.col("ts_b").isNull(), F.lit("forward"))
+        .when(gap_b <= gap_f, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+    )
+    gap = (
+        F.when(F.col("ts_b").isNull() & F.col("ts_f").isNull(), F.lit(None))
+        .when(F.col("ts_f").isNull(), gap_b)
+        .when(F.col("ts_b").isNull(), gap_f)
+        .otherwise(F.least(gap_b, gap_f))
+    )
+    return bf.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        direction.alias("direction"),
+        gap.cast("long").alias("gap_us"),
+    )

@@ -241,7 +241,7 @@ R9_NEW_QUERIES = [
     "ml_naive_bayes_langid", "ml_ridge_normal_eq", "dq_t_closeness",
     "cluster_silhouette_simplified", "text_compression_ratio",
     "rtr_rocchio_feedback", "ev_quantile_treatment_effect",
-    "stat_holm_bonferroni", "stat_bh_fdr",
+    "stat_holm_bonferroni", "stat_bh_fdr", "asof_nearest_join",
 ]
 R9_BNLJ_OK = {
     "stat_g_test",                  # r-marginal x c-marginal grid (bounded)
