@@ -2626,3 +2626,98 @@ def ev_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("z.qt"), 4).alias("p_treatment"),
         F.round(F.col("z.qt") - F.col("z.qc"), 4).alias("qte"),
     )
+
+
+@query(
+    "ev_rfm_segments",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               epoch_us(MAX(ts)) AS last_us,
+               CAST(COUNT(*) AS DOUBLE) AS freq,
+               SUM(COALESCE(value, 0)) AS mon
+        FROM events GROUP BY user_id
+    ),
+    ref AS (SELECT MAX(last_us) AS ref_us FROM per_user),
+    rfm AS (
+        SELECT user_id,
+               (r.ref_us - last_us) / 86400000000.0 AS rec,
+               freq, mon
+        FROM per_user, ref r
+    ),
+    b AS (
+        SELECT quantile_cont(rec,  [0.2, 0.4, 0.6, 0.8]) AS rb,
+               quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fb,
+               quantile_cont(mon,  [0.2, 0.4, 0.6, 0.8]) AS mb
+        FROM rfm
+    ),
+    seg AS (
+        SELECT CAST(1 + (rec > b.rb[1])::INT + (rec > b.rb[2])::INT
+                      + (rec > b.rb[3])::INT + (rec > b.rb[4])::INT
+                    AS INTEGER) AS r_seg,
+               CAST(1 + (freq > b.fb[1])::INT + (freq > b.fb[2])::INT
+                      + (freq > b.fb[3])::INT + (freq > b.fb[4])::INT
+                    AS INTEGER) AS f_seg,
+               CAST(1 + (mon > b.mb[1])::INT + (mon > b.mb[2])::INT
+                      + (mon > b.mb[3])::INT + (mon > b.mb[4])::INT
+                    AS INTEGER) AS m_seg,
+               mon
+        FROM rfm, b
+    )
+    SELECT r_seg, f_seg, m_seg,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(AVG(mon), 2) AS avg_monetary
+    FROM seg GROUP BY 1, 2, 3
+    """,
+)
+def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation — the
+    classic customer-value grid. SCALE-SAFE binning: quintile
+    BOUNDARIES come from one exact interpolating percentile aggregate
+    (12 scalars, broadcast back) and the segment assignment is a
+    map-only comparison chain — never an NTILE over the user relation,
+    which at billions of users is the banned single-partition window.
+    Boundary ties use strict > on both engines, and recency keeps its
+    raw orientation (segment 1 = most recent)."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.unix_micros(F.max("ts").cast("timestamp_ltz")).alias("last_us"),
+        F.count(F.lit(1)).cast("double").alias("freq"),
+        F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("mon"),
+    )
+    ref = per_user.agg(F.max("last_us").alias("ref_us"))
+    rfm = per_user.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        ((F.col("ref_us") - F.col("last_us")) / 86400000000.0).alias("rec"),
+        "freq",
+        "mon",
+    )
+    probs = F.array(*[F.lit(x) for x in (0.2, 0.4, 0.6, 0.8)])
+    b = rfm.agg(
+        F.percentile("rec", probs).alias("rb"),
+        F.percentile("freq", probs).alias("fb"),
+        F.percentile("mon", probs).alias("mb"),
+    )
+
+    def seg(col, barr):
+        e = F.lit(1)
+        for i in range(1, 5):
+            e = e + (F.col(col) > F.element_at(F.col(barr), i)).cast("int")
+        return e.cast("int")
+
+    return (
+        rfm.crossJoin(F.broadcast(b))
+        .select(
+            seg("rec", "rb").alias("r_seg"),
+            seg("freq", "fb").alias("f_seg"),
+            seg("mon", "mb").alias("m_seg"),
+            "mon",
+        )
+        .groupBy("r_seg", "f_seg", "m_seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("mon"), 2).alias("avg_monetary"),
+        )
+    )

@@ -242,6 +242,7 @@ R9_NEW_QUERIES = [
     "cluster_silhouette_simplified", "text_compression_ratio",
     "rtr_rocchio_feedback", "ev_quantile_treatment_effect",
     "stat_holm_bonferroni", "stat_bh_fdr", "asof_nearest_join",
+    "ev_rfm_segments",
 ]
 R9_BNLJ_OK = {
     "stat_g_test",                  # r-marginal x c-marginal grid (bounded)
@@ -249,6 +250,7 @@ R9_BNLJ_OK = {
     "graph_hits_authorities",       # 1-row L1-normalizer scalar per step
     "rtr_rocchio_feedback",         # 1-row corpus-stats scalar broadcast
     "ev_quantile_treatment_effect", # 1-row decile-array pair explode
+    "ev_rfm_segments",              # 1-row boundary-array broadcast
     "pack_unimax_allocation",       # 1-row budget scalar
     "ev_bayes_beta_binomial",       # scalar posterior terms
     "sim_binary_quant_topk",        # 1-row query signature broadcast
