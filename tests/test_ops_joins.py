@@ -244,3 +244,52 @@ def test_multi_touch_attribution_gap_and_direction(spark):
         multi_touch_attribution(clicks, purchases, gap_seconds=1800).count()
         == 0
     )
+
+
+def test_asof_nearest_composition_ties_and_no_match(spark):
+    """The nearest-direction composition (backward pass, then forward
+    pass over its output): exact-tie gaps choose backward; keys with
+    only one side match that side; keys with no right rows keep NULLs."""
+    import datetime as dt
+
+    from hudi_utility_spark.ops.joins import asof_join
+    from hudi_utility_spark.tsutil import us
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    left = spark.createDataFrame(
+        [
+            (1, 100, t0 + 10 * s),   # clicks at 5 and 15 -> tie, backward
+            (2, 200, t0 + 10 * s),   # click at 30 only -> forward
+            (3, 300, t0 + 10 * s),   # no clicks -> null
+        ],
+        "user_id long, event_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 900, t0 + 5 * s),
+            (1, 901, t0 + 15 * s),
+            (2, 902, t0 + 30 * s),
+        ],
+        "user_id long, event_id long, ts timestamp",
+    )
+    b = asof_join(left, right, on=["user_id"], right_cols=["event_id"],
+                  suffix="_b")
+    bf = asof_join(b, right, on=["user_id"], right_cols=["event_id"],
+                   direction="forward", suffix="_f")
+    gap_b = us(F.col("ts")) - us(F.col("ts_b"))
+    gap_f = us(F.col("ts_f")) - us(F.col("ts"))
+    chosen = bf.select(
+        "user_id",
+        F.when(F.col("ts_b").isNull() & F.col("ts_f").isNull(), F.lit(None))
+        .when(F.col("ts_f").isNull(), F.lit("backward"))
+        .when(F.col("ts_b").isNull(), F.lit("forward"))
+        .when(gap_b <= gap_f, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )
+    got = {r["user_id"]: r["direction"] for r in chosen.collect()}
+    assert got[1] == "backward"   # 5s tie both ways -> backward wins
+    assert got[2] == "forward"    # nothing at-or-before
+    assert got[3] is None         # no right rows at all
