@@ -613,3 +613,136 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return semdedup(e, threshold=0.4)
+
+
+def _minhash_calibration_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """Estimated-vs-exact Jaccard over the banded candidates: signature
+    agreement fraction next to the true shingle-set Jaccard (set ops as
+    joins over the sh relation — the same rows the signatures minimize
+    over, so the comparison is apples-to-apples)."""
+    matches = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH {_minhash_prefix(num_hashes, bands)},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT c.id_a, c.id_b,
+               ({matches}) / CAST({num_hashes} AS DOUBLE) AS est_j
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(b.doc_id) AS ic
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        LEFT JOIN sh b ON b.doc_id = c.id_b
+                      AND b.hi = a.hi AND b.lo = a.lo
+        GROUP BY c.id_a, c.id_b
+    ),
+    scored AS (
+        SELECT e.est_j,
+               i.ic / CAST(za.sz + zb.sz - i.ic AS DOUBLE) AS exact_j
+        FROM est e
+        JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+        JOIN sizes za ON za.doc_id = e.id_a
+        JOIN sizes zb ON zb.doc_id = e.id_b
+    )
+    SELECT CAST(floor(est_j * 8) AS INTEGER) AS est_octile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(est_j), 6) AS avg_est,
+           ROUND(AVG(exact_j), 6) AS avg_exact
+    FROM scored GROUP BY 1
+    """
+
+
+@query("dedup_minhash_calibration", _minhash_calibration_oracle())
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash accuracy calibration: for every banded-LSH candidate
+    pair, the signature-agreement estimate (matching components / k)
+    next to the TRUE shingle-set Jaccard, bucketed by estimate octile —
+    the empirical curve that validates the (k, bands) parameter choice
+    before a threshold is trusted at corpus scale (E[estimate] =
+    Jaccard, variance ~ J(1-J)/k; a bucket whose avg_exact drifts from
+    avg_est means k is too small for the operating threshold). Exact
+    sets are computed ONLY for candidates (the bounded pair set), via
+    the same shingle relation the signatures minimize over; set
+    intersection is a join, never an all-pairs pass."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(d, num_hashes=32, shingle_n=2)
+    banded = D._band_rows(sig, 32, 8)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("siga"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sigb"))
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.aggregate(
+                    F.zip_with(
+                        "siga", "sigb", lambda x, y: (x == y).cast("int")
+                    ),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                )
+                / F.lit(float(32))
+            ).alias("est_j"),
+        )
+    )
+    sh = D._shingles(d, "doc_id", "text", 2).select("id", "hi", "lo")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sha = sh.select(F.col("id").alias("id_a"), "hi", "lo")
+    shb = sh.select(F.col("id").alias("id_b"), "hi", "lo")
+    inter = (
+        cand.join(sha, "id_a")
+        .join(shb, ["id_b", "hi", "lo"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("ic"))
+    )
+    # left join: a candidate pair with zero shared shingles (band-hash
+    # collision) must survive with intersection 0, not vanish
+    scored = (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .fillna({"ic": 0})
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sza"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "szb"), "id_b")
+        .select(
+            "est_j",
+            (
+                F.col("ic")
+                / (F.col("sza") + F.col("szb") - F.col("ic")).cast("double")
+            ).alias("exact_j"),
+        )
+    )
+    return (
+        scored.groupBy(
+            F.floor(F.col("est_j") * 8).cast("int").alias("est_octile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("est_j"), 6).alias("avg_est"),
+            F.round(F.avg("exact_j"), 6).alias("avg_exact"),
+        )
+    )

@@ -242,7 +242,7 @@ R9_NEW_QUERIES = [
     "cluster_silhouette_simplified", "text_compression_ratio",
     "rtr_rocchio_feedback", "ev_quantile_treatment_effect",
     "stat_holm_bonferroni", "stat_bh_fdr", "asof_nearest_join",
-    "ev_rfm_segments",
+    "ev_rfm_segments", "dedup_minhash_calibration",
 ]
 R9_BNLJ_OK = {
     "stat_g_test",                  # r-marginal x c-marginal grid (bounded)
