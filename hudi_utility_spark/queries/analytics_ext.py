@@ -2721,3 +2721,178 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("mon"), 2).alias("avg_monetary"),
         )
     )
+
+
+@query(
+    "graph_degree_distribution",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    co AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS degree FROM (
+            SELECT pa AS node FROM co UNION ALL SELECT pb FROM co
+        ) GROUP BY node
+    ),
+    hist AS (
+        SELECT CAST(floor(ln(degree) / ln(2)) AS INTEGER) AS log2_bin,
+               COUNT(*) AS n_nodes
+        FROM deg GROUP BY 1
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+               SUM(log2_bin) AS sx, SUM(ln(n_nodes)) AS sy,
+               SUM(CAST(log2_bin AS DOUBLE) * log2_bin) AS sxx,
+               SUM(log2_bin * ln(n_nodes)) AS sxy
+        FROM hist
+    )
+    SELECT h.log2_bin, CAST(h.n_nodes AS BIGINT) AS n_nodes,
+           ROUND((f.k * f.sxy - f.sx * f.sy)
+                 / (f.k * f.sxx - f.sx * f.sx), 6) AS loglog_slope
+    FROM hist h, fit f
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph in log2 bins, with
+    the log-log OLS slope repeated per row — the graph-health readout
+    (a heavy-tailed slope near -2..-3 says scale-free; a cliff says the
+    pair explosion is basket-bounded as designed). One degree
+    aggregate, a bin-sized histogram, and the slope from sufficient
+    stats over the handful of bins."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+    )
+    deg = (
+        co.select(F.col("pa").alias("node"))
+        .unionAll(co.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    hist = deg.groupBy(
+        F.floor(F.log(F.col("degree")) / F.log(F.lit(2.0)))
+        .cast("int")
+        .alias("log2_bin")
+    ).agg(F.count(F.lit(1)).alias("n_nodes"))
+    fit = hist.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("log2_bin").alias("sx"),
+        F.sum(F.log("n_nodes")).alias("sy"),
+        F.sum(F.col("log2_bin").cast("double") * F.col("log2_bin")).alias("sxx"),
+        F.sum(F.col("log2_bin") * F.log("n_nodes")).alias("sxy"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return hist.crossJoin(F.broadcast(fit)).select(
+        "log2_bin",
+        "n_nodes",
+        F.round(slope, 6).alias("loglog_slope"),
+    )
+
+
+@query(
+    "ts_holt_linear",
+    """
+    WITH RECURSIVE hourly AS (
+        SELECT event_type,
+               CAST(epoch_us(date_trunc('hour', ts)) / 3600000000 AS BIGINT)
+                   AS hidx,
+               AVG(value) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, y,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hidx) AS t,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM hourly
+    ),
+    holt(event_type, t, n, l, b) AS (
+        SELECT i1.event_type, 1, i1.n, i1.y, i2.y - i1.y
+        FROM idx i1 JOIN idx i2
+          ON i2.event_type = i1.event_type AND i1.t = 1 AND i2.t = 2
+        UNION ALL
+        SELECT s.event_type, s.t + 1, s.n,
+               0.4 * i.y + 0.6 * (s.l + s.b),
+               0.3 * ((0.4 * i.y + 0.6 * (s.l + s.b)) - s.l) + 0.7 * s.b
+        FROM holt s JOIN idx i
+          ON i.event_type = s.event_type AND i.t = s.t + 1
+        WHERE s.t + 1 <= s.n
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           ROUND(l, 4) AS level, ROUND(b, 4) AS trend,
+           ROUND(l + 3 * b, 4) AS forecast_3h
+    FROM holt WHERE t = n
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend,
+    alpha=0.4, beta=0.3) of each event type's hourly mean series, with
+    the 3-hour-ahead forecast — the forecasting-recursion capability
+    class: coupled SEQUENTIAL recursions that no window frame
+    expresses. Spark runs the fold as a codegen'd higher-order
+    `aggregate` over the per-type COLLAPSED series array (hours, never
+    rows — the same bounded-fold discipline as the batch-EWMA twin);
+    the oracle replays the identical operation order as a recursive
+    CTE, so even a 700-step float recursion hash-matches at 4dp."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn(
+            "hidx",
+            (
+                F.unix_micros(F.date_trunc("hour", F.col("ts")))
+                / F.lit(3_600_000_000)
+            ).cast("long"),
+        )
+        .groupBy("event_type", "hidx")
+        .agg(F.avg("value").alias("y"))
+    )
+    series = hourly.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("hidx", "y"))),
+            lambda s: s["y"],
+        ).alias("ys")
+    ).filter(F.size("ys") >= 2)
+    alpha, beta = 0.4, 0.3
+    init = F.struct(
+        F.element_at("ys", 1).alias("l"),
+        (F.element_at("ys", 2) - F.element_at("ys", 1)).alias("b"),
+    )
+
+    def step(acc, y):
+        # l' appears twice; the repeated expression is deterministic and
+        # mirrors the oracle's inline repetition exactly
+        nl = F.lit(alpha) * y + F.lit(1 - alpha) * (acc["l"] + acc["b"])
+        nb = F.lit(beta) * (nl - acc["l"]) + F.lit(1 - beta) * acc["b"]
+        return F.struct(nl.alias("l"), nb.alias("b"))
+
+    state = F.aggregate(
+        F.slice(F.col("ys"), 2, F.size("ys") - 1), init, step
+    )
+    return series.select(
+        "event_type",
+        F.size("ys").cast("long").alias("n_hours"),
+        F.round(state["l"], 4).alias("level"),
+        F.round(state["b"], 4).alias("trend"),
+        F.round(state["l"] + 3 * state["b"], 4).alias("forecast_3h"),
+    )

@@ -243,6 +243,7 @@ R9_NEW_QUERIES = [
     "rtr_rocchio_feedback", "ev_quantile_treatment_effect",
     "stat_holm_bonferroni", "stat_bh_fdr", "asof_nearest_join",
     "ev_rfm_segments", "dedup_minhash_calibration",
+    "graph_degree_distribution", "ts_holt_linear",
 ]
 R9_BNLJ_OK = {
     "stat_g_test",                  # r-marginal x c-marginal grid (bounded)
@@ -251,6 +252,7 @@ R9_BNLJ_OK = {
     "rtr_rocchio_feedback",         # 1-row corpus-stats scalar broadcast
     "ev_quantile_treatment_effect", # 1-row decile-array pair explode
     "ev_rfm_segments",              # 1-row boundary-array broadcast
+    "graph_degree_distribution",    # 1-row loglog-fit scalar broadcast
     "pack_unimax_allocation",       # 1-row budget scalar
     "ev_bayes_beta_binomial",       # scalar posterior terms
     "sim_binary_quant_topk",        # 1-row query signature broadcast
