@@ -346,3 +346,115 @@ def pipeline_walkforward_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "ts", n_folds=4, embargo_seconds=600, t_min_us=t0, t_max_us=t1
     )
     return out.groupBy("fold", "role").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "pipeline_dedup_ablation",
+    """
+    WITH RECURSIVE words AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split(
+                   trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')),
+                   ' '))) AS w
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM words GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE common / (sa.set_size + sb.set_size - common) >= 0.9
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, lbl) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    survivors AS (
+        SELECT d.doc_id FROM documents d
+        LEFT JOIN (SELECT id, MIN(lbl) AS group_id FROM reach GROUP BY id) g
+          ON g.id = d.doc_id
+        WHERE g.id IS NULL OR g.group_id = d.doc_id
+    ),
+    stats AS (
+        SELECT 'before' AS corpus,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                    AS BIGINT) AS n_tokens,
+               (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) FROM words)
+                   AS vocab,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM documents
+        UNION ALL
+        SELECT 'after',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(len(regexp_split_to_array(trim(d.text), '\\s+')))
+                    AS BIGINT),
+               (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) FROM words
+                WHERE doc_id IN (SELECT doc_id FROM survivors)),
+               CAST(COUNT(DISTINCT d.lang) AS BIGINT)
+        FROM documents d JOIN survivors s ON s.doc_id = d.doc_id
+    )
+    SELECT corpus, n_docs, n_tokens, vocab, n_langs,
+           ROUND(CAST(vocab AS DOUBLE) / n_tokens, 6) AS type_token_ratio
+    FROM stats
+    """,
+)
+def pipeline_dedup_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ablation readout: corpus statistics (docs, tokens,
+    vocabulary, languages, type-token ratio) BEFORE and AFTER Jaccard
+    ≥0.9 near-dedup — the measurement every curation decision should
+    ship with (dedup that barely moves tokens but lifts TTR removed
+    boilerplate; dedup that craters a language's share removed a
+    community). The after-side reuses the same survivor machinery as
+    `dedup_near_survivors`; both sides are plain aggregates over the
+    (docs, word) relations — nothing new shuffles."""
+    from hudi_utility_spark.ops import dedup as D
+    from hudi_utility_spark.ops.text import normalized
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(d, n=1, threshold=0.9)
+    survivors = D.dedup_survivors(d, pairs).select("doc_id")
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(normalized(F.col("text")), " "))
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+
+    def stats(docs, wrds, tag):
+        base = docs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias(
+                "n_tokens"
+            ),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+        voc = wrds.agg(F.count_distinct("w").alias("vocab"))
+        return base.crossJoin(F.broadcast(voc)).select(
+            F.lit(tag).alias("corpus"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("vocab").cast("long").alias("vocab"),
+            F.col("n_langs").cast("long").alias("n_langs"),
+            F.round(
+                F.col("vocab").cast("double") / F.col("n_tokens"), 6
+            ).alias("type_token_ratio"),
+        )
+
+    after_docs = d.join(survivors, "doc_id", "left_semi")
+    after_words = words.join(survivors, "doc_id", "left_semi")
+    return stats(d, words, "before").unionByName(
+        stats(after_docs, after_words, "after")
+    )

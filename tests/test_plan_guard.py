@@ -244,6 +244,7 @@ R9_NEW_QUERIES = [
     "stat_holm_bonferroni", "stat_bh_fdr", "asof_nearest_join",
     "ev_rfm_segments", "dedup_minhash_calibration",
     "graph_degree_distribution", "ts_holt_linear",
+    "pipeline_dedup_ablation",
 ]
 R9_BNLJ_OK = {
     "stat_g_test",                  # r-marginal x c-marginal grid (bounded)
@@ -253,6 +254,7 @@ R9_BNLJ_OK = {
     "ev_quantile_treatment_effect", # 1-row decile-array pair explode
     "ev_rfm_segments",              # 1-row boundary-array broadcast
     "graph_degree_distribution",    # 1-row loglog-fit scalar broadcast
+    "pipeline_dedup_ablation",      # 1-row vocab scalar per corpus side
     "pack_unimax_allocation",       # 1-row budget scalar
     "ev_bayes_beta_binomial",       # scalar posterior terms
     "sim_binary_quant_topk",        # 1-row query signature broadcast
