@@ -495,6 +495,36 @@ def w_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "w_percent_rank_cume",
+    """
+    SELECT o_orderkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def w_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist — the relative-position window pair
+    completing the ranking family (rank/dense_rank/ntile are already
+    registered): percent_rank = (rank-1)/(n-1) for percentile
+    scorecards, cume_dist = fraction at-or-below for empirical CDFs.
+    Same status-partitioned total order as `w_rank_dense`; both are
+    rounded to 6dp so the (rank-1)/(n-1) division hashes identically
+    across engines."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorts / limits / top-k (O1-O3)
 # ---------------------------------------------------------------------------

@@ -244,7 +244,7 @@ R9_NEW_QUERIES = [
     "stat_holm_bonferroni", "stat_bh_fdr", "asof_nearest_join",
     "ev_rfm_segments", "dedup_minhash_calibration",
     "graph_degree_distribution", "ts_holt_linear",
-    "pipeline_dedup_ablation",
+    "pipeline_dedup_ablation", "w_percent_rank_cume",
 ]
 R9_BNLJ_OK = {
     "stat_g_test",                  # r-marginal x c-marginal grid (bounded)
