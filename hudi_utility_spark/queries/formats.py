@@ -312,3 +312,56 @@ def src_jsonl_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("chars"),
     )
+
+
+@query(
+    "fmt_text_log_scan",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+    """,
+    sequential=True,
+)
+def fmt_text_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unstructured text-log ingestion (the syslog/app-log source class
+    the structured readers can't touch): events serialize to
+    `ts=<us> type=<t> value=<v>` lines via `write.text`, re-read as raw
+    lines with `read.text`, and the schema is recovered ON READ with
+    one `regexp_extract` triple — parse failures become NULLs (the
+    permissive-mode contract), and the parsed aggregate must equal the
+    direct parquet aggregate value-for-value. Map-only parse at scan
+    bandwidth; at 100 TB the regex runs in whole-stage codegen, never
+    Python. Float round-trip is exact because the value serializes via
+    CAST(double AS STRING) and parses back with CAST(STRING AS DOUBLE)
+    — both shortest-round-trip representations."""
+    import os
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.concat(
+                F.lit("ts="),
+                F.unix_micros(F.col("ts").cast("timestamp_ltz")).cast("string"),
+                F.lit(" type="),
+                F.col("event_type"),
+                F.lit(" value="),
+                F.col("value").cast("string"),
+            ).alias("value")
+        )
+    )
+    root = _scratch(sf_dir, "textlog")
+    ev.write.mode("overwrite").text(root)
+    lines = spark.read.text(root)
+    parsed = lines.select(
+        F.regexp_extract("value", r"type=(\S+)", 1).alias("event_type"),
+        F.regexp_extract("value", r"value=(\S+)", 1)
+        .cast("double")
+        .alias("v"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("v"), 2).alias("total_value"),
+    )
