@@ -947,3 +947,91 @@ def multiprobe_lsh_topk(
         .limit(k)
         .drop("_raw")
     )
+
+
+def covariance_long(
+    df: DataFrame, dim: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """Upper-triangle covariance sums as a LONG relation: one map-side
+    HOF builds all dim·(dim+1)/2 (i, j, v_i·v_j) triples per row (a
+    single generated expression — no 2000-column codegen), posexplode
+    feeds a hash aggregate with map-side combine, and the result is a
+    bounded (i, j, sum_prod, n) relation — the sufficient statistics of
+    the covariance matrix from ONE scan. The same discipline as the
+    OLS/PQ sufficient-statistics passes, generalized to matrix shape."""
+    v = F.col(vec_col)
+    triples = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(dim - 1)),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (
+                        F.element_at(v, i + 1).cast("double")
+                        * F.element_at(v, j + 1).cast("double")
+                    ).alias("p"),
+                ),
+            ),
+        )
+    )
+    return (
+        df.select(F.explode(triples).alias("t"))
+        .groupBy(F.col("t.i").alias("i"), F.col("t.j").alias("j"))
+        .agg(
+            F.sum("t.p").alias("sp"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def top_eigenvector(
+    df: DataFrame,
+    dim: int = 64,
+    iters: int = 5,
+    round_to: int = 6,
+    vec_col: str = "embedding",
+) -> tuple[list[float], float]:
+    """Leading principal component by power iteration — PCA's top
+    direction as pure dataflow + a driver-side fixed-point loop:
+    the covariance's sufficient statistics come from ONE scan
+    (:func:`covariance_long`), the dim×dim matrix (a codebook-sized
+    driver literal) is quantized to ``round_to`` decimals, and each
+    power step (matvec → L2-normalize → quantize components) is rounded
+    so independent engines replaying the identical schedule stay
+    bit-aligned — the `logistic_fit` cross-engine discipline applied to
+    linear algebra. Deterministic all-ones start; ``iters`` fixed so an
+    unrolled SQL oracle can replay every step. Returns (w, lambda)
+    with lambda = wᵀCw."""
+    import math
+
+    rows = covariance_long(df, dim, vec_col).collect()
+    n = rows[0]["n"]
+    sums = {(r["i"], r["j"]): r["sp"] for r in rows}
+    means_df = df.select(
+        *[
+            F.avg(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(
+                f"m{i}"
+            )
+            for i in range(dim)
+        ]
+    ).collect()[0]
+    mu = [means_df[f"m{i}"] for i in range(dim)]
+    c = [[0.0] * dim for _ in range(dim)]
+    for i in range(dim):
+        for j in range(i, dim):
+            val = round(sums[(i, j)] / n - mu[i] * mu[j], round_to)
+            c[i][j] = val
+            c[j][i] = val
+    w = [round(1.0 / math.sqrt(dim), round_to)] * dim
+    for _ in range(iters):
+        raw = [
+            sum(c[i][j] * w[j] for j in range(dim)) for i in range(dim)
+        ]
+        nrm = math.sqrt(sum(x * x for x in raw))
+        w = [round(x / nrm, round_to) for x in raw]
+    lam = sum(
+        w[i] * sum(c[i][j] * w[j] for j in range(dim)) for i in range(dim)
+    )
+    return w, round(lam, 4)

@@ -1217,3 +1217,92 @@ def cluster_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.avg("sv"), 6).alias("mean_silhouette"),
         )
     )
+
+
+def _pca_oracle(dim: int = 64, iters: int = 5) -> str:
+    """Unrolled power-iteration oracle: covariance from the long
+    relation, every matrix and vector quantized on the same schedule as
+    the Spark driver loop (round-6 covariance entries, round-6
+    normalized components per step), 5 steps as CTE triples
+    (matvec, norm, quantize)."""
+    steps = []
+    prev = "w0"
+    for t in range(1, iters + 1):
+        steps.append(
+            f"""
+    r{t} AS (
+        SELECT c.i, SUM(c.c * {prev}.wv) AS rv
+        FROM cov c JOIN {prev} ON {prev}.i = c.j GROUP BY c.i
+    ),
+    nm{t} AS (SELECT sqrt(SUM(rv * rv)) AS nm FROM r{t}),
+    w{t} AS (
+        SELECT i, ROUND(rv / (SELECT nm FROM nm{t}), 6) AS wv FROM r{t}
+    )"""
+        )
+        prev = f"w{t}"
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    long AS (
+        SELECT vec_id, label, d.i - 1 AS i, d.x AS x
+        FROM vecs,
+             LATERAL (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS i) d
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM vecs),
+    mu AS (SELECT i, AVG(x) AS m FROM long GROUP BY i),
+    cov AS (
+        SELECT a.i AS i, b.i AS j,
+               ROUND(SUM(a.x * b.x) / (SELECT n FROM nn) - ma.m * mb.m, 6)
+                   AS c
+        FROM long a JOIN long b ON a.vec_id = b.vec_id
+        JOIN mu ma ON ma.i = a.i
+        JOIN mu mb ON mb.i = b.i
+        GROUP BY a.i, b.i, ma.m, mb.m
+    ),
+    w0 AS (SELECT i, ROUND(1.0 / sqrt({dim}), 6) AS wv FROM mu),
+    {",".join(steps)},
+    lam AS (
+        SELECT ROUND(SUM(wa.wv * c.c * wb.wv), 4) AS lam
+        FROM cov c JOIN {prev} wa ON wa.i = c.i JOIN {prev} wb ON wb.i = c.j
+    ),
+    pv AS (
+        SELECT l.vec_id, SUM(l.x * w.wv) AS p
+        FROM long l JOIN {prev} w ON w.i = l.i GROUP BY l.vec_id
+    )
+    SELECT v.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(pv.p), 6) AS mean_projection,
+           (SELECT lam FROM lam) AS eigenvalue
+    FROM pv JOIN vecs v ON v.vec_id = pv.vec_id
+    GROUP BY v.label
+    """
+
+
+@query("sim_pca_top_component", _pca_oracle())
+def sim_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal component of the embedding corpus by power
+    iteration (ops/similarity.py top_eigenvector) — PCA's top direction
+    as pure dataflow: the covariance's sufficient statistics come from
+    ONE scan (a single HOF generates all 2080 upper-triangle product
+    triples per row — no wide-column codegen — and posexplode feeds a
+    map-side-combined hash aggregate), the 64×64 matrix is a
+    codebook-sized driver literal, and five matvec→normalize steps run
+    driver-side with round-6 quantization after every step so the
+    unrolled SQL oracle replays the identical schedule bit-for-bit
+    (the logistic_fit cross-engine discipline applied to linear
+    algebra). Output: per-label mean projection onto the component +
+    the top eigenvalue — the 'is one direction dominating my embedding
+    space' health readout (an anisotropic collapse shows up as a giant
+    λ and label means separated along w)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    w, lam = S.top_eigenvector(e, dim=64, iters=5)
+    wlit = F.array(*[F.lit(x) for x in w])
+    proj = S.dot(F.col("embedding"), wlit)
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg(proj), 6).alias("mean_projection"),
+        )
+        .withColumn("eigenvalue", F.lit(lam))
+    )
