@@ -229,3 +229,32 @@ def test_benjamini_hochberg_stepup(spark):
 
     holm = {r["group"]: r["p_adjusted"] for r in holm_bonferroni(df).collect()}
     assert all(out[g]["q_value"] <= holm[g] for g in out)
+
+
+def test_kruskal_wallis_monotone_invariance(spark):
+    """Rank statistics must be invariant under strictly increasing
+    transforms of the values — the defining property that separates
+    them from the parametric tests. H(x) == H(exp(x/100)) exactly."""
+    from hudi_utility_spark.ops.mlfit import kruskal_wallis
+
+    rows = [("a", float(v)) for v in (3, 1, 4, 1, 5)] + [
+        ("b", float(v)) for v in (9, 2, 6, 5, 3)
+    ] + [("c", float(v)) for v in (5, 8, 9, 7)]
+    df = spark.createDataFrame(rows, ["group", "value"])
+    base = kruskal_wallis(df, "value", "group").collect()[0]
+    from pyspark.sql import functions as F
+
+    warped = df.select("group", F.exp(F.col("value") / 100).alias("value"))
+    after = kruskal_wallis(warped, "value", "group").collect()[0]
+    assert base["h_tie_corrected"] == after["h_tie_corrected"]
+    assert base["h_stat"] == after["h_stat"]
+
+
+def test_holm_and_bh_agree_at_m_equals_1(spark):
+    """With a single test both corrections must be the identity."""
+    from hudi_utility_spark.ops.mlfit import benjamini_hochberg, holm_bonferroni
+
+    df = spark.createDataFrame([("only", 0.037)], ["group", "p_value"])
+    h = holm_bonferroni(df).collect()[0]
+    b = benjamini_hochberg(df).collect()[0]
+    assert h["p_adjusted"] == 0.037 and b["q_value"] == 0.037
