@@ -2896,3 +2896,151 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(state["b"], 4).alias("trend"),
         F.round(state["l"] + 3 * state["b"], 4).alias("forecast_3h"),
     )
+
+
+@query(
+    "ts_holt_winters",
+    """
+    WITH RECURSIVE hourly AS (
+        SELECT event_type,
+               CAST(epoch_us(date_trunc('hour', ts)) / 3600000000 AS BIGINT)
+                   AS hidx,
+               AVG(value) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, y,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hidx) AS t,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM hourly
+    ),
+    base AS (
+        SELECT event_type, MAX(n) AS n,
+               ROUND(AVG(CASE WHEN t <= 24 THEN y END), 6) AS l0,
+               ROUND((AVG(CASE WHEN t BETWEEN 25 AND 48 THEN y END)
+                      - AVG(CASE WHEN t <= 24 THEN y END)) / 24, 6) AS b0
+        FROM idx GROUP BY event_type HAVING MAX(n) >= 48
+    ),
+    s0 AS (
+        SELECT i.event_type,
+               list(ROUND(i.y - b.l0, 6) ORDER BY i.t) AS s
+        FROM idx i JOIN base b USING (event_type)
+        WHERE i.t <= 24 GROUP BY i.event_type
+    ),
+    hw(event_type, t, n, l, b, s) AS (
+        SELECT b.event_type, CAST(24 AS BIGINT), b.n, b.l0, b.b0, s0.s
+        FROM base b JOIN s0 USING (event_type)
+        UNION ALL
+        SELECT h.event_type, h.t + 1, h.n,
+               ROUND(0.3 * (i.y - h.s[(h.t % 24) + 1])
+                     + 0.7 * (h.l + h.b), 6),
+               ROUND(0.2 * ((ROUND(0.3 * (i.y - h.s[(h.t % 24) + 1])
+                                   + 0.7 * (h.l + h.b), 6)) - h.l)
+                     + 0.8 * h.b, 6),
+               h.s[1:(h.t % 24)]
+               || [ROUND(0.1 * (i.y
+                                - ROUND(0.3 * (i.y - h.s[(h.t % 24) + 1])
+                                        + 0.7 * (h.l + h.b), 6))
+                          + 0.9 * h.s[(h.t % 24) + 1], 6)]
+               || h.s[(h.t % 24) + 2:]
+        FROM hw h JOIN idx i
+          ON i.event_type = h.event_type AND i.t = h.t + 1
+        WHERE h.t + 1 <= h.n
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           ROUND(l, 4) AS level, ROUND(b, 4) AS trend,
+           ROUND(list_aggregate(s, 'max') - list_aggregate(s, 'min'), 4)
+               AS seasonal_amplitude,
+           ROUND(l + b + s[CAST(n % 24 AS INT) + 1], 4) AS forecast_next
+    FROM hw WHERE t = n
+    """,
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing (level + trend + 24-hour
+    seasonal state; alpha=.3, beta=.2, gamma=.1) per event type — the
+    full triple-smoothing forecaster, with ARRAY state carried through
+    the sequential recursion: Spark folds a struct(level, trend,
+    seasonals[24]) through the per-type COLLAPSED hourly series via one
+    codegen'd higher-order aggregate (the seasonal update rebuilds the
+    24-array with an index-conditional transform), and the oracle
+    replays the identical schedule as a recursive CTE with list-slice
+    surgery. Every updated component is quantized to 6dp per step, so
+    a ~700-step recursion with mutable array state hash-matches at 4dp
+    — the strongest stress of the operation-order discipline in the
+    registry. Output: final level/trend, seasonal amplitude, and the
+    one-step forecast l + b + s[next]."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn(
+            "hidx",
+            (
+                F.unix_micros(F.date_trunc("hour", F.col("ts")))
+                / F.lit(3_600_000_000)
+            ).cast("long"),
+        )
+        .groupBy("event_type", "hidx")
+        .agg(F.avg("value").alias("y"))
+    )
+    series = hourly.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("hidx", "y"))),
+            lambda s: s["y"],
+        ).alias("ys")
+    ).filter(F.size("ys") >= 48)
+    a, be, g = 0.3, 0.2, 0.1
+    first24 = F.slice("ys", 1, 24)
+    second24 = F.slice("ys", 25, 24)
+
+    def _avg(arr):
+        return (
+            F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v) / F.size(arr)
+        )
+
+    l0 = F.round(_avg(first24), 6)
+    b0 = F.round((_avg(second24) - _avg(first24)) / 24, 6)
+    s0 = F.transform(first24, lambda y: F.round(y - l0, 6))
+    # indexed tail: (t, y) structs for t = 25..n
+    idxd = F.transform(
+        F.col("ys"), lambda y, i: F.struct((i + 1).alias("t"), y.alias("y"))
+    )
+    tail = F.slice(idxd, 25, F.size("ys") - 24)
+    init = F.struct(l0.alias("l"), b0.alias("b"), s0.alias("s"))
+
+    def step(acc, e):
+        # seasonal slot for step t is ((t-1) % 24) zero-based; with
+        # e.t = previous t + 1, the slot is (prev_t % 24) — written as
+        # (e.t - 1) % 24 here, identical to the oracle's h.t % 24
+        slot = (e["t"] - 1) % 24  # 0-based index into s
+        s_old = F.element_at(acc["s"], slot + 1)
+        nl = F.round(
+            F.lit(a) * (e["y"] - s_old) + F.lit(1 - a) * (acc["l"] + acc["b"]),
+            6,
+        )
+        nb = F.round(
+            F.lit(be) * (nl - acc["l"]) + F.lit(1 - be) * acc["b"], 6
+        )
+        ns = F.transform(
+            acc["s"],
+            lambda sv, j: F.when(
+                j == slot,
+                F.round(F.lit(g) * (e["y"] - nl) + F.lit(1 - g) * sv, 6),
+            ).otherwise(sv),
+        )
+        return F.struct(nl.alias("l"), nb.alias("b"), ns.alias("s"))
+
+    state = F.aggregate(tail, init, step)
+    fc_slot = (F.size("ys") % 24) + 1
+    return series.select(
+        "event_type",
+        F.size("ys").cast("long").alias("n_hours"),
+        F.round(state["l"], 4).alias("level"),
+        F.round(state["b"], 4).alias("trend"),
+        F.round(
+            F.array_max(state["s"]) - F.array_min(state["s"]), 4
+        ).alias("seasonal_amplitude"),
+        F.round(
+            state["l"] + state["b"] + F.element_at(state["s"], fc_slot), 4
+        ).alias("forecast_next"),
+    )
