@@ -1191,3 +1191,60 @@ def benjamini_hochberg(
         F.col("rank").cast("int").alias("rank"),
         F.round(F.min(step).over(wfwd), 6).alias("q_value"),
     ).withColumn("discovery", F.col("q_value") < F.lit(float(alpha)))
+
+
+def wilcoxon_signed_rank(
+    diffs: DataFrame,
+    diff_col: str = "d",
+    *,
+    max_distinct: int = 1_000_000,
+) -> DataFrame:
+    """Wilcoxon signed-rank test over a relation of paired differences —
+    the PAIRED member of the nonparametric family here (Mann-Whitney is
+    unpaired two-sample, Kruskal-Wallis is k-sample): zero differences
+    drop (Wilcoxon convention), |d| ranks with tie-averaging come from
+    the collapsed per-distinct-|d| relation (the same bounded-
+    cardinality window shape as every exact rank statistic in this
+    module), W+ sums the ranks of positive differences, and the normal
+    approximation carries the exact tie correction Σ(t³−t)/48 in its
+    variance. Returns one row: (n_pairs, w_plus, z_stat)."""
+    from pyspark.sql import Window, functions as F
+
+    d = diffs.select(F.col(diff_col).cast("double").alias("d")).filter(
+        F.col("d") != 0
+    )
+    per = d.groupBy(F.abs(F.col("d")).alias("ad")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum((F.col("d") > 0).cast("long")).alias("pos"),
+    )
+    per = require_bounded_distinct(
+        per,
+        max_distinct,
+        "wilcoxon_signed_rank",
+        "quantize the differences before ranking",
+    )
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per.select(
+        "cnt",
+        "pos",
+        (F.sum("cnt").over(w) - F.col("cnt") + (F.col("cnt") + 1) / 2.0).alias(
+            "avg_rank"
+        ),
+    )
+    agg = ranked.agg(
+        F.sum("cnt").cast("double").alias("n"),
+        F.sum(F.col("pos") * F.col("avg_rank")).alias("w_plus"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie_term"),
+    )
+    mean = F.col("n") * (F.col("n") + 1) / 4.0
+    var = (
+        F.col("n") * (F.col("n") + 1) * (2 * F.col("n") + 1) / 24.0
+        - F.col("tie_term") / 48.0
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round("w_plus", 2).alias("w_plus"),
+        F.round((F.col("w_plus") - mean) / F.sqrt(var), 6).alias("z_stat"),
+    )

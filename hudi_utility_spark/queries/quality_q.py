@@ -2178,3 +2178,78 @@ def stat_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_col="p_value",
         key_col="event_type",
     )
+
+
+@query(
+    "stat_wilcoxon_signed_rank",
+    """
+    WITH base AS (
+        SELECT user_id,
+               CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 6))
+                    AS BIGINT) % 2 AS half,
+               value
+        FROM events WHERE value IS NOT NULL
+    ),
+    pairs AS (
+        SELECT user_id,
+               AVG(CASE WHEN half = 1 THEN value END)
+               - AVG(CASE WHEN half = 0 THEN value END) AS d
+        FROM base GROUP BY user_id
+        HAVING COUNT(CASE WHEN half = 1 THEN 1 END) > 0
+           AND COUNT(CASE WHEN half = 0 THEN 1 END) > 0
+    ),
+    nz AS (SELECT d FROM pairs WHERE d != 0),
+    per AS (
+        SELECT ABS(d) AS ad, COUNT(*) AS cnt,
+               SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS pos
+        FROM nz GROUP BY ABS(d)
+    ),
+    ranked AS (
+        SELECT cnt, pos,
+               SUM(cnt) OVER (ORDER BY ad) - cnt + (cnt + 1) / 2.0 AS avg_rank
+        FROM per
+    ),
+    agg AS (
+        SELECT CAST(SUM(cnt) AS DOUBLE) AS n,
+               SUM(pos * avg_rank) AS w_plus,
+               SUM(cnt * cnt * cnt - cnt) AS tie_term
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           ROUND(w_plus, 2) AS w_plus,
+           ROUND((w_plus - n * (n + 1) / 4.0)
+                 / sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - tie_term / 48.0),
+                 6) AS z_stat
+    FROM agg
+    """,
+)
+def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on per-user paired differences (each
+    user's mean value in one md5 half of their events vs the other — an
+    A/A null, so z should hover near 0): the PAIRED nonparametric test
+    completing the family next to Mann-Whitney and Kruskal-Wallis
+    (ops/mlfit.py wilcoxon_signed_rank). Per-user pairing is one hash
+    aggregate; |d| ranks run over the collapsed distinct-|d| relation
+    with exact tie correction."""
+    from hudi_utility_spark.ops.mlfit import wilcoxon_signed_rank
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        "user_id",
+        (
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 6), 16, 10)
+            .cast("long")
+            % 2
+        ).alias("half"),
+        "value",
+    )
+    pairs = (
+        base.groupBy("user_id")
+        .agg(
+            F.avg(F.when(F.col("half") == 1, F.col("value"))).alias("m1"),
+            F.avg(F.when(F.col("half") == 0, F.col("value"))).alias("m0"),
+        )
+        .filter(F.col("m1").isNotNull() & F.col("m0").isNotNull())
+        .select((F.col("m1") - F.col("m0")).alias("d"))
+    )
+    return wilcoxon_signed_rank(pairs, diff_col="d")

@@ -258,3 +258,19 @@ def test_holm_and_bh_agree_at_m_equals_1(spark):
     h = holm_bonferroni(df).collect()[0]
     b = benjamini_hochberg(df).collect()[0]
     assert h["p_adjusted"] == 0.037 and b["q_value"] == 0.037
+
+
+def test_wilcoxon_signed_rank_hand_case(spark):
+    from hudi_utility_spark.ops.mlfit import wilcoxon_signed_rank
+
+    # diffs: +1, +2, -3, +4 (no ties, no zeros): |d| ranks 1,2,3,4;
+    # W+ = 1 + 2 + 4 = 7; mean = 4*5/4 = 5; var = 4*5*9/24 = 7.5
+    df = spark.createDataFrame([(1.0,), (2.0,), (-3.0,), (4.0,)], ["d"])
+    r = wilcoxon_signed_rank(df).collect()[0]
+    assert r["n_pairs"] == 4 and r["w_plus"] == 7.0
+    import math
+
+    assert abs(r["z_stat"] - round((7 - 5) / math.sqrt(7.5), 6)) < 1e-9
+    # zeros drop (Wilcoxon convention)
+    dz = spark.createDataFrame([(0.0,), (1.0,), (-2.0,)], ["d"])
+    assert wilcoxon_signed_rank(dz).collect()[0]["n_pairs"] == 2
