@@ -1762,3 +1762,93 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ratio_bucket")
     )
+
+
+@query(
+    "text_js_divergence",
+    f"""
+    WITH toks AS (
+        SELECT lang, t.w FROM (
+            SELECT lang, {_NB_NORM} AS ws FROM documents
+        ), LATERAL (SELECT unnest(ws) AS w) t
+        WHERE t.w != ''
+    ),
+    counts AS (SELECT lang, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    totals AS (SELECT lang, SUM(c) AS n FROM counts GROUP BY lang),
+    probs AS (
+        SELECT c.lang, c.w, c.c / CAST(t.n AS DOUBLE) AS p
+        FROM counts c JOIN totals t ON t.lang = c.lang
+    ),
+    shared AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b,
+               SUM(0.5 * (a.p * ln(2 * a.p / (a.p + b.p))
+                          + b.p * ln(2 * b.p / (a.p + b.p)))) AS js_shared,
+               SUM(a.p) AS pa_shared, SUM(b.p) AS pb_shared
+        FROM probs a JOIN probs b ON a.w = b.w AND a.lang < b.lang
+        GROUP BY a.lang, b.lang
+    )
+    SELECT lang_a, lang_b,
+           ROUND(js_shared
+                 + 0.5 * ln(2) * ((1 - pa_shared) + (1 - pb_shared)),
+                 6) AS jsd_nats
+    FROM shared
+    """,
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between every language pair's unigram
+    distribution — the symmetric, bounded (≤ ln 2) mixture-distance
+    that quantifies how far two corpus slices have drifted apart (the
+    domain/contamination monitor DSIR-style selection assumes). Words
+    present in only one language contribute exactly ½·p·ln2, so the
+    shared-vocabulary equijoin plus the per-pair leftover mass
+    (1 − Σ shared p) is the COMPLETE divergence — no full-outer join,
+    no zero-filled grid; the only data-sized work is the (lang, word)
+    count aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    from hudi_utility_spark.ops.text import normalized
+
+    toks = d.select(
+        "lang", F.explode(F.split(normalized(F.col("text")), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    counts = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("lang").agg(F.sum("c").alias("n"))
+    probs = counts.join(totals, "lang").select(
+        "lang", "w", (F.col("c") / F.col("n").cast("double")).alias("p")
+    )
+    a = probs.select(
+        F.col("lang").alias("lang_a"), "w", F.col("p").alias("pa")
+    )
+    b = probs.select(
+        F.col("lang").alias("lang_b"), "w", F.col("p").alias("pb")
+    )
+    shared = (
+        a.join(b, "w")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(
+            F.sum(
+                0.5
+                * (
+                    F.col("pa")
+                    * F.log(2 * F.col("pa") / (F.col("pa") + F.col("pb")))
+                    + F.col("pb")
+                    * F.log(2 * F.col("pb") / (F.col("pa") + F.col("pb")))
+                )
+            ).alias("js_shared"),
+            F.sum("pa").alias("pa_shared"),
+            F.sum("pb").alias("pb_shared"),
+        )
+    )
+    import math
+
+    return shared.select(
+        "lang_a",
+        "lang_b",
+        F.round(
+            F.col("js_shared")
+            + 0.5
+            * F.lit(math.log(2.0))
+            * ((1 - F.col("pa_shared")) + (1 - F.col("pb_shared"))),
+            6,
+        ).alias("jsd_nats"),
+    )
