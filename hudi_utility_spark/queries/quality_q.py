@@ -2253,3 +2253,90 @@ def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("m1") - F.col("m0")).alias("d"))
     )
     return wilcoxon_signed_rank(pairs, diff_col="d")
+
+
+@query(
+    "stat_cohens_d",
+    """
+    WITH s AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                   AS v
+        FROM documents
+    ),
+    agg AS (
+        SELECT CAST(SUM(CASE WHEN label = 1 AND v IS NOT NULL
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+               SUM(CASE WHEN label = 1 THEN v ELSE 0.0 END) AS s1,
+               SUM(CASE WHEN label = 1 THEN v * v ELSE 0.0 END) AS q1,
+               CAST(SUM(CASE WHEN label = 0 AND v IS NOT NULL
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+               SUM(CASE WHEN label = 0 THEN v ELSE 0.0 END) AS s2,
+               SUM(CASE WHEN label = 0 THEN v * v ELSE 0.0 END) AS q2
+        FROM s
+    ),
+    d AS (
+        SELECT n1, n2,
+               s1 / n1 - s2 / n2 AS mean_diff,
+               sqrt(((q1 - s1 * s1 / n1) + (q2 - s2 * s2 / n2))
+                    / (n1 + n2 - 2)) AS sp
+        FROM agg
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n2 AS BIGINT) AS n_neg,
+           ROUND(mean_diff, 6) AS mean_diff,
+           ROUND(mean_diff / sp, 6) AS cohens_d,
+           ROUND((mean_diff / sp)
+                 * (1 - 3.0 / (4 * (n1 + n2) - 9)), 6) AS hedges_g
+    FROM d
+    """,
+)
+def stat_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d and Hedges' g standardized effect sizes for the
+    English-vs-rest word-count difference — the magnitude readout the
+    significance tests (Welch/Mann-Whitney over the same samples)
+    deliberately don't give: at 100 TB everything is 'significant', and
+    d says whether it MATTERS. Pooled-SD closed form from the same six
+    sufficient statistics as `stat_welch_ttest` (one map-combinable
+    aggregate, null-consistent counts); Hedges' g applies the
+    small-sample bias correction 1 − 3/(4N−9)."""
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    v = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+    is1 = (F.col("lang") == "en").cast("int") == 1
+    agg = d.select(v.alias("v"), is1.alias("is1")).agg(
+        F.sum(F.when(F.col("is1") & F.col("v").isNotNull(), 1).otherwise(0))
+        .cast("double")
+        .alias("n1"),
+        F.sum(F.when(F.col("is1"), F.col("v")).otherwise(0.0)).alias("s1"),
+        F.sum(F.when(F.col("is1"), F.col("v") * F.col("v")).otherwise(0.0)).alias(
+            "q1"
+        ),
+        F.sum(
+            F.when(~F.col("is1") & F.col("v").isNotNull(), 1).otherwise(0)
+        )
+        .cast("double")
+        .alias("n2"),
+        F.sum(F.when(~F.col("is1"), F.col("v")).otherwise(0.0)).alias("s2"),
+        F.sum(
+            F.when(~F.col("is1"), F.col("v") * F.col("v")).otherwise(0.0)
+        ).alias("q2"),
+    )
+    md = F.col("s1") / F.col("n1") - F.col("s2") / F.col("n2")
+    sp = F.sqrt(
+        (
+            (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1"))
+            + (F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2"))
+        )
+        / (F.col("n1") + F.col("n2") - 2)
+    )
+    dval = md / sp
+    return agg.select(
+        F.col("n1").cast("long").alias("n_pos"),
+        F.col("n2").cast("long").alias("n_neg"),
+        F.round(md, 6).alias("mean_diff"),
+        F.round(dval, 6).alias("cohens_d"),
+        F.round(
+            dval * (1 - 3.0 / (4 * (F.col("n1") + F.col("n2")) - 9)), 6
+        ).alias("hedges_g"),
+    )

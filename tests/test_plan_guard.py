@@ -246,7 +246,7 @@ R9_NEW_QUERIES = [
     "graph_degree_distribution", "ts_holt_linear",
     "pipeline_dedup_ablation", "w_percent_rank_cume",
     "sim_pca_top_component", "ts_holt_winters",
-    "stat_wilcoxon_signed_rank", "text_js_divergence",
+    "stat_wilcoxon_signed_rank", "text_js_divergence", "stat_cohens_d",
 ]
 R9_BNLJ_OK = {
     "stat_g_test",                  # r-marginal x c-marginal grid (bounded)
