@@ -2340,3 +2340,105 @@ def stat_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
             dval * (1 - 3.0 / (4 * (F.col("n1") + F.col("n2")) - 9)), 6
         ).alias("hedges_g"),
     )
+
+
+@query(
+    "ml_lift_gains_curve",
+    """
+    WITH base AS (
+        SELECT value AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+        SELECT quantile_cont(score, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                     0.6, 0.7, 0.8, 0.9]) AS qs
+        FROM base
+    ),
+    seg AS (
+        SELECT CAST(1 + (score > b.qs[1])::INT + (score > b.qs[2])::INT
+                      + (score > b.qs[3])::INT + (score > b.qs[4])::INT
+                      + (score > b.qs[5])::INT + (score > b.qs[6])::INT
+                      + (score > b.qs[7])::INT + (score > b.qs[8])::INT
+                      + (score > b.qs[9])::INT AS INTEGER) AS decile,
+               pos
+        FROM base, b
+    ),
+    per AS (
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS positives
+        FROM seg GROUP BY decile
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS DOUBLE) AS tn, CAST(SUM(positives) AS DOUBLE) AS tp
+        FROM per
+    )
+    SELECT decile, n, positives,
+           ROUND(SUM(positives) OVER (ORDER BY decile DESC
+                                      ROWS UNBOUNDED PRECEDING)
+                 / t.tp, 6) AS cum_capture,
+           ROUND((SUM(positives) OVER (ORDER BY decile DESC
+                                       ROWS UNBOUNDED PRECEDING)
+                  / t.tp)
+                 / (SUM(n) OVER (ORDER BY decile DESC
+                                 ROWS UNBOUNDED PRECEDING) / t.tn), 6)
+               AS lift
+    FROM per, tot t
+    """,
+)
+def ml_lift_gains_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift curve by score decile (score = event
+    value, positive = purchase): targeting the top-k% by score, what
+    fraction of all positives is captured and at what lift over random
+    — the campaign/risk-targeting readout next to the PR curve and AUC
+    (PR asks "precision at a cutoff", lift asks "how much better than
+    mailing everyone"). Decile BOUNDARIES come from one exact
+    percentile aggregate (9 scalars broadcast, map-only binning — the
+    RFM discipline, never an NTILE over facts); the cumulative windows
+    run over the 10-row decile relation."""
+    from pyspark.sql import Window, functions as F
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("pos"),
+    )
+    probs = F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+    b = base.agg(F.percentile("score", probs).alias("qs"))
+    seg_expr = F.lit(1)
+    for i in range(1, 10):
+        seg_expr = seg_expr + (
+            F.col("score") > F.element_at(F.col("qs"), i)
+        ).cast("int")
+    per = (
+        base.crossJoin(F.broadcast(b))
+        .select(seg_expr.cast("int").alias("decile"), "pos")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pos").alias("positives"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n").cast("double").alias("tn"),
+        F.sum("positives").cast("double").alias("tp"),
+    )
+    w = Window.orderBy(F.desc("decile")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "positives",
+            F.round(
+                F.sum("positives").over(w) / F.col("tp"), 6
+            ).alias("cum_capture"),
+            F.round(
+                (F.sum("positives").over(w) / F.col("tp"))
+                / (F.sum("n").over(w) / F.col("tn")),
+                6,
+            ).alias("lift"),
+        )
+    )
