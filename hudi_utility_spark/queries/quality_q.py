@@ -2442,3 +2442,206 @@ def ml_lift_gains_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "stat_mcnemar",
+    """
+    WITH base AS (
+        SELECT user_id,
+               CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 6))
+                    AS BIGINT) % 2 AS half,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        FROM events
+    ),
+    pairs AS (
+        SELECT user_id,
+               MAX(CASE WHEN half = 0 THEN conv ELSE 0 END) AS a0,
+               MAX(CASE WHEN half = 1 THEN conv ELSE 0 END) AS a1
+        FROM base GROUP BY user_id
+        HAVING COUNT(CASE WHEN half = 0 THEN 1 END) > 0
+           AND COUNT(CASE WHEN half = 1 THEN 1 END) > 0
+    ),
+    cells AS (
+        SELECT CAST(SUM(CASE WHEN a0 = 1 AND a1 = 0 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS b,
+               CAST(SUM(CASE WHEN a0 = 0 AND a1 = 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS c,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs
+    )
+    SELECT n_pairs, CAST(b AS BIGINT) AS b_discordant,
+           CAST(c AS BIGINT) AS c_discordant,
+           ROUND(CASE WHEN b + c = 0 THEN 0.0
+                      ELSE (b - c) * (b - c) / (b + c) END, 6)
+               AS mcnemar_chi2
+    FROM cells
+    """,
+)
+def stat_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes — the 2×2 marginal-
+    homogeneity check (did the conversion RATE change between the two
+    conditions each subject experienced), completing the paired corner
+    of the test family next to Wilcoxon's paired-continuous case. Only
+    the discordant cells matter: chi2(1df) = (b−c)²/(b+c). Per-user
+    pairing (converted in md5 half 0 vs half 1 — an A/A null here) is
+    one hash aggregate; the statistic is three scalars."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        (
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 6), 16, 10)
+            .cast("long")
+            % 2
+        ).alias("half"),
+        (F.col("event_type") == "purchase").cast("int").alias("conv"),
+    )
+    pairs = (
+        base.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("half") == 0, F.col("conv")).otherwise(0)).alias("a0"),
+            F.max(F.when(F.col("half") == 1, F.col("conv")).otherwise(0)).alias("a1"),
+            F.sum((F.col("half") == 0).cast("int")).alias("n0"),
+            F.sum((F.col("half") == 1).cast("int")).alias("n1"),
+        )
+        .filter((F.col("n0") > 0) & (F.col("n1") > 0))
+    )
+    cells = pairs.agg(
+        F.sum(((F.col("a0") == 1) & (F.col("a1") == 0)).cast("int"))
+        .cast("double")
+        .alias("b"),
+        F.sum(((F.col("a0") == 0) & (F.col("a1") == 1)).cast("int"))
+        .cast("double")
+        .alias("c"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    chi2 = F.when(F.col("b") + F.col("c") == 0, F.lit(0.0)).otherwise(
+        (F.col("b") - F.col("c"))
+        * (F.col("b") - F.col("c"))
+        / (F.col("b") + F.col("c"))
+    )
+    return cells.select(
+        "n_pairs",
+        F.col("b").cast("long").alias("b_discordant"),
+        F.col("c").cast("long").alias("c_discordant"),
+        F.round(chi2, 6).alias("mcnemar_chi2"),
+    )
+
+
+@query(
+    "ml_brier_murphy",
+    """
+    WITH base AS (
+        SELECT LEAST(GREATEST(value / 450.0, 0.0), 1.0) AS p,
+               CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS o
+        FROM events WHERE value IS NOT NULL
+    ),
+    binned AS (
+        SELECT CAST(LEAST(floor(p * 10), 9) AS INTEGER) AS bin, p, o
+        FROM base
+    ),
+    per AS (
+        SELECT bin, CAST(COUNT(*) AS DOUBLE) AS nk,
+               AVG(p) AS pk, AVG(o) AS ok_
+        FROM binned GROUP BY bin
+    ),
+    tot AS (
+        SELECT CAST(SUM(nk) AS DOUBLE) AS n,
+               SUM(nk * ok_) / SUM(nk) AS obar
+        FROM per
+    ),
+    parts AS (
+        SELECT SUM(per.nk * (per.pk - per.ok_) * (per.pk - per.ok_)) / t.n
+                   AS reliability,
+               SUM(per.nk * (per.ok_ - t.obar) * (per.ok_ - t.obar)) / t.n
+                   AS resolution,
+               t.obar * (1 - t.obar) AS uncertainty,
+               t.n AS n
+        FROM per, tot t GROUP BY t.n, t.obar
+    ),
+    brier AS (SELECT AVG((p - o) * (p - o)) AS bs FROM base)
+    SELECT CAST(parts.n AS BIGINT) AS n,
+           ROUND(brier.bs, 6) AS brier_score,
+           ROUND(parts.reliability, 6) AS reliability,
+           ROUND(parts.resolution, 6) AS resolution,
+           ROUND(parts.uncertainty, 6) AS uncertainty,
+           ROUND(parts.reliability - parts.resolution + parts.uncertainty,
+                 6) AS murphy_sum
+    FROM parts, brier
+    """,
+)
+def ml_brier_murphy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy decomposition (reliability −
+    resolution + uncertainty over 10 probability bins) — the proper
+    scoring rule that splits forecast error into calibration
+    (reliability: are the probabilities honest) and discrimination
+    (resolution: do they separate outcomes), the readout ECE/isotonic
+    calibration act on. Pseudo-probability = value/450 clamped, outcome
+    = purchase. One fact aggregate for the raw score + one 10-row bin
+    collapse for the decomposition; `murphy_sum` reports the
+    decomposition identity (equal to the binned Brier, differing from
+    the raw score only by within-bin variance — both engines agree on
+    all six scalars)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        F.least(F.greatest(F.col("value") / 450.0, F.lit(0.0)), F.lit(1.0)).alias(
+            "p"
+        ),
+        (F.col("event_type") == "purchase").cast("double").alias("o"),
+    )
+    binned = base.select(
+        F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("int").alias("bin"),
+        "p",
+        "o",
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("double").alias("nk"),
+        F.avg("p").alias("pk"),
+        F.avg("o").alias("ok_"),
+    )
+    tot = per.agg(
+        F.sum("nk").alias("n"),
+        (F.sum(F.col("nk") * F.col("ok_")) / F.sum("nk")).alias("obar"),
+    )
+    parts = (
+        per.crossJoin(F.broadcast(tot))
+        .groupBy("n", "obar")
+        .agg(
+            (
+                F.sum(
+                    F.col("nk")
+                    * (F.col("pk") - F.col("ok_"))
+                    * (F.col("pk") - F.col("ok_"))
+                )
+                / F.first("n")
+            ).alias("reliability"),
+            (
+                F.sum(
+                    F.col("nk")
+                    * (F.col("ok_") - F.col("obar"))
+                    * (F.col("ok_") - F.col("obar"))
+                )
+                / F.first("n")
+            ).alias("resolution"),
+        )
+        .select(
+            "n",
+            "reliability",
+            "resolution",
+            (F.col("obar") * (1 - F.col("obar"))).alias("uncertainty"),
+        )
+    )
+    brier = base.agg(
+        F.avg((F.col("p") - F.col("o")) * (F.col("p") - F.col("o"))).alias("bs")
+    )
+    return parts.crossJoin(F.broadcast(brier)).select(
+        F.col("n").cast("long").alias("n"),
+        F.round("bs", 6).alias("brier_score"),
+        F.round("reliability", 6).alias("reliability"),
+        F.round("resolution", 6).alias("resolution"),
+        F.round("uncertainty", 6).alias("uncertainty"),
+        F.round(
+            F.col("reliability") - F.col("resolution") + F.col("uncertainty"),
+            6,
+        ).alias("murphy_sum"),
+    )

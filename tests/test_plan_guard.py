@@ -247,7 +247,7 @@ R9_NEW_QUERIES = [
     "pipeline_dedup_ablation", "w_percent_rank_cume",
     "sim_pca_top_component", "ts_holt_winters",
     "stat_wilcoxon_signed_rank", "text_js_divergence", "stat_cohens_d",
-    "ml_lift_gains_curve",
+    "ml_lift_gains_curve", "stat_mcnemar", "ml_brier_murphy",
 ]
 R9_BNLJ_OK = {
     "stat_g_test",                  # r-marginal x c-marginal grid (bounded)
@@ -259,6 +259,7 @@ R9_BNLJ_OK = {
     "graph_degree_distribution",    # 1-row loglog-fit scalar broadcast
     "pipeline_dedup_ablation",      # 1-row vocab scalar per corpus side
     "ml_lift_gains_curve",          # 1-row decile-boundary broadcast
+    "ml_brier_murphy",              # 1-row totals + raw-score scalars
     "pack_unimax_allocation",       # 1-row budget scalar
     "ev_bayes_beta_binomial",       # scalar posterior terms
     "sim_binary_quant_topk",        # 1-row query signature broadcast
