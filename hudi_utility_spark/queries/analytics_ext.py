@@ -3044,3 +3044,97 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             state["l"] + state["b"] + F.element_at(state["s"], fc_slot), 4
         ).alias("forecast_next"),
     )
+
+
+@query(
+    "stat_runs_test",
+    """
+    WITH hourly AS (
+        SELECT CAST(epoch_us(date_trunc('hour', ts)) / 3600000000 AS BIGINT)
+                   AS hidx,
+               AVG(value) AS y
+        FROM events GROUP BY 1
+    ),
+    med AS (SELECT quantile_cont(y, 0.5) AS m FROM hourly),
+    signs AS (
+        SELECT hidx, CASE WHEN y > med.m THEN 1 ELSE 0 END AS s
+        FROM hourly, med WHERE y != med.m
+    ),
+    runs AS (
+        SELECT s,
+               CASE WHEN LAG(s) OVER (ORDER BY hidx) IS NULL
+                         OR LAG(s) OVER (ORDER BY hidx) != s
+                    THEN 1 ELSE 0 END AS new_run
+        FROM signs
+    ),
+    agg AS (
+        SELECT CAST(SUM(new_run) AS DOUBLE) AS r,
+               CAST(SUM(s) AS DOUBLE) AS n1,
+               CAST(SUM(1 - s) AS DOUBLE) AS n2
+        FROM runs
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_above, CAST(n2 AS BIGINT) AS n_below,
+           CAST(r AS BIGINT) AS n_runs,
+           ROUND((r - (2 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))), 6)
+               AS z_stat
+    FROM agg
+    """,
+)
+def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the hourly mean-value series
+    (above/below the exact median, median-ties dropped): too FEW runs
+    means positive autocorrelation or trend, too MANY means
+    oscillation — the randomness diagnostic that complements the ACF's
+    lag-by-lag view with one closed-form z. The sign sequence and the
+    run-start lag window live on the COLLAPSED hourly series; the
+    statistic is three scalars."""
+    from pyspark.sql import Window, functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn(
+            "hidx",
+            (
+                F.unix_micros(F.date_trunc("hour", F.col("ts")))
+                / F.lit(3_600_000_000)
+            ).cast("long"),
+        )
+        .groupBy("hidx")
+        .agg(F.avg("value").alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    med = hourly.agg(F.percentile("y", F.lit(0.5)).alias("m"))
+    signs = (
+        hourly.crossJoin(F.broadcast(med))
+        .filter(F.col("y") != F.col("m"))
+        .select("hidx", (F.col("y") > F.col("m")).cast("int").alias("s"))
+    )
+    w = Window.orderBy("hidx")
+    runs = signs.select(
+        "s",
+        F.when(
+            F.lag("s").over(w).isNull() | (F.lag("s").over(w) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("new_run").cast("double").alias("r"),
+        F.sum("s").cast("double").alias("n1"),
+        F.sum(1 - F.col("s")).cast("double").alias("n2"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mean = 2 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    )
+    return agg.select(
+        n1.cast("long").alias("n_above"),
+        n2.cast("long").alias("n_below"),
+        r.cast("long").alias("n_runs"),
+        F.round((r - mean) / F.sqrt(var), 6).alias("z_stat"),
+    )

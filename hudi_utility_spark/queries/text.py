@@ -1852,3 +1852,55 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jsd_nats"),
     )
+
+
+@query(
+    "text_hapax_profile",
+    f"""
+    WITH toks AS (
+        SELECT lang, t.w FROM (
+            SELECT lang, {_NB_NORM} AS ws FROM documents
+        ), LATERAL (SELECT unnest(ws) AS w) t
+        WHERE t.w != ''
+    ),
+    counts AS (SELECT lang, w, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+    SELECT lang,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio,
+           ROUND(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dis_ratio
+    FROM counts GROUP BY lang
+    """,
+)
+def text_hapax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomena profile per language: the share of vocabulary
+    seen exactly once (and exactly twice) — the vocabulary-growth
+    signal behind Good-Turing smoothing and the cheapest corpus-
+    authenticity check (generated/templated text collapses the hapax
+    tail; natural language holds it near 40-60%). One (lang, word)
+    count aggregate, per-language rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    from hudi_utility_spark.ops.text import normalized
+
+    toks = d.select(
+        "lang", F.explode(F.split(normalized(F.col("text")), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    counts = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum((F.col("c") == 1).cast("int")).cast("long").alias("hapax"),
+        F.round(
+            F.sum((F.col("c") == 1).cast("int"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("hapax_ratio"),
+        F.round(
+            F.sum((F.col("c") == 2).cast("int"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dis_ratio"),
+    )
