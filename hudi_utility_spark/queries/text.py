@@ -1904,3 +1904,112 @@ def text_hapax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dis_ratio"),
     )
+
+
+@query(
+    "text_heaps_law",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, t.w FROM (
+            SELECT doc_id, {_NB_NORM} AS ws FROM documents
+        ), LATERAL (SELECT unnest(ws) AS w) t
+        WHERE t.w != ''
+    ),
+    firsts AS (SELECT w, MIN(doc_id) AS first_doc FROM toks GROUP BY w),
+    dtok AS (SELECT doc_id, COUNT(*) AS nt FROM toks GROUP BY doc_id),
+    brow AS (
+        SELECT quantile_cont(doc_id, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                      0.6, 0.7, 0.8, 0.9, 1.0]) AS bs
+        FROM dtok
+    ),
+    bounds AS (
+        SELECT CAST(t.i AS INTEGER) AS k, brow.bs[t.i] AS b
+        FROM brow, LATERAL (SELECT unnest(generate_series(1, 10)) AS i) t
+    ),
+    vk AS (
+        SELECT b.k, CAST(COUNT(*) AS DOUBLE) AS v
+        FROM firsts f JOIN bounds b ON f.first_doc <= b.b
+        GROUP BY b.k
+    ),
+    nk AS (
+        SELECT b.k, CAST(SUM(d.nt) AS DOUBLE) AS n
+        FROM dtok d JOIN bounds b ON d.doc_id <= b.b
+        GROUP BY b.k
+    ),
+    pts AS (
+        SELECT vk.k, nk.n AS n, vk.v AS v, ln(nk.n) AS x, ln(vk.v) AS y
+        FROM vk JOIN nk ON vk.k = nk.k
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM pts
+    )
+    SELECT p.k,
+           CAST(p.n AS BIGINT) AS n_tokens,
+           CAST(p.v AS BIGINT) AS vocab,
+           ROUND((f.m * f.sxy - f.sx * f.sy)
+                 / (f.m * f.sxx - f.sx * f.sx), 6) AS heaps_beta,
+           ROUND(exp((f.sy - (f.m * f.sxy - f.sx * f.sy)
+                            / (f.m * f.sxx - f.sx * f.sx) * f.sx) / f.m),
+                 4) AS heaps_k
+    FROM pts p, fit f
+    """,
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V = K·N^beta of vocabulary growth — the
+    sublinear-growth constant that sizes tokenizer vocabularies and
+    detects templated corpora (natural text: beta ~0.4-0.6; template
+    farms flatten it), complementing the registered Zipf fit. NO
+    global ordering: growth checkpoints are doc_id DECILE BOUNDARIES
+    from one exact percentile aggregate, each word contributes via its
+    min-doc_id first occurrence, and cumulative (V, N) per checkpoint
+    come from a bounded 10-row boundary join — the same
+    boundaries-not-NTILE discipline as RFM/lift. beta/K from log-log
+    OLS sufficient stats over the 10 points, repeated per row."""
+    d = load_table(spark, sf_dir, "documents")
+    from hudi_utility_spark.ops.text import normalized
+
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(normalized(F.col("text")), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    firsts = toks.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    dtok = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
+    probs = F.array(*[F.lit(i / 10.0) for i in range(1, 11)])
+    brow = dtok.agg(F.percentile("doc_id", probs).alias("bs"))
+    bounds = brow.select(
+        F.posexplode("bs").alias("k0", "b")
+    ).select((F.col("k0") + 1).cast("int").alias("k"), "b")
+    vk = (
+        firsts.join(F.broadcast(bounds), F.col("first_doc") <= F.col("b"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+    )
+    nk = (
+        dtok.join(F.broadcast(bounds), F.col("doc_id") <= F.col("b"))
+        .groupBy("k")
+        .agg(F.sum("nt").cast("double").alias("n"))
+    )
+    pts = vk.join(nk, "k").select(
+        "k", "n", "v", F.log("n").alias("x"), F.log("v").alias("y")
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    beta = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    kconst = F.exp((F.col("sy") - beta * F.col("sx")) / F.col("m"))
+    return pts.crossJoin(F.broadcast(fit)).select(
+        "k",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("v").cast("long").alias("vocab"),
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(kconst, 4).alias("heaps_k"),
+    )

@@ -248,7 +248,7 @@ R9_NEW_QUERIES = [
     "sim_pca_top_component", "ts_holt_winters",
     "stat_wilcoxon_signed_rank", "text_js_divergence", "stat_cohens_d",
     "ml_lift_gains_curve", "stat_mcnemar", "ml_brier_murphy",
-    "stat_runs_test", "text_hapax_profile",
+    "stat_runs_test", "text_hapax_profile", "text_heaps_law",
 ]
 R9_BNLJ_OK = {
     "stat_g_test",                  # r-marginal x c-marginal grid (bounded)
@@ -262,6 +262,7 @@ R9_BNLJ_OK = {
     "ml_lift_gains_curve",          # 1-row decile-boundary broadcast
     "ml_brier_murphy",              # 1-row totals + raw-score scalars
     "stat_runs_test",               # 1-row exact-median scalar broadcast
+    "text_heaps_law",               # 10-row checkpoint-boundary join + fit scalars
     "pack_unimax_allocation",       # 1-row budget scalar
     "ev_bayes_beta_binomial",       # scalar posterior terms
     "sim_binary_quant_topk",        # 1-row query signature broadcast
