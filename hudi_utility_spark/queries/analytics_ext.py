@@ -3138,3 +3138,279 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.cast("long").alias("n_runs"),
         F.round((r - mean) / F.sqrt(var), 6).alias("z_stat"),
     )
+
+
+@query(
+    "stat_jarque_bera",
+    """
+    WITH base AS (
+        SELECT event_type, value AS v FROM events WHERE value IS NOT NULL
+    ),
+    mu AS (
+        SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n, AVG(v) AS mu
+        FROM base GROUP BY event_type
+    ),
+    cent AS (
+        SELECT b.event_type, MAX(m.n) AS n,
+               SUM((b.v - m.mu) * (b.v - m.mu)) AS c2,
+               SUM((b.v - m.mu) * (b.v - m.mu) * (b.v - m.mu)) AS c3,
+               SUM((b.v - m.mu) * (b.v - m.mu) * (b.v - m.mu)
+                   * (b.v - m.mu)) AS c4
+        FROM base b JOIN mu m ON b.event_type = m.event_type
+        GROUP BY b.event_type
+    ),
+    moments AS (
+        SELECT event_type, n,
+               (c3 / n) / pow(c2 / n, 1.5) AS skew,
+               (c4 / n) / pow(c2 / n, 2.0) AS kurt
+        FROM cent
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND(skew, 6) AS skewness,
+           ROUND(kurt, 6) AS kurtosis,
+           ROUND(n / 6.0 * (skew * skew + (kurt - 3) * (kurt - 3) / 4.0), 4)
+               AS jb_stat
+    FROM moments
+    """,
+)
+def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality statistic per event type — the
+    skewness/kurtosis-based omnibus test that tells which metric
+    distributions the z-based monitors (`ev_srm_check`, the CUPED
+    variance math) may legitimately assume Gaussian. TWO passes by
+    design: group means first, then CENTERED power sums — raw power
+    sums up to v^4 lose ~8 digits to cancellation and would hash-differ
+    between engines; centered sums are stable, so both engines agree at
+    6dp. Both passes are map-combinable hash aggregates (no window, no
+    sort); the group-mean relation joined back is |event_type|-sized
+    and broadcast."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.col("value").isNotNull()).select(
+        "event_type", F.col("value").alias("v")
+    )
+    mu = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("v").alias("mu")
+    )
+    dv = F.col("v") - F.col("mu")
+    cent = (
+        base.join(F.broadcast(mu), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(dv * dv).alias("c2"),
+            F.sum(dv * dv * dv).alias("c3"),
+            F.sum(dv * dv * dv * dv).alias("c4"),
+        )
+    )
+    n = F.col("n")
+    skew = (F.col("c3") / n) / F.pow(F.col("c2") / n, F.lit(1.5))
+    kurt = (F.col("c4") / n) / F.pow(F.col("c2") / n, F.lit(2.0))
+    return cent.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("kurtosis"),
+        F.round(
+            n / 6.0 * (skew * skew + (kurt - 3) * (kurt - 3) / 4.0), 4
+        ).alias("jb_stat"),
+    )
+
+
+@query(
+    "ts_forecast_accuracy",
+    """
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', o_orderdate) AS DATE))
+                   AS didx,
+               ROUND(SUM(o_totalprice), 4) AS y
+        FROM orders GROUP BY 1
+    ),
+    lags AS (
+        SELECT 'naive_lag1' AS model, 1 AS lag
+        UNION ALL SELECT 'seasonal_naive_lag7', 7
+    ),
+    scored AS (
+        SELECT l.model, a.y AS actual, b.y AS pred
+        FROM daily a JOIN lags l ON TRUE
+        JOIN daily b ON b.didx = a.didx - l.lag
+    ),
+    metrics AS (
+        SELECT model, CAST(COUNT(*) AS BIGINT) AS n_points,
+               AVG(abs(actual - pred)) AS mae,
+               sqrt(AVG((actual - pred) * (actual - pred))) AS rmse,
+               AVG(2.0 * abs(actual - pred)
+                   / (abs(actual) + abs(pred))) AS smape
+        FROM scored GROUP BY model
+    ),
+    ref AS (SELECT mae AS mae1 FROM metrics WHERE model = 'naive_lag1')
+    SELECT m.model, m.n_points,
+           ROUND(m.mae, 4) AS mae, ROUND(m.rmse, 4) AS rmse,
+           ROUND(m.smape, 6) AS smape,
+           ROUND(m.mae / r.mae1, 6) AS mase
+    FROM metrics m, ref r
+    """,
+)
+def ts_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy scoreboard (MAE / RMSE / sMAPE / MASE) for the
+    naive and seasonal-naive baselines on the daily-revenue series —
+    the yardstick every real forecaster (`ts_holt_linear`,
+    `ts_holt_winters`) must beat, and the standard MASE denominator.
+    Facts collapse to the bounded daily series first (one hash
+    aggregate, y rounded to 4dp on both engines so double sum order
+    can't leak into the metrics); each model is an EQUIJOIN of the
+    daily relation to itself on didx−lag (lag exploded from a 2-row
+    literal — never a range join); MASE divides by the broadcast
+    in-sample naive MAE scalar. Missing days simply produce no pair
+    (documented: accuracy over the observed grid)."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.datediff(
+                F.to_date(F.date_trunc("day", F.col("o_orderdate"))),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("didx")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    lags = daily.sparkSession.createDataFrame(
+        [("naive_lag1", 1), ("seasonal_naive_lag7", 7)], "model string, lag int"
+    )
+    scored = (
+        daily.crossJoin(F.broadcast(lags))
+        .withColumn("tgt", F.col("didx") - F.col("lag"))
+        .join(
+            daily.select(F.col("didx").alias("tgt"), F.col("y").alias("pred")),
+            "tgt",
+        )
+        .select("model", F.col("y").alias("actual"), "pred")
+    )
+    err = F.col("actual") - F.col("pred")
+    metrics = scored.groupBy("model").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.avg(F.abs(err)).alias("mae"),
+        F.sqrt(F.avg(err * err)).alias("rmse"),
+        F.avg(
+            2.0 * F.abs(err) / (F.abs(F.col("actual")) + F.abs(F.col("pred")))
+        ).alias("smape"),
+    )
+    ref = metrics.filter(F.col("model") == "naive_lag1").select(
+        F.col("mae").alias("mae1")
+    )
+    return metrics.crossJoin(F.broadcast(ref)).select(
+        "model",
+        "n_points",
+        F.round("mae", 4).alias("mae"),
+        F.round("rmse", 4).alias("rmse"),
+        F.round("smape", 6).alias("smape"),
+        F.round(F.col("mae") / F.col("mae1"), 6).alias("mase"),
+    )
+
+
+@query(
+    "ts_technical_indicators",
+    """
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', o_orderdate) AS DATE))
+                   AS didx,
+               ROUND(SUM(o_totalprice), 4) AS y
+        FROM orders GROUP BY 1
+    ),
+    deltas AS (
+        SELECT didx, y,
+               GREATEST(y - LAG(y) OVER (ORDER BY didx), 0) AS gain,
+               GREATEST(LAG(y) OVER (ORDER BY didx) - y, 0) AS loss
+        FROM daily
+    ),
+    ind AS (
+        SELECT didx, y,
+               ROW_NUMBER() OVER (ORDER BY didx) AS rn,
+               AVG(y) OVER w20 AS bb_mid,
+               STDDEV_SAMP(y) OVER w20 AS bb_sd,
+               AVG(gain) OVER w14 AS avg_gain,
+               AVG(loss) OVER w14 AS avg_loss
+        FROM deltas
+        WINDOW w20 AS (ORDER BY didx ROWS BETWEEN 19 PRECEDING
+                       AND CURRENT ROW),
+               w14 AS (ORDER BY didx ROWS BETWEEN 13 PRECEDING
+                       AND CURRENT ROW)
+    )
+    SELECT didx, y,
+           ROUND(bb_mid, 4) AS bb_mid,
+           ROUND(bb_mid + 2 * bb_sd, 4) AS bb_upper,
+           ROUND(bb_mid - 2 * bb_sd, 4) AS bb_lower,
+           ROUND((y - (bb_mid - 2 * bb_sd)) / (4 * bb_sd), 6) AS pct_b,
+           ROUND(CASE WHEN avg_loss = 0 THEN 100.0
+                      ELSE 100.0 - 100.0 / (1.0 + avg_gain / avg_loss)
+                 END, 6) AS rsi
+    FROM ind WHERE rn >= 21
+    """,
+)
+def ts_technical_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (20-day, ±2σ), %B position, and a 14-day
+    simple-average RSI over the daily-revenue series — the rolling
+    mean-reversion / momentum readouts behind `stat_anomaly_flags`'s
+    simpler z-score. Facts collapse to the bounded daily series FIRST
+    (days are calendar-bounded: ~2.5k rows at any SF, so the single
+    ordered window over the collapsed relation is the documented
+    collapse-then-window pattern, not a row-level sort); all frames are
+    ROWS-based so both engines agree exactly; rows before the first
+    full 20-day frame are dropped (rn >= 21 also guarantees every
+    LAG-based RSI frame is full). RSI uses the simple 14-day average
+    (Cutler's RSI), not Wilder's recursive smoothing — documented, and
+    exactly reproducible in one window on both engines."""
+    from pyspark.sql import Window, functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date(F.date_trunc("day", F.col("o_orderdate"))),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("didx")
+    ).agg(F.round(F.sum("o_totalprice"), 4).alias("y"))
+    ordw = Window.orderBy("didx")
+    w20 = ordw.rowsBetween(-19, 0)
+    w14 = ordw.rowsBetween(-13, 0)
+    deltas = daily.select(
+        "didx",
+        "y",
+        F.greatest(F.col("y") - F.lag("y").over(ordw), F.lit(0.0)).alias(
+            "gain"
+        ),
+        F.greatest(F.lag("y").over(ordw) - F.col("y"), F.lit(0.0)).alias(
+            "loss"
+        ),
+    )
+    ind = deltas.select(
+        "didx",
+        "y",
+        F.row_number().over(ordw).alias("rn"),
+        F.avg("y").over(w20).alias("bb_mid"),
+        F.stddev_samp("y").over(w20).alias("bb_sd"),
+        F.avg("gain").over(w14).alias("avg_gain"),
+        F.avg("loss").over(w14).alias("avg_loss"),
+    )
+    return ind.filter(F.col("rn") >= 21).select(
+        "didx",
+        "y",
+        F.round("bb_mid", 4).alias("bb_mid"),
+        F.round(F.col("bb_mid") + 2 * F.col("bb_sd"), 4).alias("bb_upper"),
+        F.round(F.col("bb_mid") - 2 * F.col("bb_sd"), 4).alias("bb_lower"),
+        F.round(
+            (F.col("y") - (F.col("bb_mid") - 2 * F.col("bb_sd")))
+            / (4 * F.col("bb_sd")),
+            6,
+        ).alias("pct_b"),
+        F.round(
+            F.when(F.col("avg_loss") == 0, 100.0).otherwise(
+                100.0 - 100.0 / (1.0 + F.col("avg_gain") / F.col("avg_loss"))
+            ),
+            6,
+        ).alias("rsi"),
+    )
