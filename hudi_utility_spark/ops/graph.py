@@ -313,3 +313,49 @@ def hits(
             "d",
         )
     return a.select(F.col("d").alias("node"), F.col("score").alias("authority"))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-hop single/multi-source BFS over a DIRECTED edge list:
+    returns (node, dist) with the minimum hop distance from any seed,
+    dist <= max_hops. ``seeds`` is a one-column DataFrame of node ids
+    (dist 0).
+
+    Physical shape: the edge relation is persisted once; each hop is
+    ONE equijoin of the current frontier against it (frontiers are
+    node-sized, so they ride a measured broadcast when small) followed
+    by an anti-join against the visited set — the visited/frontier
+    relations are localCheckpoint'd each round to cut the growing
+    lineage, the same fixed-round iterative discipline as
+    :func:`pagerank` / :func:`kcore`. Total work is O(max_hops * |E|)
+    worst-case, independent of walk explosion (contrast the oracle's
+    recursive-CTE twin whose UNION dedup bounds it the same way)."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).persist()
+    e.count()
+    visited = seeds.select(
+        F.col(seeds.columns[0]).alias("node"), F.lit(0).alias("dist")
+    ).localCheckpoint()
+    frontier = visited
+    try:
+        for hop in range(1, max_hops + 1):
+            nxt = (
+                frontier.join(e, frontier.node == e.s)
+                .select(F.col("d").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .select("node", F.lit(hop).alias("dist"))
+                .localCheckpoint()
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.union(nxt).localCheckpoint()
+            frontier = nxt
+        return visited
+    finally:
+        e.unpersist()

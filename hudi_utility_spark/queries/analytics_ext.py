@@ -3414,3 +3414,146 @@ def ts_technical_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rsi"),
     )
+
+
+@query(
+    "graph_clustering_coefficient",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (
+      SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+    ),
+    deg AS (SELECT u AS node, COUNT(*) AS degree FROM sym GROUP BY u),
+    tri AS (
+      SELECT node, COUNT(*) AS triangles FROM (
+        SELECT unnest([p1.u, p1.v, p2.v]) AS node
+        FROM pairs p1
+        JOIN pairs p2 ON p1.u = p2.u AND p1.v < p2.v
+        JOIN pairs p3 ON p3.u = p1.v AND p3.v = p2.v
+      ) GROUP BY node
+    )
+    SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+           CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+           ROUND(2.0 * COALESCE(t.triangles, 0)
+                 / (d.degree * (d.degree - 1)), 6) AS clustering_coef
+    FROM deg d LEFT JOIN tri t ON d.node = t.node
+    WHERE d.degree >= 2
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per part in the co-purchase graph
+    — 2T(v)/(deg(v)(deg(v)−1)), the community-tightness readout that
+    turns `graph_triangles_parts`'s raw counts into a comparable [0,1]
+    score. Same basket-HOF edge build; triangles via the degree-
+    oriented wedge algorithm (O(|E|^1.5) wedge work), degrees via one
+    hash aggregate over the symmetrized edges; one broadcast-eligible
+    join stitches them. Degree-1 nodes (coefficient undefined) are
+    excluded on both engines."""
+    from hudi_utility_spark.ops.graph import symmetrize, triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.src", "p.dst")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        symmetrize(pairs)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(pairs)
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0))
+            .cast("long")
+            .alias("triangles"),
+            F.round(
+                2.0
+                * F.coalesce(F.col("triangles"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("clustering_coef"),
+        )
+    )
+
+
+@query(
+    "graph_shortest_paths",
+    """
+    WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+    walk(node, dist) AS (
+        SELECT (SELECT MIN(u) FROM sym), 0
+        UNION
+        SELECT e.v, w.dist + 1
+        FROM walk w JOIN sym e ON e.u = w.node
+        WHERE w.dist < 4
+    )
+    SELECT node, CAST(MIN(dist) AS INTEGER) AS dist
+    FROM walk GROUP BY node
+    """,
+)
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop (<=4) BFS distances from the smallest part key in
+    the co-purchase graph (`ops/graph.py::bfs_hops`) — the reachability
+    primitive under blast-radius and recommendation-expansion queries.
+    Spark runs true frontier BFS: one equijoin + anti-join per hop
+    against the persisted edge relation, frontiers localCheckpoint'd,
+    O(hops * |E|) total. The oracle is the recursive-CTE twin whose
+    UNION dedup bounds it to distinct (node, dist) pairs — same answer,
+    and the textbook way to say it in SQL."""
+    from hudi_utility_spark.ops.graph import bfs_hops, symmetrize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.src", "p.dst")
+        .distinct()
+    )
+    sym = symmetrize(pairs)
+    seeds = sym.agg(F.min("src").alias("node"))
+    return bfs_hops(sym, seeds, max_hops=4).select(
+        "node", F.col("dist").cast("int").alias("dist")
+    )

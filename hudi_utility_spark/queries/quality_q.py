@@ -2645,3 +2645,102 @@ def ml_brier_murphy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("murphy_sum"),
     )
+
+
+@query(
+    "dq_referential_integrity",
+    """
+    SELECT fk_edge, child_rows, orphan_rows, orphan_rows = 0 AS ok
+    FROM (
+      SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS fk_edge,
+             (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL)
+                 AS child_rows,
+             (SELECT COUNT(*) FROM lineitem c
+              WHERE c.l_orderkey IS NOT NULL AND NOT EXISTS
+                (SELECT 1 FROM orders p WHERE p.o_orderkey = c.l_orderkey))
+                 AS orphan_rows
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part.p_partkey',
+             (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NOT NULL),
+             (SELECT COUNT(*) FROM lineitem c
+              WHERE c.l_partkey IS NOT NULL AND NOT EXISTS
+                (SELECT 1 FROM part p WHERE p.p_partkey = c.l_partkey))
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+             (SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NOT NULL),
+             (SELECT COUNT(*) FROM lineitem c
+              WHERE c.l_suppkey IS NOT NULL AND NOT EXISTS
+                (SELECT 1 FROM supplier p WHERE p.s_suppkey = c.l_suppkey))
+      UNION ALL
+      SELECT 'orders.o_custkey->customer.c_custkey',
+             (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL),
+             (SELECT COUNT(*) FROM orders c
+              WHERE c.o_custkey IS NOT NULL AND NOT EXISTS
+                (SELECT 1 FROM customer p WHERE p.c_custkey = c.o_custkey))
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation.n_nationkey',
+             (SELECT COUNT(*) FROM customer WHERE c_nationkey IS NOT NULL),
+             (SELECT COUNT(*) FROM customer c
+              WHERE c.c_nationkey IS NOT NULL AND NOT EXISTS
+                (SELECT 1 FROM nation p WHERE p.n_nationkey = c.c_nationkey))
+      UNION ALL
+      SELECT 'supplier.s_nationkey->nation.n_nationkey',
+             (SELECT COUNT(*) FROM supplier WHERE s_nationkey IS NOT NULL),
+             (SELECT COUNT(*) FROM supplier c
+              WHERE c.s_nationkey IS NOT NULL AND NOT EXISTS
+                (SELECT 1 FROM nation p WHERE p.n_nationkey = c.s_nationkey))
+      UNION ALL
+      SELECT 'nation.n_regionkey->region.r_regionkey',
+             (SELECT COUNT(*) FROM nation WHERE n_regionkey IS NOT NULL),
+             (SELECT COUNT(*) FROM nation c
+              WHERE c.n_regionkey IS NOT NULL AND NOT EXISTS
+                (SELECT 1 FROM region p WHERE p.r_regionkey = c.n_regionkey))
+    )
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge of the star
+    schema: child row count + orphan count (child key with no parent)
+    per edge — the whole-schema generalization of `j1_missing_partitions`'
+    single-edge anti-join, and the first gate a 100 TB ingest should
+    run after `dq_constraint_report`'s single-table checks. Each edge
+    is ONE left-anti join: dimension parents (region/nation/customer/
+    supplier/part) broadcast; the lineitem->orders edge is the one
+    genuine shuffle and AQE plans it. NULL FKs are not orphans
+    (SQL FK semantics) — counted in child_rows, excluded from
+    orphan_rows."""
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    big_parents = {"orders"}
+    out = None
+    for child, fk, parent, pk in edges:
+        c = load_table(spark, sf_dir, child).filter(
+            F.col(fk).isNotNull()
+        ).select(F.col(fk).alias("k"))
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        if parent not in big_parents:
+            p = F.broadcast(p)
+        row = (
+            c.join(p, "k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("orphan_rows"))
+            .crossJoin(
+                F.broadcast(
+                    c.agg(F.count(F.lit(1)).alias("child_rows"))
+                )
+            )
+            .select(
+                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("fk_edge"),
+                "child_rows",
+                "orphan_rows",
+                (F.col("orphan_rows") == 0).alias("ok"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

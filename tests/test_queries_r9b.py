@@ -49,3 +49,108 @@ def test_jarque_bera_symmetric_two_point(spark):
         assert abs(r["skewness"]) < 1e-9
         assert abs(r["kurtosis"] - 1.0) < 1e-9
         assert abs(r["jb_stat"] - 100 / 6.0 * ((1 - 3) ** 2 / 4.0)) < 1e-3
+
+
+def test_bfs_hops_hand_graph(spark):
+    # path graph 1-2-3-4-5-6 seeded at 1: dist = node-1, capped at 4 hops
+    from hudi_utility_spark.ops.graph import bfs_hops, symmetrize
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_hops(symmetrize(edges), seeds, max_hops=4).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}  # node 6 is 5 hops: cut
+
+
+def test_bfs_hops_takes_min_over_branches(spark):
+    # cycle 1-2-3-4-1: node 3 reachable both ways at dist 2
+    from hudi_utility_spark.ops.graph import bfs_hops, symmetrize
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_hops(symmetrize(edges), seeds, max_hops=4).collect()
+    }
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_clustering_coefficient_triangle_plus_tail(spark, tmp_path):
+    # K3 {1,2,3} plus tail 3-4: cc(1)=cc(2)=1, cc(3)=2*1/(3*2)=1/3,
+    # node 4 has degree 1 -> excluded
+    import pandas as pd
+
+    orders = [(1, 1), (1, 2), (2, 2), (2, 3), (3, 1), (3, 3), (4, 3), (4, 4)]
+    pd.DataFrame(orders, columns=["l_orderkey", "l_partkey"]).to_parquet(
+        tmp_path / "lineitem.parquet"
+    )
+    from hudi_utility_spark.queries import QUERIES
+
+    rows = {
+        r["node"]: r
+        for r in QUERIES["graph_clustering_coefficient"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["clustering_coef"] == 1.0
+    assert rows[2]["clustering_coef"] == 1.0
+    assert abs(rows[3]["clustering_coef"] - round(1 / 3, 6)) < 1e-9
+
+
+def test_referential_integrity_clean_corpus(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+
+    rows = QUERIES["dq_referential_integrity"](spark, sf_dir).collect()
+    assert len(rows) == 7
+    # the driver-generated corpus is referentially clean
+    assert all(r["ok"] for r in rows)
+    assert all(r["child_rows"] > 0 for r in rows)
+
+
+def test_referential_integrity_flags_injected_orphan(spark, tmp_path):
+    # minimal 7-table scratch corpus: one lineitem points at order 999
+    # (orphan), one customer at nation 42 (orphan); NULL FK is NOT an
+    # orphan but still counts as a child row
+    import pandas as pd
+
+    t = {
+        "region": pd.DataFrame({"r_regionkey": [0], "r_name": ["r"]}),
+        "nation": pd.DataFrame(
+            {"n_nationkey": [0], "n_name": ["n"], "n_regionkey": [0]}
+        ),
+        "customer": pd.DataFrame(
+            {"c_custkey": [1, 2], "c_nationkey": [0, 42]}
+        ),
+        "supplier": pd.DataFrame({"s_suppkey": [1], "s_nationkey": [0]}),
+        "part": pd.DataFrame({"p_partkey": [1]}),
+        "orders": pd.DataFrame({"o_orderkey": [1], "o_custkey": [1]}),
+        "lineitem": pd.DataFrame(
+            {
+                "l_orderkey": pd.array([1, 999, None], dtype="Int64"),
+                "l_partkey": [1, 1, 1],
+                "l_suppkey": [1, 1, 1],
+            }
+        ),
+    }
+    for name, df in t.items():
+        df.to_parquet(tmp_path / f"{name}.parquet")
+    from hudi_utility_spark.queries import QUERIES
+
+    rows = {
+        r["fk_edge"]: r
+        for r in QUERIES["dq_referential_integrity"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    lo = rows["lineitem.l_orderkey->orders.o_orderkey"]
+    assert lo["child_rows"] == 2 and lo["orphan_rows"] == 1 and not lo["ok"]
+    cn = rows["customer.c_nationkey->nation.n_nationkey"]
+    assert cn["orphan_rows"] == 1 and not cn["ok"]
+    assert rows["lineitem.l_partkey->part.p_partkey"]["ok"]
