@@ -3557,3 +3557,257 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(sym, seeds, max_hops=4).select(
         "node", F.col("dist").cast("int").alias("dist")
     )
+
+
+@query(
+    "stat_kendall_tau",
+    """
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', o_orderdate) AS DATE))
+                   AS didx,
+               CAST(COUNT(*) AS DOUBLE) AS x,
+               ROUND(SUM(o_totalprice), 4) AS y
+        FROM orders GROUP BY 1
+    ),
+    pairs AS (
+        SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END
+                   AS conc,
+               CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END
+                   AS disc
+        FROM daily a JOIN daily b ON a.didx < b.didx
+    ),
+    cd AS (
+        SELECT CAST(SUM(conc) AS DOUBLE) AS c, CAST(SUM(disc) AS DOUBLE) AS d
+        FROM pairs
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM daily),
+    tx AS (SELECT SUM(t * (t - 1) / 2.0) AS n1
+           FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM daily GROUP BY x)),
+    ty AS (SELECT SUM(t * (t - 1) / 2.0) AS n2
+           FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM daily GROUP BY y))
+    SELECT CAST(n.n AS BIGINT) AS n_days,
+           CAST(cd.c AS BIGINT) AS concordant,
+           CAST(cd.d AS BIGINT) AS discordant,
+           ROUND((cd.c - cd.d)
+                 / sqrt((n.n * (n.n - 1) / 2.0 - tx.n1)
+                        * (n.n * (n.n - 1) / 2.0 - ty.n2)), 6) AS tau_b
+    FROM cd, n, tx, ty
+    """,
+)
+def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b (tie-corrected) between daily order count and
+    daily revenue — the rank-correlation that complements
+    `stat_spearman_trend` with a concordance interpretation and full
+    tie handling. Facts collapse to the CALENDAR-BOUNDED daily series
+    first (~2.5k rows at any SF); the pairwise pass is a broadcast
+    nested-loop over that collapsed relation (<= ~3M cheap predicate
+    evaluations — bounded by the calendar, never by table size), the
+    same documented collapse-then-quadratic pattern as the oracle.
+    Tie terms n1/n2 come from two hash aggregates over the same
+    relation."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.datediff(
+                F.to_date(F.date_trunc("day", F.col("o_orderdate"))),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("didx")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("x"),
+            F.round(F.sum("o_totalprice"), 4).alias("y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    b = daily.select(
+        F.col("didx").alias("didx2"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    prod = (F.col("x") - F.col("x2")) * (F.col("y") - F.col("y2"))
+    cd = (
+        daily.join(F.broadcast(b), F.col("didx") < F.col("didx2"))
+        .agg(
+            F.sum(F.when(prod > 0, 1).otherwise(0)).cast("double").alias("c"),
+            F.sum(F.when(prod < 0, 1).otherwise(0)).cast("double").alias("d"),
+        )
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    tie = lambda col, alias: (
+        daily.groupBy(col)
+        .agg(F.count(F.lit(1)).cast("double").alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2.0).alias(alias))
+    )
+    out = (
+        cd.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(tie("x", "n1")))
+        .crossJoin(F.broadcast(tie("y", "n2")))
+    )
+    n0 = F.col("n") * (F.col("n") - 1) / 2.0
+    return out.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("c").cast("long").alias("concordant"),
+        F.col("d").cast("long").alias("discordant"),
+        F.round(
+            (F.col("c") - F.col("d"))
+            / F.sqrt((n0 - F.col("n1")) * (n0 - F.col("n2"))),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+@query(
+    "stat_ljung_box",
+    """
+    WITH hourly AS (
+        SELECT CAST(epoch_us(date_trunc('hour', ts)) / 3600000000 AS BIGINT)
+                   AS hidx,
+               AVG(value) AS y
+        FROM events GROUP BY 1
+    ),
+    mu AS (SELECT AVG(y) AS mu, CAST(COUNT(*) AS DOUBLE) AS n FROM hourly),
+    dev AS (SELECT hidx, y - m.mu AS dv FROM hourly, mu m),
+    den AS (SELECT SUM(dv * dv) AS den FROM dev),
+    lags AS (SELECT CAST(range AS INTEGER) AS lag FROM range(1, 13)),
+    acf AS (
+        SELECT l.lag, SUM(a.dv * b.dv) / MAX(dn.den) AS rho
+        FROM dev a JOIN lags l ON TRUE
+        JOIN dev b ON b.hidx = a.hidx + l.lag, den dn
+        GROUP BY l.lag
+    )
+    SELECT lag, ROUND(rho, 6) AS acf,
+           ROUND(MAX(m.n) * (MAX(m.n) + 2)
+                 * SUM(rho * rho / (MAX(m.n) - lag))
+                       OVER (ORDER BY lag
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW), 4) AS q_stat
+    FROM acf, mu m
+    GROUP BY lag, rho
+    """,
+)
+def stat_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau statistic Q(h) for h = 1..12 on the hourly
+    mean-value series — turns `ts_acf_profile`'s lag-by-lag view into
+    ONE cumulative whiteness test (Q ~ chi2(h) under the null), the
+    standard residual-autocorrelation gate after fitting
+    `ts_holt_linear`-style smoothers. Same collapsed-series equijoin
+    ACF build (lags exploded from a 12-element sequence); the
+    cumulative sum runs over the 12-row ACF relation."""
+    from pyspark.sql import Window, functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn(
+            "hidx",
+            (
+                F.unix_micros(F.date_trunc("hour", F.col("ts")))
+                / F.lit(3_600_000_000)
+            ).cast("long"),
+        )
+        .groupBy("hidx")
+        .agg(F.avg("value").alias("y"))
+    )
+    mu = hourly.agg(
+        F.avg("y").alias("mu"), F.count(F.lit(1)).cast("double").alias("n")
+    )
+    dev = (
+        hourly.crossJoin(F.broadcast(mu))
+        .select("hidx", (F.col("y") - F.col("mu")).alias("dv"))
+        .localCheckpoint(eager=False)
+    )
+    den = dev.agg(F.sum(F.col("dv") * F.col("dv")).alias("den"))
+    a = dev.select(
+        "hidx", "dv", F.explode(F.sequence(F.lit(1), F.lit(12))).alias("lag")
+    ).withColumn("tgt", F.col("hidx") + F.col("lag"))
+    acf = (
+        a.join(dev.select(F.col("hidx").alias("tgt"), F.col("dv").alias("dv2")), "tgt")
+        .groupBy("lag")
+        .agg(F.sum(F.col("dv") * F.col("dv2")).alias("num"))
+        .crossJoin(F.broadcast(den))
+        .select("lag", (F.col("num") / F.col("den")).alias("rho"))
+    )
+    w = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        acf.crossJoin(F.broadcast(mu.select("n")))
+        .select(
+            "lag",
+            F.round("rho", 6).alias("acf"),
+            F.round(
+                F.col("n")
+                * (F.col("n") + 2)
+                * F.sum(
+                    F.col("rho") * F.col("rho") / (F.col("n") - F.col("lag"))
+                ).over(w),
+                4,
+            ).alias("q_stat"),
+        )
+    )
+
+
+@query(
+    "stat_grubbs_outlier",
+    """
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', o_orderdate) AS DATE))
+                   AS didx,
+               ROUND(SUM(o_totalprice), 4) AS y
+        FROM orders GROUP BY 1
+    ),
+    st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(y) AS mu,
+               STDDEV_SAMP(y) AS sd
+        FROM daily
+    ),
+    ranked AS (
+        SELECT d.didx, d.y, ROUND(abs(d.y - s.mu), 4) AS dev,
+               s.n, s.mu, s.sd
+        FROM daily d, st s
+        ORDER BY ROUND(abs(d.y - s.mu), 4) DESC, d.didx ASC
+        LIMIT 1
+    )
+    SELECT n AS n_days, ROUND(mu, 4) AS mean_y, ROUND(sd, 4) AS sd_y,
+           didx AS worst_didx, y AS worst_y,
+           ROUND(dev / sd, 6) AS g_stat
+    FROM ranked
+    """,
+)
+def stat_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' outlier statistic G = max|y - mu| / s over the daily
+    revenue series, plus the offending day — the single-worst-point
+    test behind `stat_anomaly_flags`' per-row z-scores. Stats are one
+    aggregate over the collapsed calendar-bounded series; the argmax
+    ranks on the 4dp-ROUNDED deviation with didx as tiebreak (the
+    round-before-rank discipline, so ulp-level mean drift between
+    engines can't flip the winner)."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date(F.date_trunc("day", F.col("o_orderdate"))),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("didx")
+    ).agg(F.round(F.sum("o_totalprice"), 4).alias("y"))
+    st = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("y").alias("mu"),
+        F.stddev_samp("y").alias("sd"),
+    )
+    ranked = (
+        daily.crossJoin(F.broadcast(st))
+        .withColumn("dev", F.round(F.abs(F.col("y") - F.col("mu")), 4))
+        .orderBy(F.desc("dev"), F.asc("didx"))
+        .limit(1)
+    )
+    return ranked.select(
+        F.col("n").alias("n_days"),
+        F.round("mu", 4).alias("mean_y"),
+        F.round("sd", 4).alias("sd_y"),
+        F.col("didx").alias("worst_didx"),
+        F.col("y").alias("worst_y"),
+        F.round(F.col("dev") / F.col("sd"), 6).alias("g_stat"),
+    )

@@ -2013,3 +2013,291 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(beta, 6).alias("heaps_beta"),
         F.round(kconst, 4).alias("heaps_k"),
     )
+
+
+_LANGID_PRED = r"""w AS (
+      SELECT doc_id, lang,
+             list_transform(string_split_regex(trim(text), '\s+'),
+                            x -> lower(x)) AS words
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             len(list_intersect(words, ['the','and','of','to','a','in','is'])) AS s_en,
+             len(list_intersect(words, ['el','la','de','que','y','los'])) AS s_es,
+             len(list_intersect(words, ['le','la','et','les','des','une'])) AS s_fr,
+             len(list_intersect(words, ['der','die','und','das','ist','ein'])) AS s_de,
+             len(list_intersect(words, ['de5','shi4','le5'])) AS s_zh
+      FROM w
+    ), pred AS (
+      SELECT lang, CASE
+               WHEN greatest(s_en,s_es,s_fr,s_de,s_zh) = 0 THEN 'und'
+               WHEN s_zh = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'zh'
+               WHEN s_fr = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'fr'
+               WHEN s_es = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'es'
+               WHEN s_en = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'en'
+               ELSE 'de'
+             END AS lang_pred
+      FROM scored
+    )"""
+
+
+@query(
+    "ml_classification_report",
+    f"""
+    WITH {_LANGID_PRED},
+    conf AS (
+        SELECT lang, lang_pred, CAST(COUNT(*) AS DOUBLE) AS n
+        FROM pred GROUP BY lang, lang_pred
+    ),
+    per_true AS (
+        SELECT lang AS label, SUM(n) AS support,
+               SUM(CASE WHEN lang_pred = lang THEN n ELSE 0 END) AS tp
+        FROM conf GROUP BY lang
+    ),
+    per_pred AS (
+        SELECT lang_pred AS label, SUM(n) AS predicted FROM conf
+        GROUP BY lang_pred
+    ),
+    cls AS (
+        SELECT t.label, t.support, t.tp,
+               COALESCE(p.predicted, 0) AS predicted,
+               CASE WHEN COALESCE(p.predicted, 0) = 0 THEN 0.0
+                    ELSE t.tp / p.predicted END AS prec,
+               t.tp / t.support AS rec
+        FROM per_true t LEFT JOIN per_pred p ON t.label = p.label
+    )
+    SELECT label, CAST(support AS BIGINT) AS support,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(predicted - tp AS BIGINT) AS fp,
+           CAST(support - tp AS BIGINT) AS fn,
+           ROUND(prec, 6) AS precision,
+           ROUND(rec, 6) AS recall,
+           ROUND(CASE WHEN prec + rec = 0 THEN 0.0
+                      ELSE 2 * prec * rec / (prec + rec) END, 6) AS f1
+    FROM cls
+    UNION ALL
+    SELECT '__macro__', CAST(SUM(support) AS BIGINT), CAST(SUM(tp) AS BIGINT),
+           CAST(SUM(predicted - tp) AS BIGINT),
+           CAST(SUM(support - tp) AS BIGINT),
+           ROUND(AVG(prec), 6), ROUND(AVG(rec), 6),
+           ROUND(AVG(CASE WHEN prec + rec = 0 THEN 0.0
+                          ELSE 2 * prec * rec / (prec + rec) END), 6)
+    FROM cls
+    """,
+)
+def ml_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 + a macro-average row for the
+    stopword-marker language classifier — the scikit-learn-style
+    classification report that turns `text_langid_confusion`'s raw
+    matrix into decision-ready metrics. Everything after the map-only
+    scoring pass operates on the CONFUSION relation (|langs|² rows):
+    two matrix-sized aggregates and one broadcast join; 'und'
+    predictions count as false negatives of their true class (no 'und'
+    truth row), exactly as the oracle says it."""
+    d = load_table(spark, sf_dir, "documents")
+    conf = (
+        X.language_id(d)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    per_true = conf.groupBy(F.col("lang").alias("label")).agg(
+        F.sum("n").alias("support"),
+        F.sum(F.when(F.col("lang_pred") == F.col("lang"), F.col("n")).otherwise(0.0)).alias("tp"),
+    )
+    per_pred = conf.groupBy(F.col("lang_pred").alias("label")).agg(
+        F.sum("n").alias("predicted")
+    )
+    prec = F.when(F.coalesce(F.col("predicted"), F.lit(0.0)) == 0, 0.0).otherwise(
+        F.col("tp") / F.col("predicted")
+    )
+    rec = F.col("tp") / F.col("support")
+    cls = (
+        per_true.join(F.broadcast(per_pred), "label", "left")
+        .select(
+            "label",
+            "support",
+            "tp",
+            F.coalesce(F.col("predicted"), F.lit(0.0)).alias("predicted"),
+            prec.alias("prec"),
+            rec.alias("rec"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    f1 = F.when(F.col("prec") + F.col("rec") == 0, 0.0).otherwise(
+        2 * F.col("prec") * F.col("rec") / (F.col("prec") + F.col("rec"))
+    )
+    per_class = cls.select(
+        "label",
+        F.col("support").cast("long").alias("support"),
+        F.col("tp").cast("long").alias("tp"),
+        (F.col("predicted") - F.col("tp")).cast("long").alias("fp"),
+        (F.col("support") - F.col("tp")).cast("long").alias("fn"),
+        F.round("prec", 6).alias("precision"),
+        F.round("rec", 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+    macro = cls.agg(
+        F.lit("__macro__").alias("label"),
+        F.sum("support").cast("long").alias("support"),
+        F.sum("tp").cast("long").alias("tp"),
+        F.sum(F.col("predicted") - F.col("tp")).cast("long").alias("fp"),
+        F.sum(F.col("support") - F.col("tp")).cast("long").alias("fn"),
+        F.round(F.avg("prec"), 6).alias("precision"),
+        F.round(F.avg("rec"), 6).alias("recall"),
+        F.round(F.avg(f1), 6).alias("f1"),
+    )
+    return per_class.unionByName(macro)
+
+
+@query(
+    "text_good_turing",
+    f"""
+    WITH grams AS (
+        SELECT unnest(list_transform(
+                   range(1, len({_BP_TOKS}) - 1),
+                   i -> {_BP_TOKS}[i] || ' ' || {_BP_TOKS}[i+1] || ' '
+                        || {_BP_TOKS}[i+2])) AS token
+        FROM documents WHERE len({_BP_TOKS}) >= 3
+    ),
+    vocab AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS r FROM grams
+              GROUP BY token),
+    tot AS (SELECT SUM(r) AS n_tokens FROM vocab),
+    coc AS (SELECT r, CAST(COUNT(*) AS DOUBLE) AS n_r FROM vocab
+            WHERE r <= 11 GROUP BY r)
+    SELECT CAST(a.r AS BIGINT) AS r,
+           CAST(a.n_r AS BIGINT) AS n_types,
+           ROUND((a.r + 1) * COALESCE(b.n_r, 0) / a.n_r, 6) AS gt_count,
+           ROUND(a.r * a.n_r / t.n_tokens, 6) AS mle_mass
+    FROM coc a LEFT JOIN coc b ON b.r = a.r + 1, tot t
+    WHERE a.r <= 10
+    """,
+)
+def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing count-of-counts profile for TRIGRAM frequencies r =
+    1..10: N_r type counts, the GT-adjusted count r* = (r+1)N_{{r+1}}/N_r,
+    and the MLE probability mass at each r — the smoothing table under
+    `text_kneser_ney`'s discounts and the standard unseen-mass estimate
+    (r*=0 rows mean the corpus saturates that count). Trigrams, not
+    unigrams: the synthetic corpus' 31-word vocabulary has no sparse
+    unigram counts, while trigram types live exactly in the GT regime.
+    One corpus gram aggregate collapses to the Zipf-bounded gram vocab, a second collapses
+    vocab to <= 11 count-of-count rows; the r+1 lookup is a self-join
+    on that 11-row relation."""
+    d = load_table(spark, sf_dir, "documents")
+    ts = F.filter(F.split(X.normalized(F.col("text")), " "), lambda t: t != "")
+    grams = d.select(ts.alias("ts")).filter(F.size("ts") >= 3).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ts") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("ts"), i + 1),
+                    F.element_at(F.col("ts"), i + 2),
+                    F.element_at(F.col("ts"), i + 3),
+                ),
+            )
+        ).alias("token")
+    )
+    vocab = grams.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("r")
+    )
+    tot = vocab.agg(F.sum("r").alias("n_tokens"))
+    coc = (
+        vocab.filter(F.col("r") <= 11)
+        .groupBy("r")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_r"))
+        .localCheckpoint(eager=False)
+    )
+    nxt = coc.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
+    return (
+        coc.filter(F.col("r") <= 10)
+        .join(F.broadcast(nxt), "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r").cast("long").alias("r"),
+            F.col("n_r").cast("long").alias("n_types"),
+            F.round(
+                (F.col("r") + 1) * F.coalesce(F.col("n_r1"), F.lit(0.0))
+                / F.col("n_r"),
+                6,
+            ).alias("gt_count"),
+            F.round(F.col("r") * F.col("n_r") / F.col("n_tokens"), 6).alias(
+                "mle_mass"
+            ),
+        )
+    )
+
+
+@query(
+    "text_ngram_novelty",
+    f"""
+    WITH grams AS (
+        SELECT doc_id, (doc_id % 10) = 7 AS holdout,
+               unnest(list_transform(
+                   range(1, len({_BP_TOKS}) - 1),
+                   i -> {_BP_TOKS}[i] || ' ' || {_BP_TOKS}[i+1] || ' '
+                        || {_BP_TOKS}[i+2])) AS gram
+        FROM documents
+        WHERE len({_BP_TOKS}) >= 3
+    ),
+    train AS (SELECT DISTINCT gram FROM grams WHERE NOT holdout),
+    held AS (
+        SELECT doc_id, gram,
+               CASE WHEN t.gram IS NULL THEN 1 ELSE 0 END AS novel
+        FROM (SELECT doc_id, gram FROM grams WHERE holdout) h
+        LEFT JOIN train t USING (gram)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(novel) AS BIGINT) AS novel_grams,
+           ROUND(SUM(novel) * 1.0 / COUNT(*), 6) AS novelty_rate
+    FROM held GROUP BY doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram novelty rate of the holdout split (doc_id % 10 == 7)
+    against the training split's trigram set — the memorization /
+    contamination readout for eval construction: a holdout doc whose
+    trigrams all appear in training is not testing generalization
+    (complements `text_decontaminate`, which matches eval N-grams
+    exactly; novelty measures the DEGREE). The training set collapses
+    to distinct trigrams (one shuffle), the probe is a left join on the
+    trigram key — hash-partitioned both sides, no broadcast assumption,
+    so it survives a corpus where the training gram set dwarfs
+    memory."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(X.normalized(F.col("text")), " "), lambda t: t != "")
+    base = d.select(
+        "doc_id", (F.col("doc_id") % 10 == 7).alias("holdout"), toks.alias("ts")
+    ).filter(F.size("ts") >= 3)
+    grams = base.select(
+        "doc_id",
+        "holdout",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ts") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("ts"), i + 1),
+                    F.element_at(F.col("ts"), i + 2),
+                    F.element_at(F.col("ts"), i + 3),
+                ),
+            )
+        ).alias("gram"),
+    )
+    train = grams.filter(~F.col("holdout")).select("gram").distinct()
+    held = grams.filter(F.col("holdout")).select("doc_id", "gram")
+    joined = held.join(
+        train.withColumn("seen", F.lit(1)), "gram", "left"
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0)).alias(
+            "novel_grams"
+        ),
+        F.round(
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("novelty_rate"),
+    )

@@ -154,3 +154,62 @@ def test_referential_integrity_flags_injected_orphan(spark, tmp_path):
     cn = rows["customer.c_nationkey->nation.n_nationkey"]
     assert cn["orphan_rows"] == 1 and not cn["ok"]
     assert rows["lineitem.l_partkey->part.p_partkey"]["ok"]
+
+
+def test_kendall_tau_perfect_and_reversed(spark, tmp_path):
+    # x and y strictly increasing together across days -> tau_b = 1
+    import pandas as pd
+
+    days = pd.to_datetime([f"2024-01-{d:02d}" for d in range(1, 11)])
+    rows = []
+    for i, d in enumerate(days):
+        for j in range(i + 1):  # day i has i+1 orders
+            rows.append((len(rows), d, 10.0 * (i + 1) + j * 0.0))
+    pd.DataFrame(rows, columns=["o_orderkey", "o_orderdate", "o_totalprice"]).to_parquet(
+        tmp_path / "orders.parquet"
+    )
+    from hudi_utility_spark.queries import QUERIES
+
+    r = QUERIES["stat_kendall_tau"](spark, str(tmp_path)).collect()[0]
+    assert r["n_days"] == 10
+    assert r["discordant"] == 0
+    assert abs(r["tau_b"] - 1.0) < 1e-9
+
+
+def test_classification_report_macro_consistent(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+
+    rows = QUERIES["ml_classification_report"](spark, sf_dir).collect()
+    per = [r for r in rows if r["label"] != "__macro__"]
+    macro = [r for r in rows if r["label"] == "__macro__"][0]
+    assert macro["support"] == sum(r["support"] for r in per)
+    assert macro["tp"] == sum(r["tp"] for r in per)
+    for r in per:
+        assert 0 <= r["precision"] <= 1 and 0 <= r["recall"] <= 1
+        assert r["support"] == r["tp"] + r["fn"]
+    assert abs(macro["f1"] - round(sum(r["f1"] for r in per) / len(per), 6)) < 1e-4
+
+
+def test_good_turing_identities(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+
+    rows = {r["r"]: r for r in QUERIES["text_good_turing"](spark, sf_dir).collect()}
+    assert rows, "expected sparse trigram counts"
+    # MLE mass at r is r*N_r/N: positive, and sums to <= 1 over r<=10
+    assert sum(r["mle_mass"] for r in rows.values()) <= 1.0 + 1e-6
+    for r, row in rows.items():
+        assert row["n_types"] > 0
+        if r + 1 in rows:
+            expect = (r + 1) * rows[r + 1]["n_types"] / row["n_types"]
+            assert abs(row["gt_count"] - round(expect, 6)) < 1e-6
+
+
+def test_ngram_novelty_bounds(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+
+    rows = QUERIES["text_ngram_novelty"](spark, sf_dir).collect()
+    assert rows, "holdout split must be non-empty"
+    for r in rows:
+        assert r["doc_id"] % 10 == 7
+        assert 0 <= r["novel_grams"] <= r["n_grams"]
+        assert abs(r["novelty_rate"] - round(r["novel_grams"] / r["n_grams"], 6)) < 1e-9
