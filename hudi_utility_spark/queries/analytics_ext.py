@@ -3811,3 +3811,370 @@ def stat_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").alias("worst_y"),
         F.round(F.col("dev") / F.col("sd"), 6).alias("g_stat"),
     )
+
+
+@query(
+    "ev_cohort_ltv",
+    """
+    WITH first_seen AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE)
+                   AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    sizes AS (
+        SELECT cohort_week, CAST(COUNT(*) AS DOUBLE) AS cohort_size
+        FROM first_seen GROUP BY cohort_week
+    ),
+    rev AS (
+        SELECT f.cohort_week,
+               CAST((CAST(date_trunc('week', e.ts) AS DATE) - f.cohort_week)
+                    / 7 AS INTEGER) AS week_offset,
+               SUM(e.value) AS revenue
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT r.cohort_week, r.week_offset,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           ROUND(r.revenue, 4) AS revenue,
+           ROUND(SUM(r.revenue) OVER (
+                     PARTITION BY r.cohort_week ORDER BY r.week_offset
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / s.cohort_size, 6) AS cum_ltv_per_user
+    FROM rev r JOIN sizes s ON r.cohort_week = s.cohort_week
+    """,
+)
+def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: cumulative purchase revenue per
+    user by weeks-since-first-seen — the monetization twin of
+    `ev_retention_cohorts` (retention says who comes back, LTV says
+    what they're worth, and the payback-period readout falls out of
+    where the curve crosses acquisition cost). Facts collapse to the
+    (cohort, offset) matrix first — weeks², driver-tiny — so the
+    cumulative window runs per cohort over that matrix, never over
+    events; cohort sizes ride a broadcast join."""
+    from pyspark.sql import Window, functions as F
+
+    e = _t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("double").alias("cohort_size")
+    )
+    rev = (
+        e.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .join(first_seen, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+            "value",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.sum("value").alias("revenue"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.round("revenue", 4).alias("revenue"),
+            F.round(
+                F.sum("revenue").over(w) / F.col("cohort_size"), 6
+            ).alias("cum_ltv_per_user"),
+        )
+    )
+
+
+@query(
+    "ev_qini_uplift",
+    """
+    WITH users AS (
+        SELECT user_id, CAST(user_id % 2 AS INTEGER) AS treated,
+               ROUND(COALESCE(SUM(value), 0), 4) AS score,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    b AS (
+        SELECT quantile_cont(score, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                     0.6, 0.7, 0.8, 0.9]) AS qs
+        FROM users
+    ),
+    seg AS (
+        SELECT CAST(1 + (score > b.qs[1])::INT + (score > b.qs[2])::INT
+                      + (score > b.qs[3])::INT + (score > b.qs[4])::INT
+                      + (score > b.qs[5])::INT + (score > b.qs[6])::INT
+                      + (score > b.qs[7])::INT + (score > b.qs[8])::INT
+                      + (score > b.qs[9])::INT AS INTEGER) AS decile,
+               treated, converted
+        FROM users, b
+    ),
+    per AS (
+        SELECT decile,
+               CAST(SUM(treated) AS DOUBLE) AS nt,
+               CAST(SUM(1 - treated) AS DOUBLE) AS nc,
+               CAST(SUM(treated * converted) AS DOUBLE) AS yt,
+               CAST(SUM((1 - treated) * converted) AS DOUBLE) AS yc
+        FROM seg GROUP BY decile
+    ),
+    cum AS (
+        SELECT decile,
+               SUM(nt) OVER w AS cnt, SUM(nc) OVER w AS cnc,
+               SUM(yt) OVER w AS cyt, SUM(yc) OVER w AS cyc
+        FROM per
+        WINDOW w AS (ORDER BY decile DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT decile,
+           CAST(cnt AS BIGINT) AS cum_treated,
+           CAST(cnc AS BIGINT) AS cum_control,
+           ROUND(cyt / cnt - cyc / cnc, 6) AS uplift_rate,
+           ROUND(cyt - cyc * cnt / cnc, 6) AS qini
+    FROM cum
+    """,
+)
+def ev_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini / uplift curve by score decile: targeting the top-k% of
+    users by engagement score, the incremental conversions the
+    treatment (deterministic user-parity assignment, the repo's A/B
+    convention) buys over control — the readout that separates
+    PERSUADABLE users from sure-things, which `ml_lift_gains_curve`'s
+    single-arm lift cannot see. Facts collapse to one row per user;
+    decile boundaries come from one exact percentile aggregate (9
+    scalars broadcast, map-only binning — never an NTILE over facts);
+    cumulative sums run over the 10-row decile relation."""
+    from pyspark.sql import Window, functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 4).alias("score"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("converted"),
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("treated"),
+        "score",
+        "converted",
+    )
+    probs = F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+    b = users.agg(F.percentile("score", probs).alias("qs"))
+    seg_expr = F.lit(1)
+    for i in range(1, 10):
+        seg_expr = seg_expr + (
+            F.col("score") > F.element_at(F.col("qs"), i)
+        ).cast("int")
+    per = (
+        users.crossJoin(F.broadcast(b))
+        .select(seg_expr.cast("int").alias("decile"), "treated", "converted")
+        .groupBy("decile")
+        .agg(
+            F.sum("treated").cast("double").alias("nt"),
+            F.sum(1 - F.col("treated")).cast("double").alias("nc"),
+            F.sum(F.col("treated") * F.col("converted"))
+            .cast("double")
+            .alias("yt"),
+            F.sum((1 - F.col("treated")) * F.col("converted"))
+            .cast("double")
+            .alias("yc"),
+        )
+    )
+    w = Window.orderBy(F.desc("decile")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return per.select(
+        "decile",
+        F.sum("nt").over(w).alias("cnt"),
+        F.sum("nc").over(w).alias("cnc"),
+        F.sum("yt").over(w).alias("cyt"),
+        F.sum("yc").over(w).alias("cyc"),
+    ).select(
+        "decile",
+        F.col("cnt").cast("long").alias("cum_treated"),
+        F.col("cnc").cast("long").alias("cum_control"),
+        F.round(
+            F.col("cyt") / F.col("cnt") - F.col("cyc") / F.col("cnc"), 6
+        ).alias("uplift_rate"),
+        F.round(
+            F.col("cyt") - F.col("cyc") * F.col("cnt") / F.col("cnc"), 6
+        ).alias("qini"),
+    )
+
+
+@query(
+    "ev_tost_equivalence",
+    """
+    WITH s AS (
+        SELECT CAST(user_id % 2 AS INTEGER) AS g, value AS v
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    agg AS (
+        SELECT CAST(SUM(g) AS DOUBLE) AS n1,
+               SUM(g * v) AS s1, SUM(g * v * v) AS q1,
+               CAST(SUM(1 - g) AS DOUBLE) AS n2,
+               SUM((1 - g) * v) AS s2, SUM((1 - g) * v * v) AS q2
+        FROM s
+    ),
+    st AS (
+        SELECT n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
+               (q1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+               (q2 - s2 * s2 / n2) / (n2 - 1) AS v2
+        FROM agg
+    ),
+    t AS (
+        SELECT n1, n2, m1 - m2 AS delta,
+               0.05 * (m1 + m2) / 2 AS margin,
+               sqrt(v1 / n1 + v2 / n2) AS se
+        FROM st
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_treated, CAST(n2 AS BIGINT) AS n_control,
+           ROUND(delta, 6) AS delta, ROUND(margin, 6) AS margin,
+           ROUND(se, 6) AS se,
+           ROUND((delta + margin) / se, 6) AS t_lower,
+           ROUND((margin - delta) / se, 6) AS t_upper,
+           ROUND((delta + margin) / se, 6) > 1.645
+               AND ROUND((margin - delta) / se, 6) > 1.645 AS equivalent
+    FROM t
+    """,
+)
+def ev_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST (two one-sided tests) equivalence check on purchase value
+    between the parity arms, margin = ±5% of the grand mean — the
+    inverse question to `stat_welch_ttest`: not "is there a
+    difference?" but "can we AFFIRM there is no material one?" — the
+    test a do-no-harm launch gate actually needs (non-significance is
+    not equivalence). Same one-pass six-sufficient-statistics Welch
+    aggregate; both one-sided t's against the z_0.95 critical value,
+    compared on the ROUNDED statistics so both engines decide
+    identically."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    s = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("g"),
+        F.col("value").alias("v"),
+    )
+    g, v = F.col("g"), F.col("v")
+    agg = s.agg(
+        F.sum(g).cast("double").alias("n1"),
+        F.sum(g * v).alias("s1"),
+        F.sum(g * v * v).alias("q1"),
+        F.sum(1 - g).cast("double").alias("n2"),
+        F.sum((1 - g) * v).alias("s2"),
+        F.sum((1 - g) * v * v).alias("q2"),
+    )
+    m1 = F.col("s1") / F.col("n1")
+    m2 = F.col("s2") / F.col("n2")
+    v1 = (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1")) / (
+        F.col("n1") - 1
+    )
+    v2 = (F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2")) / (
+        F.col("n2") - 1
+    )
+    st = agg.select(
+        "n1",
+        "n2",
+        (m1 - m2).alias("delta"),
+        (0.05 * (m1 + m2) / 2).alias("margin"),
+        F.sqrt(v1 / F.col("n1") + v2 / F.col("n2")).alias("se"),
+    )
+    t_lo = F.round((F.col("delta") + F.col("margin")) / F.col("se"), 6)
+    t_hi = F.round((F.col("margin") - F.col("delta")) / F.col("se"), 6)
+    return st.select(
+        F.col("n1").cast("long").alias("n_treated"),
+        F.col("n2").cast("long").alias("n_control"),
+        F.round("delta", 6).alias("delta"),
+        F.round("margin", 6).alias("margin"),
+        F.round("se", 6).alias("se"),
+        t_lo.alias("t_lower"),
+        t_hi.alias("t_upper"),
+        ((t_lo > 1.645) & (t_hi > 1.645)).alias("equivalent"),
+    )
+
+
+@query(
+    "stat_fleiss_kappa",
+    r"""
+    WITH rated AS (
+        SELECT doc_id,
+               CAST(n_chars > 300 AS INTEGER)
+             + CAST(len(string_split_regex(trim(text), '\s+')) > 55
+                    AS INTEGER)
+             + CAST(n_chars * 1.0
+                    / len(string_split_regex(trim(text), '\s+')) > 5.45
+                    AS INTEGER) AS n_good
+        FROM documents
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               AVG((n_good * (n_good - 1)
+                    + (3 - n_good) * (2 - n_good)) / 6.0) AS p_bar,
+               SUM(n_good) / (3.0 * COUNT(*)) AS p_good
+        FROM rated
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           ROUND(p_good, 6) AS p_good,
+           ROUND(p_bar, 6) AS p_bar,
+           ROUND(p_good * p_good + (1 - p_good) * (1 - p_good), 6) AS p_e,
+           ROUND((p_bar - (p_good * p_good + (1 - p_good) * (1 - p_good)))
+                 / (1 - (p_good * p_good + (1 - p_good) * (1 - p_good))), 6)
+               AS fleiss_kappa
+    FROM agg
+    """,
+)
+def stat_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa across THREE deterministic quality raters
+    (length, word-count, chars-per-word rules) labeling every document
+    good/bad — the multi-rater generalization of `dq_cohen_kappa`, and
+    the agreement gate a labeling pipeline runs before trusting
+    ensembled heuristic filters. Per-doc agreement P_i has the closed
+    form (n_good(n_good-1) + n_bad(n_bad-1))/(k(k-1)) with k=3, so the
+    whole statistic is ONE map-side aggregate — no rater matrix is
+    materialized."""
+    from pyspark.sql import functions as F
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_good = (
+        (F.col("n_chars") > 300).cast("int")
+        + (words > 55).cast("int")
+        + (F.col("n_chars") / words > 5.45).cast("int")
+    )
+    rated = d.select(n_good.alias("n_good"))
+    p_i = (
+        F.col("n_good") * (F.col("n_good") - 1)
+        + (3 - F.col("n_good")) * (2 - F.col("n_good"))
+    ) / 6.0
+    agg = rated.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(p_i).alias("p_bar"),
+        (F.sum("n_good") / (3.0 * F.count(F.lit(1)))).alias("p_good"),
+    )
+    pe = F.col("p_good") * F.col("p_good") + (1 - F.col("p_good")) * (
+        1 - F.col("p_good")
+    )
+    return agg.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round("p_good", 6).alias("p_good"),
+        F.round("p_bar", 6).alias("p_bar"),
+        F.round(pe, 6).alias("p_e"),
+        F.round((F.col("p_bar") - pe) / (1 - pe), 6).alias("fleiss_kappa"),
+    )

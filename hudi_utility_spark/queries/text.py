@@ -2301,3 +2301,72 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("novelty_rate"),
     )
+
+
+@query(
+    "text_term_burstiness",
+    f"""
+    WITH per_doc AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM (SELECT doc_id, unnest({_BP_TOKS}) AS token FROM documents)
+        GROUP BY doc_id, token
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    stats AS (
+        SELECT token, CAST(COUNT(*) AS DOUBLE) AS df,
+               SUM(c) AS cf, SUM(c * c) AS c2
+        FROM per_doc GROUP BY token
+    )
+    SELECT token, CAST(df AS BIGINT) AS doc_freq,
+           CAST(cf AS BIGINT) AS coll_freq,
+           ROUND(cf / df, 6) AS burstiness,
+           ROUND((c2 / n.n_docs - (cf / n.n_docs) * (cf / n.n_docs))
+                 / (cf / n.n_docs), 6) AS vmr
+    FROM stats, n
+    WHERE df >= 5
+    """,
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale term burstiness: for every term with doc-freq >= 5,
+    the mean occurrences per CONTAINING doc (cf/df — content words
+    cluster, function words don't) and the variance-to-mean ratio over
+    ALL docs (VMR > 1 = overdispersed vs Poisson) — the
+    topicality/keyword signal that separates bursty content terms from
+    uniform glue even when raw frequency (`text_vocab_topk`) ties them.
+    One corpus aggregate to (doc, term) counts, one collapse to the
+    Zipf-bounded vocab; zero-occurrence docs enter the VMR through the
+    closed form E[x²]−μ² (never materialized)."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(X.normalized(F.col("text")), " "),
+                    lambda t: t != "",
+                )
+            ).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    stats = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("df"),
+        F.sum("c").alias("cf"),
+        F.sum(F.col("c") * F.col("c")).alias("c2"),
+    )
+    mean = F.col("cf") / F.col("n_docs")
+    return (
+        stats.filter(F.col("df") >= 5)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "token",
+            F.col("df").cast("long").alias("doc_freq"),
+            F.col("cf").cast("long").alias("coll_freq"),
+            F.round(F.col("cf") / F.col("df"), 6).alias("burstiness"),
+            F.round(
+                (F.col("c2") / F.col("n_docs") - mean * mean) / mean, 6
+            ).alias("vmr"),
+        )
+    )

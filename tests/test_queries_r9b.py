@@ -213,3 +213,76 @@ def test_ngram_novelty_bounds(spark, sf_dir):
         assert r["doc_id"] % 10 == 7
         assert 0 <= r["novel_grams"] <= r["n_grams"]
         assert abs(r["novelty_rate"] - round(r["novel_grams"] / r["n_grams"], 6)) < 1e-9
+
+
+def test_qini_uplift_last_decile_covers_everyone(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["ev_qini_uplift"](spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert len(rows) == 10
+    # cumulative counts are monotone as deciles descend (decile 1 row
+    # accumulates everything)
+    full = rows[0]
+    for r in rows[1:]:
+        assert r["cum_treated"] <= full["cum_treated"]
+        assert r["cum_control"] <= full["cum_control"]
+
+
+def test_tost_symmetry(spark, sf_dir):
+    # t_lower + t_upper == 2*margin/se by construction
+    from hudi_utility_spark.queries import QUERIES
+
+    r = QUERIES["ev_tost_equivalence"](spark, sf_dir).collect()[0]
+    assert abs((r["t_lower"] + r["t_upper"]) - round(2 * r["margin"] / r["se"], 4) ) < 1e-2
+    assert r["n_treated"] > 0 and r["n_control"] > 0
+
+
+def test_fleiss_kappa_perfect_agreement_is_one(spark, tmp_path):
+    # all three raters say "good" for every doc -> p_bar = 1, kappa = 1
+    import pandas as pd
+
+    good = " ".join(["wordword"] * 60)  # 60 words > 55, 8 chars/word > 5.45
+    bad = " ".join(["ab"] * 10)  # 10 words, 2 chars/word, short
+    texts = [good if i % 2 else bad for i in range(20)]
+    pd.DataFrame(
+        {
+            "doc_id": range(20),
+            "text": texts,
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from hudi_utility_spark.queries import QUERIES
+
+    r = QUERIES["stat_fleiss_kappa"](spark, str(tmp_path)).collect()[0]
+    assert r["p_bar"] == 1.0
+    assert r["fleiss_kappa"] == 1.0
+
+
+def test_burstiness_at_least_one(spark, sf_dir):
+    # burstiness = cf/df >= 1 always; VMR >= 0
+    from hudi_utility_spark.queries import QUERIES
+
+    rows = QUERIES["text_term_burstiness"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["burstiness"] >= 1.0
+        assert r["vmr"] >= -1e-9
+        assert r["doc_freq"] >= 5
+
+
+def test_cohort_ltv_monotone_cumulative(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+    import collections
+
+    rows = QUERIES["ev_cohort_ltv"](spark, sf_dir).collect()
+    assert rows
+    by_cohort = collections.defaultdict(list)
+    for r in rows:
+        by_cohort[r["cohort_week"]].append(r)
+    for week, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["week_offset"])
+        lts = [r["cum_ltv_per_user"] for r in rs]
+        assert lts == sorted(lts), f"LTV must be cumulative for {week}"
