@@ -4178,3 +4178,55 @@ def stat_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("p_e"),
         F.round((F.col("p_bar") - pe) / (1 - pe), 6).alias("fleiss_kappa"),
     )
+
+
+@query(
+    "ev_dau_mau_stickiness",
+    """
+    WITH daily AS (
+        SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS dau
+        FROM events GROUP BY 1, 2
+    ),
+    monthly AS (
+        SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+               CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS mau
+        FROM events GROUP BY 1
+    )
+    SELECT d.month,
+           CAST(COUNT(*) AS BIGINT) AS active_days,
+           ROUND(AVG(d.dau), 4) AS avg_dau,
+           CAST(MAX(m.mau) AS BIGINT) AS mau,
+           ROUND(AVG(d.dau) / MAX(m.mau), 6) AS stickiness
+    FROM daily d JOIN monthly m ON d.month = m.month
+    GROUP BY d.month
+    """,
+)
+def ev_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — the engagement-frequency ratio
+    (what fraction of the monthly audience shows up on an average day)
+    that `ev_user_growth`'s raw counts and `ev_retention_cohorts`'
+    return rates don't give directly. Two COUNT DISTINCT aggregates
+    (day and month grain — each one shuffle keyed on user_id) joined on
+    the month; the result relation is months-sized."""
+    from pyspark.sql import functions as F
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count_distinct("user_id").cast("double").alias("dau"))
+    monthly = e.groupBy(
+        F.date_trunc("month", F.col("ts")).cast("date").alias("month")
+    ).agg(F.count_distinct("user_id").cast("double").alias("mau"))
+    return (
+        daily.join(F.broadcast(monthly), "month")
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("active_days"),
+            F.round(F.avg("dau"), 4).alias("avg_dau"),
+            F.max("mau").cast("long").alias("mau"),
+            F.round(F.avg("dau") / F.max("mau"), 6).alias("stickiness"),
+        )
+    )

@@ -2744,3 +2744,62 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "dq_outlier_iqr",
+    """
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.75) AS q3
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MAX(q.q1), 4) AS q1, ROUND(MAX(q.q3), 4) AS q3,
+           ROUND(MAX(q.q3 - q.q1), 4) AS iqr,
+           CAST(SUM(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_outliers,
+           CAST(SUM(CASE WHEN e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_outliers,
+           ROUND(SUM(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                           OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                          THEN 1.0 ELSE 0 END) / COUNT(*), 6) AS outlier_rate
+    FROM events e JOIN q ON e.event_type = q.event_type
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type
+    """,
+)
+def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR-fence outlier audit per event type: counts outside
+    [Q1 − 1.5·IQR, Q3 + 1.5·IQR] — the distribution-free complement to
+    `stat_anomaly_flags`' z-scores (fences don't move when the outliers
+    themselves inflate the variance). One exact-percentile aggregate
+    per group (|event_type| scalars, broadcast back), then a map-side
+    fence test + one hash aggregate — no sort, no window."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    low = (F.col("value") < F.col("q1") - 1.5 * iqr).cast("int")
+    high = (F.col("value") > F.col("q3") + 1.5 * iqr).cast("int")
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("q1"), 4).alias("q1"),
+            F.round(F.max("q3"), 4).alias("q3"),
+            F.round(F.max(iqr), 4).alias("iqr"),
+            F.sum(low).alias("low_outliers"),
+            F.sum(high).alias("high_outliers"),
+            F.round(
+                F.sum(low + high) / F.count(F.lit(1)), 6
+            ).alias("outlier_rate"),
+        )
+    )

@@ -662,3 +662,111 @@ def approx_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kmv_estimate"),
         )
     )
+
+
+@query(
+    "approx_kmv_jaccard",
+    """
+    WITH keys AS (
+        SELECT event_type,
+               concat(CAST(user_id AS VARCHAR), '-',
+                      CAST(date_diff('day', DATE '1970-01-01',
+                                     CAST(date_trunc('day', ts) AS DATE))
+                           AS VARCHAR)) AS k
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    ha AS (
+        SELECT DISTINCT
+               CAST(concat('0x', substr(md5(k), 1, 8)) AS BIGINT) * 65536
+               + CAST(concat('0x', substr(md5(k), 9, 8)) AS BIGINT) % 65536
+                   AS hv
+        FROM keys WHERE event_type = 'purchase'
+    ),
+    hb AS (
+        SELECT DISTINCT
+               CAST(concat('0x', substr(md5(k), 1, 8)) AS BIGINT) * 65536
+               + CAST(concat('0x', substr(md5(k), 9, 8)) AS BIGINT) % 65536
+                   AS hv
+        FROM keys WHERE event_type = 'click'
+    ),
+    un AS (SELECT hv FROM ha UNION SELECT hv FROM hb),
+    kth AS (
+        SELECT MAX(hv) AS hk, CAST(COUNT(*) AS BIGINT) AS k FROM (
+            SELECT hv FROM un ORDER BY hv LIMIT 256
+        )
+    ),
+    rho AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS rho
+        FROM ha JOIN hb USING (hv), kth
+        WHERE ha.hv <= kth.hk
+    ),
+    exact AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS inter,
+               (SELECT COUNT(*) FROM un) AS uni
+        FROM (SELECT hv FROM ha INTERSECT SELECT hv FROM hb)
+    )
+    SELECT kth.k, rho.rho,
+           ROUND(rho.rho * 1.0 / kth.k, 6) AS jaccard_kmv,
+           ROUND(exact.inter / exact.uni, 6) AS jaccard_exact,
+           ROUND(rho.rho * 1.0 / kth.k
+                 * ((kth.k - 1) * 281474976710656.0 / kth.hk), 2)
+               AS intersection_estimate
+    FROM kth, rho, exact
+    """,
+)
+def approx_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set intersection: KMV-estimated Jaccard between the
+    purchase user-day set and the click user-day set, next to the exact
+    answer — the operation HLL cannot do (union-only) and the reason
+    `approx_kmv_distinct` keeps actual hash values. One 256-value
+    union sketch fixes theta; rho counts sketch members present in BOTH
+    sets; J = rho/k and |A∩B| = J * union_estimate. All hashes are the
+    portable md5 family, so sketch, estimate, and exact agree
+    value-for-value across engines."""
+    from hudi_utility_spark.ops import phash
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    key = F.concat_ws(
+        "-",
+        F.col("user_id").cast("string"),
+        F.datediff(
+            F.to_date(F.date_trunc("day", F.col("ts"))),
+            F.lit("1970-01-01").cast("date"),
+        ).cast("string"),
+    )
+    hi, lo = phash.parts(key)
+    hv = (hi * F.lit(65536) + lo % F.lit(65536)).alias("hv")
+    keys = ev.select("event_type", hv)
+    ha = keys.filter(F.col("event_type") == "purchase").select("hv").distinct()
+    hb = keys.filter(F.col("event_type") == "click").select("hv").distinct()
+    un = ha.union(hb).distinct().localCheckpoint(eager=False)
+    kth = (
+        un.orderBy("hv")
+        .limit(256)
+        .agg(F.max("hv").alias("hk"), F.count(F.lit(1)).alias("k"))
+    )
+    inter = ha.join(hb, "hv").localCheckpoint(eager=False)
+    rho = inter.crossJoin(F.broadcast(kth)).filter(
+        F.col("hv") <= F.col("hk")
+    ).agg(F.count(F.lit(1)).alias("rho"))
+    exact = inter.agg(F.count(F.lit(1)).cast("double").alias("inter")).crossJoin(
+        F.broadcast(un.agg(F.count(F.lit(1)).alias("uni")))
+    )
+    return (
+        kth.crossJoin(F.broadcast(rho))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "k",
+            "rho",
+            F.round(F.col("rho") / F.col("k"), 6).alias("jaccard_kmv"),
+            F.round(F.col("inter") / F.col("uni"), 6).alias("jaccard_exact"),
+            F.round(
+                F.col("rho")
+                / F.col("k")
+                * ((F.col("k") - 1) * F.lit(281474976710656.0) / F.col("hk")),
+                2,
+            ).alias("intersection_estimate"),
+        )
+    )

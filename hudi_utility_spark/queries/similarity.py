@@ -1306,3 +1306,111 @@ def sim_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("eigenvalue", F.lit(lam))
     )
+
+
+@query(
+    "ml_knn_accuracy",
+    """
+    WITH dims AS (
+        SELECT label AS cell, d.i AS dim, AVG(d.v) AS mean_v
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+                             generate_subscripts(embedding, 1) AS i) d
+        GROUP BY label, d.i
+    ),
+    cents AS (
+        SELECT cell, list(mean_v ORDER BY dim) AS centroid FROM dims
+        GROUP BY cell
+    ),
+    assigned AS (
+        SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS v,
+               (SELECT c.cell FROM cents c
+                ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                       c.centroid), 6) DESC,
+                         c.cell
+                LIMIT 1) AS cell
+        FROM embeddings e
+    ),
+    nbrs AS (
+      SELECT src, true_label, nbr_label FROM (
+        SELECT a.vec_id AS src, a.label AS true_label,
+               b.label AS nbr_label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC,
+                          b.vec_id
+               ) AS rn
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      ) WHERE rn <= 3
+    ),
+    votes AS (
+        SELECT src, true_label, nbr_label, COUNT(*) AS c
+        FROM nbrs GROUP BY src, true_label, nbr_label
+    ),
+    pred AS (
+      SELECT src, true_label, nbr_label AS pred_label FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY src ORDER BY c DESC, nbr_label ASC) AS rv
+        FROM votes
+      ) WHERE rv = 1
+    )
+    SELECT true_label AS label, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS correct,
+           ROUND(SUM(CASE WHEN pred_label = true_label THEN 1.0 ELSE 0 END)
+                 / COUNT(*), 6) AS accuracy
+    FROM pred GROUP BY true_label
+    """,
+)
+def ml_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 3-NN classification accuracy per label over the
+    embedding table — the standard embedding-quality probe (if labels
+    aren't recoverable from neighborhoods, the embedding is noise for
+    retrieval and SemDeDup alike). Candidates come from the SAME
+    `assign_cells` IVF-cell equijoin as `sim_knn_graph` (never all
+    pairs); ranking is round-6 cosine + vec_id, majority vote breaks
+    ties toward the smaller label — every step engine-deterministic,
+    so the oracle replays it exactly."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = S.assign_cells(e)
+    a, b = cells.alias("a"), cells.alias("b")
+    score = F.round(
+        S.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("_s"), F.asc("dst"))
+    nbrs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("a.label").alias("true_label"),
+            F.col("b.label").alias("nbr_label"),
+            F.col("b.vec_id").alias("dst"),
+            score.alias("_s"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+    )
+    votes = nbrs.groupBy("src", "true_label", "nbr_label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wv = Window.partitionBy("src").orderBy(
+        F.desc("c"), F.asc("nbr_label")
+    )
+    pred = (
+        votes.withColumn("_rv", F.row_number().over(wv))
+        .filter(F.col("_rv") == 1)
+        .select("src", "true_label", F.col("nbr_label").alias("pred_label"))
+    )
+    hit = (F.col("pred_label") == F.col("true_label")).cast("int")
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(hit).alias("correct"),
+        F.round(F.sum(hit) / F.count(F.lit(1)), 6).alias("accuracy"),
+    )

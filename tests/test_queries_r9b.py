@@ -286,3 +286,69 @@ def test_cohort_ltv_monotone_cumulative(spark, sf_dir):
         rs.sort(key=lambda r: r["week_offset"])
         lts = [r["cum_ltv_per_user"] for r in rs]
         assert lts == sorted(lts), f"LTV must be cumulative for {week}"
+
+
+def test_knn_accuracy_separable_clusters(spark, tmp_path):
+    # two far-apart clusters: 3-NN recovers the label perfectly
+    import pandas as pd
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        label = i % 2
+        base = np.zeros(8, dtype=np.float32)
+        base[label] = 10.0
+        rows.append(
+            (i, (base + rng.normal(0, 0.01, 8)).astype(np.float32), label)
+        )
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        tmp_path / "embeddings.parquet"
+    )
+    from hudi_utility_spark.queries import QUERIES
+
+    got = {
+        r["label"]: r
+        for r in QUERIES["ml_knn_accuracy"](spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {0, 1}
+    for r in got.values():
+        assert r["accuracy"] == 1.0
+
+
+def test_outlier_iqr_hand_case(spark, tmp_path):
+    import pandas as pd
+
+    vals = [10.0] * 20 + [1000.0]  # one far-high point
+    pd.DataFrame(
+        {
+            "event_id": range(21),
+            "event_type": ["a"] * 21,
+            "value": vals,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from hudi_utility_spark.queries import QUERIES
+
+    r = QUERIES["dq_outlier_iqr"](spark, str(tmp_path)).collect()[0]
+    assert r["high_outliers"] == 1 and r["low_outliers"] == 0
+    assert abs(r["outlier_rate"] - round(1 / 21, 6)) < 1e-9
+
+
+def test_stickiness_bounds(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+
+    rows = QUERIES["ev_dau_mau_stickiness"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["stickiness"] <= 1.0
+        assert r["avg_dau"] <= r["mau"]
+
+
+def test_kmv_jaccard_within_sketch_error(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+
+    r = QUERIES["approx_kmv_jaccard"](spark, sf_dir).collect()[0]
+    assert 0 <= r["jaccard_kmv"] <= 1 and 0 <= r["jaccard_exact"] <= 1
+    # k=256 sketch: generous 3-sigma-ish bound on absolute error
+    assert abs(r["jaccard_kmv"] - r["jaccard_exact"]) < 0.15
+    assert r["rho"] <= r["k"]
