@@ -4230,3 +4230,260 @@ def ev_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("dau") / F.max("mau"), 6).alias("stickiness"),
         )
     )
+
+
+@query(
+    "graph_assortativity",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS DOUBLE) AS d FROM sym
+            GROUP BY u),
+    ed AS (
+        SELECT du.d AS x, dv.d AS y
+        FROM sym s JOIN deg du ON s.u = du.node
+        JOIN deg dv ON s.v = dv.node
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM ed
+    )
+    SELECT CAST(n AS BIGINT) AS n_directed_edges,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS assortativity
+    FROM agg
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — the Pearson
+    correlation of endpoint degrees over the symmetrized edge list
+    (Newman 2002): positive = hubs buy with hubs (social-network-like),
+    negative = hub-and-spoke (catalog-like) — the one-number structure
+    readout `graph_degree_distribution` can't give. Degrees are one
+    hash aggregate; the edge-endpoint join is two equijoins on node;
+    the correlation is one map-combinable six-sum aggregate (degree
+    sums are exact integers in doubles — no rounding hazard before the
+    final statistic)."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    b = items.select(
+        F.col("l_orderkey").alias("l_orderkey"),
+        F.col("l_partkey").alias("p2"),
+    )
+    pairs = (
+        items.join(b, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("u"), F.col("p2").alias("v"))
+        .distinct()
+    )
+    sym = pairs.select("u", "v").union(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    ed = (
+        sym.join(deg.select(F.col("node").alias("u"), F.col("d").alias("x")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("y")), "v")
+        .select("x", "y")
+    )
+    agg = ed.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    return agg.select(
+        n.cast("long").alias("n_directed_edges"),
+        F.round(
+            (n * F.col("sxy") - sx * sy)
+            / F.sqrt(
+                (n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy)
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+@query(
+    "ts_seasonal_strength",
+    """
+    WITH hourly AS (
+        SELECT CAST(epoch_us(date_trunc('hour', ts)) / 3600000000 AS BIGINT)
+                   AS hidx,
+               AVG(value) AS y
+        FROM events GROUP BY 1
+    ),
+    tr AS (
+        SELECT hidx, y,
+               AVG(y) OVER w AS trend,
+               COUNT(*) OVER w AS frame_n
+        FROM hourly
+        WINDOW w AS (ORDER BY hidx ROWS BETWEEN 11 PRECEDING
+                     AND 12 FOLLOWING)
+    ),
+    det AS (
+        SELECT hidx, y, trend, y - trend AS detrended, hidx % 24 AS hod
+        FROM tr WHERE frame_n = 24
+    ),
+    seas AS (
+        SELECT hod, AVG(detrended) AS s FROM det GROUP BY hod
+    ),
+    parts AS (
+        SELECT d.y, d.trend, s.s, d.detrended - s.s AS resid
+        FROM det d JOIN seas s ON d.hod = s.hod
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+           ROUND(GREATEST(0, 1 - var_samp(resid)
+                                 / var_samp(trend + resid)), 6)
+               AS trend_strength,
+           ROUND(GREATEST(0, 1 - var_samp(resid)
+                                 / var_samp(detrended)), 6)
+               AS seasonal_strength
+    FROM (SELECT y, trend, s, resid, resid + s AS detrended FROM parts)
+    """,
+)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend and seasonal strength (Wang-Smith-Hyndman, the `tsfeatures`
+    / STL-strength definition: 1 − Var(R)/Var(T+R) and
+    1 − Var(R)/Var(S+R)) from a classical additive decomposition of the
+    hourly series — the two numbers that tell a forecaster whether
+    `ts_holt_linear` (trend) or `ts_holt_winters` (seasonality) is even
+    worth fitting. Trend = centered 24-hour rolling mean over the
+    COLLAPSED hourly relation (full frames only), seasonal = hour-of-day
+    means of the detrended series (24-row relation, broadcast back);
+    both strengths come from one variance aggregate."""
+    from pyspark.sql import Window, functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn(
+            "hidx",
+            (
+                F.unix_micros(F.date_trunc("hour", F.col("ts")))
+                / F.lit(3_600_000_000)
+            ).cast("long"),
+        )
+        .groupBy("hidx")
+        .agg(F.avg("value").alias("y"))
+    )
+    w = Window.orderBy("hidx").rowsBetween(-11, 12)
+    det = (
+        hourly.select(
+            "hidx",
+            "y",
+            F.avg("y").over(w).alias("trend"),
+            F.count(F.lit(1)).over(w).alias("frame_n"),
+        )
+        .filter(F.col("frame_n") == 24)
+        .select(
+            "hidx",
+            "y",
+            "trend",
+            (F.col("y") - F.col("trend")).alias("detrended"),
+            (F.col("hidx") % 24).alias("hod"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    seas = det.groupBy("hod").agg(F.avg("detrended").alias("s"))
+    parts = det.join(F.broadcast(seas), "hod").select(
+        "trend",
+        "s",
+        (F.col("detrended") - F.col("s")).alias("resid"),
+        F.col("detrended").alias("detrended"),
+    )
+    return parts.agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                1
+                - F.var_samp("resid")
+                / F.var_samp(F.col("trend") + F.col("resid")),
+            ),
+            6,
+        ).alias("trend_strength"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                1 - F.var_samp("resid") / F.var_samp("detrended"),
+            ),
+            6,
+        ).alias("seasonal_strength"),
+    )
+
+
+@query(
+    "ev_time_to_convert",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS t_purchase
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT (epoch_us(t_purchase) - epoch_us(t_signup)) / 3600000000.0
+                   AS hours
+        FROM firsts
+        WHERE t_signup IS NOT NULL AND t_purchase IS NOT NULL
+          AND t_purchase >= t_signup
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(quantile_cont(hours, 0.25), 4) AS p25_hours,
+           ROUND(quantile_cont(hours, 0.50), 4) AS p50_hours,
+           ROUND(quantile_cont(hours, 0.75), 4) AS p75_hours,
+           ROUND(quantile_cont(hours, 0.90), 4) AS p90_hours,
+           ROUND(AVG(hours), 4) AS mean_hours
+    FROM conv
+    """,
+)
+def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: quantiles of first-signup →
+    first-purchase latency per user — the DURATION readout the funnel
+    (`ev_funnel_conversion` counts who) and attribution (which channel)
+    leave out, and the input to any conversion-window choice. One
+    user-keyed aggregate collapses events to two firsts per user;
+    latencies are exact microsecond differences; the quantile is one
+    exact-percentile aggregate over converted users."""
+    from pyspark.sql import functions as F
+
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("t_signup"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_purchase"),
+    )
+    conv = firsts.filter(
+        F.col("t_signup").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") >= F.col("t_signup"))
+    ).select(
+        (
+            (us("t_purchase") - us("t_signup")) / F.lit(3_600_000_000.0)
+        ).alias("hours")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("hours", F.lit(0.25)), 4).alias("p25_hours"),
+        F.round(F.percentile("hours", F.lit(0.50)), 4).alias("p50_hours"),
+        F.round(F.percentile("hours", F.lit(0.75)), 4).alias("p75_hours"),
+        F.round(F.percentile("hours", F.lit(0.90)), 4).alias("p90_hours"),
+        F.round(F.avg("hours"), 4).alias("mean_hours"),
+    )

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from hudi_utility_spark.ops import quality as Q
 from hudi_utility_spark.queries import query
 from hudi_utility_spark.tables import load_table
+from hudi_utility_spark.tsutil import us
 
 
 @query(
@@ -2802,4 +2803,69 @@ def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(low + high) / F.count(F.lit(1)), 6
             ).alias("outlier_rate"),
         )
+    )
+
+
+@query(
+    "dq_candidate_keys",
+    """
+    SELECT candidate, n_rows, n_distinct,
+           ROUND(n_distinct * 1.0 / n_rows, 6) AS uniqueness,
+           n_distinct = n_rows AS is_key
+    FROM (
+      SELECT 'o_orderkey' AS candidate, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', COUNT(*), COUNT(DISTINCT o_custkey) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', COUNT(*), COUNT(DISTINCT o_orderstatus)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', COUNT(*), COUNT(DISTINCT o_orderdate) FROM orders
+      UNION ALL
+      SELECT 'o_custkey+o_orderdate', COUNT(*),
+             COUNT(DISTINCT (CAST(o_custkey AS VARCHAR) || '|'
+                             || CAST(epoch_us(o_orderdate) AS VARCHAR)))
+      FROM orders
+    )
+    """,
+)
+def dq_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery profile for `orders`: exact uniqueness
+    ratio for each single column plus the (custkey, orderdate) pair —
+    the profiling step that picks `record_key` / `precombine` before a
+    keyed-table bootstrap (SURVEY §2's upsert path assumes the key IS a
+    key; this measures it). One COUNT DISTINCT per candidate (each a
+    keyed shuffle, run as independent branches so AQE sizes each
+    alone); the composite key is the same '|'-joined canonical string
+    on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    singles = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"]
+    out = None
+    for c in singles:
+        row = o.agg(
+            F.lit(c).alias("candidate"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col(c)).alias("n_distinct"),
+        )
+        out = row if out is None else out.unionByName(row)
+    comp = o.agg(
+        F.lit("o_custkey+o_orderdate").alias("candidate"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(
+            F.concat_ws(
+                "|",
+                F.col("o_custkey").cast("string"),
+                us("o_orderdate").cast("string"),
+            )
+        ).alias("n_distinct"),
+    )
+    out = out.unionByName(comp)
+    return out.select(
+        "candidate",
+        "n_rows",
+        "n_distinct",
+        F.round(F.col("n_distinct") / F.col("n_rows"), 6).alias("uniqueness"),
+        (F.col("n_distinct") == F.col("n_rows")).alias("is_key"),
     )

@@ -352,3 +352,47 @@ def test_kmv_jaccard_within_sketch_error(spark, sf_dir):
     # k=256 sketch: generous 3-sigma-ish bound on absolute error
     assert abs(r["jaccard_kmv"] - r["jaccard_exact"]) < 0.15
     assert r["rho"] <= r["k"]
+
+
+def test_assortativity_star_graph_is_negative(spark, tmp_path):
+    # star: hub 1 in every basket with a distinct leaf -> perfectly
+    # disassortative (r = -1 in the 2-degree-class limit)
+    import pandas as pd
+
+    rows = [(o, 1) for o in range(2, 8)] + [(o, o) for o in range(2, 8)]
+    pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]).to_parquet(
+        tmp_path / "lineitem.parquet"
+    )
+    from hudi_utility_spark.queries import QUERIES
+
+    r = QUERIES["graph_assortativity"](spark, str(tmp_path)).collect()[0]
+    assert r["n_directed_edges"] == 12
+    assert r["assortativity"] == -1.0
+
+
+def test_seasonal_strength_bounds(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+
+    r = QUERIES["ts_seasonal_strength"](spark, sf_dir).collect()[0]
+    assert r["n_hours"] > 0
+    assert 0.0 <= r["trend_strength"] <= 1.0
+    assert 0.0 <= r["seasonal_strength"] <= 1.0
+
+
+def test_time_to_convert_quantiles_ordered(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+
+    r = QUERIES["ev_time_to_convert"](spark, sf_dir).collect()[0]
+    assert r["n_converted"] > 0
+    assert r["p25_hours"] <= r["p50_hours"] <= r["p75_hours"] <= r["p90_hours"]
+    assert r["p25_hours"] >= 0
+
+
+def test_candidate_keys_orders_pk(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+
+    rows = {r["candidate"]: r for r in QUERIES["dq_candidate_keys"](spark, sf_dir).collect()}
+    assert rows["o_orderkey"]["is_key"]
+    assert rows["o_orderkey"]["uniqueness"] == 1.0
+    assert not rows["o_orderstatus"]["is_key"]
+    assert rows["o_custkey"]["n_distinct"] <= rows["o_custkey+o_orderdate"]["n_distinct"]
