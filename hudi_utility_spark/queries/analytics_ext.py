@@ -4487,3 +4487,150 @@ def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("hours", F.lit(0.90)), 4).alias("p90_hours"),
         F.round(F.avg("hours"), 4).alias("mean_hours"),
     )
+
+
+def _platt_oracle() -> str:
+    """`ops/mlfit.py::logistic_fit` with ONE feature (the event value,
+    rescaled) unrolled into per-iteration CTEs — the same schedule and
+    quantization as `_logreg_oracle`, plus a calibration readout CTE
+    comparing the mean fitted probability to the base rate."""
+    feats = """
+feats AS (
+  SELECT value/100.0 AS s,
+         CAST(event_type = 'purchase' AS INT) AS y
+  FROM events WHERE value IS NOT NULL
+)"""
+    lr, q = _LOGREG_LR, _LOGREG_Q
+    ctes = [feats]
+    for i in range(1, _LOGREG_ITERS + 1):
+        src = "w0" if i == 1 else f"it{i - 1}"
+        ctes.append(f"""
+it{i} AS (
+  SELECT ROUND(MAX(wb) - {lr}*SUM(p - y)/COUNT(*), {q}) AS b,
+         ROUND(MAX(ww) - {lr}*SUM((p - y)*s)/COUNT(*), {q}) AS w
+  FROM (SELECT f.*, w.b AS wb, w.w AS ww,
+               1.0/(1.0 + EXP(-(w.b + w.w*f.s))) AS p
+        FROM feats f CROSS JOIN {src} w)
+)""")
+    last = f"it{_LOGREG_ITERS}"
+    return (
+        "WITH w0 AS (SELECT 0.0 AS b, 0.0 AS w), "
+        + ", ".join(ctes)
+        + f""",
+cal AS (
+  SELECT AVG(1.0/(1.0 + EXP(-(w.b + w.w*f.s)))) AS mean_p,
+         AVG(CAST(f.y AS DOUBLE)) AS base
+  FROM feats f CROSS JOIN {last} w
+)
+SELECT 'bias' AS metric, b AS value FROM {last}
+UNION ALL SELECT 'slope', w FROM {last}
+UNION ALL SELECT 'mean_calibrated', ROUND(mean_p, 6) FROM cal
+UNION ALL SELECT 'base_rate', ROUND(base, 6) FROM cal"""
+    )
+
+
+@query("ml_platt_scaling", _platt_oracle())
+def ml_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt scaling: a one-feature logistic fit mapping the raw event
+    value to a purchase probability — the PARAMETRIC calibrator that
+    completes the repo's calibration triad (`ml_isotonic_calibration`
+    is the non-parametric one, `ml_calibration_ece` the scorecard).
+    Reuses `ops/mlfit.py::logistic_fit` unchanged (3 GD iterations,
+    each one map-combinable aggregate + a 2-scalar collect,
+    per-iteration round-6 quantization keeping the oracle's unrolled
+    CTEs bit-aligned); the readout compares mean fitted probability to
+    the base rate — the sanity identity a calibrated sigmoid should
+    approach."""
+    from hudi_utility_spark.ops.mlfit import logistic_fit
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    feats = ev.select(
+        (F.col("value") / F.lit(100.0)).alias("s"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    ).localCheckpoint(eager=False)
+    b, w = logistic_fit(
+        feats, ["s"], "y", iters=_LOGREG_ITERS, lr=_LOGREG_LR,
+        round_to=_LOGREG_Q,
+    )
+    p = 1.0 / (1.0 + F.exp(-(F.lit(b) + F.lit(w) * F.col("s"))))
+    cal = feats.agg(
+        F.round(F.avg(p), 6).alias("mean_p"),
+        F.round(F.avg(F.col("y").cast("double")), 6).alias("base"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            ("bias", float(b)),
+            ("slope", float(w)),
+            ("mean_calibrated", float(cal["mean_p"])),
+            ("base_rate", float(cal["base"])),
+        ],
+        "metric string, value double",
+    )
+
+
+@query(
+    "ts_gaps_islands",
+    """
+    WITH hourly AS (
+        SELECT DISTINCT CAST(epoch_us(date_trunc('hour', ts)) / 3600000000
+                             AS BIGINT) AS hidx
+        FROM events
+    ),
+    grp AS (
+        SELECT hidx,
+               hidx - ROW_NUMBER() OVER (ORDER BY hidx) AS island_key
+        FROM hourly
+    ),
+    islands AS (
+        SELECT MIN(hidx) AS start_hidx, MAX(hidx) AS end_hidx,
+               CAST(COUNT(*) AS BIGINT) AS n_hours
+        FROM grp GROUP BY island_key
+    )
+    SELECT start_hidx, end_hidx, n_hours,
+           COALESCE(start_hidx - LAG(end_hidx)
+                        OVER (ORDER BY start_hidx) - 1, 0) AS gap_before
+    FROM islands
+    """,
+)
+def ts_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over the observed hourly grid: contiguous runs
+    of hours with events (start, end, length) and the silent gap before
+    each — THE classic sequence-reconstruction idiom (hidx minus dense
+    row number is constant within a run), and the outage/ingest-lag
+    readout behind `dq_freshness_audit`'s single lag number. Both
+    windows run over the COLLAPSED distinct-hour relation
+    (calendar-bounded), the documented collapse-then-window pattern."""
+    from pyspark.sql import Window, functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            (
+                F.unix_micros(F.date_trunc("hour", F.col("ts")))
+                / F.lit(3_600_000_000)
+            )
+            .cast("long")
+            .alias("hidx")
+        )
+        .distinct()
+    )
+    grp = hourly.select(
+        "hidx",
+        (F.col("hidx") - F.row_number().over(Window.orderBy("hidx"))).alias(
+            "island_key"
+        ),
+    )
+    islands = grp.groupBy("island_key").agg(
+        F.min("hidx").alias("start_hidx"),
+        F.max("hidx").alias("end_hidx"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    w = Window.orderBy("start_hidx")
+    return islands.select(
+        "start_hidx",
+        "end_hidx",
+        "n_hours",
+        F.coalesce(
+            F.col("start_hidx") - F.lag("end_hidx").over(w) - 1, F.lit(0)
+        ).alias("gap_before"),
+    )

@@ -458,3 +458,58 @@ def pipeline_dedup_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats(d, words, "before").unionByName(
         stats(after_docs, after_words, "after")
     )
+
+
+@query(
+    "pipeline_kfold_balance",
+    """
+    WITH folds AS (
+        SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 8)) AS BIGINT) % 5
+                    AS INTEGER) AS fold,
+               lang
+        FROM documents
+    ),
+    per AS (
+        SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM folds GROUP BY fold, lang
+    ),
+    tot AS (
+        SELECT lang, CAST(SUM(n) AS DOUBLE) AS lang_total FROM per
+        GROUP BY lang
+    )
+    SELECT p.fold, p.lang, p.n,
+           ROUND(p.n / t.lang_total, 6) AS lang_share,
+           ROUND(abs(p.n / t.lang_total - 0.2), 6) AS imbalance
+    FROM per p JOIN tot t ON p.lang = t.lang
+    """,
+)
+def pipeline_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold assignment by portable content hash (md5 of doc_id — the
+    same deterministic-split discipline as `pipeline_hash_split`) plus
+    the per-fold CLASS-BALANCE audit: each language's share per fold
+    and its deviation from the ideal 1/k — the check that catches a
+    skewed fold before it silently biases cross-validation. One hash
+    aggregate to the (fold, lang) matrix (k·|langs| rows); totals ride
+    a broadcast join."""
+    from hudi_utility_spark.ops import phash
+
+    d = load_table(spark, sf_dir, "documents")
+    hi, _ = phash.parts(F.col("doc_id").cast("string"))
+    per = (
+        d.select((hi % 5).cast("int").alias("fold"), "lang")
+        .groupBy("fold", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = per.groupBy("lang").agg(
+        F.sum("n").cast("double").alias("lang_total")
+    )
+    return per.join(F.broadcast(tot), "lang").select(
+        "fold",
+        "lang",
+        "n",
+        F.round(F.col("n") / F.col("lang_total"), 6).alias("lang_share"),
+        F.round(
+            F.abs(F.col("n") / F.col("lang_total") - 0.2), 6
+        ).alias("imbalance"),
+    )

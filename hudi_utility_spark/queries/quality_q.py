@@ -2869,3 +2869,90 @@ def dq_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_distinct") / F.col("n_rows"), 6).alias("uniqueness"),
         (F.col("n_distinct") == F.col("n_rows")).alias("is_key"),
     )
+
+
+@query(
+    "dq_cross_field_rules",
+    """
+    SELECT rule, n_checked, violations,
+           ROUND(violations * 1.0 / n_checked, 6) AS violation_rate
+    FROM (
+      SELECT 'l_shipdate >= o_orderdate' AS rule,
+             CAST(COUNT(*) AS BIGINT) AS n_checked,
+             CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate
+                           THEN 1 ELSE 0 END) AS BIGINT) AS violations
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'discount in [0,1]', COUNT(*),
+             SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                      THEN 1 ELSE 0 END)
+      FROM lineitem WHERE l_discount IS NOT NULL
+      UNION ALL
+      SELECT 'quantity positive', COUNT(*),
+             SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+      FROM lineitem WHERE l_quantity IS NOT NULL
+      UNION ALL
+      SELECT 'o_totalprice >= max line net', COUNT(*),
+             SUM(CASE WHEN mx > o_totalprice THEN 1 ELSE 0 END)
+      FROM (
+        SELECT o.o_totalprice,
+               MAX(l.l_extendedprice * (1 - l.l_discount)) AS mx
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_totalprice
+      )
+    )
+    """,
+)
+def dq_cross_field_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-field/cross-table consistency rules — the audit layer
+    ABOVE `dq_constraint_report`'s single-column checks: temporal order
+    (ship after order), domain bounds, and an order-vs-lines magnitude
+    sanity rule. The two join rules share one shuffle each (orderkey
+    equijoins, AQE-planned); everything else is map-side. Violation
+    ROWS aren't returned (that's `dq_quarantine_rows`' job) — this is
+    the rate scorecard a 100 TB ingest gates on."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    r1 = j.agg(
+        F.lit("l_shipdate >= o_orderdate").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(
+            (F.col("l_shipdate") < F.col("o_orderdate")).cast("int")
+        ).alias("violations"),
+    )
+    r2 = li.filter(F.col("l_discount").isNotNull()).agg(
+        F.lit("discount in [0,1]").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast(
+                "int"
+            )
+        ).alias("violations"),
+    )
+    r3 = li.filter(F.col("l_quantity").isNotNull()).agg(
+        F.lit("quantity positive").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum((F.col("l_quantity") <= 0).cast("int")).alias("violations"),
+    )
+    per_order = j.groupBy("o_orderkey", "o_totalprice").agg(
+        F.max(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("mx")
+    )
+    r4 = per_order.agg(
+        F.lit("o_totalprice >= max line net").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum((F.col("mx") > F.col("o_totalprice")).cast("int")).alias(
+            "violations"
+        ),
+    )
+    out = r1.unionByName(r2).unionByName(r3).unionByName(r4)
+    return out.select(
+        "rule",
+        "n_checked",
+        "violations",
+        F.round(F.col("violations") / F.col("n_checked"), 6).alias(
+            "violation_rate"
+        ),
+    )

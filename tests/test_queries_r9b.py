@@ -396,3 +396,64 @@ def test_candidate_keys_orders_pk(spark, sf_dir):
     assert rows["o_orderkey"]["uniqueness"] == 1.0
     assert not rows["o_orderstatus"]["is_key"]
     assert rows["o_custkey"]["n_distinct"] <= rows["o_custkey+o_orderdate"]["n_distinct"]
+
+
+def test_gaps_islands_detects_injected_gap(spark, tmp_path):
+    import pandas as pd
+
+    # hours 0..5 and 10..12: two islands, gap of 4 before the second
+    hours = list(range(6)) + list(range(10, 13))
+    pd.DataFrame(
+        {
+            "event_id": range(len(hours)),
+            "ts": pd.to_datetime([h * 3600 * 10**9 for h in hours]),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from hudi_utility_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["ts_gaps_islands"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["start_hidx"],
+    )
+    assert len(rows) == 2
+    assert (rows[0]["start_hidx"], rows[0]["end_hidx"], rows[0]["n_hours"]) == (0, 5, 6)
+    assert (rows[1]["start_hidx"], rows[1]["end_hidx"], rows[1]["n_hours"]) == (10, 12, 3)
+    assert rows[0]["gap_before"] == 0 and rows[1]["gap_before"] == 4
+
+
+def test_cross_field_rules_clean_and_complete(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+
+    rows = {r["rule"]: r for r in QUERIES["dq_cross_field_rules"](spark, sf_dir).collect()}
+    assert len(rows) == 4
+    assert rows["discount in [0,1]"]["violations"] == 0
+    assert rows["quantity positive"]["violations"] == 0
+    for r in rows.values():
+        assert 0 <= r["violation_rate"] <= 1
+
+
+def test_kfold_balance_partitions_everything(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+    from hudi_utility_spark.tables import load_table
+
+    rows = QUERIES["pipeline_kfold_balance"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n"] for r in rows) == n_docs
+    assert {r["fold"] for r in rows} <= set(range(5))
+    # shares per lang sum to 1
+    import collections
+
+    by_lang = collections.defaultdict(float)
+    for r in rows:
+        by_lang[r["lang"]] += r["lang_share"]
+    for lang, s in by_lang.items():
+        assert abs(s - 1.0) < 1e-4, (lang, s)
+
+
+def test_platt_scaling_shapes(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+
+    rows = {r["metric"]: r["value"] for r in QUERIES["ml_platt_scaling"](spark, sf_dir).collect()}
+    assert set(rows) == {"bias", "slope", "mean_calibrated", "base_rate"}
+    assert 0 <= rows["mean_calibrated"] <= 1
+    assert 0 <= rows["base_rate"] <= 1
