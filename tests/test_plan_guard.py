@@ -294,3 +294,49 @@ def test_r9_new_queries_no_cartesian_bounded_bnlj(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan and name not in R9_BNLJ_OK:
             offenders.append((name, "bnlj"))
     assert not offenders, offenders
+
+
+# wave-B round-9 additions (this session): no cartesian anywhere; BNLJ
+# allow-listed only for bounded broadcasts (1-row scalar/boundary
+# relations, the 2-row lag literal, the calendar-bounded daily series
+# in Kendall's pairwise pass).
+R9B_NEW_QUERIES = [
+    "stat_jarque_bera", "ts_forecast_accuracy", "ts_technical_indicators",
+    "graph_clustering_coefficient", "graph_shortest_paths",
+    "dq_referential_integrity", "stat_kendall_tau", "stat_ljung_box",
+    "stat_grubbs_outlier", "ml_classification_report", "text_good_turing",
+    "text_ngram_novelty", "ev_cohort_ltv", "ev_qini_uplift",
+    "ev_tost_equivalence", "stat_fleiss_kappa", "text_term_burstiness",
+    "ml_knn_accuracy", "dq_outlier_iqr", "ev_dau_mau_stickiness",
+    "approx_kmv_jaccard", "graph_assortativity", "ts_seasonal_strength",
+    "ev_time_to_convert", "dq_candidate_keys", "dq_cross_field_rules",
+    "ts_gaps_islands", "pipeline_kfold_balance",
+]
+R9B_BNLJ_OK = {
+    "ts_forecast_accuracy",     # 2-row lag literal + 1-row naive-MAE scalar
+    "dq_referential_integrity", # 1-row orphan/child count scalars per edge
+    "stat_kendall_tau",         # calendar-bounded daily series pairwise pass
+    "stat_ljung_box",           # 1-row mean/denominator scalars
+    "stat_grubbs_outlier",      # 1-row stats broadcast
+    "text_good_turing",         # 1-row corpus-total scalar
+    "ev_qini_uplift",           # 1-row decile-boundary broadcast
+    "text_term_burstiness",     # 1-row doc-count scalar
+    "approx_kmv_jaccard",       # 1-row sketch-threshold/exact scalars
+    "stat_jarque_bera",         # 1-row-per-group mean broadcast join
+    "dq_outlier_iqr",           # |event_type|-row quantile broadcast
+    "ts_seasonal_strength",     # 24-row hour-of-day means broadcast
+}
+
+
+def test_r9b_new_queries_no_cartesian_bounded_bnlj(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    offenders = []
+    for name in R9B_NEW_QUERIES:
+        plan = _plan(qs[name](spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "cartesian"))
+        if "BroadcastNestedLoopJoin" in plan and name not in R9B_BNLJ_OK:
+            offenders.append((name, "bnlj"))
+    assert not offenders, offenders
