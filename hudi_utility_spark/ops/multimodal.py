@@ -918,3 +918,64 @@ def audio_silence_stats(
     return df.mapInPandas(
         run, schema="media_id long, n_samples_total long, n_silent long"
     )
+
+
+PPM_ENTROPY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_values", T.LongType(), True),
+        T.StructField("n_distinct", T.LongType(), True),
+        T.StructField("entropy_bits", T.DoubleType(), True),
+    ]
+)
+
+
+def ppm_entropy(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Shannon entropy (bits) of the decoded 8-bit value histogram per
+    image — the flat-image / synthetic-content screen (a solid frame is
+    ~0 bits, noise approaches 8): decode with the same hand-written P6
+    parser as :func:`decode_ppm_meta`, histogram via ``np.bincount``,
+    entropy as −Σ p·log2 p in float64. Map-only Arrow stage, no bytes
+    downstream; rounded to 6dp so a SQL oracle replaying the histogram
+    from the deterministic ramp formula hash-matches."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf[payload_col]):
+                payload = bytes(p)
+                d = decode_ppm(payload)
+                # re-tokenize the raster exactly as decode_ppm does
+                i = 2
+                seen = 0
+                while seen < 3:
+                    ch = payload[i : i + 1]
+                    if ch == b"#":
+                        while payload[i : i + 1] != b"\n":
+                            i += 1
+                    elif ch.isspace():
+                        i += 1
+                    else:
+                        while payload[i : i + 1].isdigit():
+                            i += 1
+                        seen += 1
+                i += 1
+                raster = np.frombuffer(payload, dtype=np.uint8, offset=i)
+                counts = np.bincount(raster, minlength=256).astype(np.float64)
+                tot = counts.sum()
+                pz = counts[counts > 0] / tot
+                ent = float(-(pz * np.log2(pz)).sum())
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_values": int(tot),
+                        "n_distinct": int((counts > 0).sum()),
+                        "entropy_bits": round(ent, 6),
+                    }
+                )
+            yield pd.DataFrame(rows)[
+                [f.name for f in PPM_ENTROPY_SCHEMA.fields]
+            ]
+
+    return df.mapInPandas(run, schema=PPM_ENTROPY_SCHEMA)

@@ -4634,3 +4634,226 @@ def ts_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("start_hidx") - F.lag("end_hidx").over(w) - 1, F.lit(0)
         ).alias("gap_before"),
     )
+
+
+@query(
+    "ev_survival_kaplan_meier",
+    """
+    WITH bounds AS (SELECT MAX(ts) AS t_end FROM events),
+    users AS (
+        SELECT user_id,
+               CAST(date_diff('day', CAST(MIN(ts) AS DATE),
+                              CAST(MAX(ts) AS DATE)) AS BIGINT)
+                   AS duration_days,
+               CAST(epoch_us(b.t_end) - epoch_us(MAX(ts))
+                    > 7 * 86400000000.0 AS INTEGER) AS churned
+        FROM events, bounds b GROUP BY user_id, b.t_end
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_users FROM users),
+    per_t AS (
+        SELECT duration_days,
+               CAST(COUNT(*) AS DOUBLE) AS leaving,
+               CAST(SUM(churned) AS DOUBLE) AS d
+        FROM users GROUP BY duration_days
+    ),
+    risk AS (
+        SELECT duration_days, d, leaving,
+               t.n_users
+               - COALESCE(SUM(leaving) OVER (
+                     ORDER BY duration_days
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_risk
+        FROM per_t, tot t
+    ),
+    km AS (
+        SELECT duration_days, CAST(d AS BIGINT) AS d_events,
+               CAST(n_risk AS BIGINT) AS n_at_risk,
+               exp(SUM(CASE WHEN d < n_risk AND d > 0
+                            THEN ln(1 - d / n_risk) ELSE 0 END)
+                       OVER (ORDER BY duration_days
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)) AS s_raw,
+               MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY duration_days
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS hit_zero
+        FROM risk
+    )
+    SELECT duration_days, d_events, n_at_risk,
+           ROUND(CASE WHEN hit_zero = 1 THEN 0.0 ELSE s_raw END, 6)
+               AS survival
+    FROM km
+    """,
+)
+def ev_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime (first→last event,
+    in days; a user still active within 7 days of the corpus end is
+    CENSORED, not churned — the right-censoring that makes naive churn
+    averages wrong and KM the standard fix). Facts collapse to one row
+    per user, then to the distinct-duration relation (calendar-bounded)
+    where the at-risk counts, the Π(1−d/n) product (as exp of a
+    cumulative ln sum — zero-survival handled by an explicit flag since
+    Spark's ln(0) is NULL while SQL's is -inf), and the curve all live.
+    The classic churn readout next to `ev_retention_cohorts`."""
+    from pyspark.sql import Window, functions as F
+
+    e = _t(spark, sf_dir, "events")
+    bounds = e.agg(F.max("ts").alias("t_end"))
+    users = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.max("ts").cast("date"), F.min("ts").cast("date")
+            )
+            .cast("long")
+            .alias("duration_days"),
+            (
+                (us(F.max("t_end")) - us(F.max("ts")))
+                > 7 * 86_400_000_000.0
+            )
+            .cast("int")
+            .alias("churned"),
+        )
+    )
+    tot = users.agg(F.count(F.lit(1)).cast("double").alias("n_users"))
+    per_t = users.groupBy("duration_days").agg(
+        F.count(F.lit(1)).cast("double").alias("leaving"),
+        F.sum("churned").cast("double").alias("d"),
+    )
+    w_prev = Window.orderBy("duration_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("duration_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = per_t.crossJoin(F.broadcast(tot)).select(
+        "duration_days",
+        "d",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0.0))
+        ).alias("n_risk"),
+    )
+    ln_term = F.when(
+        (F.col("d") < F.col("n_risk")) & (F.col("d") > 0),
+        F.log(1 - F.col("d") / F.col("n_risk")),
+    ).otherwise(0.0)
+    km = risk.select(
+        "duration_days",
+        F.col("d").cast("long").alias("d_events"),
+        F.col("n_risk").cast("long").alias("n_at_risk"),
+        F.exp(F.sum(ln_term).over(w_cum)).alias("s_raw"),
+        F.max(
+            F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+        )
+        .over(w_cum)
+        .alias("hit_zero"),
+    )
+    return km.select(
+        "duration_days",
+        "d_events",
+        "n_at_risk",
+        F.round(
+            F.when(F.col("hit_zero") == 1, 0.0).otherwise(F.col("s_raw")), 6
+        ).alias("survival"),
+    )
+
+
+@query(
+    "graph_modularity",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    lab AS (
+        SELECT pairs.u, pairs.v, pu.p_brand AS cu, pv.p_brand AS cv
+        FROM pairs JOIN part pu ON pairs.u = pu.p_partkey
+        JOIN part pv ON pairs.v = pv.p_partkey
+    ),
+    m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM lab),
+    intra AS (
+        SELECT cu AS community, CAST(COUNT(*) AS DOUBLE) AS l_c
+        FROM lab WHERE cu = cv GROUP BY cu
+    ),
+    degs AS (
+        SELECT community, CAST(SUM(cnt) AS DOUBLE) AS d_c FROM (
+            SELECT cu AS community, COUNT(*) AS cnt FROM lab GROUP BY cu
+            UNION ALL
+            SELECT cv, COUNT(*) FROM lab GROUP BY cv
+        ) GROUP BY community
+    )
+    SELECT CAST((SELECT COUNT(*) FROM degs) AS BIGINT) AS n_communities,
+           CAST(m.m AS BIGINT) AS n_edges,
+           ROUND(SUM(COALESCE(i.l_c, 0) / m.m
+                     - (d.d_c / (2 * m.m)) * (d.d_c / (2 * m.m))), 6)
+               AS modularity
+    FROM degs d LEFT JOIN intra i ON d.community = i.community, m
+    GROUP BY m.m
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the brand partition over the co-purchase
+    graph — does the catalog's brand structure explain who is bought
+    with whom? (Q = Σ_c l_c/m − (d_c/2m)²; near 0 = brands are not
+    communities, toward 1 = strong brand cliques.) The edge relation
+    joins the broadcast part-brand dim twice; everything after is
+    community-sized aggregates. The fitness function under any real
+    community-detection loop (label propagation, Louvain) — here
+    evaluating the catalog's own labels."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    b = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        items.join(b, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("u"), F.col("p2").alias("v"))
+        .distinct()
+    )
+    lab = (
+        pairs.join(
+            F.broadcast(p.select(F.col("p_partkey").alias("u"),
+                                 F.col("p_brand").alias("cu"))), "u"
+        )
+        .join(
+            F.broadcast(p.select(F.col("p_partkey").alias("v"),
+                                 F.col("p_brand").alias("cv"))), "v"
+        )
+        .localCheckpoint(eager=False)
+    )
+    m = lab.agg(F.count(F.lit(1)).cast("double").alias("m"))
+    intra = lab.filter(F.col("cu") == F.col("cv")).groupBy(
+        F.col("cu").alias("community")
+    ).agg(F.count(F.lit(1)).cast("double").alias("l_c"))
+    degs = (
+        lab.select(F.col("cu").alias("community"))
+        .union(lab.select(F.col("cv").alias("community")))
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).cast("double").alias("d_c"))
+    )
+    joined = (
+        degs.join(F.broadcast(intra), "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            (
+                F.coalesce(F.col("l_c"), F.lit(0.0)) / F.col("m")
+                - (F.col("d_c") / (2 * F.col("m")))
+                * (F.col("d_c") / (2 * F.col("m")))
+            ).alias("q_c"),
+            "m",
+        )
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.max("m").cast("long").alias("n_edges"),
+        F.round(F.sum("q_c"), 6).alias("modularity"),
+    )

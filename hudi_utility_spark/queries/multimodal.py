@@ -772,3 +772,58 @@ def mm_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_silent") / F.col("n_samples_total").cast("double"), 6
         ).alias("silence_ratio"),
     )
+
+
+@query(
+    "mm_image_entropy",
+    """
+    WITH imgs AS (
+        SELECT doc_id AS media_id,
+               16 + doc_id % 16 AS w,
+               12 + doc_id % 9 AS h
+        FROM documents ORDER BY doc_id LIMIT 40
+    ),
+    px AS (
+        SELECT i.media_id,
+               (i.media_id * 13 + y.y * 7 + x.x * 3 + c.c * 11) % 256 AS v
+        FROM imgs i,
+             LATERAL (SELECT unnest(range(i.h)) AS y) y,
+             LATERAL (SELECT unnest(range(i.w)) AS x) x,
+             LATERAL (SELECT unnest(range(3)) AS c) c
+    ),
+    hist AS (
+        SELECT media_id, v, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM px GROUP BY media_id, v
+    ),
+    tot AS (
+        SELECT media_id, SUM(c) AS t, CAST(COUNT(*) AS BIGINT) AS n_distinct
+        FROM hist GROUP BY media_id
+    )
+    SELECT h.media_id, CAST(t.t AS BIGINT) AS n_values, t.n_distinct,
+           ROUND(SUM(-(h.c / t.t) * ln(h.c / t.t) / ln(2)), 6)
+               AS entropy_bits
+    FROM hist h JOIN tot t ON h.media_id = t.media_id
+    GROUP BY h.media_id, t.t, t.n_distinct
+    """,
+)
+def mm_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image Shannon entropy of the decoded 8-bit histogram — the
+    flat-frame / synthetic-content quality screen next to
+    `mm_image_size_filter` (a solid color is ~0 bits, noise ~8; the
+    ramp images land near-uniform). Same encode→REAL-decode round-trip
+    as `mm_ppm_decode` in a map-only Arrow kernel; the oracle rebuilds
+    the histogram from the deterministic ramp formula over range(), so
+    raster content — not just the header — backs the entropy."""
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = (
+        docs.select("doc_id")
+        .orderBy("doc_id")
+        .limit(40)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (16 + F.col("doc_id") % 16).cast("int").alias("width"),
+            (12 + F.col("doc_id") % 9).cast("int").alias("height"),
+        )
+    )
+    encoded = M.synth_ppm(imgs)
+    return M.ppm_entropy(encoded)

@@ -457,3 +457,80 @@ def test_platt_scaling_shapes(spark, sf_dir):
     assert set(rows) == {"bias", "slope", "mean_calibrated", "base_rate"}
     assert 0 <= rows["mean_calibrated"] <= 1
     assert 0 <= rows["base_rate"] <= 1
+
+
+def test_kaplan_meier_monotone_and_bounded(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["ev_survival_kaplan_meier"](spark, sf_dir).collect(),
+        key=lambda r: r["duration_days"],
+    )
+    assert rows
+    prev = 1.0
+    for r in rows:
+        assert 0.0 <= r["survival"] <= prev + 1e-9  # non-increasing
+        prev = r["survival"]
+        assert r["n_at_risk"] >= r["d_events"] >= 0
+
+
+def test_kaplan_meier_censoring_keeps_survival_up(spark, tmp_path):
+    # 4 users end at day 1; 2 of them are censored (active within 7d of
+    # corpus end) -> S(1) = 1 - 2/4 = 0.5, not 0
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    for u in range(4):
+        rows.append((eid, base, u)); eid += 1
+        rows.append((eid, base + pd.Timedelta(days=1), u)); eid += 1
+    # two extra users whose last event defines corpus end (censored at 30d)
+    for u in (10, 11):
+        rows.append((eid, base, u)); eid += 1
+        rows.append((eid, base + pd.Timedelta(days=30), u)); eid += 1
+    pd.DataFrame(rows, columns=["event_id", "ts", "user_id"]).to_parquet(
+        tmp_path / "events.parquet"
+    )
+    from hudi_utility_spark.queries import QUERIES
+
+    got = {
+        r["duration_days"]: r
+        for r in QUERIES["ev_survival_kaplan_meier"](spark, str(tmp_path)).collect()
+    }
+    # the 4 day-1 users churned (29 days before end); S drops to 1-4/6
+    assert abs(got[1]["survival"] - round(1 - 4 / 6, 6)) < 1e-9
+    # the 30-day users are censored -> survival stays put, never 0
+    assert got[30]["survival"] == got[1]["survival"]
+
+
+def test_modularity_perfect_communities(spark, tmp_path):
+    # two disjoint triangles with brand = component -> strong positive Q
+    import pandas as pd
+
+    li = [(1, 1), (1, 2), (2, 2), (2, 3), (3, 1), (3, 3),
+          (4, 4), (4, 5), (5, 5), (5, 6), (6, 4), (6, 6)]
+    pd.DataFrame(li, columns=["l_orderkey", "l_partkey"]).to_parquet(
+        tmp_path / "lineitem.parquet"
+    )
+    pd.DataFrame(
+        {"p_partkey": [1, 2, 3, 4, 5, 6],
+         "p_brand": ["A", "A", "A", "B", "B", "B"]}
+    ).to_parquet(tmp_path / "part.parquet")
+    from hudi_utility_spark.queries import QUERIES
+
+    r = QUERIES["graph_modularity"](spark, str(tmp_path)).collect()[0]
+    assert r["n_communities"] == 2 and r["n_edges"] == 6
+    assert abs(r["modularity"] - 0.5) < 1e-9  # 2*(3/6 - (6/12)^2/...) = 0.5
+
+
+def test_image_entropy_flat_vs_ramp(spark):
+    # a ramp image has near-uniform bytes -> entropy much larger than 0
+    from hudi_utility_spark.queries import QUERIES
+
+    rows = QUERIES["mm_image_entropy"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert 0.0 <= r["entropy_bits"] <= 8.0
+        assert r["entropy_bits"] > 6.0  # ramp fills most of the 256 bins
+        assert r["n_distinct"] <= 256
