@@ -4857,3 +4857,188 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("m").cast("long").alias("n_edges"),
         F.round(F.sum("q_c"), 6).alias("modularity"),
     )
+
+
+@query(
+    "ev_its_segmented",
+    """
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', o_orderdate) AS DATE))
+                   AS didx,
+               ROUND(SUM(o_totalprice), 4) AS y
+        FROM orders GROUP BY 1
+    ),
+    cutp AS (
+        SELECT MIN(didx) + CAST(FLOOR((MAX(didx) - MIN(didx)) / 2.0)
+                                AS BIGINT) AS cut
+        FROM daily
+    ),
+    seg AS (
+        SELECT CASE WHEN didx < c.cut THEN 'pre' ELSE 'post' END AS segment,
+               CAST(didx - c.cut AS DOUBLE) AS t, y
+        FROM daily, cutp c
+    ),
+    fit AS (
+        SELECT segment, CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(t) AS st, SUM(y) AS sy, SUM(t * y) AS sty,
+               SUM(t * t) AS stt
+        FROM seg GROUP BY segment
+    ),
+    ols AS (
+        SELECT segment, n,
+               (n * sty - st * sy) / (n * stt - st * st) AS slope,
+               (sy - (n * sty - st * sy) / (n * stt - st * st) * st) / n
+                   AS level_at_cut
+        FROM fit
+    )
+    SELECT segment, CAST(n AS BIGINT) AS n_days,
+           ROUND(slope, 6) AS slope,
+           ROUND(level_at_cut, 4) AS level_at_cut
+    FROM ols
+    UNION ALL
+    SELECT 'change', CAST(SUM(n) AS BIGINT),
+           ROUND(SUM(CASE WHEN segment = 'post' THEN slope ELSE -slope END),
+                 6),
+           ROUND(SUM(CASE WHEN segment = 'post' THEN level_at_cut
+                          ELSE -level_at_cut END), 4)
+    FROM ols
+    """,
+)
+def ev_its_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted time-series (segmented regression): OLS level and
+    slope of daily revenue before vs after the midpoint cut, with time
+    CENTERED AT THE CUT so each segment's intercept is directly the
+    level at the intervention — the observational-causal readout next
+    to `ev_did_estimator` when there is no control group (Wagner et al.
+    2002). Facts collapse to the calendar-bounded daily series; each
+    segment's fit is closed-form from one conditional-aggregation pass
+    of sufficient statistics; the 'change' row is the ITS effect
+    estimate (level + trend change)."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date(F.date_trunc("day", F.col("o_orderdate"))),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("didx")
+    ).agg(F.round(F.sum("o_totalprice"), 4).alias("y"))
+    cutp = daily.agg(
+        (
+            F.min("didx")
+            + F.floor((F.max("didx") - F.min("didx")) / 2.0)
+        )
+        .cast("long")
+        .alias("cut")
+    )
+    seg = daily.crossJoin(F.broadcast(cutp)).select(
+        F.when(F.col("didx") < F.col("cut"), "pre")
+        .otherwise("post")
+        .alias("segment"),
+        (F.col("didx") - F.col("cut")).cast("double").alias("t"),
+        "y",
+    )
+    fit = seg.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+    )
+    slope = (
+        F.col("n") * F.col("sty") - F.col("st") * F.col("sy")
+    ) / (F.col("n") * F.col("stt") - F.col("st") * F.col("st"))
+    ols = fit.select(
+        "segment",
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("st")) / F.col("n")).alias(
+            "level_at_cut"
+        ),
+    ).localCheckpoint(eager=False)
+    per = ols.select(
+        "segment",
+        F.col("n").cast("long").alias("n_days"),
+        F.round("slope", 6).alias("slope"),
+        F.round("level_at_cut", 4).alias("level_at_cut"),
+    )
+    sign = F.when(F.col("segment") == "post", 1.0).otherwise(-1.0)
+    change = ols.agg(
+        F.lit("change").alias("segment"),
+        F.sum("n").cast("long").alias("n_days"),
+        F.round(F.sum(sign * F.col("slope")), 6).alias("slope"),
+        F.round(F.sum(sign * F.col("level_at_cut")), 4).alias(
+            "level_at_cut"
+        ),
+    )
+    return per.unionByName(change)
+
+
+@query(
+    "stat_cochran_q",
+    r"""
+    WITH rated AS (
+        SELECT CAST(n_chars > 300 AS INTEGER) AS ra,
+               CAST(len(string_split_regex(trim(text), '\s+')) > 55
+                    AS INTEGER) AS rb,
+               CAST(n_chars * 1.0
+                    / len(string_split_regex(trim(text), '\s+')) > 5.45
+                    AS INTEGER) AS rc
+        FROM documents
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               CAST(SUM(ra) AS DOUBLE) AS ga,
+               CAST(SUM(rb) AS DOUBLE) AS gb,
+               CAST(SUM(rc) AS DOUBLE) AS gc,
+               CAST(SUM(ra + rb + rc) AS DOUBLE) AS t,
+               CAST(SUM((ra + rb + rc) * (ra + rb + rc)) AS DOUBLE) AS l2
+        FROM rated
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(2 AS INTEGER) AS df,
+           ROUND(2.0 * (3.0 * (ga * ga + gb * gb + gc * gc) - t * t)
+                 / (3.0 * t - l2), 4) AS q_stat
+    FROM agg
+    """,
+)
+def stat_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q for the three binary quality raters: do the rules
+    PASS documents at the same rate? — the marginal-homogeneity
+    question `stat_fleiss_kappa` (do they agree per doc?) doesn't
+    answer, and the k-rater generalization of `stat_mcnemar`. Closed
+    form Q = (k−1)(kΣG_j² − T²)/(kT − ΣL_i²) from ONE map-side
+    aggregate (rater column totals + per-doc row-total moments);
+    Q ~ chi²(k−1) under the null."""
+    from pyspark.sql import functions as F
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    rated = d.select(
+        (F.col("n_chars") > 300).cast("int").alias("ra"),
+        (words > 55).cast("int").alias("rb"),
+        (F.col("n_chars") / words > 5.45).cast("int").alias("rc"),
+    )
+    l = F.col("ra") + F.col("rb") + F.col("rc")
+    agg = rated.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("ra").cast("double").alias("ga"),
+        F.sum("rb").cast("double").alias("gb"),
+        F.sum("rc").cast("double").alias("gc"),
+        F.sum(l).cast("double").alias("t"),
+        F.sum(l * l).cast("double").alias("l2"),
+    )
+    g2 = (
+        F.col("ga") * F.col("ga")
+        + F.col("gb") * F.col("gb")
+        + F.col("gc") * F.col("gc")
+    )
+    return agg.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.lit(2).cast("int").alias("df"),
+        F.round(
+            2.0 * (3.0 * g2 - F.col("t") * F.col("t"))
+            / (3.0 * F.col("t") - F.col("l2")),
+            4,
+        ).alias("q_stat"),
+    )

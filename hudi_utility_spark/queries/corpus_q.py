@@ -1085,3 +1085,102 @@ def rtr_rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, ["hash", "vector", "spark"], k=10, fb_docs=5, fb_terms=3,
         beta=0.5,
     )
+
+
+@query(
+    "rtr_map_precision",
+    f"""
+    WITH {_RANK_BASE},
+    {_BM25_SCORED},
+    ranked AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                    AS DOUBLE) AS rank
+        FROM bm25 ORDER BY score DESC, doc_id LIMIT 10
+    ),
+    labels AS (
+        SELECT doc_id,
+               CASE WHEN tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0
+                    THEN 1.0 ELSE 0.0 END AS rel
+        FROM base
+    ),
+    got AS (
+        SELECT r.rank, l.rel,
+               SUM(l.rel) OVER (ORDER BY r.rank
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_rel
+        FROM ranked r JOIN labels l USING (doc_id)
+    ),
+    nrel AS (SELECT SUM(rel) AS total_rel FROM labels)
+    SELECT CAST(10 AS BIGINT) AS k,
+           ROUND(SUM(CASE WHEN rel > 0 THEN cum_rel / rank ELSE 0 END)
+                 / LEAST(MAX(n.total_rel), 10.0), 6) AS ap,
+           ROUND(SUM(CASE WHEN rank <= 5 THEN rel ELSE 0 END) / 5.0, 6)
+               AS p_at_5,
+           ROUND(SUM(rel) / 10.0, 6) AS p_at_10
+    FROM got, nrel n
+    """,
+)
+def rtr_map_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision @10 and P@5/P@10 of the BM25 ranking against
+    binary relevance (any query term present) — the order-sensitive
+    eval next to `rtr_ndcg_mrr`'s graded one: AP integrates precision
+    exactly at the recall points, so it punishes a relevant doc pushed
+    below an irrelevant one even when the set@k is identical. All
+    post-scoring work lives on the 10-row ranked relation; the
+    relevant-total is one scalar broadcast."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["hash", "vector", "spark"]
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = R.bm25_topk(docs, terms, k=10).select(
+        "doc_id", F.row_number().over(w).cast("double").alias("rank")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower("text"), r"[^a-z0-9\s]", " "),
+                    r"\s+",
+                    " ",
+                ),
+                " ",
+            ),
+            lambda t: t != "",
+        ).alias("toks"),
+    )
+    def _has(term: str):
+        # bind via closure, NOT a defaulted lambda param — HOF lambdas
+        # dispatch on arity (see rtr_ndcg_mrr above)
+        return F.exists("toks", lambda x: x == F.lit(term))
+
+    rel = None
+    for t in terms:
+        has = _has(t)
+        rel = has if rel is None else rel | has
+    labels = toks.select("doc_id", rel.cast("double").alias("rel"))
+    wc = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    got = ranked.join(labels, "doc_id").select(
+        "rank", "rel", F.sum("rel").over(wc).alias("cum_rel")
+    )
+    nrel = labels.agg(F.sum("rel").alias("total_rel"))
+    return got.crossJoin(F.broadcast(nrel)).agg(
+        F.lit(10).cast("long").alias("k"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("rel") > 0, F.col("cum_rel") / F.col("rank")
+                ).otherwise(0.0)
+            )
+            / F.least(F.max("total_rel"), F.lit(10.0)),
+            6,
+        ).alias("ap"),
+        F.round(
+            F.sum(F.when(F.col("rank") <= 5, F.col("rel")).otherwise(0.0))
+            / 5.0,
+            6,
+        ).alias("p_at_5"),
+        F.round(F.sum("rel") / 10.0, 6).alias("p_at_10"),
+    )

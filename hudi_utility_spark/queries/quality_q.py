@@ -2956,3 +2956,88 @@ def dq_cross_field_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "violation_rate"
         ),
     )
+
+
+@query(
+    "plan_partition_sizing",
+    """
+    SELECT tbl, n_rows, est_bytes,
+           GREATEST(1, CAST(CEIL(est_bytes / 134217728.0) AS BIGINT))
+               AS shuffle_partitions,
+           GREATEST(1, CAST(CEIL(est_bytes / 1073741824.0) AS BIGINT))
+               AS target_files
+    FROM (
+      SELECT 'lineitem' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) * 120 AS BIGINT) AS est_bytes FROM lineitem
+      UNION ALL
+      SELECT 'orders', COUNT(*), COUNT(*) * 80 FROM orders
+      UNION ALL
+      SELECT 'events', COUNT(*), COUNT(*) * 64
+                       + CAST(SUM(strlen(COALESCE(props, '')))
+                              AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 'documents', COUNT(*), COUNT(*) * 48
+                          + CAST(SUM(n_chars) AS BIGINT)
+      FROM documents
+    )
+    """,
+)
+def plan_partition_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-partition / target-file-count planner: per fact table,
+    row counts plus an estimated uncompressed byte size (fixed-width
+    schema constants + the EXACT variable-width payload sums), sized
+    against the 128 MB shuffle-partition and 1 GB file targets — the
+    arithmetic behind `spark.sql.shuffle.partitions` and compaction
+    file counts that otherwise lives in tribal knowledge. At 100 TB
+    this is the query a nightly job runs BEFORE choosing its write
+    layout; everything is one map-combinable aggregate per table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    e = load_table(spark, sf_dir, "events")
+    d = load_table(spark, sf_dir, "documents")
+    rows = [
+        li.agg(
+            F.lit("lineitem").alias("tbl"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) * 120).alias("est_bytes"),
+        ),
+        o.agg(
+            F.lit("orders").alias("tbl"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) * 80).alias("est_bytes"),
+        ),
+        e.agg(
+            F.lit("events").alias("tbl"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.count(F.lit(1)) * 64
+                + F.sum(F.octet_length(F.coalesce(F.col("props"), F.lit(""))))
+            ).alias("est_bytes"),
+        ),
+        d.agg(
+            F.lit("documents").alias("tbl"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) * 48 + F.sum("n_chars")).alias("est_bytes"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "tbl",
+        "n_rows",
+        "est_bytes",
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.col("est_bytes") / F.lit(134217728.0)),
+        )
+        .cast("long")
+        .alias("shuffle_partitions"),
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.col("est_bytes") / F.lit(1073741824.0)),
+        )
+        .cast("long")
+        .alias("target_files"),
+    )

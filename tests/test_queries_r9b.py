@@ -534,3 +534,43 @@ def test_image_entropy_flat_vs_ramp(spark):
         assert 0.0 <= r["entropy_bits"] <= 8.0
         assert r["entropy_bits"] > 6.0  # ramp fills most of the 256 bins
         assert r["n_distinct"] <= 256
+
+
+def test_its_change_row_is_post_minus_pre(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+
+    rows = {r["segment"]: r for r in QUERIES["ev_its_segmented"](spark, sf_dir).collect()}
+    assert set(rows) == {"pre", "post", "change"}
+    # change rounds AFTER differencing the unrounded slopes; comparing
+    # against the difference of rounded ones allows 1 ulp at 6dp
+    assert abs(
+        rows["change"]["slope"] - (rows["post"]["slope"] - rows["pre"]["slope"])
+    ) < 2e-6
+    assert rows["change"]["n_days"] == rows["pre"]["n_days"] + rows["post"]["n_days"]
+
+
+def test_cochran_q_nonnegative(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+
+    r = QUERIES["stat_cochran_q"](spark, sf_dir).collect()[0]
+    assert r["q_stat"] >= 0
+    assert r["df"] == 2
+
+
+def test_partition_sizing_sane(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+
+    rows = {r["tbl"]: r for r in QUERIES["plan_partition_sizing"](spark, sf_dir).collect()}
+    assert set(rows) == {"lineitem", "orders", "events", "documents"}
+    for r in rows.values():
+        assert r["est_bytes"] >= r["n_rows"]
+        assert r["shuffle_partitions"] >= 1
+        assert r["target_files"] <= r["shuffle_partitions"] or r["est_bytes"] < 134217728
+
+
+def test_map_precision_bounds(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+
+    r = QUERIES["rtr_map_precision"](spark, sf_dir).collect()[0]
+    assert 0 <= r["ap"] <= 1
+    assert 0 <= r["p_at_5"] <= 1 and 0 <= r["p_at_10"] <= 1
