@@ -3908,8 +3908,8 @@ def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH users AS (
         SELECT user_id, CAST(user_id % 2 AS INTEGER) AS treated,
                ROUND(COALESCE(SUM(value), 0), 4) AS score,
-               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                   AS converted
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    >= 14 AS INTEGER) AS converted
         FROM events GROUP BY user_id
     ),
     b AS (
@@ -3952,7 +3952,8 @@ def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ev_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Qini / uplift curve by score decile: targeting the top-k% of
-    users by engagement score, the incremental conversions the
+    users by engagement score, the incremental heavy-purchaser (>= 14
+    purchases) conversions the
     treatment (deterministic user-parity assignment, the repo's A/B
     convention) buys over control — the readout that separates
     PERSUADABLE users from sure-things, which `ml_lift_gains_curve`'s
@@ -3965,9 +3966,11 @@ def ev_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     users = ev.groupBy("user_id").agg(
         F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 4).alias("score"),
-        F.max(
-            (F.col("event_type") == "purchase").cast("int")
-        ).alias("converted"),
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int")) >= 14
+        )
+        .cast("int")
+        .alias("converted"),
     ).select(
         (F.col("user_id") % 2).cast("int").alias("treated"),
         "score",
@@ -5042,3 +5045,215 @@ def stat_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("q_stat"),
     )
+
+
+@query(
+    "ev_two_proportion_z",
+    """
+    WITH arms AS (
+        SELECT CAST(user_id % 2 AS INTEGER) AS treated,
+               user_id,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    >= 14 AS INTEGER) AS converted
+        FROM events GROUP BY user_id
+    ),
+    agg AS (
+        SELECT CAST(SUM(treated) AS DOUBLE) AS n1,
+               CAST(SUM(treated * converted) AS DOUBLE) AS x1,
+               CAST(SUM(1 - treated) AS DOUBLE) AS n2,
+               CAST(SUM((1 - treated) * converted) AS DOUBLE) AS x2
+        FROM arms
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_treated, CAST(n2 AS BIGINT) AS n_control,
+           ROUND(x1 / n1, 6) AS rate_treated,
+           ROUND(x2 / n2, 6) AS rate_control,
+           ROUND(x1 / n1 - x2 / n2, 6) AS rate_diff,
+           ROUND((x1 / n1 - x2 / n2)
+                 / sqrt(((x1 + x2) / (n1 + n2))
+                        * (1 - (x1 + x2) / (n1 + n2))
+                        * (1 / n1 + 1 / n2)), 6) AS z_stat
+    FROM agg
+    """,
+)
+def ev_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on per-user "heavy purchaser" (>= 14
+    purchases) status between the parity
+    arms (pooled-variance form) — the textbook conversion-rate test the
+    experiment stack reads FIRST, before the heavier machinery
+    (`ev_srm_check` validates the split, `ev_bayes_beta_binomial` the
+    posterior, this the frequentist rate gap). One user-collapse
+    aggregate + one four-sum aggregate, everything map-combinable."""
+    from pyspark.sql import functions as F
+
+    e = _t(spark, sf_dir, "events")
+    arms = e.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int")) >= 14
+        )
+        .cast("int")
+        .alias("converted")
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("treated"), "converted"
+    )
+    t, c = F.col("treated"), F.col("converted")
+    agg = arms.agg(
+        F.sum(t).cast("double").alias("n1"),
+        F.sum(t * c).cast("double").alias("x1"),
+        F.sum(1 - t).cast("double").alias("n2"),
+        F.sum((1 - t) * c).cast("double").alias("x2"),
+    )
+    p1 = F.col("x1") / F.col("n1")
+    p2 = F.col("x2") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")) / (F.col("n1") + F.col("n2"))
+    return agg.select(
+        F.col("n1").cast("long").alias("n_treated"),
+        F.col("n2").cast("long").alias("n_control"),
+        F.round(p1, 6).alias("rate_treated"),
+        F.round(p2, 6).alias("rate_control"),
+        F.round(p1 - p2, 6).alias("rate_diff"),
+        F.round(
+            (p1 - p2)
+            / F.sqrt(pp * (1 - pp) * (1 / F.col("n1") + 1 / F.col("n2"))),
+            6,
+        ).alias("z_stat"),
+    )
+
+
+@query(
+    "stat_bartlett",
+    """
+    WITH base AS (
+        SELECT event_type AS g, value AS v FROM events
+        WHERE value IS NOT NULL
+    ),
+    per AS (
+        SELECT g, CAST(COUNT(*) AS DOUBLE) AS n,
+               var_samp(v) AS s2
+        FROM base GROUP BY g
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(n) AS n_tot,
+               SUM((n - 1) * ln(s2)) AS sum_ln,
+               SUM(1 / (n - 1)) AS sum_inv,
+               SUM((n - 1) * s2) AS pooled_num
+        FROM per
+    )
+    SELECT CAST(k AS INTEGER) AS k_groups,
+           CAST(n_tot AS BIGINT) AS n,
+           ROUND(((n_tot - k) * ln(pooled_num / (n_tot - k)) - sum_ln)
+                 / (1 + (sum_inv - 1 / (n_tot - k)) / (3 * (k - 1))), 4)
+               AS bartlett_stat
+    FROM agg
+    """,
+)
+def stat_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test of variance homogeneity across event types — the
+    parametric (normality-assuming, more powerful) counterpart to
+    `stat_brown_forsythe`'s robust version; running both is the
+    standard variance-gate before pooled-variance ANOVA. Per-group
+    sample variances from one hash aggregate, the statistic from one
+    k-row collapse — chi²(k−1) under the null."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    per = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.var_samp("value").alias("s2"),
+        )
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("n").alias("n_tot"),
+        F.sum((F.col("n") - 1) * F.log("s2")).alias("sum_ln"),
+        F.sum(1 / (F.col("n") - 1)).alias("sum_inv"),
+        F.sum((F.col("n") - 1) * F.col("s2")).alias("pooled_num"),
+    )
+    k, n = F.col("k"), F.col("n_tot")
+    stat = (
+        (n - k) * F.log(F.col("pooled_num") / (n - k)) - F.col("sum_ln")
+    ) / (1 + (F.col("sum_inv") - 1 / (n - k)) / (3 * (k - 1)))
+    return agg.select(
+        k.cast("int").alias("k_groups"),
+        n.cast("long").alias("n"),
+        F.round(stat, 4).alias("bartlett_stat"),
+    )
+
+
+@query(
+    "ml_f1_threshold",
+    """
+    WITH base AS (
+        SELECT ROUND(value, 1) AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events WHERE value IS NOT NULL
+    ),
+    per AS (
+        SELECT score, CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(pos) AS DOUBLE) AS npos
+        FROM base GROUP BY score
+    ),
+    tot AS (SELECT SUM(n) AS tn, SUM(npos) AS tp_all FROM per),
+    cum AS (
+        SELECT score,
+               SUM(npos) OVER (ORDER BY score DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS tp,
+               SUM(n) OVER (ORDER BY score DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS pred_pos
+        FROM per
+    ),
+    f1s AS (
+        SELECT score AS threshold,
+               ROUND(tp / pred_pos, 6) AS precision,
+               ROUND(tp / t.tp_all, 6) AS recall,
+               ROUND(2 * tp / (pred_pos + t.tp_all), 6) AS f1
+        FROM cum, tot t
+    )
+    SELECT threshold, precision, recall, f1 FROM f1s
+    ORDER BY f1 DESC, threshold ASC LIMIT 1
+    """,
+)
+def ml_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal F1 decision threshold for the value-predicts-purchase
+    scorer: sweep every (0.1-quantized) score cutoff, compute
+    P/R/F1 from cumulative counts, return the argmax — the
+    threshold-tuning step between `ml_pr_curve` (the whole curve) and
+    deployment (one operating point). F1 = 2TP/(predP + allP) needs no
+    FP/FN bookkeeping; facts collapse to the quantized-score relation
+    first (the r8 cardinality discipline), cumulative windows run over
+    that collapsed relation, and the argmax ranks on ROUNDED F1 with
+    the threshold as tiebreak."""
+    from pyspark.sql import Window, functions as F
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    per = ev.select(
+        F.round("value", 1).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("pos"),
+    ).groupBy("score").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("pos").cast("double").alias("npos"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("tn"), F.sum("npos").alias("tp_all")
+    )
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per.select(
+        "score",
+        F.sum("npos").over(w).alias("tp"),
+        F.sum("n").over(w).alias("pred_pos"),
+    )
+    f1s = cum.crossJoin(F.broadcast(tot)).select(
+        F.col("score").alias("threshold"),
+        F.round(F.col("tp") / F.col("pred_pos"), 6).alias("precision"),
+        F.round(F.col("tp") / F.col("tp_all"), 6).alias("recall"),
+        F.round(
+            2 * F.col("tp") / (F.col("pred_pos") + F.col("tp_all")), 6
+        ).alias("f1"),
+    )
+    return f1s.orderBy(F.desc("f1"), F.asc("threshold")).limit(1)

@@ -574,3 +574,44 @@ def test_map_precision_bounds(spark, sf_dir):
     r = QUERIES["rtr_map_precision"](spark, sf_dir).collect()[0]
     assert 0 <= r["ap"] <= 1
     assert 0 <= r["p_at_5"] <= 1 and 0 <= r["p_at_10"] <= 1
+
+
+def test_two_proportion_z_nondegenerate(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+
+    r = QUERIES["ev_two_proportion_z"](spark, sf_dir).collect()[0]
+    assert 0 < r["rate_treated"] < 1 or 0 < r["rate_control"] < 1
+    assert abs(r["rate_diff"] - (r["rate_treated"] - r["rate_control"])) < 2e-6
+
+
+def test_bartlett_zero_for_identical_groups(spark, tmp_path):
+    import pandas as pd
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0] * 4
+    pd.DataFrame(
+        {
+            "event_id": range(40),
+            "event_type": ["a"] * 20 + ["b"] * 20,
+            "value": vals + vals,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from hudi_utility_spark.queries import QUERIES
+
+    r = QUERIES["stat_bartlett"](spark, str(tmp_path)).collect()[0]
+    assert r["k_groups"] == 2 and r["n"] == 40
+    assert abs(r["bartlett_stat"]) < 1e-9
+
+
+def test_f1_threshold_beats_trivial(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+    from hudi_utility_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    r = QUERIES["ml_f1_threshold"](spark, sf_dir).collect()[0]
+    assert 0 < r["f1"] <= 1
+    # F1 at the chosen threshold must be >= F1 of predict-all-positive
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    n = ev.count()
+    npos = ev.filter(F.col("event_type") == "purchase").count()
+    f1_all = 2 * npos / (n + npos)
+    assert r["f1"] >= round(f1_all, 6) - 1e-9
