@@ -5257,3 +5257,113 @@ def ml_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f1"),
     )
     return f1s.orderBy(F.desc("f1"), F.asc("threshold")).limit(1)
+
+
+@query(
+    "ml_regression_report",
+    """
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(l_quantity) AS s1, SUM(l_discount) AS s2,
+               SUM(l_extendedprice) AS sy,
+               SUM(l_quantity * l_quantity) AS s11,
+               SUM(l_quantity * l_discount) AS s12,
+               SUM(l_discount * l_discount) AS s22,
+               SUM(l_quantity * l_extendedprice) AS s1y,
+               SUM(l_discount * l_extendedprice) AS s2y
+        FROM lineitem WHERE l_orderkey % 2 = 0
+    ),
+    d AS (
+        SELECT *,
+               n * (s11 * s22 - s12 * s12)
+               - s1 * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s12 - s11 * s2) AS det
+        FROM s
+    ),
+    b AS (
+        SELECT ROUND((sy * (s11 * s22 - s12 * s12)
+                - s1 * (s1y * s22 - s12 * s2y)
+                + s2 * (s1y * s12 - s11 * s2y)) / det, 6) AS b0,
+               ROUND((n * (s1y * s22 - s12 * s2y)
+                - sy * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s2y - s1y * s2)) / det, 6) AS b1,
+               ROUND((n * (s11 * s2y - s1y * s12)
+                - s1 * (s1 * s2y - s1y * s2)
+                + sy * (s1 * s12 - s11 * s2)) / det, 6) AS b2
+        FROM d
+    ),
+    test AS (
+        SELECT l_extendedprice AS y,
+               b.b0 + b.b1 * l_quantity + b.b2 * l_discount AS pred
+        FROM lineitem, b WHERE l_orderkey % 2 = 1
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_test,
+               AVG(abs(y - pred)) AS mae,
+               sqrt(AVG((y - pred) * (y - pred))) AS rmse,
+               AVG(abs(y - pred) / abs(y)) AS mape,
+               SUM((y - pred) * (y - pred)) AS sse,
+               SUM(y * y) AS syy2, SUM(y) AS sy2
+        FROM test
+    )
+    SELECT CAST(n_test AS BIGINT) AS n_test,
+           ROUND(mae, 4) AS mae, ROUND(rmse, 4) AS rmse,
+           ROUND(mape, 6) AS mape,
+           ROUND(1 - sse / (syy2 - sy2 * sy2 / n_test), 6) AS r2_test
+    FROM m
+    """,
+)
+def ml_regression_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out regression scoreboard: OLS trained on EVEN order keys
+    (the same Cramer closed form as `ml_ols_normal_eq`, weights rounded
+    to 6dp before application — round-before-apply keeps both engines
+    predicting identical values), evaluated on the ODD half: test MAE /
+    RMSE / MAPE / R² — the train→eval loop closed out-of-sample, where
+    `ml_ols_normal_eq`'s in-sample R² flatters. Train is one
+    sufficient-stats aggregate; the weight row broadcasts onto the test
+    scan; metrics are one aggregate."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    from hudi_utility_spark.ops.mlfit import ols2_normal_equations
+
+    w = ols2_normal_equations(
+        li.filter(F.col("l_orderkey") % 2 == 0),
+        "l_extendedprice",
+        "l_quantity",
+        "l_discount",
+    ).select("b0", "b1", "b2")
+    test = (
+        li.filter(F.col("l_orderkey") % 2 == 1)
+        .crossJoin(F.broadcast(w))
+        .select(
+            F.col("l_extendedprice").alias("y"),
+            (
+                F.col("b0")
+                + F.col("b1") * F.col("l_quantity")
+                + F.col("b2") * F.col("l_discount")
+            ).alias("pred"),
+        )
+    )
+    err = F.col("y") - F.col("pred")
+    m = test.agg(
+        F.count(F.lit(1)).cast("double").alias("n_test"),
+        F.avg(F.abs(err)).alias("mae"),
+        F.sqrt(F.avg(err * err)).alias("rmse"),
+        F.avg(F.abs(err) / F.abs(F.col("y"))).alias("mape"),
+        F.sum(err * err).alias("sse"),
+        F.sum(F.col("y") * F.col("y")).alias("syy2"),
+        F.sum("y").alias("sy2"),
+    )
+    return m.select(
+        F.col("n_test").cast("long").alias("n_test"),
+        F.round("mae", 4).alias("mae"),
+        F.round("rmse", 4).alias("rmse"),
+        F.round("mape", 6).alias("mape"),
+        F.round(
+            1
+            - F.col("sse")
+            / (F.col("syy2") - F.col("sy2") * F.col("sy2") / F.col("n_test")),
+            6,
+        ).alias("r2_test"),
+    )

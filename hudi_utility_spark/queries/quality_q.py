@@ -3041,3 +3041,73 @@ def plan_partition_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("target_files"),
     )
+
+
+@query(
+    "dq_outlier_mad",
+    """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS ad
+        FROM events e JOIN med m ON e.event_type = m.event_type
+        WHERE e.value IS NOT NULL
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MAX(d.med), 4) AS median,
+           ROUND(MAX(m.mad), 4) AS mad,
+           CAST(SUM(CASE WHEN abs(d.value - d.med)
+                              > 3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS outliers,
+           ROUND(SUM(CASE WHEN abs(d.value - d.med)
+                               > 3 * 1.4826 * m.mad
+                          THEN 1.0 ELSE 0 END) / COUNT(*), 6)
+               AS outlier_rate
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    """,
+)
+def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier audit per event type (|x−med|
+    > 3·1.4826·MAD, the normal-consistent robust z) — the THIRD fence
+    next to `stat_anomaly_flags`' mean/σ and `dq_outlier_iqr`'s
+    quartiles: MAD has a 50% breakdown point, so it holds even when
+    half the column is corrupt. Two exact-percentile aggregates
+    (median, then median of deviations — inherently two passes), each
+    |event_type| scalars broadcast back; the fence test is map-side."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("ad", F.lit(0.5)).alias("mad")
+    )
+    out = (F.col("ad") > 3 * 1.4826 * F.col("mad")).cast("int")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("med"), 4).alias("median"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.sum(out).alias("outliers"),
+            F.round(F.sum(out) / F.count(F.lit(1)), 6).alias(
+                "outlier_rate"
+            ),
+        )
+    )

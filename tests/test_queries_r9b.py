@@ -615,3 +615,28 @@ def test_f1_threshold_beats_trivial(spark, sf_dir):
     npos = ev.filter(F.col("event_type") == "purchase").count()
     f1_all = 2 * npos / (n + npos)
     assert r["f1"] >= round(f1_all, 6) - 1e-9
+
+
+def test_regression_report_reasonable(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+
+    r = QUERIES["ml_regression_report"](spark, sf_dir).collect()[0]
+    assert r["n_test"] > 0
+    assert r["rmse"] >= r["mae"] >= 0
+    assert r["r2_test"] <= 1.0
+    # price ~ quantity is a strong relationship in TPC-H-ish data
+    assert r["r2_test"] > 0.5
+
+
+def test_mad_outliers_flags_far_point(spark, tmp_path):
+    import pandas as pd
+
+    vals = [10.0, 11.0, 9.0, 10.0, 12.0, 8.0, 10.0, 11.0, 9.0, 500.0]
+    pd.DataFrame(
+        {"event_id": range(10), "event_type": ["a"] * 10, "value": vals}
+    ).to_parquet(tmp_path / "events.parquet")
+    from hudi_utility_spark.queries import QUERIES
+
+    r = QUERIES["dq_outlier_mad"](spark, str(tmp_path)).collect()[0]
+    assert r["outliers"] == 1
+    assert r["median"] == 10.0
