@@ -5262,16 +5262,25 @@ def ml_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ml_regression_report",
     """
-    WITH s AS (
+    WITH feats AS (
+        SELECT doc_id, CAST(n_chars AS DOUBLE) AS y,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+                   AS x1,
+               CAST(list_max(list_transform(
+                   string_split_regex(trim(text), '\s+'),
+                   t -> len(t))) AS DOUBLE) AS x2
+        FROM documents
+    ),
+    s AS (
         SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-               SUM(l_quantity) AS s1, SUM(l_discount) AS s2,
-               SUM(l_extendedprice) AS sy,
-               SUM(l_quantity * l_quantity) AS s11,
-               SUM(l_quantity * l_discount) AS s12,
-               SUM(l_discount * l_discount) AS s22,
-               SUM(l_quantity * l_extendedprice) AS s1y,
-               SUM(l_discount * l_extendedprice) AS s2y
-        FROM lineitem WHERE l_orderkey % 2 = 0
+               SUM(x1) AS s1, SUM(x2) AS s2,
+               SUM(y) AS sy,
+               SUM(x1 * x1) AS s11,
+               SUM(x1 * x2) AS s12,
+               SUM(x2 * x2) AS s22,
+               SUM(x1 * y) AS s1y,
+               SUM(x2 * y) AS s2y
+        FROM feats WHERE doc_id % 2 = 0
     ),
     d AS (
         SELECT *,
@@ -5293,9 +5302,8 @@ def ml_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d
     ),
     test AS (
-        SELECT l_extendedprice AS y,
-               b.b0 + b.b1 * l_quantity + b.b2 * l_discount AS pred
-        FROM lineitem, b WHERE l_orderkey % 2 = 1
+        SELECT y, b.b0 + b.b1 * x1 + b.b2 * x2 AS pred
+        FROM feats, b WHERE doc_id % 2 = 1
     ),
     m AS (
         SELECT CAST(COUNT(*) AS DOUBLE) AS n_test,
@@ -5314,34 +5322,41 @@ def ml_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ml_regression_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Held-out regression scoreboard: OLS trained on EVEN order keys
-    (the same Cramer closed form as `ml_ols_normal_eq`, weights rounded
-    to 6dp before application — round-before-apply keeps both engines
+    """Held-out regression scoreboard: OLS of document length (n_chars
+    ~ word count + max token length) trained on EVEN doc ids (the same
+    Cramer closed form as `ml_ols_normal_eq`, weights rounded to 6dp
+    before application — round-before-apply keeps both engines
     predicting identical values), evaluated on the ODD half: test MAE /
     RMSE / MAPE / R² — the train→eval loop closed out-of-sample, where
-    `ml_ols_normal_eq`'s in-sample R² flatters. Train is one
-    sufficient-stats aggregate; the weight row broadcasts onto the test
-    scan; metrics are one aggregate."""
+    in-sample R² flatters. Train is one sufficient-stats aggregate; the
+    weight row broadcasts onto the test scan; metrics are one
+    aggregate."""
     from pyspark.sql import functions as F
 
-    li = _t(spark, sf_dir, "lineitem")
     from hudi_utility_spark.ops.mlfit import ols2_normal_equations
 
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    feats = d.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("y"),
+        F.size(toks).cast("double").alias("x1"),
+        F.array_max(F.transform(toks, lambda t: F.length(t)))
+        .cast("double")
+        .alias("x2"),
+    ).localCheckpoint(eager=False)
     w = ols2_normal_equations(
-        li.filter(F.col("l_orderkey") % 2 == 0),
-        "l_extendedprice",
-        "l_quantity",
-        "l_discount",
+        feats.filter(F.col("doc_id") % 2 == 0), "y", "x1", "x2"
     ).select("b0", "b1", "b2")
     test = (
-        li.filter(F.col("l_orderkey") % 2 == 1)
+        feats.filter(F.col("doc_id") % 2 == 1)
         .crossJoin(F.broadcast(w))
         .select(
-            F.col("l_extendedprice").alias("y"),
+            "y",
             (
                 F.col("b0")
-                + F.col("b1") * F.col("l_quantity")
-                + F.col("b2") * F.col("l_discount")
+                + F.col("b1") * F.col("x1")
+                + F.col("b2") * F.col("x2")
             ).alias("pred"),
         )
     )
