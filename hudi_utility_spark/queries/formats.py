@@ -365,3 +365,91 @@ def fmt_text_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("v"), 2).alias("total_value"),
     )
+
+
+@query(
+    "fmt_corrupt_json_audit",
+    """
+    WITH src AS (SELECT doc_id, lang, n_chars FROM documents),
+    marked AS (
+        SELECT *, doc_id % 7 = 3 AS corrupt FROM src
+    )
+    SELECT lang,
+           CAST(SUM(CASE WHEN NOT corrupt THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_good,
+           CAST(SUM(CASE WHEN NOT corrupt THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars
+    FROM marked
+    GROUP BY lang
+    UNION ALL
+    SELECT '__corrupt__',
+           CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM marked
+    """,
+    sequential=True,
+)
+def fmt_corrupt_json_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode corrupt-record quarantine, end to end: a JSONL
+    export where every 7th-mod-3 line is DELIBERATELY truncated
+    mid-record, read back with `columnNameOfCorruptRecord` so bad lines
+    land in the quarantine column instead of failing the job — the
+    ingest posture a 100 TB pipeline needs for the real web's malformed
+    tail (schema-on-read + per-record error isolation, never
+    fail-the-file). The oracle knows the corruption rule, so good-row
+    aggregates AND the corrupt count are value-hash-checked. Spark must
+    cache the raw read before splitting good/corrupt — the documented
+    PERMISSIVE caveat that a filter on the corrupt column alone can be
+    pushed into the parse."""
+    import os
+
+    root = _scratch(sf_dir, "corrupt_json")
+    os.makedirs(root, exist_ok=True)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+        .collect()
+    )
+    path = os.path.join(root, "docs.jsonl")
+    import json as _json
+
+    with open(path, "w") as f:
+        for row in d:
+            line = _json.dumps(
+                {
+                    "doc_id": row["doc_id"],
+                    "lang": row["lang"],
+                    "n_chars": row["n_chars"],
+                }
+            )
+            if row["doc_id"] % 7 == 3:
+                line = line[: max(4, len(line) // 2)]  # truncate mid-record
+            f.write(line + "\n")
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+        .cache()  # required: filtering on _corrupt alone is unsupported
+    )
+    good = back.filter(F.col("_corrupt").isNull()).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_good"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    bad = back.filter(F.col("_corrupt").isNotNull()).agg(
+        F.lit("__corrupt__").alias("lang"),
+        F.count(F.lit(1)).alias("n_good"),
+        F.lit(0).cast("long").alias("chars"),
+    )
+    return good.unionByName(bad)

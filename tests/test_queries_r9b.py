@@ -640,3 +640,16 @@ def test_mad_outliers_flags_far_point(spark, tmp_path):
     r = QUERIES["dq_outlier_mad"](spark, str(tmp_path)).collect()[0]
     assert r["outliers"] == 1
     assert r["median"] == 10.0
+
+
+def test_corrupt_json_audit_counts(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+    from hudi_utility_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = {r["lang"]: r for r in QUERIES["fmt_corrupt_json_audit"](spark, sf_dir).collect()}
+    d = load_table(spark, sf_dir, "documents")
+    expect_bad = d.filter(F.col("doc_id") % 7 == 3).count()
+    assert rows["__corrupt__"]["n_good"] == expect_bad
+    good_total = sum(r["n_good"] for k, r in rows.items() if k != "__corrupt__")
+    assert good_total == d.count() - expect_bad
