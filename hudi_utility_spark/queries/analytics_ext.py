@@ -5382,3 +5382,190 @@ def ml_regression_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2_test"),
     )
+
+
+_ABSORB_ITERS = 20
+
+
+def _absorbing_oracle() -> str:
+    """Value iteration E = 1 + P·E for expected steps to absorption,
+    unrolled into one CTE per iteration (the `_logreg_oracle`
+    discipline): transition probabilities are rounded to 6dp BEFORE
+    iterating and every iterate is re-rounded, so the driver-side float
+    recursion and this SQL replay stay bit-aligned."""
+    head = """
+ordered AS (
+    SELECT user_id, event_type,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events
+),
+counts AS (
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS DOUBLE) AS c
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+),
+probs AS (
+    SELECT from_type, to_type,
+           ROUND(c / SUM(c) OVER (PARTITION BY from_type), 6) AS p
+    FROM counts WHERE from_type <> 'purchase'
+),
+it0 AS (
+    SELECT DISTINCT from_type, 0.0 AS val FROM probs
+)"""
+    ctes = [head]
+    for i in range(1, _ABSORB_ITERS + 1):
+        ctes.append(f"""
+it{i} AS (
+    SELECT p.from_type,
+           ROUND(1 + SUM(p.p * COALESCE(e.val, 0.0)), 6) AS val
+    FROM probs p LEFT JOIN it{i - 1} e ON e.from_type = p.to_type
+    GROUP BY p.from_type
+)""")
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f"""
+SELECT from_type AS state, val AS expected_steps
+FROM it{_ABSORB_ITERS}"""
+    )
+
+
+@query("ev_markov_absorbing", _absorbing_oracle())
+def ev_markov_absorbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected number of events until the next purchase, per current
+    state — absorbing-Markov value iteration E = 1 + P·E with purchase
+    as the absorbing state, the "how far from converting is a user who
+    just errored?" readout that turns `ev_markov_transitions`' raw
+    matrix into a decision number. The transition matrix is collected
+    ONCE (≤ k² scalars — the codebook-literal budget); {n} fixed
+    driver-side iterations with per-step 6dp quantization keep the
+    recursion identical to the oracle's unrolled CTEs. One lead-window
+    pass + one matrix aggregate touch the data; the iteration never
+    does.""".replace("{n}", str(_ABSORB_ITERS))
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    counts = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    pw = Window.partitionBy("from_type")
+    probs = (
+        counts.filter(F.col("from_type") != "purchase")
+        .select(
+            "from_type",
+            "to_type",
+            F.round(F.col("c") / F.sum("c").over(pw), 6).alias("p"),
+        )
+        .collect()
+    )
+    states = sorted({r["from_type"] for r in probs})
+    ev = {s: 0.0 for s in states}
+    for _ in range(_ABSORB_ITERS):
+        nxt = {}
+        for s in states:
+            acc = 1.0
+            for r in probs:
+                if r["from_type"] == s:
+                    acc += r["p"] * ev.get(r["to_type"], 0.0)
+            nxt[s] = round(acc, 6)
+        ev = nxt
+    return spark.createDataFrame(
+        [(s, ev[s]) for s in states], "state string, expected_steps double"
+    )
+
+
+@query(
+    "stat_durbin_watson",
+    """
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', o_orderdate) AS DATE))
+                   AS didx,
+               ROUND(SUM(o_totalprice), 4) AS y
+        FROM orders GROUP BY 1
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(didx) AS sx, SUM(y) AS sy,
+               SUM(didx * y) AS sxy, SUM(CAST(didx AS DOUBLE) * didx) AS sxx
+        FROM daily
+    ),
+    ab AS (
+        SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                   AS a, n
+        FROM fit
+    ),
+    resid AS (
+        SELECT d.didx, d.y - (ab.a + ab.b * d.didx) AS e
+        FROM daily d, ab
+    ),
+    lagged AS (
+        SELECT e, LAG(e) OVER (ORDER BY didx) AS e_prev FROM resid
+    )
+    SELECT CAST((SELECT n FROM ab) AS BIGINT) AS n_days,
+           ROUND(SUM(CASE WHEN e_prev IS NOT NULL
+                          THEN (e - e_prev) * (e - e_prev) ELSE 0 END)
+                 / SUM(e * e), 6) AS dw_stat
+    FROM lagged
+    """,
+)
+def stat_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic on the residuals of the daily-revenue
+    linear trend — the FIRST-LAG autocorrelation test a regression
+    report quotes (DW ≈ 2 = independent residuals, → 0 = positive
+    serial correlation meaning OLS standard errors are lies), the
+    fitted-model complement to `stat_ljung_box`'s raw-series Q. Trend
+    fit is closed-form sufficient statistics; residuals and the lag
+    window live on the collapsed calendar-bounded daily relation."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date(F.date_trunc("day", F.col("o_orderdate"))),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("didx")
+    ).agg(F.round(F.sum("o_totalprice"), 4).alias("y"))
+    fit = daily.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("didx").cast("double").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("didx") * F.col("y")).alias("sxy"),
+        F.sum(F.col("didx").cast("double") * F.col("didx")).alias("sxx"),
+    )
+    b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    ab = fit.select(
+        b.alias("b"),
+        ((F.col("sy") - b * F.col("sx")) / F.col("n")).alias("a"),
+        "n",
+    )
+    resid = daily.crossJoin(F.broadcast(ab)).select(
+        "didx",
+        "n",
+        (F.col("y") - (F.col("a") + F.col("b") * F.col("didx"))).alias("e"),
+    )
+    w = Window.orderBy("didx")
+    lagged = resid.select(
+        "n", "e", F.lag("e").over(w).alias("e_prev")
+    )
+    num = F.sum(
+        F.when(
+            F.col("e_prev").isNotNull(),
+            (F.col("e") - F.col("e_prev")) * (F.col("e") - F.col("e_prev")),
+        ).otherwise(0.0)
+    )
+    return lagged.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.round(num / F.sum(F.col("e") * F.col("e")), 6).alias("dw_stat"),
+    )

@@ -653,3 +653,35 @@ def test_corrupt_json_audit_counts(spark, sf_dir):
     assert rows["__corrupt__"]["n_good"] == expect_bad
     good_total = sum(r["n_good"] for k, r in rows.items() if k != "__corrupt__")
     assert good_total == d.count() - expect_bad
+
+
+def test_absorbing_markov_two_state_closed_form(spark, tmp_path):
+    # deterministic chain: click -> purchase every time => E(click) = 1
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    for u in range(5):
+        for i in range(4):
+            et = "click" if i % 2 == 0 else "purchase"
+            rows.append((eid, base + pd.Timedelta(minutes=eid), u, et))
+            eid += 1
+    pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"]).to_parquet(
+        tmp_path / "events.parquet"
+    )
+    from hudi_utility_spark.queries import QUERIES
+
+    got = {
+        r["state"]: r["expected_steps"]
+        for r in QUERIES["ev_markov_absorbing"](spark, str(tmp_path)).collect()
+    }
+    assert got == {"click": 1.0}
+
+
+def test_durbin_watson_range(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+
+    r = QUERIES["stat_durbin_watson"](spark, sf_dir).collect()[0]
+    assert 0.0 <= r["dw_stat"] <= 4.0
+    assert r["n_days"] > 2
