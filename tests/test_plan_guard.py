@@ -340,3 +340,36 @@ def test_r9b_new_queries_no_cartesian_bounded_bnlj(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan and name not in R9B_BNLJ_OK:
             offenders.append((name, "bnlj"))
     assert not offenders, offenders
+
+
+# wave-C round-9 additions: same contract as wave B.
+R9C_NEW_QUERIES = [
+    "ev_survival_kaplan_meier", "graph_modularity", "mm_image_entropy",
+    "ev_its_segmented", "stat_cochran_q", "plan_partition_sizing",
+    "rtr_map_precision", "ev_two_proportion_z", "stat_bartlett",
+    "ml_f1_threshold", "ml_regression_report", "dq_outlier_mad",
+    "ev_markov_absorbing", "stat_durbin_watson", "ml_platt_scaling",
+]
+R9C_BNLJ_OK = {
+    "ev_survival_kaplan_meier",  # 1-row corpus-end bound + user-total scalar
+    "graph_modularity",          # 1-row edge-count scalar
+    "ev_its_segmented",          # 1-row cutpoint scalar
+    "rtr_map_precision",         # 1-row relevant-total scalar (bm25 idiom)
+    "ml_f1_threshold",           # 1-row totals broadcast
+    "ml_regression_report",      # 1-row weight vector broadcast
+    "stat_durbin_watson",        # 1-row slope/intercept scalars
+}
+
+
+def test_r9c_new_queries_no_cartesian_bounded_bnlj(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    offenders = []
+    for name in R9C_NEW_QUERIES:
+        plan = _plan(qs[name](spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "cartesian"))
+        if "BroadcastNestedLoopJoin" in plan and name not in R9C_BNLJ_OK:
+            offenders.append((name, "bnlj"))
+    assert not offenders, offenders
