@@ -694,3 +694,173 @@ def test_fold_session_events_split_equals_whole(ts, gap, cut):
     c2, open2 = fold_session_events(open1, s[cut:], gap)
     assert c1 + c2 == whole_closed
     assert open2 == whole_open
+
+
+# ---- round-9 wave-B property tests: Spark op vs tiny pure-Python ----
+# ---- reference implementation over hypothesis-generated inputs   ----
+
+EDGE = st.tuples(
+    st.integers(min_value=0, max_value=6), st.integers(min_value=0, max_value=6)
+)
+EDGES = st.lists(EDGE, min_size=1, max_size=12)
+
+
+@given(edges=EDGES, seed=st.integers(min_value=0, max_value=6))
+@_SETTINGS
+def test_bfs_hops_matches_python_bfs(spark, edges, seed):
+    from collections import deque
+
+    from hudi_utility_spark.ops.graph import bfs_hops, symmetrize
+
+    edges = [(u, v) for u, v in edges if u != v]
+    if not edges:
+        return
+    # python reference BFS over the undirected graph
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    expect = {seed: 0}
+    q = deque([seed])
+    while q:
+        n = q.popleft()
+        if expect[n] >= 4:
+            continue
+        for m in adj.get(n, ()):  # noqa: B905
+            if m not in expect:
+                expect[m] = expect[n] + 1
+                q.append(m)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([(seed,)], ["node"])
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_hops(symmetrize(df), seeds, max_hops=4).collect()
+    }
+    # seed may be isolated (not in edge list): reference still has it at 0
+    assert got == expect
+
+
+PAIRS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=0, max_value=5),
+    ),
+    min_size=2,
+    max_size=14,
+)
+
+
+@given(xy=PAIRS)
+@_SETTINGS
+def test_kendall_tau_matches_python(spark, xy):
+    """The registered query's tau-b math vs a brute-force reference:
+    same concordant/discordant/ties over all pairs."""
+    import itertools
+    import math
+
+    import pandas as pd
+
+    # need at least two distinct x and two distinct y for a defined tau
+    if len({x for x, _ in xy}) < 2 or len({y for _, y in xy}) < 2:
+        return
+    rows = []
+    days = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        range(len(xy)), unit="D"
+    )
+    oid = 0
+    for (x, y), d in zip(xy, days):
+        # day i gets x+1 orders summing to y (one order of y, x extra of 0)
+        rows.append((oid, d, float(y))); oid += 1
+        for _ in range(x):
+            rows.append((oid, d, 0.0)); oid += 1
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        pd.DataFrame(
+            rows, columns=["o_orderkey", "o_orderdate", "o_totalprice"]
+        ).to_parquet(os.path.join(td, "orders.parquet"))
+        from hudi_utility_spark.queries import QUERIES, load_all
+
+        load_all()
+        r = QUERIES["stat_kendall_tau"](spark, td).collect()[0]
+    xs = [x + 1 for x, _ in xy]  # order count per day
+    ys = [float(y) for _, y in xy]
+    c = d_ = 0
+    for (i, j) in itertools.combinations(range(len(xy)), 2):
+        prod = (xs[i] - xs[j]) * (ys[i] - ys[j])
+        if prod > 0:
+            c += 1
+        elif prod < 0:
+            d_ += 1
+    n = len(xy)
+    n0 = n * (n - 1) / 2
+
+    def ties(vals):
+        from collections import Counter
+
+        return sum(t * (t - 1) / 2 for t in Counter(vals).values())
+
+    denom = math.sqrt((n0 - ties(xs)) * (n0 - ties(ys)))
+    assert r["concordant"] == c and r["discordant"] == d_
+    if denom > 0:
+        assert abs(r["tau_b"] - round((c - d_) / denom, 6)) < 1e-6
+
+
+COUNTS = st.lists(st.integers(min_value=1, max_value=12), min_size=1, max_size=20)
+
+
+@given(counts=COUNTS)
+@_SETTINGS
+def test_good_turing_matches_python(spark, counts):
+    """gt_count identity on arbitrary count multisets, via a scratch
+    corpus where doc i is a repeated unique trigram."""
+    import os
+    import tempfile
+    from collections import Counter
+
+    import pandas as pd
+
+    # doc i repeats its unique trigram "ai bi ci" counts[i] times, with
+    # a per-repeat unique filler token between repeats so overlapping
+    # trigrams don't collide
+    texts = []
+    for i, k in enumerate(counts):
+        parts = []
+        for j in range(k):
+            parts.append(f"a{i} b{i} c{i}")
+            parts.append(f"x{i}y{j}z")  # filler breaks overlap trigrams
+        texts.append(" ".join(parts))
+    with tempfile.TemporaryDirectory() as td:
+        pd.DataFrame(
+            {"doc_id": range(len(texts)), "text": texts}
+        ).to_parquet(os.path.join(td, "documents.parquet"))
+        from hudi_utility_spark.queries import QUERIES, load_all
+
+        load_all()
+        rows = {
+            r["r"]: r
+            for r in QUERIES["text_good_turing"](spark, td).collect()
+        }
+    # the reference count-of-counts includes BOTH target trigrams and the
+    # filler-induced ones; replicate tokenization in python instead
+    import re
+
+    def norm_tokens(t):
+        t = re.sub(r"[^a-z0-9\s]", " ", t.lower())
+        t = re.sub(r"\s+", " ", t).strip()
+        return [w for w in t.split(" ") if w]
+
+    grams = Counter()
+    for t in texts:
+        toks = norm_tokens(t)
+        for i in range(len(toks) - 2):
+            grams[" ".join(toks[i : i + 3])] += 1
+    coc = Counter(v for v in grams.values() if v <= 11)
+    for r_val in range(1, 11):
+        if coc.get(r_val):
+            row = rows[r_val]
+            assert row["n_types"] == coc[r_val]
+            expect_gt = (r_val + 1) * coc.get(r_val + 1, 0) / coc[r_val]
+            assert abs(row["gt_count"] - round(expect_gt, 6)) < 1e-6
+        else:
+            assert r_val not in rows
