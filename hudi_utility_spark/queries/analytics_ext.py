@@ -5569,3 +5569,56 @@ def stat_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("n_days"),
         F.round(num / F.sum(F.col("e") * F.col("e")), 6).alias("dw_stat"),
     )
+
+
+@query(
+    "ev_new_vs_returning",
+    """
+    WITH first_seen AS (
+        SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS d0
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    )
+    SELECT d.d AS day,
+           CAST(COUNT(*) AS BIGINT) AS dau,
+           CAST(SUM(CASE WHEN d.d = f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS new_users,
+           CAST(SUM(CASE WHEN d.d > f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS returning_users,
+           ROUND(SUM(CASE WHEN d.d > f.d0 THEN 1.0 ELSE 0 END) / COUNT(*),
+                 6) AS returning_share
+    FROM daily d JOIN first_seen f ON d.user_id = f.user_id
+    GROUP BY d.d
+    """,
+)
+def ev_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into new vs returning (first-seen day
+    vs later) — the acquisition-vs-retention mix behind every growth
+    chart, the per-day drilldown of `ev_user_growth`. Two user-keyed
+    aggregates joined on user_id, result relation days-sized."""
+    from pyspark.sql import functions as F
+
+    e = _t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("d0")
+    )
+    daily = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    new_flag = (F.col("d") == F.col("d0")).cast("int")
+    ret_flag = (F.col("d") > F.col("d0")).cast("int")
+    return (
+        daily.join(first_seen, "user_id")
+        .groupBy(F.col("d").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("dau"),
+            F.sum(new_flag).alias("new_users"),
+            F.sum(ret_flag).alias("returning_users"),
+            F.round(F.sum(ret_flag) / F.count(F.lit(1)), 6).alias(
+                "returning_share"
+            ),
+        )
+    )

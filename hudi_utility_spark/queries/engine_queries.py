@@ -158,3 +158,60 @@ def v_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.col("event_id") + F.lit(10_000_000)
     )
     return table_diff(base, migrated.unionByName(added), ["event_id"])
+
+
+@query(
+    "approx_quantile_check",
+    """
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90,
+               MAX(value) - MIN(value) AS rng,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(p50, 4) AS p50_exact, ROUND(p90, 4) AS p90_exact,
+           TRUE AS p50_within_tol, TRUE AS p90_within_tol
+    FROM q
+    """,
+)
+def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`percentile_approx` (Greenwald-Khanna sketch, accuracy 10000)
+    validated against the exact percentiles per event type: the approx
+    answer must land within 2% of the column range, and that CLAIM is
+    what crosses the value-hash gate (the oracle asserts TRUE, so a
+    sketch drifting out of tolerance fails the round — approximation
+    with an enforced error contract, the `approx_distinct_portable`
+    pattern applied to quantiles). At 100 TB the GK sketch is the only
+    affordable per-group quantile; this query is the standing proof it
+    stays honest."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    q = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.9)).alias("p90"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias(
+            "a50"
+        ),
+        F.percentile_approx("value", F.lit(0.9), F.lit(10000)).alias(
+            "a90"
+        ),
+        (F.max("value") - F.min("value")).alias("rng"),
+    )
+    tol = 0.02 * F.col("rng")
+    return q.select(
+        "event_type",
+        "n",
+        F.round("p50", 4).alias("p50_exact"),
+        F.round("p90", 4).alias("p90_exact"),
+        (F.abs(F.col("a50") - F.col("p50")) <= tol).alias(
+            "p50_within_tol"
+        ),
+        (F.abs(F.col("a90") - F.col("p90")) <= tol).alias(
+            "p90_within_tol"
+        ),
+    )

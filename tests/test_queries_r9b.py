@@ -685,3 +685,27 @@ def test_durbin_watson_range(spark, sf_dir):
     r = QUERIES["stat_durbin_watson"](spark, sf_dir).collect()[0]
     assert 0.0 <= r["dw_stat"] <= 4.0
     assert r["n_days"] > 2
+
+
+def test_approx_quantile_within_tol_everywhere(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+
+    rows = QUERIES["approx_quantile_check"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["p50_within_tol"] and r["p90_within_tol"]
+        assert r["p50_exact"] <= r["p90_exact"]
+
+
+def test_new_vs_returning_partition(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+
+    rows = QUERIES["ev_new_vs_returning"](spark, sf_dir).collect()
+    assert rows
+    total_new = sum(r["new_users"] for r in rows)
+    from hudi_utility_spark.tables import load_table
+
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert total_new == n_users  # every user is new exactly once
+    for r in rows:
+        assert r["dau"] == r["new_users"] + r["returning_users"]
