@@ -5622,3 +5622,81 @@ def ev_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "ev_cart_abandonment",
+    """
+    WITH clicks AS (
+        SELECT user_id, ts AS click_ts,
+               CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events WHERE event_type = 'click'
+    ),
+    converted AS (
+        SELECT DISTINCT c.user_id, c.click_ts
+        FROM clicks c JOIN events p
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase'
+         AND p.ts >= c.click_ts
+         AND epoch_us(p.ts) - epoch_us(c.click_ts) <= 86400000000
+    )
+    SELECT c.day,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           CAST(SUM(CASE WHEN v.user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS abandoned,
+           ROUND(SUM(CASE WHEN v.user_id IS NULL THEN 1.0 ELSE 0 END)
+                 / COUNT(*), 6) AS abandonment_rate
+    FROM clicks c
+    LEFT JOIN converted v
+      ON v.user_id = c.user_id AND v.click_ts = c.click_ts
+    GROUP BY c.day
+    """,
+)
+def ev_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cart-abandonment rate: clicks with no purchase by the same
+    user within 24 hours — the within-window conversion complement to
+    `ev_funnel_conversion` (which has no deadline) and the
+    batch twin of `stream_interval_join`'s click→purchase window. The
+    click→purchase probe is a user-keyed equijoin with the 24 h bound
+    as a post-join predicate (AQE sizes the shuffle); the per-click
+    converted set collapses to DISTINCT before the left join so
+    multiple purchases can't double-count a click."""
+    from pyspark.sql import functions as F
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("ts").alias("p_ts")
+    )
+    converted = (
+        clicks.join(purchases, "user_id")
+        .filter(
+            (F.col("p_ts") >= F.col("click_ts"))
+            & (
+                us("p_ts") - us("click_ts")
+                <= F.lit(86_400_000_000)
+            )
+        )
+        .select("user_id", "click_ts")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        clicks.join(converted, ["user_id", "click_ts"], "left")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum(
+                F.when(F.col("hit").isNull(), 1).otherwise(0)
+            ).alias("abandoned"),
+            F.round(
+                F.sum(F.when(F.col("hit").isNull(), 1.0).otherwise(0.0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("abandonment_rate"),
+        )
+    )

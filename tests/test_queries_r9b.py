@@ -709,3 +709,34 @@ def test_new_vs_returning_partition(spark, sf_dir):
     assert total_new == n_users  # every user is new exactly once
     for r in rows:
         assert r["dau"] == r["new_users"] + r["returning_users"]
+
+
+def test_batch_topk_matches_single_query(spark, sf_dir):
+    # query 0's batch rows must equal the single-query brute-force top-3
+    # (after excluding the self-match the single-query arm includes)
+    from hudi_utility_spark.queries import QUERIES
+
+    batch = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in QUERIES["sim_batch_query_topk"](spark, sf_dir).collect()
+    }
+    single = [
+        (r["vec_id"], r["score"])
+        for r in QUERIES["sim_bruteforce_topk"](spark, sf_dir).collect()
+        if r["vec_id"] != 0
+    ][:3]
+    got0 = sorted(
+        [(v, s) for (q, v), s in batch.items() if q == 0],
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert got0 == single
+
+
+def test_cart_abandonment_bounds(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+
+    rows = QUERIES["ev_cart_abandonment"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["abandoned"] <= r["n_clicks"]
+        assert 0.0 <= r["abandonment_rate"] <= 1.0
