@@ -5700,3 +5700,269 @@ def ev_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abandonment_rate"),
         )
     )
+
+
+@query(
+    "stat_chi2_gof_hour",
+    """
+    WITH per AS (
+        SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+               CAST(COUNT(*) AS DOUBLE) AS o
+        FROM events GROUP BY 1
+    ),
+    tot AS (SELECT SUM(o) AS n, CAST(COUNT(*) AS DOUBLE) AS k FROM per)
+    SELECT CAST(t.n AS BIGINT) AS n_events,
+           CAST(t.k AS INTEGER) AS k_cells,
+           ROUND(SUM((p.o - t.n / t.k) * (p.o - t.n / t.k) / (t.n / t.k)),
+                 4) AS chi2_stat
+    FROM per p, tot t
+    GROUP BY t.n, t.k
+    """,
+)
+def stat_chi2_gof_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit of event volume by hour-of-day
+    against the uniform null — the one-number "is there diurnal
+    seasonality at all?" gate before the heavier seasonal machinery
+    (`ts_seasonal_strength` says how strong, this says whether;
+    chi²(k−1) under the null). One 24-cell aggregate + one scalar
+    collapse — the goodness-of-fit corner of the chi² family next to
+    `stat_chi2_independence`'s two-variable version."""
+    from pyspark.sql import functions as F
+
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy(F.hour("ts").alias("hod")).agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    tot = per.agg(
+        F.sum("o").alias("n"), F.count(F.lit(1)).cast("double").alias("k")
+    )
+    exp = F.col("n") / F.col("k")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .groupBy("n", "k")
+        .agg(
+            F.round(
+                F.sum((F.col("o") - exp) * (F.col("o") - exp) / exp), 4
+            ).alias("chi2_stat")
+        )
+        .select(
+            F.col("n").cast("long").alias("n_events"),
+            F.col("k").cast("int").alias("k_cells"),
+            "chi2_stat",
+        )
+    )
+
+
+@query(
+    "ev_interarrival_profile",
+    """
+    WITH gaps AS (
+        SELECT event_type,
+               (epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id)))
+               / 1000000.0 AS gap_s
+        FROM events
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(AVG(gap_s), 4) AS mean_gap_s,
+           ROUND(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s,
+           ROUND(quantile_cont(gap_s, 0.9), 4) AS p90_gap_s,
+           ROUND(STDDEV_SAMP(gap_s) / AVG(gap_s), 6) AS cov
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def ev_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time profile per event type (mean / p50 / p90 gap
+    and the coefficient of variation — CoV ≈ 1 is Poisson-like, ≫ 1 is
+    bursty) — the arrival-process fingerprint that sizes streaming
+    watermarks and capacity. The lag window is PARTITIONED by event
+    type over event time (a parallel row-level window, not a global
+    sort); quantiles are one exact-percentile aggregate per type."""
+    from pyspark.sql import Window, functions as F
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        ((us("ts") - us(F.lag("ts").over(w))) / 1_000_000.0).alias(
+            "gap_s"
+        ),
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("gap_s"), 4).alias("mean_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.5)), 4).alias("p50_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.9)), 4).alias("p90_gap_s"),
+        F.round(F.stddev_samp("gap_s") / F.avg("gap_s"), 6).alias("cov"),
+    )
+
+
+@query(
+    "ts_weekday_profile",
+    """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+               ROUND(SUM(o_totalprice), 4) AS y
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT SUM(y) AS t FROM daily)
+    SELECT CAST(dayofweek(d.day) AS INTEGER) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(d.y), 4) AS avg_revenue,
+           ROUND(SUM(d.y) / t.t, 6) AS revenue_share
+    FROM daily d, tot t
+    GROUP BY dayofweek(d.day), t.t
+    """,
+)
+def ts_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week revenue profile (average daily revenue and share per
+    weekday) — the weekly-seasonality readout behind the seasonal-naive
+    lag-7 baseline in `ts_forecast_accuracy`. Collapsed daily series,
+    7-row result; DuckDB dayofweek (0=Sunday) matches Spark's
+    dayofweek−1, aligned explicitly."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 4).alias("y"))
+    tot = daily.agg(F.sum("y").alias("t"))
+    return (
+        daily.crossJoin(F.broadcast(tot))
+        .groupBy((F.dayofweek("day") - 1).cast("int").alias("dow"), "t")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg("y"), 4).alias("avg_revenue"),
+            F.round(F.sum("y") / F.max("t"), 6).alias("revenue_share"),
+        )
+        .select("dow", "n_days", "avg_revenue", "revenue_share")
+    )
+
+
+@query(
+    "ml_permutation_importance",
+    r"""
+    WITH feats AS (
+        SELECT doc_id, CAST(n_chars AS DOUBLE) AS y,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+                   AS x1,
+               CAST(list_max(list_transform(
+                   string_split_regex(trim(text), '\s+'),
+                   t -> len(t))) AS DOUBLE) AS x2
+        FROM documents
+    ),
+    swapped AS (
+        SELECT a.doc_id, a.y, a.x1, a.x2,
+               b.x1 AS x1p, b.x2 AS x2p
+        FROM feats a JOIN feats b
+          ON b.doc_id = CAST(xor(a.doc_id, 1) AS BIGINT)
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+               SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12,
+               SUM(x2 * x2) AS s22,
+               SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y
+        FROM swapped
+    ),
+    d AS (
+        SELECT *, n * (s11 * s22 - s12 * s12)
+               - s1 * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s12 - s11 * s2) AS det
+        FROM s
+    ),
+    b AS (
+        SELECT ROUND((sy * (s11 * s22 - s12 * s12)
+                - s1 * (s1y * s22 - s12 * s2y)
+                + s2 * (s1y * s12 - s11 * s2y)) / det, 6) AS b0,
+               ROUND((n * (s1y * s22 - s12 * s2y)
+                - sy * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s2y - s1y * s2)) / det, 6) AS b1,
+               ROUND((n * (s11 * s2y - s1y * s12)
+                - s1 * (s1 * s2y - s1y * s2)
+                + sy * (s1 * s12 - s11 * s2)) / det, 6) AS b2
+        FROM d
+    ),
+    scores AS (
+        SELECT 'baseline' AS variant, y,
+               b.b0 + b.b1 * x1 + b.b2 * x2 AS pred
+        FROM swapped, b
+        UNION ALL
+        SELECT 'permute_x1', y, b.b0 + b.b1 * x1p + b.b2 * x2
+        FROM swapped, b
+        UNION ALL
+        SELECT 'permute_x2', y, b.b0 + b.b1 * x1 + b.b2 * x2p
+        FROM swapped, b
+    ),
+    m AS (
+        SELECT variant, CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM((y - pred) * (y - pred)) AS sse,
+               SUM(y * y) AS syy, SUM(y) AS sy
+        FROM scores GROUP BY variant
+    )
+    SELECT variant,
+           ROUND(1 - sse / (syy - sy * sy / n), 6) AS r2
+    FROM m
+    """,
+)
+def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation feature importance for the document-length OLS: R²
+    with each feature's values swapped between doc-id pairs (the
+    DETERMINISTIC permutation doc_id XOR 1 — a true derangement on
+    pairs, reproducible on both engines, where random shuffling would
+    never hash-match) vs the baseline — the model-agnostic "which
+    feature carries the signal" readout (Breiman 2001). Weights come
+    from the same Cramer closed form (round-before-apply); the swap is
+    ONE self-equijoin on the XOR'd key; three scoring passes share one
+    aggregate shape."""
+    from pyspark.sql import functions as F
+
+    from hudi_utility_spark.ops.mlfit import ols2_normal_equations
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    feats = d.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("y"),
+        F.size(toks).cast("double").alias("x1"),
+        F.array_max(F.transform(toks, lambda t: F.length(t)))
+        .cast("double")
+        .alias("x2"),
+    )
+    part = feats.select(
+        F.col("doc_id").bitwiseXOR(F.lit(1)).alias("doc_id"),
+        F.col("x1").alias("x1p"),
+        F.col("x2").alias("x2p"),
+    )
+    swapped = feats.join(part, "doc_id").localCheckpoint(eager=False)
+    w = ols2_normal_equations(swapped, "y", "x1", "x2").select(
+        "b0", "b1", "b2"
+    )
+    sw = swapped.crossJoin(F.broadcast(w))
+    variants = [
+        ("baseline", F.col("x1"), F.col("x2")),
+        ("permute_x1", F.col("x1p"), F.col("x2")),
+        ("permute_x2", F.col("x1"), F.col("x2p")),
+    ]
+    out = None
+    for name, v1, v2 in variants:
+        pred = F.col("b0") + F.col("b1") * v1 + F.col("b2") * v2
+        err = F.col("y") - pred
+        m = sw.agg(
+            F.lit(name).alias("variant"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(err * err).alias("sse"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum("y").alias("sy"),
+        )
+        out = m if out is None else out.unionByName(m)
+    return out.select(
+        "variant",
+        F.round(
+            1
+            - F.col("sse")
+            / (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")),
+            6,
+        ).alias("r2"),
+    )

@@ -3111,3 +3111,42 @@ def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "dq_completeness_trend",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0 END)
+                 / COUNT(*), 6) AS null_custkey_rate,
+           ROUND(SUM(CASE WHEN o_totalprice IS NULL THEN 1.0 ELSE 0 END)
+                 / COUNT(*), 6) AS null_price_rate,
+           ROUND(SUM(CASE WHEN o_orderpriority IS NULL
+                           OR o_orderpriority = '' THEN 1.0 ELSE 0 END)
+                 / COUNT(*), 6) AS missing_priority_rate
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def dq_completeness_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-completeness TREND: null/missing rates per ingest month —
+    the time dimension `dq_column_profile`'s global rates hide (a
+    schema regression shows up as one bad month, invisible in the
+    all-time average). One month-keyed map-side aggregate; at 100 TB
+    this runs per-partition on write and appends to a metrics table."""
+    o = load_table(spark, sf_dir, "orders")
+    null_rate = lambda c: F.round(
+        F.sum(F.when(c, 1.0).otherwise(0.0)) / F.count(F.lit(1)), 6
+    )
+    return o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        null_rate(F.col("o_custkey").isNull()).alias("null_custkey_rate"),
+        null_rate(F.col("o_totalprice").isNull()).alias("null_price_rate"),
+        null_rate(
+            F.col("o_orderpriority").isNull()
+            | (F.col("o_orderpriority") == "")
+        ).alias("missing_priority_rate"),
+    )

@@ -740,3 +740,59 @@ def test_cart_abandonment_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r["abandoned"] <= r["n_clicks"]
         assert 0.0 <= r["abandonment_rate"] <= 1.0
+
+
+def test_chi2_gof_uniform_is_zero(spark, tmp_path):
+    import pandas as pd
+
+    # exactly equal counts per hour -> chi2 = 0
+    ts = []
+    for h in range(24):
+        for i in range(5):
+            ts.append(pd.Timestamp(2024, 1, 1 + i, h))
+    pd.DataFrame({"event_id": range(len(ts)), "ts": ts}).to_parquet(
+        tmp_path / "events.parquet"
+    )
+    from hudi_utility_spark.queries import QUERIES
+
+    r = QUERIES["stat_chi2_gof_hour"](spark, str(tmp_path)).collect()[0]
+    assert r["k_cells"] == 24 and r["chi2_stat"] == 0.0
+
+
+def test_interarrival_profile_positive(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+
+    rows = QUERIES["ev_interarrival_profile"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["mean_gap_s"] >= 0 and r["p50_gap_s"] <= r["p90_gap_s"]
+        assert r["cov"] >= 0
+
+
+def test_weekday_profile_shares_sum_to_one(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+
+    rows = QUERIES["ts_weekday_profile"](spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 7
+    assert abs(sum(r["revenue_share"] for r in rows) - 1.0) < 1e-4
+    assert {r["dow"] for r in rows} <= set(range(7))
+
+
+def test_permutation_importance_ranks_word_count_first(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+
+    rows = {r["variant"]: r["r2"] for r in QUERIES["ml_permutation_importance"](spark, sf_dir).collect()}
+    assert set(rows) == {"baseline", "permute_x1", "permute_x2"}
+    # permuting the dominant feature (word count) must hurt R2 far more
+    assert rows["baseline"] > rows["permute_x1"]
+    assert rows["permute_x1"] < rows["permute_x2"]
+
+
+def test_completeness_trend_clean(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+
+    rows = QUERIES["dq_completeness_trend"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["null_custkey_rate"] == 0.0
+        assert r["n_rows"] > 0
