@@ -373,3 +373,31 @@ def test_r9c_new_queries_no_cartesian_bounded_bnlj(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan and name not in R9C_BNLJ_OK:
             offenders.append((name, "bnlj"))
     assert not offenders, offenders
+
+
+R9D_NEW_QUERIES = [
+    "approx_quantile_check", "ev_new_vs_returning", "sim_batch_query_topk",
+    "ev_cart_abandonment", "stat_chi2_gof_hour", "ev_interarrival_profile",
+    "ts_weekday_profile", "ml_permutation_importance",
+    "dq_completeness_trend",
+]
+R9D_BNLJ_OK = {
+    "sim_batch_query_topk",      # 5-row query-vector broadcast (<> join)
+    "stat_chi2_gof_hour",        # 1-row totals scalar
+    "ts_weekday_profile",        # 1-row revenue-total scalar
+    "ml_permutation_importance", # 1-row weight vector broadcast
+}
+
+
+def test_r9d_new_queries_no_cartesian_bounded_bnlj(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    offenders = []
+    for name in R9D_NEW_QUERIES:
+        plan = _plan(qs[name](spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "cartesian"))
+        if "BroadcastNestedLoopJoin" in plan and name not in R9D_BNLJ_OK:
+            offenders.append((name, "bnlj"))
+    assert not offenders, offenders
