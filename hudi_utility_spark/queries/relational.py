@@ -910,3 +910,73 @@ def sql_api_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             region="region_sqlapi",
         )
     )
+
+
+_SQL_RECURSIVE_SPINE = """
+WITH RECURSIVE bounds AS (
+    SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS m0,
+           CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS m1
+    FROM {orders}
+),
+spine(month) AS (
+    SELECT m0 FROM bounds
+    UNION ALL
+    SELECT CAST(month + INTERVAL 1 MONTH AS DATE) FROM spine, bounds
+    WHERE month < m1
+),
+monthly AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS revenue
+    FROM {orders} GROUP BY 1
+)
+SELECT s.month,
+       COALESCE(m.n_orders, 0) AS n_orders,
+       COALESCE(m.revenue, 0.0) AS revenue,
+       m.month IS NULL AS is_gap
+FROM spine s LEFT JOIN monthly m ON s.month = m.month
+"""
+
+
+@query(
+    "sql_api_recursive_spine",
+    """
+    WITH RECURSIVE bounds AS (
+        SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS m0,
+               CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS m1
+        FROM orders
+    ),
+    spine(month) AS (
+        SELECT m0 FROM bounds
+        UNION ALL
+        SELECT CAST(month + INTERVAL 1 MONTH AS DATE) FROM spine, bounds
+        WHERE month < m1
+    ),
+    monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT s.month,
+           COALESCE(m.n_orders, 0) AS n_orders,
+           COALESCE(m.revenue, 0.0) AS revenue,
+           m.month IS NULL AS is_gap
+    FROM spine s LEFT JOIN monthly m ON s.month = m.month
+    """,
+    sequential=True,
+)
+def sql_api_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 RECURSIVE CTE end-to-end: a calendar month spine
+    generated by self-referencing SQL (UNION ALL recursion, one month
+    per level — the data's ~7-year window sits under the default
+    100-level `spark.sql.cteRecursionLevelLimit`), left-joined to the
+    monthly rollup to surface silent gap months — the completeness
+    readout `ts_gaps_islands` gives for hours, here written in the
+    portable SQL idiom and byte-identical modulo view names to the
+    DuckDB oracle. Exercises the engine's newest SQL-surface feature
+    under the value-hash gate."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_rspine"
+    )
+    return spark.sql(_SQL_RECURSIVE_SPINE.format(orders="orders_rspine"))

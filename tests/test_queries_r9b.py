@@ -796,3 +796,26 @@ def test_completeness_trend_clean(spark, sf_dir):
     for r in rows:
         assert r["null_custkey_rate"] == 0.0
         assert r["n_rows"] > 0
+
+
+def test_recursive_spine_contiguous(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["sql_api_recursive_spine"](spark, sf_dir).collect(),
+        key=lambda r: r["month"],
+    )
+    assert rows
+    # spine is contiguous month-by-month
+    for a, b in zip(rows, rows[1:]):
+        assert (b["month"].year, b["month"].month) == (
+            (a["month"].year + 1, 1)
+            if a["month"].month == 12
+            else (a["month"].year, a["month"].month + 1)
+        )
+    # gap rows carry zero counts
+    for r in rows:
+        if r["is_gap"]:
+            assert r["n_orders"] == 0 and r["revenue"] == 0.0
+        else:
+            assert r["n_orders"] > 0
