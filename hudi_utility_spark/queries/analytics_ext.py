@@ -5966,3 +5966,109 @@ def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@query(
+    "stat_var_backtest",
+    """
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', o_orderdate) AS DATE))
+                   AS didx,
+               ROUND(SUM(o_totalprice), 4) AS y
+        FROM orders GROUP BY 1
+    ),
+    rets AS (
+        SELECT didx, ln(y / LAG(y) OVER (ORDER BY didx)) AS r
+        FROM daily
+    ),
+    cutp AS (
+        SELECT MIN(didx) + CAST(FLOOR((MAX(didx) - MIN(didx)) / 2.0)
+                                AS BIGINT) AS cut
+        FROM daily
+    ),
+    var95 AS (
+        SELECT quantile_cont(r, 0.05) AS v
+        FROM rets, cutp WHERE r IS NOT NULL AND didx < cut
+    ),
+    test AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CASE WHEN r < v.v THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS x
+        FROM rets, cutp, var95 v WHERE r IS NOT NULL AND didx >= cut
+    )
+    SELECT CAST(n AS BIGINT) AS n_test_days,
+           CAST(x AS BIGINT) AS exceedances,
+           ROUND(x / n, 6) AS exceed_rate,
+           ROUND((SELECT v FROM var95), 6) AS var_95,
+           ROUND(-2 * ((n - x) * ln(0.95) + x * ln(0.05)
+                       - CASE WHEN x = 0 THEN n * ln(1 - 0.0 / n)
+                              WHEN x = n THEN x * ln(x / n)
+                              ELSE (n - x) * ln(1 - x / n)
+                                   + x * ln(x / n) END), 4)
+               AS kupiec_lr
+    FROM test
+    """,
+)
+def stat_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kupiec proportion-of-failures VaR backtest: the 95% value-at-
+    risk of daily log revenue changes is estimated on the FIRST half of
+    the calendar (walk-forward split — in-sample VaR would make the
+    test vacuous) and the exceedance count on the second half feeds the
+    POF likelihood ratio (LR ~ chi²(1) under correct coverage) — the
+    risk-model validation standard (Kupiec 1995), and a different
+    consumer of the collapsed daily series than the forecasting stack.
+    Returns, the split, the quantile, and the test are each one
+    aggregate over the bounded series."""
+    from pyspark.sql import Window, functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date(F.date_trunc("day", F.col("o_orderdate"))),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("didx")
+    ).agg(F.round(F.sum("o_totalprice"), 4).alias("y"))
+    w = Window.orderBy("didx")
+    rets = daily.select(
+        "didx", F.log(F.col("y") / F.lag("y").over(w)).alias("r")
+    ).localCheckpoint(eager=False)
+    cutp = daily.agg(
+        (F.min("didx") + F.floor((F.max("didx") - F.min("didx")) / 2.0))
+        .cast("long")
+        .alias("cut")
+    )
+    with_cut = rets.crossJoin(F.broadcast(cutp)).filter(
+        F.col("r").isNotNull()
+    )
+    var95 = (
+        with_cut.filter(F.col("didx") < F.col("cut"))
+        .agg(F.percentile("r", F.lit(0.05)).alias("v"))
+    )
+    test = (
+        with_cut.filter(F.col("didx") >= F.col("cut"))
+        .crossJoin(F.broadcast(var95))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum((F.col("r") < F.col("v")).cast("int"))
+            .cast("double")
+            .alias("x"),
+            F.max("v").alias("v"),
+        )
+    )
+    n, x = F.col("n"), F.col("x")
+    import math
+
+    null_ll = (n - x) * math.log(0.95) + x * math.log(0.05)
+    alt_ll = (
+        F.when(x == 0, n * F.log(F.lit(1.0)))
+        .when(x == n, x * F.log(x / n))
+        .otherwise((n - x) * F.log(1 - x / n) + x * F.log(x / n))
+    )
+    return test.select(
+        n.cast("long").alias("n_test_days"),
+        x.cast("long").alias("exceedances"),
+        F.round(x / n, 6).alias("exceed_rate"),
+        F.round(F.col("v"), 6).alias("var_95"),
+        F.round(-2 * (null_ll - alt_ll), 4).alias("kupiec_lr"),
+    )

@@ -819,3 +819,13 @@ def test_recursive_spine_contiguous(spark, sf_dir):
             assert r["n_orders"] == 0 and r["revenue"] == 0.0
         else:
             assert r["n_orders"] > 0
+
+
+def test_var_backtest_sane(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+
+    r = QUERIES["stat_var_backtest"](spark, sf_dir).collect()[0]
+    assert r["n_test_days"] > 0
+    assert 0 <= r["exceedances"] <= r["n_test_days"]
+    assert r["kupiec_lr"] >= -1e-6  # LR is nonnegative
+    assert r["var_95"] < 0 or r["exceed_rate"] == 0
