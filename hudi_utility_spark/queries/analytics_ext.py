@@ -6072,3 +6072,106 @@ def stat_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("v"), 6).alias("var_95"),
         F.round(-2 * (null_ll - alt_ll), 4).alias("kupiec_lr"),
     )
+
+
+@query(
+    "ts_holt_eval",
+    """
+    WITH RECURSIVE hourly AS (
+        SELECT event_type,
+               CAST(epoch_us(date_trunc('hour', ts)) / 3600000000 AS BIGINT)
+                   AS hidx,
+               AVG(value) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, y,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hidx) AS t,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM hourly
+    ),
+    holt(event_type, t, n, l, b, sh, sn, prev) AS (
+        SELECT i1.event_type, 1, i1.n, i1.y, i2.y - i1.y,
+               CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), i1.y
+        FROM idx i1 JOIN idx i2
+          ON i2.event_type = i1.event_type AND i1.t = 1 AND i2.t = 2
+        UNION ALL
+        SELECT s.event_type, s.t + 1, s.n,
+               0.4 * i.y + 0.6 * (s.l + s.b),
+               0.3 * ((0.4 * i.y + 0.6 * (s.l + s.b)) - s.l) + 0.7 * s.b,
+               s.sh + abs(i.y - (s.l + s.b)),
+               s.sn + abs(i.y - s.prev),
+               i.y
+        FROM holt s JOIN idx i
+          ON i.event_type = s.event_type AND i.t = s.t + 1
+        WHERE s.t + 1 <= s.n
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           ROUND(sh / (n - 1), 4) AS holt_mae,
+           ROUND(sn / (n - 1), 4) AS naive_mae,
+           ROUND(sh / sn, 6) AS mase
+    FROM holt WHERE t = n
+    """,
+)
+def ts_holt_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-sample one-step-ahead evaluation of the Holt smoother: the
+    SAME coupled recursion as `ts_holt_linear` but accumulating
+    |y_t − (l+b)| (Holt's forecast error, taken BEFORE each update) and
+    |y_t − y_{t−1}| (the naive error) through the fold — emitting MASE
+    per event type, i.e. "does the model beat persistence on the data
+    it smoothed?", the accept/reject number `ts_forecast_accuracy`
+    establishes for the baselines. Same engine mechanics: a codegen'd
+    higher-order aggregate over the collapsed per-type series vs the
+    recursive-CTE oracle, identical operation order, hash-stable even
+    with ~700 accumulation steps."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn(
+            "hidx",
+            (
+                F.unix_micros(F.date_trunc("hour", F.col("ts")))
+                / F.lit(3_600_000_000)
+            ).cast("long"),
+        )
+        .groupBy("event_type", "hidx")
+        .agg(F.avg("value").alias("y"))
+    )
+    series = hourly.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("hidx", "y"))),
+            lambda s: s["y"],
+        ).alias("ys")
+    ).filter(F.size("ys") >= 2)
+    alpha, beta = 0.4, 0.3
+    init = F.struct(
+        F.element_at("ys", 1).alias("l"),
+        (F.element_at("ys", 2) - F.element_at("ys", 1)).alias("b"),
+        F.lit(0.0).alias("sh"),
+        F.lit(0.0).alias("sn"),
+        F.element_at("ys", 1).alias("prev"),
+    )
+
+    def step(acc, y):
+        nl = F.lit(alpha) * y + F.lit(1 - alpha) * (acc["l"] + acc["b"])
+        nb = F.lit(beta) * (nl - acc["l"]) + F.lit(1 - beta) * acc["b"]
+        return F.struct(
+            nl.alias("l"),
+            nb.alias("b"),
+            (acc["sh"] + F.abs(y - (acc["l"] + acc["b"]))).alias("sh"),
+            (acc["sn"] + F.abs(y - acc["prev"])).alias("sn"),
+            y.alias("prev"),
+        )
+
+    state = F.aggregate(
+        F.slice(F.col("ys"), 2, F.size("ys") - 1), init, step
+    )
+    n = F.size("ys")
+    return series.select(
+        "event_type",
+        n.cast("long").alias("n_hours"),
+        F.round(state["sh"] / (n - 1), 4).alias("holt_mae"),
+        F.round(state["sn"] / (n - 1), 4).alias("naive_mae"),
+        F.round(state["sh"] / state["sn"], 6).alias("mase"),
+    )

@@ -829,3 +829,13 @@ def test_var_backtest_sane(spark, sf_dir):
     assert 0 <= r["exceedances"] <= r["n_test_days"]
     assert r["kupiec_lr"] >= -1e-6  # LR is nonnegative
     assert r["var_95"] < 0 or r["exceed_rate"] == 0
+
+
+def test_holt_eval_consistent(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+
+    rows = QUERIES["ts_holt_eval"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["holt_mae"] >= 0 and r["naive_mae"] > 0
+        assert abs(r["mase"] - r["holt_mae"] / r["naive_mae"]) < 1e-3
