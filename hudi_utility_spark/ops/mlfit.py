@@ -293,7 +293,10 @@ def ols2_normal_equations(
         F.round(b0, 6).alias("b0"),
         F.round(b1, 6).alias("b1"),
         F.round(b2, 6).alias("b2"),
-        F.round(1 - sse / sst, 6).alias("r2"),
+        # r2 at 6dp is ulp-noise when the fit is near-zero (1 - sse/sst
+        # is a difference of ~1.0 quantities whose inputs are engine-
+        # order-dependent e12-scale sums); 4dp absorbs it (sf0.001 repro)
+        F.round(1 - sse / sst, 4).alias("r2"),
     )
 
 

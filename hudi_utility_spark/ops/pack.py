@@ -410,6 +410,20 @@ def temperature_sample(
     return df.filter(uniform < thr_case)
 
 
+def _exp_taylor(x: float, terms: int = 12) -> float:
+    """exp(x) as an order-fixed Horner Taylor sum — NOT math.exp: libm
+    implementations differ in the last ulp between Python and SQL
+    engines, which flips a 6dp weight rounding on exact half
+    boundaries (sf0.001 repro in pack_hedge_mix_weights). A pure
+    +-*-/ Horner chain is bit-identical everywhere IEEE doubles are;
+    |x| <= eta * max|excess| < 1 here, where 12 terms are exact to
+    ~1e-16. The oracle inlines the same chain in the same order."""
+    acc = 1.0
+    for k in range(terms, 0, -1):
+        acc = 1.0 + x * acc / k
+    return acc
+
+
 def hedge_mix_weights(
     df: DataFrame,
     loss: Column,
@@ -451,7 +465,13 @@ def hedge_mix_weights(
     w = {d: 1.0 for d in domains}
     final_obs: dict[str, tuple[float, int]] = {}
     for t in range(1, rounds + 1):
-        mean_w = round(sum(w.values()) / len(w), 6)
+        # exact integer-sum of the 6dp-quantized weights: a float sum
+        # ordered by Python dict insertion vs the oracle's SQL scan
+        # order differs in the last ulp and can flip the 6dp round
+        # (sf0.001 repro) — integers cannot
+        mean_w = round(
+            sum(int(round(v * 1e6)) for v in w.values()) / (1e6 * len(w)), 6
+        )
         wmap = F.create_map(
             *[x for d in domains for x in (F.lit(d), F.lit(w[d]))]
         )
@@ -480,7 +500,15 @@ def hedge_mix_weights(
             scored.filter(inc)
             .groupBy("_dom")
             .agg(
-                F.round(F.avg("_loss"), 6).alias("l"),
+                # per-row losses are 6dp-quantized: an exact integer sum
+                # makes the domain mean independent of partition sum
+                # order (a float AVG can flip its own 6dp rounding
+                # between engines and poison ml downstream)
+                F.round(
+                    F.sum(F.round(F.col("_loss") * 1e6).cast("long"))
+                    / (F.lit(1e6) * F.count(F.lit(1))),
+                    6,
+                ).alias("l"),
                 F.count(F.lit(1)).alias("n"),
             )
             .collect()
@@ -488,10 +516,14 @@ def hedge_mix_weights(
         obs = {r._dom: (float(r.l), int(r.n)) for r in rows}
         final_obs = obs
         if obs:
-            mean_l = round(sum(v[0] for v in obs.values()) / len(obs), 6)
+            mean_l = round(
+                sum(int(round(v[0] * 1e6)) for v in obs.values())
+                / (1e6 * len(obs)),
+                6,
+            )
             for d, (lv, _n) in obs.items():
-                w[d] = round(w[d] * math.exp(eta * (lv - mean_l)), 6)
-    total = sum(w.values())
+                w[d] = round(w[d] * _exp_taylor(eta * (lv - mean_l)), 6)
+    total = sum(int(round(v * 1e6)) for v in w.values()) / 1e6
     out = [
         (
             d,

@@ -1399,7 +1399,7 @@ def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(1 - (syy - 2 * (b0 * sy + b1 * s1y + b2 * s2y)
                       + (b0 * b0 * n + b1 * b1 * s11 + b2 * b2 * s22
                          + 2 * (b0 * b1 * s1 + b0 * b2 * s2 + b1 * b2 * s12)))
-                     / (syy - sy * sy / n), 6) AS r2
+                     / (syy - sy * sy / n), 4) AS r2
     FROM b
     """,
 )
@@ -2452,7 +2452,7 @@ def ev_bayes_beta_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
                          + b1 * b1 * (s11 - 100000.0)
                          + b2 * b2 * (s22 - 100000.0)
                          + 2 * (b0 * b1 * s1 + b0 * b2 * s2 + b1 * b2 * s12)))
-                     / (syy - sy * sy / n), 6) AS r2
+                     / (syy - sy * sy / n), 4) AS r2
     FROM b
     """,
 )

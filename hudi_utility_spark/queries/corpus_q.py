@@ -566,9 +566,13 @@ def _hedge_oracle(rounds: int = 3, eta: float = 0.5, base_rate: float = 0.5) -> 
     for t in range(1, rounds + 1):
         parts.append(
             f""",
-    mw{t} AS (SELECT ROUND(AVG(w), 6) AS mw FROM w{t - 1}),
+    mw{t} AS (SELECT ROUND(SUM(CAST(ROUND(w * 1000000) AS BIGINT))
+                     / (1000000.0 * COUNT(*)), 6) AS mw FROM w{t - 1}),
     s{t} AS (
-      SELECT d.source, ROUND(AVG(d.loss), 6) AS l, COUNT(*) AS n
+      SELECT d.source,
+             ROUND(SUM(CAST(ROUND(d.loss * 1000000) AS BIGINT))
+                   / (1000000.0 * COUNT(*)), 6) AS l,
+             COUNT(*) AS n
       FROM d0 d JOIN w{t - 1} wt ON d.source = wt.source, mw{t}
       WHERE ((CAST(concat('0x', substr(md5('mix:{t}:' ||
                    CAST(d.doc_id AS VARCHAR)), 1, 12)) AS UBIGINT) + 0.5)
@@ -576,18 +580,20 @@ def _hedge_oracle(rounds: int = 3, eta: float = 0.5, base_rate: float = 0.5) -> 
             < LEAST(1.0, {base_rate!r} * wt.w / mw{t}.mw)
       GROUP BY d.source
     ),
-    ml{t} AS (SELECT ROUND(AVG(l), 6) AS ml FROM s{t}),
+    ml{t} AS (SELECT ROUND(SUM(CAST(ROUND(l * 1000000) AS BIGINT))
+                     / (1000000.0 * COUNT(*)), 6) AS ml FROM s{t}),
     w{t} AS (
       SELECT w.source,
              CASE WHEN s.l IS NOT NULL
-                  THEN ROUND(w.w * exp({eta!r} * (s.l - ml.ml)), 6)
+                  THEN ROUND(w.w * (1.0 + ({eta!r} * (s.l - ml.ml)) * (1.0 + ({eta!r} * (s.l - ml.ml)) * (1.0 + ({eta!r} * (s.l - ml.ml)) * (1.0 + ({eta!r} * (s.l - ml.ml)) * (1.0 + ({eta!r} * (s.l - ml.ml)) * (1.0 + ({eta!r} * (s.l - ml.ml)) * (1.0 + ({eta!r} * (s.l - ml.ml)) * (1.0 + ({eta!r} * (s.l - ml.ml)) * (1.0 + ({eta!r} * (s.l - ml.ml)) * (1.0 + ({eta!r} * (s.l - ml.ml)) * (1.0 + ({eta!r} * (s.l - ml.ml)) * (1.0 + ({eta!r} * (s.l - ml.ml)) * 1.0 / 12.0) / 11.0) / 10.0) / 9.0) / 8.0) / 7.0) / 6.0) / 5.0) / 4.0) / 3.0) / 2.0) / 1.0), 6)
                   ELSE w.w END AS w
       FROM w{t - 1} w LEFT JOIN s{t} s ON w.source = s.source, ml{t} ml
     )"""
         )
     parts.append(
         f""",
-    tot AS (SELECT SUM(w) AS tw FROM w{rounds})
+    tot AS (SELECT SUM(CAST(ROUND(w * 1000000) AS BIGINT)) / 1000000.0
+                   AS tw FROM w{rounds})
     SELECT w.source AS domain, w.w AS weight,
            ROUND(w.w / tot.tw, 6) AS p_mix,
            s.l AS last_loss,
