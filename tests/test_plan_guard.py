@@ -401,3 +401,26 @@ def test_r9d_new_queries_no_cartesian_bounded_bnlj(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan and name not in R9D_BNLJ_OK:
             offenders.append((name, "bnlj"))
     assert not offenders, offenders
+
+
+R9E_NEW_QUERIES = [
+    "sql_api_recursive_spine", "stat_var_backtest", "ts_holt_eval",
+]
+R9E_BNLJ_OK = {
+    "sql_api_recursive_spine",  # 1-row bounds into the recursion seed
+    "stat_var_backtest",        # 1-row cut + VaR scalars
+}
+
+
+def test_r9e_new_queries_no_cartesian_bounded_bnlj(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    offenders = []
+    for name in R9E_NEW_QUERIES:
+        plan = _plan(qs[name](spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "cartesian"))
+        if "BroadcastNestedLoopJoin" in plan and name not in R9E_BNLJ_OK:
+            offenders.append((name, "bnlj"))
+    assert not offenders, offenders
