@@ -6175,3 +6175,76 @@ def ts_holt_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(state["sn"] / (n - 1), 4).alias("naive_mae"),
         F.round(state["sh"] / state["sn"], 6).alias("mase"),
     )
+
+
+@query(
+    "graph_diameter_double_sweep",
+    """
+    WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+    w1(node, dist) AS (
+        SELECT (SELECT MIN(u) FROM sym), 0
+        UNION
+        SELECT e.v, w.dist + 1 FROM w1 w JOIN sym e ON e.u = w.node
+        WHERE w.dist < 8
+    ),
+    d1 AS (SELECT node, MIN(dist) AS dist FROM w1 GROUP BY node),
+    far AS (SELECT node FROM d1 ORDER BY dist DESC, node LIMIT 1),
+    w2(node, dist) AS (
+        SELECT (SELECT node FROM far), 0
+        UNION
+        SELECT e.v, w.dist + 1 FROM w2 w JOIN sym e ON e.u = w.node
+        WHERE w.dist < 8
+    ),
+    d2 AS (SELECT node, MIN(dist) AS dist FROM w2 GROUP BY node)
+    SELECT (SELECT MIN(u) FROM sym) AS seed,
+           (SELECT node FROM far) AS far_node,
+           CAST((SELECT MAX(dist) FROM d2) AS INTEGER) AS diameter_lb,
+           CAST((SELECT COUNT(*) FROM d2) AS BIGINT) AS n_reached
+    """,
+)
+def graph_diameter_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep diameter lower bound (Magnien-Latapy-Habib): BFS
+    from the smallest node, re-root at the farthest vertex found
+    (round-free deterministic tiebreak: max dist, then min node), BFS
+    again — the second eccentricity is the classic near-tight diameter
+    estimate at TWO BFS costs where the exact diameter needs |V|.
+    Both sweeps are `ops/graph.py::bfs_hops` frontier BFS (equijoin +
+    anti-join per hop, localCheckpoint'd); the re-root relation is a
+    1-row TakeOrdered, never a global sort."""
+    from hudi_utility_spark.ops.graph import bfs_hops, symmetrize
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        items.join(b, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("u"), F.col("p2").alias("v"))
+        .distinct()
+    )
+    sym = symmetrize(pairs, "u", "v").localCheckpoint(eager=False)
+    seed = sym.agg(F.min("src").alias("node"))
+    d1 = bfs_hops(sym, seed, max_hops=8)
+    far = (
+        d1.orderBy(F.desc("dist"), F.asc("node"))
+        .limit(1)
+        .select("node")
+    )
+    d2 = bfs_hops(sym, far, max_hops=8)
+    return (
+        d2.agg(
+            F.max("dist").cast("int").alias("diameter_lb"),
+            F.count(F.lit(1)).alias("n_reached"),
+        )
+        .crossJoin(F.broadcast(seed.select(F.col("node").alias("seed"))))
+        .crossJoin(F.broadcast(far.select(F.col("node").alias("far_node"))))
+        .select("seed", "far_node", "diameter_lb", "n_reached")
+    )

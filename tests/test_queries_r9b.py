@@ -839,3 +839,18 @@ def test_holt_eval_consistent(spark, sf_dir):
     for r in rows:
         assert r["holt_mae"] >= 0 and r["naive_mae"] > 0
         assert abs(r["mase"] - r["holt_mae"] / r["naive_mae"]) < 1e-3
+
+
+def test_diameter_double_sweep_path_graph(spark, tmp_path):
+    # path 1-2-3-4-5: seed=1, farthest=5, second sweep ecc(5)=4
+    import pandas as pd
+
+    li = [(o, o) for o in range(1, 6)] + [(o, o + 1) for o in range(1, 5)]
+    pd.DataFrame(li, columns=["l_orderkey", "l_partkey"]).to_parquet(
+        tmp_path / "lineitem.parquet"
+    )
+    from hudi_utility_spark.queries import QUERIES
+
+    r = QUERIES["graph_diameter_double_sweep"](spark, str(tmp_path)).collect()[0]
+    assert r["seed"] == 1 and r["far_node"] == 5
+    assert r["diameter_lb"] == 4 and r["n_reached"] == 5
