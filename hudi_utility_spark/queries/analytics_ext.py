@@ -6248,3 +6248,113 @@ def graph_diameter_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(far.select(F.col("node").alias("far_node"))))
         .select("seed", "far_node", "diameter_lb", "n_reached")
     )
+
+
+@query(
+    "ev_retention_halflife",
+    """
+    WITH first_seen AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE)
+                   AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE)
+                   AS act_week
+        FROM events
+    ),
+    matrix AS (
+        SELECT CAST((a.act_week - f.cohort_week) / 7 AS INTEGER)
+                   AS week_offset,
+               CAST(COUNT(DISTINCT f.user_id) AS DOUBLE) AS n_active
+        FROM first_seen f JOIN activity a ON f.user_id = a.user_id
+        GROUP BY 1
+    ),
+    base AS (SELECT n_active AS n0 FROM matrix WHERE week_offset = 0),
+    rates AS (
+        SELECT CAST(week_offset AS DOUBLE) AS t,
+               ln(m.n_active / b.n0) AS lr
+        FROM matrix m, base b WHERE m.week_offset > 0 AND m.n_active > 0
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(t) AS sx, SUM(lr) AS sy,
+               SUM(t * lr) AS sxy, SUM(t * t) AS sxx
+        FROM rates
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS decay_rate,
+           ROUND(CASE WHEN (n * sxy - sx * sy) / (n * sxx - sx * sx) < 0
+                      THEN -ln(2) / ((n * sxy - sx * sy)
+                                     / (n * sxx - sx * sx))
+                      ELSE NULL END, 4) AS half_life_weeks,
+           ROUND(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                     / n), 6) AS r0_intercept
+    FROM fit
+    """,
+)
+def ev_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential retention-decay fit: log-linear OLS of aggregate
+    weekly retention (active at offset t / cohort-week-0 base) giving
+    the decay rate and HALF-LIFE in weeks — the single number product
+    teams quote from `ev_retention_cohorts`' whole matrix, and the
+    model behind LTV extrapolation (`ev_cohort_ltv`'s curve converges
+    at rate decay). Everything after the two user-keyed aggregates
+    runs on the weeks-sized matrix; the fit is closed-form sufficient
+    statistics; a non-negative decay slope yields NULL half-life
+    (documented: retention not decaying)."""
+    from pyspark.sql import functions as F
+
+    e = _t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("act_week"),
+    ).distinct()
+    matrix = (
+        first_seen.join(activity, "user_id")
+        .select(
+            (F.datediff("act_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("week_offset")
+        .agg(F.count_distinct("user_id").cast("double").alias("n_active"))
+        .localCheckpoint(eager=False)
+    )
+    base = matrix.filter(F.col("week_offset") == 0).select(
+        F.col("n_active").alias("n0")
+    )
+    rates = (
+        matrix.filter((F.col("week_offset") > 0) & (F.col("n_active") > 0))
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("week_offset").cast("double").alias("t"),
+            F.log(F.col("n_active") / F.col("n0")).alias("lr"),
+        )
+    )
+    fit = rates.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("t").alias("sx"),
+        F.sum("lr").alias("sy"),
+        F.sum(F.col("t") * F.col("lr")).alias("sxy"),
+        F.sum(F.col("t") * F.col("t")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return fit.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.round(slope, 6).alias("decay_rate"),
+        F.round(
+            F.when(slope < 0, -F.log(F.lit(2.0)) / slope).otherwise(
+                F.lit(None)
+            ),
+            4,
+        ).alias("half_life_weeks"),
+        F.round(
+            F.exp((F.col("sy") - slope * F.col("sx")) / F.col("n")), 6
+        ).alias("r0_intercept"),
+    )

@@ -854,3 +854,27 @@ def test_diameter_double_sweep_path_graph(spark, tmp_path):
     r = QUERIES["graph_diameter_double_sweep"](spark, str(tmp_path)).collect()[0]
     assert r["seed"] == 1 and r["far_node"] == 5
     assert r["diameter_lb"] == 4 and r["n_reached"] == 5
+
+
+def test_retention_halflife_closed_form(spark, tmp_path):
+    # retention exactly halves each week: 8,4,2,1 actives at offsets
+    # 0..3 -> decay = -ln 2, half-life = 1 week
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01")  # a Monday
+    rows = []
+    eid = 0
+    for u in range(8):
+        weeks_active = 4 if u == 0 else (3 if u == 1 else (2 if u < 4 else 1))
+        for wk in range(weeks_active):
+            rows.append((eid, base + pd.Timedelta(weeks=wk), u))
+            eid += 1
+    pd.DataFrame(rows, columns=["event_id", "ts", "user_id"]).to_parquet(
+        tmp_path / "events.parquet"
+    )
+    from hudi_utility_spark.queries import QUERIES
+
+    r = QUERIES["ev_retention_halflife"](spark, str(tmp_path)).collect()[0]
+    assert r["n_points"] == 3
+    assert abs(r["decay_rate"] + 0.693147) < 1e-5
+    assert abs(r["half_life_weeks"] - 1.0) < 1e-3
