@@ -919,10 +919,12 @@ WITH RECURSIVE bounds AS (
     FROM {orders}
 ),
 spine(month) AS (
-    SELECT m0 FROM bounds
+    SELECT CAST(add_months(m0, i) AS DATE)
+    FROM bounds LATERAL VIEW explode(sequence(0, 3)) t AS i
+    WHERE add_months(m0, i) <= m1
     UNION ALL
-    SELECT CAST(month + INTERVAL 1 MONTH AS DATE) FROM spine, bounds
-    WHERE month < m1
+    SELECT CAST(add_months(month, 4) AS DATE) FROM spine, bounds
+    WHERE add_months(month, 4) <= m1
 ),
 monthly AS (
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
@@ -947,10 +949,12 @@ FROM spine s LEFT JOIN monthly m ON s.month = m.month
         FROM orders
     ),
     spine(month) AS (
-        SELECT m0 FROM bounds
+        SELECT CAST(m0 + CAST(t.i AS INT) * INTERVAL 1 MONTH AS DATE)
+        FROM bounds, (SELECT unnest(range(4)) AS i) t
+        WHERE m0 + CAST(t.i AS INT) * INTERVAL 1 MONTH <= m1
         UNION ALL
-        SELECT CAST(month + INTERVAL 1 MONTH AS DATE) FROM spine, bounds
-        WHERE month < m1
+        SELECT CAST(month + INTERVAL 4 MONTH AS DATE) FROM spine, bounds
+        WHERE month + INTERVAL 4 MONTH <= m1
     ),
     monthly AS (
         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
@@ -968,9 +972,10 @@ FROM spine s LEFT JOIN monthly m ON s.month = m.month
 )
 def sql_api_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 RECURSIVE CTE end-to-end: a calendar month spine
-    generated by self-referencing SQL (UNION ALL recursion, one month
-    per level — the data's ~7-year window sits under the default
-    100-level `spark.sql.cteRecursionLevelLimit`), left-joined to the
+    generated by self-referencing SQL (UNION ALL recursion, FOUR months
+    per level from a 4-row seed — same spine, a quarter of the
+    recursion micro-steps, and the data's ~7-year window sits well
+    under the default 100-level `spark.sql.cteRecursionLevelLimit`), left-joined to the
     monthly rollup to surface silent gap months — the completeness
     readout `ts_gaps_islands` gives for hours, here written in the
     portable SQL idiom and byte-identical modulo view names to the
