@@ -6358,3 +6358,66 @@ def ev_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp((F.col("sy") - slope * F.col("sx")) / F.col("n")), 6
         ).alias("r0_intercept"),
     )
+
+
+@query(
+    "ev_wilson_ci",
+    """
+    WITH arms AS (
+        SELECT CAST(user_id % 2 AS INTEGER) AS treated,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    >= 14 AS INTEGER) AS converted
+        FROM events GROUP BY user_id
+    ),
+    agg AS (
+        SELECT treated, CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(converted) AS DOUBLE) AS x
+        FROM arms GROUP BY treated
+    )
+    SELECT treated, CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS conversions,
+           ROUND(x / n, 6) AS rate,
+           ROUND((x / n + 1.9208 / n
+                  - 1.96 * sqrt((x / n) * (1 - x / n) / n
+                                + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 6) AS wilson_lo,
+           ROUND((x / n + 1.9208 / n
+                  + 1.96 * sqrt((x / n) * (1 - x / n) / n
+                                + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 6) AS wilson_hi
+    FROM agg
+    """,
+)
+def ev_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score interval for each arm's heavy-purchaser rate —
+    the binomial CI that stays inside [0,1] and behaves at small n or
+    extreme rates where the naive Wald interval collapses; the
+    per-arm UNCERTAINTY readout the point estimates in
+    `ev_two_proportion_z` omit (z²=3.8416, z²/2=1.9208, z²/4=0.9604
+    folded as literals so both engines evaluate the same arithmetic).
+    One user-collapse + one 2-row aggregate."""
+    from pyspark.sql import functions as F
+
+    e = _t(spark, sf_dir, "events")
+    arms = e.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int")) >= 14
+        )
+        .cast("int")
+        .alias("converted")
+    ).select((F.col("user_id") % 2).cast("int").alias("treated"), "converted")
+    agg = arms.groupBy("treated").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("converted").cast("double").alias("x"),
+    )
+    p = F.col("x") / F.col("n")
+    n = F.col("n")
+    half = 1.96 * F.sqrt(p * (1 - p) / n + 0.9604 / (n * n))
+    denom = 1 + 3.8416 / n
+    return agg.select(
+        "treated",
+        n.cast("long").alias("n"),
+        F.col("x").cast("long").alias("conversions"),
+        F.round(p, 6).alias("rate"),
+        F.round((p + 1.9208 / n - half) / denom, 6).alias("wilson_lo"),
+        F.round((p + 1.9208 / n + half) / denom, 6).alias("wilson_hi"),
+    )

@@ -1466,3 +1466,96 @@ def sim_batch_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "vec_id", "score")
     )
+
+
+@query(
+    "sim_embedding_drift",
+    """
+    WITH halves AS (
+        SELECT label, CAST(vec_id % 2 AS INTEGER) AS half,
+               d.i AS dim, AVG(d.v) AS mean_v
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+                             generate_subscripts(embedding, 1) AS i) d
+        GROUP BY label, half, d.i
+    ),
+    cents AS (
+        SELECT label, half, list(mean_v ORDER BY dim) AS c
+        FROM halves GROUP BY label, half
+    ),
+    counts AS (
+        SELECT label, CAST(vec_id % 2 AS INTEGER) AS half,
+               COUNT(*) AS n
+        FROM embeddings GROUP BY label, half
+    )
+    SELECT a.label,
+           (SELECT n FROM counts x
+            WHERE x.label = a.label AND x.half = 0) AS n_half0,
+           (SELECT n FROM counts x
+            WHERE x.label = a.label AND x.half = 1) AS n_half1,
+           ROUND(list_cosine_similarity(a.c, b.c), 6) AS centroid_cosine
+    FROM cents a JOIN cents b
+      ON a.label = b.label AND a.half = 0 AND b.half = 1
+    """,
+)
+def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per label, the cosine between the
+    centroid of the even-id half and the odd-id half of the corpus —
+    the pipeline-health check a production embedding store runs after
+    every model refresh or ingest batch (centroids near 1.0 = stable
+    manifold; a dropping label flags re-embedding drift or ingest
+    corruption BEFORE the downstream ANN recall decays). Two map-side
+    centroid aggregates (label x half x dim relation, codebook-sized),
+    one k-row join; at 100 TB the halves become before/after snapshots
+    and the plan is unchanged."""
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    halved = e.select(
+        "label",
+        (F.col("vec_id") % 2).cast("int").alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    )
+    cents = (
+        halved.groupBy("label", "half", "dim")
+        .agg(F.avg("v").alias("mean_v"))
+        .groupBy("label", "half")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "mean_v"))
+                ),
+                lambda s: s["mean_v"],
+            ).alias("c")
+        )
+    )
+    counts = e.groupBy(
+        "label", (F.col("vec_id") % 2).cast("int").alias("half")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = cents.filter(F.col("half") == 0).select(
+        "label", F.col("c").alias("c0")
+    )
+    b = cents.filter(F.col("half") == 1).select(
+        "label", F.col("c").alias("c1")
+    )
+    n0 = counts.filter(F.col("half") == 0).select(
+        "label", F.col("n").alias("n_half0")
+    )
+    n1 = counts.filter(F.col("half") == 1).select(
+        "label", F.col("n").alias("n_half1")
+    )
+    return (
+        a.join(b, "label")
+        .join(F.broadcast(n0), "label")
+        .join(F.broadcast(n1), "label")
+        .select(
+            "label",
+            "n_half0",
+            "n_half1",
+            F.round(S.cosine(F.col("c0"), F.col("c1")), 6).alias(
+                "centroid_cosine"
+            ),
+        )
+    )

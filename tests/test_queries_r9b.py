@@ -878,3 +878,24 @@ def test_retention_halflife_closed_form(spark, tmp_path):
     assert r["n_points"] == 3
     assert abs(r["decay_rate"] + 0.693147) < 1e-5
     assert abs(r["half_life_weeks"] - 1.0) < 1e-3
+
+
+def test_wilson_ci_contains_rate(spark, sf_dir):
+    from hudi_utility_spark.queries import QUERIES
+
+    rows = QUERIES["ev_wilson_ci"](spark, sf_dir).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert 0.0 <= r["wilson_lo"] <= r["rate"] <= r["wilson_hi"] <= 1.0
+
+
+def test_embedding_drift_same_halves_near_one(spark, sf_dir):
+    # the synthetic embeddings' halves come from the same distribution:
+    # centroids should be highly aligned
+    from hudi_utility_spark.queries import QUERIES
+
+    rows = QUERIES["sim_embedding_drift"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_half0"] > 0 and r["n_half1"] > 0
+        assert r["centroid_cosine"] > 0.5
