@@ -889,13 +889,41 @@ def test_wilson_ci_contains_rate(spark, sf_dir):
         assert 0.0 <= r["wilson_lo"] <= r["rate"] <= r["wilson_hi"] <= 1.0
 
 
-def test_embedding_drift_same_halves_near_one(spark, sf_dir):
-    # the synthetic embeddings' halves come from the same distribution:
-    # centroids should be highly aligned
+def test_embedding_drift_bounds_on_corpus(spark, sf_dir):
+    # corpus labels are noise clusters: drift cosine is only bounded
     from hudi_utility_spark.queries import QUERIES
 
     rows = QUERIES["sim_embedding_drift"](spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert r["n_half0"] > 0 and r["n_half1"] > 0
-        assert r["centroid_cosine"] > 0.5
+        assert -1.0 - 1e-9 <= r["centroid_cosine"] <= 1.0 + 1e-9
+
+
+def test_embedding_drift_detects_aligned_vs_flipped(spark, tmp_path):
+    # label 0: both halves share direction e0 -> cosine ~1
+    # label 1: odd half flipped -> cosine ~-1
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(80):
+        label = i // 40  # first 40 ids label 0, rest label 1
+        base = np.zeros(8)
+        base[0] = 1.0
+        # label 1's odd-id half points the OPPOSITE way
+        sign = -1.0 if (label == 1 and i % 2 == 1) else 1.0
+        v = sign * base + rng.normal(0, 0.05, 8)
+        rows.append((i, v.astype(np.float32), label))
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        tmp_path / "embeddings.parquet"
+    )
+    from hudi_utility_spark.queries import QUERIES
+
+    got = {
+        r["label"]: r["centroid_cosine"]
+        for r in QUERIES["sim_embedding_drift"](spark, str(tmp_path)).collect()
+    }
+    assert got[0] > 0.9
+    assert got[1] < -0.9
