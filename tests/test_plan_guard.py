@@ -424,3 +424,25 @@ def test_r9e_new_queries_no_cartesian_bounded_bnlj(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan and name not in R9E_BNLJ_OK:
             offenders.append((name, "bnlj"))
     assert not offenders, offenders
+
+
+R9F_NEW_QUERIES = ["ev_wilson_ci", "sim_embedding_drift",
+                   "ev_retention_halflife", "graph_diameter_double_sweep"]
+R9F_BNLJ_OK = {
+    "ev_retention_halflife",       # 1-row cohort-base + fit scalars
+    "graph_diameter_double_sweep", # 1-row seed / re-root scalars
+}
+
+
+def test_r9f_new_queries_no_cartesian_bounded_bnlj(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    offenders = []
+    for name in R9F_NEW_QUERIES:
+        plan = _plan(qs[name](spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "cartesian"))
+        if "BroadcastNestedLoopJoin" in plan and name not in R9F_BNLJ_OK:
+            offenders.append((name, "bnlj"))
+    assert not offenders, offenders
