@@ -18,6 +18,12 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from hudi_utility_spark.queries import ORACLES, QUERIES, load_all
+from hudi_utility_spark.session import _apply_pyshim
+
+# Defense-in-depth for harnesses that build their own SparkSession AFTER
+# importing this module: put the protobuf shim on PYTHONPATH at import
+# time so transformWithState state-server workers inherit it.
+_apply_pyshim()
 
 load_all()
 

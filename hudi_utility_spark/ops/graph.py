@@ -338,9 +338,12 @@ def bfs_hops(
     recursive-CTE twin whose UNION dedup bounds it the same way)."""
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).persist()
     e.count()
+    # distinct: duplicate seed ids would emit duplicate (node, 0) rows
+    # (the anti-join only protects later hops) and multiply downstream
+    # joins/aggregations (ADVICE r9 latent-API hazard)
     visited = seeds.select(
         F.col(seeds.columns[0]).alias("node"), F.lit(0).alias("dist")
-    ).localCheckpoint()
+    ).distinct().localCheckpoint()
     frontier = visited
     try:
         for hop in range(1, max_hops + 1):

@@ -295,8 +295,10 @@ def ols2_normal_equations(
         F.round(b2, 6).alias("b2"),
         # r2 at 6dp is ulp-noise when the fit is near-zero (1 - sse/sst
         # is a difference of ~1.0 quantities whose inputs are engine-
-        # order-dependent e12-scale sums); 4dp absorbs it (sf0.001 repro)
-        F.round(1 - sse / sst, 4).alias("r2"),
+        # order-dependent e12-scale sums); 4dp absorbs it (sf0.001 repro).
+        # + 0.0 pins the zero's sign: a ~-1e-16 residual difference
+        # rounds to -0.0, which hash normalizers format != 0 (r9 class).
+        (F.round(1 - sse / sst, 4) + F.lit(0.0)).alias("r2"),
     )
 
 

@@ -86,23 +86,30 @@ def knn_join_by_cell(
     cell_col: str = "label",
 ) -> DataFrame:
     """IVF-style k-NN join: candidates restricted to the query's probed
-    cells; per-query top-k via ranking window.
+    cells; per-query top-k via ranking window on ROUND(cos, 6) (the
+    round-6-before-rank discipline — rank order is ulp-insensitive).
 
-    `queries` must carry (query_id, embedding, probed cells array). At
-    scale the join key is the cell id, so each task sees one cell's
-    vectors — the classic IVF partition-pruning win.
+    `queries` must carry (query_id, embedding, `probe_cells` array).
+    The probed cells are EXPLODED and equi-joined on the cell id — one
+    shuffle keyed on cell, each task sees one cell's vectors (the
+    classic IVF partition-pruning win). The previous
+    ``array_contains(probe_cells, cell)`` theta form planned as a
+    nested-loop join at scale (r9 verdict #4). A document lives in
+    exactly one cell and a query's probed cells are distinct, so the
+    explode introduces no duplicate (query, doc) pairs.
     """
-    cand = queries.alias("q").join(
-        df.alias("d"),
-        F.array_contains(F.col("q.probe_cells"), F.col(f"d.{cell_col}")),
-    )
-    scored = cand.select(
-        F.col("q.query_id").alias("query_id"),
-        F.col(f"d.{id_col}").alias(id_col),
-        F.round(cosine(F.col("q.embedding"), F.col(f"d.{vec_col}")), 6).alias("score"),
-    )
     from pyspark.sql import Window
 
+    probes = queries.select(
+        F.col("query_id"),
+        F.col("embedding").alias("_qvec"),
+        F.explode("probe_cells").alias(cell_col),
+    )
+    scored = probes.join(df, cell_col).select(
+        "query_id",
+        F.col(id_col),
+        F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("score"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
     return (
         scored.withColumn("rn", F.row_number().over(w))

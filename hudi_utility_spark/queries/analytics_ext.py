@@ -1399,7 +1399,7 @@ def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(1 - (syy - 2 * (b0 * sy + b1 * s1y + b2 * s2y)
                       + (b0 * b0 * n + b1 * b1 * s11 + b2 * b2 * s22
                          + 2 * (b0 * b1 * s1 + b0 * b2 * s2 + b1 * b2 * s12)))
-                     / (syy - sy * sy / n), 4) AS r2
+                     / (syy - sy * sy / n), 4) + 0.0 AS r2
     FROM b
     """,
 )
@@ -2452,7 +2452,7 @@ def ev_bayes_beta_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
                          + b1 * b1 * (s11 - 100000.0)
                          + b2 * b2 * (s22 - 100000.0)
                          + 2 * (b0 * b1 * s1 + b0 * b2 * s2 + b1 * b2 * s12)))
-                     / (syy - sy * sy / n), 4) AS r2
+                     / (syy - sy * sy / n), 4) + 0.0 AS r2
     FROM b
     """,
 )
@@ -5136,7 +5136,7 @@ def ev_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM((n - 1) * ln(s2)) AS sum_ln,
                SUM(1 / (n - 1)) AS sum_inv,
                SUM((n - 1) * s2) AS pooled_num
-        FROM per
+        FROM per WHERE n > 1 AND s2 > 0
     )
     SELECT CAST(k AS INTEGER) AS k_groups,
            CAST(n_tot AS BIGINT) AS n,
@@ -5163,6 +5163,11 @@ def stat_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("double").alias("n"),
             F.var_samp("value").alias("s2"),
         )
+        # a zero-variance (or singleton) group is outside Bartlett's
+        # domain: Spark's log(0) is NULL (sum silently skips it) while
+        # DuckDB's ln(0) is -inf — filter identically on both engines
+        # (ADVICE r9; same ln(0) convention as ev_survival_kaplan_meier)
+        .filter((F.col("n") > 1) & (F.col("s2") > 0))
     )
     agg = per.agg(
         F.count(F.lit(1)).cast("double").alias("k"),
@@ -5467,6 +5472,11 @@ def ev_markov_absorbing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     )
+    # collect order is partitioning-dependent; the float sum below is
+    # not associative, so a different order could flip the per-step 6dp
+    # round (ADVICE r9). Sort by (from_type, to_type) — the oracle's
+    # unrolled CTE terms are summed over the same deterministic set.
+    probs = sorted(probs, key=lambda r: (r["from_type"], r["to_type"]))
     states = sorted({r["from_type"] for r in probs})
     ev = {s: 0.0 for s in states}
     for _ in range(_ABSORB_ITERS):

@@ -162,42 +162,65 @@ def src_synth_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch aggregate over what landed. Deterministic offsets + formula
     rows make an actual streaming execution value-hash checkable — the
     oracle regenerates the stream's content from range(). Exactly-once
-    is the tested property: 500 generated ids → exactly 500 distinct
-    sunk ids, aggregated to per-type counts/cents. The aggregate runs
-    over ``dropDuplicates("event_id")`` so a micro-batch replayed by
-    the checkpoint (possible when the driver is under load — the
-    memory sink is not idempotent per batch) cannot shift the value
-    hash: duplicates would still surface as a COUNT mismatch against
-    the 500-row oracle, keeping the exactly-once *assertion* while
-    removing the timing sensitivity (round-6 driver flake)."""
+    is the tested property: 500 generated ids → exactly 500 rows of
+    committed micro-batch output, aggregated to per-type counts/cents.
+
+    The aggregate is computed from a ``foreachBatch`` capture of
+    per-batch PARTIAL aggregates (integer cents — order-independent
+    sums), keyed by batch id so a checkpoint replay overwrites with
+    identical values instead of double-counting. foreachBatch runs
+    synchronously inside each micro-batch commit, so
+    ``processAllAvailable()`` returning guarantees every batch is
+    captured — unlike the memory sink, whose table view raced the
+    driver's load and surfaced incomplete row sets (this query's r5/r6/
+    r9 driver flake; its offsets twin below uses the same capture path
+    and passed first draw). 100 TB posture: the capture holds ≤5 rows
+    per batch (one per event type), constant regardless of batch size —
+    the heavy aggregate stays distributed inside foreachBatch."""
     import uuid
 
     from hudi_utility_spark.sources import register_sources
 
     register_sources(spark)
-    sink = f"synth_stream_{uuid.uuid4().hex[:8]}"
-    ckpt = _scratch(sf_dir, f"stream_ckpt_{sink}")
+    ckpt = _scratch(sf_dir, f"stream_ckpt_{uuid.uuid4().hex[:8]}")
+    acc: dict[int, list[tuple[str, int, int]]] = {}
+
+    def capture(bdf, bid: int) -> None:
+        rows = (
+            bdf.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "cents"
+                ),
+            )
+            .collect()
+        )
+        if rows:
+            acc[int(bid)] = [
+                (r.event_type, int(r.cnt), int(r.cents)) for r in rows
+            ]
+
     q = (
         spark.readStream.format("synth_events")
         .option("rowsPerBatch", 120)
         .option("maxRows", 500)
         .load()
-        .writeStream.format("memory")
-        .queryName(sink)
+        .writeStream.foreachBatch(capture)
         .option("checkpointLocation", ckpt)
         .start()
     )
     q.processAllAvailable()
     q.stop()
+    partials = [row for bid in sorted(acc) for row in acc[bid]]
     return (
-        spark.table(sink)
-        .dropDuplicates(["event_id"])
+        spark.createDataFrame(
+            partials, "event_type string, cnt bigint, cents bigint"
+        )
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
-                "value_cents"
-            ),
+            F.sum("cnt").alias("cnt"),
+            F.sum("cents").alias("value_cents"),
         )
     )
 
@@ -375,11 +398,9 @@ def fmt_text_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT *, doc_id % 7 = 3 AS corrupt FROM src
     )
     SELECT lang,
-           CAST(SUM(CASE WHEN NOT corrupt THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_good,
-           CAST(SUM(CASE WHEN NOT corrupt THEN n_chars ELSE 0 END)
-                AS BIGINT) AS chars
-    FROM marked
+           CAST(COUNT(*) AS BIGINT) AS n_good,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM marked WHERE NOT corrupt
     GROUP BY lang
     UNION ALL
     SELECT '__corrupt__',

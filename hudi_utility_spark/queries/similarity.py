@@ -1559,3 +1559,95 @@ def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "sim_knn_join_by_cell",
+    """
+    WITH corpus AS (SELECT * FROM embeddings WHERE vec_id >= 5),
+    dims AS (
+        SELECT label AS cell, d.i AS dim, AVG(d.v) AS mean_v
+        FROM corpus,
+             LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+                             generate_subscripts(embedding, 1) AS i) d
+        GROUP BY label, d.i
+    ),
+    cents AS (
+        SELECT cell, list(mean_v ORDER BY dim) AS centroid
+        FROM dims GROUP BY cell
+    ),
+    qs AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 5
+    ),
+    ranked_cells AS (
+        SELECT q.query_id, c.cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY ROUND(list_cosine_similarity(c.centroid, q.qv),
+                                  6) DESC, c.cell) AS rn
+        FROM qs q, cents c
+    ),
+    scored AS (
+        SELECT p.query_id, e.vec_id,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+                   AS score
+        FROM ranked_cells p
+        JOIN corpus e ON e.label = p.cell
+        JOIN qs q ON q.query_id = p.query_id
+        WHERE p.rn <= 3
+    ),
+    topk AS (
+        SELECT query_id, vec_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, vec_id, score FROM topk WHERE rn <= 5
+    """,
+)
+def sim_knn_join_by_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF k-NN JOIN — a BATCH of query vectors against the
+    corpus in one plan (the shape a training pipeline runs nightly:
+    every new example needs neighbors, not one ad-hoc probe like
+    `sim_ivf_topk`). Vectors 0-4 are the queries, the rest the corpus;
+    each query probes its top-3 cells by round-6 centroid cosine
+    (total order: score DESC, cell ASC), candidates come from ONE
+    equi-join on the exploded cell id (`ops/similarity.py
+    knn_join_by_cell` — re-shaped from an `array_contains` theta join
+    that planned as a nested loop, r9 verdict #4), and per-query top-5
+    ranks on rounded scores.
+
+    100 TB posture: candidate volume is sum over probes of |cell| —
+    cell-pruned, never |Q|x|corpus|; the centroid table is n_cells x
+    dim driver literals; the only wide exchange is the cell-keyed
+    equi-join, which AQE can skew-split if a hot cell emerges."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 5)
+    qs = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = S.ivf_centroids(corpus)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("s"), F.asc("cell")
+    )
+    probes = (
+        qs.crossJoin(F.broadcast(cents))  # n_cells rows: bounded BNLJ
+        .select(
+            "query_id",
+            "embedding",
+            "cell",
+            F.round(S.cosine(F.col("embedding"), F.col("centroid")), 6)
+            .alias("s"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("query_id")
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.collect_list("cell").alias("probe_cells"),
+        )
+    )
+    return S.knn_join_by_cell(corpus, probes, k=5)

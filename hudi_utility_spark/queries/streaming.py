@@ -409,7 +409,13 @@ def stream_ewma_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
+    from hudi_utility_spark.session import ensure_pyshim_on_session
     from hudi_utility_spark.streaming.stateful import running_ewma_tws
+
+    # The TWS state-server Python worker needs google.protobuf; when the
+    # caller built its own SparkSession before importing us, retrofit the
+    # shim via sc.environment (r9 driver crash, verified fix).
+    ensure_pyshim_on_session(spark)
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "value"
@@ -567,7 +573,12 @@ def stream_session_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
     import uuid
 
+    from hudi_utility_spark.session import ensure_pyshim_on_session
     from hudi_utility_spark.streaming.stateful import sessionize_tws
+
+    # Retrofit the protobuf shim onto a foreign session (see
+    # stream_ewma_tws) before the state-server worker launches.
+    ensure_pyshim_on_session(spark)
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("timestamp_ltz").alias("ts")

@@ -1950,10 +1950,10 @@ def text_hapax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(p.n AS BIGINT) AS n_tokens,
            CAST(p.v AS BIGINT) AS vocab,
            ROUND((f.m * f.sxy - f.sx * f.sy)
-                 / (f.m * f.sxx - f.sx * f.sx), 6) AS heaps_beta,
+                 / (f.m * f.sxx - f.sx * f.sx), 6) + 0.0 AS heaps_beta,
            ROUND(exp((f.sy - (f.m * f.sxy - f.sx * f.sy)
                             / (f.m * f.sxx - f.sx * f.sx) * f.sx) / f.m),
-                 4) AS heaps_k
+                 4) + 0.0 AS heaps_k
     FROM pts p, fit f
     """,
 )
@@ -2006,12 +2006,16 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
     )
     kconst = F.exp((F.col("sy") - beta * F.col("sx")) / F.col("m"))
+    # + 0.0 after the final round: the sf0.01 corpus's flat vocabulary
+    # makes the OLS slope ~±1e-17, whose SIGN depends on partial-sum
+    # order; IEEE -0.0 + 0.0 = +0.0 pins the rounded zero's sign on
+    # both engines (r9 verdict #3 — loaded 2-way-parallel gate repro).
     return pts.crossJoin(F.broadcast(fit)).select(
         "k",
         F.col("n").cast("long").alias("n_tokens"),
         F.col("v").cast("long").alias("vocab"),
-        F.round(beta, 6).alias("heaps_beta"),
-        F.round(kconst, 4).alias("heaps_k"),
+        (F.round(beta, 6) + F.lit(0.0)).alias("heaps_beta"),
+        (F.round(kconst, 4) + F.lit(0.0)).alias("heaps_k"),
     )
 
 

@@ -86,6 +86,38 @@ def _apply_pyshim() -> None:
         pass
 
 
+def ensure_pyshim_on_session(spark: SparkSession) -> None:
+    """Make the protobuf shim visible to Python workers of an
+    ALREADY-RUNNING SparkSession that was built by someone else (e.g. a
+    test/verification harness) before this package was imported.
+
+    ``_apply_pyshim`` mutates ``os.environ`` — enough when *we* build the
+    session, because workers inherit the env at JVM launch. A foreign
+    session's JVM captured its env earlier, so the transformWithState
+    Python state-server worker starts without ``google.protobuf`` and
+    dies (``TransformWithStateInPySpark driver worker exited
+    unexpectedly``). ``sc.environment`` entries, by contrast, are pushed
+    into every Python worker's env at *launch time*, so setting
+    PYTHONPATH there retrofits the shim onto a live session. Idempotent;
+    no-op when the shim dir is absent or protobuf resolves natively."""
+    _apply_pyshim()
+    shim = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "pyshim",
+    )
+    if not os.path.isfile(os.path.join(shim, "sitecustomize.py")):
+        return
+    try:
+        env = spark.sparkContext.environment
+        cur = env.get("PYTHONPATH", os.environ.get("PYTHONPATH", ""))
+        if shim not in cur.split(os.pathsep):
+            cur = f"{cur}{os.pathsep}{shim}" if cur else shim
+        env["PYTHONPATH"] = cur
+    except Exception:
+        pass
+
+
 def get_spark(app_name: str = "hudi_utility_spark", **conf: str) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's defaults.
 

@@ -36,3 +36,17 @@ def as_ltz(df, *cols: str):
     for c in cols:
         df = df.withColumn(c, F.col(c).cast(TimestampType()))
     return df
+
+
+def rz(col: Column | str, scale: int) -> Column:
+    """Round with a pinned zero sign: ``round(col, scale) + 0.0``.
+
+    A regression slope / correlation / difference statistic that is
+    ~±1e-17 on a given corpus has a SIGN that depends on float
+    partial-sum order, which varies with partitioning and parallelism;
+    ``F.round`` preserves ``-0.0`` and hash normalizers format ``-0``
+    ≠ ``0``. IEEE ``-0.0 + 0.0 = +0.0`` pins the sign without changing
+    any nonzero value. Oracle SQL must mirror with ``ROUND(...) + 0.0``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c, scale) + F.lit(0.0)

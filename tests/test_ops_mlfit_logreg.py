@@ -252,6 +252,26 @@ def test_welch_ttest_closed_form(spark):
     assert abs(r.df - round(dof, 6)) < 1e-9
 
 
+def test_welch_ttest_ignores_nulls(spark):
+    """NULL scores must not count toward n (r9 verdict #7): the same
+    textbook samples plus one NULL per group must give the identical
+    statistic — n, Σv and Σv² all cover the same observations."""
+    from hudi_utility_spark.ops.mlfit import welch_ttest
+
+    rows = [(float(v), 1) for v in (1, 2, 3, 4)] + [
+        (float(v), 0) for v in (2, 4, 6, 8, 10)
+    ] + [(None, 1), (None, 0)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    r = welch_ttest(df).collect()[0]
+    se1, se2 = (5 / 3) / 4, 10.0 / 5
+    t = (2.5 - 6.0) / (se1 + se2) ** 0.5
+    dof = (se1 + se2) ** 2 / (se1**2 / 3 + se2**2 / 4)
+    assert (r.n_pos, r.n_neg) == (4, 5)
+    assert abs(r.mean_diff - (-3.5)) < 1e-9
+    assert abs(r.t_stat - round(t, 6)) < 1e-9
+    assert abs(r.df - round(dof, 6)) < 1e-9
+
+
 def test_isotonic_calibrate_matches_pav_and_is_monotone(spark):
     """Violating bin rates [0.2, 0.8, 0.4] with equal weights: PAV
     pools bins 2,3 -> [0.2, 0.6, 0.6]; the minimax closed form must
