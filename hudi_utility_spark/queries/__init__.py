@@ -28,6 +28,19 @@ ORACLES: dict[str, str] = {}
 # (ADVICE r8).
 SEQUENTIAL: set[str] = set()
 
+# Sub-phase wall-clock reported by queries whose body spans a write
+# LIFECYCLE (bootstrap/upsert/index build) plus a PROBE: the lifecycle
+# runs eagerly inside the query function and stamps its seconds here;
+# bench.py subtracts it from the query total to attribute build vs
+# probe (r9 verdict #4 — a 2.5x swing in index_point_lookup was
+# unattributable with one blended number). Last run wins per query.
+PHASES: dict[str, dict[str, float]] = {}
+
+
+def record_phase(name: str, phase: str, seconds: float) -> None:
+    """Stamp a sub-phase duration for *name* (see ``PHASES``)."""
+    PHASES.setdefault(name, {})[phase] = round(seconds, 3)
+
 
 def query(name: str, oracle: str | None = None, sequential: bool = False):
     """Register a query under *name*, with an optional DuckDB oracle.

@@ -143,11 +143,21 @@ def index_file_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"idx_skip_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     shutil.rmtree(root, ignore_errors=True)
+    import time as _time
+
+    from hudi_utility_spark.queries import record_phase
+
     li = load_table(spark, sf_dir, "lineitem")
+    _t0 = _time.perf_counter()
     write_sorted_partitioned(
         li, root, ["l_returnflag"], ["l_orderkey"], num_files=16
     )
     index.build_column_stats(spark, root, ["l_orderkey"])
+    # build = eager write lifecycle + stats index; bench.py subtracts it
+    # from the query total so the PROBE cost is attributable on its own
+    record_phase(
+        "index_file_skipping_scan", "build", _time.perf_counter() - _t0
+    )
     pruned = index.read_with_skipping(spark, root, "l_orderkey", 1000, 2000)
     return (
         pruned.groupBy("l_returnflag")
@@ -196,8 +206,14 @@ def index_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", "value"
     )
+    import time as _time
+
+    from hudi_utility_spark.queries import record_phase
+
+    _t0 = _time.perf_counter()
     upsert(spark, events, table, commit_time="20260101000000001")
     index.build_record_index(spark, table)
+    record_phase("index_point_lookup", "build", _time.perf_counter() - _t0)
     wanted = events.filter(F.col("event_id") % 97 == 0).select("event_id")
     got = index.point_lookup(spark, table, wanted)
     return got.select("event_id", "event_type", F.round("value", 2).alias("value"))
@@ -244,8 +260,14 @@ def index_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", "value"
     )
+    import time as _time
+
+    from hudi_utility_spark.queries import record_phase
+
+    _t0 = _time.perf_counter()
     upsert(spark, events, table, commit_time="20260101000000001")
     index.build_bloom_index(spark, table)
+    record_phase("index_bloom_lookup", "build", _time.perf_counter() - _t0)
     wanted = events.filter(F.col("event_id") % 89 == 0).select("event_id")
     got = index.bloom_lookup(spark, table, wanted)
     return got.select("event_id", "event_type", F.round("value", 2).alias("value"))

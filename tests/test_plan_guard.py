@@ -446,3 +446,22 @@ def test_r9f_new_queries_no_cartesian_bounded_bnlj(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan and name not in R9F_BNLJ_OK:
             offenders.append((name, "bnlj"))
     assert not offenders, offenders
+
+
+def test_r10_knn_join_by_cell_equijoin_plan(spark, sf_dir):
+    """r9 verdict #6: the IVF k-NN JOIN must candidate via an exploded
+    cell EQUI-join (SortMergeJoin/ShuffledHashJoin on the cell id),
+    never the old `array_contains(probe_cells, cell)` theta form that
+    plans as a nested-loop. The only BNLJ allowed is the bounded
+    centroid-table broadcast (n_cells rows) used to rank probe cells."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    plan = _plan(qs["sim_knn_join_by_cell"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # the corpus-side candidate join must be an equi-join: at least one
+    # hash/sort-merge join node keyed on the cell id must exist
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 8, f"shuffle-exchange budget exceeded: {shuffles}"

@@ -1,20 +1,30 @@
 #!/usr/bin/env bash
 # Pre-commit / end-of-round gate: everything the driver will check, run
 # locally at HEAD. Usage: bash tools/preflight.sh [--quick]
-#   full : oracle check @ sf0.01 + whole pytest suite (four quarters, so
+#   full : oracle check @ sf0.01 + whole pytest suite (six legs, so
 #          no leg trips a 10-minute harness timeout) + bench @ sf0.01
-#   quick: oracle check only
+#   quick: oracle check (+ its concurrent load leg) only
 set -uo pipefail
 cd "$(dirname "$0")/.."
 rc=0
 
-echo "== oracle check (sf0.01) =="
+echo "== oracle check (sf0.01, under concurrent pytest load) =="
 # two halves in parallel: at 325 registered queries one sequential pass
 # outgrew a 10-minute harness window (each half is its own Spark
 # session; queries are session-independent by construction — the
 # stateful ones use per-run scratch dirs/sink names). Every FAIL line
 # prints verbatim BEFORE the summaries (r8 verdict #5: the old tail -3
 # scrolled a lone failing name out of view).
+#
+# A pytest leg runs CONCURRENTLY as deliberate load (r9 verdict #5):
+# order-dependent float flakes — the ±0 sign of a near-zero OLS slope —
+# only surface when scheduler pressure varies partial-sum order; eight
+# quiet full-gate runs missed what one loaded 2-way run caught
+# (text_heaps_law). The leg's own result is counted below, so full mode
+# pays no extra wall-clock for the load.
+python -m pytest $(ls tests/test_*.py | grep -v test_api.py | sed -n '1,8p') -q \
+  >/tmp/preflight_leg2.txt 2>&1 &
+pid_load=$!
 python tools/check_oracles.py /root/testdata/sf0.01 "^[a-l]" \
   >/tmp/preflight_oracle_al.txt 2>/dev/null &
 pid_al=$!
@@ -26,6 +36,9 @@ wait $pid_mz || rc=1
 grep -h '^FAIL' /tmp/preflight_oracle_al.txt /tmp/preflight_oracle_mz.txt || true
 tail -2 /tmp/preflight_oracle_al.txt
 tail -2 /tmp/preflight_oracle_mz.txt
+wait $pid_load || rc=1
+echo "== pytest (leg 2, ran concurrently as oracle load) =="
+tail -2 /tmp/preflight_leg2.txt
 
 if [[ "${1:-}" != "--quick" ]]; then
   echo "== double-run hash stability (sf0.01) =="
@@ -34,8 +47,6 @@ if [[ "${1:-}" != "--quick" ]]; then
   # and the old 11-file quarter 1 outgrew a 10-minute harness window
   echo "== pytest (leg 1: api) =="
   python -m pytest tests/test_api.py -q 2>&1 | tail -2 || rc=1
-  echo "== pytest (leg 2) =="
-  python -m pytest $(ls tests/test_*.py | grep -v test_api.py | sed -n '1,8p') -q 2>&1 | tail -2 || rc=1
   echo "== pytest (leg 3) =="
   python -m pytest $(ls tests/test_*.py | grep -v test_api.py | sed -n '9,16p') -q 2>&1 | tail -2 || rc=1
   echo "== pytest (leg 4) =="
