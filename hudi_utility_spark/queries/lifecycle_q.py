@@ -731,3 +731,68 @@ def rollup_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("revenue"), 2).alias("revenue"),
     )
+
+
+@query(
+    "mor_compaction_invariance",
+    """
+    WITH unioned AS (
+      SELECT event_id, ts, user_id, event_type, value FROM events
+      UNION ALL
+      SELECT event_id,
+             ts + INTERVAL 1 HOUR AS ts,
+             user_id, event_type,
+             value + 250 AS value
+      FROM events WHERE event_type = 'click'
+    ), resolved AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_id ORDER BY ts DESC) AS rn
+      FROM unioned
+    )
+    SELECT event_id, user_id, event_type, ROUND(value, 2) AS value
+    FROM resolved WHERE rn = 1
+    """,
+    sequential=True,
+)
+def mor_compaction_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction + clustering TABLE SERVICES under the oracle gate:
+    bootstrap a MOR table, log an update slice, COMPACT (fold the delta
+    log into the base, partition-scoped), then CLUSTER (whole-table
+    range-sorted rewrite) — and the snapshot read afterwards must be
+    bit-identical to the precombine resolution the oracle states. The
+    services move bytes, never values (Hudi's compaction/clustering
+    contract, reference table type `pyspark_script.py:361`); the query
+    raises if the delta log survives compaction, so a silent no-op
+    cannot pass. Complements `mor_snapshot_read` (which pins the
+    READ-time resolution; this pins the REWRITE-time fold).
+
+    100 TB posture: compact is partition-scoped (only log-touched
+    partitions are read or rewritten — a hot-tail ingest compacts days,
+    not the table); clustering is the out-of-band layout rewrite whose
+    payoff `zorder_two_dim_scan`/`index_file_skipping_scan` measure."""
+    root = _scratch(sf_dir, "mor_compaction")
+    table = KeyedTable(
+        path=root,
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+        table_type=TableType.MERGE_ON_READ,
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    upsert(spark, events, table)
+    changed = (
+        events.filter(F.col("event_type") == "click")
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        .withColumn("value", F.col("value") + 250)
+    )
+    upsert(spark, changed, table)
+    table.compact(spark)
+    if os.path.isdir(table.log_path):
+        raise AssertionError("compaction left the delta log in place")
+    table.cluster(spark, sort_fields=["event_id"], num_files=8)
+    snap = table.read(spark)
+    return snap.select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+    )

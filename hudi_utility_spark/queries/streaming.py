@@ -16,6 +16,7 @@ from hudi_utility_spark.streaming.windows import (
     tumbling_counts,
 )
 from hudi_utility_spark.tables import load_table
+from hudi_utility_spark.tsutil import us
 
 
 @query(
@@ -646,4 +647,105 @@ def stream_session_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(pkey, pprev)
     return spark.table(sink).filter(F.col("user_id") != sentinel_uid).select(
         "user_id", "session_start_us", "session_end_us", "n_events"
+    )
+
+
+@query(
+    "stream_upsert_ingest",
+    """
+    WITH unioned AS (
+      SELECT event_id, ts, user_id, event_type, value FROM events
+      UNION ALL
+      SELECT event_id,
+             ts + INTERVAL 1 HOUR AS ts,
+             user_id, event_type,
+             value + 500 AS value
+      FROM events WHERE event_id % 11 = 0
+    ), resolved AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_id ORDER BY ts DESC) AS rn
+      FROM unioned
+    )
+    SELECT event_id, user_id, event_type,
+           ROUND(value, 2) AS value,
+           epoch_us(ts) AS ts_us
+    FROM resolved WHERE rn = 1
+    """,
+    sequential=True,
+)
+def stream_upsert_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELTASTREAMER pattern — continuous ingest upserting into a
+    keyed table — as a REAL streaming run: a file-source readStream
+    delivers the base corpus and an update slice (later precombine,
+    value shifted) through `streaming/ingest.py stream_upsert`, whose
+    foreachBatch sink precombine-dedupes each micro-batch and upserts
+    it into a COW KeyedTable (reference behavior: the Hudi streamer's
+    upsert write op, `pyspark_script.py:360-370`). The final table
+    read must equal the closed-form latest-by-key resolution the
+    oracle states — and it must equal it REGARDLESS of how the files
+    were batched, because precombine resolution is replay- and
+    order-insensitive for this update set (the update rows strictly
+    dominate on ts): exactly the idempotence a checkpoint-recovering
+    100 TB ingest needs.
+
+    100 TB posture: each micro-batch shuffles once on the record key;
+    the upsert rewrites only partitions the batch touches (dynamic
+    partition overwrite); checkpointed offsets make redelivery a no-op
+    rewrite rather than a duplicate row."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from hudi_utility_spark.streaming.ingest import stream_upsert
+    from hudi_utility_spark.table import KeyedTable, TableType
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_utility_spark_q",
+        f"stream_upsert_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.coalesce(1).write.mode("append").parquet(src)
+    first_files = set(glob.glob(os.path.join(src, "*.parquet")))
+    updates = (
+        ev.filter(F.col("event_id") % 11 == 0)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        .withColumn("value", F.col("value") + 500)
+    )
+    updates.coalesce(1).write.mode("append").parquet(src)
+    now = _time.time()
+    for f in glob.glob(os.path.join(src, "*.parquet")):
+        os.utime(f, (now, now) if f in first_files else (now + 60, now + 60))
+
+    table = KeyedTable(
+        path=os.path.join(root, "table"),
+        record_key=["event_id"],
+        precombine="ts",
+        partition_fields=["event_type"],
+        table_type=TableType.COPY_ON_WRITE,
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_upsert(
+        spark, stream, table, checkpoint_dir=os.path.join(root, "_ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return table.read(spark).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        us("ts").alias("ts_us"),
     )
