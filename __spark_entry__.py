@@ -52,19 +52,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     here = Path(__file__).resolve().parent
     drawn: set[str] = set()
+    latest_red: set[str] = set()  # red in their most recent draw
     n_rounds = 0
     for p in sorted(here.glob("CORRECTNESS_r*.json")):
         try:
-            drawn |= set(json.loads(p.read_text()).keys())
-            n_rounds += 1
+            rows = json.loads(p.read_text())
         except (OSError, ValueError):
-            pass
+            continue
+        n_rounds += 1
+        for name, r in rows.items():
+            drawn.add(name)
+            ok = (
+                isinstance(r, dict)
+                and not r.get("err")
+                and r.get("rows_match")
+                and r.get("schema_match") is not False
+                and r.get("hash_match") is not False
+            )
+            if ok:
+                latest_red.discard(name)
+            else:
+                latest_red.add(name)
+    # red-at-last-draw queries go FIRST — they carry fixes that need a
+    # fresh driver row to be credited; then the never-drawn rotation.
+    red = [n for n in QUERIES if n in latest_red]
     fresh = [n for n in QUERIES if n not in drawn]
     if fresh:
         k = (n_rounds * 50) % len(fresh)
         fresh = fresh[k:] + fresh[:k]
-    ordered = {n: QUERIES[n] for n in fresh}
-    ordered.update((n, f) for n, f in QUERIES.items() if n in drawn)
+    ordered = {n: QUERIES[n] for n in red}
+    ordered.update((n, QUERIES[n]) for n in fresh)
+    ordered.update(
+        (n, f) for n, f in QUERIES.items() if n in drawn and n not in latest_red
+    )
     return ordered
 
 

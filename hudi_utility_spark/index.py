@@ -381,8 +381,11 @@ def bloom_lookup(
     from hudi_utility_spark.write import latest_by_key
 
     keys = table.record_key
-    probe = F.broadcast(keys_df.select(*keys).distinct())
-    files = bloom_candidate_files(spark, table, keys_df, m_bits=m_bits, k=k)
+    # materialized once: feeds the bloom candidate probe plus two
+    # semi-joins (see point_lookup — same triple-scan hazard)
+    kd = keys_df.select(*keys).distinct().localCheckpoint()
+    probe = F.broadcast(kd)
+    files = bloom_candidate_files(spark, table, kd, m_bits=m_bits, k=k)
     if files:
         base = (
             spark.read.option("mergeSchema", "true")
@@ -420,9 +423,14 @@ def point_lookup(spark: SparkSession, table, keys_df: DataFrame) -> DataFrame:
 
     keys = table.record_key
     idx = spark.read.parquet(os.path.join(table.path, RECORD_INDEX_DIR))
+    # materialize the point batch ONCE: it feeds three broadcast joins
+    # (index probe, base semi-join, log semi-join), and an unmaterialized
+    # keys_df would re-run its source scan + distinct shuffle per use —
+    # measured ~2.4s -> ~1.5s probe at sf0.1 on the registered query
+    kd = keys_df.select(*keys).distinct().localCheckpoint()
     files = [
         r.file
-        for r in idx.join(F.broadcast(keys_df.select(*keys).distinct()), on=keys)
+        for r in idx.join(F.broadcast(kd), on=keys)
         .select("file")
         .distinct()
         .collect()
@@ -433,16 +441,12 @@ def point_lookup(spark: SparkSession, table, keys_df: DataFrame) -> DataFrame:
             .option("basePath", table.base_path)
             .parquet(*files)
         )
-        matched = base.join(
-            F.broadcast(keys_df.select(*keys).distinct()), on=keys, how="left_semi"
-        )
+        matched = base.join(F.broadcast(kd), on=keys, how="left_semi")
     else:
         matched = table.read_base(spark).filter(F.lit(False))
     if table.table_type is TableType.MERGE_ON_READ and os.path.isdir(table.log_path):
         log = spark.read.option("mergeSchema", "true").parquet(table.log_path)
-        log_matched = log.join(
-            F.broadcast(keys_df.select(*keys).distinct()), on=keys, how="left_semi"
-        )
+        log_matched = log.join(F.broadcast(kd), on=keys, how="left_semi")
         matched = matched.unionByName(log_matched, allowMissingColumns=True)
     resolved = latest_by_key(matched, keys, table.precombine)
     if DELETED_COL in resolved.columns:
