@@ -50,3 +50,30 @@ def test_as_ltz_reinterprets_not_shifts(spark):
     # UTC session: epoch identical before and after the cast
     got = [r[0] for r in ltz.select(F.unix_micros("ts").alias("e")).collect()]
     assert got == EXPECT
+
+
+def test_rz_pins_negative_zero_sign(spark):
+    """rz = round + 0.0 must turn a -0.0-rounding value into +0.0
+    (IEEE -0.0 + 0.0 = +0.0) while leaving nonzero values alone — the
+    r9 text_heaps_law flake class: a ~-1e-17 slope rounds to -0.0,
+    which hash normalizers format as '-0' != '0'."""
+    import math
+
+    from hudi_utility_spark.tsutil import rz
+
+    df = spark.createDataFrame(
+        [(-1e-17,), (1e-17,), (-0.25,), (0.25,)], "x double"
+    )
+    got = [r[0] for r in df.select(rz("x", 6).alias("r")).collect()]
+    assert got == [0.0, 0.0, -0.25, 0.25]
+    # the zero results must be POSITIVE zero (copysign distinguishes)
+    assert all(math.copysign(1.0, v) == 1.0 for v in got[:2])
+    # contrast: DuckDB's bare ROUND preserves the negative zero (the
+    # r9 driver FAIL showed duck-side '-0' vs spark-side '0'), so the
+    # oracle SQL needs the same + 0.0 pin
+    import duckdb
+
+    bare = duckdb.sql("SELECT ROUND(-1e-17, 6)").fetchone()[0]
+    assert math.copysign(1.0, bare) == -1.0
+    pinned = duckdb.sql("SELECT ROUND(-1e-17, 6) + 0.0").fetchone()[0]
+    assert math.copysign(1.0, pinned) == 1.0
