@@ -749,3 +749,123 @@ def stream_upsert_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("value"),
         us("ts").alias("ts_us"),
     )
+
+@query(
+    "stream_late_data_drop",
+    """
+    WITH b AS (
+      SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events
+    ),
+    arrived AS (
+      SELECT ts, event_type, value FROM events
+      UNION ALL
+      -- replays of the corpus' final 20 minutes arrive two batches
+      -- late but their windows are inside the 30-min watermark horizon
+      -- -> ACCEPTED (double-counted)
+      SELECT e.ts, e.event_type, e.value FROM events e, b
+      WHERE epoch_us(e.ts) > b.mx - 1200000000
+      -- replays of the corpus' earliest hour also arrive two batches
+      -- late, but their windows closed long ago -> DROPPED: no branch
+    )
+    SELECT (epoch_us(ts) // 300000000) * 300000000 AS window_start_us,
+           event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 2) AS total_value
+    FROM arrived GROUP BY 1, 2
+    """,
+    sequential=True,
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics under the value-hash gate — the
+    one streaming behavior the suite had only asserted in unit tests.
+    A 30-minute-watermarked 5-min tumbling aggregate replays four
+    pinned micro-batches: (1) the first half of the corpus, (2) the
+    second half, (3) two LATE replay slices — the corpus' earliest
+    hour (windows closed far beyond the horizon → must be DROPPED) and
+    its final 20 minutes (windows still inside the horizon → must be
+    ACCEPTED and double-counted) — and (4) a far-future sentinel that
+    advances the watermark past every real window so APPEND mode
+    flushes them. The oracle states the same accept/drop outcome in
+    closed form.
+
+    The batch layout encodes Spark's DUAL-watermark contract,
+    established by direct experiment on this build: the late-event
+    FILTER uses the watermark computed two batches back (one batch
+    behind the eviction watermark), so a late row must arrive ≥2
+    batches after the max-establishing batch to be droppable — hence
+    the replays ride batch 3, not batch 2. Both replay slices sit
+    >9 days from every watermark boundary at sf0.01, so the result has
+    no <=/< boundary sensitivity, and each (window, type) group is
+    emitted exactly once (accepted-replay windows stay live until the
+    sentinel flush; first-half windows are fully fed before their
+    eviction).
+
+    100 TB posture: the watermark horizon × key cardinality is what
+    bounds streaming state; this pins the exact drop boundary that
+    arithmetic relies on."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid
+
+    from hudi_utility_spark.streaming.windows import tumbling_counts
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    mm = ev.agg(
+        F.min(us("ts")).alias("mn"), F.max(us("ts")).alias("mx")
+    ).collect()[0]
+    thr_us = mm.mn + (mm.mx - mm.mn) // 2
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_utility_spark_q",
+        f"late_drop_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+    def _write(df) -> set[str]:
+        before = set(glob.glob(os.path.join(root, "*.parquet")))
+        df.coalesce(1).write.mode("append").parquet(root)
+        return set(glob.glob(os.path.join(root, "*.parquet"))) - before
+
+    f1 = _write(ev.filter(us("ts") <= F.lit(thr_us)))
+    f2 = _write(ev.filter(us("ts") > F.lit(thr_us)))
+    late = ev.filter(us("ts") < F.lit(mm.mn + 3_600_000_000)).unionByName(
+        ev.filter(us("ts") > F.lit(mm.mx - 1_200_000_000))
+    )
+    f3 = _write(late)
+    import datetime as _dt
+
+    f4 = _write(
+        spark.createDataFrame(
+            [(_dt.datetime(2200, 1, 1), "__sentinel__", 0.0)], ev.schema
+        )
+    )
+    now = _time.time()
+    for order, files in enumerate((f1, f2, f3, f4)):
+        for f in files:
+            t = now + order * 60
+            os.utime(f, (t, t))
+
+    sink = f"late_drop_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root)
+    )
+    q = (
+        tumbling_counts(stream, width="5 minutes", watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(root, "_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink).filter(
+        F.col("event_type") != "__sentinel__"
+    ).select("window_start_us", "event_type", "cnt", "total_value")
