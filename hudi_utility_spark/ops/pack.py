@@ -599,3 +599,43 @@ def unimax_allocation(
         F.round(alloc, 4).alias("alloc"),
         F.round(alloc / F.col("n"), 6).alias("epochs"),
     )
+
+
+def feistel_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    out_col: str = "shuffle_pos",
+    rounds: int = 3,
+    key: int = 0x9E37,
+    half_bits: int = 16,
+) -> DataFrame:
+    """Deterministic pseudorandom permutation of integer ids — the
+    MAP-ONLY global shuffle a training pipeline needs before epoch
+    packing: ``out_col`` is a bijection of ``id_col`` over the
+    ``2^(2*half_bits)`` domain, so ordering (or range-bucketing) by it
+    is a reproducible corpus shuffle with ZERO exchange — no sort, no
+    rand() (nondeterministic under retry, which corrupts exactly-once
+    writes), no shuffle of the data itself at assignment time.
+
+    Balanced Feistel network: split the id into two ``half_bits``
+    halves, ``rounds`` times do (L, R) -> (R, L xor F(R, i)) with the
+    Knuth multiplicative round function F(x, i) = (x*2654435761 +
+    key*i) mod 2^half_bits. Every operation is 63-bit-safe integer
+    arithmetic (x < 2^16 so the product < 2^48), expressible
+    identically in any SQL engine — the permutation is part of the
+    dataset CONTRACT, not an engine artifact. Ids >= 2^(2*half_bits)
+    would collide; callers with bigger domains raise half_bits.
+
+    100 TB posture: a narrow projection + codegen'd arithmetic per row;
+    the downstream writer range-partitions on out_col to materialize
+    the shuffled order with one exchange that replaces the
+    orderBy(rand()) sort-of-everything."""
+    half_mod = 1 << half_bits
+    idc = F.col(id_col).cast("long")
+    left = F.shiftright(idc, half_bits) % F.lit(half_mod)
+    right = idc % F.lit(half_mod)
+    for i in range(1, rounds + 1):
+        fx = (right * F.lit(2654435761) + F.lit(key * i)) % F.lit(half_mod)
+        left, right = right, left.bitwiseXOR(fx)
+    pos = (left * F.lit(half_mod) + right).alias(out_col)
+    return df.withColumn(out_col, pos)

@@ -1190,3 +1190,49 @@ def rtr_map_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p_at_5"),
         F.round(F.sum("rel") / 10.0, 6).alias("p_at_10"),
     )
+
+
+@query(
+    "pack_feistel_shuffle",
+    """
+    WITH f0 AS (
+        SELECT doc_id,
+               (doc_id >> 16) % 65536 AS l,
+               doc_id % 65536 AS r
+        FROM documents
+    ),
+    f1 AS (SELECT doc_id, r AS l,
+                  xor(l, (r * 2654435761 + 40503 * 1) % 65536) AS r FROM f0),
+    f2 AS (SELECT doc_id, r AS l,
+                  xor(l, (r * 2654435761 + 40503 * 2) % 65536) AS r FROM f1),
+    f3 AS (SELECT doc_id, r AS l,
+                  xor(l, (r * 2654435761 + 40503 * 3) % 65536) AS r FROM f2)
+    SELECT doc_id,
+           l * 65536 + r AS shuffle_pos,
+           (l * 65536 + r) >> 26 AS bucket
+    FROM f3
+    """,
+)
+def pack_feistel_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle WITHOUT a shuffle: every doc_id maps
+    through a 3-round Feistel permutation (`ops/pack.py
+    feistel_shuffle`) to a unique position in the 2^32 domain — a
+    map-only bijection, so ordering or range-bucketing by it is a
+    reproducible corpus shuffle with zero exchange at assignment time
+    (contrast orderBy(rand()): a global sort whose output changes
+    under task retry — poison for exactly-once epoch writes). The
+    oracle runs the identical 63-bit-safe integer arithmetic unrolled,
+    pinning the permutation as a cross-engine dataset CONTRACT; the
+    bucket column (top 6 bits) is the write-partition a downstream
+    epoch materializer would range-write.
+
+    100 TB posture: narrow projection + codegen'd arithmetic per row;
+    one range-exchange on shuffle_pos only when materializing the
+    shuffled order — replacing the sort-of-everything."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = PK.feistel_shuffle(d, id_col="doc_id", out_col="shuffle_pos")
+    return out.select(
+        "doc_id",
+        "shuffle_pos",
+        F.shiftright(F.col("shuffle_pos"), 26).alias("bucket"),
+    )

@@ -385,3 +385,25 @@ def test_ranking_metrics_perfect_and_degraded(spark):
     misses = spark.createDataFrame([(3, 1), (4, 2)], ["doc_id", "rank"])
     r3 = ranking_metrics(misses, labels, k=3).collect()[0]
     assert r3.mrr == 0.0 and r3.dcg == 0.0
+
+
+def test_feistel_shuffle_is_a_bijection_and_deterministic(spark):
+    """Full 2^8 domain at half_bits=4: the permutation must hit every
+    position exactly once (bijectivity = the property that makes it a
+    shuffle, not a hash), stay inside the domain, and reproduce
+    identically across runs (the determinism orderBy(rand()) lacks)."""
+    from hudi_utility_spark.ops.pack import feistel_shuffle
+
+    df = spark.range(256).withColumnRenamed("id", "doc_id")
+    out = feistel_shuffle(df, id_col="doc_id", half_bits=4)
+    pos = sorted(r.shuffle_pos for r in out.collect())
+    assert pos == list(range(256))  # bijection onto the full domain
+    again = sorted(
+        (r.doc_id, r.shuffle_pos)
+        for r in feistel_shuffle(df, id_col="doc_id", half_bits=4).collect()
+    )
+    first = sorted((r.doc_id, r.shuffle_pos) for r in out.collect())
+    assert again == first
+    # and it actually permutes (identity would be a useless shuffle)
+    moved = sum(1 for d, p in first if d != p)
+    assert moved > 200
