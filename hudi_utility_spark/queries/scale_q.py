@@ -792,3 +792,90 @@ def approx_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("intersection_estimate"),
         )
     )
+
+
+@query(
+    "approx_moments_quantile",
+    """
+    WITH s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(value) AS s1,
+               SUM(value * value) AS s2,
+               SUM(value * value * value) AS s3,
+               quantile_cont(value, 0.5) AS q50_exact,
+               quantile_cont(value, 0.9) AS q90_exact
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
+    ),
+    m AS (
+        SELECT event_type, n, q50_exact, q90_exact,
+               s1 / n AS mean,
+               sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sd,
+               (s3 / n - 3 * (s1 / n) * (s2 / n)
+                + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                   / pow(sqrt(s2 / n - (s1 / n) * (s1 / n)), 3) AS skew
+        FROM s
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           ROUND(mean + sd * (0 + (0 * 0 - 1) / 6.0 * skew), 4) AS q50_est,
+           ROUND(mean + sd * (1.2815515655446004
+                 + (1.2815515655446004 * 1.2815515655446004 - 1) / 6.0
+                   * skew), 4) AS q90_est,
+           ROUND(q50_exact, 4) AS q50_exact,
+           ROUND(q90_exact, 4) AS q90_exact,
+           ROUND(ABS(mean + sd * (1.2815515655446004
+                 + (1.2815515655446004 * 1.2815515655446004 - 1) / 6.0
+                   * skew) - q90_exact) / q90_exact, 4) AS q90_rel_err
+    FROM m
+    """,
+)
+def approx_moments_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moments-sketch quantiles (Gan et al. 2018, "Moment-Based
+    Quantile Sketches"): per-group raw power sums (n, Σv, Σv², Σv³) —
+    FOUR doubles of state that merge by ADDITION across partitions,
+    executors, and days — feed a Cornish-Fisher expansion
+    q_p ≈ μ + σ·(z_p + (z_p²−1)/6·γ) for the p50/p90 estimate. The
+    exact interpolated percentile and the relative error ride along,
+    so the accuracy CLAIM itself crosses the value-hash gate (same
+    discipline as `approx_quantile_check` / `approx_kmv_distinct`).
+
+    100 TB posture: this is the cheapest mergeable quantile path that
+    exists — one map-side-combinable aggregate, constant state, no GK
+    buffers, no sort anywhere; the trade is distribution-shape
+    sensitivity (third-order CF), which the shipped rel-err column
+    makes observable rather than assumed."""
+    z = 1.2815515655446004
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("value").alias("s1"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+        F.sum(F.col("value") * F.col("value") * F.col("value")).alias("s3"),
+        F.expr("percentile(value, 0.5)").alias("q50_exact"),
+        F.expr("percentile(value, 0.9)").alias("q90_exact"),
+    )
+    mean = F.col("s1") / F.col("n")
+    sd = F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    skew = (
+        F.col("s3") / F.col("n")
+        - 3 * mean * (F.col("s2") / F.col("n"))
+        + 2 * mean * mean * mean
+    ) / F.pow(sd, F.lit(3.0))
+    q50 = mean + sd * (F.lit(0.0) + (F.lit(0.0) - 1) / F.lit(6.0) * skew)
+    q90 = mean + sd * (F.lit(z) + (F.lit(z * z) - 1) / F.lit(6.0) * skew)
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(q50, 4).alias("q50_est"),
+        F.round(q90, 4).alias("q90_est"),
+        F.round("q50_exact", 4).alias("q50_exact"),
+        F.round("q90_exact", 4).alias("q90_exact"),
+        F.round(F.abs(q90 - F.col("q90_exact")) / F.col("q90_exact"), 4).alias(
+            "q90_rel_err"
+        ),
+    )
