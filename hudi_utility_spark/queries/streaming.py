@@ -869,3 +869,75 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).filter(
         F.col("event_type") != "__sentinel__"
     ).select("window_start_us", "event_type", "cnt", "total_value")
+
+
+@query(
+    "stream_true_interval_join",
+    """
+    SELECT c.user_id AS user_id,
+           c.event_id AS lead_id,
+           p.event_id AS follow_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    sequential=True,
+)
+def stream_true_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming execution of the stream-stream interval join —
+    not the batch twin (`stream_interval_join`): the events corpus
+    replays through `readStream` in multiple real micro-batches, both
+    sides carry a 2-hour watermark, and the append-mode inner join
+    emits click→purchase pairs as state matches across batches. An
+    inner interval join's RESULT is batching-invariant — state holds
+    unmatched rows until the watermark proves no match can still
+    arrive, so every qualifying pair emits exactly once regardless of
+    file order — which is what lets a real streaming run sit under the
+    batch oracle's value hash (the append-mode flush contract itself;
+    the outer flavor is pinned in tests/test_streaming_joins.py).
+
+    100 TB posture: join state is bounded by watermark delay x key
+    cardinality on BOTH sides (the two-sided time bound is what makes
+    the state finite); at cluster scale the same plan shards by key."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from hudi_utility_spark.streaming.joins import followed_within
+
+    ev = load_table(spark, sf_dir, "events")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_utility_spark_q",
+        f"true_ivj_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    ev.coalesce(4).write.parquet(root)
+    sink = f"true_ivj_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root)
+    )
+    out = followed_within(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+        gap_seconds=1800,
+        watermark="2 hours",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(root, "_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink).select("user_id", "lead_id", "follow_id", "gap_us")
