@@ -465,3 +465,22 @@ def test_r10_knn_join_by_cell_equijoin_plan(spark, sf_dir):
             or "BroadcastHashJoin" in plan), plan
     shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert shuffles <= 8, f"shuffle-exchange budget exceeded: {shuffles}"
+
+
+def test_r10_new_queries_plan_shapes(spark, sf_dir):
+    """pack_feistel_shuffle must stay MAP-ONLY (zero shuffle exchanges —
+    the whole point of a permutation-based shuffle is no exchange at
+    assignment time); approx_moments_quantile is one hash-aggregate
+    shuffle; sim_knn_join_by_cell has its own equi-join guard above."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    plan = _plan(qs["pack_feistel_shuffle"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 0, f"feistel shuffle must be map-only: {shuffles}"
+
+    plan = _plan(qs["approx_moments_quantile"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 2, f"moments sketch budget exceeded: {shuffles}"
