@@ -50,6 +50,12 @@ def query(name: str, oracle: str | None = None, sequential: bool = False):
     it outside the parallel warmup/tail phases."""
 
     def deco(fn):
+        # a duplicate name silently SHADOWS the earlier query (dict
+        # overwrite) — the earlier operator drops out of the oracle
+        # gate with no signal. Fail loud at import instead (caught one
+        # real shadowing in round 10).
+        if name in QUERIES and QUERIES[name].__module__ != fn.__module__:
+            raise ValueError(f"duplicate query registration: {name}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

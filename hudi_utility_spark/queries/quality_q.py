@@ -3150,3 +3150,110 @@ def dq_completeness_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("o_orderpriority") == "")
         ).alias("missing_priority_rate"),
     )
+
+
+_BENFORD_P = {
+    1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829992,
+    4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514,
+}
+
+
+def _benford_oracle() -> str:
+    probs = ", ".join(
+        f"({d}, {p!r})" for d, p in _BENFORD_P.items()
+    )
+    return f"""
+    WITH bp(digit, p) AS (VALUES {probs}),
+    firstd AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (
+        SELECT digit, CAST(COUNT(*) AS DOUBLE) AS n_obs
+        FROM firstd GROUP BY digit
+    ),
+    tot AS (SELECT SUM(n_obs) AS n FROM obs),
+    per AS (
+        SELECT bp.digit,
+               COALESCE(o.n_obs, 0.0) AS n_obs,
+               bp.p * t.n AS expected
+        FROM bp LEFT JOIN obs o ON bp.digit = o.digit, tot t
+    ),
+    chi AS (
+        SELECT SUM((n_obs - expected) * (n_obs - expected) / expected) AS c
+        FROM per
+    )
+    SELECT per.digit,
+           CAST(per.n_obs AS BIGINT) AS n_obs,
+           ROUND(per.expected, 4) AS expected,
+           ROUND((per.n_obs - per.expected) * (per.n_obs - per.expected)
+                 / per.expected, 4) AS contribution,
+           ROUND(chi.c, 4) AS chi2_stat
+    FROM per, chi
+    """
+
+
+@query("dq_benford_law", _benford_oracle())
+def dq_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data screen (organic multiplicative quantities follow
+    P(d) = log10(1+1/d); synthetic or truncated generators don't, which
+    is itself a readable property of the corpus). First digit is
+    extracted through exact integer-cents STRING math — never
+    floor(log10(x)), whose last-ulp libm differences at exact powers of
+    ten would flip a digit between engines — and the nine Benford
+    probabilities are shared 17-significant-digit literals on both
+    sides, so expected counts and the chi² statistic are bit-aligned.
+    One map-only projection + a 9-row aggregate; the chi²(8) statistic
+    rides every row.
+
+    100 TB posture: map-side-combinable count by nine keys — the
+    cheapest whole-table integrity screen there is."""
+    ev = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    firstd = ev.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = firstd.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("double").alias("n_obs")
+    )
+    bp = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_P.items()], "digit int, p double"
+    )
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    per = (
+        bp.join(obs, "digit", "left")
+        .na.fill({"n_obs": 0.0})
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            (F.col("p") * F.col("n")).alias("expected"),
+        )
+    )
+    chi = per.agg(
+        F.sum(
+            (F.col("n_obs") - F.col("expected"))
+            * (F.col("n_obs") - F.col("expected"))
+            / F.col("expected")
+        ).alias("c")
+    )
+    return per.crossJoin(F.broadcast(chi)).select(
+        "digit",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.round("expected", 4).alias("expected"),
+        F.round(
+            (F.col("n_obs") - F.col("expected"))
+            * (F.col("n_obs") - F.col("expected"))
+            / F.col("expected"),
+            4,
+        ).alias("contribution"),
+        F.round("c", 4).alias("chi2_stat"),
+    )

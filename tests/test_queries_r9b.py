@@ -927,3 +927,40 @@ def test_embedding_drift_detects_aligned_vs_flipped(spark, tmp_path):
     }
     assert got[0] > 0.9
     assert got[1] < -0.9
+
+
+def test_no_duplicate_query_registrations():
+    """A duplicate @query name silently shadows the earlier operator —
+    it drops out of the oracle gate with no signal (caught live in
+    round 10: a second dq_column_entropy hid the original). Count every
+    registration attempt against the registry size in a fresh load."""
+    import collections
+    import sys
+
+    import hudi_utility_spark.queries as Q
+
+    orig = Q.query
+    seen = collections.Counter()
+
+    def spy(name, oracle=None, sequential=False):
+        seen[name] += 1
+        return orig(name, oracle, sequential)
+
+    saved = (dict(Q.QUERIES), dict(Q.ORACLES), set(Q.SEQUENTIAL))
+    mods = [m for m in sys.modules if m.startswith("hudi_utility_spark.queries.")]
+    try:
+        Q.query = spy
+        for m in mods:
+            del sys.modules[m]
+        Q.QUERIES.clear(); Q.ORACLES.clear(); Q.SEQUENTIAL.clear()
+        Q.load_all()
+        dups = {n: c for n, c in seen.items() if c > 1}
+        assert not dups, f"shadowed query registrations: {dups}"
+        assert len(Q.QUERIES) == sum(seen.values())
+    finally:
+        Q.query = orig
+        Q.QUERIES.clear(); Q.QUERIES.update(saved[0])
+        Q.ORACLES.clear(); Q.ORACLES.update(saved[1])
+        Q.SEQUENTIAL.clear(); Q.SEQUENTIAL.update(saved[2])
+        for m in mods:
+            sys.modules.pop(m, None)
