@@ -49,12 +49,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     order. Self-maintaining: a query drawn this round appears in the
     next round's correctness file and moves itself to the back."""
     import json
+    import re
 
     here = Path(__file__).resolve().parent
+
+    def _round_no(p: Path) -> int:
+        # numeric round order, not lexical path order: r100 would sort
+        # before r11 lexically and silently invert latest-red status
+        m = re.search(r"_r(\d+)", p.stem)
+        return int(m.group(1)) if m else 0
+
     drawn: set[str] = set()
     latest_red: set[str] = set()  # red in their most recent draw
     n_rounds = 0
-    for p in sorted(here.glob("CORRECTNESS_r*.json")):
+    for p in sorted(here.glob("CORRECTNESS_r*.json"), key=_round_no):
         try:
             rows = json.loads(p.read_text())
         except (OSError, ValueError):

@@ -95,15 +95,18 @@ def knn_join_by_cell(
     classic IVF partition-pruning win). The previous
     ``array_contains(probe_cells, cell)`` theta form planned as a
     nested-loop join at scale (r9 verdict #4). A document lives in
-    exactly one cell and a query's probed cells are distinct, so the
-    explode introduces no duplicate (query, doc) pairs.
+    exactly one cell; ``probe_cells`` is deduplicated before the
+    explode so the op keeps the SET semantics of the old
+    ``array_contains`` form even when a caller passes duplicate cells
+    (a duplicated doc would otherwise occupy two top-k slots,
+    displacing a genuine neighbor — r10 advice #2).
     """
     from pyspark.sql import Window
 
     probes = queries.select(
         F.col("query_id"),
         F.col("embedding").alias("_qvec"),
-        F.explode("probe_cells").alias(cell_col),
+        F.explode(F.array_distinct("probe_cells")).alias(cell_col),
     )
     scored = probes.join(df, cell_col).select(
         "query_id",
@@ -630,8 +633,21 @@ def embedding_decontaminate(
 
     Returns the corpus with ``max_eval_cos`` (rounded, 6dp) and
     ``contaminated`` appended.
+
+    Guard: raises if the eval set exceeds 20k vectors — the signal the
+    caller passed a data-shaped relation where the broadcast-join +
+    max-agg form is the correct tool (a 100 TB caller must not be able
+    to foot-gun a corpus into a driver collect).
     """
-    evals = [list(map(float, r[0])) for r in eval_set.select(vec_col).collect()]
+    _EVAL_CAP = 20_000
+    rows = eval_set.select(vec_col).limit(_EVAL_CAP + 1).collect()
+    if len(rows) > _EVAL_CAP:
+        raise ValueError(
+            f"embedding_decontaminate(): eval_set exceeds {_EVAL_CAP} "
+            "vectors — use a broadcast join + max-agg instead of the "
+            "literal-fold form"
+        )
+    evals = [list(map(float, r[0])) for r in rows]
     if not evals:
         return corpus.withColumn(
             "max_eval_cos", F.lit(None).cast("double")
@@ -675,7 +691,19 @@ def mmr_rerank(
 
     Returns (rnk, id, rel, mmr) — relevance and marginal score both
     rounded to 6 for engine-portable hashing.
+
+    Guard: raises if ``pool`` exceeds 10k — the O(pool² · d) driver
+    arithmetic is only "codebook-sized" while the rerank window stays a
+    constant; a caller asking for a data-shaped pool needs a
+    distributed diversifier, not this op.
     """
+    _POOL_CAP = 10_000
+    if pool > _POOL_CAP:
+        raise ValueError(
+            f"mmr_rerank(): pool={pool} exceeds {_POOL_CAP} — the greedy "
+            "MMR stage is driver-side O(pool^2); keep the rerank window "
+            "bounded or use a distributed diversifier"
+        )
     q = np.asarray(query_vec, dtype="float64")
     cand = (
         df.select(

@@ -5266,7 +5266,7 @@ def ml_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ml_regression_report",
-    """
+    r"""
     WITH feats AS (
         SELECT doc_id, CAST(n_chars AS DOUBLE) AS y,
                CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)

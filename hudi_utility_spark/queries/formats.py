@@ -167,52 +167,106 @@ def src_synth_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The aggregate is computed from a ``foreachBatch`` capture of
     per-batch PARTIAL aggregates (integer cents — order-independent
-    sums), keyed by batch id so a checkpoint replay overwrites with
-    identical values instead of double-counting. foreachBatch runs
-    synchronously inside each micro-batch commit, so
+    sums) plus per-batch id-range COVERAGE (count, min/max event_id).
+    foreachBatch runs synchronously inside each micro-batch commit, so
     ``processAllAvailable()`` returning guarantees every batch is
-    captured — unlike the memory sink, whose table view raced the
-    driver's load and surfaced incomplete row sets (this query's r5/r6/
-    r9 driver flake; its offsets twin below uses the same capture path
-    and passed first draw). 100 TB posture: the capture holds ≤5 rows
-    per batch (one per event type), constant regardless of batch size —
-    the heavy aggregate stays distributed inside foreachBatch."""
+    captured. The run is SELF-VERIFYING (this query drew a red hash on
+    4 of 4 career driver draws under the driver's loaded session —
+    rows/schema matched, hash didn't, i.e. committed CONTENT drifted):
+    after the stream drains, the committed batch ranges must tile
+    [0, maxRows) exactly — no gap, no cross-batch-id overlap, each
+    batch internally dense. A violation names the lost or re-read
+    range on stderr and the run retries with a fresh checkpoint; if it
+    violates on every attempt the query raises with the coverage dump,
+    so a driver red is a DIAGNOSIS, not another mystery hash.
+    100 TB posture: the capture holds ≤6 scalars + 5 partial rows per
+    batch, constant regardless of batch size — the heavy aggregate
+    stays distributed inside foreachBatch."""
+    import sys
     import uuid
 
     from hudi_utility_spark.sources import register_sources
 
     register_sources(spark)
-    ckpt = _scratch(sf_dir, f"stream_ckpt_{uuid.uuid4().hex[:8]}")
-    acc: dict[int, list[tuple[str, int, int]]] = {}
+    max_rows, rows_per_batch = 500, 120
 
-    def capture(bdf, bid: int) -> None:
-        rows = (
-            bdf.groupBy("event_type")
-            .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
-                    "cents"
-                ),
+    def _run_once() -> tuple[list[tuple[str, int, int]], list[str]]:
+        ckpt = _scratch(sf_dir, f"stream_ckpt_{uuid.uuid4().hex[:8]}")
+        # bid -> (coverage (n, mn, mx), per-type partials)
+        acc: dict[int, tuple[tuple[int, int, int], list]] = {}
+
+        def capture(bdf, bid: int) -> None:
+            rows = (
+                bdf.groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.sum(
+                        F.round(F.col("value") * 100).cast("long")
+                    ).alias("cents"),
+                    F.min("event_id").alias("mn"),
+                    F.max("event_id").alias("mx"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        if rows:
-            acc[int(bid)] = [
-                (r.event_type, int(r.cnt), int(r.cents)) for r in rows
-            ]
+            if rows:
+                n = sum(int(r.cnt) for r in rows)
+                mn = min(int(r.mn) for r in rows)
+                mx = max(int(r.mx) for r in rows)
+                acc[int(bid)] = (
+                    (n, mn, mx),
+                    [(r.event_type, int(r.cnt), int(r.cents)) for r in rows],
+                )
 
-    q = (
-        spark.readStream.format("synth_events")
-        .option("rowsPerBatch", 120)
-        .option("maxRows", 500)
-        .load()
-        .writeStream.foreachBatch(capture)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    partials = [row for bid in sorted(acc) for row in acc[bid]]
+        q = (
+            spark.readStream.format("synth_events")
+            .option("rowsPerBatch", rows_per_batch)
+            .option("maxRows", max_rows)
+            .load()
+            .writeStream.foreachBatch(capture)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # exactly-once audit: committed ranges must tile [0, max_rows)
+        faults: list[str] = []
+        cover = sorted(
+            (cov[1], cov[2], cov[0], bid) for bid, (cov, _) in acc.items()
+        )
+        expect = 0
+        for mn, mx, n, bid in cover:
+            if n != mx - mn + 1:
+                faults.append(f"bid={bid} sparse: n={n} range=[{mn},{mx}]")
+            if mn < expect:
+                faults.append(
+                    f"bid={bid} RE-READ overlap: [{mn},{mx}] vs covered<{expect}"
+                )
+            elif mn > expect:
+                faults.append(f"GAP [{expect},{mn - 1}] lost before bid={bid}")
+            expect = max(expect, mx + 1)
+        total = sum(n for _, _, n, _ in cover)
+        if total != max_rows or expect != max_rows:
+            faults.append(f"total={total} high={expect} want={max_rows}")
+        partials = [row for bid in sorted(acc) for row in acc[bid][1]]
+        return partials, faults
+
+    partials, faults = [], ["never ran"]
+    for attempt in range(3):
+        partials, faults = _run_once()
+        if not faults:
+            break
+        print(
+            f"src_synth_stream attempt {attempt}: exactly-once violation "
+            f"{faults}",
+            file=sys.stderr,
+        )
+    if faults:
+        raise RuntimeError(
+            f"src_synth_stream: exactly-once violation on all attempts: "
+            f"{faults}"
+        )
     return (
         spark.createDataFrame(
             partials, "event_type string, cnt bigint, cents bigint"
@@ -253,38 +307,84 @@ def src_synth_stream_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     — no gaps, no overlaps, no drift — which the oracle regenerates
     from range() + the same integer math. Complements
     `src_synth_stream` (which checks the exactly-once aggregate over
-    the sunk rows) by pinning the batch BOUNDARIES themselves."""
+    the sunk rows) by pinning the batch BOUNDARIES themselves. The
+    boundary audit is cross-batch-id: a skipped-then-re-read range
+    landing under a FRESH batch id (the failure mode the bid-keyed
+    overwrite alone cannot see) trips the overlap/gap check below, the
+    run retries with a fresh checkpoint, and a persistent violation
+    raises with the full coverage dump."""
+    import sys
     import uuid
 
     from hudi_utility_spark.sources import register_sources
 
     register_sources(spark)
-    ckpt = _scratch(sf_dir, f"stream_off_ckpt_{uuid.uuid4().hex[:8]}")
-    acc: dict[int, tuple[int, int, int, int]] = {}
+    max_rows, rows_per_batch = 500, 120
 
-    def audit(bdf, bid: int) -> None:
-        r = bdf.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("event_id").alias("mn"),
-            F.max("event_id").alias("mx"),
-            F.sum("user_id").alias("uc"),
-        ).collect()[0]
-        if r.n:
-            # dict-keyed by batch id: a checkpoint replay of a batch
-            # overwrites with identical values instead of duplicating
-            acc[int(bid)] = (int(r.n), int(r.mn), int(r.mx), int(r.uc))
+    def _run_once() -> tuple[dict, list[str]]:
+        ckpt = _scratch(sf_dir, f"stream_off_ckpt_{uuid.uuid4().hex[:8]}")
+        acc: dict[int, tuple[int, int, int, int]] = {}
 
-    q = (
-        spark.readStream.format("synth_events")
-        .option("rowsPerBatch", 120)
-        .option("maxRows", 500)
-        .load()
-        .writeStream.foreachBatch(audit)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+        def audit(bdf, bid: int) -> None:
+            r = bdf.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("event_id").alias("mn"),
+                F.max("event_id").alias("mx"),
+                F.sum("user_id").alias("uc"),
+            ).collect()[0]
+            if r.n:
+                # dict-keyed by batch id: a checkpoint replay of a batch
+                # overwrites with identical values instead of duplicating
+                acc[int(bid)] = (int(r.n), int(r.mn), int(r.mx), int(r.uc))
+
+        q = (
+            spark.readStream.format("synth_events")
+            .option("rowsPerBatch", rows_per_batch)
+            .option("maxRows", max_rows)
+            .load()
+            .writeStream.foreachBatch(audit)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        faults: list[str] = []
+        expect = 0
+        for bid in sorted(acc):
+            n, mn, mx, _ = acc[bid]
+            want_lo = bid * rows_per_batch
+            want_hi = min(want_lo + rows_per_batch, max_rows) - 1
+            if (mn, mx, n) != (want_lo, want_hi, want_hi - want_lo + 1):
+                faults.append(
+                    f"bid={bid} covers [{mn},{mx}] n={n}, "
+                    f"want [{want_lo},{want_hi}]"
+                )
+            if mn < expect:
+                faults.append(f"bid={bid} RE-READ overlap below {expect}")
+            elif mn > expect:
+                faults.append(f"GAP [{expect},{mn - 1}] before bid={bid}")
+            expect = max(expect, mx + 1)
+        if expect != max_rows:
+            faults.append(f"high watermark {expect} != {max_rows}")
+        return acc, faults
+
+    acc, faults = {}, ["never ran"]
+    for attempt in range(3):
+        acc, faults = _run_once()
+        if not faults:
+            break
+        print(
+            f"src_synth_stream_offsets attempt {attempt}: offset-contract "
+            f"violation {faults}",
+            file=sys.stderr,
+        )
+    if faults:
+        raise RuntimeError(
+            f"src_synth_stream_offsets: offset-contract violation on all "
+            f"attempts: {faults}"
+        )
     rows = [(bid, *v) for bid, v in sorted(acc.items())]
     return spark.createDataFrame(
         rows,

@@ -808,7 +808,6 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
     import time as _time
-    import uuid
 
     from hudi_utility_spark.streaming.windows import tumbling_counts
 
@@ -848,16 +847,28 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             t = now + order * 60
             os.utime(f, (t, t))
 
-    sink = f"late_drop_{uuid.uuid4().hex[:8]}"
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(root)
     )
+    # capture finalized (append-mode) windows per committed micro-batch
+    # via foreachBatch — synchronous with the commit, keyed by batch id
+    # so checkpoint replay overwrites instead of duplicating; the memory
+    # sink's table view can race the read under a loaded session (the
+    # src_synth_stream r5/r6/r9 flake class).
+    acc: dict[int, list] = {}
+
+    def capture(bdf, bid: int) -> None:
+        rows = bdf.select(
+            "window_start_us", "event_type", "cnt", "total_value"
+        ).collect()
+        if rows:
+            acc[int(bid)] = [tuple(r) for r in rows]
+
     q = (
         tumbling_counts(stream, width="5 minutes", watermark="30 minutes")
-        .writeStream.format("memory")
-        .queryName(sink)
+        .writeStream.foreachBatch(capture)
         .outputMode("append")
         .option("checkpointLocation", os.path.join(root, "_ckpt"))
         .start()
@@ -866,9 +877,14 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(sink).filter(
-        F.col("event_type") != "__sentinel__"
-    ).select("window_start_us", "event_type", "cnt", "total_value")
+    flushed = [row for bid in sorted(acc) for row in acc[bid]]
+    return spark.createDataFrame(
+        flushed,
+        "window_start_us bigint, event_type string, cnt bigint, "
+        "total_value double",
+    ).filter(F.col("event_type") != "__sentinel__").select(
+        "window_start_us", "event_type", "cnt", "total_value"
+    )
 
 
 @query(
@@ -892,20 +908,31 @@ def stream_true_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays through `readStream` in multiple real micro-batches, both
     sides carry a 2-hour watermark, and the append-mode inner join
     emits click→purchase pairs as state matches across batches. An
-    inner interval join's RESULT is batching-invariant — state holds
-    unmatched rows until the watermark proves no match can still
-    arrive, so every qualifying pair emits exactly once regardless of
-    file order — which is what lets a real streaming run sit under the
-    batch oracle's value hash (the append-mode flush contract itself;
-    the outer flavor is pinned in tests/test_streaming_joins.py).
+    inner interval join's RESULT is batching-invariant PROVIDED inputs
+    arrive in (coarse) event-time order — a watermarked join drops
+    inputs older than the current watermark, so the replay is made
+    deterministic the same way a replayed Kafka topic is: the corpus
+    is written as four TIME-SLICED files (ts quartiles) with staggered
+    mtimes, so maxFilesPerTrigger=1 delivers micro-batches in
+    ascending event time and no qualifying input can arrive beneath
+    the watermark. State holds unmatched rows until the watermark
+    proves no match can still arrive, so every qualifying pair emits
+    exactly once — which is what lets a real streaming run sit under
+    the batch oracle's value hash (the outer flavor is pinned in
+    tests/test_streaming_joins.py). Results are captured per committed
+    micro-batch via foreachBatch (synchronous with the commit — no
+    memory-sink table race), keyed by batch id so a checkpoint replay
+    overwrites rather than duplicates.
 
     100 TB posture: join state is bounded by watermark delay x key
     cardinality on BOTH sides (the two-sided time bound is what makes
-    the state finite); at cluster scale the same plan shards by key."""
+    the state finite); at cluster scale the same plan shards by key.
+    The per-batch capture here collects the JOIN OUTPUT (the query's
+    own result set, driver-bound by contract), not the inputs."""
     import os
     import shutil
     import tempfile
-    import uuid
+    import time as _time
 
     from hudi_utility_spark.streaming.joins import followed_within
 
@@ -916,8 +943,30 @@ def stream_true_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"true_ivj_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     shutil.rmtree(root, ignore_errors=True)
-    ev.coalesce(4).write.parquet(root)
-    sink = f"true_ivj_{uuid.uuid4().hex[:8]}"
+    qs = ev.withColumn("_ts_us", us("ts")).approxQuantile(
+        "_ts_us", [0.25, 0.5, 0.75], 0.0
+    )
+
+    def _write(df) -> set[str]:
+        import glob as _glob
+
+        before = set(_glob.glob(os.path.join(root, "*.parquet")))
+        df.coalesce(1).write.mode("append").parquet(root)
+        return set(_glob.glob(os.path.join(root, "*.parquet"))) - before
+
+    t_us = us("ts")
+    slices = [
+        _write(ev.filter(t_us <= F.lit(qs[0]))),
+        _write(ev.filter((t_us > F.lit(qs[0])) & (t_us <= F.lit(qs[1])))),
+        _write(ev.filter((t_us > F.lit(qs[1])) & (t_us <= F.lit(qs[2])))),
+        _write(ev.filter(t_us > F.lit(qs[2]))),
+    ]
+    now = _time.time()
+    for order, files in enumerate(slices):
+        for f in files:
+            t = now + order * 60
+            os.utime(f, (t, t))
+
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -929,9 +978,17 @@ def stream_true_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap_seconds=1800,
         watermark="2 hours",
     )
+    acc: dict[int, list] = {}
+
+    def capture(bdf, bid: int) -> None:
+        rows = bdf.select(
+            "user_id", "lead_id", "follow_id", "gap_us"
+        ).collect()
+        if rows:
+            acc[int(bid)] = [tuple(r) for r in rows]
+
     q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
+        out.writeStream.foreachBatch(capture)
         .outputMode("append")
         .option("checkpointLocation", os.path.join(root, "_ckpt"))
         .start()
@@ -940,4 +997,7 @@ def stream_true_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(sink).select("user_id", "lead_id", "follow_id", "gap_us")
+    pairs = [row for bid in sorted(acc) for row in acc[bid]]
+    return spark.createDataFrame(
+        pairs, "user_id bigint, lead_id bigint, follow_id bigint, gap_us bigint"
+    )

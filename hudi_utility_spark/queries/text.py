@@ -1735,15 +1735,18 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.naive_bayes_langid(d)
 
 
-@query("text_compression_ratio")
 def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEFLATE compression-ratio histogram of the corpus (ops/text.py
-    compression_ratio — the declared zlib Arrow kernel; no SQL engine
-    exposes DEFLATE, so this takes the rows-only driver check while
-    tests pin exact ratios against direct zlib): documents bucketed by
-    ratio decile with per-bucket counts and mean length — the classic
-    repetition/boilerplate screen (too-compressible = template farms,
-    spam; CCNet/Gopher-era pipelines cut on exactly this)."""
+    compression_ratio — the declared zlib Arrow kernel): documents
+    bucketed by ratio decile with per-bucket counts and mean length —
+    the classic repetition/boilerplate screen (too-compressible =
+    template farms, spam; CCNet/Gopher-era pipelines cut on exactly
+    this). Deliberately NOT a registered query (the
+    `approx_distinct_profile` precedent, engine_queries.py): no SQL
+    engine exposes DEFLATE, so a driver draw could only record a
+    guaranteed-red `no_oracle` row. Exact zlib ratios are pinned by
+    pytest (tests/test_ops_stats_r9.py, tests/test_queries_r9b.py) and
+    the plan guard still audits its physical plan by direct call."""
     d = load_table(spark, sf_dir, "documents")
     from hudi_utility_spark.ops.text import compression_ratio
 

@@ -8,30 +8,35 @@ import pytest
 from pyspark.sql import functions as F
 
 
-def _cached_rdd_count(spark) -> int:
-    jsc = spark.sparkContext._jsc.sc()
-    return jsc.getPersistentRDDs().size()
+def _cached_rdd_ids(spark) -> set[int]:
+    """Ids of currently-persisted RDDs. Assertions compare SETS (no NEW
+    ids survive the call) rather than counts: under a parallel test run
+    the ContextCleaner may asynchronously drain an EARLIER test's blocks
+    between the base snapshot and the re-count, so count equality is
+    order-dependent (failed a 6-way parallel run in the r10 verdict)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
 
 
 def test_temperature_sample_leaves_no_cache(spark, documents):
     from hudi_utility_spark.ops.pack import temperature_sample
 
-    base = _cached_rdd_count(spark)
+    base = _cached_rdd_ids(spark)
     out = temperature_sample(
         documents, alpha=0.5, budget_fraction=0.5, group_col="lang"
     )
     n = out.count()
     assert n > 0
-    assert _cached_rdd_count(spark) == base
+    assert _cached_rdd_ids(spark) <= base
 
 
 def test_ev_user_similarity_leaves_no_cache(spark, sf_dir):
     from hudi_utility_spark.queries.analytics_ext import ev_user_similarity
 
-    base = _cached_rdd_count(spark)
+    base = _cached_rdd_ids(spark)
     rows = ev_user_similarity(spark, sf_dir).collect()
     assert len(rows) == 50
-    assert _cached_rdd_count(spark) == base
+    assert _cached_rdd_ids(spark) <= base
 
 
 def test_localize_guard_rejects_data_shaped_input(spark):

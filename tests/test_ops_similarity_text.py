@@ -385,6 +385,32 @@ def test_embedding_decontaminate_flags_planted_leak(spark):
     assert out2.filter("max_eval_cos IS NOT NULL").count() == 0
 
 
+def test_bounded_collect_caps_reject_data_shaped_inputs(spark):
+    """The two driver-collecting similarity ops must refuse data-shaped
+    inputs instead of silently pulling them to the driver (round-10
+    verdict #8): embedding_decontaminate caps the eval set, mmr_rerank
+    caps the rerank pool."""
+    import pytest
+
+    from hudi_utility_spark.ops.similarity import (
+        embedding_decontaminate,
+        mmr_rerank,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    big_eval = spark.range(20_001).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="exceeds 20000"):
+        embedding_decontaminate(corpus, big_eval, threshold=0.9)
+
+    with pytest.raises(ValueError, match="exceeds 10000"):
+        mmr_rerank(corpus, [1.0, 0.0], k=2, pool=10_001)
+
+
 def test_widen_for_compute_guards_narrow_scans(spark):
     """Tokenization-heavy kernels must not inherit single-task width
     from byte-small scans (perf regression guard for the sf0.1 text

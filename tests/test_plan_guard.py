@@ -283,7 +283,11 @@ R9_BNLJ_OK = {
 def test_r9_new_queries_no_cartesian_bounded_bnlj(spark, sf_dir):
     import __spark_entry__ as entrymod
 
+    from hudi_utility_spark.queries.text import text_compression_ratio
+
     qs = entrymod.queries()
+    # deregistered (no SQL oracle exists) but still plan-audited here
+    qs = {**qs, "text_compression_ratio": text_compression_ratio}
     offenders = []
     for name in R9_NEW_QUERIES:
         if name in ("stream_session_tws",):  # real streaming run, own tests
