@@ -36,6 +36,44 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["v4_partition_audit"](spark, "/root/testdata/sf0.001")
 
 
+def _rotation_order(
+    names: list[str], rounds: list[dict]
+) -> list[str]:
+    """Pure ordering core of :func:`queries` (unit-tested without Spark
+    in tests/test_rotation_order.py): *rounds* is the per-round
+    correctness records in NUMERIC round order, oldest first. Returns
+    all names — reds at their most recent draw first (they carry fixes
+    that need a fresh driver row to be credited), then the never-drawn
+    set rotated by 50 positions per recorded round, then everything
+    drawn-and-green."""
+    drawn: set[str] = set()
+    latest_red: set[str] = set()  # red in their most recent draw
+    for rows in rounds:
+        for name, r in rows.items():
+            drawn.add(name)
+            ok = (
+                isinstance(r, dict)
+                and not r.get("err")
+                and r.get("rows_match")
+                and r.get("schema_match") is not False
+                and r.get("hash_match") is not False
+            )
+            if ok:
+                latest_red.discard(name)
+            else:
+                latest_red.add(name)
+    red = [n for n in names if n in latest_red]
+    fresh = [n for n in names if n not in drawn]
+    if fresh:
+        k = (len(rounds) * 50) % len(fresh)
+        fresh = fresh[k:] + fresh[:k]
+    return (
+        red
+        + fresh
+        + [n for n in names if n in drawn and n not in latest_red]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -59,41 +97,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         m = re.search(r"_r(\d+)", p.stem)
         return int(m.group(1)) if m else 0
 
-    drawn: set[str] = set()
-    latest_red: set[str] = set()  # red in their most recent draw
-    n_rounds = 0
+    rounds: list[dict] = []
     for p in sorted(here.glob("CORRECTNESS_r*.json"), key=_round_no):
         try:
-            rows = json.loads(p.read_text())
+            rounds.append(json.loads(p.read_text()))
         except (OSError, ValueError):
             continue
-        n_rounds += 1
-        for name, r in rows.items():
-            drawn.add(name)
-            ok = (
-                isinstance(r, dict)
-                and not r.get("err")
-                and r.get("rows_match")
-                and r.get("schema_match") is not False
-                and r.get("hash_match") is not False
-            )
-            if ok:
-                latest_red.discard(name)
-            else:
-                latest_red.add(name)
-    # red-at-last-draw queries go FIRST — they carry fixes that need a
-    # fresh driver row to be credited; then the never-drawn rotation.
-    red = [n for n in QUERIES if n in latest_red]
-    fresh = [n for n in QUERIES if n not in drawn]
-    if fresh:
-        k = (n_rounds * 50) % len(fresh)
-        fresh = fresh[k:] + fresh[:k]
-    ordered = {n: QUERIES[n] for n in red}
-    ordered.update((n, QUERIES[n]) for n in fresh)
-    ordered.update(
-        (n, f) for n, f in QUERIES.items() if n in drawn and n not in latest_red
-    )
-    return ordered
+    return {
+        n: QUERIES[n] for n in _rotation_order(list(QUERIES), rounds)
+    }
 
 
 def oracle_sql() -> dict[str, str]:

@@ -3,6 +3,12 @@ entry against its DuckDB oracle at a given SF and report row-count /
 schema / value-hash agreement.
 
 Usage: python tools/check_oracles.py [sf_dir] [name_filter]
+                                     [--json-out=PATH]
+
+--json-out writes an auditable per-query record (git sha, UTC stamp,
+ok/err per query) — preflight merges the two halves into
+GATE_LOCAL.json at the repo root so the "414/414 local gate" claim is
+an inspectable artifact, not prose.
 """
 
 from __future__ import annotations
@@ -47,9 +53,19 @@ def value_hash(rows, colnames) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    json_out = next(
+        (
+            a.split("=", 1)[1]
+            for a in sys.argv[1:]
+            if a.startswith("--json-out=")
+        ),
+        None,
+    )
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    name_filter = args[1] if len(args) > 1 else ""
     spark = get_spark("oracle-check")
+    per_query: dict[str, dict] = {}
     con = duckdb.connect()
     for t in TABLE_NAMES:
         p = f"{sf_dir}/{t}.parquet"
@@ -68,10 +84,14 @@ def main() -> int:
             scols = sdf.columns
         except Exception as exc:
             failures.append(name)
+            per_query[name] = {"ok": False, "err": f"spark error: {str(exc)[:200]}"}
             print(f"FAIL  {name}: spark error: {str(exc)[:200]}")
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (rows-only check)")
+            per_query[name] = {
+                "ok": len(srows) > 0, "rows": len(srows), "mode": "rows_only",
+            }
             if len(srows) == 0:
                 failures.append(name)
                 print(f"FAIL  {name}: 0 rows")
@@ -82,6 +102,7 @@ def main() -> int:
             drows = res.fetchall()
         except Exception as exc:
             failures.append(name)
+            per_query[name] = {"ok": False, "err": f"oracle error: {str(exc)[:200]}"}
             print(f"FAIL  {name}: oracle error: {str(exc)[:200]}")
             continue
         problems = []
@@ -117,10 +138,42 @@ def main() -> int:
                     problems.append(f"duck-only: {only_d}")
         if problems:
             failures.append(name)
+            per_query[name] = {"ok": False, "err": "; ".join(problems)[:400]}
             print(f"FAIL  {name}: " + "; ".join(problems))
         else:
+            per_query[name] = {"ok": True, "rows": len(srows)}
             print(f"ok    {name}: {len(srows)} rows")
     print(f"\n{checked - len(failures)}/{checked} checked queries agree ({len(qs)} registered)")
+    if json_out:
+        import datetime as _dt
+        import json as _json
+        import subprocess as _sp
+
+        root = Path(__file__).resolve().parent.parent
+        try:
+            sha = _sp.check_output(
+                ["git", "rev-parse", "HEAD"], cwd=root
+            ).decode().strip()
+            dirty = bool(
+                _sp.check_output(
+                    ["git", "status", "--porcelain", "--", ":!*.json"],
+                    cwd=root,
+                ).strip()
+            )
+        except Exception:
+            sha, dirty = None, None
+        Path(json_out).write_text(_json.dumps({
+            "git_sha": sha,
+            "tree_dirty": dirty,
+            "utc": _dt.datetime.now(_dt.timezone.utc).isoformat(
+                timespec="seconds"
+            ),
+            "sf_dir": sf_dir,
+            "checked": checked,
+            "agree": checked - len(failures),
+            "registered": len(qs),
+            "results": per_query,
+        }, indent=0, sort_keys=True) + "\n")
     return 1 if failures else 0
 
 

@@ -26,9 +26,11 @@ python -m pytest $(ls tests/test_*.py | grep -v test_api.py | sed -n '1,8p') -q 
   >/tmp/preflight_leg2.txt 2>&1 &
 pid_load=$!
 python tools/check_oracles.py /root/testdata/sf0.01 "^[a-l]" \
+  --json-out=/tmp/preflight_gate_al.json \
   >/tmp/preflight_oracle_al.txt 2>/dev/null &
 pid_al=$!
 python tools/check_oracles.py /root/testdata/sf0.01 "^[m-z]" \
+  --json-out=/tmp/preflight_gate_mz.json \
   >/tmp/preflight_oracle_mz.txt 2>/dev/null &
 pid_mz=$!
 wait $pid_al || rc=1
@@ -36,6 +38,18 @@ wait $pid_mz || rc=1
 grep -h '^FAIL' /tmp/preflight_oracle_al.txt /tmp/preflight_oracle_mz.txt || true
 tail -2 /tmp/preflight_oracle_al.txt
 tail -2 /tmp/preflight_oracle_mz.txt
+# merge the halves into the auditable artifact at the repo root
+python - <<'PYEOF' || true
+import json
+halves = [json.load(open(f"/tmp/preflight_gate_{h}.json")) for h in ("al", "mz")]
+out = dict(halves[0])
+out["results"] = {**halves[0]["results"], **halves[1]["results"]}
+out["checked"] = sum(h["checked"] for h in halves)
+out["agree"] = sum(h["agree"] for h in halves)
+json.dump(out, open("GATE_LOCAL.json", "w"), indent=0, sort_keys=True)
+print(f"GATE_LOCAL.json: {out['agree']}/{out['checked']} "
+      f"({out['registered']} registered) @ {out['git_sha'][:9]}")
+PYEOF
 wait $pid_load || rc=1
 echo "== pytest (leg 2, ran concurrently as oracle load) =="
 tail -2 /tmp/preflight_leg2.txt
