@@ -292,16 +292,17 @@ def stream_true_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(root)
     )
-    q = (
-        tumbling_counts(stream, width="5 minutes")
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (
+            tumbling_counts(stream, width="5 minutes")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.table(sink).select(
         "window_start_us", "event_type", "cnt", "total_value"
     )
@@ -366,15 +367,16 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", "90 days")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return (
         spark.table(sink)
         .groupBy("event_type")
