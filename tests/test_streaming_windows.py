@@ -103,3 +103,19 @@ def test_trending_topk_stream_matches_batch(spark, events_path):
         per_win.setdefault(r.window_start_us, []).append(r.rnk)
     assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 3
                for v in per_win.values())
+
+
+def test_scoped_shuffle_partitions_restores_on_error(spark):
+    """The bounded-replay partition knob must restore the session conf
+    even when the streaming run raises (a leaked 8-partition conf would
+    silently shrink every later query's shuffles)."""
+    from hudi_utility_spark.queries.streaming import (
+        _scoped_shuffle_partitions,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with pytest.raises(RuntimeError, match="boom"):
+        with _scoped_shuffle_partitions(spark, 8):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
