@@ -167,33 +167,54 @@ def src_synth_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The aggregate is computed from a ``foreachBatch`` capture of
     per-batch PARTIAL aggregates (integer cents — order-independent
-    sums) plus per-batch id-range COVERAGE (count, min/max event_id).
-    foreachBatch runs synchronously inside each micro-batch commit, so
-    ``processAllAvailable()`` returning guarantees every batch is
-    captured. The run is SELF-VERIFYING (this query drew a red hash on
-    4 of 4 career driver draws under the driver's loaded session —
-    rows/schema matched, hash didn't, i.e. committed CONTENT drifted):
-    after the stream drains, the committed batch ranges must tile
-    [0, maxRows) exactly — no gap, no cross-batch-id overlap, each
-    batch internally dense. A violation names the lost or re-read
-    range on stderr and the run retries with a fresh checkpoint; if it
-    violates on every attempt the query raises with the coverage dump,
-    so a driver red is a DIAGNOSIS, not another mystery hash.
-    100 TB posture: the capture holds ≤6 scalars + 5 partial rows per
+    sums) plus per-batch id-range COVERAGE (count, min/max, SUM and
+    COUNT DISTINCT of event_id). foreachBatch runs synchronously inside
+    each micro-batch commit, so ``processAllAvailable()`` returning
+    guarantees every batch is captured. The run is SELF-VERIFYING (this
+    query drew a red hash on 5 of 5 career driver draws under the
+    driver's loaded session — rows/schema matched, hash didn't): after
+    the stream drains, the committed batch ranges must tile
+    [0, maxRows) exactly — no gap, no cross-batch-id overlap, and each
+    batch must be EXACTLY its claimed contiguous range: the r11 draw
+    passed the old density check (``n == mx-mn+1``) yet still
+    mismatched, and that check admits a duplicated-id + missing-id pair
+    inside one range. Now each batch also requires
+    ``countDistinct(event_id) == n`` (no duplicates) and
+    ``SUM(event_id) == (mn+mx)*n/2`` (with density + distinctness this
+    pins the committed multiset to exactly {mn..mx}). A passing audit
+    therefore mathematically implies the committed id multiset is
+    exactly {0..maxRows-1}. On top of that, the captured per-type
+    partials are checked against the expected totals computed directly
+    from the ``synth_event`` formula in Python — and BOTH are printed
+    to stderr on every attempt, so a driver red names the exact
+    differing rows instead of being another mystery hash; a red with
+    matching partials would prove the defect lives downstream (final
+    aggregate or driver comparison), not in the stream. A violation
+    retries with a fresh checkpoint; on every-attempt violation the
+    query raises with the full coverage + partials dump.
+    100 TB posture: the capture holds ≤8 scalars + 5 partial rows per
     batch, constant regardless of batch size — the heavy aggregate
     stays distributed inside foreachBatch."""
     import sys
     import uuid
 
-    from hudi_utility_spark.sources import register_sources
+    from hudi_utility_spark.sources import register_sources, synth_event
 
     register_sources(spark)
     max_rows, rows_per_batch = 500, 120
 
+    # ground truth from the generator formula (pure Python, no Spark):
+    # per-type (cnt, cents) the committed stream MUST aggregate to
+    expected: dict[str, tuple[int, int]] = {}
+    for i in range(max_rows):
+        _, _, etype, value = synth_event(i)
+        c, s = expected.get(etype, (0, 0))
+        expected[etype] = (c + 1, s + round(value * 100))
+
     def _run_once() -> tuple[list[tuple[str, int, int]], list[str]]:
         ckpt = _scratch(sf_dir, f"stream_ckpt_{uuid.uuid4().hex[:8]}")
-        # bid -> (coverage (n, mn, mx), per-type partials)
-        acc: dict[int, tuple[tuple[int, int, int], list]] = {}
+        # bid -> (coverage (n, mn, mx, sum_id, n_distinct), partials)
+        acc: dict[int, tuple[tuple[int, int, int, int, int], list]] = {}
 
         def capture(bdf, bid: int) -> None:
             rows = (
@@ -205,6 +226,11 @@ def src_synth_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).alias("cents"),
                     F.min("event_id").alias("mn"),
                     F.max("event_id").alias("mx"),
+                    F.sum("event_id").alias("sid"),
+                    # event_type is a pure function of event_id, so a
+                    # duplicated id lands in ONE type group and the
+                    # per-type distinct counts sum to the batch distinct
+                    F.countDistinct("event_id").alias("nd"),
                 )
                 .collect()
             )
@@ -212,8 +238,10 @@ def src_synth_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n = sum(int(r.cnt) for r in rows)
                 mn = min(int(r.mn) for r in rows)
                 mx = max(int(r.mx) for r in rows)
+                sid = sum(int(r.sid) for r in rows)
+                nd = sum(int(r.nd) for r in rows)
                 acc[int(bid)] = (
-                    (n, mn, mx),
+                    (n, mn, mx, sid, nd),
                     [(r.event_type, int(r.cnt), int(r.cents)) for r in rows],
                 )
 
@@ -231,14 +259,25 @@ def src_synth_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
         # exactly-once audit: committed ranges must tile [0, max_rows)
+        # and each batch must be exactly its claimed contiguous range
         faults: list[str] = []
         cover = sorted(
-            (cov[1], cov[2], cov[0], bid) for bid, (cov, _) in acc.items()
+            (cov[1], cov[2], cov[0], cov[3], cov[4], bid)
+            for bid, (cov, _) in acc.items()
         )
         expect = 0
-        for mn, mx, n, bid in cover:
+        for mn, mx, n, sid, nd, bid in cover:
             if n != mx - mn + 1:
                 faults.append(f"bid={bid} sparse: n={n} range=[{mn},{mx}]")
+            if nd != n:
+                faults.append(
+                    f"bid={bid} DUPLICATE ids: n={n} distinct={nd}"
+                )
+            if sid != (mn + mx) * n // 2:
+                faults.append(
+                    f"bid={bid} id-sum drift: sum={sid} "
+                    f"want={(mn + mx) * n // 2} range=[{mn},{mx}]"
+                )
             if mn < expect:
                 faults.append(
                     f"bid={bid} RE-READ overlap: [{mn},{mx}] vs covered<{expect}"
@@ -246,22 +285,45 @@ def src_synth_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             elif mn > expect:
                 faults.append(f"GAP [{expect},{mn - 1}] lost before bid={bid}")
             expect = max(expect, mx + 1)
-        total = sum(n for _, _, n, _ in cover)
+        total = sum(n for _, _, n, _, _, _ in cover)
         if total != max_rows or expect != max_rows:
             faults.append(f"total={total} high={expect} want={max_rows}")
         partials = [row for bid in sorted(acc) for row in acc[bid][1]]
+        # content check vs the generator formula: a drift HERE with a
+        # clean coverage audit would name a value-column corruption
+        got: dict[str, tuple[int, int]] = {}
+        for etype, cnt, cents in partials:
+            c, s = got.get(etype, (0, 0))
+            got[etype] = (c + cnt, s + cents)
+        if not faults and got != expected:
+            for t in sorted(set(got) | set(expected)):
+                if got.get(t) != expected.get(t):
+                    faults.append(
+                        f"type={t} got(cnt,cents)={got.get(t)} "
+                        f"want={expected.get(t)}"
+                    )
         return partials, faults
 
+    import duckdb as _duckdb
+    import pyspark as _pyspark
+
+    print(
+        f"src_synth_stream env: pyspark={_pyspark.__version__} "
+        f"duckdb={_duckdb.__version__}",
+        file=sys.stderr,
+    )
     partials, faults = [], ["never ran"]
     for attempt in range(3):
         partials, faults = _run_once()
-        if not faults:
-            break
+        # actual-vs-expected partials on EVERY attempt: the driver's
+        # transcript of a red carries the exact rows, not just a hash
         print(
-            f"src_synth_stream attempt {attempt}: exactly-once violation "
-            f"{faults}",
+            f"src_synth_stream attempt {attempt}: faults={faults or 'none'} "
+            f"partials={sorted(partials)} expected_totals={sorted(expected.items())}",
             file=sys.stderr,
         )
+        if not faults:
+            break
     if faults:
         raise RuntimeError(
             f"src_synth_stream: exactly-once violation on all attempts: "
