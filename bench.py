@@ -218,6 +218,7 @@ def main() -> None:
     load_marker: dict[str, float] = {"spin_start": _spin_marker()}
     timings: dict[str, float] = {}
     tail_timings: dict[str, float] = {}
+    tail_cold: dict[str, float] = {}
     errors: dict[str, str] = {}
     pass_totals: list[float] = []
     try:
@@ -361,6 +362,32 @@ def main() -> None:
                 f" ({len(seq_names)} queries)",
                 file=sys.stderr,
             )
+            # Warm re-measure of the slowest tail queries: the cold
+            # 4-wide pass taxes whichever queries run early with
+            # JVM/codegen warmup + scheduler contention (measured 25.7s
+            # cold vs 3.3s warm for the same query), which made tail
+            # trend rows unusable for regression detection. The top-N
+            # re-run sequentially on the now-warm session; the warm
+            # number becomes the recorded tail time (cold kept in
+            # tail_cold for the warmup-tax audit trail).
+            warm_n = int(os.environ.get("SPARK_GRAFT_TAIL_WARM_N", "20"))
+            slow = sorted(
+                tail_timings, key=lambda n: -tail_timings[n]
+            )[:warm_n]
+            t_warm = time.perf_counter()
+            for name in slow:
+                start = time.perf_counter()
+                err = _run_once(qs, name, spark, tail_sf_dir)
+                elapsed = time.perf_counter() - start
+                _clear_cache(spark)
+                if err is None:
+                    tail_cold[name] = tail_timings[name]
+                    tail_timings[name] = round(elapsed, 3)
+            print(
+                f"# tail warm re-measure: {time.perf_counter() - t_warm:.1f}s"
+                f" ({len(slow)} queries)",
+                file=sys.stderr,
+            )
     except Exception:
         errors["__harness__"] = traceback.format_exc(limit=3).strip().splitlines()[-1][:300]
 
@@ -379,11 +406,20 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
         "headline_stat": "median",
         "headline_pass_totals": pass_totals,
+        # per-query sample counts: a query that errored on some reps
+        # contributes a median of FEWER samples — visible here instead
+        # of silently blending into the total (n_errors alone no longer
+        # implies a missing query since "intermittent:" was introduced)
+        "headline_rep_counts": {
+            n: len(v) for n, v in per_rep.items() if len(v) != len(pass_totals)
+        },
         "load_marker": load_marker,
     }
     if tail_timings:
         out["tail_queries"] = tail_timings
         out["tail_value"] = round(sum(tail_timings.values()), 3)
+        if tail_cold:
+            out["tail_cold"] = tail_cold
         tsf = tail_sf_dir.rstrip("/").rsplit("sf", 1)[-1]
         out["tail_sf"] = (
             float(tsf) if tsf.replace(".", "", 1).isdigit() else tsf

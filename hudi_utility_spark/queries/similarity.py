@@ -480,14 +480,15 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_eval_decontaminate",
     """
     WITH ev AS (
-        SELECT embedding FROM embeddings WHERE vec_id % 97 = 0
+        SELECT embedding FROM embeddings
+        WHERE vec_id % 97 = 0 AND vec_id < 970000
     ),
     scored AS (
         SELECT c.vec_id,
                MAX(list_cosine_similarity(c.embedding::DOUBLE[],
                                           e.embedding::DOUBLE[])) AS m
         FROM embeddings c CROSS JOIN ev e
-        WHERE c.vec_id % 97 <> 0
+        WHERE NOT (c.vec_id % 97 = 0 AND c.vec_id < 970000)
         GROUP BY c.vec_id
     )
     SELECT vec_id, ROUND(m, 6) AS max_eval_cos,
@@ -500,14 +501,19 @@ def sim_eval_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     `embedding_decontaminate`): corpus rows whose max cosine against
     any eval-set vector reaches the threshold are flagged — catches
     paraphrased eval leakage that the exact n-gram `text_decontaminate`
-    can't see. The eval slice (vec_id % 97) re-enters the plan as one
-    array literal, so the Spark side is a map-only codegen'd HOF fold:
-    zero shuffle, zero Python; MAX is order-independent, so the oracle
+    can't see. The eval slice (vec_id % 97, capped below id 970k — at
+    most 10k vectors at ANY scale factor, safely under
+    embedding_decontaminate's 20k literal-form guard, so growing the
+    embeddings table can never turn this registered query into a
+    self-inflicted ValueError) re-enters the plan as one array
+    literal, so the Spark side is a map-only codegen'd HOF fold: zero
+    shuffle, zero Python; MAX is order-independent, so the oracle
     replays it exactly. Threshold 0.3 sits ≥8e-4 from the nearest data
     value at sf0.01 — safe from float-rounding membership flips."""
     e = load_table(spark, sf_dir, "embeddings")
-    ev = e.filter(F.col("vec_id") % 97 == 0)
-    corpus = e.filter(F.col("vec_id") % 97 != 0)
+    is_eval = (F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 970_000)
+    ev = e.filter(is_eval)
+    corpus = e.filter(~is_eval)
     return S.embedding_decontaminate(corpus, ev, 0.3).select(
         "vec_id", "max_eval_cos", "contaminated"
     )

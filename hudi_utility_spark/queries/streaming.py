@@ -6,6 +6,8 @@ exercised in tests/test_streaming.py with real readStream/watermarks).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -30,17 +32,33 @@ class _scoped_shuffle_partitions:
     fresh checkpoint, so the lowered value never conflicts with a
     resumed stream; results are partition-count-independent (keyed
     state). At 100 TB the conf stays at the cluster default — this is
-    a test-scale replay knob, applied per-run and always restored."""
+    a test-scale replay knob, applied per-run and always restored.
+
+    CONCURRENCY CONTRACT: the conf is SESSION-GLOBAL, so a concurrent
+    query planning in the same session while a scope is open would
+    transiently see the lowered value. The gate/bench drivers run
+    every ``sequential=True`` query outside their parallel phases, so
+    scopes never overlap there; a process-wide lock serializes any
+    other same-process users (e.g. a shared-session pytest fixture) so
+    misuse degrades to waiting, never to planning with 8 partitions."""
+
+    _lock = threading.Lock()
 
     def __init__(self, spark: SparkSession, n: int):
         self._spark, self._n = spark, n
 
     def __enter__(self):
+        self._lock.acquire()
         self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
         self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
 
     def __exit__(self, *exc):
-        self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+        try:
+            self._spark.conf.set(
+                "spark.sql.shuffle.partitions", self._old
+            )
+        finally:
+            self._lock.release()
         return False
 
 

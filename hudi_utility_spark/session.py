@@ -52,6 +52,17 @@ _DEFAULTS = {
     # Python Data Source API (sources.py): let pushFilters() prune
     # generator shards at planning time. Off by default in 4.1.
     "spark.sql.python.filterPushdown.enabled": "true",
+    # PythonStreamingSourceRunner (the long-lived worker behind a
+    # Python streaming source) waits this long for the worker process
+    # to connect back after spawn; the 15s default dies with "Python
+    # worker failed to connect back" when a saturated box delays
+    # interpreter startup (reproduced under a 6-way-parallel pytest
+    # run). Batch Python workers use a hardcoded 10s accept deadline
+    # (PythonWorkerFactory) that no conf reaches — for those the
+    # mitigation is caller-level retry; this conf hardens the
+    # streaming-source path, which holds ONE worker per source for the
+    # stream's lifetime, so a generous deadline costs nothing.
+    "spark.python.authenticate.socketTimeout": "120s",
 }
 
 

@@ -81,3 +81,18 @@ def test_all_names_present_exactly_once():
     rounds = [{"q0": GREEN, "q5": RED}, {"q7": GREEN}]
     order = _rotation_order(names, rounds)
     assert sorted(order) == sorted(names)
+
+
+def test_every_registered_query_has_an_oracle():
+    """The registry reached zero rows-only queries in round 11 (the two
+    genuinely unportable kernels are unregistered, pytest-pinned
+    library functions). Pin that state: a future @query registration
+    without oracle SQL would silently downgrade itself to the driver's
+    weaker rows-only check."""
+    from hudi_utility_spark.queries import ORACLES, QUERIES, load_all
+
+    load_all()
+    missing = sorted(set(QUERIES) - set(ORACLES))
+    assert not missing, (
+        f"{len(missing)} registered queries lack oracle SQL: {missing}"
+    )

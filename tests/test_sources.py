@@ -101,15 +101,31 @@ def test_synth_events_stream_reaches_cap_exactly_once(spark, tmp_path):
         .option("maxRows", 300)
         .load()
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName("synth_ev")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    rows = spark.sql("SELECT * FROM synth_ev").collect()
+    # Fresh-checkpoint retry (same policy as the src_synth_stream gate
+    # query): on a saturated box the streaming-source worker can miss
+    # its connect-back deadline and the stream dies in INITIALIZING —
+    # a host-load artifact, not a source defect. Each attempt uses its
+    # own checkpoint + sink name so a retry never resumes a dead run.
+    last_exc: Exception | None = None
+    for attempt in range(3):
+        sink = f"synth_ev_{attempt}"
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", str(tmp_path / f"ckpt{attempt}"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            last_exc = None
+            break
+        except Exception as exc:  # noqa: BLE001 — retried, re-raised below
+            last_exc = exc
+        finally:
+            q.stop()
+    if last_exc is not None:
+        raise last_exc
+    rows = spark.sql(f"SELECT * FROM {sink}").collect()
     assert len(rows) == 300  # cap respected, nothing duplicated
     got = {r.event_id: (r.user_id, r.event_type, r.value) for r in rows}
     for i in (0, 123, 299):

@@ -119,3 +119,47 @@ def test_scoped_shuffle_partitions_restores_on_error(spark):
             assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
             raise RuntimeError("boom")
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_scoped_shuffle_partitions_serializes_concurrent_scopes(spark):
+    """The conf is session-global, so overlapping scopes from two
+    threads must serialize: a second scope may not open (and may not
+    observe the first scope's lowered value as its restore target)
+    until the first closes. Without the lock, thread B would capture
+    ``8`` as its "old" value and restore THAT, permanently shrinking
+    the session's shuffles."""
+    import threading as _t
+
+    from hudi_utility_spark.queries.streaming import (
+        _scoped_shuffle_partitions,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    inside = _t.Event()
+    release = _t.Event()
+    observed: list[str] = []
+
+    def hold():
+        with _scoped_shuffle_partitions(spark, 8):
+            inside.set()
+            release.wait(timeout=30)
+
+    def contend():
+        inside.wait(timeout=30)
+        with _scoped_shuffle_partitions(spark, 4):
+            # by the time THIS scope opens, the first must have closed
+            # and restored — so our restore target is the session
+            # default, never the other scope's 8
+            observed.append(spark.conf.get("spark.sql.shuffle.partitions"))
+        observed.append(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    t1, t2 = _t.Thread(target=hold), _t.Thread(target=contend)
+    t1.start()
+    t2.start()
+    inside.wait(timeout=30)
+    # let the contender reach the lock, then release the holder
+    release.set()
+    t1.join(timeout=60)
+    t2.join(timeout=60)
+    assert observed == ["4", before]
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

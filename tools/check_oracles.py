@@ -54,14 +54,19 @@ def value_hash(rows, colnames) -> str:
 
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    json_out = next(
-        (
-            a.split("=", 1)[1]
-            for a in sys.argv[1:]
-            if a.startswith("--json-out=")
-        ),
-        None,
-    )
+    json_out = None
+    for a in sys.argv[1:]:
+        if not a.startswith("--"):
+            continue
+        if a.startswith("--json-out="):
+            json_out = a.split("=", 1)[1]
+        else:
+            # a typo'd flag ("--json-out PATH", "--jsonout=x") used to
+            # be silently dropped — the run produced no artifact and no
+            # warning, leaving a stale GATE_LOCAL.json as "evidence"
+            print(f"error: unrecognized flag {a!r} "
+                  "(supported: --json-out=PATH)", file=sys.stderr)
+            return 2
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     name_filter = args[1] if len(args) > 1 else ""
     spark = get_spark("oracle-check")
@@ -162,9 +167,15 @@ def main() -> int:
             )
         except Exception:
             sha, dirty = None, None
+        import pyspark as _ps
+
         Path(json_out).write_text(_json.dumps({
             "git_sha": sha,
             "tree_dirty": dirty,
+            # engine versions: lets a driver-session red be confirmed
+            # or ruled out as version skew vs this local gate run
+            "pyspark_version": _ps.__version__,
+            "duckdb_version": duckdb.__version__,
             "utc": _dt.datetime.now(_dt.timezone.utc).isoformat(
                 timespec="seconds"
             ),

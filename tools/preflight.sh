@@ -8,6 +8,11 @@ set -uo pipefail
 cd "$(dirname "$0")/.."
 rc=0
 
+# A stale artifact must never pose as this run's evidence: if either
+# oracle half dies before writing its --json-out file, the merge below
+# fails — loudly, and with no leftover GATE_LOCAL.json at the root.
+rm -f GATE_LOCAL.json /tmp/preflight_gate_al.json /tmp/preflight_gate_mz.json
+
 echo "== oracle check (sf0.01, under concurrent pytest load) =="
 # two halves in parallel: at 325 registered queries one sequential pass
 # outgrew a 10-minute harness window (each half is its own Spark
@@ -38,8 +43,10 @@ wait $pid_mz || rc=1
 grep -h '^FAIL' /tmp/preflight_oracle_al.txt /tmp/preflight_oracle_mz.txt || true
 tail -2 /tmp/preflight_oracle_al.txt
 tail -2 /tmp/preflight_oracle_mz.txt
-# merge the halves into the auditable artifact at the repo root
-python - <<'PYEOF' || true
+# merge the halves into the auditable artifact at the repo root; a
+# missing half (an oracle process that died before writing its file)
+# fails the gate instead of silently keeping a stale artifact
+python - <<'PYEOF' || { echo "GATE_LOCAL.json merge FAILED (missing half?)"; rc=1; }
 import json
 halves = [json.load(open(f"/tmp/preflight_gate_{h}.json")) for h in ("al", "mz")]
 out = dict(halves[0])
