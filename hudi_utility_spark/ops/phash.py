@@ -77,6 +77,29 @@ def family_hash(hi: Column, lo: Column, i: int) -> Column:
     return (F.lit(a) * hi + F.lit(b) * lo + F.lit(c)) % F.lit(P31)
 
 
+# -- Spark SQL fragment builders (for F.expr strings) ------------------------
+#
+# Text renditions of the Column builders above, value-identical, for
+# call sites that unroll k hashes: building k Column trees costs k×~10
+# py4j round-trips, while one F.expr parses JVM-side in ms (ops/lits.py
+# discipline, r12).
+
+def spark_sql_parts(expr: str) -> tuple[str, str]:
+    hi = f"CAST(conv(substring(md5(CAST({expr} AS BINARY)), 1, 8), 16, 10) AS BIGINT)"
+    lo = f"CAST(conv(substring(md5(CAST({expr} AS BINARY)), 9, 8), 16, 10) AS BIGINT)"
+    return hi, lo
+
+
+def spark_sql_hash64(expr: str) -> str:
+    hi, lo = spark_sql_parts(expr)
+    return f"(({hi} - 2147483648) * 4294967296 + {lo})"
+
+
+def spark_sql_family(hi_expr: str, lo_expr: str, i: int) -> str:
+    a, b, c = family_constants(i)
+    return f"(({a} * {hi_expr} + {b} * {lo_expr} + {c}) % {P31})"
+
+
 # -- DuckDB SQL fragment builders (for oracle strings) -----------------------
 
 def sql_parts(expr: str) -> tuple[str, str]:

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hudi_utility_spark.ops import lits
+
 from hudi_utility_spark.ops.text import normalized
 
 
@@ -489,7 +491,7 @@ def rocchio_feedback_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(fb_docs)
     )
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_arr = lits.array_string(list(_STOPWORDS))
     expansion = (
         toks.join(F.broadcast(seeds.select(id_col)), id_col, "left_semi")
         .join(dfreq, "w")

@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hudi_utility_spark.ops import lits
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢbᵢ as zip_with + aggregate (double precision, sequential fold —
@@ -63,7 +65,7 @@ def brute_force_topk(
     keeps only k rows per partition before the final merge.
     """
     q = (
-        F.array(*[F.lit(float(x)) for x in query_vec])
+        lits.array_double(query_vec)
         if isinstance(query_vec, list)
         else query_vec
     )
@@ -157,7 +159,7 @@ def ivf_topk(
     top `nprobe`, exact top-k within. Approximate iff the true neighbors
     live outside probed cells — the standard IVF recall trade."""
     cents = ivf_centroids(df, vec_col, cell_col)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lits.array_double(query_vec)
     probed = [
         r["cell"]
         for r in cents.select(
@@ -201,15 +203,7 @@ def assign_cells(
         (int(r["cell"]), [float(x) for x in r["centroid"]])
         for r in centroids.collect()
     ]
-    lit = F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("cid"),
-                F.array(*[F.lit(x) for x in c]).alias("c"),
-            )
-            for cid, c in sorted(cents)
-        ]
-    )
+    lit = lits.array_struct_pairs(sorted(cents))
     # fold to (best_score, best_cid); round-6 before comparing, cell asc ties
     best = F.aggregate(
         lit,
@@ -276,21 +270,9 @@ def pq_fit(
     ]
 
     def _books_literal(bks):
-        # nested literal: element_at(lit, s+1) = subspace s's codebook
-        return F.array(
-            *[
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(cid).alias("cid"),
-                            F.array(*[F.lit(float(x)) for x in c]).alias("c"),
-                        )
-                        for cid, c in enumerate(book)
-                    ]
-                )
-                for book in bks
-            ]
-        )
+        # nested literal: element_at(lit, s+1) = subspace s's codebook;
+        # one JVM-parsed SQL string, not m*k*sub py4j lit calls
+        return lits.array_array_struct_cid_c(bks)
 
     def _assign(rel, bks):
         cents = F.element_at(_books_literal(bks), F.col("s") + 1)
@@ -387,7 +369,7 @@ def pq_adc_topk(
             sum((q_s[i] - c[i]) * (q_s[i] - c[i]) for i in range(sub)) for c in book
         ]
         term = F.element_at(
-            F.array(*[F.lit(d) for d in table]), F.col(f"code_{s}") + 1
+            lits.array_double(table), F.col(f"code_{s}") + 1
         )
         adc = term if adc is None else adc + term
     return (
@@ -460,10 +442,8 @@ def random_hyperplane_sketch(
     dim_count = len(df.select(vec_col).first()[0])
     sketch = None
     for p in range(planes):
-        comps = F.array(
-            *[
-                F.lit(plane_component(p, d)) for d in range(dim_count)
-            ]
+        comps = lits.array_double(
+            [plane_component(p, d) for d in range(dim_count)]
         )
         proj = F.aggregate(
             F.zip_with(F.col(vec_col).cast("array<double>"), comps, lambda v, c: v * c),
@@ -710,7 +690,7 @@ def mmr_rerank(
             F.col(id_col),
             F.col(vec_col),
             cosine(
-                F.col(vec_col), F.array(*[F.lit(float(x)) for x in query_vec])
+                F.col(vec_col), lits.array_double(query_vec)
             ).alias("rel"),
         )
         .orderBy(F.desc("rel"), F.asc(id_col))
@@ -783,7 +763,7 @@ def jl_project(
             F.aggregate(
                 F.zip_with(
                     v,
-                    F.array(*[F.lit(float(s)) for s in R[j]]),
+                    lits.array_double(R[j]),
                     lambda x, r: x * r,
                 ),
                 F.lit(0.0),
@@ -835,21 +815,28 @@ def sq8_topk(
     top-k, zero shuffles. At 100 TB the quantized corpus is the thing
     you keep in cache; this demonstrates the scoring math against the
     same value-hash gate as the exact baseline."""
+    # dim-unrolled scoring rendered as ONE SQL string (ops/lits.py
+    # discipline): the per-dim Column loop cost ~10k py4j round-trips
+    # (~1.6 s driver time); the SQL text parses JVM-side in ms with
+    # bit-identical literals (D-suffixed reprs) and the same
+    # left-associative term order.
+    from hudi_utility_spark.ops.lits import _d
+
     terms = []
     for i, (mn, mx) in enumerate(stats):
-        x = F.element_at(F.col(vec_col), i + 1).cast("double")
+        x = f"CAST(element_at(`{vec_col}`, {i + 1}) AS DOUBLE)"
         if mx > mn:
-            qbin = F.least(
-                F.floor((x - F.lit(mn)) * F.lit(256.0) / F.lit(mx - mn)),
-                F.lit(255),
+            qbin = (
+                f"least(floor(({x} - {_d(mn)}) * {_d(256.0)}"
+                f" / {_d(mx - mn)}), 255)"
             )
-            recon = F.lit(mn) + (qbin + F.lit(0.5)) * F.lit((mx - mn) / 256.0)
+            recon = (
+                f"({_d(mn)} + ({qbin} + {_d(0.5)}) * {_d((mx - mn) / 256.0)})"
+            )
         else:
-            recon = F.lit(mn)
-        terms.append(F.lit(float(query_vec[i])) * recon)
-    score = terms[0]
-    for t in terms[1:]:
-        score = score + t
+            recon = _d(mn)
+        terms.append(f"({_d(float(query_vec[i]))} * {recon})")
+    score = F.expr(" + ".join(terms))
     return (
         df.select(F.col(id_col), F.round(score, 6).alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
@@ -969,7 +956,7 @@ def multiprobe_lsh_topk(
     cand = sk.filter(
         (x.bitwiseAND(x - 1) == 0) & (x < F.lit(1 << planes))
     ).select(id_col)
-    qlit = F.array(*[F.lit(float(v)) for v in query_vec])
+    qlit = lits.array_double(query_vec)
     raw = cosine(F.col(vec_col).cast("array<double>"), qlit)
     return (
         df.join(cand, id_col)

@@ -13,6 +13,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hudi_utility_spark.ops import lits
+
 from hudi_utility_spark.ops import widen_for_compute
 
 # BPE-ish word/number/punct segmentation: letters runs, digit runs, or a
@@ -72,7 +74,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     c = F.col(text_col)
     words = F.split(F.trim(c), r"\s+")
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_arr = lits.array_string(list(_STOPWORDS))
     stop_hits = F.size(F.array_intersect(F.transform(words, F.lower), stop_arr))
     return df.select(
         "*",
@@ -1332,7 +1334,7 @@ def rake_keywords(
             "pos", "w"
         ),
     ).filter(F.col("w") != "")
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_arr = lits.array_string(list(_STOPWORDS))
     flagged = toks.withColumn(
         "stop", F.array_contains(stop_arr, F.col("w")).cast("int")
     )

@@ -901,7 +901,9 @@ def zorder_buckets(
         if not bounds:
             out.append(F.lit(0).cast("long"))
             continue
-        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        from hudi_utility_spark.ops.lits import array_double
+
+        arr = array_double(bounds)
         v = F.col(c).cast("double")
         # bucket = #boundaries strictly below v; nulls → bucket 0
         out.append(F.size(F.filter(arr, lambda b: v > b)).cast("long"))
