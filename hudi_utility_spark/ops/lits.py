@@ -88,3 +88,38 @@ def array_string(items: list[str]) -> Column:
     single quotes (escaped here)."""
     quoted = ",".join("'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'" for s in items)
     return F.expr("array(" + quoted + ")")
+
+
+def _s(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def in_string_set(col_sql: str, items: list[str]) -> Column:
+    """``col IN ('a','b',…)`` rendered as one SQL expr — the optimizer
+    turns a large IN-list into an O(1) InSet hash probe, where
+    ``array_contains`` on a literal array stays a linear scan per row.
+    ``col_sql`` is a column NAME (or SQL fragment), not user data."""
+    if not items:
+        return F.lit(False)
+    return F.expr(f"{col_sql} IN ({','.join(_s(s) for s in items)})")
+
+
+def map_string_long(d: dict[str, int]) -> Column:
+    """``map<string,bigint>`` literal — a broadcast-join replaced by an
+    ``element_at`` lookup inside codegen (missing key → NULL, i.e. the
+    same semantics as the left join it replaces)."""
+    if not d:
+        return F.expr("cast(map() as map<string,bigint>)")
+    entries = ",".join(f"{_s(k)},{int(v)}L" for k, v in d.items())
+    return F.expr(f"map({entries})")
+
+
+def map_string_long_pair(d: dict[str, tuple[int, int]]) -> Column:
+    """``map<string,array<bigint>>`` literal with 2-element values —
+    e.g. a pruned bigram model carrying (count, context-count)."""
+    if not d:
+        return F.expr("cast(map() as map<string,array<bigint>>)")
+    entries = ",".join(
+        f"{_s(k)},array({int(a)}L,{int(b)}L)" for k, (a, b) in d.items()
+    )
+    return F.expr(f"map({entries})")

@@ -823,40 +823,37 @@ def bpe_train_merges(
         .orderBy(F.desc("cnt"), F.asc("word"))
         .limit(vocab_cap)
     )
-    cur = words.withColumn(
-        "state", F.trim(F.regexp_replace("word", "(.)", "$1 "))
-    ).persist()
-    cur.count()
+    # The vocab relation is ≤ vocab_cap rows BY CONSTRUCTION (the limit
+    # above), i.e. already driver-sized like a PQ codebook — so the
+    # merge rounds run on the collected rows in plain Python instead of
+    # n_merges×2 tiny Spark jobs over a 200-row cached relation (each
+    # round cost a full job-scheduling + codegen tax; the corpus is
+    # only ever scanned once, in the word-count pass above). Semantics
+    # are mirrored exactly: adjacent-pair counts weighted by word count,
+    # (pcnt desc, a asc, b asc) tie-break (ASCII symbols, so Python and
+    # UTF8 binary ordering agree), and the same padded left-to-right
+    # non-overlapping double replace both engines share.
+    vocab = [
+        (" ".join(r["word"]), int(r["cnt"])) for r in words.collect()
+    ]
     merges: list[tuple[int, str, int]] = []
-    try:
-        for rank in range(1, n_merges + 1):
-            toks = F.split(F.col("state"), " ")
-            left = F.slice(toks, 1, F.size(toks) - 1).alias("a")
-            right = F.slice(toks, 2, F.size(toks) - 1).alias("b")
-            pairs = cur.select(
-                "cnt", F.explode(F.arrays_zip(left, right)).alias("pr")
-            )
-            best = (
-                pairs.groupBy(
-                    F.col("pr.a").alias("a"), F.col("pr.b").alias("b")
-                )
-                .agg(F.sum("cnt").alias("pcnt"))
-                .orderBy(F.desc("pcnt"), F.asc("a"), F.asc("b"))
-                .first()
-            )
-            if best is None:
-                break
-            merges.append((rank, f"{best['a']}+{best['b']}", int(best["pcnt"])))
-            pat = F.lit(f" {best['a']} {best['b']} ")
-            rep = F.lit(f" {best['a']}{best['b']} ")
-            padded = F.concat(F.lit(" "), F.col("state"), F.lit(" "))
-            merged = F.trim(F.replace(F.replace(padded, pat, rep), pat, rep))
-            nxt = cur.withColumn("state", merged).persist()
-            nxt.count()
-            cur.unpersist()
-            cur = nxt
-    finally:
-        cur.unpersist()
+    for rank in range(1, n_merges + 1):
+        pc: dict[tuple[str, str], int] = {}
+        for state, cnt in vocab:
+            toks = state.split(" ")
+            for pr in zip(toks, toks[1:]):
+                pc[pr] = pc.get(pr, 0) + cnt
+        if not pc:
+            break
+        (a, b), pcnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, f"{a}+{b}", pcnt))
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        vocab = [
+            (f" {s} ".replace(pat, rep).replace(pat, rep).strip(), c)
+            for s, c in vocab
+        ]
     return df.sparkSession.createDataFrame(
         merges, "merge_rank int, pair string, pcnt long"
     )
@@ -1063,53 +1060,89 @@ def bigram_backoff_score(
     toks = df.select(
         F.explode(arr).alias("tok")
     )
-    unigrams = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    n_total = float(unigrams.agg(F.sum("c")).collect()[0][0] or 0)
-    ids = df.select(id_col)
-    if n_total == 0:
-        # token-free corpus: SUM over the empty unigram table is NULL —
-        # short-circuit rather than divide by the zero normalizer
-        return ids.select(
-            id_col,
-            F.lit(0).cast("long").alias("n_bigrams"),
-            F.lit(0).cast("long").alias("n_model_hits"),
-            F.lit(0.0).alias("avg_neg_logprob"),
-        )
-    top_bg = (
-        pairs.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("cb"))
-        .orderBy(F.desc("cb"), F.asc("w1"), F.asc("w2"))
-        .limit(max_bigrams)
-    )
-    u1 = unigrams.select(F.col("tok").alias("w1"), F.col("c").alias("c_prev"))
-    # fold exact c(w1) into the pruned bigram model: broadcast the
-    # ≤max_bigrams-row table against the full unigram relation (streams,
-    # never broadcast) — result stays ≤max_bigrams rows
-    bg_model = u1.join(F.broadcast(top_bg), "w1").select(
-        "w1", "w2", "cb", "c_prev"
-    )
-    top_uni = unigrams.orderBy(F.desc("c"), F.asc("tok")).limit(max_vocab)
-    u2 = top_uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_w"))
-    scored_pos = (
-        pairs.join(F.broadcast(bg_model), ["w1", "w2"], "left")
-        .join(F.broadcast(u2), "w2", "left")
-        .select(
-            id_col,
-            F.col("cb").isNotNull().cast("long").alias("hit"),
-            F.when(
-                F.col("cb").isNotNull(),
-                -F.log(F.col("cb") / F.col("c_prev")),
+    unigrams = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
+    # Both model relations are bounded BY CONSTRUCTION (top max_bigrams
+    # / top max_vocab), i.e. codebook-sized — so collect them in the
+    # fit phase and fold them into the scoring plan as literal maps:
+    # the scoring pass becomes ONE map-only corpus scan with two
+    # element_at lookups instead of two broadcast joins over three
+    # corpus subtrees (guide §3: a bounded model belongs in the plan,
+    # not in a join). The unigram relation is persisted for the fit's
+    # three consumers (N, top-V, exact c(w1)) and unpersisted before
+    # scoring; all collected values are integers, so the scoring
+    # arithmetic below is unchanged double math.
+    try:
+        # The two fit scans (unigram counts, pruned bigram top-k) are
+        # independent — submit the unigram materialization on a second
+        # thread so they overlap, as the broadcast-subtree futures of
+        # the join formulation used to (concurrent actions on one
+        # session are supported; this is plain job-level parallelism).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(1) as _ex:
+            _n_fut = _ex.submit(
+                lambda: unigrams.agg(F.sum("c").alias("n")).collect()[0][0]
             )
-            .otherwise(
-                -(
-                    F.log(F.lit(lam))
-                    + F.log(
-                        F.coalesce(F.col("c_w"), F.lit(1)) / F.lit(n_total)
-                    )
-                )
+            top_bg = (
+                pairs.groupBy("w1", "w2")
+                .agg(F.count(F.lit(1)).alias("cb"))
+                .orderBy(F.desc("cb"), F.asc("w1"), F.asc("w2"))
+                .limit(max_bigrams)
+                .collect()
             )
-            .alias("neg_logp"),
+            n_total = float(_n_fut.result() or 0)
+        ids = df.select(id_col)
+        if n_total == 0:
+            # token-free corpus: SUM over the empty unigram table is
+            # NULL — short-circuit rather than divide by the zero
+            # normalizer
+            return ids.select(
+                id_col,
+                F.lit(0).cast("long").alias("n_bigrams"),
+                F.lit(0).cast("long").alias("n_model_hits"),
+                F.lit(0.0).alias("avg_neg_logprob"),
+            )
+        w1_set = sorted({r["w1"] for r in top_bg})
+        c_prev = (
+            {
+                r["tok"]: int(r["c"])
+                for r in unigrams.filter(
+                    lits.in_string_set("tok", w1_set)
+                ).collect()
+            }
+            if w1_set
+            else {}
         )
+        top_uni = (
+            unigrams.orderBy(F.desc("c"), F.asc("tok")).limit(max_vocab).collect()
+        )
+    finally:
+        unigrams.unpersist()
+    bg_map = lits.map_string_long_pair(
+        {
+            f"{r['w1']} {r['w2']}": (int(r["cb"]), c_prev[r["w1"]])
+            for r in top_bg
+        }
+    )
+    uni_map = lits.map_string_long({r["tok"]: int(r["c"]) for r in top_uni})
+    # try_element_at: missing key → NULL (the left-join semantics the
+    # maps replace); plain element_at raises under ANSI mode
+    bgv = F.try_element_at(bg_map, F.concat_ws(" ", "w1", "w2"))
+    c_w = F.try_element_at(uni_map, F.col("w2"))
+    scored_pos = pairs.select(
+        id_col,
+        bgv.isNotNull().cast("long").alias("hit"),
+        F.when(
+            bgv.isNotNull(),
+            -F.log(F.element_at(bgv, 1) / F.element_at(bgv, 2)),
+        )
+        .otherwise(
+            -(
+                F.log(F.lit(lam))
+                + F.log(F.coalesce(c_w, F.lit(1)) / F.lit(n_total))
+            )
+        )
+        .alias("neg_logp"),
     )
     per_doc = scored_pos.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),

@@ -612,41 +612,26 @@ def test_bigram_backoff_oov_floor_and_empty_corpus(spark):
     )
 
 
-def test_bigram_backoff_broadcasts_only_pruned_relations(spark):
-    """Every BroadcastExchange in the physical plan must sit above a
-    LIMIT (TakeOrderedAndProject / GlobalLimit): the model relations are
-    pruned before broadcast, and the unpruned unigram table — which is
-    O(vocabulary) at 100 TB — is never broadcast (VERDICT r7 task #1)."""
+def test_bigram_backoff_scores_with_literal_model_no_joins(spark):
+    """The scoring pass must be join-free: both model relations are
+    pruned to driver-bounded size and folded into the plan as literal
+    maps (the codebook idiom), so the unpruned unigram table — which is
+    O(vocabulary) at 100 TB — is never broadcast, and the corpus-side
+    plan has no BroadcastExchange / join at all (VERDICT r7 task #1,
+    tightened in r12: the bounded model lives in the plan, not in a
+    join)."""
     rows = [(i, "the cat sat on the mat") for i in range(8)]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = T.bigram_backoff_score(df, max_bigrams=50, max_vocab=50)
     plan = out._jdf.queryExecution().executedPlan().toString()
-
-    def marker_depth(line: str) -> int:
-        for m in ("+- ", ":- "):
-            i = line.find(m)
-            if i >= 0:
-                return i
-        return -1
-
-    lines = plan.splitlines()
-    n_broadcast = 0
-    for i, line in enumerate(lines):
-        if "BroadcastExchange" not in line:
-            continue
-        n_broadcast += 1
-        d = marker_depth(line)
-        subtree = []
-        for nxt in lines[i + 1 :]:
-            nd = marker_depth(nxt)
-            if nd >= 0 and nd <= d:
-                break
-            subtree.append(nxt)
-        sub = "\n".join(subtree)
-        assert ("TakeOrderedAndProject" in sub) or ("GlobalLimit" in sub), (
-            f"unpruned broadcast at plan line {i}:\n{line}\n{sub[:800]}"
-        )
-    assert n_broadcast >= 2  # bg-model fold + the two model broadcasts
+    assert "BroadcastExchange" not in plan
+    # the only join left is the zero-fill of bigram-free docs
+    n_joins = sum(
+        1
+        for ln in plan.splitlines()
+        if "MergeJoin" in ln or "HashJoin" in ln or "NestedLoopJoin" in ln
+    )
+    assert n_joins <= 1, plan
 
 
 def test_sq8_topk_recovers_exact_ranking(spark):
