@@ -305,31 +305,39 @@ def unigram_logprob_score(
     toks = df.select(
         F.col(id_col), F.explode(F.split(normalized(F.col(text_col)), " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    n_total = counts.agg(
-        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v_all")
-    ).collect()[0]
-    vocab = counts.orderBy(F.desc("c"), F.asc("tok")).limit(vocab_size)
+    # One fit pass: the unigram relation is persisted for its two
+    # consumers (the (N, |V|) scalars and the top-V vocab — the second
+    # collect reads the cache), and the V-row model is folded into the
+    # scoring plan as a literal map (codebook idiom): the score pass
+    # becomes a single join-free corpus scan instead of re-aggregating
+    # the token counts under a broadcast join. Integer counts go into
+    # the map; the log-prob arithmetic stays a Spark expression.
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
+    try:
+        n_total = counts.agg(
+            F.sum("c").alias("n"), F.count(F.lit(1)).alias("v_all")
+        ).collect()[0]
+        vocab_rows = (
+            counts.orderBy(F.desc("c"), F.asc("tok")).limit(vocab_size).collect()
+        )
+    finally:
+        counts.unpersist()
     # add-α over the top-V vocab + one OOV bucket: denominator uses the
     # effective vocab (min(V, distinct)+1) so probabilities stay proper
-    v_eff = min(vocab_size, n_total["v_all"]) + 1
-    denom = float(n_total["n"]) + alpha * v_eff
-    lp = vocab.select(
-        "tok", F.log((F.col("c") + F.lit(alpha)) / F.lit(denom)).alias("logp")
-    )
+    v_eff = min(vocab_size, n_total["v_all"] or 0) + 1
+    denom = float(n_total["n"] or 0) + alpha * v_eff
+    c_map = lits.map_string_long({r["tok"]: int(r["c"]) for r in vocab_rows})
+    c_tok = F.try_element_at(c_map, F.col("tok"))
+    logp = F.log((c_tok + F.lit(alpha)) / F.lit(denom))
     import math
 
     oov = math.log(alpha / denom)
-    scored = (
-        toks.join(F.broadcast(lp), "tok", "left")
-        .groupBy(id_col)
-        .agg(
-            F.round(-F.avg(F.coalesce(F.col("logp"), F.lit(oov))), 6).alias(
-                "avg_neg_logprob"
-            ),
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.col("logp").isNull().cast("long")).alias("n_oov"),
-        )
+    scored = toks.groupBy(id_col).agg(
+        F.round(-F.avg(F.coalesce(logp, F.lit(oov))), 6).alias(
+            "avg_neg_logprob"
+        ),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(c_tok.isNull().cast("long")).alias("n_oov"),
     )
     return scored
 
@@ -598,25 +606,44 @@ def source_overlap_matrix(
     O(sources²) rows.
     """
     df = widen_for_compute(df)  # compute-bound: scan width != CPU width
-    grams = (
+    # One gram-keyed shuffle instead of three: collect_set folds the
+    # (gram, src) distinct AND the per-gram source grouping into a
+    # single aggregate (partial aggregation dedups map-side), and the
+    # per-gram source pairs come from an index HOF over the sorted set
+    # — bounded by sources² per gram, exactly the fan-out the old
+    # gram-keyed self-join paid two more full exchanges to reach.
+    # array_sort's UTF8 ordering matches the old `a.src < b.src`.
+    gs = (
         df.select(
             F.col(source_col).alias("src"),
             F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
         )
-        .distinct()
+        .groupBy("gram")
+        .agg(F.collect_set("src").alias("ss"))
         .persist()
     )
-    totals = grams.groupBy("src").agg(F.count("*").alias("n_grams"))
-    a, b = grams.alias("a"), grams.alias("b")
+    totals = (
+        gs.select(F.explode("ss").alias("src"))
+        .groupBy("src")
+        .agg(F.count("*").alias("n_grams"))
+    )
+    srt = F.array_sort(F.col("ss"))
+    pair_structs = F.flatten(
+        F.transform(
+            srt,
+            lambda x, i: F.transform(
+                F.slice(
+                    srt,
+                    i + F.lit(2),
+                    F.greatest(F.size(srt) - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.src") < F.col("b.src")),
-        )
-        .groupBy(
-            F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b")
-        )
+        gs.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
         .agg(F.count("*").alias("n_common"))
     )
     ta = totals.select(F.col("src").alias("src_a"), F.col("n_grams").alias("grams_a"))
@@ -687,24 +714,31 @@ def dsir_importance_weights(
     nt = sum(r["ct"] for r in count_rows)
     ns = sum(r["cs"] for r in count_rows)
     ad = float(alpha * dims)
-    counts = df.sparkSession.createDataFrame(
-        [(r["bucket"], r["ct"], r["cs"]) for r in count_rows],
-        "bucket long, ct long, cs long",
+    # Fold the dims-row model into the plan as two bucket-indexed
+    # integer array literals (element_at(arr, bucket+1)) instead of a
+    # createDataFrame + broadcast join: the score pass becomes a
+    # join-free scan+aggregate. The log-ratio stays the same Spark
+    # expression over the same integer counts, so per-row values are
+    # bit-identical to the joined form.
+    ct_by_bucket = [0] * dims
+    cs_by_bucket = [0] * dims
+    for r in count_rows:
+        ct_by_bucket[int(r["bucket"])] = int(r["ct"])
+        cs_by_bucket[int(r["bucket"])] = int(r["cs"])
+    ct_arr = F.expr(
+        "array(" + ",".join(f"{v}L" for v in ct_by_bucket) + ")"
     )
-    lr = counts.select(
-        "bucket",
-        (
-            F.log((F.col("ct") + F.lit(alpha)) / F.lit(float(nt) + ad))
-            - F.log((F.col("cs") + F.lit(alpha)) / F.lit(float(ns) + ad))
-        ).alias("lr"),
+    cs_arr = F.expr(
+        "array(" + ",".join(f"{v}L" for v in cs_by_bucket) + ")"
     )
-    return (
-        bt.join(F.broadcast(lr), "bucket")
-        .groupBy(id_col)
-        .agg(
-            F.round(F.sum("lr"), 6).alias("log_weight"),
-            F.count(F.lit(1)).alias("n_tokens"),
-        )
+    idx = (F.col("bucket") + F.lit(1)).cast("int")
+    lr = (
+        F.log((F.element_at(ct_arr, idx) + F.lit(alpha)) / F.lit(float(nt) + ad))
+        - F.log((F.element_at(cs_arr, idx) + F.lit(alpha)) / F.lit(float(ns) + ad))
+    )
+    return bt.groupBy(id_col).agg(
+        F.round(F.sum(lr), 6).alias("log_weight"),
+        F.count(F.lit(1)).alias("n_tokens"),
     )
 
 
@@ -897,8 +931,11 @@ def boilerplate_vocab(
     per_src = df.groupBy(F.col(group_col).alias("source")).agg(
         F.count_distinct(id_col).alias("n_docs")
     )
+    # (doc, token) rows are unique BY CONSTRUCTION (array_distinct in
+    # the explode above), so COUNT(*) equals COUNT(DISTINCT doc_id)
+    # without the distinct-aggregate's per-group dedup buffers
     dfreq = toks.groupBy("source", "token").agg(
-        F.count_distinct("doc_id").alias("df")
+        F.count(F.lit(1)).alias("df")
     )
     return (
         dfreq.join(F.broadcast(per_src), "source")
