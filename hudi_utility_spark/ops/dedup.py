@@ -665,11 +665,17 @@ def near_dup_groups(
         .distinct()
         .localCheckpoint()
     )
+    # LAZY localCheckpoints throughout the loop: the convergence-sum
+    # action is what materializes each round's label relation, so every
+    # round costs ONE job (materialize + aggregate together) instead of
+    # the two an eager checkpoint + separate sum collect paid — the
+    # lineage truncation is identical either way (guide §1.2: don't run
+    # jobs you can fold into the next action).
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("group_id", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("group_id")).collect()[0][0]
     for _ in range(max_iterations):
@@ -686,7 +692,7 @@ def near_dup_groups(
                     F.col("group_id"), F.coalesce(F.col("nbr_min"), F.col("group_id"))
                 ).alias("group_id"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(F.sum("group_id")).collect()[0][0]
         if new_sum == prev_sum:

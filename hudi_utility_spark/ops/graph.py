@@ -100,12 +100,22 @@ def pagerank(
     small = n_nodes <= broadcast_max_nodes
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     for i in range(iters):
-        r = F.broadcast(ranks) if small else ranks
-        contrib = (
-            weighted.join(r, weighted.src == r.node)
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("w")).alias("_in"))
-        )
+        if i == 0:
+            # Round 1's rank vector is the constant 1.0 for every node,
+            # and every src has out-degree >= 1 (function contract), so
+            # the rank join is the identity and `rank*w == w` bitwise
+            # (IEEE: 1.0*x = x): the first contribution aggregate needs
+            # no join at all (guide §2.4).
+            contrib = weighted.groupBy("dst").agg(
+                F.sum(F.col("w")).alias("_in")
+            )
+        else:
+            r = F.broadcast(ranks) if small else ranks
+            contrib = (
+                weighted.join(r, weighted.src == r.node)
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") * F.col("w")).alias("_in"))
+            )
         if full_in_coverage:
             # caller guarantees every node has in-degree >= 1 (true for
             # any symmetrized graph), so the nodes left-join below is

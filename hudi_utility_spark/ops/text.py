@@ -1214,12 +1214,17 @@ def kneser_ney_score(
     the model is the pruned top-``max_bigrams`` bigram table, and EVERY
     derived relation — exact c(w1) folded model-side, the forward
     fan-out N1+(w1,·), the continuation counts N1+(·,w2), the scalar
-    N1+(··) — is computed FROM that bounded table, so every broadcast
-    is bounded by construction. Pruned-model caveat (standard): the
-    discount mass redistributes over the pruned support, not the full
-    vocabulary; unseen continuations take the 0.5/N1+(··) floor.
-    Corpus side: one map-only adjacent-token zip + three broadcast
-    lookups + the per-doc aggregate. Only N1+(··) is collected.
+    N1+(··) — is computed FROM that bounded table, so every model
+    relation is bounded by construction; they are collected in the fit
+    phase and folded into the scoring plan as literal maps (guide §3: a
+    bounded model belongs in the plan, not in a join), making the
+    scoring pass ONE join-free corpus scan. Pruned-model caveat
+    (standard): the discount mass redistributes over the pruned
+    support, not the full vocabulary; unseen continuations take the
+    0.5/N1+(··) floor. Fit side: the exact-c(w1) pass filters the
+    unigram aggregate to the model's ≤``max_bigrams`` w1 keys (the
+    predicate pushes below the aggregation, so only model-context
+    tokens are aggregated at all — never the open vocabulary).
 
     Returns (id, n_bigrams, n_model_hits, avg_neg_logprob), zero-filled
     for bigram-free docs.
@@ -1242,9 +1247,9 @@ def kneser_ney_score(
         .agg(F.count(F.lit(1)).alias("cb"))
         .orderBy(F.desc("cb"), F.asc("w1"), F.asc("w2"))
         .limit(max_bigrams)
-        .localCheckpoint(eager=True)  # one job; reused by 4 model relations
+        .collect()  # ≤ max_bigrams rows by construction — driver-sized
     )
-    n_pairs = top_bg.count()
+    n_pairs = len(top_bg)
     if n_pairs == 0:
         return ids.select(
             id_col,
@@ -1254,41 +1259,58 @@ def kneser_ney_score(
         )
     floor = 0.5 / float(n_pairs)
 
-    unigrams = df.select(F.explode(arr).alias("tok")).groupBy("tok").agg(
-        F.count(F.lit(1)).alias("c")
+    # derived model relations, computed from the ≤max_bigrams rows in
+    # plain Python: forward fan-out N1+(w1,·) and continuation counts
+    # N1+(·,w2) — the same integer counts the old groupBys produced
+    n1_fwd: dict[str, int] = {}
+    n1_back: dict[str, int] = {}
+    for r in top_bg:
+        n1_fwd[r["w1"]] = n1_fwd.get(r["w1"], 0) + 1
+        n1_back[r["w2"]] = n1_back.get(r["w2"], 0) + 1
+    # exact c(w1) for the model's contexts only: the key filter pushes
+    # below the aggregation, so the fit pass counts just those tokens
+    w1_set = sorted(n1_fwd)
+    c_prev = {
+        r["tok"]: int(r["c"])
+        for r in df.select(F.explode(arr).alias("tok"))
+        .filter(lits.in_string_set("tok", w1_set))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+
+    # literal maps — the three broadcast joins become codegen'd
+    # element_at lookups; the per-row double arithmetic below keeps the
+    # exact expression shape (same divisions, same order) so values are
+    # bit-identical to the join formulation
+    bg_map = lits.map_string_long(
+        {f"{r['w1']} {r['w2']}": int(r["cb"]) for r in top_bg}
     )
-    # w1-side stats: fan-out from the bounded model; exact c(w1) folded
-    # in by streaming the full unigram relation against the broadcast
-    # <=max_bigrams-row w1 set (never the reverse)
-    n1_fwd = top_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1f"))
-    w1_stats = unigrams.join(
-        F.broadcast(n1_fwd), unigrams["tok"] == n1_fwd["w1"]
-    ).select("w1", F.col("c").alias("c_prev"), "n1f")
-    # continuation counts from the bounded model
-    n1_back = top_bg.groupBy("w2").agg(
-        (F.count(F.lit(1)) / F.lit(float(n_pairs))).alias("pcont")
+    w1_map = lits.map_string_long_pair(
+        {w: (c_prev[w], n1_fwd[w]) for w in w1_set}
     )
-    bg_model = top_bg.select("w1", "w2", "cb")
+    back_map = lits.map_string_long(n1_back)
 
     d = F.lit(float(discount))
-    scored = (
-        pairs.join(F.broadcast(bg_model), ["w1", "w2"], "left")
-        .join(F.broadcast(w1_stats), "w1", "left")
-        .join(F.broadcast(n1_back), "w2", "left")
+    cbv = F.try_element_at(bg_map, F.concat_ws(" ", "w1", "w2"))
+    w1v = F.try_element_at(w1_map, F.col("w1"))
+    pc = F.coalesce(
+        F.try_element_at(back_map, F.col("w2")) / F.lit(float(n_pairs)),
+        F.lit(floor),
     )
-    pc = F.coalesce(F.col("pcont"), F.lit(floor))
-    lam = d * F.col("n1f") / F.col("c_prev")
+    c_prev_c = F.element_at(w1v, 1)
+    lam = d * F.element_at(w1v, 2) / c_prev_c
     p = (
         F.when(
-            F.col("cb").isNotNull(),
-            (F.col("cb") - d) / F.col("c_prev") + lam * pc,
+            cbv.isNotNull(),
+            (cbv - d) / c_prev_c + lam * pc,
         )
-        .when(F.col("n1f").isNotNull(), lam * pc)
+        .when(w1v.isNotNull(), lam * pc)
         .otherwise(pc)
     )
-    per_doc = scored.select(
+    per_doc = pairs.select(
         id_col,
-        F.col("cb").isNotNull().cast("long").alias("hit"),
+        cbv.isNotNull().cast("long").alias("hit"),
         (-F.log(p)).alias("neg_logp"),
     ).groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),

@@ -492,7 +492,13 @@ def src_jsonl_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(manifest) as f:
         files = [e["file"] for e in _json.load(f)["files"]]
     paths = [os.path.join(out, name) for name in files]
-    back = spark.read.json(paths)
+    # explicit schema: the exporter wrote exactly these three columns,
+    # so schema inference — a full extra parse pass over the JSONL
+    # before the real scan — is pure waste (guide §1.2); the read
+    # produces the identical relation either way
+    back = spark.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT").json(
+        paths
+    )
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("chars"),

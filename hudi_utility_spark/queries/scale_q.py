@@ -152,7 +152,10 @@ def index_file_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_sorted_partitioned(
         li, root, ["l_returnflag"], ["l_orderkey"], num_files=16
     )
-    index.build_column_stats(spark, root, ["l_orderkey"])
+    # footer-metadata build: O(files) footer reads, zero data IO —
+    # the production stats path (guide §6); pinned scan-build-identical
+    # by tests/test_index.py::test_footer_built_index_matches_scan_built
+    index.build_column_stats_from_footers(spark, root, ["l_orderkey"])
     # build = eager write lifecycle + stats index; bench.py subtracts it
     # from the query total so the PROBE cost is attributable on its own
     record_phase(
@@ -305,7 +308,8 @@ def zorder_two_dim_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     li = load_table(spark, sf_dir, "lineitem")
     write_zordered(li, root, ["l_orderkey", "l_partkey"], num_files=16)
-    index.build_column_stats(spark, root, ["l_orderkey", "l_partkey"])
+    # footer-metadata stats build — zero data IO (see index_file_skipping_scan)
+    index.build_column_stats_from_footers(spark, root, ["l_orderkey", "l_partkey"])
     pruned = index.read_with_skipping(spark, root, "l_partkey", 50, 400)
     return pruned.agg(
         F.count(F.lit(1)).alias("cnt"),

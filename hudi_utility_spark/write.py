@@ -888,16 +888,19 @@ def zorder_buckets(
     k = (1 << bits) - 1
     qs = [(i + 1) / float(1 << bits) for i in range(k)]
     rel_err = 1.0 / (1 << (bits + 2))
+    # ONE sketch pass for every z column (approxQuantile takes a column
+    # list and builds all the Greenwald-Khanna summaries in a single
+    # aggregation job; nulls are ignored per column) — was one full
+    # scan per column (guide §1.2: remove unnecessary passes)
+    qcols = [f"__q{i}" for i in range(len(cols))]
+    all_bounds = df.select(
+        *[F.col(c).cast("double").alias(q) for c, q in zip(cols, qcols)]
+    ).stat.approxQuantile(qcols, qs, rel_err)
     out = []
-    for c in cols:
-        bounds = (
-            df.select(F.col(c).cast("double").alias("__q"))
-            .na.drop()
-            .stat.approxQuantile("__q", qs, rel_err)
-        )
+    for c, col_bounds in zip(cols, all_bounds):
         # dedupe (skew collapses adjacent quantiles) — any monotone
         # value→bucket map preserves the curve; dense ids not required
-        bounds = sorted(set(bounds))
+        bounds = sorted(set(col_bounds))
         if not bounds:
             out.append(F.lit(0).cast("long"))
             continue
