@@ -208,8 +208,16 @@ def jaccard_pairs(
     # prefixes, verification sets); persist so one lazy plan doesn't
     # re-explode the corpus per branch.
     sh = sh.persist()
-    vocab = sh.select("shingle").distinct()
-    vocab_count = vocab.count()
+    # ONE vocabulary-keyed aggregate serves both the vocabulary count
+    # (the adaptive-dispatch gate) and the document-frequency ranking
+    # the prefix-candidate pass needs — the old shape computed the same
+    # grouping twice (distinct().count() at build time, groupBy(df) in
+    # the candidate plan), i.e. two full passes over the shingle
+    # relation where one suffices (guide §1.2 / §2.4). Persisted under
+    # the same caller-clears-cache lifetime contract as `sh`.
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).persist()
+    vocab = dfreq.select("shingle")
+    vocab_count = dfreq.count()
 
     def _should_broadcast() -> bool:
         # runtime-stats dispatch (the shingle relation is persisted, so
@@ -223,8 +231,8 @@ def jaccard_pairs(
 
     def _prefix_candidates() -> DataFrame:
         # Canonical global order: (document frequency asc, shingle) —
-        # rarest first, deterministic tiebreak.
-        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        # rarest first, deterministic tiebreak. dfreq is the persisted
+        # build-time aggregate — a cache scan here, not a fresh pass.
         ranked = (
             sh.join(dfreq, "shingle")
             .withColumn(
