@@ -153,6 +153,7 @@ def triangle_counts(
     src: str = "src",
     dst: str = "dst",
     broadcast_max_edges: int = 20_000_000,
+    broadcast_max_nodes: int = 2_000_000,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected graph, via the
     degree-oriented wedge algorithm (Schank & Wagner / Cohen's
@@ -198,14 +199,27 @@ def triangle_counts(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_edges = pairs.count()  # materializes the cache; broadcast gate
+    # degree relation: persisted so the two orientation joins (u side,
+    # v side) read ONE materialized aggregate instead of each embedding
+    # their own union+aggregate subtree over the pair cache; its count
+    # is the broadcast gate (runtime stats, not guesses — the same
+    # dispatch as `pagerank`). When the graph's node set fits, both
+    # orientation joins become map-side broadcast hash joins and the
+    # full edge relation is never exchanged for them (guide §3.1; the
+    # auto-planner saw unknown stats on the aggregate and picked
+    # sort-merge, two full-edge exchanges).
     deg = (
         pairs.select(F.col("u").alias("node"))
         .unionAll(pairs.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    n_nodes = deg.count()
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    if n_nodes <= broadcast_max_nodes:
+        du, dv = F.broadcast(du), F.broadcast(dv)
     e = pairs.join(du, "u").join(dv, "v")
     # orient low → high under (deg, id); carry the head's order key so
     # wedge heads can be ordered without another degree lookup
