@@ -325,13 +325,23 @@ def hits(
 
     Scale: each half-iteration is one edge-keyed shuffle aggregate plus
     a broadcast of the (bounded) score vector back onto edges — the
-    same power-iteration shape as :func:`pagerank`. Returns
+    same power-iteration shape as :func:`pagerank`. The edge relation
+    is persisted once (it feeds every half-iteration), and each
+    half-iteration's pre-normalization aggregate is lazily
+    localCheckpoint-ed so its two consumers (the mean-1 total and the
+    normalized vector) read ONE materialization — the unrolled plan
+    otherwise re-evaluates every earlier half-iteration inside both
+    subtrees, doubling work per level of depth (guide §5: cut lineage
+    when a relation fans out; the pagerank discipline). Returns
     (node, authority) for every dst node."""
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # h0 = 1 for every source: a1 = in-degree
     a = e.groupBy("d").agg(F.count(F.lit(1)).cast("double").alias("score"))
 
     def _norm(df_, key):
+        df_ = df_.localCheckpoint(eager=False)
         tot = df_.agg(
             F.sum("score").alias("t"), F.count(F.lit(1)).cast("double").alias("n")
         )
