@@ -4293,14 +4293,18 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = pairs.select("u", "v").union(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=False)
+    # node-sized degree relation: checkpoint once for its two join
+    # consumers and broadcast under a measured gate (the planner saw
+    # unknown aggregate stats and picked sort-merge, exchanging the
+    # full symmetric edge list twice — the triangle_counts fix)
     deg = sym.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("double").alias("d")
-    )
-    ed = (
-        sym.join(deg.select(F.col("node").alias("u"), F.col("d").alias("x")), "u")
-        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("y")), "v")
-        .select("x", "y")
-    )
+    ).localCheckpoint(eager=False)
+    dx = deg.select(F.col("node").alias("u"), F.col("d").alias("x"))
+    dy = deg.select(F.col("node").alias("v"), F.col("d").alias("y"))
+    if deg.count() <= 2_000_000:
+        dx, dy = F.broadcast(dx), F.broadcast(dy)
+    ed = sym.join(dx, "u").join(dy, "v").select("x", "y")
     agg = ed.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("x").alias("sx"),
