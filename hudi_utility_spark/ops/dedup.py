@@ -713,15 +713,25 @@ def dedup_survivors(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    broadcast_max_drops: int = 20_000_000,
 ) -> DataFrame:
     """Rows of `df` that survive near-dup removal: per connected
     component of `pairs`, keep only the min-id representative. Rows in
     no pair survive untouched — the left-anti is on the drop list, which
-    is (component size − 1)/component of the paired rows only."""
+    is (component size − 1)/component of the paired rows only.
+
+    The drop list rides a MEASURED broadcast (the label relation is
+    checkpoint-backed, so the count is a cache scan): its unknown stats
+    otherwise push the planner to a sort-merge anti-join that exchanges
+    the whole corpus by id (guide §3.1). Above the gate — a corpus
+    where tens of millions of rows are near-dup losers — the shuffle
+    anti-join is the right call and still only moves ids."""
     groups = near_dup_groups(pairs)
     drops = groups.filter(F.col("id") != F.col("group_id")).select(
         F.col("id").alias(id_col)
     )
+    if groups.count() <= broadcast_max_drops:
+        drops = F.broadcast(drops)
     return df.join(drops, id_col, "left_anti")
 
 
@@ -987,12 +997,16 @@ def semdedup(
         # executing twice (and truncates lineage for the anti-join pass)
         .localCheckpoint(eager=False)
     )
-    fattest = (
+    # one pass over the cluster histogram yields BOTH the mega-cluster
+    # guard and the total row count (the broadcast gate below)
+    _sizes = (
         assigned.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.max("n"))
-        .collect()[0][0]
-    ) or 0
+        .agg(F.max("n").alias("mx"), F.sum("n").alias("total"))
+        .collect()[0]
+    )
+    fattest = _sizes["mx"] or 0
+    n_total = _sizes["total"] or 0
     if fattest > max_cluster_rows:
         raise ValueError(
             f"semdedup: fattest cluster has {fattest} rows "
@@ -1010,6 +1024,12 @@ def semdedup(
         F.col(vec_col).alias("vec_b"),
         F.col("cluster").alias("cl_b"),
     )
+    # measured dispatch (same discipline as jaccard_pairs): broadcast
+    # the junior side of the cluster-keyed self-join while the vector
+    # relation demonstrably fits executor memory (~dims×8 B/row); the
+    # cluster-keyed shuffle join is the correct fallback above it
+    if n_total <= 1_000_000:
+        b = F.broadcast(b)
     drops = (
         a.join(
             b, (F.col("cl_a") == F.col("cl_b")) & (F.col("id_a") < F.col("id_b"))
@@ -1021,4 +1041,6 @@ def semdedup(
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
+    if n_total <= 20_000_000:
+        drops = F.broadcast(drops)
     return assigned.join(drops, id_col, "left_anti").select(id_col, "cluster")

@@ -476,8 +476,14 @@ def dedup_containment_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.filter(F.col("id_a") > F.col("id_b"))
         .select(F.col("id_a").alias("doc_id"))
         .distinct()
+        .persist()
     )
-    return d.join(drops, "doc_id", "left_anti").select("doc_id", "lang")
+    # materialize the drop list once (the anti-join would compute it
+    # anyway) so its measured size picks the join strategy: broadcast
+    # keeps the corpus side un-exchanged; the shuffle anti-join remains
+    # the fallback for a pathological everyone-contained corpus
+    right = F.broadcast(drops) if drops.count() <= 20_000_000 else drops
+    return d.join(right, "doc_id", "left_anti").select("doc_id", "lang")
 
 
 @query(

@@ -216,8 +216,15 @@ def pipeline_group_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(digit < "4", F.lit("test"))
         .otherwise(F.lit("train"))
     )
+    g = groups.withColumnRenamed("id", "doc_id")
+    # the label relation is bounded by the paired docs and
+    # checkpoint-backed (count = cache scan); measured broadcast keeps
+    # the corpus side un-exchanged (unknown checkpoint stats otherwise
+    # force a sort-merge left join)
+    if groups.count() <= 20_000_000:
+        g = F.broadcast(g)
     return (
-        d.join(groups.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        d.join(g, "doc_id", "left")
         .select(
             "doc_id",
             gid.alias("group_id"),

@@ -1199,16 +1199,26 @@ def cluster_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame
         .localCheckpoint(eager=False)
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell"))
-    own = (
+    # rank-1 is the own cell; rank-2 IS max-s-over-other-cells (one row
+    # per (vec, cell), ranked by s desc), so the former corpus-sized
+    # scored ⋈ own self-join + re-aggregate collapses to one windowed
+    # rank + a vec-keyed pivot aggregate that reuses the window's
+    # partitioning — two exchanges and a sort-merge join removed
+    # (guide §2.4). Vectors with a single scored cell had no
+    # other-cell row before (inner join + filter emptied them), hence
+    # the s2-not-null filter.
+    ranked = (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cell").alias("own_cell"), F.col("s").alias("s1"))
+        .filter(F.col("rn") <= 2)
     )
     other = (
-        scored.join(own, "vec_id")
-        .filter(F.col("cell") != F.col("own_cell"))
-        .groupBy("vec_id", "own_cell", "s1")
-        .agg(F.max("s").alias("s2"))
+        ranked.groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("cell"))).alias("own_cell"),
+            F.max(F.when(F.col("rn") == 1, F.col("s"))).alias("s1"),
+            F.max(F.when(F.col("rn") == 2, F.col("s"))).alias("s2"),
+        )
+        .filter(F.col("s2").isNotNull())
     )
     a = 1 - F.col("s1")
     b = 1 - F.col("s2")
