@@ -652,7 +652,9 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 def near_dup_groups(
-    pairs: DataFrame, max_iterations: int = 20
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    broadcast_max_nodes: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair list: (id, group_id)
     where group_id = min id reachable through the pair graph.
@@ -666,6 +668,18 @@ def near_dup_groups(
     iterative DataFrame algorithms). Convergence is detected from the
     label sum: labels only ever decrease, so an unchanged Σ group_id is
     a fixpoint — one cheap aggregate per round, no self-join.
+
+    The label relation is node-sized but checkpoint-backed, so its
+    unknown stats push the planner to sort-merge for BOTH per-round
+    joins — exchanging and sorting the full edge relation every round.
+    Under a MEASURED node-count gate (the count rides the existing
+    init-sum aggregate, zero extra jobs) the label vector and the
+    per-round neighbor-min aggregate are broadcast instead: each round
+    becomes two map-side hash joins plus the one genuine exchange (the
+    src-keyed min), the same runtime-stats dispatch as `pagerank` /
+    `triangle_counts` (guide §3.1). Above the gate — more near-dup'd
+    nodes than a broadcast should hold — the sort-merge rounds are the
+    right call and unchanged.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -685,13 +699,19 @@ def near_dup_groups(
         .withColumn("group_id", F.col("id"))
         .localCheckpoint(eager=False)
     )
-    prev_sum = labels.agg(F.sum("group_id")).collect()[0][0]
+    prev_sum, n_nodes = labels.agg(
+        F.sum("group_id"), F.count(F.lit(1))
+    ).collect()[0]
+    small = n_nodes <= broadcast_max_nodes
     for _ in range(max_iterations):
+        lab = F.broadcast(labels) if small else labels
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
+            edges.join(lab, edges.dst == lab.id)
             .groupBy("src")
             .agg(F.min("group_id").alias("nbr_min"))
         )
+        if small:
+            neighbor_min = F.broadcast(neighbor_min)
         labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(

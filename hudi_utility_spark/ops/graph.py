@@ -372,6 +372,7 @@ def bfs_hops(
     max_hops: int = 4,
     src: str = "src",
     dst: str = "dst",
+    broadcast_max_nodes: int = 2_000_000,
 ) -> DataFrame:
     """Bounded-hop single/multi-source BFS over a DIRECTED edge list:
     returns (node, dist) with the minimum hop distance from any seed,
@@ -379,14 +380,23 @@ def bfs_hops(
     (dist 0).
 
     Physical shape: the edge relation is persisted once; each hop is
-    ONE equijoin of the current frontier against it (frontiers are
-    node-sized, so they ride a measured broadcast when small) followed
-    by an anti-join against the visited set — the visited/frontier
-    relations are localCheckpoint'd each round to cut the growing
-    lineage, the same fixed-round iterative discipline as
-    :func:`pagerank` / :func:`kcore`. Total work is O(max_hops * |E|)
-    worst-case, independent of walk explosion (contrast the oracle's
-    recursive-CTE twin whose UNION dedup bounds it the same way)."""
+    ONE equijoin of the current frontier against it followed by an
+    anti-join against the visited set — the visited/frontier relations
+    are localCheckpoint'd each round to cut the growing lineage, the
+    same fixed-round iterative discipline as :func:`pagerank` /
+    :func:`kcore`. Frontier and visited are node-sized but
+    checkpoint-backed (unknown stats), which pushed the planner to
+    sort-merge: the cached edge relation was exchanged AND sorted every
+    hop. Both now ride MEASURED broadcasts — the per-hop frontier count
+    replaces the old `isEmpty` probe (same one cheap job over the eager
+    checkpoint, but it doubles as the gate and the convergence test)
+    and the visited count is the running sum of frontier counts, so the
+    gate costs zero extra jobs (guide §3.1, the `pagerank` dispatch).
+    Above the gate the hop join falls back to the edge-keyed shuffle,
+    which at that frontier size is the right plan. Total work is
+    O(max_hops * |E|) worst-case, independent of walk explosion
+    (contrast the oracle's recursive-CTE twin whose UNION dedup bounds
+    it the same way)."""
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).persist()
     e.count()
     # distinct: duplicate seed ids would emit duplicate (node, 0) rows
@@ -395,21 +405,28 @@ def bfs_hops(
     visited = seeds.select(
         F.col(seeds.columns[0]).alias("node"), F.lit(0).alias("dist")
     ).distinct().localCheckpoint()
-    frontier = visited
+    n_visited = visited.count()
+    frontier, n_frontier = visited, n_visited
     try:
         for hop in range(1, max_hops + 1):
+            f = F.broadcast(frontier) if n_frontier <= broadcast_max_nodes else frontier
+            vis = visited.select("node")
+            if n_visited <= broadcast_max_nodes:
+                vis = F.broadcast(vis)
             nxt = (
-                frontier.join(e, frontier.node == e.s)
+                f.join(e, f.node == e.s)
                 .select(F.col("d").alias("node"))
                 .distinct()
-                .join(visited.select("node"), "node", "left_anti")
+                .join(vis, "node", "left_anti")
                 .select("node", F.lit(hop).alias("dist"))
                 .localCheckpoint()
             )
-            if nxt.isEmpty():
+            n_nxt = nxt.count()
+            if n_nxt == 0:
                 break
             visited = visited.union(nxt).localCheckpoint()
-            frontier = nxt
+            n_visited += n_nxt
+            frontier, n_frontier = nxt, n_nxt
         return visited
     finally:
         e.unpersist()
