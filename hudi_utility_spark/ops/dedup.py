@@ -526,6 +526,7 @@ def incremental_minhash(
     bands: int = 8,
     shingle_n: int = 2,
     return_bands: bool = False,
+    broadcast_max_band_rows: int = 20_000_000,
 ):
     """Continuous-ingest NEAR-dup gate: admit only batch documents with
     no LSH band collision against the persisted corpus band store
@@ -538,10 +539,20 @@ def incremental_minhash(
     (conservative-precision, S-curve-bounded false-positive rate), so
     no signatures need be stored or joined — the store stays (band,
     band_hash, id) and the whole gate is two semi-join-shaped probes of
-    it. At 100 TB: batch bands ≪ store bands; with the store bucketed
-    on (band, band_hash) only the batch side shuffles. Admitted docs'
-    bands then append to the store (caller's move, mirroring the
-    fingerprint-store append in `stream_dedup_ingest`).
+    it. At 100 TB: batch bands ≪ store bands, and that asymmetry is the
+    physical plan, not a planner guess: the batch band relation is
+    persisted, counted, and — under ``broadcast_max_band_rows`` — the
+    corpus probe runs as ``store ⋈ BROADCAST(batch bands)`` (inner +
+    distinct ≡ the semi-join on the projected batch id), so the store
+    is never shuffled OR broadcast regardless of what the optimizer
+    estimates (the left-semi form can only ever broadcast its RIGHT
+    side — the store, exactly the side that must never move). The batch
+    self-probe and the final anti-join ride the same measured gate (the
+    reject list is ≤ the batch's doc count; its unknown checkpoint-free
+    aggregate stats otherwise force a sort-merge anti-join that
+    exchanges the whole batch). Admitted docs' bands then append to the
+    store (caller's move, mirroring the fingerprint-store append in
+    `stream_dedup_ingest`).
 
     Set ``return_bands=True`` to also receive the (persisted) batch band
     relation — callers that append admitted bands to the store reuse it
@@ -551,12 +562,29 @@ def incremental_minhash(
     does).
     """
     bb = minhash_bands(batch, id_col, text_col, num_hashes, bands, shingle_n).persist()
-    hit_corpus = (
-        bb.join(store_bands, ["band", "band_hash"], "left_semi")
-        .select("id")
-        .distinct()
-    )
+    # measured gate from the CHEAP side: band rows are exactly ≤
+    # docs × bands by construction, and counting the raw batch skips
+    # the shingle/signature pass (which then materializes once, lazily,
+    # inside the probe pipeline where it overlaps the corpus side)
+    small = batch.count() * bands <= broadcast_max_band_rows
+    if small:
+        # inner + distinct over the projected batch id ≡ the semi-join;
+        # the store side is a bare stream — never exchanged, never built
+        hit_corpus = (
+            store_bands.select("band", "band_hash")
+            .join(F.broadcast(bb), ["band", "band_hash"])
+            .select("id")
+            .distinct()
+        )
+    else:
+        hit_corpus = (
+            bb.join(store_bands, ["band", "band_hash"], "left_semi")
+            .select("id")
+            .distinct()
+        )
     a, b = bb.alias("a"), bb.alias("b")
+    if small:
+        b = F.broadcast(b)
     hit_batch = (
         a.join(
             b,
@@ -568,6 +596,8 @@ def incremental_minhash(
         .distinct()
     )
     rejected = hit_corpus.union(hit_batch).distinct()
+    if small:
+        rejected = F.broadcast(rejected)
     admitted = batch.join(
         rejected.withColumnRenamed("id", id_col), id_col, "left_anti"
     )

@@ -27,13 +27,28 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
-def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def symmetrize(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    assume_canonical: bool = False,
+) -> DataFrame:
     """Undirected → directed: emit each edge in both directions,
     deduplicated. Map-only union; the distinct is one shuffle the
-    caller pays once before iterating."""
+    caller pays once before iterating.
+
+    ``assume_canonical``: caller-declared invariant (the
+    `full_in_coverage` idiom) — the input is already DISTINCT with
+    ``src < dst`` on every row (e.g. a distinct over sorted-basket i<j
+    pairs, or a self-join filtered on ``a < b``). Then the forward and
+    reversed halves are each duplicate-free and mutually disjoint, so
+    the union is distinct for free and the 2·|E|-row dedup exchange is
+    skipped outright (guide §2.4: an `orderBy`/`distinct` that only
+    re-proves an invariant is a shuffle to delete)."""
     fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
-    return fwd.unionByName(rev).distinct()
+    out = fwd.unionByName(rev)
+    return out if assume_canonical else out.distinct()
 
 
 def pagerank(
@@ -154,6 +169,8 @@ def triangle_counts(
     dst: str = "dst",
     broadcast_max_edges: int = 20_000_000,
     broadcast_max_nodes: int = 2_000_000,
+    assume_canonical: bool = False,
+    with_degrees: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected graph, via the
     degree-oriented wedge algorithm (Schank & Wagner / Cohen's
@@ -186,18 +203,36 @@ def triangle_counts(
 
     Input: one row per undirected edge (either orientation, duplicates
     and self-loops tolerated — they are canonicalized and dropped).
-    Returns (node, triangles) for every node with ≥ 1 triangle.
+    Returns (node, triangles) for every node with ≥ 1 triangle; with
+    ``with_degrees=True``, (node, degree, triangles) for EVERY node
+    (triangles = 0 when none), the relation clustering-coefficient
+    consumers need — served from the degree aggregate this function
+    already builds for orientation, stitched with a broadcast gated on
+    the already-measured node count (callers previously re-derived the
+    same degrees with their own symmetrize + aggregate and stitched
+    with an unknown-stats sort-merge join).
+
+    ``assume_canonical``: caller-declared invariant (the `symmetrize`
+    idiom) — the input is already DISTINCT with ``src < dst`` and no
+    self-loops on every row, so the canonicalizing
+    least/greatest/filter/distinct pass (a full |E| exchange + dedup)
+    is skipped outright.
     """
-    # canonical undirected pair (u < v), self-loops out; persisted —
-    # feeds the degree agg (two scans via the union) and the join
-    u = F.least(F.col(src), F.col(dst)).alias("u")
-    v = F.greatest(F.col(src), F.col(dst)).alias("v")
-    pairs = (
-        edges.select(u, v)
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    if assume_canonical:
+        pairs = edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        # canonical undirected pair (u < v), self-loops out; persisted —
+        # feeds the degree agg (two scans via the union) and the join
+        u = F.least(F.col(src), F.col(dst)).alias("u")
+        v = F.greatest(F.col(src), F.col(dst)).alias("v")
+        pairs = (
+            edges.select(u, v)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     n_edges = pairs.count()  # materializes the cache; broadcast gate
     # degree relation: persisted so the two orientation joins (u side,
     # v side) read ONE materialized aggregate instead of each embedding
@@ -260,10 +295,23 @@ def triangle_counts(
     if n_edges <= broadcast_max_edges:
         closure = F.broadcast(closure)
     tri = wedges.join(closure, ["b", "c"])
-    return (
+    counts = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    if not with_degrees:
+        return counts
+    # stitch onto the already-persisted degree relation: tri output is
+    # ≤ n_nodes rows, so the broadcast rides the same measured gate
+    if n_nodes <= broadcast_max_nodes:
+        counts = F.broadcast(counts)
+    return deg.select("node", F.col("deg").alias("degree")).join(
+        counts, "node", "left"
+    ).select(
+        "node",
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
     )
 
 

@@ -1099,7 +1099,7 @@ def graph_triangles_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.src", "p.dst")
         .distinct()
     )
-    return triangle_counts(pairs).select(
+    return triangle_counts(pairs, assume_canonical=True).select(
         F.col("node").alias("node"), "triangles"
     )
 
@@ -3456,11 +3456,14 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     — 2T(v)/(deg(v)(deg(v)−1)), the community-tightness readout that
     turns `graph_triangles_parts`'s raw counts into a comparable [0,1]
     score. Same basket-HOF edge build; triangles via the degree-
-    oriented wedge algorithm (O(|E|^1.5) wedge work), degrees via one
-    hash aggregate over the symmetrized edges; one broadcast-eligible
-    join stitches them. Degree-1 nodes (coefficient undefined) are
+    oriented wedge algorithm (O(|E|^1.5) wedge work); degrees come
+    from the SAME degree aggregate triangle_counts already builds for
+    orientation (`with_degrees=True`), stitched inside the op with a
+    measured broadcast — the old shape re-derived degrees with its own
+    symmetrize + aggregate and stitched with an unknown-stats
+    sort-merge join. Degree-1 nodes (coefficient undefined) are
     excluded on both engines."""
-    from hudi_utility_spark.ops.graph import symmetrize, triangle_counts
+    from hudi_utility_spark.ops.graph import triangle_counts
 
     li = load_table(spark, sf_dir, "lineitem")
     baskets = _li_baskets(spark, li)
@@ -3479,24 +3482,16 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    deg = (
-        symmetrize(pairs)
-        .groupBy(F.col("src").alias("node"))
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    tri = triangle_counts(pairs)
+    dt = triangle_counts(pairs, assume_canonical=True, with_degrees=True)
     return (
-        deg.filter(F.col("degree") >= 2)
-        .join(tri, "node", "left")
+        dt.filter(F.col("degree") >= 2)
         .select(
             "node",
             F.col("degree").cast("long").alias("degree"),
-            F.coalesce(F.col("triangles"), F.lit(0))
-            .cast("long")
-            .alias("triangles"),
+            F.col("triangles").cast("long").alias("triangles"),
             F.round(
                 2.0
-                * F.coalesce(F.col("triangles"), F.lit(0))
+                * F.col("triangles")
                 / (F.col("degree") * (F.col("degree") - 1)),
                 6,
             ).alias("clustering_coef"),
@@ -3554,7 +3549,7 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.src", "p.dst")
         .distinct()
     )
-    sym = symmetrize(pairs)
+    sym = symmetrize(pairs, assume_canonical=True)
     seeds = sym.agg(F.min("src").alias("node"))
     return bfs_hops(sym, seeds, max_hops=4).select(
         "node", F.col("dist").cast("int").alias("dist")
@@ -6246,7 +6241,7 @@ def graph_diameter_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_partkey").alias("u"), F.col("p2").alias("v"))
         .distinct()
     )
-    sym = symmetrize(pairs, "u", "v").localCheckpoint(eager=False)
+    sym = symmetrize(pairs, "u", "v", assume_canonical=True).localCheckpoint(eager=False)
     seed = sym.agg(F.min("src").alias("node"))
     d1 = bfs_hops(sym, seed, max_hops=8)
     far = (

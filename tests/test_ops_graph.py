@@ -62,6 +62,26 @@ def test_symmetrize_dedups_both_directions(spark):
     assert symmetrize(edges).count() == 2
 
 
+def test_symmetrize_assume_canonical_matches_default(spark):
+    # canonical input: distinct rows, src < dst everywhere — the flag
+    # must produce the exact same edge multiset (as a set: no dups)
+    # while skipping the dedup exchange
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5)], "src long, dst long"
+    )
+    got = sorted(
+        (r.src, r.dst)
+        for r in symmetrize(edges, assume_canonical=True).collect()
+    )
+    want = sorted((r.src, r.dst) for r in symmetrize(edges).collect())
+    assert got == want
+    # and no duplicates were emitted
+    assert len(got) == len(set(got)) == 8
+    # the fast path's plan has no aggregate (the distinct is gone)
+    plan = symmetrize(edges, assume_canonical=True)._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan
+
+
 def test_triangle_counts_known_graph(spark):
     from hudi_utility_spark.ops.graph import triangle_counts
 
