@@ -795,6 +795,7 @@ def incremental_dhash_gate(
     batch_hashes: DataFrame,
     store_hashes: DataFrame,
     max_hamming: int = 2,
+    broadcast_max_batch: int = 5_000_000,
 ) -> DataFrame:
     """Continuous-ingest near-dup gate for IMAGES — the dHash twin of
     ``ops/dedup.incremental_minhash``: a new batch of perceptual hashes
@@ -805,10 +806,20 @@ def incremental_dhash_gate(
     row with its verdict: (media_id, admitted, n_store_matches,
     n_batch_matches).
 
-    Scale: the store never rescans — only its (band_idx, band_value,
-    id) index rows join the batch's bands; both joins shuffle
-    band-key rows (~32 bytes/image), and admitted hashes append to the
-    store O(batch)."""
+    Scale: the batch hash relation is persisted and counted (it is
+    referenced five times — band explodes, both verification sides,
+    the admit join — and an unpersisted lazy plan would re-run the
+    upstream decode kernel per reference, guide §4); under the
+    measured gate every batch-derived relation rides a broadcast, so
+    the STORE side — the one relation that is data-sized — streams
+    through both its joins without ever being exchanged or built
+    (same store-stationary dispatch as `dedup.incremental_minhash`).
+    Admitted hashes append to the store O(batch)."""
+    batch_hashes = batch_hashes.persist()
+    small = batch_hashes.count() <= broadcast_max_batch
+
+    def bcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
 
     def explode_bands(df: DataFrame, idc: str) -> DataFrame:
         return df.select(
@@ -829,13 +840,13 @@ def incremental_dhash_gate(
     bb = explode_bands(batch_hashes, "b_id")
     sb = explode_bands(store_hashes, "s_id")
     store_cand = (
-        bb.join(sb, ["band_idx", "band_value"])
+        sb.join(bcast(bb), ["band_idx", "band_value"])
         .select("b_id", "s_id")
         .distinct()
     )
     ha, hs = batch_hashes.alias("ha"), store_hashes.alias("hs")
     store_matches = (
-        store_cand.join(ha, store_cand["b_id"] == F.col("ha.media_id"))
+        bcast(store_cand.join(bcast(ha), store_cand["b_id"] == F.col("ha.media_id")))
         .join(hs, store_cand["s_id"] == F.col("hs.media_id"))
         .filter(hamming("ha", "hs") <= max_hamming)
         .groupBy("b_id")
@@ -843,15 +854,15 @@ def incremental_dhash_gate(
     )
     b2 = explode_bands(batch_hashes, "b2_id")
     batch_cand = (
-        bb.join(b2, ["band_idx", "band_value"])
+        bb.join(bcast(b2), ["band_idx", "band_value"])
         .filter(F.col("b2_id") < F.col("b_id"))
         .select("b_id", "b2_id")
         .distinct()
     )
     hb = batch_hashes.alias("hb")
     batch_matches = (
-        batch_cand.join(ha, batch_cand["b_id"] == F.col("ha.media_id"))
-        .join(hb, batch_cand["b2_id"] == F.col("hb.media_id"))
+        batch_cand.join(bcast(ha), batch_cand["b_id"] == F.col("ha.media_id"))
+        .join(bcast(hb), batch_cand["b2_id"] == F.col("hb.media_id"))
         .filter(hamming("ha", "hb") <= max_hamming)
         .groupBy("b_id")
         .agg(F.count(F.lit(1)).alias("n_batch_matches"))
@@ -859,12 +870,12 @@ def incremental_dhash_gate(
     return (
         batch_hashes.select("media_id")
         .join(
-            store_matches.withColumnRenamed("b_id", "media_id"),
+            bcast(store_matches.withColumnRenamed("b_id", "media_id")),
             "media_id",
             "left",
         )
         .join(
-            batch_matches.withColumnRenamed("b_id", "media_id"),
+            bcast(batch_matches.withColumnRenamed("b_id", "media_id")),
             "media_id",
             "left",
         )

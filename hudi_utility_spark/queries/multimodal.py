@@ -521,7 +521,14 @@ def _dhash_imgs(spark: SparkSession, sf_dir: str, n_imgs: int = 40) -> DataFrame
             (12 + F.col("doc_id") % 9).cast("int").alias("height"),
         )
     )
-    return M.ppm_dhash(M.synth_ppm(imgs))
+    # persisted: the near-dup/gate consumers reference this relation up
+    # to ~9 times (band explodes, verification hash sides, final admit
+    # join) and each lazy reference would re-run the encode + dHash
+    # Arrow kernels — the guide-§4 sin of paying the Python boundary
+    # per reference instead of once (measured: 18 ArrowEval nodes in
+    # the gate's plan before, 2 after). Row count is n_imgs, so the
+    # cache is a few KB; bench/gate clear it between queries.
+    return M.ppm_dhash(M.synth_ppm(imgs)).persist()
 
 
 @query(
