@@ -2770,26 +2770,33 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a heavy-tailed slope near -2..-3 says scale-free; a cliff says the
     pair explosion is basket-bounded as designed). One degree
     aggregate, a bin-sized histogram, and the slope from sufficient
-    stats over the handful of bins."""
+    stats over the handful of bins. Edges ride the shared basket-HOF
+    build (map-side i<j explode — the old items self-join scanned
+    lineitem per side and the degree union re-executed the whole join
+    once per direction: 8 scans where one suffices, guide §1.2); each
+    canonical pair contributes one count to each endpoint via a single
+    2-element explode, so the pair relation is referenced exactly
+    once."""
     from pyspark.sql import functions as F
 
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
+    baskets = _li_baskets(spark, li)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
     co = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.pa", "p.pb")
         .distinct()
     )
     deg = (
-        co.select(F.col("pa").alias("node"))
-        .unionAll(co.select(F.col("pb").alias("node")))
+        co.select(F.explode(F.array("pa", "pb")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
@@ -6233,12 +6240,22 @@ def graph_diameter_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hudi_utility_spark.ops.graph import bfs_hops, symmetrize
 
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("p2"))
+    baskets = _li_baskets(spark, li)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    # same distinct canonical pair set as the old items self-join (both
+    # enumerate i<j part pairs within an order), built map-side from
+    # ONE lineitem scan instead of a two-scan self-join (guide §1.2)
     pairs = (
-        items.join(b, "l_orderkey")
-        .filter(F.col("l_partkey") < F.col("p2"))
-        .select(F.col("l_partkey").alias("u"), F.col("p2").alias("v"))
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.u", "p.v")
         .distinct()
     )
     sym = symmetrize(pairs, "u", "v", assume_canonical=True).localCheckpoint(eager=False)

@@ -2705,45 +2705,82 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     per edge — the whole-schema generalization of `j1_missing_partitions`'
     single-edge anti-join, and the first gate a 100 TB ingest should
     run after `dq_constraint_report`'s single-table checks. Each edge
-    is ONE left-anti join: dimension parents (region/nation/customer/
-    supplier/part) broadcast; the lineitem->orders edge is the one
-    genuine shuffle and AQE plans it. NULL FKs are not orphans
-    (SQL FK semantics) — counted in child_rows, excluded from
-    orphan_rows."""
-    edges = [
-        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
-        ("lineitem", "l_partkey", "part", "p_partkey"),
-        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
-        ("orders", "o_custkey", "customer", "c_custkey"),
-        ("customer", "c_nationkey", "nation", "n_nationkey"),
-        ("supplier", "s_nationkey", "nation", "n_nationkey"),
-        ("nation", "n_regionkey", "region", "r_regionkey"),
+    is resolved by a LEFT join against its (unique-PK) parent, so every
+    child table is scanned ONCE for ALL of its edges — lineitem's three
+    FK probes ride one scan + one aggregate (the old per-edge anti-join
+    + separate child count scanned lineitem six times; guide §1.2:
+    don't re-read what one pass can answer). Dimension parents
+    (region/nation/customer/supplier/part) broadcast; the
+    lineitem->orders edge is the one genuine shuffle and AQE plans it.
+    A PK-unique parent makes the left join row-preserving, so
+    child_rows = COUNT(fk IS NOT NULL) and orphan_rows = COUNT(fk IS
+    NOT NULL AND pk IS NULL) — exactly the old anti-join + count pair.
+    NULL FKs are not orphans (SQL FK semantics) — counted in
+    child_rows, excluded from orphan_rows."""
+    # (child, [(fk, parent, pk, parent_is_broadcast)]) — one entry per
+    # child table, covering all of its outgoing FK edges in one scan
+    children = [
+        (
+            "lineitem",
+            [
+                ("l_orderkey", "orders", "o_orderkey", False),
+                ("l_partkey", "part", "p_partkey", True),
+                ("l_suppkey", "supplier", "s_suppkey", True),
+            ],
+        ),
+        ("orders", [("o_custkey", "customer", "c_custkey", True)]),
+        ("customer", [("c_nationkey", "nation", "n_nationkey", True)]),
+        ("supplier", [("s_nationkey", "nation", "n_nationkey", True)]),
+        ("nation", [("n_regionkey", "region", "r_regionkey", True)]),
     ]
-    big_parents = {"orders"}
     out = None
-    for child, fk, parent, pk in edges:
-        c = load_table(spark, sf_dir, child).filter(
-            F.col(fk).isNotNull()
-        ).select(F.col(fk).alias("k"))
-        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("k"))
-        if parent not in big_parents:
-            p = F.broadcast(p)
-        row = (
-            c.join(p, "k", "left_anti")
-            .agg(F.count(F.lit(1)).alias("orphan_rows"))
-            .crossJoin(
-                F.broadcast(
-                    c.agg(F.count(F.lit(1)).alias("child_rows"))
-                )
-            )
-            .select(
-                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("fk_edge"),
-                "child_rows",
-                "orphan_rows",
-                (F.col("orphan_rows") == 0).alias("ok"),
-            )
+    for child, fk_edges in children:
+        j = load_table(spark, sf_dir, child).select(
+            *[F.col(fk) for fk, _, _, _ in fk_edges]
         )
-        out = row if out is None else out.unionByName(row)
+        for fk, parent, pk, small in fk_edges:
+            p = load_table(spark, sf_dir, parent).select(
+                F.col(pk).alias(f"_pk_{fk}")
+            )
+            if small:
+                p = F.broadcast(p)
+            j = j.join(p, F.col(fk) == F.col(f"_pk_{fk}"), "left")
+        aggs = []
+        for fk, parent, pk, _ in fk_edges:
+            aggs.append(
+                F.count(F.when(F.col(fk).isNotNull(), 1)).alias(f"_cr_{fk}")
+            )
+            aggs.append(
+                F.count(
+                    F.when(
+                        F.col(fk).isNotNull()
+                        & F.col(f"_pk_{fk}").isNull(),
+                        1,
+                    )
+                ).alias(f"_or_{fk}")
+            )
+        one = j.agg(*aggs)
+        # all of this child's edge rows explode out of the ONE 1-row
+        # aggregate (per-edge .select()s would re-embed — and re-run —
+        # the aggregate subtree once per edge)
+        rows = one.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(f"{child}.{fk}->{parent}.{pk}").alias(
+                                "fk_edge"
+                            ),
+                            F.col(f"_cr_{fk}").alias("child_rows"),
+                            F.col(f"_or_{fk}").alias("orphan_rows"),
+                            (F.col(f"_or_{fk}") == 0).alias("ok"),
+                        )
+                        for fk, parent, pk, _ in fk_edges
+                    ]
+                )
+            ).alias("e")
+        ).select("e.*")
+        out = rows if out is None else out.unionByName(rows)
     return out
 
 
