@@ -1509,38 +1509,61 @@ def naive_bayes_langid(
     train_toks = train.select(
         "label", F.explode("ws").alias("w")
     ).filter(F.col("w") != "")
+    # ONE training explode: the (label, w) count relation is persisted
+    # and every other model statistic re-aggregates it — per-label
+    # token totals are Σc over the counts (provably n_l), vocabulary
+    # size is its distinct w — where the old plan re-exploded the train
+    # half once per statistic (3 corpus passes; guide §1.2). Only
+    # INTEGER counts are collected; the log/division arithmetic stays
+    # the same Spark expression over literal integers, so per-row
+    # doubles are bit-identical (the change-4 literal-model
+    # discipline).
     counts = train_toks.groupBy("label", "w").agg(
         F.count(F.lit(1)).alias("c")
-    )
-    nl = train_toks.groupBy("label").agg(F.count(F.lit(1)).alias("n_l"))
-    vocab = train_toks.agg(
-        F.count_distinct("w").cast("double").alias("v")
-    )
-    tot_docs = train.count()
-    priors = train.groupBy("label").agg(
-        F.log(F.count(F.lit(1)) / F.lit(float(tot_docs))).alias("prior")
-    )
-    lang_stats = (
-        priors.join(nl, "label")
-        .crossJoin(F.broadcast(vocab))
-        .select("label", "prior", (F.col("n_l") + F.col("v")).alias("den"))
+    ).persist()
+    nl_rows = {
+        r["label"]: r["n_l"]
+        for r in counts.groupBy("label")
+        .agg(F.sum("c").alias("n_l"))
+        .collect()
+    }
+    n_model = counts.count()  # cache scan; the scoring-join gate
+    v = counts.agg(F.count_distinct("w")).collect()[0][0]
+    doc_rows = train.groupBy("label").agg(
+        F.count(F.lit(1)).alias("nd")
+    ).collect()
+    tot_docs = sum(r["nd"] for r in doc_rows)
+    # inner-join semantics of the old priors ⋈ nl: labels with zero
+    # train tokens (or NULL labels, which a SQL equi-join drops) never
+    # reach lang_stats
+    stats_rows = [
+        (r["label"], r["nd"], nl_rows[r["label"]])
+        for r in doc_rows
+        if r["label"] is not None and r["label"] in nl_rows
+    ]
+    lang_stats = df.sparkSession.createDataFrame(
+        stats_rows, "label string, nd long, n_l long"
+    ).select(
+        "label",
+        F.log(F.col("nd") / F.lit(float(tot_docs))).alias("prior"),
+        (F.col("n_l") + F.lit(float(v)).cast("double")).alias("den"),
     )
     test_toks = test.select(
         "doc",
         F.col("label").alias("true_lang"),
         F.explode("ws").alias("w"),
     ).filter(F.col("w") != "")
+    model = counts.select(F.col("label").alias("cand"), "w", "c")
+    if n_model <= 20_000_000:
+        # measured dispatch (the persisted counts' row count is known):
+        # the vocabulary-sized model broadcasts and the test-token side
+        # never shuffles for the scoring join (guide §3.1)
+        model = F.broadcast(model)
     scored = (
         test_toks.crossJoin(
             F.broadcast(lang_stats.select(F.col("label").alias("cand"), "prior", "den"))
         )
-        .join(
-            counts.select(
-                F.col("label").alias("cand"), "w", "c"
-            ),
-            ["cand", "w"],
-            "left",
-        )
+        .join(model, ["cand", "w"], "left")
         .groupBy("doc", "true_lang", "cand")
         .agg(
             (
