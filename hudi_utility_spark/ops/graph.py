@@ -274,17 +274,22 @@ def triangle_counts(
     # the exchange on bytes and would coalesce it to a few tasks)
     from hudi_utility_spark.ops import widen_for_compute
 
+    # the (db, b) struct exists only to SORT by the orientation order;
+    # project the array down to bare b's before the O(outdeg²) slice/
+    # transform below, so the quadratic pass copies long arrays instead
+    # of struct arrays (same b sequence — the projection preserves the
+    # sorted order)
     nbrs = widen_for_compute(
         oriented.groupBy("a").agg(
-            F.sort_array(F.collect_list(F.struct("db", "b"))).alias("ns")
+            F.sort_array(F.collect_list(F.struct("db", "b"))).alias("ns0")
         )
-    )
+    ).select("a", F.transform(F.col("ns0"), lambda x: x["b"]).alias("ns"))
     wedge_structs = F.flatten(
         F.transform(
             F.col("ns"),
             lambda x, i: F.transform(
                 F.slice(F.col("ns"), i + F.lit(2), F.size(F.col("ns"))),
-                lambda y: F.struct(x["b"].alias("b"), y["b"].alias("c")),
+                lambda y: F.struct(x.alias("b"), y.alias("c")),
             ),
         )
     )
