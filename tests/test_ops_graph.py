@@ -96,6 +96,35 @@ def test_triangle_counts_known_graph(spark):
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
 
 
+def test_triangle_counts_canonical_and_degrees_match_default(spark):
+    from hudi_utility_spark.ops.graph import triangle_counts
+
+    # K4 + pendant 5-1 + isolated edge 6-7, ALREADY canonical (distinct,
+    # src < dst, no self-loops): the fast path must agree with the
+    # canonicalizing default, and with_degrees must report the plain
+    # undirected degree with triangles zero-filled for every node
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5), (6, 7)],
+        "src long, dst long",
+    )
+    base = {r.node: r.triangles for r in triangle_counts(edges).collect()}
+    fast = {
+        r.node: r.triangles
+        for r in triangle_counts(edges, assume_canonical=True).collect()
+    }
+    assert fast == base == {1: 3, 2: 3, 3: 3, 4: 3}
+    wd = {
+        r.node: (r.degree, r.triangles)
+        for r in triangle_counts(
+            edges, assume_canonical=True, with_degrees=True
+        ).collect()
+    }
+    assert wd == {
+        1: (4, 3), 2: (3, 3), 3: (3, 3), 4: (3, 3),
+        5: (1, 0), 6: (1, 0), 7: (1, 0),
+    }
+
+
 def test_triangle_counts_matches_bruteforce(spark):
     from itertools import combinations
 
