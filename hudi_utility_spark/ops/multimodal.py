@@ -807,13 +807,17 @@ def incremental_dhash_gate(
     n_batch_matches).
 
     Scale: the batch hash relation is persisted and counted (it is
-    referenced five times — band explodes, both verification sides,
-    the admit join — and an unpersisted lazy plan would re-run the
+    referenced four times — two band explodes, the self-probe, the
+    admit join — and an unpersisted lazy plan would re-run the
     upstream decode kernel per reference, guide §4); under the
-    measured gate every batch-derived relation rides a broadcast, so
-    the STORE side — the one relation that is data-sized — streams
-    through both its joins without ever being exchanged or built
-    (same store-stationary dispatch as `dedup.incremental_minhash`).
+    measured gate every batch-derived relation rides a broadcast, and
+    every broadcast relation is PROVABLY batch-bounded (≤ 4·|batch|
+    band rows or a per-batch-id aggregate): the hamming check runs
+    directly on the band-collision join via carried hash columns, so
+    no candidate-pair-sized relation is built or broadcast, and the
+    STORE side — the one relation that is data-sized — streams through
+    its single join without ever being exchanged or built (same
+    store-stationary dispatch as `dedup.incremental_minhash`).
     Admitted hashes append to the store O(batch)."""
     batch_hashes = batch_hashes.persist()
     small = batch_hashes.count() <= broadcast_max_batch
@@ -821,9 +825,17 @@ def incremental_dhash_gate(
     def bcast(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small else df
 
-    def explode_bands(df: DataFrame, idc: str) -> DataFrame:
+    def explode_bands(df: DataFrame, pre: str) -> DataFrame:
+        # band explode that CARRIES the full 4-band hash alongside each
+        # band row (map-only projection): the hamming verification can
+        # then run directly on the band-collision join output, so no
+        # candidate-pair relation is ever built, deduplicated, or —
+        # the r12 ADVICE hazard — broadcast (the old shape broadcast
+        # store_cand⋈ha, a candidate-pair-sized relation a skewed band
+        # value could blow past any batch-count gate).
         return df.select(
-            F.col("media_id").alias(idc),
+            F.col("media_id").alias(f"{pre}_id"),
+            *[F.col(f"band{k}").alias(f"{pre}_band{k}") for k in range(4)],
             F.posexplode(F.array("band0", "band1", "band2", "band3")).alias(
                 "band_idx", "band_value"
             ),
@@ -832,40 +844,32 @@ def incremental_dhash_gate(
     def hamming(a: str, b: str):
         return sum(
             F.bit_count(
-                F.col(f"{a}.band{k}").bitwiseXOR(F.col(f"{b}.band{k}"))
+                F.col(f"{a}_band{k}").bitwiseXOR(F.col(f"{b}_band{k}"))
             )
             for k in range(4)
         )
 
-    bb = explode_bands(batch_hashes, "b_id")
-    sb = explode_bands(store_hashes, "s_id")
-    store_cand = (
-        sb.join(bcast(bb), ["band_idx", "band_value"])
-        .select("b_id", "s_id")
-        .distinct()
-    )
-    ha, hs = batch_hashes.alias("ha"), store_hashes.alias("hs")
+    bexp = explode_bands(batch_hashes, "b")
+    sexp = explode_bands(store_hashes, "s")
+    # store probe: exploded store (map-only) ⋈ broadcast(exploded batch)
+    # on band equality, hamming verified in place, then one partial-
+    # aggregated countDistinct over the verified matches — the store is
+    # never exchanged, built, or joined twice, and only provably
+    # batch-bounded relations ride broadcasts (bexp ≤ 4·|batch| rows).
     store_matches = (
-        bcast(store_cand.join(bcast(ha), store_cand["b_id"] == F.col("ha.media_id")))
-        .join(hs, store_cand["s_id"] == F.col("hs.media_id"))
-        .filter(hamming("ha", "hs") <= max_hamming)
+        sexp.join(bcast(bexp), ["band_idx", "band_value"])
+        .filter(hamming("b", "s") <= max_hamming)
         .groupBy("b_id")
-        .agg(F.count(F.lit(1)).alias("n_store_matches"))
+        .agg(F.countDistinct("s_id").alias("n_store_matches"))
     )
-    b2 = explode_bands(batch_hashes, "b2_id")
-    batch_cand = (
-        bb.join(bcast(b2), ["band_idx", "band_value"])
-        .filter(F.col("b2_id") < F.col("b_id"))
-        .select("b_id", "b2_id")
-        .distinct()
-    )
-    hb = batch_hashes.alias("hb")
+    b2exp = explode_bands(batch_hashes, "c")
     batch_matches = (
-        batch_cand.join(bcast(ha), batch_cand["b_id"] == F.col("ha.media_id"))
-        .join(bcast(hb), batch_cand["b2_id"] == F.col("hb.media_id"))
-        .filter(hamming("ha", "hb") <= max_hamming)
+        bexp.join(bcast(b2exp), ["band_idx", "band_value"])
+        .filter(
+            (F.col("c_id") < F.col("b_id")) & (hamming("b", "c") <= max_hamming)
+        )
         .groupBy("b_id")
-        .agg(F.count(F.lit(1)).alias("n_batch_matches"))
+        .agg(F.countDistinct("c_id").alias("n_batch_matches"))
     )
     return (
         batch_hashes.select("media_id")

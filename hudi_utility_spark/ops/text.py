@@ -1541,8 +1541,20 @@ def naive_bayes_langid(
         for r in doc_rows
         if r["label"] is not None and r["label"] in nl_rows
     ]
+    # schema derived from the INPUT label column's native type (r12
+    # ADVICE #3): a non-string label_col must round-trip unchanged so
+    # the cand/true_lang comparison types match the all-Spark plan
+    from pyspark.sql import types as _T
+
+    _stats_schema = _T.StructType(
+        [
+            _T.StructField("label", df.schema[label_col].dataType, True),
+            _T.StructField("nd", _T.LongType(), False),
+            _T.StructField("n_l", _T.LongType(), False),
+        ]
+    )
     lang_stats = df.sparkSession.createDataFrame(
-        stats_rows, "label string, nd long, n_l long"
+        stats_rows, _stats_schema
     ).select(
         "label",
         F.log(F.col("nd") / F.lit(float(tot_docs))).alias("prior"),

@@ -42,6 +42,49 @@ def record_phase(name: str, phase: str, seconds: float) -> None:
     PHASES.setdefault(name, {})[phase] = round(seconds, 3)
 
 
+def forensic_return(name: str, spark: SparkSession, out: DataFrame,
+                    row_cap: int = 600) -> DataFrame:
+    """Driver-red forensics (the er_sorted_neighborhood pattern, VERDICT
+    r12 ask #1): materialize *out* once, print an environment stamp, an
+    order-independent row digest, and — when the result is small — every
+    row to stderr, then return the collected rows verbatim. The printed
+    rows ARE what the driver hashes, so a session red names the exact
+    differing values instead of an opaque hash mismatch. Only for
+    queries whose output is bounded enough to collect at any SF (the
+    callers are grouped-by-small-domain aggregates or per-document
+    metadata ≤ O(10k) slim rows)."""
+    import hashlib as _hl
+    import sys as _sys
+
+    import pyspark as _pyspark
+
+    rows = out.collect()
+    lines = [
+        "|".join("NULL" if v is None else str(v) for v in r) for r in rows
+    ]
+    digest = _hl.sha256("\n".join(sorted(lines)).encode()).hexdigest()[:16]
+    try:
+        import duckdb as _duckdb
+
+        _dk = _duckdb.__version__
+    except Exception:  # pragma: no cover - duckdb optional at runtime
+        _dk = "?"
+    try:
+        import numpy as _np
+
+        _npv = _np.__version__
+    except Exception:  # pragma: no cover
+        _npv = "?"
+    msg = (
+        f"{name} env: pyspark={_pyspark.__version__} duckdb={_dk} "
+        f"numpy={_npv} digest={digest} n={len(rows)}"
+    )
+    if len(rows) <= row_cap:
+        msg += " rows=" + ";".join(lines)
+    print(msg, file=_sys.stderr)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def query(name: str, oracle: str | None = None, sequential: bool = False):
     """Register a query under *name*, with an optional DuckDB oracle.
 

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hudi_utility_spark.ops import multimodal as M
-from hudi_utility_spark.queries import query
+from hudi_utility_spark.queries import forensic_return, query
 from hudi_utility_spark.tables import load_table
 
 
@@ -157,7 +157,7 @@ def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(50) + h % 200).alias("n_samples"),
     )
     wav = M.synth_wav(params)
-    return M.decode_wav_meta(wav).select(
+    out = M.decode_wav_meta(wav).select(
         "media_id",
         "sample_rate",
         "channels",
@@ -166,6 +166,11 @@ def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_ms",
         "pcm_sum",
     )
+    # r12 first-draw driver red on untouched all-integer code (rows and
+    # schema matched, hash didn't) — print env + per-row values so the
+    # next driver transcript names the exact drift. Output is one slim
+    # row per document (500 at the correctness SFs, 5000 at sf0.1).
+    return forensic_return("mm_wav_decode", spark, out)
 
 
 @query(
@@ -344,7 +349,7 @@ def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(50) + h % 200).alias("n_samples"),
     )
     decoded = M.decode_wav_meta(M.synth_wav(params))
-    return decoded.groupBy("sample_rate").agg(
+    out = decoded.groupBy("sample_rate").agg(
         F.count(F.lit(1)).alias("n_files"),
         F.sum("duration_ms").alias("total_ms"),
         F.sum(F.col("n_samples") * F.col("channels")).alias("total_samples"),
@@ -352,6 +357,9 @@ def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stereo_files"
         ),
     )
+    # r12 first-draw driver red (all-integer aggregate, rows/schema
+    # matched) — same forensics as mm_wav_decode; ≤5 rows at any SF.
+    return forensic_return("mm_audio_stats", spark, out)
 
 
 @query(

@@ -2739,8 +2739,16 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.col(fk) for fk, _, _, _ in fk_edges]
         )
         for fk, parent, pk, small in fk_edges:
-            p = load_table(spark, sf_dir, parent).select(
-                F.col(pk).alias(f"_pk_{fk}")
+            # the left join is row-preserving ONLY under a unique parent
+            # PK; a duplicate parent key (itself the defect class this
+            # family exists to catch) would silently inflate every count
+            # for this child. distinct() enforces the invariant — free
+            # for the broadcast dimensions, one keys-only aggregate for
+            # orders (r12 ADVICE #2).
+            p = (
+                load_table(spark, sf_dir, parent)
+                .select(F.col(pk).alias(f"_pk_{fk}"))
+                .distinct()
             )
             if small:
                 p = F.broadcast(p)

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hudi_utility_spark.queries import query
+from hudi_utility_spark.queries import forensic_return, query
 from hudi_utility_spark.tables import load_table
 
 
@@ -34,8 +34,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS cnt,
            SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-           ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS sum_v0,
-           ROUND(SUM(CAST(value * 2 AS DECIMAL(18,4))), 2) AS sum_v1
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2)
+                AS DECIMAL(18,2)) AS sum_v0,
+           CAST(ROUND(SUM(CAST(value * 2 AS DECIMAL(18,4))), 2)
+                AS DECIMAL(18,2)) AS sum_v1
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -62,7 +64,7 @@ def variant_extract_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     v = ev.select(F.parse_json(envelope).alias("v"))
-    return (
+    out = (
         v.select(
             F.variant_get("v", "$.meta.type", "string").alias("event_type"),
             F.variant_get("v", "$.meta.k", "bigint").alias("k"),
@@ -73,11 +75,22 @@ def variant_extract_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.sum("k").alias("sum_k"),
-            F.round(F.sum(F.col("v0").cast("decimal(18,4)")), 2).alias("sum_v0"),
-            F.round(F.sum(F.col("v1").cast("decimal(18,4)")), 2).alias("sum_v1"),
+            # explicit DECIMAL(18,2) on BOTH sides: the round keeps the
+            # value, the cast pins the *rendered scale* — a DuckDB
+            # version whose ROUND(DECIMAL, 2) keeps the input scale
+            # would otherwise print '10310.7100' against Spark's
+            # '10310.71' and hash apart on equal values (the r12
+            # first-draw-red signature: rows/schema match, hash not)
+            F.round(F.sum(F.col("v0").cast("decimal(18,4)")), 2)
+            .cast("decimal(18,2)")
+            .alias("sum_v0"),
+            F.round(F.sum(F.col("v1").cast("decimal(18,4)")), 2)
+            .cast("decimal(18,2)")
+            .alias("sum_v1"),
         )
         .orderBy("event_type")
     )
+    return forensic_return("variant_extract_profile", spark, out)
 
 
 @query(
