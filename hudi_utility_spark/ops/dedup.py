@@ -248,9 +248,29 @@ def jaccard_pairs(
         )
         prefix = ranked.filter(
             F.col("rn") <= F.greatest(prefix_len, F.lit(1))
-        ).select("id", "shingle", "set_size")
+        ).select("id", "shingle", "set_size", "rn")
 
         a, b = prefix.alias("a"), prefix.alias("b")
+        # PPJoin+ positional filter (Xiao et al. §4): a shared prefix
+        # shingle at ranks (rn_a, rn_b) bounds the overlap by
+        # 1 + min(|A|−rn_a, |B|−rn_b) — the global (df, shingle) order
+        # is shared, so every other common shingle ranks after it in
+        # BOTH sets. J ≥ t needs overlap ≥ t/(1+t)·(|A|+|B|); collision
+        # rows whose bound can't reach that are dropped BEFORE the pair
+        # dedup shuffle. Exact: for the pair's globally-first common
+        # shingle the bound is valid, and later collisions only have
+        # smaller bounds, so a surviving pair always keeps ≥1 row (the
+        # 1e-9 slack keeps float rounding from pruning an exact-boundary
+        # pair; verification recomputes exact jaccard anyway).
+        pos_bound = F.lit(1) + F.least(
+            F.col("a.set_size") - F.col("a.rn"),
+            F.col("b.set_size") - F.col("b.rn"),
+        )
+        need = (
+            F.lit(threshold)
+            * (F.col("a.set_size") + F.col("b.set_size"))
+            / F.lit(1.0 + threshold)
+        )
         return (
             a.join(
                 b,
@@ -258,7 +278,8 @@ def jaccard_pairs(
                 & (F.col("a.id") < F.col("b.id"))
                 # length filter: J ≥ t forces t·|A| ≤ |B| ≤ |A|/t
                 & (F.col("b.set_size") * F.lit(threshold) <= F.col("a.set_size"))
-                & (F.col("a.set_size") * F.lit(threshold) <= F.col("b.set_size")),
+                & (F.col("a.set_size") * F.lit(threshold) <= F.col("b.set_size"))
+                & (pos_bound >= need - F.lit(1e-9)),
             )
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"])
@@ -304,6 +325,15 @@ def jaccard_pairs(
         )
         n_groups = groups.count()
         if n_groups <= max_allpairs_groups:
+            # the returned plan reads only the now-materialized `groups`
+            # cache: sh and dfreq have no remaining consumers on this
+            # branch, so drop them immediately instead of leaving two
+            # corpus-scale cached relations pinned until the caller
+            # clears (r12 driver-measured 32-core regression suspect;
+            # r12 ADVICE #4 cache-leak note). Eviction of a `groups`
+            # block would merely recompute through the lineage.
+            sh.unpersist()
+            dfreq.unpersist()
             common = sum(
                 (
                     F.bit_count(F.col(f"wa{i}").bitwiseAND(F.col(f"wb{i}")))
@@ -931,6 +961,10 @@ def containment_pairs(
     `jaccard_pairs` — clear after materializing."""
     sh = _shingles(df, id_col, text_col, n).select("id", "shingle").persist()
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # ranked feeds BOTH candidate sides now (A prefixes + the full
+    # B index with positions for the PPJoin+ positional filter below);
+    # persist so the df-join + windows run once, not once per side.
+    # Same caller-clears-cache lifetime contract as `sh`.
     ranked = (
         sh.join(dfreq, "shingle")
         .withColumn(
@@ -940,19 +974,37 @@ def containment_pairs(
             ),
         )
         .withColumn("set_size", F.count(F.lit(1)).over(Window.partitionBy("id")))
+        .persist()
     )
     prefix_len = (
         F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
     )
     prefix = ranked.filter(F.col("rn") <= F.greatest(prefix_len, F.lit(1))).select(
-        "id", "shingle"
+        "id", "shingle", "set_size", "rn"
+    )
+    # PPJoin+ positional filter, asymmetric form: a common shingle at
+    # ranks (rn_a, rn_b) in the shared global (df, shingle) order bounds
+    # |A∩B| by 1 + min(|A|−rn_a, |B|−rn_b); C(A→B) ≥ t needs
+    # |A∩B| ≥ ⌈t·|A|⌉. Collision rows that cannot reach the bound are
+    # dropped BEFORE the pair-dedup shuffle; exact because the pair's
+    # globally-first common shingle always sits in A's prefix for a
+    # qualifying pair and carries the maximal bound (the 1e-9 slack
+    # guards float rounding at the boundary; verification recomputes
+    # exact containment anyway).
+    pos_bound = F.lit(1) + F.least(
+        F.col("a.set_size") - F.col("a.rn"),
+        F.col("b.set_size") - F.col("b.rn"),
     )
     cand = (
         prefix.alias("a")
         .join(
-            sh.alias("b"),
+            ranked.select("id", "shingle", "set_size", "rn").alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") != F.col("b.id")),
+            & (F.col("a.id") != F.col("b.id"))
+            & (
+                pos_bound
+                >= F.lit(threshold) * F.col("a.set_size") - F.lit(1e-9)
+            ),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])

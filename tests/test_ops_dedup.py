@@ -39,6 +39,40 @@ def test_jaccard_known_sets_sparse_path(spark):
     assert got == {(1, 2): 0.6}
 
 
+def test_jaccard_positional_filter_keeps_exact_boundary_pair(spark):
+    """PPJoin+ positional filter (r13): a pair sitting EXACTLY at the
+    threshold (J = 3/5 at t = 0.6 → required overlap t/(1+t)·(|A|+|B|)
+    = 3 exactly) must survive the collision-row pruning on the
+    open-vocab path — the float-slack guard, pinned."""
+    df = _docs(
+        spark,
+        [(1, "a b c d"), (2, "a b c e"), (3, "p q r s t u v w")],
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_pairs(
+            df, n=1, threshold=0.6, max_dense_vocab=0
+        ).collect()
+    }
+    assert got == {(1, 2): 0.6}
+
+
+def test_containment_positional_filter_keeps_exact_boundary_pair(spark):
+    """Asymmetric positional filter: C(A→B) = 4/5 exactly at t = 0.8
+    (required overlap ⌈t·|A|⌉ = 4) must survive the pruning."""
+    from hudi_utility_spark.ops.dedup import containment_pairs
+
+    df = _docs(
+        spark,
+        [(1, "a b c d e"), (2, "a b c d x y z w q"), (3, "m n o")],
+    )
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(df, n=1, threshold=0.8).collect()
+    }
+    assert got == {(1, 2): 0.8}
+
+
 def test_jaccard_paths_agree_on_corpus(spark, documents):
     dense = D.jaccard_pairs(documents, n=1, threshold=0.8)
     sparse = D.jaccard_pairs(documents, n=1, threshold=0.8, max_dense_vocab=0)
