@@ -42,6 +42,29 @@ def record_phase(name: str, phase: str, seconds: float) -> None:
     PHASES.setdefault(name, {})[phase] = round(seconds, 3)
 
 
+def scratch_base() -> str:
+    """Root for the query layer's PER-RUN scratch (replay input slices,
+    streaming checkpoints, lifecycle/table round-trip copies). Ephemeral
+    BY CONSTRUCTION: every query rmtree's and rewrites its own subdir on
+    each invocation, so nothing is ever reused across runs. Defaults to
+    tmpfs (/dev/shm) when present — streaming state-store commits fsync
+    one delta file per store instance per micro-batch, and table
+    round-trips pay write+read latency on the scratch medium; on this
+    sandbox's ext4 /tmp those fsyncs are ~half the stream-replay wall
+    (guide §6 — measured: the 4-batch stream-stream interval join
+    ~14-16 s on /tmp vs 7-9 s on tmpfs, same plan, same results). On a
+    real cluster the equivalents live on fast local disks (scratch) or
+    durable shared storage (checkpoints) — point SPARK_GRAFT_SCRATCH
+    anywhere to override."""
+    import os as _os
+    import tempfile as _tempfile
+
+    env = _os.environ.get("SPARK_GRAFT_SCRATCH")
+    if env:
+        return env
+    return "/dev/shm" if _os.path.isdir("/dev/shm") else _tempfile.gettempdir()
+
+
 def forensic_return(name: str, spark: SparkSession, out: DataFrame,
                     row_cap: int = 600) -> DataFrame:
     """Driver-red forensics (the er_sorted_neighborhood pattern, VERDICT

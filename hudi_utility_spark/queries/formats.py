@@ -15,13 +15,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hudi_utility_spark.io import read_source
-from hudi_utility_spark.queries import query
+from hudi_utility_spark.queries import query, scratch_base
 from hudi_utility_spark.tables import load_table
 
 
 def _scratch(sf_dir: str, name: str) -> str:
     root = os.path.join(
-        tempfile.gettempdir(),
+        scratch_base(),
         "hudi_utility_spark_q",
         f"{name}_{os.path.basename(sf_dir.rstrip('/'))}",
     )

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hudi_utility_spark.ops import multimodal as M
-from hudi_utility_spark.queries import forensic_return, query
+from hudi_utility_spark.queries import forensic_return, query, scratch_base
 from hudi_utility_spark.tables import load_table
 
 
@@ -91,7 +91,7 @@ def mm_binaryfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same objects byte-identically instead of leaking a fresh
     # corpus-sized directory per invocation
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    out_dir = os.path.join(tempfile.gettempdir(), f"mm_binfiles_{tag}")
+    out_dir = os.path.join(scratch_base(), f"mm_binfiles_{tag}")
     M.export_binary_files(media, out_dir)
     files = M.read_binary_files(spark, out_dir, glob="*.bin")
     return files.select(

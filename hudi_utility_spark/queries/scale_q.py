@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hudi_utility_spark.ops.skew import key_histogram, salted_join
-from hudi_utility_spark.queries import query
+from hudi_utility_spark.queries import query, scratch_base
 from hudi_utility_spark.tables import load_table
 
 
@@ -138,7 +138,7 @@ def index_file_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hudi_utility_spark.write import write_sorted_partitioned
 
     root = os.path.join(
-        tempfile.gettempdir(),
+        scratch_base(),
         "hudi_utility_spark_q",
         f"idx_skip_{os.path.basename(sf_dir.rstrip('/'))}",
     )
@@ -194,7 +194,7 @@ def index_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hudi_utility_spark.write import upsert
 
     root = os.path.join(
-        tempfile.gettempdir(),
+        scratch_base(),
         "hudi_utility_spark_q",
         f"idx_point_{os.path.basename(sf_dir.rstrip('/'))}",
     )
@@ -248,7 +248,7 @@ def index_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hudi_utility_spark.write import upsert
 
     root = os.path.join(
-        tempfile.gettempdir(),
+        scratch_base(),
         "hudi_utility_spark_q",
         f"idx_bloom_{os.path.basename(sf_dir.rstrip('/'))}",
     )
@@ -301,7 +301,7 @@ def zorder_two_dim_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hudi_utility_spark.write import write_zordered
 
     root = os.path.join(
-        tempfile.gettempdir(),
+        scratch_base(),
         "hudi_utility_spark_q",
         f"zorder_{os.path.basename(sf_dir.rstrip('/'))}",
     )
@@ -340,7 +340,7 @@ def index_secondary_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hudi_utility_spark.write import upsert
 
     root = os.path.join(
-        tempfile.gettempdir(),
+        scratch_base(),
         "hudi_utility_spark_q",
         f"idx_secondary_{os.path.basename(sf_dir.rstrip('/'))}",
     )

@@ -6,12 +6,13 @@ exercised in tests/test_streaming.py with real readStream/watermarks).
 
 from __future__ import annotations
 
+import os as _os
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hudi_utility_spark.queries import query
+from hudi_utility_spark.queries import query, scratch_base
 from hudi_utility_spark.streaming.windows import (
     session_windows_batch,
     sliding_counts,
@@ -19,6 +20,43 @@ from hudi_utility_spark.streaming.windows import (
 )
 from hudi_utility_spark.tables import load_table
 from hudi_utility_spark.tsutil import us
+
+
+# per-run scratch root (tmpfs default; SPARK_GRAFT_SCRATCH overrides) —
+# shared with the lifecycle/format/timeline scratch users
+_scratch_base = scratch_base
+
+
+def _replay_width(root: str) -> int:
+    """State-store width for the JVM-only stateful replays (watermark
+    agg, stream-stream join, streaming dedup), derived from the replay
+    input's MEASURED byte size instead of a constant (guide §2: a width
+    tuned for one SF ruins the other — measured on tmpfs, isolated warm
+    medians: at sf0.01 the interval join reads 3.7 s at width 4 vs
+    5.1 s at 8, while at sf0.1 the dedup replay reads 2.4 s at 8 vs
+    4.5 s at 4). Stores-per-query = width × stores-per-operator (a
+    stream-stream join keeps 4 per partition) and every store pays an
+    open+commit per micro-batch, so small replays want few stores;
+    larger replays need the task parallelism. ~256 KB of input per
+    state partition, clamped to [4, 16] locally; the walk is plain
+    os.walk over the files this query just wrote (no Spark job). The
+    transformWithState (Python state server) queries keep their
+    separately-measured optimum of 8 (r12: 8 beat both 2 and 32 — the
+    Python worker parallelism dominates there, not store count). At
+    100 TB this knob is keys-per-executor-sized — the env override
+    takes precedence."""
+    env = _os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS")
+    if env:
+        return int(env)
+    total = 0
+    for dirpath, _dirs, files in _os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                try:
+                    total += _os.path.getsize(_os.path.join(dirpath, f))
+                except OSError:
+                    pass
+    return min(16, max(4, total // (256 * 1024)))
 
 
 class _scoped_shuffle_partitions:
@@ -297,12 +335,18 @@ def stream_true_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # µs-timestamp replay dir (readStream cannot apply load_table's
     # ns→µs conversion); deterministic per-SF path, rewritten per run
     root = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_base(),
         "hudi_utility_spark_q",
         f"true_stream_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     shutil.rmtree(root, ignore_errors=True)
-    ev.coalesce(4).write.parquet(root)
+    # two files → two real micro-batches: cross-batch incremental state
+    # is still exercised, at half the per-batch fixed cost (planning,
+    # WAL, one state-store open+commit per partition per batch) of the
+    # old 4-file replay — guide §2/§5 "fewer, fatter micro-batches";
+    # complete-mode output is batching-invariant, so the result (and
+    # the oracle hash) is unchanged.
+    ev.coalesce(2).write.parquet(root)
     sink = f"true_tumbling_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(root, "_ckpt")
     stream = (
@@ -310,7 +354,7 @@ def stream_true_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(root)
     )
-    with _scoped_shuffle_partitions(spark, 8):
+    with _scoped_shuffle_partitions(spark, _replay_width(root)):
         q = (
             tumbling_counts(stream, width="5 minutes")
             .writeStream.format("memory")
@@ -362,14 +406,28 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     root = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_base(),
         "hudi_utility_spark_q",
         f"dedup_stream_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     shutil.rmtree(root, ignore_errors=True)
     # Two identical writes -> every event_id present twice on disk.
-    ev.coalesce(2).write.mode("append").parquet(root)
-    ev.coalesce(2).write.mode("append").parquet(root)
+    # One file per copy and explicit mtimes pin batch 1 = copy 1,
+    # batch 2 = copy 2: the duplicate of every surviving row arrives in
+    # a LATER micro-batch, so the run always exercises CROSS-BATCH
+    # state dedup (the old 4-file/4-batch replay exercised the same
+    # thing at twice the per-batch fixed cost — guide §2/§5 "fewer,
+    # fatter micro-batches"; dedup output is batching-invariant, so
+    # the result is unchanged).
+    import glob as _glob
+    import time as _time
+
+    ev.coalesce(1).write.mode("append").parquet(root)
+    first_files = set(_glob.glob(os.path.join(root, "*.parquet")))
+    ev.coalesce(1).write.mode("append").parquet(root)
+    now = _time.time()
+    for f in _glob.glob(os.path.join(root, "*.parquet")):
+        os.utime(f, (now, now) if f in first_files else (now + 60, now + 60))
     sink = f"dedup_wm_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(root, "_ckpt")
     stream = (
@@ -385,7 +443,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", "90 days")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
-    with _scoped_shuffle_partitions(spark, 8):
+    with _scoped_shuffle_partitions(spark, _replay_width(root)):
         q = (
             deduped.writeStream.format("memory")
             .queryName(sink)
@@ -467,7 +525,7 @@ def stream_ewma_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "value"
     )
     root = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_base(),
         "hudi_utility_spark_q",
         f"ewma_tws_{os.path.basename(sf_dir.rstrip('/'))}",
     )
@@ -630,7 +688,7 @@ def stream_session_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("ts").cast("timestamp_ltz").alias("ts")
     )
     root = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_base(),
         "hudi_utility_spark_q",
         f"sess_tws_{os.path.basename(sf_dir.rstrip('/'))}",
     )
@@ -747,7 +805,7 @@ def stream_upsert_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hudi_utility_spark.table import KeyedTable, TableType
 
     root = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_base(),
         "hudi_utility_spark_q",
         f"stream_upsert_{os.path.basename(sf_dir.rstrip('/'))}",
     )
@@ -862,7 +920,7 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     thr_us = mm.mn + (mm.mx - mm.mn) // 2
     root = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_base(),
         "hudi_utility_spark_q",
         f"late_drop_{os.path.basename(sf_dir.rstrip('/'))}",
     )
@@ -911,7 +969,7 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         if rows:
             acc[int(bid)] = [tuple(r) for r in rows]
 
-    with _scoped_shuffle_partitions(spark, 8):
+    with _scoped_shuffle_partitions(spark, _replay_width(root)):
         q = (
             tumbling_counts(stream, width="5 minutes", watermark="30 minutes")
             .writeStream.foreachBatch(capture)
@@ -958,8 +1016,8 @@ def stream_true_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrive in (coarse) event-time order — a watermarked join drops
     inputs older than the current watermark, so the replay is made
     deterministic the same way a replayed Kafka topic is: the corpus
-    is written as four TIME-SLICED files (ts quartiles) with staggered
-    mtimes, so maxFilesPerTrigger=1 delivers micro-batches in
+    is written as TIME-SLICED files (split at the median ts) with
+    staggered mtimes, so maxFilesPerTrigger=1 delivers micro-batches in
     ascending event time and no qualifying input can arrive beneath
     the watermark. State holds unmatched rows until the watermark
     proves no match can still arrive, so every qualifying pair emits
@@ -984,18 +1042,25 @@ def stream_true_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     root = os.path.join(
-        tempfile.gettempdir(),
+        _scratch_base(),
         "hudi_utility_spark_q",
         f"true_ivj_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     shutil.rmtree(root, ignore_errors=True)
     # linear time slices from min/max (one cheap agg): the slices only
     # need to be event-time ORDERED, not equal-count, so an exact
-    # quantile pass would be wasted work
+    # quantile pass would be wasted work. TWO slices, not four: the
+    # cross-batch join contract (state from batch 1 matched against
+    # batch 2 arrivals, watermark never overtaking a qualifying input)
+    # is fully exercised by one boundary, and every extra micro-batch
+    # pays a full fixed cost of planning + WAL + 4 state-store
+    # opens+commits per partition (guide §2/§5 "fewer, fatter
+    # micro-batches"; an ordered-arrival inner interval join is
+    # batching-invariant, so the result is unchanged).
     mm = ev.agg(
         F.min(us("ts")).alias("mn"), F.max(us("ts")).alias("mx")
     ).collect()[0]
-    qs = [mm.mn + (mm.mx - mm.mn) * k // 4 for k in (1, 2, 3)]
+    thr = mm.mn + (mm.mx - mm.mn) // 2
 
     def _write(df) -> set[str]:
         import glob as _glob
@@ -1006,10 +1071,8 @@ def stream_true_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t_us = us("ts")
     slices = [
-        _write(ev.filter(t_us <= F.lit(qs[0]))),
-        _write(ev.filter((t_us > F.lit(qs[0])) & (t_us <= F.lit(qs[1])))),
-        _write(ev.filter((t_us > F.lit(qs[1])) & (t_us <= F.lit(qs[2])))),
-        _write(ev.filter(t_us > F.lit(qs[2]))),
+        _write(ev.filter(t_us <= F.lit(thr))),
+        _write(ev.filter(t_us > F.lit(thr))),
     ]
     now = _time.time()
     for order, files in enumerate(slices):
@@ -1037,7 +1100,7 @@ def stream_true_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         if rows:
             acc[int(bid)] = [tuple(r) for r in rows]
 
-    with _scoped_shuffle_partitions(spark, 8):
+    with _scoped_shuffle_partitions(spark, _replay_width(root)):
         q = (
             out.writeStream.foreachBatch(capture)
             .outputMode("append")

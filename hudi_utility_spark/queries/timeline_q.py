@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hudi_utility_spark import timeline
-from hudi_utility_spark.queries import query
+from hudi_utility_spark.queries import query, scratch_base
 from hudi_utility_spark.table import KeyedTable, TableType
 from hudi_utility_spark.tables import load_table
 from hudi_utility_spark.write import upsert
@@ -37,7 +37,7 @@ def timeline_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     modified records come back, which is what lets a downstream consumer
     of a 100 TB table process deltas instead of snapshots."""
     root = os.path.join(
-        tempfile.gettempdir(),
+        scratch_base(),
         "hudi_utility_spark_q",
         f"timeline_{os.path.basename(sf_dir.rstrip('/'))}",
     )
@@ -88,7 +88,7 @@ def timeline_rollback_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaves no trace (Hudi restore semantics; the reference app can only
     re-bootstrap after a bad load)."""
     root = os.path.join(
-        tempfile.gettempdir(),
+        scratch_base(),
         "hudi_utility_spark_q",
         f"timeline_rb_{os.path.basename(sf_dir.rstrip('/'))}",
     )
@@ -145,7 +145,7 @@ def timeline_cdc_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hudi_utility_spark.write import delete_keys
 
     root = os.path.join(
-        tempfile.gettempdir(),
+        scratch_base(),
         "hudi_utility_spark_q",
         f"timeline_cdc_{os.path.basename(sf_dir.rstrip('/'))}",
     )
@@ -209,7 +209,7 @@ def timeline_read_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollback). The MOR log is the version store; the as-of read just
     bounds the precombine window at the instant."""
     root = os.path.join(
-        tempfile.gettempdir(),
+        scratch_base(),
         "hudi_utility_spark_q",
         f"timeline_asof_{os.path.basename(sf_dir.rstrip('/'))}",
     )
@@ -270,7 +270,7 @@ def timeline_clean_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     versions), which the oracle pins by recomputing the resolved state
     from the full history."""
     root = os.path.join(
-        tempfile.gettempdir(),
+        scratch_base(),
         "hudi_utility_spark_q",
         f"timeline_clean_{os.path.basename(sf_dir.rstrip('/'))}",
     )
