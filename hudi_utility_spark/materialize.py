@@ -188,7 +188,14 @@ def replicate_incremental(
     dels = cdc.filter(F.col("op") == "delete").select(
         *src.record_key, src.precombine, *src.partition_fields
     )
-    n_ups, n_dels = ups.count(), dels.count()
+    # one conditional aggregate instead of two cache-scan counts (the
+    # first of which also paid the CDC materialization): same values,
+    # one job fewer per sync step
+    row = cdc.agg(
+        F.count(F.when(F.col("op") != "delete", 1)).alias("u"),
+        F.count(F.when(F.col("op") == "delete", 1)).alias("d"),
+    ).collect()[0]
+    n_ups, n_dels = row["u"], row["d"]
     if n_ups:
         upsert(spark, ups, dst)
     if n_dels:
