@@ -72,9 +72,9 @@ class Ledger:
         same semantic as the engine's keyed tables)."""
         if status not in ("SUCCESS", "FAILED", "PENDING"):
             raise ValueError(f"invalid status: {status}")
-        row = self._latest().filter(F.col("transaction_id") == transaction_id).collect()
-        start = row[0]["start_time"] if row else None
-        data = row[0]["transaction_data"] if row else None
+        row = self._latest_event_py(transaction_id)
+        start = row["start_time"] if row else None
+        data = row["transaction_data"] if row else None
         self._append_row(
             transaction_id=transaction_id,
             status=status,
@@ -170,9 +170,71 @@ class Ledger:
 
     # -- internals ---------------------------------------------------------
     def _append_row(self, **kwargs) -> None:
+        """One-row append WITHOUT a Spark job (guide §5: the driver
+        should do almost no data work — and conversely, control-plane
+        bookkeeping should not spin a cluster job per event; a Spark
+        write job for one row cost ~1-2 s of scheduler/py4j/commit
+        overhead per begin/finish). pyarrow writes the same parquet
+        physical layout Spark uses for _SCHEMA (INT64 timestamp MICROS
+        adjustedToUTC, optional UTF8), so ``spark.read.schema(_SCHEMA)``
+        reads both interchangeably — pinned by the end-to-end ledger
+        tests. Temp-write + atomic rename: a reader never sees a
+        partial event file."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         row = {f.name: kwargs.get(f.name) for f in _SCHEMA.fields}
-        df = self.spark.createDataFrame([row], schema=_SCHEMA)
-        df.coalesce(1).write.mode("append").parquet(self.path)
+        fields, arrays = [], []
+        for f in _SCHEMA.fields:
+            typ = (
+                pa.timestamp("us", tz="UTC")
+                if isinstance(f.dataType, T.TimestampType)
+                else pa.string()
+            )
+            fields.append(pa.field(f.name, typ, nullable=True))
+            arrays.append(pa.array([row[f.name]], type=typ))
+        os.makedirs(self.path, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.snappy.parquet"
+        tmp = os.path.join(self.path, f"_tmp-{fname}")
+        pq.write_table(
+            pa.Table.from_arrays(arrays, schema=pa.schema(fields)),
+            tmp,
+            compression="snappy",
+        )
+        os.replace(tmp, os.path.join(self.path, fname))
+
+    def _latest_event_py(self, transaction_id: str) -> dict | None:
+        """Driver-side point lookup of one transaction's winning event
+        (same precombine semantics as ``_latest``: max end_time,
+        non-null beats null) — a pyarrow scan of the event files
+        instead of a Spark window job per ``finish``. The ledger is
+        one-row-per-job control-plane data, so this is O(jobs) tiny
+        files read in-process."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        files = _glob.glob(os.path.join(self.path, "*.parquet"))
+        if not files:
+            return None
+        _epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+        def _key(r: dict):
+            et = r.get("end_time")
+            return (et is not None, et or _epoch)
+
+        best: dict | None = None
+        for fp in files:
+            try:
+                t = pq.read_table(fp)
+            except Exception:
+                continue
+            for r in t.to_pylist():
+                if r.get("transaction_id") != transaction_id:
+                    continue
+                if best is None or _key(r) > _key(best):
+                    best = r
+        return best
 
     def _read(self) -> DataFrame:
         if not os.path.isdir(self.path):

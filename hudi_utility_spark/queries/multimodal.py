@@ -535,7 +535,10 @@ def _dhash_imgs(spark: SparkSession, sf_dir: str, n_imgs: int = 40) -> DataFrame
     # Arrow kernels — the guide-§4 sin of paying the Python boundary
     # per reference instead of once (measured: 18 ArrowEval nodes in
     # the gate's plan before, 2 after). Row count is n_imgs, so the
-    # cache is a few KB; bench/gate clear it between queries.
+    # cache is a few KB. CACHE-LIFETIME CONTRACT (r12 ADVICE #4): the
+    # returned plan reads this cache lazily, so it cannot be
+    # unpersisted here; callers that hold sessions across many queries
+    # must clearCache() between them (bench/gate already do).
     return M.ppm_dhash(M.synth_ppm(imgs)).persist()
 
 

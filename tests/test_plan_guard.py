@@ -46,16 +46,27 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
-def test_headline_plans_no_cartesian_bounded_bnlj(spark, sf_dir):
+@pytest.fixture(scope="module")
+def headline_plans(spark, sf_dir):
+    """Every (non-scratch) headline query's formatted plan, built ONCE
+    per module: three tests iterate the same ~100 queries, and building
+    a query's DataFrame also runs its eager fit collects — sharing the
+    dict cuts this module's wall roughly in half (r12 VERDICT #3: keep
+    the suite inside the driver's verify budget)."""
     import __spark_entry__ as entrymod
     from bench import HEADLINE
 
     qs = entrymod.queries()
+    return {
+        name: _plan(qs[name](spark, sf_dir))
+        for name in HEADLINE
+        if name not in SCRATCH
+    }
+
+
+def test_headline_plans_no_cartesian_bounded_bnlj(headline_plans):
     offenders = []
-    for name in HEADLINE:
-        if name in SCRATCH:
-            continue
-        plan = _plan(qs[name](spark, sf_dir))
+    for name, plan in headline_plans.items():
         if "CartesianProduct" in plan:
             offenders.append((name, "cartesian"))
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
@@ -75,22 +86,17 @@ ARROW_OK = {
 }
 
 
-def test_headline_plans_stay_jvm_side(spark, sf_dir):
+def test_headline_plans_stay_jvm_side(headline_plans):
     """SURVEY §2.10 policy, enforced: no Python evaluation nodes in any
     headline plan outside the declared Arrow kernels — a built-in
     expression silently degrading to a Python UDF (easy to do via
     api changes or accidental closures) fails here, not on a cluster."""
     import re
 
-    import __spark_entry__ as entrymod
-    from bench import HEADLINE
-
-    qs = entrymod.queries()
     offenders = []
-    for name in HEADLINE:
-        if name in SCRATCH or name in ARROW_OK:
+    for name, plan in headline_plans.items():
+        if name in ARROW_OK:
             continue
-        plan = _plan(qs[name](spark, sf_dir))
         if re.search(r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas", plan):
             offenders.append(name)
     assert not offenders, offenders
@@ -106,20 +112,26 @@ def test_headline_plans_stay_jvm_side(spark, sf_dir):
 EXCHANGE_BUDGETS = {
     "cluster_kmeans_parallel_init": 0,  # returns driver-built diag rows;
     # rounds collect scalars + expected-l candidates only
-    "dedup_containment_pairs": 26,
+    # r13: the df-ranked relation is persisted and feeds BOTH candidate
+    # sides (PPJoin+ positional filter needs rn on the index side), so
+    # the STATIC plan prints its 3-exchange lineage once per consumer —
+    # the executed plan computes it once into the cache (it was already
+    # computed once before; the second consumer previously read raw sh).
+    # Text count 26 -> 36 is the reprint, not a new executed shuffle.
+    "dedup_containment_pairs": 36,
     "text_bigram_backoff": 20,
     "text_bpe_encode": 2,
     "stream_dedup_watermark": 2,
 }
 
 
-def test_r7_headline_exchange_budgets(spark, sf_dir):
+def test_r7_headline_exchange_budgets(spark, sf_dir, headline_plans):
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     over = []
     for name, budget in EXCHANGE_BUDGETS.items():
-        plan = _plan(qs[name](spark, sf_dir))
+        plan = headline_plans.get(name) or _plan(qs[name](spark, sf_dir))
         shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
         if shuffles > budget:
             over.append((name, shuffles, budget))
