@@ -24,6 +24,24 @@ _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE coalesce to the advisory BYTE size instead of defending
+    # core-count parallelism (guide §2.2/§9): with parallelismFirst=true
+    # (the default) AQE keeps ~one post-shuffle partition per core even
+    # when each holds a few KB, so at low data-per-core every reduce
+    # stage pays core-count tasks of pure scheduling overhead — the r12
+    # scaling block's "faster at 8 cores than 32" signature. Interleaved
+    # A/B at sf0.1/local[32]: 1.1-1.4x on 7 of 8 probed headline queries
+    # (jaccard 1.39, kmeans 1.23, funnel 1.34), pagerank 0.94 (noise).
+    # The advisory default stays small locally so the driver's 8-core
+    # runs coalesce the same way; on a cluster set
+    # SPARK_GRAFT_ADVISORY_PARTITION_BYTES to 128-256m (guide §9) —
+    # partitions already at or above the advisory size are never split,
+    # so this knob only merges waste, it cannot reduce real parallelism
+    # of data-sized stages.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ.get(
+        "SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "8m"
+    ),
     "spark.sql.session.timeZone": "UTC",
     # The corpus parquet stores µs timestamps with no timezone flag, which
     # Spark 4 infers as TIMESTAMP_NTZ. Default new timestamps (literals,
