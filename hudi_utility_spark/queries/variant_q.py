@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hudi_utility_spark.queries import forensic_return, query
+from hudi_utility_spark.queries import forensic_active, forensic_return, query
 from hudi_utility_spark.tables import load_table
 
 
@@ -90,7 +90,12 @@ def variant_extract_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
-    return forensic_return("variant_extract_profile", spark, out)
+    # forensics at correctness scale only (the sum_v* decimal-scale fix
+    # above is what actually addresses the suspected drift; the dump
+    # names the values if it ever reds again)
+    if forensic_active(sf_dir, "events", 20000):
+        return forensic_return("variant_extract_profile", spark, out)
+    return out
 
 
 @query(
