@@ -20,7 +20,13 @@ PRECOMBINE = st.integers(min_value=0, max_value=100)
 ROWS = st.lists(st.tuples(KEYS, PRECOMBINE), min_size=1, max_size=12)
 
 _SETTINGS = settings(
-    max_examples=15,
+    # 9 examples (was 15): every example here runs full Spark actions,
+    # and this module alone cost ~4.5 min of the suite's 35 — part of
+    # keeping the whole suite inside the driver's verify budget (r12
+    # VERDICT #3). Hypothesis draws fresh examples per run, so coverage
+    # still accumulates across sessions; shrinking on failure is
+    # unaffected.
+    max_examples=9,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
